@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Table loaders + exact-arithmetic helpers shared by all graft queries.
+  *
+  * Determinism note: the driver cross-checks every query against a DuckDB
+  * oracle by hashing result values. Double-precision sums are
+  * order-dependent (Spark partial aggregation reorders additions), so all
+  * "money math" first casts the 2-decimal double columns to DECIMAL —
+  * exact in both engines — and only casts back to DOUBLE at the very end.
+  */
+object Tables {
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Events table with `ts` normalized to TimestampType regardless of the
+    * parquet physical type (the generator wrote nanosecond timestamps,
+    * which Spark's parquet reader rejects unless read as raw longs). */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = t(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case TimestampType => df
+      case LongType => // nanosAsLong fallback: ns since epoch
+        df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast(LongType)))
+      case _ => df.withColumn("ts", col("ts").cast(TimestampType))
+    }
+  }
+
+  /** 2-decimal money double -> exact decimal. */
+  def dec(c: Column): Column = c.cast(DecimalType(12, 2))
+
+  /** Exact decimal sum, surfaced as double (bit-identical to DuckDB's
+    * CAST(SUM(CAST(x AS DECIMAL(12,2))) AS DOUBLE)). */
+  def dsum(c: Column): Column = sum(c).cast(DoubleType)
+
+  /** lineitem revenue term: extendedprice * (1 - discount), exact.
+    * Result cast to DECIMAL(18,4) so downstream products stay within
+    * precision 38 in both engines. */
+  def revenue: Column =
+    (dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+      .cast(DecimalType(18, 4))
+
+  /** Matching DuckDB SQL fragment for [[revenue]]. */
+  val revenueSql: String =
+    "CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(18,4))"
+
+  /** DuckDB fragment: exact decimal sum of a 2-decimal double, as DOUBLE. */
+  def dsumSql(col: String): String =
+    s"CAST(SUM(CAST($col AS DECIMAL(12,2))) AS DOUBLE)"
+}

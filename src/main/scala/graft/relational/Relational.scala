@@ -1,0 +1,507 @@
+package graft.relational
+
+import graft.Tables._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Relational core: TPC-H-shaped coverage of scan/filter/project/agg/join
+  * (inner, semi, anti, outer, full), window, set-ops, subqueries, rollup/
+  * cube/grouping-sets, pivot, sort-limit, time bucketing, sessionization.
+  *
+  * Scale posture: small dims (region/nation/supplier/part at these SFs —
+  * and in real TPC-H, anything ≪ the fact table) are broadcast; fact-fact
+  * joins shuffle on their join keys; aggregations rely on partial
+  * (map-side) aggregation. Every query is a pure DataFrame plan —
+  * Catalyst handles pushdown/pruning/join selection; AQE re-plans skew.
+  */
+object Relational {
+
+  private def ts(s: String): Column = lit(s).cast(TimestampType)
+
+  // ---- R1: TPC-H Q1 pricing summary -------------------------------------
+  def q1Agg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= ts("1998-09-02"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(dec(col("l_quantity"))).as("sum_qty"),
+        dsum(dec(col("l_extendedprice"))).as("sum_base_price"),
+        dsum(revenue).as("sum_disc_price"),
+        dsum(revenue * (lit(1) + dec(col("l_tax")))).as("sum_charge"),
+        (sum(dec(col("l_quantity"))).cast(DoubleType) / count(lit(1))).as("avg_qty"),
+        (sum(dec(col("l_extendedprice"))).cast(DoubleType) / count(lit(1))).as("avg_price"),
+        (sum(dec(col("l_discount"))).cast(DoubleType) / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  // ---- R2: projection + predicate pushdown ------------------------------
+  def q2FilterProject(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate").between(ts("1996-01-01"), ts("1996-12-31")) &&
+        col("l_discount") > 0.05)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  // ---- R3: Q3 shipping priority (3-way join + agg + top-k) ---------------
+  def q3JoinAgg(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val ord = t(s, dir, "orders").filter(col("o_orderdate") < ts("1998-03-15"))
+    val li = t(s, dir, "lineitem").filter(col("l_shipdate") > ts("1998-03-15"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy("l_orderkey", "o_orderdate")
+      .agg(dsum(revenue).as("rev"))
+      .orderBy(desc("rev"), asc("l_orderkey"))
+      .limit(10)
+  }
+
+  // ---- R4: left-semi (EXISTS) -------------------------------------------
+  def q4Semijoin(s: SparkSession, dir: String): DataFrame = {
+    val big = t(s, dir, "lineitem").filter(col("l_quantity") > 45)
+      .select(col("l_orderkey"))
+    t(s, dir, "orders")
+      .join(big, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  // ---- R5: Q5 star join (6 tables) --------------------------------------
+  def q5MultiJoin(s: SparkSession, dir: String): DataFrame = {
+    val region = t(s, dir, "region").filter(col("r_name") === "ASIA")
+    val nation = t(s, dir, "nation")
+    val supp = t(s, dir, "supplier")
+    val cust = t(s, dir, "customer")
+    val ord = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= ts("1996-01-01") && col("o_orderdate") < ts("1998-01-01"))
+    val li = t(s, dir, "lineitem")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(cust, col("o_custkey") === col("c_custkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name").agg(dsum(revenue).as("rev"))
+      .orderBy(desc("rev"), asc("n_name"))
+  }
+
+  // ---- R6: Q6 tight scan-agg --------------------------------------------
+  def q6ScanAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= ts("1997-01-01") && col("l_shipdate") < ts("1998-01-01") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(dsum(dec(col("l_extendedprice")) * dec(col("l_discount"))).as("rev"))
+
+  // ---- R7: window rank (top-3 orders per customer) ----------------------
+  def q7WindowRank(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+      .orderBy("o_custkey", "rn")
+  }
+
+  // ---- R8: window running sum -------------------------------------------
+  def q8RunningSum(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "orders")
+      .withColumn("running_spend", sum(dec(col("o_totalprice"))).over(w).cast(DoubleType))
+      .select("o_custkey", "o_orderkey", "running_spend")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  // ---- R9: distinct / count-distinct ------------------------------------
+  def q9Distinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+
+  // ---- R10: group-by + having -------------------------------------------
+  def q10Having(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_custkey").agg(count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") >= 3)
+      .orderBy("o_custkey")
+
+  // ---- R11: left-anti (NOT EXISTS) --------------------------------------
+  def q11Antijoin(s: SparkSession, dir: String): DataFrame = {
+    val urgent = t(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+    t(s, dir, "customer")
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  // ---- R12: union + conditional agg -------------------------------------
+  def q12Union(s: SparkSession, dir: String): DataFrame = {
+    val ord = t(s, dir, "orders")
+    val high = ord.filter(col("o_totalprice") > 200000)
+      .select(col("o_orderpriority"), lit("high").as("bucket"))
+    val urgent = ord.filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderpriority"), lit("urgent").as("bucket"))
+    high.union(urgent)
+      .groupBy("o_orderpriority", "bucket").agg(count(lit(1)).as("n"))
+      .orderBy("o_orderpriority", "bucket")
+  }
+
+  // ---- R13: Q13 outer join + agg-of-agg ---------------------------------
+  def q13OuterjoinAgg(s: SparkSession, dir: String): DataFrame = {
+    val ord = t(s, dir, "orders").select("o_custkey", "o_orderkey")
+    t(s, dir, "customer")
+      .join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey").agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+      .orderBy(desc("custdist"), desc("c_count"))
+  }
+
+  // ---- R14: Q14 conditional (CASE WHEN) agg ------------------------------
+  def q14CaseAgg(s: SparkSession, dir: String): DataFrame = {
+    val part = t(s, dir, "part")
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= ts("1997-01-01") && col("l_shipdate") < ts("1997-04-01"))
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .agg((lit(100.0) *
+        sum(when(col("p_type") === "PROMO", revenue).otherwise(lit(0).cast(DecimalType(18, 4)))).cast(DoubleType) /
+        sum(revenue).cast(DoubleType)).as("promo_revenue"))
+  }
+
+  // ---- R15: Q17-ish scalar subquery (per-part avg) -----------------------
+  def q15ScalarSubq(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val avgQty = li.groupBy(col("l_partkey").as("ap_partkey"))
+      .agg((sum(dec(col("l_quantity"))).cast(DoubleType) / count(lit(1))).as("avg_qty"))
+    li.join(avgQty, col("l_partkey") === col("ap_partkey"))
+      .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
+      .agg((dsum(dec(col("l_extendedprice"))) / lit(7.0)).as("avg_yearly"))
+  }
+
+  // ---- R16: Q18-ish large orders via agg + window top-k ------------------
+  def q16GroupaggTopk(s: SparkSession, dir: String): DataFrame = {
+    val totals = t(s, dir, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(sum(dec(col("l_quantity"))).cast(DoubleType).as("total_qty"))
+    // top-k first via TakeOrderedAndProject (scale-safe: per-partition
+    // top-k then merge — no global sort); the rank window then runs on
+    // just k rows.
+    val top = totals.orderBy(desc("total_qty"), asc("l_orderkey")).limit(20)
+    val w = Window.orderBy(desc("total_qty"), asc("l_orderkey"))
+    val ranked = top.withColumn("rk", row_number().over(w))
+    t(s, dir, "orders")
+      .join(broadcast(ranked), col("l_orderkey") === col("o_orderkey"))
+      .select("l_orderkey", "o_custkey", "total_qty", "rk")
+      .orderBy("rk")
+  }
+
+  // ---- R17: Q19-ish disjunctive predicates over a join -------------------
+  def q17OrPred(s: SparkSession, dir: String): DataFrame = {
+    val part = t(s, dir, "part")
+    t(s, dir, "lineitem")
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#11" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#14" && col("p_size").between(1, 25) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#17" && col("p_size").between(1, 35) &&
+          col("l_quantity").between(20, 30)))
+      .agg(dsum(revenue).as("rev"), count(lit(1)).as("n"))
+  }
+
+  // ---- R18: IN-subquery (semi join) --------------------------------------
+  def q18InSubq(s: SparkSession, dir: String): DataFrame = {
+    val heavy = t(s, dir, "lineitem").filter(col("l_quantity") >= 49)
+      .select(col("l_partkey"))
+    t(s, dir, "part")
+      .join(heavy, col("p_partkey") === col("l_partkey"), "left_semi")
+      .select("p_partkey", "p_name", "p_brand")
+      .orderBy("p_partkey")
+  }
+
+  // ---- R19: rollup -------------------------------------------------------
+  def q19Rollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(dsum(dec(col("l_quantity"))).as("sum_qty"), count(lit(1)).as("n"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  // ---- R20: cube ---------------------------------------------------------
+  def q20Cube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"), dsum(dec(col("o_totalprice"))).as("total"))
+      .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+
+  // ---- R21: pivot --------------------------------------------------------
+  def q21Pivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(count(lit(1)))
+      .select(col("l_returnflag"),
+        coalesce(col("F"), lit(0L)).as("f_cnt"),
+        coalesce(col("O"), lit(0L)).as("o_cnt"))
+      .orderBy("l_returnflag")
+
+  // ---- R22: global sort + limit ------------------------------------------
+  def q22SortLimit(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+      .orderBy(desc("l_extendedprice"), asc("l_orderkey"), asc("l_linenumber"))
+      .limit(50)
+
+  // ---- R23: time-bucketed event aggregation ------------------------------
+  def q23EventsBucket(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("hour_s"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(dec(col("value"))).as("total_value"))
+      .orderBy("hour_s", "event_type")
+
+  // ---- R24: gap-based sessionization (30 min) ----------------------------
+  def q24Sessionize(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("es", "event_id")
+    val e = events(s, dir)
+      .select(col("user_id"), unix_timestamp(col("ts")).as("es"), col("event_id"))
+      .withColumn("prev", lag("es", 1).over(w))
+      .withColumn("new_s",
+        when(col("prev").isNull || col("es") - col("prev") > 1800, 1L).otherwise(0L))
+      .withColumn("session_id",
+        sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    e.groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"), min("es").as("start_s"),
+        (max(col("es")) - min(col("es"))).as("dur_s"))
+      .orderBy("user_id", "session_id")
+  }
+
+  // ---- R25: grouping sets -------------------------------------------------
+  def q25GroupingSets(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem").createOrReplaceTempView("graft_li_gs")
+    s.sql(
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+        |FROM graft_li_gs
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+        |""".stripMargin)
+  }
+
+  // ---- R26: full-outer join ----------------------------------------------
+  def q26FullOuter(s: SparkSession, dir: String): DataFrame = {
+    val custN = t(s, dir, "customer").groupBy(col("c_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_cust"))
+    val suppN = t(s, dir, "supplier").groupBy(col("s_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_supp"))
+    custN.join(suppN, Seq("nationkey"), "full_outer")
+      .select(col("nationkey"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+      .orderBy("nationkey")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> q1Agg _,
+    "q2_filter_project" -> q2FilterProject _,
+    "q3_join_agg" -> q3JoinAgg _,
+    "q4_semijoin" -> q4Semijoin _,
+    "q5_multi_join" -> q5MultiJoin _,
+    "q6_scan_agg" -> q6ScanAgg _,
+    "q7_window_rank" -> q7WindowRank _,
+    "q8_running_sum" -> q8RunningSum _,
+    "q9_distinct" -> q9Distinct _,
+    "q10_having" -> q10Having _,
+    "q11_antijoin" -> q11Antijoin _,
+    "q12_union" -> q12Union _,
+    "q13_outerjoin_agg" -> q13OuterjoinAgg _,
+    "q14_case_agg" -> q14CaseAgg _,
+    "q15_scalar_subq" -> q15ScalarSubq _,
+    "q16_groupagg_topk" -> q16GroupaggTopk _,
+    "q17_or_pred" -> q17OrPred _,
+    "q18_in_subq" -> q18InSubq _,
+    "q19_rollup" -> q19Rollup _,
+    "q20_cube" -> q20Cube _,
+    "q21_pivot" -> q21Pivot _,
+    "q22_sort_limit" -> q22SortLimit _,
+    "q23_events_bucket" -> q23EventsBucket _,
+    "q24_sessionize" -> q24Sessionize _,
+    "q25_grouping_sets" -> q25GroupingSets _,
+    "q26_full_outer" -> q26FullOuter _,
+  )
+
+  private val rev = revenueSql // DuckDB fragment
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${dsumSql("l_quantity")} AS sum_qty,
+         |  ${dsumSql("l_extendedprice")} AS sum_base_price,
+         |  CAST(SUM($rev) AS DOUBLE) AS sum_disc_price,
+         |  CAST(SUM($rev * (1 + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
+         |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+         |  CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+         |  COUNT(*) AS count_order
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
+        |  AND l_discount > 0.05
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q3_join_agg" ->
+      s"""SELECT l_orderkey, o_orderdate, CAST(SUM($rev) AS DOUBLE) AS rev
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-03-15'
+         |  AND l_shipdate > TIMESTAMP '1998-03-15'
+         |GROUP BY l_orderkey, o_orderdate
+         |ORDER BY rev DESC, l_orderkey ASC LIMIT 10""".stripMargin,
+    "q4_semijoin" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q5_multi_join" ->
+      s"""SELECT n_name, CAST(SUM($rev) AS DOUBLE) AS rev
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01'
+         |GROUP BY n_name ORDER BY rev DESC, n_name ASC""".stripMargin,
+    "q6_scan_agg" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS rev
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "q7_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "q8_running_sum" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q9_distinct" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+        |  COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q10_having" ->
+      """SELECT o_custkey, COUNT(*) AS n_orders FROM orders
+        |GROUP BY o_custkey HAVING COUNT(*) >= 3 ORDER BY o_custkey""".stripMargin,
+    "q11_antijoin" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+    "q12_union" ->
+      """SELECT o_orderpriority, bucket, COUNT(*) AS n FROM (
+        |  SELECT o_orderpriority, 'high' AS bucket FROM orders WHERE o_totalprice > 200000
+        |  UNION ALL
+        |  SELECT o_orderpriority, 'urgent' AS bucket FROM orders WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY o_orderpriority, bucket ORDER BY o_orderpriority, bucket""".stripMargin,
+    "q13_outerjoin_agg" ->
+      """SELECT c_count, COUNT(*) AS custdist FROM (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q14_case_agg" ->
+      s"""SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN $rev
+         |    ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+         |  / CAST(SUM($rev) AS DOUBLE) AS promo_revenue
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'""".stripMargin,
+    "q15_scalar_subq" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0 AS avg_yearly
+        |FROM lineitem JOIN (
+        |  SELECT l_partkey AS ap_partkey,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+        |  FROM lineitem GROUP BY l_partkey) ON l_partkey = ap_partkey
+        |WHERE l_quantity < 0.5 * avg_qty""".stripMargin,
+    "q16_groupagg_topk" ->
+      """SELECT l_orderkey, o_custkey, total_qty, rk FROM (
+        |  SELECT l_orderkey,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty,
+        |    ROW_NUMBER() OVER (ORDER BY CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) DESC, l_orderkey ASC) AS rk
+        |  FROM lineitem GROUP BY l_orderkey)
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE rk <= 20 ORDER BY rk""".stripMargin,
+    "q17_or_pred" ->
+      s"""SELECT CAST(SUM($rev) AS DOUBLE) AS rev, COUNT(*) AS n
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+         |   OR (p_brand = 'Brand#14' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+         |   OR (p_brand = 'Brand#17' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q18_in_subq" ->
+      """SELECT p_partkey, p_name, p_brand FROM part
+        |WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 49)
+        |ORDER BY p_partkey""".stripMargin,
+    "q19_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty, COUNT(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q20_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "q21_pivot" ->
+      """SELECT l_returnflag,
+        |  COUNT(CASE WHEN l_linestatus = 'F' THEN 1 END) AS f_cnt,
+        |  COUNT(CASE WHEN l_linestatus = 'O' THEN 1 END) AS o_cnt
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q22_sort_limit" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+        |LIMIT 50""".stripMargin,
+    "q23_events_bucket" ->
+      """SELECT CAST(FLOOR(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP)))) AS BIGINT) AS hour_s,
+        |  event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour_s, event_type""".stripMargin,
+    "q24_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id,
+        |    CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS es
+        |  FROM events),
+        |flagged AS (
+        |  SELECT user_id, event_id, es,
+        |    CASE WHEN LAG(es) OVER w IS NULL OR es - LAG(es) OVER w > 1800
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)),
+        |sess AS (
+        |  SELECT user_id, es,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY es, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, session_id, COUNT(*) AS n_events, MIN(es) AS start_s,
+        |  MAX(es) - MIN(es) AS dur_s
+        |FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    "q25_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q26_full_outer" ->
+      """SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+        |  COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp
+        |FROM (SELECT c_nationkey AS nationkey, COUNT(*) AS n_cust
+        |      FROM customer GROUP BY 1) c
+        |FULL OUTER JOIN (SELECT s_nationkey AS nationkey, COUNT(*) AS n_supp
+        |      FROM supplier GROUP BY 1) s
+        |ON c.nationkey = s.nationkey ORDER BY nationkey""".stripMargin,
+  )
+}

@@ -1,0 +1,88 @@
+#!/usr/bin/env python3
+"""Dev-only harness mirroring the driver's correctness gate:
+run graft.Verify (Spark) at a given SF, then execute each oracle SQL in
+DuckDB over the same parquet tables and compare (schema-insensitive:
+columns sorted by name, rows sorted, values hashed with rounding-free
+equality). Not part of the library."""
+import json, math, subprocess, sys
+from pathlib import Path
+
+import duckdb
+import pyarrow.parquet as pq
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+OUT = Path(sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify")
+RUN_SPARK = "--no-spark" not in sys.argv
+
+if RUN_SPARK:
+    r = subprocess.run(
+        ["sbt", f'runMain graft.Verify {SF_DIR} {OUT}'],
+        capture_output=True, text=True, cwd="/root/repo",
+        env={**__import__("os").environ, "SPARK_GRAFT_CPUS": "8"})
+    if r.returncode != 0:
+        print(r.stdout[-3000:], r.stderr[-3000:])
+        sys.exit(1)
+    for line in r.stderr.splitlines():
+        if "[verify]" in line:
+            print(line)
+
+con = duckdb.connect()
+for t in ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+
+oracle = json.loads((OUT / "oracle_sql.json").read_text())
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return f"{v:.10g}"
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+def canon(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = sorted(tuple(norm(r[i]) for i in order) for r in rows)
+    return [cols[i] for i in order], out
+
+n_pass = n_fail = 0
+results = sorted(p for p in OUT.iterdir() if p.is_dir())
+names = {p.name for p in results}
+for name in sorted(set(oracle) | names):
+    if name not in names:
+        print(f"FAIL {name}: no spark result written")
+        n_fail += 1
+        continue
+    files = list((OUT / name).glob("*.parquet"))
+    tbl = pq.read_table(files[0]) if files else None
+    if name not in oracle:
+        ok = tbl is not None and tbl.num_rows > 0
+        print(f"{'ok  ' if ok else 'FAIL'} {name}: rows-only ({tbl.num_rows if tbl else 0})")
+        n_pass += ok; n_fail += not ok
+        continue
+    try:
+        cur = con.execute(oracle[name])
+        ocols = [d[0] for d in cur.description]
+        orows = cur.fetchall()
+    except Exception as e:
+        print(f"FAIL {name}: oracle error {e}")
+        n_fail += 1
+        continue
+    scols = tbl.column_names
+    srows = [tuple(c[i].as_py() for c in tbl.columns) for i in range(tbl.num_rows)]
+    sc, sr = canon(scols, srows)
+    oc, orr = canon(ocols, orows)
+    if sc != oc:
+        print(f"FAIL {name}: cols spark={sc} oracle={oc}")
+        n_fail += 1
+    elif sr != orr:
+        diff = next((i, a, b) for i, (a, b) in enumerate(zip(sr + [None] * len(orr), orr + [None] * len(sr))) if a != b)
+        print(f"FAIL {name}: rows {len(sr)} vs {len(orr)}; first diff @{diff[0]}:\n  spark  {diff[1]}\n  oracle {diff[2]}")
+        n_fail += 1
+    else:
+        print(f"ok   {name}: {len(sr)} rows")
+        n_pass += 1
+print(f"\n{n_pass} pass, {n_fail} fail")
+sys.exit(1 if n_fail else 0)
