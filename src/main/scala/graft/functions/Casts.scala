@@ -1,0 +1,181 @@
+package graft.functions
+
+import graft.types._
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Conversion arguments, mirroring the reference's extension-func
+  * keyword set (bertrand/convert/arguments.py): `errors`, `rounding`,
+  * `tol`, `unit`, `since`, `true`/`false` token sets, `base`, `format`,
+  * `downcast`. */
+final case class CastOptions(
+    errors: String = "raise", // raise | coerce | ignore
+    rounding: Option[String] = None, // one of Rounding.validRules
+    tol: Double = 1e-6, // float→int without rounding: max drift
+    unit: String = "s", // epoch unit for int↔datetime/timedelta
+    since: String = "1970-01-01 00:00:00", // epoch anchor (UTC)
+    trueTokens: Seq[String] = Seq("true", "t", "yes", "y", "on", "1"),
+    falseTokens: Seq[String] = Seq("false", "f", "no", "n", "off", "0"),
+    base: Int = 10, // string→int radix
+    format: Option[String] = None, // datetime parse format
+    downcast: Boolean = false)
+
+/** The `cast` family (reference bertrand/convert/base.py:152 `cast`,
+  * :204-293 `to_*`), re-expressed as pure Column→Column kernels.
+  *
+  * Semantics ported, implementation Spark-first: every kernel is a
+  * composition of built-in codegen'd expressions — `when`/`rlike`/
+  * `cast`/arithmetic — so conversions inline into whole-stage codegen
+  * and never leave the JVM. Error modes:
+  *   - "coerce": unconvertible/overflow → null (the reference's NA)
+  *   - "ignore": unconvertible → keep the original value (only where
+  *     the output type can carry it; otherwise behaves like coerce)
+  *   - "raise": unconvertible → runtime error via raise_error
+  */
+object Casts {
+
+  private val intRe = "^[+-]?\\d+$"
+  private val floatRe = "^[+-]?(\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?$"
+
+  private def fail(c: Column, target: String): Column =
+    raise_error(concat(lit(s"graft.cast: cannot convert to $target: "), c.cast(StringType)))
+
+  private def onError(orig: Column, converted: Column, convertible: Column,
+      target: String, opts: CastOptions, identityOk: Boolean = false): Column =
+    opts.errors match {
+      case "coerce" => when(convertible, converted)
+      case "ignore" =>
+        if (identityOk) when(convertible, converted).otherwise(orig)
+        else when(convertible, converted)
+      case _ => when(convertible || orig.isNull, converted)
+        .otherwise(fail(orig, target))
+    }
+
+  /** to_boolean (reference convert/base.py:204 + convert/boolean.py).
+    * Strings match the configurable true/false token sets; numerics
+    * must be exactly 0 or 1 (within tol) unless coercing. */
+  def toBoolean(c: Column, dt: DataType, opts: CastOptions = CastOptions()): Column =
+    dt match {
+      case StringType =>
+        val v = lower(trim(c))
+        val res = when(v.isin(opts.trueTokens: _*), lit(true))
+          .when(v.isin(opts.falseTokens: _*), lit(false))
+        val convertible = v.isin((opts.trueTokens ++ opts.falseTokens): _*)
+        onError(c, res, convertible, "bool", opts)
+      case _: NumericType =>
+        val d = c.cast(DoubleType)
+        val convertible = abs(d) <= opts.tol || abs(d - 1) <= opts.tol
+        onError(c, d > 0.5, convertible, "bool", opts)
+      case BooleanType => c
+      case other => throw new IllegalArgumentException(s"to_boolean from $other")
+    }
+
+  /** to_integer (reference convert/base.py:214, convert/integer.py).
+    * Floats honour `rounding` (else must be within `tol` of integral);
+    * strings parse (base 10 via cast, other radix via conv); overflow
+    * outside the target width follows the error mode. */
+  def toInteger(c: Column, dt: DataType, target: GInteger = GInteger(64),
+      opts: CastOptions = CastOptions()): Column = {
+    val narrowed: Column = dt match {
+      case ByteType | ShortType | IntegerType | LongType | BooleanType => c.cast(LongType)
+      case FloatType | DoubleType | _: DecimalType =>
+        val d = c.cast(DoubleType)
+        val rounded = opts.rounding match {
+          case Some(rule) => Rounding.roundFloat(d, rule)
+          case None => Rounding.roundFloat(d, "half_even")
+        }
+        val integral =
+          if (opts.rounding.isDefined) lit(true)
+          else abs(d - rounded) <= opts.tol
+        onError(c, rounded.cast(LongType), integral, target.spec, opts)
+      case StringType =>
+        val v = trim(c)
+        if (opts.base == 10) {
+          onError(c, v.cast(LongType), v.rlike(intRe), target.spec, opts)
+        } else {
+          val parsed = conv(v, opts.base, 10).cast(LongType)
+          onError(c, parsed, parsed.isNotNull, target.spec, opts)
+        }
+      case TimestampType => unix_timestamp(c)
+      case other => throw new IllegalArgumentException(s"to_integer from $other")
+    }
+    // range check against the logical width (uintN ranges enforced even
+    // though Spark carries them in wider signed types — SURVEY §3)
+    val inRange = narrowed.isNull ||
+      (narrowed >= lit(target.minValue.toLong) &&
+        narrowed <= lit(target.maxValue.min(BigInt(Long.MaxValue)).toLong))
+    val checked = opts.errors match {
+      case "coerce" | "ignore" => when(inRange, narrowed)
+      case _ => when(inRange, narrowed).otherwise(fail(c, target.spec).cast(LongType))
+    }
+    checked.cast(target.sparkType)
+  }
+
+  /** to_float (reference convert/base.py:224). */
+  def toFloat(c: Column, dt: DataType, target: GFloat = GFloat(64),
+      opts: CastOptions = CastOptions()): Column = dt match {
+    case StringType =>
+      val v = trim(c)
+      onError(c, v.cast(DoubleType), v.rlike(floatRe), target.spec, opts)
+        .cast(target.sparkType)
+    case _ => c.cast(target.sparkType)
+  }
+
+  /** to_decimal (reference convert/base.py:244, convert/decimal.py). */
+  def toDecimal(c: Column, dt: DataType, target: GDecimal = GDecimal(18, 2),
+      opts: CastOptions = CastOptions()): Column = dt match {
+    case StringType =>
+      val v = trim(c)
+      onError(c, v.cast(target.sparkType), v.rlike(floatRe), target.spec, opts)
+    case _ =>
+      val converted = c.cast(target.sparkType)
+      // out-of-precision → null from Spark's cast; honour error mode
+      opts.errors match {
+        case "coerce" | "ignore" => converted
+        case _ => when(c.isNull || converted.isNotNull, converted)
+          .otherwise(fail(c, target.spec).cast(target.sparkType))
+      }
+  }
+
+  /** to_datetime (reference convert/base.py:254, convert/datetime.py):
+    * integers are counts of `unit` since the `since` epoch; strings
+    * parse ISO or `format`. Unit arithmetic is integral microseconds —
+    * exact, engine-agnostic. */
+  def toDatetime(c: Column, dt: DataType, opts: CastOptions = CastOptions()): Column = {
+    val sinceUs = unix_micros(lit(opts.since).cast(TimestampType))
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        timestamp_micros(sinceUs + c.cast(LongType) * lit(TimeFns.unitMicros(opts.unit)))
+      case FloatType | DoubleType =>
+        timestamp_micros(sinceUs +
+          (c.cast(DoubleType) * lit(TimeFns.unitMicros(opts.unit).toDouble)).cast(LongType))
+      case StringType =>
+        val parsed = opts.format match {
+          case Some(f) => try_to_timestamp(trim(c), lit(f))
+          case None => try_to_timestamp(trim(c))
+        }
+        onError(c, parsed, parsed.isNotNull, "datetime", opts)
+      case TimestampType | DateType => c.cast(TimestampType)
+      case other => throw new IllegalArgumentException(s"to_datetime from $other")
+    }
+  }
+
+  /** to_timedelta (reference convert/base.py:264): carried as int64
+    * microseconds (SURVEY §3); integers are counts of `unit`. */
+  def toTimedelta(c: Column, dt: DataType, opts: CastOptions = CastOptions()): Column =
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType => c.cast(LongType) * lit(TimeFns.unitMicros(opts.unit))
+      case FloatType | DoubleType =>
+        (c.cast(DoubleType) * lit(TimeFns.unitMicros(opts.unit).toDouble)).cast(LongType)
+      case other => throw new IllegalArgumentException(s"to_timedelta from $other")
+    }
+
+  /** to_string (reference convert/base.py:274, convert/string.py). */
+  def toString(c: Column, dt: DataType, opts: CastOptions = CastOptions()): Column =
+    dt match {
+      case BooleanType => when(c, "true").otherwise(when(!c, "false"))
+      case TimestampType => date_format(c, "yyyy-MM-dd HH:mm:ss")
+      case _ => c.cast(StringType)
+    }
+}

@@ -1,0 +1,83 @@
+package graft.types
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Distributed re-expression of the reference's `detect_type` /
+  * `typecheck` (bertrand/types/base/meta.py:1697 `detect`).
+  *
+  * The reference infers an element type by scanning a pandas Series.
+  * At 100 TB a scan must be ONE distributed aggregation pass, never a
+  * collect: for every column we compute a fixed set of counters
+  * (nulls, parse successes per candidate type) in a single `agg(...)`,
+  * then decide the type on the driver from those counters alone.
+  */
+object Detect {
+
+  private val intRe = "^[+-]?\\d+$"
+  private val floatRe = "^[+-]?(\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?$"
+  private val boolTokens = Seq("true", "false", "t", "f", "yes", "no", "y", "n", "1", "0", "on", "off")
+  private val dateRe = "^\\d{4}-\\d{2}-\\d{2}([ T]\\d{2}:\\d{2}(:\\d{2}(\\.\\d+)?)?)?$"
+
+  /** Per-column counters for content-based inference of string columns. */
+  private def counters(c: String): Seq[Column] = {
+    val v = trim(col(c).cast(StringType))
+    Seq(
+      count(col(c)).as(s"${c}__n"),
+      count(when(v.rlike(intRe), 1)).as(s"${c}__int"),
+      count(when(v.rlike(floatRe), 1)).as(s"${c}__num"),
+      count(when(lower(v).isin(boolTokens: _*), 1)).as(s"${c}__bool"),
+      count(when(v.rlike(dateRe), 1)).as(s"${c}__date"),
+    )
+  }
+
+  /** Infer the element type of every column. Physical (non-string)
+    * columns resolve from the Spark schema; string columns get
+    * content-based inference in one aggregation pass over all columns
+    * at once. Returns (column, detectedSpec) pairs in schema order. */
+  def detectTypes(df: DataFrame): Seq[(String, String)] = {
+    val stringCols = df.schema.fields.filter(_.dataType == StringType).map(_.name)
+    val stats: Map[String, Long] =
+      if (stringCols.isEmpty) Map.empty
+      else {
+        val row = df.agg(counters(stringCols.head).head,
+          (counters(stringCols.head).tail ++ stringCols.tail.flatMap(counters)): _*)
+          .head()
+        row.schema.fieldNames.zipWithIndex
+          .map { case (f, i) => f -> row.getLong(i) }.toMap
+      }
+    df.schema.fields.toSeq.map { f =>
+      val spec = f.dataType match {
+        case StringType =>
+          val n = stats(s"${f.name}__n")
+          if (n == 0L) "missing"
+          else if (stats(s"${f.name}__bool") == n && stats(s"${f.name}__int") < n) "bool"
+          else if (stats(s"${f.name}__int") == n) "int64"
+          else if (stats(s"${f.name}__num") == n) "float64"
+          else if (stats(s"${f.name}__date") == n) "datetime"
+          else "string"
+        case other => TypeResolver.fromSpark(other).spec
+      }
+      f.name -> spec
+    }
+  }
+
+  /** Distributed `typecheck`: does each column satisfy the declared
+    * schema spec? Schema-level (physical type comparison) plus
+    * content-level for string columns (e.g. a string column declared
+    * `int64` passes only if every non-null value parses as an integer).
+    * Returns (column, expected, actual, ok). */
+  def typecheck(df: DataFrame, schema: Seq[(String, String)]): Seq[(String, String, String, Boolean)] = {
+    val detected = detectTypes(df).toMap
+    schema.map { case (name, spec) =>
+      val expected = TypeResolver.resolve(spec)
+      val actual = detected.getOrElse(name, "missing")
+      val ok = detected.contains(name) && {
+        val act = TypeResolver.resolve(actual)
+        act.spec == expected.spec || act.family == expected.family
+      }
+      (name, expected.spec, actual, ok)
+    }
+  }
+}

@@ -1,0 +1,493 @@
+package graft.typesystem
+
+import graft.Tables._
+import graft.functions._
+import graft.types._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY §2 T1–T19: the reference's own type-system surface
+  * (detect/resolve/typecheck/cast/round/downcast/missing/categorical/
+  * sparse/calendar/complex/mixed), exercised over the shared test
+  * tables with DuckDB-oracle parity. */
+object TypeQueries {
+
+  // ---- T1: detect_type ----------------------------------------------------
+  def t1Detect(s: SparkSession, dir: String): DataFrame = {
+    val src = t(s, dir, "orders").select(
+      col("o_orderkey").cast(StringType).as("s_int"),
+      col("o_totalprice").cast(StringType).as("s_float"),
+      when(col("o_orderkey") % 2 === 0, "yes").otherwise("no").as("s_bool"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd").as("s_date"),
+      col("o_orderpriority").as("s_str"),
+      col("o_orderkey").as("phys_long"),
+      col("o_totalprice").as("phys_double"))
+    import s.implicits._
+    Detect.detectTypes(src).toDF("col_name", "detected").orderBy("col_name")
+  }
+
+  // ---- T2: resolve_type mini-language ------------------------------------
+  def t2Resolve(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val specs = Seq("bool", "?", "i8", "uint16", "float32", "half",
+      "decimal(10,2)", "datetime[UTC]", "sparse[int, 0]",
+      "categorical[string]", "sparse[categorical[int8]]", "str",
+      "object", "NA", "complex64", "timedelta")
+    specs.map(sp => (sp, TypeResolver.resolve(sp).spec,
+        TypeResolver.resolve(sp).family))
+      .toDF("spec", "canonical", "family").orderBy("spec")
+  }
+
+  // ---- T3: typecheck -------------------------------------------------------
+  def t3Typecheck(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val declared = Seq(
+      "l_orderkey" -> "int64", "l_linenumber" -> "int32",
+      "l_quantity" -> "int64", // fails: data is float64
+      "l_returnflag" -> "bool", // fails: strings aren't bool tokens
+      "l_shipdate" -> "datetime", "l_linestatus" -> "string")
+    Detect.typecheck(t(s, dir, "lineitem"), declared)
+      .toDF("col_name", "expected", "actual", "ok").orderBy("col_name")
+  }
+
+  // ---- T4: to_integer with rounding / overflow-coerce ---------------------
+  def t4CastInt(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").filter(col("l_orderkey") <= 200)
+    li.select(
+      col("l_orderkey"), col("l_linenumber"),
+      Casts.toInteger(col("l_quantity"), DoubleType, GInteger(8),
+        CastOptions(rounding = Some("half_even"), errors = "coerce")).as("qty_i8"),
+      Casts.toInteger(col("l_extendedprice"), DoubleType, GInteger(32),
+        CastOptions(rounding = Some("floor"), errors = "coerce")).as("price_i32"),
+      Casts.toInteger(col("l_extendedprice"), DoubleType, GInteger(8),
+        CastOptions(rounding = Some("half_up"), errors = "coerce")).as("price_i8"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  // ---- T5: to_boolean with token sets -------------------------------------
+  def t5CastBool(s: SparkSession, dir: String): DataFrame = {
+    val raw = t(s, dir, "orders").select(
+      when(col("o_orderstatus") === "F", "yes")
+        .when(col("o_orderstatus") === "O", " NO ") // trims + case-folds
+        .otherwise("maybe").as("raw"))
+    val b = Casts.toBoolean(col("raw"), StringType, CastOptions(errors = "coerce"))
+    raw.select(b.as("b"))
+      .agg(count(when(col("b") === true, 1)).as("n_true"),
+        count(when(col("b") === false, 1)).as("n_false"),
+        count(when(col("b").isNull, 1)).as("n_null"))
+  }
+
+  // ---- T6: string→numeric parse with errors='coerce' ----------------------
+  def t6CastStringNum(s: SparkSession, dir: String): DataFrame = {
+    val raw = t(s, dir, "lineitem").select(
+      when(col("l_linenumber") % 4 === 0, col("l_extendedprice").cast(StringType))
+        .when(col("l_linenumber") % 4 === 1,
+          concat(lit("  "), col("l_quantity").cast(StringType), lit(" ")))
+        .when(col("l_linenumber") % 4 === 2, lit("N/A"))
+        .otherwise(concat(lit("$"), col("l_extendedprice").cast(StringType)))
+        .as("raw"))
+    val parsed = Casts.toFloat(col("raw"), StringType, GFloat(64),
+      CastOptions(errors = "coerce"))
+    raw.select(parsed.as("v"))
+      .agg(count(col("v")).as("n_parsed"),
+        count(when(col("v").isNull, 1)).as("n_failed"),
+        dsum(dec(col("v"))).as("total"))
+  }
+
+  // ---- T7: int→datetime with unit + since epoch ---------------------------
+  def t7CastDatetime(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).filter(col("event_id") < 100)
+      .select(col("event_id"), unix_timestamp(col("ts")).as("es"))
+    e.select(col("event_id"), col("es"),
+      unix_micros(Casts.toDatetime(col("es"), LongType,
+        CastOptions(unit = "s"))).as("us_epoch"),
+      unix_micros(Casts.toDatetime(col("es"), LongType,
+        CastOptions(unit = "m", since = "2024-01-01 00:00:00"))).as("us_minutes"))
+      .orderBy("event_id")
+  }
+
+  // ---- T8: timedelta units ------------------------------------------------
+  def t8CastTimedelta(s: SparkSession, dir: String): DataFrame = {
+    val anchor = lit("1995-01-01 00:00:00").cast(TimestampType)
+    t(s, dir, "orders").filter(col("o_orderkey") <= 300)
+      .select(col("o_orderkey"),
+        TimeFns.diff(anchor, col("o_orderdate"), "days").as("d_days"),
+        TimeFns.diff(anchor, col("o_orderdate"), "weeks").as("d_weeks"),
+        TimeFns.diff(anchor, col("o_orderdate"), "hours").as("d_hours"),
+        Casts.toTimedelta(TimeFns.diff(anchor, col("o_orderdate"), "days"),
+          LongType, CastOptions(unit = "days")).as("td_us"))
+      .orderBy("o_orderkey")
+  }
+
+  // ---- T9: float→decimal exact --------------------------------------------
+  def t9CastDecimal(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").filter(col("o_orderkey") <= 300)
+    o.select(col("o_orderkey"),
+      Casts.toDecimal(col("o_totalprice"), DoubleType, GDecimal(18, 2)).as("price_dec"),
+      (Casts.toDecimal(col("o_totalprice"), DoubleType, GDecimal(18, 2)) * lit(2))
+        .cast(DecimalType(20, 2)).as("price_x2"))
+      .orderBy("o_orderkey")
+  }
+
+  // ---- T10: 9 float rounding rules ----------------------------------------
+  def t10RoundRules(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").filter(col("l_orderkey") <= 100)
+    val x = (col("l_extendedprice") *
+      when(col("l_linenumber") % 2 === 0, -1.0).otherwise(1.0)).as("x")
+    val ruleCols = Rounding.validRules.map(r =>
+      Rounding.roundFloat(col("x"), r, 1).as(s"r_$r"))
+    li.select((Seq(col("l_orderkey"), col("l_linenumber"), x)): _*)
+      .select(Seq(col("l_orderkey"), col("l_linenumber"), col("x")) ++ ruleCols: _*)
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  // ---- T11: integer round_div rules ---------------------------------------
+  def t11RoundDiv(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").filter(col("l_orderkey") <= 100)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        (col("l_quantity").cast(LongType) *
+          when(col("l_linenumber") % 2 === 0, -1L).otherwise(1L)).as("a"),
+        col("l_linenumber").cast(LongType).as("b"))
+    val ruleCols = Rounding.validRules.map(r =>
+      Rounding.roundDiv(col("a"), col("b"), r).as(s"q_$r"))
+    li.select(Seq(col("l_orderkey"), col("l_linenumber"), col("a"), col("b")) ++ ruleCols: _*)
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  // ---- T12: tolerance snap -------------------------------------------------
+  def t12Snap(s: SparkSession, dir: String): DataFrame =
+    events(s, dir).filter(col("event_id") < 200)
+      .select(col("event_id"), col("value"),
+        Rounding.snap(col("value"), 0.3).as("snapped"))
+      .orderBy("event_id")
+
+  // ---- T13: downcast plan --------------------------------------------------
+  def t13Downcast(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_discount")
+    Downcast.plan(t(s, dir, "lineitem"), cols)
+      .toDF("col_name", "lo", "hi", "target").orderBy("col_name")
+  }
+
+  // ---- T14: missing-value semantics ---------------------------------------
+  def t14Missing(s: SparkSession, dir: String): DataFrame = {
+    val withNa = t(s, dir, "lineitem")
+      .select(when(col("l_quantity") > 45, null).otherwise(col("l_quantity")).as("q"))
+    withNa.agg(
+      count(lit(1)).as("n"),
+      count(when(col("q").isNull, 1)).as("n_null"),
+      count(col("q")).as("n_valid"),
+      dsum(dec(coalesce(col("q"), lit(0.0)))).as("sum_filled"),
+      (sum(dec(col("q"))).cast(DoubleType) / count(col("q"))).as("avg_skipna"))
+  }
+
+  // ---- T15: categorical dictionary encode ---------------------------------
+  def t15Categorical(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy("value")
+    t(s, dir, "lineitem").groupBy(col("l_returnflag").as("value"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("code", (dense_rank().over(w) - 1).cast(IntegerType))
+      .select("value", "code", "n").orderBy("code")
+  }
+
+  // ---- T16: sparse run-length encode (gaps & islands) ---------------------
+  def t16Sparse(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).filter(col("event_id") < 2000)
+      .select(col("event_id"), col("event_type"))
+    val wAll = Window.orderBy("event_id")
+    val wVal = Window.partitionBy("event_type").orderBy("event_id")
+    e.withColumn("grp", row_number().over(wAll) - row_number().over(wVal))
+      .groupBy(col("event_type").as("value"), col("grp"))
+      .agg(min("event_id").as("start_id"), count(lit(1)).as("run_len"))
+      .select("value", "start_id", "run_len")
+      .orderBy("start_id")
+  }
+
+  // ---- T17: calendar math --------------------------------------------------
+  def t17TimeUnits(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").filter(col("o_orderkey") <= 200)
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        quarter(col("o_orderdate")).as("q"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("d"),
+        TimeFns.dowSunday0(col("o_orderdate")).as("dow"),
+        TimeFns.daysInMonth(col("o_orderdate")).as("dim"),
+        TimeFns.isLeapYear(year(col("o_orderdate"))).as("leap"))
+      .orderBy("o_orderkey")
+
+  // ---- T18: complex as struct<re,im> --------------------------------------
+  def t18Complex(s: SparkSession, dir: String): DataFrame = {
+    val z = struct(col("c_acctbal").as("re"),
+      col("c_custkey").cast(DoubleType).as("im"))
+    t(s, dir, "customer")
+      .select(col("c_custkey"), z.as("z"))
+      .select(col("c_custkey"),
+        (col("z.re") * 2.0 + col("z.im")).as("prod_re"), // z * (2 - i)
+        (col("z.im") * 2.0 - col("z.re")).as("prod_im"),
+        sqrt(col("z.re") * col("z.re") + col("z.im") * col("z.im")).as("modulus"))
+      .orderBy("c_custkey")
+  }
+
+  // ---- T19: mixed-type column, split-apply-combine ------------------------
+  def t19MixedSac(s: SparkSession, dir: String): DataFrame = {
+    val mixed = t(s, dir, "lineitem").select(
+      when(col("l_linenumber") % 3 === 0, col("l_extendedprice").cast(StringType))
+        .when(col("l_linenumber") % 3 === 1,
+          col("l_quantity").cast(IntegerType).cast(StringType))
+        .otherwise(when(col("l_returnflag") === "R", "true").otherwise("false"))
+        .as("raw"))
+    val subtype = when(col("raw").rlike("^[+-]?\\d+$"), "int")
+      .when(col("raw").rlike("^[+-]?(\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?$"), "float")
+      .when(lower(col("raw")).isin("true", "false"), "bool")
+      .otherwise("string")
+    val num = Casts.toFloat(col("raw"), StringType, GFloat(64), CastOptions(errors = "coerce"))
+    mixed.select(subtype.as("subtype"), num.as("v"))
+      .groupBy("subtype")
+      .agg(count(lit(1)).as("n"), dsum(dec(col("v"))).as("total"))
+      .orderBy("subtype")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t1_detect_types" -> t1Detect _,
+    "t2_resolve_spec" -> t2Resolve _,
+    "t3_typecheck" -> t3Typecheck _,
+    "t4_cast_int" -> t4CastInt _,
+    "t5_cast_bool" -> t5CastBool _,
+    "t6_cast_string_num" -> t6CastStringNum _,
+    "t7_cast_datetime" -> t7CastDatetime _,
+    "t8_cast_timedelta" -> t8CastTimedelta _,
+    "t9_cast_decimal" -> t9CastDecimal _,
+    "t10_round_rules" -> t10RoundRules _,
+    "t11_round_div" -> t11RoundDiv _,
+    "t12_tolerance_snap" -> t12Snap _,
+    "t13_downcast" -> t13Downcast _,
+    "t14_missing" -> t14Missing _,
+    "t15_categorical" -> t15Categorical _,
+    "t16_sparse" -> t16Sparse _,
+    "t17_time_units" -> t17TimeUnits _,
+    "t18_cast_complex" -> t18Complex _,
+    "t19_mixed_sac" -> t19MixedSac _,
+  )
+
+  // ---------- oracle SQL ----------------------------------------------------
+
+  /** DuckDB formula mirroring Rounding.roundFloat(x, rule, d). */
+  private def roundSql(x: String, rule: String, d: Int): String = {
+    val s = math.pow(10, d)
+    val y = s"($x * $s)"
+    val f = s"FLOOR($y)"
+    val scaled = rule match {
+      case "floor" => f
+      case "ceiling" => s"CEIL($y)"
+      case "down" => s"SIGN($y) * FLOOR(ABS($y))"
+      case "up" => s"SIGN($y) * CEIL(ABS($y))"
+      case "half_floor" => s"CEIL($y - 0.5)"
+      case "half_ceiling" => s"FLOOR($y + 0.5)"
+      case "half_down" => s"SIGN($y) * CEIL(ABS($y) - 0.5)"
+      case "half_up" => s"SIGN($y) * FLOOR(ABS($y) + 0.5)"
+      case "half_even" =>
+        s"""CASE WHEN $y - $f > 0.5 THEN $f + 1
+           | WHEN $y - $f < 0.5 THEN $f
+           | WHEN $f - 2*FLOOR($f/2) = 0 THEN $f ELSE $f + 1 END""".stripMargin
+    }
+    s"(($scaled) / $s)"
+  }
+
+  /** DuckDB formula mirroring Rounding.roundDiv(a, b, rule). */
+  private def divSql(rule: String): String = {
+    val neg = "(SIGN(a)*SIGN(b) < 0)"
+    val body = rule match {
+      case "floor" => "qf"
+      case "ceiling" => "qc"
+      case "down" => s"CASE WHEN $neg THEN qc ELSE qf END"
+      case "up" => s"CASE WHEN $neg THEN qf ELSE qc END"
+      case "half_floor" => "CASE WHEN mag*2 > ABS(b) THEN qc ELSE qf END"
+      case "half_ceiling" => "CASE WHEN mag*2 >= ABS(b) THEN qc ELSE qf END"
+      case "half_down" => s"CASE WHEN mag*2 > ABS(b) OR (mag*2 = ABS(b) AND $neg) THEN qc ELSE qf END"
+      case "half_up" => s"CASE WHEN mag*2 > ABS(b) OR (mag*2 = ABS(b) AND NOT $neg) THEN qc ELSE qf END"
+      case "half_even" =>
+        """CASE WHEN mag*2 > ABS(b) THEN qc WHEN mag*2 < ABS(b) THEN qf
+          | WHEN ((qf % 2) + 2) % 2 = 0 THEN qf ELSE qc END""".stripMargin
+    }
+    s"CAST($body AS BIGINT) AS q_$rule"
+  }
+
+  private val floatReSql = "^[+-]?([0-9]+\\.?[0-9]*|\\.[0-9]+)([eE][+-]?[0-9]+)?$"
+
+  val oracles: Map[String, String] = Map(
+    "t1_detect_types" ->
+      """SELECT * FROM (VALUES
+        | ('phys_double','float64'), ('phys_long','int64'), ('s_bool','bool'),
+        | ('s_date','datetime'), ('s_float','float64'), ('s_int','int64'),
+        | ('s_str','string')) t(col_name, detected) ORDER BY col_name""".stripMargin,
+    "t2_resolve_spec" ->
+      """SELECT * FROM (VALUES
+        | ('?','bool','bool'), ('NA','missing','missing'), ('bool','bool','bool'),
+        | ('categorical[string]','categorical[string]','string'),
+        | ('complex64','complex64','complex'), ('datetime[UTC]','datetime[UTC]','datetime'),
+        | ('decimal(10,2)','decimal(10,2)','decimal'), ('float32','float32','float'),
+        | ('half','float16','float'), ('i8','int64','int'),
+        | ('object','object','object'),
+        | ('sparse[categorical[int8]]','sparse[categorical[int8]]','int'),
+        | ('sparse[int, 0]','sparse[int64, 0]','int'), ('str','string','string'),
+        | ('timedelta','timedelta','timedelta'), ('uint16','uint16','int')
+        |) t(spec, canonical, family) ORDER BY spec""".stripMargin,
+    "t3_typecheck" ->
+      """SELECT * FROM (VALUES
+        | ('l_linenumber','int32','int32',true), ('l_linestatus','string','string',true),
+        | ('l_orderkey','int64','int64',true), ('l_quantity','int64','float64',false),
+        | ('l_returnflag','bool','string',false), ('l_shipdate','datetime','datetime',true)
+        |) t(col_name, expected, actual, ok) ORDER BY col_name""".stripMargin,
+    "t4_cast_int" ->
+      s"""SELECT l_orderkey, l_linenumber,
+         |  CASE WHEN ${roundSql("l_quantity", "half_even", 0)} BETWEEN -128 AND 127
+         |    THEN CAST(${roundSql("l_quantity", "half_even", 0)} AS TINYINT) END AS qty_i8,
+         |  CASE WHEN ${roundSql("l_extendedprice", "floor", 0)} BETWEEN -2147483648 AND 2147483647
+         |    THEN CAST(${roundSql("l_extendedprice", "floor", 0)} AS INTEGER) END AS price_i32,
+         |  CASE WHEN ${roundSql("l_extendedprice", "half_up", 0)} BETWEEN -128 AND 127
+         |    THEN CAST(${roundSql("l_extendedprice", "half_up", 0)} AS TINYINT) END AS price_i8
+         |FROM lineitem WHERE l_orderkey <= 200 ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "t5_cast_bool" ->
+      """SELECT COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_true,
+        |  COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_false,
+        |  COUNT(CASE WHEN o_orderstatus NOT IN ('F','O') THEN 1 END) AS n_null
+        |FROM orders""".stripMargin,
+    "t6_cast_string_num" ->
+      s"""WITH r AS (SELECT CASE
+         |  WHEN l_linenumber % 4 = 0 THEN CAST(l_extendedprice AS VARCHAR)
+         |  WHEN l_linenumber % 4 = 1 THEN '  ' || CAST(l_quantity AS VARCHAR) || ' '
+         |  WHEN l_linenumber % 4 = 2 THEN 'N/A'
+         |  ELSE '$$' || CAST(l_extendedprice AS VARCHAR) END AS raw FROM lineitem),
+         |p AS (SELECT CASE WHEN regexp_matches(TRIM(raw), '$floatReSql')
+         |  THEN CAST(TRIM(raw) AS DOUBLE) END AS v FROM r)
+         |SELECT COUNT(v) AS n_parsed, COUNT(CASE WHEN v IS NULL THEN 1 END) AS n_failed,
+         |  CAST(SUM(CAST(v AS DECIMAL(12,2))) AS DOUBLE) AS total FROM p""".stripMargin,
+    "t7_cast_datetime" ->
+      """SELECT event_id, es, es * 1000000 AS us_epoch,
+        |  1704067200000000 + es * 60000000 AS us_minutes
+        |FROM (SELECT event_id,
+        |  CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS es
+        |  FROM events WHERE event_id < 100) ORDER BY event_id""".stripMargin,
+    "t8_cast_timedelta" ->
+      """SELECT o_orderkey,
+        |  CAST(FLOOR((epoch(o_orderdate) - epoch(TIMESTAMP '1995-01-01')) / 86400) AS BIGINT) AS d_days,
+        |  CAST(FLOOR((epoch(o_orderdate) - epoch(TIMESTAMP '1995-01-01')) / 604800) AS BIGINT) AS d_weeks,
+        |  CAST(FLOOR((epoch(o_orderdate) - epoch(TIMESTAMP '1995-01-01')) / 3600) AS BIGINT) AS d_hours,
+        |  CAST(FLOOR((epoch(o_orderdate) - epoch(TIMESTAMP '1995-01-01')) / 86400) AS BIGINT) * 86400000000 AS td_us
+        |FROM orders WHERE o_orderkey <= 300 ORDER BY o_orderkey""".stripMargin,
+    "t9_cast_decimal" ->
+      """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price_dec,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2 AS DECIMAL(20,2)) AS price_x2
+        |FROM orders WHERE o_orderkey <= 300 ORDER BY o_orderkey""".stripMargin,
+    "t10_round_rules" -> {
+      val ruleCols = Rounding.validRules
+        .map(r => s"  ${roundSql("x", r, 1)} AS r_$r").mkString(",\n")
+      s"""SELECT l_orderkey, l_linenumber, x,
+         |$ruleCols
+         |FROM (SELECT l_orderkey, l_linenumber,
+         |  l_extendedprice * (CASE WHEN l_linenumber % 2 = 0 THEN -1.0 ELSE 1.0 END) AS x
+         |  FROM lineitem WHERE l_orderkey <= 100)
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin
+    },
+    "t11_round_div" -> {
+      val ruleCols = Rounding.validRules.map(r => "  " + divSql(r)).mkString(",\n")
+      s"""SELECT l_orderkey, l_linenumber, a, b,
+         |$ruleCols
+         |FROM (SELECT *, ABS(m) AS mag,
+         |    CAST((a - m) / b AS BIGINT) AS qf,
+         |    CAST((a - m) / b AS BIGINT) + (CASE WHEN m = 0 THEN 0 ELSE 1 END) AS qc
+         |  FROM (SELECT l_orderkey, l_linenumber, a, b, ((a % b) + b) % b AS m
+         |    FROM (SELECT l_orderkey, l_linenumber,
+         |      CAST(l_quantity AS BIGINT) * (CASE WHEN l_linenumber % 2 = 0 THEN -1 ELSE 1 END) AS a,
+         |      CAST(l_linenumber AS BIGINT) AS b
+         |      FROM lineitem WHERE l_orderkey <= 100)))
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin
+    },
+    "t12_tolerance_snap" ->
+      s"""SELECT event_id, value,
+         |  CASE WHEN ABS(value - ${roundSql("value", "half_up", 0)}) <= 0.3
+         |    THEN ${roundSql("value", "half_up", 0)} ELSE value END AS snapped
+         |FROM events WHERE event_id < 200 ORDER BY event_id""".stripMargin,
+    "t13_downcast" -> {
+      val intCase =
+        """CASE WHEN MIN(%s) >= -128 AND MAX(%s) <= 127 THEN 'int8'
+          | WHEN MIN(%s) >= -32768 AND MAX(%s) <= 32767 THEN 'int16'
+          | WHEN MIN(%s) >= -2147483648 AND MAX(%s) <= 2147483647 THEN 'int32'
+          | ELSE 'int64' END""".stripMargin
+      def one(c: String, isFloat: Boolean): String = {
+        val ic = intCase.replace("%s", c)
+        val target =
+          if (!isFloat) ic
+          else
+            s"""CASE WHEN COUNT(CASE WHEN $c != FLOOR($c) THEN 1 END) = 0 THEN $ic
+               | WHEN COUNT(CASE WHEN $c != CAST(CAST($c AS REAL) AS DOUBLE) THEN 1 END) = 0
+               |   THEN 'float32' ELSE 'float64' END""".stripMargin
+        s"""SELECT '$c' AS col_name, CAST(MIN($c) AS DOUBLE) AS lo,
+           | CAST(MAX($c) AS DOUBLE) AS hi, $target AS target FROM lineitem"""
+          .stripMargin.replaceAll("\n", " ")
+      }
+      Seq(one("l_orderkey", false), one("l_partkey", false),
+        one("l_suppkey", false), one("l_linenumber", false),
+        one("l_quantity", true), one("l_extendedprice", true),
+        one("l_discount", true))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
+    "t14_missing" ->
+      """WITH w AS (SELECT CASE WHEN l_quantity > 45 THEN NULL ELSE l_quantity END AS q
+        | FROM lineitem)
+        |SELECT COUNT(*) AS n, COUNT(CASE WHEN q IS NULL THEN 1 END) AS n_null,
+        |  COUNT(q) AS n_valid,
+        |  CAST(SUM(CAST(COALESCE(q, 0.0) AS DECIMAL(12,2))) AS DOUBLE) AS sum_filled,
+        |  CAST(SUM(CAST(q AS DECIMAL(12,2))) AS DOUBLE) / COUNT(q) AS avg_skipna
+        |FROM w""".stripMargin,
+    "t15_categorical" ->
+      """SELECT value, CAST(DENSE_RANK() OVER (ORDER BY value) - 1 AS INTEGER) AS code, n
+        |FROM (SELECT l_returnflag AS value, COUNT(*) AS n FROM lineitem GROUP BY 1)
+        |ORDER BY code""".stripMargin,
+    "t16_sparse" ->
+      """WITH e AS (SELECT event_id, event_type FROM events WHERE event_id < 2000),
+        |g AS (SELECT event_id, event_type,
+        |  ROW_NUMBER() OVER (ORDER BY event_id)
+        |    - ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY event_id) AS grp
+        | FROM e)
+        |SELECT event_type AS value, MIN(event_id) AS start_id, COUNT(*) AS run_len
+        |FROM g GROUP BY event_type, grp ORDER BY start_id""".stripMargin,
+    "t17_time_units" ->
+      """SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS y,
+        |  CAST(quarter(o_orderdate) AS INTEGER) AS q,
+        |  CAST(month(o_orderdate) AS INTEGER) AS m,
+        |  CAST(day(o_orderdate) AS INTEGER) AS d,
+        |  CAST(dayofweek(o_orderdate) AS INTEGER) AS dow,
+        |  CAST(day(last_day(o_orderdate)) AS INTEGER) AS dim,
+        |  (year(o_orderdate) % 4 = 0 AND year(o_orderdate) % 100 != 0)
+        |    OR year(o_orderdate) % 400 = 0 AS leap
+        |FROM orders WHERE o_orderkey <= 200 ORDER BY o_orderkey""".stripMargin,
+    "t18_cast_complex" ->
+      """SELECT c_custkey,
+        |  c_acctbal * 2.0 + CAST(c_custkey AS DOUBLE) AS prod_re,
+        |  CAST(c_custkey AS DOUBLE) * 2.0 - c_acctbal AS prod_im,
+        |  sqrt(c_acctbal * c_acctbal + CAST(c_custkey AS DOUBLE) * CAST(c_custkey AS DOUBLE)) AS modulus
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "t19_mixed_sac" ->
+      s"""WITH m AS (SELECT CASE
+         |  WHEN l_linenumber % 3 = 0 THEN CAST(l_extendedprice AS VARCHAR)
+         |  WHEN l_linenumber % 3 = 1 THEN CAST(CAST(l_quantity AS INTEGER) AS VARCHAR)
+         |  ELSE (CASE WHEN l_returnflag = 'R' THEN 'true' ELSE 'false' END) END AS raw
+         | FROM lineitem),
+         |c AS (SELECT
+         |  CASE WHEN regexp_matches(raw, '^[+-]?[0-9]+$$') THEN 'int'
+         |    WHEN regexp_matches(raw, '$floatReSql') THEN 'float'
+         |    WHEN lower(raw) IN ('true','false') THEN 'bool'
+         |    ELSE 'string' END AS subtype,
+         |  CASE WHEN regexp_matches(TRIM(raw), '$floatReSql')
+         |    THEN CAST(TRIM(raw) AS DOUBLE) END AS v
+         | FROM m)
+         |SELECT subtype, COUNT(*) AS n,
+         |  CAST(SUM(CAST(v AS DECIMAL(12,2))) AS DOUBLE) AS total
+         |FROM c GROUP BY subtype ORDER BY subtype""".stripMargin,
+  )
+}
