@@ -11,10 +11,10 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    relational.Relational.queries ++ typesystem.TypeQueries.queries
+    relational.Relational.queries ++ typesystem.TypeQueries.queries ++ llm.LlmQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
   def oracleSql: Map[String, String] =
-    relational.Relational.oracles ++ typesystem.TypeQueries.oracles
+    relational.Relational.oracles ++ typesystem.TypeQueries.oracles ++ llm.LlmQueries.oracles
 }

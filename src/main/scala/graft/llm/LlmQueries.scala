@@ -1,0 +1,187 @@
+package graft.llm
+
+import graft.Tables._
+import graft.operators._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2 L1–L12: LLM-training-data pipeline operators over the
+  * `documents` and `embeddings` tables. */
+object LlmQueries {
+
+  /** documents ∪ a perturbed copy — a corpus with known exact+near
+    * duplicates (ids offset by 10^6; copies get a 2-token suffix for
+    * the near-dup variants). */
+  private def withCopies(docs: DataFrame, perturb: Boolean): DataFrame = {
+    val copy = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+      (if (perturb) concat(col("text"), lit(" zz qq")) else col("text")).as("text"),
+      col("lang"), col("source"), col("n_chars"))
+    docs.select("doc_id", "text", "lang", "source", "n_chars").union(copy)
+  }
+
+  // ---- L1: exact dedup -----------------------------------------------------
+  def d1ExactDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactGroups(withCopies(t(s, dir, "documents"), perturb = false),
+        "doc_id", "text")
+      .select("digest", "keep_id", "n_copies")
+      .orderBy("keep_id")
+
+  // ---- L2: MinHash LSH near-dup -------------------------------------------
+  def d2MinhashLsh(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashPairs(withCopies(t(s, dir, "documents"), perturb = true),
+        "doc_id", "text", w = 3, h = 64, bands = 16, threshold = 0.5)
+      .withColumn("jaccard", round(col("jaccard"), 6))
+      .orderBy("id_a", "id_b")
+
+  // ---- L3: SimHash near-dup ------------------------------------------------
+  def d3Simhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(withCopies(t(s, dir, "documents"), perturb = true),
+        "doc_id", "text", maxDist = 3)
+      .orderBy("id_a", "id_b")
+
+  // ---- L4: n-gram Jaccard on blocked pairs --------------------------------
+  def d4NgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        blockCols = Seq(col("source"), (col("n_chars") / 100).cast("int")),
+        n = 3, threshold = 0.6)
+      .withColumn("jaccard", round(col("jaccard"), 6))
+      .orderBy("id_a", "id_b")
+  }
+
+  // ---- L5: embedding-cosine near-dup --------------------------------------
+  def d5EmbedDup(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.45)
+      .withColumn("cos", round(col("cos"), 6))
+      .orderBy("id_a", "id_b")
+
+  // ---- L6: brute-force ANN top-k ------------------------------------------
+  def s1AnnBrute(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.bruteTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
+      .withColumn("cos", round(col("cos"), 6))
+      .select("qid", "id", "cos", "rk")
+      .orderBy("qid", "rk")
+  }
+
+  // ---- L7: LSH-bucketed ANN -----------------------------------------------
+  def s2AnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), k = 10,
+        bits = 8, dim = 64)
+      .withColumn("cos", round(col("cos"), 6))
+      .select("qid", "id", "cos", "rk")
+      .orderBy("qid", "rk")
+  }
+
+  // ---- L8: language ID heuristic ------------------------------------------
+  def x1LangId(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.langId(col("text")).as("pred"),
+        col("lang").as("actual"))
+      .withColumn("hit", col("pred") === col("actual"))
+      .orderBy("doc_id")
+
+  // ---- L9: quality scoring -------------------------------------------------
+  def x2Quality(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(Seq(col("doc_id"), col("n_chars")) ++
+        TextAnalysis.qualityColumns(col("text")): _*)
+      .orderBy("doc_id")
+
+  // ---- L10: token counting -------------------------------------------------
+  def x3TokenCount(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.wsTokenCount(col("text")).as("ws_tokens"),
+        TextAnalysis.bpeishTokenCount(col("text")).as("bpeish_tokens"),
+        length(col("text")).as("n_chars_m"))
+      .orderBy("doc_id")
+
+  // ---- L11: document fingerprinting ---------------------------------------
+  def x4Fingerprint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp64"),
+        TextAnalysis.minShingleFingerprint(col("text")).as("fp_min_shingle"))
+      .orderBy("doc_id")
+
+  // ---- L12: multimodal binary plumbing (stubbed decode) -------------------
+  def m1Multimodal(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.asMediaTable(t(s, dir, "documents"))
+    Multimodal.extractFeatures(s, media).toDF()
+      .groupBy("fmt")
+      .agg(count(lit(1)).as("n"), sum(col("n_bytes")).as("total_bytes"),
+        min("width").as("min_w"), max("height").as("max_h"))
+      .orderBy("fmt")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d1_exact_dedup" -> d1ExactDedup _,
+    "d2_minhash_lsh" -> d2MinhashLsh _,
+    "d3_simhash" -> d3Simhash _,
+    "d4_ngram_jaccard" -> d4NgramJaccard _,
+    "d5_embed_dup" -> d5EmbedDup _,
+    "s1_ann_brute" -> s1AnnBrute _,
+    "s2_ann_lsh" -> s2AnnLsh _,
+    "x1_lang_id" -> x1LangId _,
+    "x2_quality" -> x2Quality _,
+    "x3_token_count" -> x3TokenCount _,
+    "x4_fingerprint" -> x4Fingerprint _,
+    "m1_multimodal" -> m1Multimodal _,
+  )
+
+  private val normSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+  private val cosSql =
+    "list_cosine_similarity(list_transform(a.embedding, x -> CAST(x AS DOUBLE)), " +
+      "list_transform(b.embedding, x -> CAST(x AS DOUBLE)))"
+
+  /** Oracles for the SQL-expressible subset; the rest are rows-only
+    * (minhash/simhash/LSH signatures and xxhash64 fingerprints are not
+    * reproducible in DuckDB SQL). */
+  val oracles: Map[String, String] = Map(
+    "d1_exact_dedup" ->
+      s"""WITH all_docs AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 1000000, text FROM documents)
+         |SELECT sha256($normSql) AS digest, MIN(doc_id) AS keep_id,
+         |  COUNT(*) AS n_copies
+         |FROM all_docs GROUP BY 1 ORDER BY keep_id""".stripMargin,
+    "d5_embed_dup" ->
+      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b, ROUND($cosSql, 6) AS cos
+         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |WHERE $cosSql >= 0.45 ORDER BY id_a, id_b""".stripMargin,
+    "s1_ann_brute" ->
+      s"""SELECT qid, id, cos, rk FROM (
+         |  SELECT b.vec_id AS qid, a.vec_id AS id, ROUND($cosSql, 6) AS cos,
+         |    ROW_NUMBER() OVER (PARTITION BY b.vec_id
+         |      ORDER BY $cosSql DESC, a.vec_id ASC) AS rk
+         |  FROM embeddings a JOIN embeddings b
+         |    ON b.vec_id < 5 AND a.vec_id != b.vec_id)
+         |WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
+    "x2_quality" ->
+      """SELECT doc_id, n_chars,
+        |  CAST(len(string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+        |  length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / greatest(length(text), 1) AS alpha_ratio,
+        |  len(list_filter(string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+        |      t -> t IN ('the','and','of','to','in','is','you','that','it','for','a')))
+        |    / greatest(len(string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')), 1) AS stopword_ratio,
+        |  (length(text) - (len(string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) - 1))
+        |    / greatest(len(string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')), 1.0) AS mean_word_len,
+        |  least(len(string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) / 100.0, 1.0) * 0.4
+        |   + (length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / greatest(length(text), 1)) * 0.4
+        |   + least(len(list_filter(string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+        |        t -> t IN ('the','and','of','to','in','is','you','that','it','for','a')))
+        |      / greatest(len(string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')), 1) * 5.0, 1.0) * 0.2
+        |   AS quality_score
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "x3_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS bpeish_tokens,
+        |  CAST(length(text) AS INTEGER) AS n_chars_m
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}

@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation: language ID,
+  * quality scoring, token counting, fingerprinting. All pure Column
+  * expressions (codegen'd, one scan, no shuffle). */
+object TextAnalysis {
+
+  /** Per-language stopword profiles for the n-gram/stopword heuristic
+    * language detector. Deliberately tiny: langid at scale is a
+    * cheap first-pass filter, not a classifier. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "you", "that", "it", "for", "a"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "mit", "ein", "zu", "von"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "para", "con", "por"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "une", "pour", "que", "dans"),
+  )
+
+  private def tokens(text: Column): Column =
+    split(trim(regexp_replace(lower(text), "\\s+", " ")), " ")
+
+  /** Stopword-hit score for one language profile: hits / n_tokens. */
+  def langScore(text: Column, lang: String): Column = {
+    val toks = tokens(text)
+    size(filter(toks, t => t.isin(stopwords(lang).map(lit(_).cast("string")): _*))) /
+      greatest(size(toks), lit(1)).cast("double")
+  }
+
+  /** Heuristic language ID: CJK character ratio → zh; otherwise argmax
+    * of stopword profiles with deterministic tie-break order. */
+  def langId(text: Column): Column = {
+    val cjk = length(regexp_replace(text, "[^\\u4e00-\\u9fff]", "")) /
+      greatest(length(text), lit(1)).cast("double")
+    val scores = Seq("en", "de", "es", "fr").map(l => (l, langScore(text, l)))
+    val best = scores.tail.foldLeft(
+      struct(scores.head._2.as("s"), lit(scores.head._1).as("l"))) {
+      case (acc, (l, sc)) =>
+        when(sc > acc.getField("s"), struct(sc.as("s"), lit(l).as("l"))).otherwise(acc)
+    }
+    when(cjk > 0.3, "zh")
+      .when(best.getField("s") > 0.0, best.getField("l"))
+      .otherwise("und")
+  }
+
+  /** Quality features: lengths, token stats, punctuation/alpha/stopword
+    * ratios, and a composite [0,1] score (heuristic curation signal). */
+  def qualityColumns(text: Column): Seq[Column] = {
+    val toks = tokens(text)
+    val nTok = size(toks).cast("double")
+    val nChar = length(text).cast("double")
+    val punct = (nChar - length(regexp_replace(text, "[.,!?;:]", ""))).cast("double")
+    val alpha = length(regexp_replace(text, "[^A-Za-z]", "")).cast("double")
+    val stop = size(filter(toks,
+      t => t.isin(stopwords("en").map(lit(_).cast("string")): _*))).cast("double")
+    val meanWord = (nChar - (nTok - 1)) / greatest(nTok, lit(1.0))
+    val score =
+      least(nTok / 100.0, lit(1.0)) * 0.4 +
+        (alpha / greatest(nChar, lit(1.0))) * 0.4 +
+        least(stop / greatest(nTok, lit(1.0)) * 5.0, lit(1.0)) * 0.2
+    Seq(nTok.cast("long").as("n_tokens"), punct.cast("long").as("n_punct"),
+      (alpha / greatest(nChar, lit(1.0))).as("alpha_ratio"),
+      (stop / greatest(nTok, lit(1.0))).as("stopword_ratio"),
+      meanWord.as("mean_word_len"), score.as("quality_score"))
+  }
+
+  /** Whitespace token count. */
+  def wsTokenCount(text: Column): Column = size(split(trim(text), "\\s+"))
+
+  /** BPE-ish token count: word / number / single-symbol pieces — the
+    * standard pre-tokenizer regex family, countable without a
+    * vocabulary. */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** 64-bit content fingerprint of the normalized text. */
+  def fingerprint(text: Column): Column = xxhash64(Dedup.normText(text))
+
+  /** Winnowing-style robust fingerprint: minimum shingle hash — stable
+    * under small edits (the min 3-word shingle usually survives). */
+  def minShingleFingerprint(text: Column, w: Int = 3): Column =
+    array_min(Dedup.shingleHashes(text, w))
+}

@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Embedding-vector kernels over `array<float|double>` columns.
+  *
+  * All math is higher-order-function Column expressions (zip_with /
+  * aggregate) — codegen'd, no UDFs, and summation is sequential
+  * left-to-right so results are reproducible across engines/runs
+  * (important both for the DuckDB oracle and for cluster determinism).
+  */
+object VectorOps {
+
+  /** Elementwise dot product, computed in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a.cast("array<double>"), b.cast("array<double>"), (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity in double; null-safe on zero vectors. */
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val nn = norm(a) * norm(b)
+    when(nn === 0.0, 0.0).otherwise(d / nn)
+  }
+
+  /** Deterministic pseudo-random hyperplanes for sign-LSH: `n` planes of
+    * dimension `dim`, seeded — no runtime randomness, so bucket
+    * assignments are stable across runs and engines. */
+  def hyperplanes(n: Int, dim: Int, seed: Long = 42L): Seq[Array[Double]] = {
+    val rnd = new java.util.Random(seed)
+    Seq.fill(n)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-LSH bucket key: one bit per hyperplane (random projection
+    * sign), packed into a long. Cosine-similar vectors collide with
+    * high probability (Charikar 2002 SimHash for angles). */
+  def signBucket(v: Column, planes: Seq[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      val planeCol = array(p.map(lit(_)): _*)
+      when(dot(v, planeCol) >= 0.0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+}

@@ -1,0 +1,140 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog near the river shore"), // near dup
+    (4L, "completely different content about spark distributed query engines"),
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts, keeps min id") {
+    val g = Dedup.exactGroups(docs, "doc_id", "text")
+      .orderBy("keep_id").collect()
+    assert(g.length == 3)
+    assert(g.head.getAs[Long]("keep_id") == 1L)
+    assert(g.head.getAs[Long]("n_copies") == 2L)
+  }
+
+  test("minhash LSH finds exact and near dups, not unrelated docs") {
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minhash jaccard of identical docs is 1.0") {
+    val j = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.4)
+      .filter($"id_a" === 1L && $"id_b" === 2L)
+      .select("jaccard").as[Double].head()
+    assert(j == 1.0)
+  }
+
+  test("simhash: identical docs distance 0; near dups small distance") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs((1L, 2L)) == 0)
+    assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("ngram jaccard within blocks") {
+    val pairs = Dedup.ngramJaccardPairs(
+      docs.withColumn("blk", lit(1)), "doc_id", "text",
+      blockCols = Seq(col("blk")), threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._2 == 4L))
+  }
+
+  test("embedding dup pairs respect threshold") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.999f, 0.04f, 0.0f)), // ~cos 0.999
+      (3L, Array(0.0f, 1.0f, 0.0f)),
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingDupPairs(vecs, "vec_id", "embedding", 0.95)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+}
+
+class SimilaritySpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("brute top-k ranks by cosine and LSH recalls most of top-k") {
+    val emb = Tables.t(spark, sf, "embeddings")
+    val queries = emb.filter($"vec_id" < 3)
+    val brute = Similarity.bruteTopK(emb, queries, 10)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    assert(brute.size == 30)
+    val lsh = Similarity.lshTopK(emb, queries, 10, bits = 8, dim = 64)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    // multi-probe sign-LSH on near-uniform vectors: just require overlap
+    assert(lsh.nonEmpty && brute.intersect(lsh).nonEmpty)
+  }
+}
+
+class TextAnalysisSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("langId picks profile languages + cjk") {
+    val df = Seq(
+      "the cat and the dog went to the park and it is good for you",
+      "der hund ist nicht mit der katze und das ist ein problem von",
+      "el perro y el gato que en la casa para con un amigo por",
+      "中文文本内容测试文档",
+    ).toDF("text")
+    val got = df.select(TextAnalysis.langId($"text")).as[String].collect().toSeq
+    assert(got == Seq("en", "de", "es", "zh"))
+  }
+
+  test("token counts: ws vs bpe-ish") {
+    val df = Seq("Hello world, 42 tokens!").toDF("text")
+    val r = df.select(TextAnalysis.wsTokenCount($"text").as("ws"),
+      TextAnalysis.bpeishTokenCount($"text").as("bp")).head()
+    assert(r.getInt(0) == 4)
+    // Hello, world, ',', 42, tokens, '!' → 6
+    assert(r.getInt(1) == 6)
+  }
+
+  test("fingerprint stable under identical text, differs otherwise") {
+    val df = Seq("a b c d e f", "a b c d e f", "x y z w v u").toDF("text")
+    val fps = df.select(TextAnalysis.fingerprint($"text")).as[Long].collect()
+    assert(fps(0) == fps(1) && fps(0) != fps(2))
+  }
+
+  test("min-shingle fingerprint survives a small suffix edit") {
+    val df = Seq("one two three four five six seven eight nine ten",
+      "one two three four five six seven eight nine ten eleven").toDF("text")
+    val fps = df.select(TextAnalysis.minShingleFingerprint($"text")).as[Long].collect()
+    assert(fps(0) == fps(1)) // min over mostly-shared shingle set
+  }
+}
+
+class MultimodalSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("binary plumbing: encode → mapPartitions decode stub → features") {
+    val docs = Tables.t(spark, sf, "documents").limit(50)
+    val feats = Multimodal.extractFeatures(spark, Multimodal.asMediaTable(docs))
+    val rows = feats.collect()
+    assert(rows.length == 50)
+    assert(rows.forall(f => f.width >= 1 && f.width <= 640))
+    assert(rows.forall(f => f.n_bytes > 0))
+    // deterministic: same input → same checksum
+    val again = Multimodal.extractFeatures(spark, Multimodal.asMediaTable(docs))
+      .collect().map(f => f.doc_id -> f.checksum).toMap
+    assert(rows.forall(f => again(f.doc_id) == f.checksum))
+  }
+}
