@@ -78,7 +78,9 @@ object LlmQueries {
   // ---- L8: language ID heuristic ------------------------------------------
   def x1LangId(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
-      .select(col("doc_id"), TextAnalysis.langId(col("text")).as("pred"),
+      .withColumn("toks", TextAnalysis.tokens(col("text")))
+      .select(col("doc_id"),
+        TextAnalysis.langIdFromToks(col("text"), col("toks")).as("pred"),
         col("lang").as("actual"))
       .withColumn("hit", col("pred") === col("actual"))
       .orderBy("doc_id")

@@ -32,13 +32,24 @@ object Dedup {
   // ---------------------------------------------------------------------
 
   /** Word w-shingles of the normalized text, as xxhash64 values.
-    * Documents shorter than `w` words hash their whole text. */
+    * Built by zipping w shifted copies of the token array — interpreted
+    * HOF lambdas re-evaluate any OUTER expression they reference per
+    * element, so no lambda here touches anything but its own variables
+    * (an element_at(split(...)) formulation re-tokenizes per shingle).
+    * Documents shorter than `w` words get one partial shingle. */
   def shingleHashes(text: Column, w: Int = 3): Column = {
     val toks = split(normText(text), " ")
-    val shingles = transform(
-      sequence(lit(0), greatest(size(toks) - w, lit(0))),
-      i => xxhash64(concat_ws(" ", (0 until w).map(k => element_at(toks, i + k + 1)): _*)))
-    array_distinct(shingles)
+    // zip_with pads the shorter (shifted) side with null and concat_ws
+    // skips nulls → the trailing w-1 entries are partial shingles,
+    // trimmed by the final slice.
+    val joined = (1 until w).foldLeft(toks) { (acc, k) =>
+      zip_with(acc, slice(toks, lit(k + 1), greatest(size(toks) - k, lit(0))),
+        (a, b) => concat_ws(" ", a, b))
+    }
+    val full = slice(joined, lit(1), greatest(size(toks) - (w - 1), lit(1)))
+    // sorted: min-hash aggregation is order-independent, and the jaccard
+    // verify join gets a codegen'd merge-scan intersection
+    array_sort(array_distinct(transform(full, s => xxhash64(s))))
   }
 
   /** MinHash signature: `h` minimums in ONE pass over the shingle array
@@ -68,9 +79,16 @@ object Dedup {
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
       w: Int = 3, h: Int = 64, bands: Int = 16,
       threshold: Double = 0.5): DataFrame = {
+    // staged projections: sh → sig → bands, so each step reads the
+    // previous as a row attribute (bandKeys over an inline signature
+    // would re-run the signature aggregate once per band). persisted:
+    // consumed three times below (band explode + both verify-join
+    // sides). At cluster scale this is a checkpoint.
     val withSig = df.select(col(idCol).as("id"),
         shingleHashes(col(textCol), w).as("sh"))
-      .withColumn("bands", bandKeys(minhashSignature(col("sh"), h), h, bands))
+      .withColumn("sig", minhashSignature(col("sh"), h))
+      .withColumn("bands", bandKeys(col("sig"), h, bands))
+      .persist()
     val exploded = withSig.select(col("id"), posexplode(col("bands")).as(Seq("band", "key")))
     val cand = exploded.as("a")
       .join(exploded.as("b"),
@@ -82,9 +100,14 @@ object Dedup {
     cand
       .join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .withColumn("common", {
+        import org.apache.spark.sql.graft.ColumnBridge
+        ColumnBridge.column(graft.expressions.SortedLongArrayIntersectCount(
+          ColumnBridge.expression(col("sh_a")),
+          ColumnBridge.expression(col("sh_b")))).cast("double")
+      })
       .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+        col("common") / (size(col("sh_a")) + size(col("sh_b")) - col("common")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
@@ -97,15 +120,19 @@ object Dedup {
     * ±1 contributions from each token hash. The 64 bit-counters are
     * unrolled at plan-build time (Scala loop → 64 aggregate exprs);
     * round-2 candidate for a single custom TypedImperativeAggregate. */
-  def simhash(text: Column): Column = {
-    val tokHashes = transform(split(normText(text), " "), t => xxhash64(t))
+  def simhash(text: Column): Column =
+    simhashFromTokHashes(transform(split(normText(text), " "), t => xxhash64(t)))
+
+  /** SimHash from a pre-staged token-hash array ATTRIBUTE — the 64
+    * bit-counter aggregates each evaluate their input, so handing them
+    * an expression tree instead of a row attribute re-tokenizes 64×. */
+  def simhashFromTokHashes(tokHashes: Column): Column =
     (0 until 64).map { i =>
       val cnt = aggregate(tokHashes, lit(0L),
         (acc, hh) => acc +
           when(shiftright(hh, i).bitwiseAND(1) === 1, 1L).otherwise(-1L))
       when(cnt > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
-  }
 
   /** Near-dup pairs with Hamming distance <= maxDist on 64-bit SimHash.
     * Pigeonhole bucketing: split the hash into (maxDist+1) chunks — any
@@ -115,7 +142,11 @@ object Dedup {
       maxDist: Int = 3): DataFrame = {
     val chunks = maxDist + 1
     val bits = 64 / chunks
-    val sh = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
+    // persisted: both sides of the chunk-bucket self-join read it
+    val sh = df.select(col(idCol).as("id"),
+        transform(split(normText(col(textCol)), " "), t => xxhash64(t)).as("th"))
+      .select(col("id"), simhashFromTokHashes(col("th")).as("sh"))
+      .persist()
     val chunked = sh.select(col("id"), col("sh"),
       posexplode(array((0 until chunks).map(i =>
         shiftright(col("sh"), i * bits)
@@ -139,17 +170,30 @@ object Dedup {
     * join never goes quadratic in the corpus. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       blockCols: Seq[Column], n: Int = 3, threshold: Double = 0.4): DataFrame = {
-    val grams = expr(s"array_distinct(transform(sequence(1, greatest(length(nt) - ${n - 1}, 1)), i -> substr(nt, i, $n)))")
+    // grams as SORTED xxhash64 longs: 8-byte elements + sort-once so the
+    // per-pair intersection is a codegen'd merge scan, not a hash set
+    val grams = expr(s"array_sort(array_distinct(transform(sequence(1, greatest(length(nt) - ${n - 1}, 1)), i -> xxhash64(substr(nt, i, $n)))))")
+    // persisted: both join sides consume the gram arrays
     val base = df.select(Seq(col(idCol).as("id"), normText(col(textCol)).as("nt")) ++
         blockCols.zipWithIndex.map { case (c, i) => c.as(s"blk$i") }: _*)
       .withColumn("grams", grams).drop("nt")
+      .withColumn("ng", size(col("grams")).cast("double"))
+      .persist()
     val keys = blockCols.indices.map(i => s"blk$i")
     val joined = base.as("a").join(base.as("b"),
       keys.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _) &&
         col("a.id") < col("b.id"))
+    // |union| = |a| + |b| - |intersect|: one set operation per pair, not
+    // two — and `common` is staged into its own projection so the
+    // interpreted intersect isn't re-evaluated per reference (no CSE)
+    import org.apache.spark.sql.graft.ColumnBridge
+    val common = ColumnBridge.column(graft.expressions.SortedLongArrayIntersectCount(
+      ColumnBridge.expression(col("a.grams")), ColumnBridge.expression(col("b.grams"))))
     joined.select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        (size(array_intersect(col("a.grams"), col("b.grams"))).cast("double") /
-          size(array_union(col("a.grams"), col("b.grams"))).cast("double")).as("jaccard"))
+        common.cast("double").as("common"),
+        (col("a.ng") + col("b.ng")).as("sz"))
+      .select(col("id_a"), col("id_b"),
+        (col("common") / (col("sz") - col("common"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -163,7 +207,11 @@ object Dedup {
     * / verification). */
   def embeddingDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, lshBits: Int = 0): DataFrame = {
+    // norms precomputed per vector (not per pair) and the relation
+    // persisted for both join sides; the pair expression is then a
+    // single dot + one division — same arithmetic as dot/(|a||b|).
     val v = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nv", VectorOps.norm(col("v")))
     val withB =
       if (lshBits <= 0) v.withColumn("bucket", lit(0L))
       else {
@@ -171,10 +219,13 @@ object Dedup {
         v.withColumn("bucket", VectorOps.signBucket(col("v"),
           VectorOps.hyperplanes(lshBits, dim)))
       }
-    withB.as("a").join(withB.as("b"),
+    val cached = withB.persist()
+    val nn = col("a.nv") * col("b.nv")
+    cached.as("a").join(cached.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        VectorOps.cosine(col("a.v"), col("b.v")).as("cos"))
+        when(nn === 0.0, 0.0)
+          .otherwise(VectorOps.dot(col("a.v"), col("b.v")) / nn).as("cos"))
       .filter(col("cos") >= threshold)
   }
 }

@@ -7,34 +7,45 @@ import org.apache.spark.sql.functions._
 /** Approximate-nearest-neighbor search over an embedding column.
   *
   * Scale posture: the query set is small and BROADCAST; the corpus
-  * streams through one scan. Brute force is the exactness baseline;
-  * sign-LSH prunes the corpus to matching buckets before exact scoring
-  * (the 100 TB path — candidates per query shrink by ~2^bits). */
+  * streams through one scan with its norms computed once (never per
+  * pair). Brute force is the exactness baseline; sign-LSH prunes the
+  * corpus to matching buckets before exact scoring (the 100 TB path —
+  * candidates per query shrink by ~2^bits). */
 object Similarity {
+
+  private def withNorm(df: DataFrame, idName: String, vName: String,
+      nName: String): DataFrame =
+    df.select(col("vec_id").as(idName),
+      col("embedding").cast("array<double>").as(vName))
+      .withColumn(nName, VectorOps.norm(col(vName)))
+
+  private def cosOf(av: String, bv: String, an: String, bn: String) = {
+    val nn = col(an) * col(bn)
+    when(nn === 0.0, 0.0)
+      .otherwise(VectorOps.dot(col(av), col(bv)) / nn)
+  }
 
   /** Exact top-k by cosine for each query vector (brute force).
     * One pass over the corpus; per-query top-k via window over the
-    * (queries × corpus) scored rows — the scored relation is
-    * |corpus| × |queries| rows but only (id, score) wide. */
+    * (queries × corpus) scored rows — only (id, score) wide. */
   def bruteTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val scored = corpus.select(col("vec_id").as("id"), col("embedding").as("v"))
-      .crossJoin(broadcast(queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))))
+    val scored = withNorm(corpus, "id", "v", "nv")
+      .crossJoin(broadcast(withNorm(queries, "qid", "qv", "nqv")))
       .filter(col("id") =!= col("qid"))
-      .select(col("qid"), col("id"),
-        VectorOps.cosine(col("v"), col("qv")).as("cos"))
+      .select(col("qid"), col("id"), cosOf("v", "qv", "nv", "nqv").as("cos"))
     val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("id"))
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
 
   /** LSH-bucketed ANN: candidates = corpus vectors sharing the query's
-    * sign-LSH bucket (multi-probe over `probes` single-bit flips keeps
-    * recall up), then exact cosine on candidates only. */
+    * sign-LSH bucket (multi-probe over single-bit flips keeps recall
+    * up), then exact cosine on candidates only. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       bits: Int = 8, dim: Int = 64): DataFrame = {
     val planes = VectorOps.hyperplanes(bits, dim)
-    val c = corpus.select(col("vec_id").as("id"), col("embedding").as("v"))
+    val c = withNorm(corpus, "id", "v", "nv")
       .withColumn("bucket", VectorOps.signBucket(col("v"), planes))
-    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val q = withNorm(queries, "qid", "qv", "nqv")
       .withColumn("qbucket", VectorOps.signBucket(col("qv"), planes))
       // multi-probe: the bucket itself + all single-bit flips
       .withColumn("bucket", explode(array(
@@ -42,8 +53,7 @@ object Similarity {
           col("qbucket").bitwiseXOR(lit(1L << i)))): _*)))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("id") =!= col("qid"))
-      .select(col("qid"), col("id"),
-        VectorOps.cosine(col("v"), col("qv")).as("cos"))
+      .select(col("qid"), col("id"), cosOf("v", "qv", "nv", "nqv").as("cos"))
       .distinct()
     val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("id"))
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)

@@ -18,22 +18,26 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "de", "et", "les", "des", "une", "pour", "que", "dans"),
   )
 
-  private def tokens(text: Column): Column =
+  def tokens(text: Column): Column =
     split(trim(regexp_replace(lower(text), "\\s+", " ")), " ")
 
-  /** Stopword-hit score for one language profile: hits / n_tokens. */
-  def langScore(text: Column, lang: String): Column = {
-    val toks = tokens(text)
+  /** Stopword-hit score for one language profile: hits / n_tokens.
+    * Takes pre-tokenized input so one tokenization feeds all profiles. */
+  def langScoreFromToks(toks: Column, lang: String): Column =
     size(filter(toks, t => t.isin(stopwords(lang).map(lit(_).cast("string")): _*))) /
       greatest(size(toks), lit(1)).cast("double")
-  }
+
+  def langScore(text: Column, lang: String): Column =
+    langScoreFromToks(tokens(text), lang)
 
   /** Heuristic language ID: CJK character ratio → zh; otherwise argmax
-    * of stopword profiles with deterministic tie-break order. */
-  def langId(text: Column): Column = {
+    * of stopword profiles with deterministic tie-break order.
+    * Pass the SAME materialized `toks` column used elsewhere in the
+    * query to avoid re-tokenizing per profile (HOFs see no CSE). */
+  def langIdFromToks(text: Column, toks: Column): Column = {
     val cjk = length(regexp_replace(text, "[^\\u4e00-\\u9fff]", "")) /
       greatest(length(text), lit(1)).cast("double")
-    val scores = Seq("en", "de", "es", "fr").map(l => (l, langScore(text, l)))
+    val scores = Seq("en", "de", "es", "fr").map(l => (l, langScoreFromToks(toks, l)))
     val best = scores.tail.foldLeft(
       struct(scores.head._2.as("s"), lit(scores.head._1).as("l"))) {
       case (acc, (l, sc)) =>
@@ -43,6 +47,8 @@ object TextAnalysis {
       .when(best.getField("s") > 0.0, best.getField("l"))
       .otherwise("und")
   }
+
+  def langId(text: Column): Column = langIdFromToks(text, tokens(text))
 
   /** Quality features: lengths, token stats, punctuation/alpha/stopword
     * ratios, and a composite [0,1] score (heuristic curation signal). */

@@ -12,11 +12,16 @@ import org.apache.spark.sql.functions._
   */
 object VectorOps {
 
-  /** Elementwise dot product, computed in double. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a.cast("array<double>"), b.cast("array<double>"), (x, y) => x * y),
-      lit(0.0), (acc, v) => acc + v)
+  /** Elementwise dot product, computed in double: native codegen'd
+    * expression (see [[graft.expressions.ArrayDotProduct]]); same
+    * left-to-right summation as the HOF `aggregate(zip_with(...))`
+    * formulation it replaces. */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.expressions.ArrayDotProduct(
+      ColumnBridge.expression(a.cast("array<double>")),
+      ColumnBridge.expression(b.cast("array<double>"))))
+  }
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
