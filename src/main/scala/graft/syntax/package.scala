@@ -1,0 +1,86 @@
+package graft
+
+import graft.functions._
+import graft.types._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+
+/** User-facing syntax extensions: the graft equivalent of the
+  * reference's attached pandas methods (`@attachable` in
+  * bertrand/convert/base.py — `series.cast(...)`, `df.typecheck(...)`).
+  * In Spark the natural attach point is implicit enrichment of
+  * `Column`/`DataFrame`:
+  *
+  * {{{
+  * import graft.syntax._
+  * df.select($"l_quantity".castTo("int8"))            // column cast
+  * df.castColumns("l_quantity" -> "int8")             // dataframe cast
+  * df.detectTypes()                                   // inference report
+  * df.typecheckAgainst("l_orderkey" -> "int64")       // validation
+  * df.downcastAll("l_quantity", "l_linenumber")       // compression
+  * }}}
+  */
+package object syntax {
+
+  implicit class GraftColumnOps(private val c: Column) extends AnyVal {
+
+    /** Cast through the graft type system (spec mini-language), with the
+      * reference's conversion arguments. The source Spark type is taken
+      * from `from` when the kernel needs it (string parses vs numeric
+      * narrowing); defaults to string-agnostic double/long casts. */
+    def castTo(spec: String, opts: CastOptions = CastOptions(),
+        from: org.apache.spark.sql.types.DataType = StringType): Column =
+      TypeResolver.resolve(spec) match {
+        case GBoolean => Casts.toBoolean(c, from, opts)
+        case t: GInteger => Casts.toInteger(c, from, t, opts)
+        case t: GFloat => Casts.toFloat(c, from, t, opts)
+        case t: GDecimal => Casts.toDecimal(c, from, t, opts)
+        case _: GDatetime => Casts.toDatetime(c, from, opts)
+        case GTimedelta => Casts.toTimedelta(c, from, opts)
+        case GString => Casts.toString(c, from, opts)
+        case other => c.cast(other.sparkType)
+      }
+
+    def roundTo(rule: String, decimals: Int = 0): Column =
+      Rounding.roundFloat(c, rule, decimals)
+
+    def snapTo(tol: Double): Column = Rounding.snap(c, tol)
+
+    def dotWith(other: Column): Column = operators.VectorOps.dot(c, other)
+
+    def cosineWith(other: Column): Column = operators.VectorOps.cosine(c, other)
+  }
+
+  implicit class GraftDataFrameOps(private val df: DataFrame) extends AnyVal {
+
+    /** Cast columns by (name -> spec), preserving Spark source types. */
+    def castColumns(specs: (String, String)*): DataFrame =
+      specs.foldLeft(df) { case (d, (name, spec)) =>
+        d.withColumn(name,
+          new GraftColumnOps(col(name)).castTo(spec,
+            CastOptions(errors = "coerce", rounding = Some("half_even")),
+            from = d.schema(name).dataType))
+      }
+
+    /** detect_type over every column (one aggregation pass). */
+    def detectTypes(): Seq[(String, String)] = Detect.detectTypes(df)
+
+    /** typecheck against a declared (name -> spec) schema. */
+    def typecheckAgainst(schema: (String, String)*): Seq[(String, String, String, Boolean)] =
+      Detect.typecheck(df, schema)
+
+    /** Lossless downcast of the given (or all numeric) columns. */
+    def downcastAll(cols: String*): DataFrame = {
+      val targets = if (cols.nonEmpty) cols else df.schema.fields.collect {
+        case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] => f.name
+      }.toSeq
+      Downcast(df, targets)
+    }
+
+    /** Exact dedup keeping the first (minimum) id per identical text. */
+    def dedupExact(idCol: String, textCol: String): DataFrame =
+      df.join(operators.Dedup.exactGroups(df, idCol, textCol)
+          .select(col("keep_id").as(idCol)), Seq(idCol), "left_semi")
+  }
+}

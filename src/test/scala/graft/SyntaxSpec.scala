@@ -1,0 +1,67 @@
+package graft
+
+import graft.syntax._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SyntaxSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("column castTo via spec mini-language") {
+    val df = Seq(("42", "3.14", "yes")).toDF("i", "f", "b")
+    val out = df.select(
+      $"i".castTo("int32").as("i"),
+      $"f".castTo("float64").as("f"),
+      $"b".castTo("bool").as("b"))
+    val r = out.head()
+    assert(out.schema("i").dataType == IntegerType)
+    assert(r.getInt(0) == 42 && r.getDouble(1) == 3.14 && r.getBoolean(2))
+  }
+
+  test("dataframe castColumns + downcastAll") {
+    val li = Tables.t(spark, sf, "lineitem")
+    val cast = li.castColumns("l_quantity" -> "int16")
+    assert(cast.schema("l_quantity").dataType == ShortType)
+    val down = li.downcastAll("l_quantity", "l_linenumber")
+    assert(down.schema("l_quantity").dataType == ByteType)
+  }
+
+  test("dataframe detectTypes / typecheckAgainst") {
+    val li = Tables.t(spark, sf, "lineitem")
+    assert(li.detectTypes().toMap.apply("l_orderkey") == "int64")
+    val tc = li.typecheckAgainst("l_orderkey" -> "int64", "l_quantity" -> "bool")
+    assert(tc.find(_._1 == "l_orderkey").get._4)
+    assert(!tc.find(_._1 == "l_quantity").get._4)
+  }
+
+  test("dedupExact keeps one row per distinct text") {
+    val df = Seq((1L, "aa"), (2L, "aa"), (3L, "bb")).toDF("id", "text")
+    val kept = df.dedupExact("id", "text").select("id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 3L))
+  }
+
+  test("SQL functions registered via GraftExtensions") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d, " +
+        "graft_sorted_intersect_count(array(1L, 2L, 5L), array(2L, 3L, 5L)) AS c")
+      .head()
+    assert(r.getDouble(0) == 11.0 && r.getInt(1) == 2)
+  }
+
+  test("withExtensions builder path registers functions") {
+    // verify the SparkSessionExtensions wiring compiles & applies: use a
+    // fresh session with the extension class name conf
+    val s2 = org.apache.spark.sql.SparkSession.builder()
+      .master("local[1]")
+      .appName("graft-ext-test")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    // no s2.stop(): it shares the JVM-wide SparkContext with TestSpark
+    val d = s2.sql("SELECT graft_dot(array(1.0d), array(2.0d)) AS d").head().getDouble(0)
+    assert(d == 2.0)
+  }
+}
