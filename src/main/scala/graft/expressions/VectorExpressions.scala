@@ -1,8 +1,8 @@
 package graft.expressions
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
 /** Native Catalyst dot product over two `array<double>` columns.
@@ -92,4 +92,76 @@ case class SortedLongArrayIntersectCount(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): SortedLongArrayIntersectCount =
     copy(left = newLeft, right = newRight)
+}
+
+/** MinHash signature of a shingle-hash array: `h` minima under `h`
+  * seeded universal-hash permutations (a_i·x + b_i over Z/2^64), in ONE
+  * compiled loop — replaces an interpreted `aggregate(zip_with(...))`
+  * whose lambda machinery dominated runtime. CodegenFallback: the
+  * per-row cost is the inner loop, which is compiled Scala either way.
+  */
+case class MinHashSignature(child: Expression, h: Int, seed: Long = 42L)
+    extends UnaryExpression with CodegenFallback {
+
+  // odd multipliers → bijective permutations of Z/2^64
+  @transient private lazy val (as, bs) = {
+    val r = new java.util.Random(seed)
+    (Array.fill(h)(r.nextLong() | 1L), Array.fill(h)(r.nextLong()))
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash"
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val m = Array.fill(h)(Long.MaxValue)
+    val n = arr.numElements()
+    var j = 0
+    while (j < n) {
+      val sh = arr.getLong(j)
+      var i = 0
+      while (i < h) {
+        val p = as(i) * sh + bs(i)
+        if (p < m(i)) m(i) = p
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(m)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}
+
+/** 64-bit SimHash of a token-hash array: one compiled loop over the
+  * tokens accumulating ±1 per bit — replaces 64 unrolled interpreted
+  * aggregate expressions. */
+case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash"
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val counts = new Array[Int](64)
+    val n = arr.numElements()
+    var j = 0
+    while (j < n) {
+      val t = arr.getLong(j)
+      var i = 0
+      while (i < 64) {
+        if (((t >>> i) & 1L) == 1L) counts(i) += 1 else counts(i) -= 1
+        i += 1
+      }
+      j += 1
+    }
+    var out = 0L
+    var i = 0
+    while (i < 64) { if (counts(i) > 0) out |= (1L << i); i += 1 }
+    out
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
 }

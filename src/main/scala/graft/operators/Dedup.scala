@@ -52,15 +52,13 @@ object Dedup {
     array_sort(array_distinct(transform(full, s => xxhash64(s))))
   }
 
-  /** MinHash signature: `h` minimums in ONE pass over the shingle array
-    * (vector accumulator — avoids h separate array traversals and keeps
-    * the whole signature inside a single codegen'd expression). */
-  def minhashSignature(shingles: Column, h: Int = 64): Column =
-    aggregate(
-      shingles,
-      array_repeat(lit(Long.MaxValue), h),
-      (acc, sh) => zip_with(acc, sequence(lit(0), lit(h - 1)),
-        (m, i) => least(m, xxhash64(sh, i))))
+  /** MinHash signature: `h` minima in one compiled loop (native
+    * expression — see graft.expressions.MinHashSignature). */
+  def minhashSignature(shingles: Column, h: Int = 64): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.expressions.MinHashSignature(
+      ColumnBridge.expression(shingles), h))
+  }
 
   /** LSH band keys: signature split into `bands` bands of `h/bands`
     * rows; each band hashed to one bucket key. */
@@ -118,21 +116,17 @@ object Dedup {
 
   /** 64-bit SimHash of the token multiset: per bit, sign of the sum of
     * ±1 contributions from each token hash. The 64 bit-counters are
-    * unrolled at plan-build time (Scala loop → 64 aggregate exprs);
-    * round-2 candidate for a single custom TypedImperativeAggregate. */
+    * computed in a single native-expression pass. */
   def simhash(text: Column): Column =
     simhashFromTokHashes(transform(split(normText(text), " "), t => xxhash64(t)))
 
-  /** SimHash from a pre-staged token-hash array ATTRIBUTE — the 64
-    * bit-counter aggregates each evaluate their input, so handing them
-    * an expression tree instead of a row attribute re-tokenizes 64×. */
-  def simhashFromTokHashes(tokHashes: Column): Column =
-    (0 until 64).map { i =>
-      val cnt = aggregate(tokHashes, lit(0L),
-        (acc, hh) => acc +
-          when(shiftright(hh, i).bitwiseAND(1) === 1, 1L).otherwise(-1L))
-      when(cnt > 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
+  /** SimHash from a token-hash array: one compiled loop (native
+    * expression — see graft.expressions.SimHash64). */
+  def simhashFromTokHashes(tokHashes: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.expressions.SimHash64(
+      ColumnBridge.expression(tokHashes)))
+  }
 
   /** Near-dup pairs with Hamming distance <= maxDist on 64-bit SimHash.
     * Pigeonhole bucketing: split the hash into (maxDist+1) chunks — any
