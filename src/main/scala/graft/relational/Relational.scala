@@ -305,7 +305,45 @@ object Relational {
       .orderBy("nationkey")
   }
 
+  // ---- R27: as-of (point-in-time) join ------------------------------------
+  // each purchase matched to the user's latest view at-or-before it
+  def q27AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).select(col("event_id"), col("user_id"),
+      unix_timestamp(col("ts")).as("es"), col("event_type"), col("value"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "es")
+    // right side deduped per (user, second): later event_id wins —
+    // deterministic and mirrors the oracle's arg_max
+    val views = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("es").as("v_es"))
+      .agg(max(struct(col("event_id"), col("value"))).as("m"))
+      .select(col("user_id"), col("v_es"), col("m.event_id").as("v_id"),
+        col("m.value").as("v_value"))
+    graft.operators.AsOfJoin.asof(purchases, views,
+        keyCols = Seq("user_id"), leftTime = "es", rightTime = "v_es",
+        rightVals = Seq("v_id", "v_value", "v_es"))
+      .orderBy("event_id")
+  }
+
+  // ---- R28: bucketed range join -------------------------------------------
+  // error events within an hour of a purchase by the same user
+  def q28RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).select(col("event_id"), col("user_id"),
+      unix_timestamp(col("ts")).as("es"), col("event_type"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"), col("es").as("p_es"))
+    val errors = e.filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id").as("e_id"), col("es").as("e_es"))
+    graft.operators.RangeJoin.within(purchases, errors,
+        keyCols = Seq("user_id"), leftTime = "p_es", rightTime = "e_es",
+        window = 3600L)
+      .select("user_id", "p_id", "e_id", "p_es", "e_es")
+      .orderBy("p_id", "e_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q27_asof_join" -> q27AsofJoin _,
+    "q28_range_join" -> q28RangeJoin _,
     "q1_agg" -> q1Agg _,
     "q2_filter_project" -> q2FilterProject _,
     "q3_join_agg" -> q3JoinAgg _,
@@ -337,6 +375,28 @@ object Relational {
   private val rev = revenueSql // DuckDB fragment
 
   val oracles: Map[String, String] = Map(
+    "q27_asof_join" ->
+      """WITH e AS (SELECT event_id, user_id,
+        |    CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS es,
+        |    event_type, value FROM events),
+        |p AS (SELECT event_id, user_id, es FROM e WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, es AS v_es, arg_max(event_id, event_id) AS v_id,
+        |      arg_max(value, event_id) AS v_value
+        |      FROM e WHERE event_type = 'view' GROUP BY user_id, es)
+        |SELECT p.event_id, p.user_id, p.es, v.v_id AS r_v_id,
+        |  v.v_value AS r_v_value, v.v_es AS r_v_es
+        |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.es >= v.v_es
+        |ORDER BY p.event_id""".stripMargin,
+    "q28_range_join" ->
+      """WITH e AS (SELECT event_id, user_id,
+        |    CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS es,
+        |    event_type FROM events)
+        |SELECT p.user_id, p.event_id AS p_id, x.event_id AS e_id,
+        |  p.es AS p_es, x.es AS e_es
+        |FROM e p JOIN e x ON p.user_id = x.user_id
+        |WHERE p.event_type = 'purchase' AND x.event_type = 'error'
+        |  AND ABS(p.es - x.es) <= 3600
+        |ORDER BY p_id, e_id""".stripMargin,
     "q1_agg" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  ${dsumSql("l_quantity")} AS sum_qty,
