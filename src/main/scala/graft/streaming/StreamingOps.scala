@@ -47,6 +47,48 @@ object StreamingOps {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** One raw event for stateful processing. */
+  final case class SessEvent(user_id: Long, es: Long, event_id: Long)
+  /** Per-user open-session state carried across triggers. */
+  final case class OpenSession(start: Long, last: Long, n: Long)
+  /** A closed (gap-terminated) session. */
+  final case class ClosedSession(user_id: Long, start_s: Long, n_events: Long, dur_s: Long)
+
+  /** S3: stateful gap-based sessionization with
+    * `flatMapGroupsWithState` — closed sessions are emitted as soon as
+    * a later event exceeds the gap; each user's trailing open session
+    * stays in state (bounded: one OpenSession per active user) until a
+    * later trigger closes it. */
+  def sessionizeStream(spark: SparkSession, events: DataFrame,
+      gapSec: Long = 1800): org.apache.spark.sql.Dataset[ClosedSession] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    val ev = events
+      .select(col("user_id"), unix_timestamp(col("ts")).as("es"), col("event_id"))
+      .as[SessEvent]
+    ev.groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[SessEvent], state: GroupState[OpenSession]) =>
+          val sorted = it.toSeq.sortBy(e => (e.es, e.event_id))
+          var cur = state.getOption
+          val out = Seq.newBuilder[ClosedSession]
+          sorted.foreach { e =>
+            cur match {
+              case Some(s) if e.es - s.last <= gapSec =>
+                cur = Some(s.copy(last = e.es, n = s.n + 1))
+              case Some(s) =>
+                out += ClosedSession(uid, s.start, s.n, s.last - s.start)
+                cur = Some(OpenSession(e.es, e.es, 1))
+              case None =>
+                cur = Some(OpenSession(e.es, e.es, 1))
+            }
+          }
+          cur.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** Batch twin of [[windowedCounts]] for equivalence checks. */
   def windowedCountsBatch(events: DataFrame, window_ : String = "1 hour"): DataFrame =
     events.groupBy(window(col("ts"), window_), col("event_type"))

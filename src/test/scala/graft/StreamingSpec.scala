@@ -28,6 +28,30 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("S3: stateful sessionization matches batch sessions (closed ones)") {
+    val stream = StreamingOps.readEventsStream(spark, sf)
+    val q = StreamingOps.sessionizeStream(spark, stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("s3_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.table("s3_out")
+      .selectExpr("user_id", "start_s", "n_events", "dur_s")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // batch truth: all sessions except each user's LAST (still open in state)
+    val batch = relational.Relational.q24Sessionize(spark, sf)
+    batch.createOrReplaceTempView("b24")
+    val want = spark.sql(
+      """SELECT user_id, start_s, n_events, dur_s FROM b24
+        |WHERE (user_id, session_id) NOT IN (
+        |  SELECT user_id, MAX(session_id) FROM b24 GROUP BY user_id)
+        |""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("S2: streaming dedup emits each event_id once") {
     val stream = StreamingOps.readEventsStream(spark, sf)
     val q = StreamingOps.streamingDedup(stream)
