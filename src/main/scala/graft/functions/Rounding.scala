@@ -78,6 +78,36 @@ object Rounding {
     }
   }
 
+  /** Round a DECIMAL column to `decimals` places under `rule`, staying
+    * in exact decimal arithmetic throughout (reference round_decimal,
+    * util/round/decimal.pyx). No doubles anywhere: scaling, the ±0.5
+    * tie shifts, and parity checks are all decimal/integer ops. */
+  def roundDecimal(x: Column, rule: String, decimals: Int = 0): Column = {
+    val p = lit(java.math.BigDecimal.TEN.pow(decimals))
+    val half = lit(new java.math.BigDecimal("0.5"))
+    val y = x * p
+    val f = floor(y)
+    val cl = ceil(y)
+    val nonNeg = x >= 0
+    val scaled = rule match {
+      case "floor" => f
+      case "ceiling" => cl
+      case "down" => when(nonNeg, f).otherwise(cl)
+      case "up" => when(nonNeg, cl).otherwise(f)
+      case "half_floor" => ceil(y - half)
+      case "half_ceiling" => floor(y + half)
+      case "half_down" => when(nonNeg, ceil(y - half)).otherwise(floor(y + half))
+      case "half_up" => when(nonNeg, floor(y + half)).otherwise(ceil(y - half))
+      case "half_even" =>
+        val frac = y - f
+        when(frac > half, f + 1)
+          .when(frac < half, f)
+          .otherwise(when(pmod(f, lit(2)) === 0, f).otherwise(f + 1))
+      case other => throw new IllegalArgumentException(s"unknown rounding rule: $other")
+    }
+    (scaled / p).cast(DecimalType(38, math.max(decimals, 0)))
+  }
+
   /** Tolerance snap (reference Tolerance/snap): round x to the nearest
     * integer scaled by `decimals` iff it lies within `tol` of it;
     * otherwise keep x unchanged. */

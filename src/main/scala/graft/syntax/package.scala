@@ -31,6 +31,13 @@ package object syntax {
       * narrowing); defaults to string-agnostic double/long casts. */
     def castTo(spec: String, opts: CastOptions = CastOptions(),
         from: org.apache.spark.sql.types.DataType = StringType): Column =
+      TypeRegistry.casterFor(spec) match {
+        case Some(kernel) => kernel(c) // user-registered cast behavior
+        case None => castBuiltin(spec, opts, from)
+      }
+
+    private def castBuiltin(spec: String, opts: CastOptions,
+        from: org.apache.spark.sql.types.DataType): Column =
       TypeResolver.resolve(spec) match {
         case GBoolean => Casts.toBoolean(c, from, opts)
         case t: GInteger => Casts.toInteger(c, from, t, opts)

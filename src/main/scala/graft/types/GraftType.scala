@@ -115,9 +115,52 @@ final case class GSparse(wrapped: GraftType, fill: Option[String] = None) extend
   val family = wrapped.family
 }
 
+/** A user-defined scalar type (reference: `@register class CustomType`,
+  * types/base tutorial — "new types added in as little as 10 lines").
+  * Wraps a Spark physical type with a distinct spec name; cast behavior
+  * can be attached via [[TypeRegistry.register]]'s caster. */
+final case class GCustom(name: String, override val sparkType: DataType,
+    override val family: String) extends ScalarGraftType {
+  val spec: String = name
+}
+
+/** Extensible registry backing [[TypeResolver]]: mirrors the
+  * reference's `register`/`aliases.add` machinery
+  * (types/base/meta.py registry + alias mutation shown in the README
+  * doctest). Registered aliases take effect immediately in
+  * `resolve_type` and in `Column.castTo`. */
+object TypeRegistry {
+  import org.apache.spark.sql.Column
+
+  private val custom = scala.collection.concurrent.TrieMap.empty[String, GraftType]
+  private val casters = scala.collection.concurrent.TrieMap.empty[String, Column => Column]
+
+  /** Register a type under one or more aliases, optionally with a cast
+    * kernel invoked by `Column.castTo(alias)`. */
+  def register(t: GraftType, aliases: Seq[String],
+      caster: Option[Column => Column] = None): Unit = {
+    aliases.foreach { a =>
+      custom.put(a.toLowerCase, t)
+      caster.foreach(casters.put(a.toLowerCase, _))
+    }
+  }
+
+  /** Add an alias to an already-registered spec (reference:
+    * `resolve_type("foo").aliases.add("baz")`). */
+  def addAlias(existingSpec: String, alias: String): Unit =
+    custom.get(existingSpec.toLowerCase)
+      .orElse(scala.util.Try(TypeResolver.resolve(existingSpec)).toOption)
+      .foreach(t => custom.put(alias.toLowerCase, t))
+
+  def lookup(alias: String): Option[GraftType] = custom.get(alias.toLowerCase)
+  def casterFor(alias: String): Option[Column => Column] = casters.get(alias.toLowerCase)
+  def unregister(alias: String): Unit = { custom.remove(alias.toLowerCase); casters.remove(alias.toLowerCase) }
+}
+
 /** Parser for the type-spec mini-language (reference `resolve_type`,
   * bertrand/types/base/meta.py:1143). Accepts the reference's aliases
-  * plus Spark/DuckDB-style names; case-insensitive; decorators nest:
+  * plus Spark/DuckDB-style names and user-registered aliases
+  * ([[TypeRegistry]]); case-insensitive; decorators nest:
   * `sparse[categorical[int64]]`. */
 object TypeResolver {
 
@@ -154,7 +197,7 @@ object TypeResolver {
   def resolve(rawSpec: String): GraftType = {
     val s = rawSpec.trim
     val lower = s.toLowerCase
-    aliases.get(lower).getOrElse {
+    aliases.get(lower).orElse(TypeRegistry.lookup(lower)).getOrElse {
       // decorator payloads (tz names, fill values) keep their case: match
       // the lowered form but recurse/capture on the original string
       val inner: String =

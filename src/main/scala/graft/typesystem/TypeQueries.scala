@@ -251,7 +251,21 @@ object TypeQueries {
       .orderBy("subtype")
   }
 
+  // ---- T20: round_decimal, exact decimal arithmetic -----------------------
+  def t20RoundDecimal(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").filter(col("l_orderkey") <= 100)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        (dec(col("l_extendedprice")) *
+          when(col("l_linenumber") % 2 === 0, -1).otherwise(1)).as("x"))
+    val ruleCols = Rounding.validRules.map(r =>
+      Rounding.roundDecimal(col("x"), r, 1).cast(DoubleType).as(s"d_$r"))
+    li.select(Seq(col("l_orderkey"), col("l_linenumber"),
+      col("x").cast(DoubleType).as("x")) ++ ruleCols: _*)
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t20_round_decimal" -> t20RoundDecimal _,
     "t1_detect_types" -> t1Detect _,
     "t2_resolve_spec" -> t2Resolve _,
     "t3_typecheck" -> t3Typecheck _,
@@ -297,10 +311,11 @@ object TypeQueries {
     s"(($scaled) / $s)"
   }
 
-  /** DuckDB formula mirroring Rounding.roundDiv(a, b, rule). */
-  private def divSql(rule: String): String = {
+  /** DuckDB formula body mirroring Rounding.roundDiv(a, b, rule)
+    * (expects qf/qc/mag/a/b in scope). */
+  private def divBodySql(rule: String): String = {
     val neg = "(SIGN(a)*SIGN(b) < 0)"
-    val body = rule match {
+    rule match {
       case "floor" => "qf"
       case "ceiling" => "qc"
       case "down" => s"CASE WHEN $neg THEN qc ELSE qf END"
@@ -313,12 +328,33 @@ object TypeQueries {
         """CASE WHEN mag*2 > ABS(b) THEN qc WHEN mag*2 < ABS(b) THEN qf
           | WHEN ((qf % 2) + 2) % 2 = 0 THEN qf ELSE qc END""".stripMargin
     }
-    s"CAST($body AS BIGINT) AS q_$rule"
   }
+
+  private def divSql(rule: String): String =
+    s"CAST(${divBodySql(rule)} AS BIGINT) AS q_$rule"
 
   private val floatReSql = "^[+-]?([0-9]+\\.?[0-9]*|\\.[0-9]+)([eE][+-]?[0-9]+)?$"
 
   val oracles: Map[String, String] = Map(
+    "t20_round_decimal" -> {
+      // exact integer-cents mirror: rounding a 2-dec value to 1 decimal
+      // == round_div(cents, 10, rule)/10, reusing the divSql formulas
+      val ruleCols = Rounding.validRules
+        .map(r => s"  CAST(${divBodySql(r)} AS DOUBLE) / 10 AS d_$r")
+        .mkString(",\n")
+      s"""SELECT l_orderkey, l_linenumber, CAST(a AS DOUBLE) / 100 AS x,
+         |$ruleCols
+         |FROM (SELECT *, ABS(m) AS mag,
+         |    CAST((a - m) / b AS BIGINT) AS qf,
+         |    CAST((a - m) / b AS BIGINT) + (CASE WHEN m = 0 THEN 0 ELSE 1 END) AS qc
+         |  FROM (SELECT l_orderkey, l_linenumber, a, b, ((a % b) + b) % b AS m
+         |    FROM (SELECT l_orderkey, l_linenumber,
+         |      CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+         |        * (CASE WHEN l_linenumber % 2 = 0 THEN -1 ELSE 1 END) AS a,
+         |      CAST(10 AS BIGINT) AS b
+         |      FROM lineitem WHERE l_orderkey <= 100)))
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin
+    },
     "t1_detect_types" ->
       """SELECT * FROM (VALUES
         | ('phys_double','float64'), ('phys_long','int64'), ('s_bool','bool'),

@@ -31,6 +31,33 @@ class TypeResolverSpec extends AnyFunSuite {
     assert(TypeResolver.resolve("uint8").sparkType == ShortType)
     assert(TypeResolver.resolve("uint64").sparkType == DecimalType(20, 0))
   }
+
+  test("custom type registration: the reference's 10-line tutorial") {
+    // reference README doctest: @register class CustomType with aliases
+    // {"foo","bar"}, then resolve_type("foo") and aliases.add("baz")
+    import org.apache.spark.sql.functions._
+    TypeRegistry.register(
+      GCustom("custom", StringType, "custom"),
+      aliases = Seq("foo", "bar"),
+      caster = Some(c => upper(c)))
+    try {
+      assert(TypeResolver.resolve("foo").spec == "custom")
+      assert(TypeResolver.resolve("BAR").spec == "custom")
+      TypeRegistry.addAlias("foo", "baz")
+      assert(TypeResolver.resolve("baz").spec == "custom")
+      // decorator composition over a custom type
+      assert(TypeResolver.resolve("sparse[foo]").spec == "sparse[custom]")
+      // the registered cast kernel is live in Column.castTo
+      import graft.syntax._
+      import TestSpark.spark.implicits._
+      val got = Seq("hi").toDF("s").select($"s".castTo("foo")).as[String].head()
+      assert(got == "HI")
+    } finally Seq("foo", "bar", "baz").foreach(TypeRegistry.unregister)
+  }
+
+  test("unregistered alias resolves no more") {
+    intercept[IllegalArgumentException](TypeResolver.resolve("foo"))
+  }
 }
 
 class RoundingSpec extends AnyFunSuite {
