@@ -40,4 +40,12 @@ object TimeFns {
   /** ISO day-of-week with Sunday=0 (engine-neutral convention used by
     * the oracle; Spark's dayofweek is 1-based Sunday). */
   def dowSunday0(d: Column): Column = dayofweek(d) - 1
+
+  /** Interpret a naive timestamp as wall-clock time in `tz` and convert
+    * to the absolute UTC instant (reference timezone.py `localize`). */
+  def localize(tsCol: Column, tz: String): Column = to_utc_timestamp(tsCol, tz)
+
+  /** Render a UTC instant as wall-clock time in `tz` (reference
+    * timezone.py conversion; naive result, like tz_convert + tz-strip). */
+  def toWallClock(tsCol: Column, tz: String): Column = from_utc_timestamp(tsCol, tz)
 }

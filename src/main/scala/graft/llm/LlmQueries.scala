@@ -75,6 +75,38 @@ object LlmQueries {
       .orderBy("qid", "rk")
   }
 
+  // ---- L13: IVF ANN (KMeans cells + multi-probe) --------------------------
+  def s3AnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 10,
+        nCells = 16, nProbe = 4)
+      .withColumn("cos", round(col("cos"), 6))
+      .select("qid", "id", "cos", "rk")
+      .orderBy("qid", "rk")
+  }
+
+  // ---- L14: int8 embedding quantization -----------------------------------
+  def s4QuantCosine(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("scale", Quantize.int8Scale(col("v")))
+    val quant = base.withColumn("q", Quantize.toInt8(col("v"), col("scale")))
+      .withColumn("nv", VectorOps.norm(col("v")))
+    val probe = quant.filter(col("vec_id") === 0)
+      .select(col("q").as("q0"), col("scale").as("s0"),
+        col("v").as("v0"), col("nv").as("nv0"))
+    quant.filter(col("vec_id") =!= 0).crossJoin(broadcast(probe))
+      .select(col("vec_id"),
+        (VectorOps.dot(col("v"), col("v0")) / (col("nv") * col("nv0"))).as("cos_exact"),
+        (Quantize.dotInt8(col("q"), col("q0"), col("scale"), col("s0")) /
+          (col("nv") * col("nv0"))).as("cos_q"))
+      .withColumn("abs_err", abs(col("cos_exact") - col("cos_q")))
+      .withColumn("cos_exact", round(col("cos_exact"), 6))
+      .withColumn("cos_q", round(col("cos_q"), 6))
+      .withColumn("abs_err", round(col("abs_err"), 6))
+      .orderBy("vec_id")
+  }
+
   // ---- L8: language ID heuristic ------------------------------------------
   def x1LangId(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
@@ -127,6 +159,8 @@ object LlmQueries {
     "d5_embed_dup" -> d5EmbedDup _,
     "s1_ann_brute" -> s1AnnBrute _,
     "s2_ann_lsh" -> s2AnnLsh _,
+    "s3_ann_ivf" -> s3AnnIvf _,
+    "s4_quant_cosine" -> s4QuantCosine _,
     "x1_lang_id" -> x1LangId _,
     "x2_quality" -> x2Quality _,
     "x3_token_count" -> x3TokenCount _,

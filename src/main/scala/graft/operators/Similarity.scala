@@ -1,5 +1,7 @@
 package graft.operators
 
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -31,6 +33,42 @@ object Similarity {
   def bruteTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val scored = withNorm(corpus, "id", "v", "nv")
       .crossJoin(broadcast(withNorm(queries, "qid", "qv", "nqv")))
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("id"), cosOf("v", "qv", "nv", "nqv").as("cos"))
+    val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
+  /** IVF (inverted-file) ANN: K-means partitions the corpus into
+    * `nCells` cells (index build = one MLlib fit, seeded/deterministic);
+    * each query probes its `nProbe` nearest centroids and scores only
+    * those cells' vectors exactly. The classic Faiss-IVF layout on
+    * Spark: the cell assignment is the partition key, queries broadcast.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val feats = withNorm(corpus, "id", "v", "nv")
+      .withColumn("features", array_to_vector(col("v")))
+    val km = new KMeans().setK(nCells).setSeed(42L).setMaxIter(10)
+      .setFeaturesCol("features").setPredictionCol("cell")
+    val model = km.fit(feats)
+    val cells = model.transform(feats).select("id", "v", "nv", "cell")
+    // centroid relation (tiny): cell id + centroid vector
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }.toSeq.toDF("cell", "cv")
+    // per query: nProbe nearest centroids by euclidean distance
+    val q = withNorm(queries, "qid", "qv", "nqv")
+    val wProbe = Window.partitionBy("qid").orderBy(asc("dist"), asc("cell"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("dist",
+        aggregate(zip_with(col("qv"), col("cv"), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nProbe)
+      .select("qid", "qv", "nqv", "cell")
+    val scored = cells.join(broadcast(probes), Seq("cell"))
       .filter(col("id") =!= col("qid"))
       .select(col("qid"), col("id"), cosOf("v", "qv", "nv", "nqv").as("cos"))
     val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("id"))

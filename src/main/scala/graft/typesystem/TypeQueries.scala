@@ -193,16 +193,12 @@ object TypeQueries {
       .select("value", "code", "n").orderBy("code")
   }
 
-  // ---- T16: sparse run-length encode (gaps & islands) ---------------------
+  // ---- T16: sparse run-length encode (partition-parallel islands) ---------
   def t16Sparse(s: SparkSession, dir: String): DataFrame = {
     val e = events(s, dir).filter(col("event_id") < 2000)
       .select(col("event_id"), col("event_type"))
-    val wAll = Window.orderBy("event_id")
-    val wVal = Window.partitionBy("event_type").orderBy("event_id")
-    e.withColumn("grp", row_number().over(wAll) - row_number().over(wVal))
-      .groupBy(col("event_type").as("value"), col("grp"))
-      .agg(min("event_id").as("start_id"), count(lit(1)).as("run_len"))
-      .select("value", "start_id", "run_len")
+    graft.operators.RunLength.encode(e, "event_id", "event_type")
+      .select(col("value"), col("start_key").as("start_id"), col("run_len"))
       .orderBy("start_id")
   }
 

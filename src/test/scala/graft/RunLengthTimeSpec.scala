@@ -1,0 +1,55 @@
+package graft
+
+import graft.functions.TimeFns
+import graft.operators.RunLength
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class RunLengthSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("encode/decode round-trips an ordered column") {
+    val df = Seq((0L, "a"), (1L, "a"), (2L, "b"), (3L, "a"), (4L, "a"), (5L, "a"))
+      .toDF("k", "v")
+    val rle = RunLength.encode(df, "k", "v")
+      .orderBy("start_key").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rle == Seq(("a", 0L, 2L), ("b", 2L, 1L), ("a", 3L, 3L)))
+    val back = RunLength.decode(RunLength.encode(df, "k", "v"))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(back == df.orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq)
+  }
+
+  test("encode handles non-zero-based keys and reports compression") {
+    val df = Seq((10L, "x"), (11L, "x"), (12L, "x"), (13L, "y")).toDF("k", "v")
+    val (n, runs, ratio) = RunLength.stats(df, "k", "v")
+    assert(n == 4 && runs == 2 && ratio == 2.0)
+  }
+}
+
+class TimezoneSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("localize interprets wall time; toWallClock inverts it") {
+    val df = Seq("2024-06-01 12:00:00").toDF("s")
+      .select($"s".cast("timestamp").as("ts"))
+    // noon in New York (EDT, UTC-4) == 16:00 UTC
+    val utc = df.select(TimeFns.localize($"ts", "America/New_York").as("u"))
+    assert(utc.select(date_format($"u", "yyyy-MM-dd HH:mm:ss")).as[String].head()
+      == "2024-06-01 16:00:00")
+    val back = utc.select(TimeFns.toWallClock($"u", "America/New_York").as("w"))
+    assert(back.select(date_format($"w", "yyyy-MM-dd HH:mm:ss")).as[String].head()
+      == "2024-06-01 12:00:00")
+  }
+
+  test("dst boundary: winter offset differs") {
+    val df = Seq("2024-01-01 12:00:00").toDF("s")
+      .select($"s".cast("timestamp").as("ts"))
+    val utc = df.select(date_format(
+      TimeFns.localize($"ts", "America/New_York"), "HH:mm").as("h")).as[String].head()
+    assert(utc == "17:00") // EST is UTC-5
+  }
+}
