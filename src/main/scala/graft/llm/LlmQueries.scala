@@ -141,6 +141,33 @@ object LlmQueries {
         TextAnalysis.minShingleFingerprint(col("text")).as("fp_min_shingle"))
       .orderBy("doc_id")
 
+  // ---- L15: token-window chunking -----------------------------------------
+  def x5Chunk(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("toks", split(trim(col("text")), "\\s+"))
+      .select(col("doc_id"),
+        posexplode(TextAnalysis.chunkColumns(col("toks"), 64, 16))
+          .as(Seq("chunk_id", "chunk")))
+      .select(col("doc_id"), col("chunk_id"),
+        size(split(col("chunk"), " ")).as("n_chunk_tokens"),
+        md5(col("chunk")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_id")
+
+  // ---- L16: PII redaction --------------------------------------------------
+  def x6Redact(s: SparkSession, dir: String): DataFrame = {
+    // the synthetic corpus has no PII; plant deterministic addresses and
+    // numbers so the scrubber has something real to remove
+    val planted = t(s, dir, "documents").select(col("doc_id"),
+      concat(lit("contact user"), col("doc_id"), lit("@example.com or call 555-123-4567 ref 9876543 "),
+        col("text")).as("text"))
+    planted.select(col("doc_id"),
+      TextAnalysis.redact(col("text")).as("clean"))
+      .select(col("doc_id"), md5(col("clean")).as("clean_md5"),
+        size(split(col("clean"), "<EMAIL>", -1)).minus(1).as("n_emails"),
+        size(split(col("clean"), "<PHONE>", -1)).minus(1).as("n_phones"))
+      .orderBy("doc_id")
+  }
+
   // ---- L12: multimodal binary plumbing (stubbed decode) -------------------
   def m1Multimodal(s: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.asMediaTable(t(s, dir, "documents"))
@@ -165,6 +192,8 @@ object LlmQueries {
     "x2_quality" -> x2Quality _,
     "x3_token_count" -> x3TokenCount _,
     "x4_fingerprint" -> x4Fingerprint _,
+    "x5_chunk" -> x5Chunk _,
+    "x6_redact" -> x6Redact _,
     "m1_multimodal" -> m1Multimodal _,
   )
 
@@ -213,6 +242,29 @@ object LlmQueries {
         |      / greatest(len(string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')), 1) * 5.0, 1.0) * 0.2
         |   AS quality_score
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "x5_chunk" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |           FROM documents),
+        |c AS (SELECT doc_id, toks,
+        |      1 + CAST(ceil(greatest(len(toks) - 64, 0) / 48.0) AS INT) AS nc
+        |      FROM d),
+        |e AS (SELECT doc_id, unnest(range(nc)) AS cid, toks FROM c)
+        |SELECT doc_id, CAST(cid AS INT) AS chunk_id,
+        |  CAST(len(string_split(array_to_string(toks[cid*48+1 : cid*48+64], ' '), ' ')) AS INT) AS n_chunk_tokens,
+        |  md5(array_to_string(toks[cid*48+1 : cid*48+64], ' ')) AS chunk_md5
+        |FROM e ORDER BY doc_id, chunk_id""".stripMargin,
+    "x6_redact" ->
+      """WITH p AS (SELECT doc_id,
+        |  'contact user' || doc_id || '@example.com or call 555-123-4567 ref 9876543 ' || text AS text
+        |  FROM documents),
+        |r AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(text,
+        |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |  '\+?[0-9][0-9 ()-]{7,}[0-9]', '<PHONE>', 'g'),
+        |  '[0-9]{6,}', '<NUM>', 'g') AS clean FROM p)
+        |SELECT doc_id, md5(clean) AS clean_md5,
+        |  CAST(len(string_split(clean, '<EMAIL>')) - 1 AS INT) AS n_emails,
+        |  CAST(len(string_split(clean, '<PHONE>')) - 1 AS INT) AS n_phones
+        |FROM r ORDER BY doc_id""".stripMargin,
     "x3_token_count" ->
       """SELECT doc_id,
         |  CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS ws_tokens,

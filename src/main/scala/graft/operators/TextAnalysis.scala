@@ -80,6 +80,32 @@ object TextAnalysis {
   def bpeishTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
 
+  /** Token-window chunking with overlap — the standard pretraining/RAG
+    * document splitter. Whitespace tokens (case-preserving); chunk i
+    * covers tokens [i·step, i·step + size); the last chunk may be
+    * short. Returns one row per chunk via posexplode; all array work is
+    * staged on a token ATTRIBUTE (HOF staging rule). */
+  def chunkColumns(textAttr: Column, chunkSize: Int, overlap: Int): Column = {
+    require(overlap < chunkSize, "overlap must be < chunkSize")
+    val step = chunkSize - overlap
+    val toks = textAttr // expects a pre-staged token array attribute
+    val nChunks = (lit(1) +
+      ceil(greatest(size(toks) - chunkSize, lit(0)).cast("double") / step)
+        .cast("int"))
+    transform(sequence(lit(0), nChunks - 1),
+      i => array_join(slice(toks, i * step + 1, lit(chunkSize)), " "))
+  }
+
+  /** PII redaction: mask emails / long digit runs / phone-ish patterns.
+    * Pure regexp_replace chain — codegen'd, one pass. */
+  def redact(text: Column): Column = {
+    val email = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val phone = regexp_replace(email,
+      "\\+?[0-9][0-9 ()-]{7,}[0-9]", "<PHONE>")
+    regexp_replace(phone, "[0-9]{6,}", "<NUM>")
+  }
+
   /** 64-bit content fingerprint of the normalized text. */
   def fingerprint(text: Column): Column = xxhash64(Dedup.normText(text))
 
