@@ -168,6 +168,14 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  // ---- L17: deterministic dataset splitting -------------------------------
+  def x7Split(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.splitBucket(col("doc_id")).as("bucket"),
+        TextAnalysis.splitAssign(col("doc_id")).as("split"))
+      .orderBy("doc_id")
+
   // ---- L12: multimodal binary plumbing (stubbed decode) -------------------
   def m1Multimodal(s: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.asMediaTable(t(s, dir, "documents"))
@@ -194,6 +202,7 @@ object LlmQueries {
     "x4_fingerprint" -> x4Fingerprint _,
     "x5_chunk" -> x5Chunk _,
     "x6_redact" -> x6Redact _,
+    "x7_split" -> x7Split _,
     "m1_multimodal" -> m1Multimodal _,
   )
 
@@ -253,6 +262,18 @@ object LlmQueries {
         |  CAST(len(string_split(array_to_string(toks[cid*48+1 : cid*48+64], ' '), ' ')) AS INT) AS n_chunk_tokens,
         |  md5(array_to_string(toks[cid*48+1 : cid*48+64], ' ')) AS chunk_md5
         |FROM e ORDER BY doc_id, chunk_id""".stripMargin,
+    "x7_split" -> {
+      // hex→int without strtol: positional char arithmetic, identical in
+      // both engines (Spark side uses conv(), same value)
+      val hexVal = (1 to 4).map(i =>
+        s"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), $i, 1)) - 1) * ${math.pow(16, 4 - i).toLong}")
+        .mkString(" + ")
+      s"""SELECT doc_id, CAST(($hexVal) % 100 AS INT) AS bucket,
+         |  CASE WHEN ($hexVal) % 100 < 80 THEN 'train'
+         |       WHEN ($hexVal) % 100 < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
     "x6_redact" ->
       """WITH p AS (SELECT doc_id,
         |  'contact user' || doc_id || '@example.com or call 555-123-4567 ref 9876543 ' || text AS text

@@ -106,6 +106,21 @@ object TextAnalysis {
     regexp_replace(phone, "[0-9]{6,}", "<NUM>")
   }
 
+  /** Deterministic train/val/test assignment: bucket 0-99 from the id's
+    * md5 prefix (stable across runs, engines, and cluster layouts —
+    * unlike `df.randomSplit`, re-runs and backfills land every row in
+    * the same split). Fractions are cumulative percentages. */
+  def splitBucket(id: Column): Column =
+    (conv(substring(md5(id.cast("string")), 1, 4), 16, 10).cast("long") % 100)
+      .cast("int")
+
+  def splitAssign(id: Column, trainPct: Int = 80, valPct: Int = 10): Column = {
+    val b = splitBucket(id)
+    when(b < trainPct, "train")
+      .when(b < trainPct + valPct, "val")
+      .otherwise("test")
+  }
+
   /** 64-bit content fingerprint of the normalized text. */
   def fingerprint(text: Column): Column = xxhash64(Dedup.normText(text))
 
