@@ -341,9 +341,29 @@ object Relational {
       .orderBy("p_id", "e_id")
   }
 
+  // ---- R29: as-of via the NATIVE custom operator --------------------------
+  // same semantics/oracle as q27, executed by graft.plans.AsOfJoinExec
+  // (logical node -> Strategy -> sort-merge physical plan)
+  def q29AsofNative(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).select(col("event_id"), col("user_id"),
+      unix_timestamp(col("ts")).as("es"), col("event_type"), col("value"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "es")
+    val views = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("es").as("v_es"))
+      .agg(max(struct(col("event_id"), col("value"))).as("m"))
+      .select(col("user_id"), col("v_es"), col("m.event_id").as("v_id"),
+        col("m.value").as("v_value"))
+    graft.plans.AsOfJoinNative.asof(purchases, views,
+        keyCols = Seq("user_id"), leftTime = "es", rightTime = "v_es",
+        rightVals = Seq("v_id", "v_value", "v_es"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_asof_join" -> q27AsofJoin _,
     "q28_range_join" -> q28RangeJoin _,
+    "q29_asof_native" -> q29AsofNative _,
     "q1_agg" -> q1Agg _,
     "q2_filter_project" -> q2FilterProject _,
     "q3_join_agg" -> q3JoinAgg _,
@@ -376,6 +396,18 @@ object Relational {
 
   val oracles: Map[String, String] = Map(
     "q27_asof_join" ->
+      """WITH e AS (SELECT event_id, user_id,
+        |    CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS es,
+        |    event_type, value FROM events),
+        |p AS (SELECT event_id, user_id, es FROM e WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, es AS v_es, arg_max(event_id, event_id) AS v_id,
+        |      arg_max(value, event_id) AS v_value
+        |      FROM e WHERE event_type = 'view' GROUP BY user_id, es)
+        |SELECT p.event_id, p.user_id, p.es, v.v_id AS r_v_id,
+        |  v.v_value AS r_v_value, v.v_es AS r_v_es
+        |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.es >= v.v_es
+        |ORDER BY p.event_id""".stripMargin,
+    "q29_asof_native" ->
       """WITH e AS (SELECT event_id, user_id,
         |    CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS es,
         |    event_type, value FROM events),

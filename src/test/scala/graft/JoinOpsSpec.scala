@@ -43,6 +43,42 @@ class JoinOpsSpec extends AnyFunSuite {
     assert(got == 7.0)
   }
 
+  test("native as-of exec matches the composition operator exactly") {
+    val viaComposition = AsOfJoin.asof(trades, quotes, Seq("sym"), "tt", "qt",
+        rightVals = Seq("px", "qt"))
+      .orderBy("sym", "tt").collect().map(_.toString).toSeq
+    val viaNative = graft.plans.AsOfJoinNative.asof(trades, quotes,
+        Seq("sym"), "tt", "qt", rightVals = Seq("px", "qt"))
+      .orderBy("sym", "tt").collect().map(_.toString).toSeq
+    assert(viaNative == viaComposition)
+  }
+
+  test("native as-of exec plan contains AsOfJoinExec, no window") {
+    val plan = graft.plans.AsOfJoinNative.asof(trades, quotes,
+        Seq("sym"), "tt", "qt", rightVals = Seq("px"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"))
+    assert(!plan.contains("Window"))
+  }
+
+  test("native as-of on real events equals composition on real events") {
+    val e = Tables.events(spark, sf).selectExpr("event_id", "user_id",
+      "unix_timestamp(ts) AS es", "event_type", "value")
+    val p = e.filter($"event_type" === "purchase").select("event_id", "user_id", "es")
+    val v = e.filter($"event_type" === "view")
+      .groupBy($"user_id", $"es".as("v_es"))
+      .agg(org.apache.spark.sql.functions.max(
+        org.apache.spark.sql.functions.struct($"event_id", $"value")).as("m"))
+      .select($"user_id", $"v_es", $"m.event_id".as("v_id"), $"m.value".as("v_value"))
+    val a = AsOfJoin.asof(p, v, Seq("user_id"), "es", "v_es",
+        Seq("v_id", "v_value", "v_es"))
+      .orderBy("event_id").collect().map(_.toString).toSeq
+    val b = graft.plans.AsOfJoinNative.asof(p, v, Seq("user_id"), "es", "v_es",
+        Seq("v_id", "v_value", "v_es"))
+      .orderBy("event_id").collect().map(_.toString).toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
   test("range join: pairs within window only, boundary inclusive") {
     val l = Seq(("u", 1L, 100L), ("u", 2L, 500L)).toDF("k", "lid", "lt")
     val r = Seq(("u", 10L, 40L), ("u", 11L, 160L), ("u", 12L, 161L),
