@@ -360,7 +360,38 @@ object Relational {
       .orderBy("event_id")
   }
 
+  // ---- R30: sketch-based distinct counting --------------------------------
+  // HLL sketch columns are MERGEABLE: partial sketches combine across
+  // partitions/days without re-scanning raw data — the only viable
+  // distinct-count shape at 100 TB. approx estimates can't hash-match a
+  // different engine's sketch, so the oracle is rows-only; the spec
+  // asserts the estimates sit within 2% of exact.
+  def q30SketchDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        hll_sketch_estimate(hll_sketch_agg(col("l_partkey"))).as("nd_parts"),
+        hll_sketch_estimate(hll_sketch_agg(col("l_orderkey"))).as("nd_orders"),
+        approx_count_distinct(col("l_suppkey")).as("nd_supps"))
+      .orderBy("l_returnflag")
+
+  // ---- R31: deterministic hash sampling -----------------------------------
+  // ~10% sample that is STABLE across runs/engines/cluster layouts
+  // (df.sample(seed) is partition-layout-dependent; md5 bucketing isn't)
+  def q31HashSample(s: SparkSession, dir: String): DataFrame = {
+    val bucket = (conv(substring(md5(concat_ws("_",
+      col("l_orderkey"), col("l_linenumber"))), 1, 4), 16, 10)
+      .cast("long") % 100).cast("int")
+    t(s, dir, "lineitem")
+      .withColumn("bucket", bucket)
+      .filter(col("bucket") < 10)
+      .select("l_orderkey", "l_linenumber", "bucket")
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_sketch_distinct" -> q30SketchDistinct _,
+    "q31_hash_sample" -> q31HashSample _,
     "q27_asof_join" -> q27AsofJoin _,
     "q28_range_join" -> q28RangeJoin _,
     "q29_asof_native" -> q29AsofNative _,
@@ -395,6 +426,14 @@ object Relational {
   private val rev = revenueSql // DuckDB fragment
 
   val oracles: Map[String, String] = Map(
+    "q31_hash_sample" -> {
+      val hexVal = (1 to 4).map(i =>
+        s"(strpos('0123456789abcdef', substr(md5(CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR)), $i, 1)) - 1) * ${math.pow(16, 4 - i).toLong}")
+        .mkString(" + ")
+      s"""SELECT l_orderkey, l_linenumber, CAST(($hexVal) % 100 AS INT) AS bucket
+         |FROM lineitem WHERE ($hexVal) % 100 < 10
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin
+    },
     "q27_asof_join" ->
       """WITH e AS (SELECT event_id, user_id,
         |    CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS es,

@@ -34,3 +34,18 @@ class QueriesSmokeSpec extends AnyFunSuite {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 }
+
+/** Sketch estimates must track exact distinct counts closely. */
+class SketchSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import TestSpark._
+  test("HLL sketch estimates within 2% of exact distincts") {
+    val est = SparkEntry.queries("q30_sketch_distinct")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exact = relational.Relational.q9Distinct(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (flag, nParts) =>
+      val got = est(flag)._1.toDouble
+      assert(math.abs(got - nParts) / nParts < 0.02, s"$flag: $got vs $nParts")
+    }
+  }
+}
