@@ -85,16 +85,23 @@ object Casts {
           case Some(rule) => Rounding.roundFloat(d, rule)
           case None => Rounding.roundFloat(d, "half_even")
         }
+        // Spark 4 runs ANSI by default: casting NaN/±Inf or an
+        // out-of-long double THROWS, so guard finiteness/range before
+        // the cast ever evaluates (when-branches are lazy)
+        val finite = !isnan(d) && abs(d) <= lit(Long.MaxValue.toDouble)
         val integral =
-          if (opts.rounding.isDefined) lit(true)
-          else abs(d - rounded) <= opts.tol
+          if (opts.rounding.isDefined) finite
+          else finite && abs(d - rounded) <= opts.tol
         onError(c, rounded.cast(LongType), integral, target.spec, opts)
       case StringType =>
         val v = trim(c)
         if (opts.base == 10) {
-          onError(c, v.cast(LongType), v.rlike(intRe), target.spec, opts)
+          // try_cast: ANSI would throw on digits exceeding long range
+          // even though intRe matched
+          onError(c, v.try_cast(LongType),
+            v.rlike(intRe) && v.try_cast(LongType).isNotNull, target.spec, opts)
         } else {
-          val parsed = conv(v, opts.base, 10).cast(LongType)
+          val parsed = conv(v, opts.base, 10).try_cast(LongType)
           onError(c, parsed, parsed.isNotNull, target.spec, opts)
         }
       case TimestampType => unix_timestamp(c)
@@ -127,10 +134,13 @@ object Casts {
       opts: CastOptions = CastOptions()): Column = dt match {
     case StringType =>
       val v = trim(c)
-      onError(c, v.cast(target.sparkType), v.rlike(floatRe), target.spec, opts)
+      onError(c, v.try_cast(target.sparkType),
+        v.rlike(floatRe) && v.try_cast(target.sparkType).isNotNull,
+        target.spec, opts)
     case _ =>
-      val converted = c.cast(target.sparkType)
-      // out-of-precision → null from Spark's cast; honour error mode
+      // try_cast: under ANSI (Spark 4 default) a plain cast throws on
+      // out-of-precision values instead of producing null
+      val converted = c.try_cast(target.sparkType)
       opts.errors match {
         case "coerce" | "ignore" => converted
         case _ => when(c.isNull || converted.isNotNull, converted)
@@ -149,7 +159,8 @@ object Casts {
         timestamp_micros(sinceUs + c.cast(LongType) * lit(TimeFns.unitMicros(opts.unit)))
       case FloatType | DoubleType =>
         timestamp_micros(sinceUs +
-          (c.cast(DoubleType) * lit(TimeFns.unitMicros(opts.unit).toDouble)).cast(LongType))
+          (c.cast(DoubleType) * lit(TimeFns.unitMicros(opts.unit).toDouble))
+            .try_cast(LongType)) // ANSI-safe on NaN/Inf/overflow
       case StringType =>
         val parsed = opts.format match {
           case Some(f) => try_to_timestamp(trim(c), lit(f))
@@ -167,7 +178,8 @@ object Casts {
     dt match {
       case ByteType | ShortType | IntegerType | LongType => c.cast(LongType) * lit(TimeFns.unitMicros(opts.unit))
       case FloatType | DoubleType =>
-        (c.cast(DoubleType) * lit(TimeFns.unitMicros(opts.unit).toDouble)).cast(LongType)
+        (c.cast(DoubleType) * lit(TimeFns.unitMicros(opts.unit).toDouble))
+          .try_cast(LongType) // ANSI-safe on NaN/Inf/overflow
       case other => throw new IllegalArgumentException(s"to_timedelta from $other")
     }
 

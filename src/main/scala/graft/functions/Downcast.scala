@@ -36,7 +36,7 @@ object Downcast {
         (if (isFloat)
           count(when(col(c) =!= col(c).cast(FloatType).cast(DoubleType), 1))
         else
-          count(when(col(c).cast(DoubleType) =!= col(c).cast(LongType).cast(DoubleType), 1))
+          count(when(col(c).cast(DoubleType) =!= col(c).try_cast(LongType).cast(DoubleType), 1))
         ).as(s"${c}__lossy"),
         count(when(col(c).cast(DoubleType) =!= floor(col(c).cast(DoubleType)), 1))
           .as(s"${c}__frac"),

@@ -158,6 +158,31 @@ class CastsSpec extends AnyFunSuite {
     assert(got == Seq(Some(5L), None))
   }
 
+  test("toInteger coerces NaN/Infinity/overflow to null under ANSI") {
+    val df = Seq(Double.NaN, Double.PositiveInfinity,
+      Double.NegativeInfinity, 1e300, 5.0).toDF("x")
+    val got = df.select(Casts.toInteger($"x", DoubleType, GInteger(64),
+      CastOptions(rounding = Some("half_even"), errors = "coerce")).as("i"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0))).toSeq
+    assert(got == Seq(None, None, None, None, Some(5L)))
+  }
+
+  test("toInteger coerces over-long digit strings to null under ANSI") {
+    val df = Seq("99999999999999999999999", "42").toDF("s")
+    val got = df.select(Casts.toInteger($"s", StringType, GInteger(64),
+      CastOptions(errors = "coerce")).as("i"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0))).toSeq
+    assert(got == Seq(None, Some(42L)))
+  }
+
+  test("toDecimal coerces out-of-precision to null under ANSI") {
+    val df = Seq(1e20, 12.34).toDF("x")
+    val got = df.select(Casts.toDecimal($"x", DoubleType, GDecimal(10, 2),
+      CastOptions(errors = "coerce")).as("d"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDecimal(0).toString)).toSeq
+    assert(got == Seq(None, Some("12.34")))
+  }
+
   test("toInteger parses base-16 strings") {
     val df = Seq("ff", "10").toDF("s")
     val got = df.select(Casts.toInteger($"s", StringType, GInteger(64),
