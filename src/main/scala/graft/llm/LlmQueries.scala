@@ -292,5 +292,101 @@ object LlmQueries {
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS bpeish_tokens,
         |  CAST(length(text) AS INTEGER) AS n_chars_m
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // langIdFromToks mirrored as arithmetic: the fold keeps the EARLIEST
+    // language attaining the max stopword score (strict > to replace),
+    // hence the >= cascade in profile order en,de,es,fr.
+    "x1_lang_id" ->
+      """WITH b AS (
+        |  SELECT doc_id, lang,
+        |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks,
+        |    length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g'))
+        |      / greatest(length(text), 1) AS cjk
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, lang, cjk,
+        |    len(list_filter(toks, t -> t IN ('the','and','of','to','in','is','you','that','it','for','a'))) / greatest(len(toks),1) AS s_en,
+        |    len(list_filter(toks, t -> t IN ('der','die','und','das','ist','nicht','mit','ein','zu','von'))) / greatest(len(toks),1) AS s_de,
+        |    len(list_filter(toks, t -> t IN ('el','la','de','que','y','en','un','para','con','por'))) / greatest(len(toks),1) AS s_es,
+        |    len(list_filter(toks, t -> t IN ('le','la','de','et','les','des','une','pour','que','dans'))) / greatest(len(toks),1) AS s_fr
+        |  FROM b),
+        |p AS (
+        |  SELECT doc_id, lang, cjk,
+        |    greatest(s_en, s_de, s_es, s_fr) AS best_s,
+        |    CASE WHEN s_en >= greatest(s_de, s_es, s_fr) THEN 'en'
+        |         WHEN s_de >= greatest(s_es, s_fr) THEN 'de'
+        |         WHEN s_es >= s_fr THEN 'es'
+        |         ELSE 'fr' END AS winner
+        |  FROM s)
+        |SELECT doc_id,
+        |  CASE WHEN cjk > 0.3 THEN 'zh'
+        |       WHEN best_s > 0.0 THEN winner
+        |       ELSE 'und' END AS pred,
+        |  lang AS actual,
+        |  (CASE WHEN cjk > 0.3 THEN 'zh' WHEN best_s > 0.0 THEN winner ELSE 'und' END) = lang AS hit
+        |FROM p ORDER BY doc_id""".stripMargin,
+    // quantized-cosine: identical explicit half-away-from-zero rounding
+    // formula on both engines (Quantize.toInt8); integer dots are exact
+    // in double, so no cross-engine drift before the final round(...,6)
+    "s4_quant_cosine" ->
+      """WITH base AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |sc AS (
+        |  SELECT vec_id, v,
+        |    list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale,
+        |    sqrt(list_inner_product(v, v)) AS nv
+        |  FROM base),
+        |q AS (
+        |  SELECT vec_id, v, scale, nv,
+        |    CASE WHEN scale = 0 THEN list_transform(v, x -> 0.0)
+        |         ELSE list_transform(v, x -> CASE WHEN x >= 0
+        |             THEN floor(x / scale + 0.5) ELSE -floor(-(x / scale) + 0.5) END)
+        |    END AS qv
+        |  FROM sc),
+        |probe AS (SELECT qv AS q0, scale AS s0, v AS v0, nv AS nv0 FROM q WHERE vec_id = 0),
+        |j AS (
+        |  SELECT q.vec_id,
+        |    list_inner_product(q.v, p.v0) / (q.nv * p.nv0) AS ce,
+        |    list_inner_product(q.qv, p.q0) * q.scale * p.s0 / (q.nv * p.nv0) AS cq
+        |  FROM q, probe p WHERE q.vec_id != 0)
+        |SELECT vec_id, ROUND(ce, 6) AS cos_exact, ROUND(cq, 6) AS cos_q,
+        |  ROUND(abs(ce - cq), 6) AS abs_err
+        |FROM j ORDER BY vec_id""".stripMargin,
+    // jaccard on hashed grams == jaccard on the gram strings themselves
+    // (set sizes are hash-independent), so the oracle drops xxhash64 and
+    // compares the jaccard VALUES on substring sets
+    "d4_ngram_jaccard" ->
+      """WITH b AS (
+        |  SELECT doc_id AS id, source, CAST(floor(n_chars / 100.0) AS INT) AS lb,
+        |    list_distinct(list_transform(
+        |      range(1, CAST(greatest(length(nt) - 2, 1) AS BIGINT) + 1),
+        |      i -> substr(nt, CAST(i AS INT), 3))) AS g
+        |  FROM (SELECT doc_id, source, n_chars,
+        |          trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+        |        FROM documents)),
+        |j AS (
+        |  SELECT a.id AS id_a, bb.id AS id_b,
+        |    CAST(len(list_intersect(a.g, bb.g)) AS DOUBLE) AS common,
+        |    CAST(len(a.g) + len(bb.g) AS DOUBLE) AS sz
+        |  FROM b a JOIN b bb
+        |    ON a.source = bb.source AND a.lb = bb.lb AND a.id < bb.id)
+        |SELECT id_a, id_b, ROUND(common / (sz - common), 6) AS jaccard
+        |FROM j WHERE common / (sz - common) >= 0.6
+        |ORDER BY id_a, id_b""".stripMargin,
+    // md5-prefix fingerprints: CAST('0x'||hex AS BIGINT) parses the same
+    // 15-hex-char (60-bit) prefix Spark takes via conv/ShingleMinMd5
+    "x4_fingerprint" ->
+      """WITH b AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+        |           FROM documents),
+        |t AS (SELECT doc_id, nt, string_split(nt, ' ') AS toks FROM b),
+        |sh AS (SELECT doc_id, nt,
+        |        list_transform(range(1, CAST(greatest(len(toks) - 2, 1) AS BIGINT) + 1),
+        |          i -> array_to_string(toks[CAST(i AS INT):CAST(i AS INT)+2], ' ')) AS shingles
+        |       FROM t)
+        |SELECT doc_id,
+        |  CAST('0x' || substr(md5(nt), 1, 15) AS BIGINT) AS fp64,
+        |  list_min(list_transform(shingles,
+        |    s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT))) AS fp_min_shingle
+        |FROM sh ORDER BY doc_id""".stripMargin,
   )
 }

@@ -17,11 +17,15 @@ object Quantize {
     aggregate(v.cast("array<double>"), lit(0.0),
       (acc, x) => greatest(acc, abs(x))) / lit(127.0)
 
-  /** Quantize to array<tinyint> given the precomputed scale ATTRIBUTE. */
+  /** Quantize to array<tinyint> given the precomputed scale ATTRIBUTE.
+    * Rounding is written out explicitly (half away from zero via floor)
+    * rather than via `round()` — engines disagree on double round-half
+    * ties, and the explicit formula is reproducible in the oracle. */
   def toInt8(v: Column, scale: Column): Column =
     when(scale === 0.0, transform(v.cast("array<double>"), _ => lit(0).cast("byte")))
       .otherwise(transform(v.cast("array<double>"),
-        x => round(x / scale).cast("byte")))
+        x => when(x >= 0, floor(x / scale + 0.5))
+          .otherwise(-floor(-(x / scale) + 0.5)).cast("byte")))
 
   /** Dequantize back to array<double>. */
   def fromInt8(q: Column, scale: Column): Column =

@@ -121,11 +121,19 @@ object TextAnalysis {
       .otherwise("test")
   }
 
-  /** 64-bit content fingerprint of the normalized text. */
-  def fingerprint(text: Column): Column = xxhash64(Dedup.normText(text))
+  /** 60-bit content fingerprint of the normalized text: the first 15
+    * hex chars of its md5, as a bigint. md5 (not xxhash64) so the value
+    * is reproducible in the DuckDB oracle; 15 chars keeps it positive
+    * in a signed 64-bit lane on any engine. */
+  def fingerprint(text: Column): Column =
+    conv(substring(md5(Dedup.normText(text)), 1, 15), 16, 10).cast("long")
 
   /** Winnowing-style robust fingerprint: minimum shingle hash — stable
-    * under small edits (the min 3-word shingle usually survives). */
-  def minShingleFingerprint(text: Column, w: Int = 3): Column =
-    array_min(Dedup.shingleHashes(text, w))
+    * under small edits (the min 3-word shingle usually survives). One
+    * fused compiled pass (see [[graft.expressions.ShingleMinMd5]]). */
+  def minShingleFingerprint(text: Column, w: Int = 3): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.expressions.ShingleMinMd5(
+      ColumnBridge.expression(Dedup.normText(text)), w))
+  }
 }
