@@ -1,7 +1,7 @@
 package graft.expressions
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -96,24 +96,40 @@ case class SortedLongArrayIntersectCount(left: Expression, right: Expression)
 
 /** MinHash signature of a shingle-hash array: `h` minima under `h`
   * seeded universal-hash permutations (a_i·x + b_i over Z/2^64), in ONE
-  * compiled loop — replaces an interpreted `aggregate(zip_with(...))`
-  * whose lambda machinery dominated runtime. CodegenFallback: the
-  * per-row cost is the inner loop, which is compiled Scala either way.
+  * compiled loop. Generated code calls the static kernel directly, so
+  * the expression inlines into whole-stage codegen (no fallback boxing).
   */
 case class MinHashSignature(child: Expression, h: Int, seed: Long = 42L)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   // odd multipliers → bijective permutations of Z/2^64
-  @transient private lazy val (as, bs) = {
-    val r = new java.util.Random(seed)
-    (Array.fill(h)(r.nextLong() | 1L), Array.fill(h)(r.nextLong()))
-  }
+  @transient private lazy val (as, bs) = MinHashSignature.coeffs(h, seed)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_minhash"
 
-  override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
+  override def nullSafeEval(v: Any): Any =
+    MinHashSignature.compute(v.asInstanceOf[ArrayData], as, bs)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val asRef = ctx.addReferenceObj("minhashAs", as, "long[]")
+    val bsRef = ctx.addReferenceObj("minhashBs", bs, "long[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.MinHashSignature.compute($c, $asRef, $bsRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}
+
+object MinHashSignature {
+  def coeffs(h: Int, seed: Long): (Array[Long], Array[Long]) = {
+    val r = new java.util.Random(seed)
+    (Array.fill(h)(r.nextLong() | 1L), Array.fill(h)(r.nextLong()))
+  }
+
+  def compute(arr: ArrayData, as: Array[Long], bs: Array[Long]): ArrayData = {
+    val h = as.length
     val m = Array.fill(h)(Long.MaxValue)
     val n = arr.numElements()
     var j = 0
@@ -129,21 +145,28 @@ case class MinHashSignature(child: Expression, h: Int, seed: Long = 42L)
     }
     new GenericArrayData(m)
   }
-
-  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
-    copy(child = newChild)
 }
 
 /** 64-bit SimHash of a token-hash array: one compiled loop over the
-  * tokens accumulating ±1 per bit — replaces 64 unrolled interpreted
-  * aggregate expressions. */
-case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+  * tokens accumulating ±1 per bit. Static-kernel codegen — inlines into
+  * whole-stage codegen. */
+case class SimHash64(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_simhash"
 
-  override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
+  override def nullSafeEval(v: Any): Any =
+    SimHash64.compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.SimHash64.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+object SimHash64 {
+  def compute(arr: ArrayData): Long = {
     val counts = new Array[Int](64)
     val n = arr.numElements()
     var j = 0
@@ -161,7 +184,65 @@ case class SimHash64(child: Expression) extends UnaryExpression with CodegenFall
     while (i < 64) { if (counts(i) > 0) out |= (1L << i); i += 1 }
     out
   }
+}
 
-  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+/** Banded sign-LSH signature for cosine-similarity blocking: `bands`
+  * band keys, each packing `bits` hyperplane signs (Charikar 2002),
+  * over seeded deterministic Gaussian hyperplanes — one compiled pass.
+  *
+  * OR-amplified banding (collide in ANY band → candidate): with `bits`
+  * large the per-band random-pair collision rate is 2^-bits, while a
+  * near-dup pair at per-bit agreement p is missed by ALL bands with
+  * probability (1-p^bits)^bands — driven to ~1e-8 for dedup-grade
+  * thresholds (cos ≥ 0.9) at bits=16, bands=32. */
+case class SignLshBands(child: Expression, bits: Int, bands: Int, dim: Int,
+    seed: Long = 42L) extends UnaryExpression {
+
+  @transient private lazy val planes: Array[Double] =
+    SignLshBands.planes(bits * bands, dim, seed)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_sign_lsh_bands"
+
+  override def nullSafeEval(v: Any): Any =
+    SignLshBands.compute(v.asInstanceOf[ArrayData], planes, bits, bands, dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val pRef = ctx.addReferenceObj("lshPlanes", planes, "double[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.SignLshBands.compute($c, $pRef, $bits, $bands, $dim)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SignLshBands =
     copy(child = newChild)
+}
+
+object SignLshBands {
+  /** Flat (nPlanes × dim) row-major Gaussian hyperplanes, seeded. */
+  def planes(nPlanes: Int, dim: Int, seed: Long): Array[Double] = {
+    val r = new java.util.Random(seed)
+    Array.fill(nPlanes * dim)(r.nextGaussian())
+  }
+
+  def compute(v: ArrayData, planes: Array[Double], bits: Int, bands: Int,
+      dim: Int): ArrayData = {
+    val n = math.min(v.numElements(), dim)
+    val keys = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var key = 0L
+      var i = 0
+      while (i < bits) {
+        val off = (b * bits + i) * dim
+        var s = 0.0
+        var d = 0
+        while (d < n) { s += v.getDouble(d) * planes(off + d); d += 1 }
+        if (s >= 0.0) key |= (1L << i)
+        i += 1
+      }
+      keys(b) = key
+      b += 1
+    }
+    new GenericArrayData(keys)
+  }
 }

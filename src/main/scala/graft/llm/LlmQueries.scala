@@ -49,10 +49,21 @@ object LlmQueries {
       .orderBy("id_a", "id_b")
   }
 
-  // ---- L5: embedding-cosine near-dup --------------------------------------
+  /** embeddings ∪ perturbed copies (ids offset by 10^6): planted
+    * near-duplicates at cos ≈ 0.987 against a random background whose
+    * max pair cosine is ~0.5 — the dedup-grade regime the LSH-banded
+    * scale path is built for. The perturbation (x·0.98 + 0.02) is plain
+    * arithmetic so the oracle reproduces the copies exactly. */
+  private def withEmbCopies(emb: DataFrame): DataFrame = {
+    val base = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    base.union(base.select((col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("embedding"), x => x * 0.98 + 0.02).as("embedding")))
+  }
+
+  // ---- L5: embedding-cosine near-dup (banded sign-LSH scale path) ---------
   def d5EmbedDup(s: SparkSession, dir: String): DataFrame =
-    Dedup.embeddingDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
-        threshold = 0.45)
+    Dedup.embeddingDupPairs(withEmbCopies(t(s, dir, "embeddings")),
+        "vec_id", "embedding", threshold = 0.9)
       .withColumn("cos", round(col("cos"), 6))
       .orderBy("id_a", "id_b")
 
@@ -222,10 +233,22 @@ object LlmQueries {
          |SELECT sha256($normSql) AS digest, MIN(doc_id) AS keep_id,
          |  COUNT(*) AS n_copies
          |FROM all_docs GROUP BY 1 ORDER BY keep_id""".stripMargin,
+    // oracle = exact all-pairs over base ∪ planted copies; the Spark
+    // side runs the LSH-banded plan — the compare is on OUTPUT, so this
+    // doubles as a recall proof for the blocked path
     "d5_embed_dup" ->
-      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b, ROUND($cosSql, 6) AS cos
-         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-         |WHERE $cosSql >= 0.45 ORDER BY id_a, id_b""".stripMargin,
+      s"""WITH all_v AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |  FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 1000000,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE) * 0.98 + 0.02)
+         |  FROM embeddings)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  ROUND(list_cosine_similarity(a.e, b.e), 6) AS cos
+         |FROM all_v a JOIN all_v b ON a.vec_id < b.vec_id
+         |WHERE list_cosine_similarity(a.e, b.e) >= 0.9
+         |ORDER BY id_a, id_b""".stripMargin,
     "s1_ann_brute" ->
       s"""SELECT qid, id, cos, rk FROM (
          |  SELECT b.vec_id AS qid, a.vec_id AS id, ROUND($cosSql, 6) AS cos,

@@ -195,31 +195,59 @@ object Dedup {
   // Embedding cosine near-dup
   // ---------------------------------------------------------------------
 
-  /** Pairs of embeddings with cosine >= threshold, blocked by sign-LSH
-    * buckets (candidate generation) — the scale path never compares
-    * all pairs; pass `lshBits = 0` to force exact all-pairs (small data
-    * / verification). */
+  /** Pairs of embeddings with cosine >= threshold.
+    *
+    * PRODUCTION path (`bands > 0`, the default): banded sign-LSH
+    * candidate generation — `bands` keys of `bits` hyperplane signs per
+    * vector (one compiled pass, graft.expressions.SignLshBands), a
+    * self-join per (band, key) bucket, then EXACT cosine verification
+    * of the surviving candidates only. Never all-pairs: the shuffle
+    * carries (band, key, id) triples, random pairs collide at
+    * ~bands·2^-bits, and a true pair at cos ≥ 0.9 escapes all bands
+    * with probability < 1e-8 at the defaults (exact verification means
+    * false candidates cost only a dot product, never a wrong row).
+    *
+    * `bands = 0` forces the exact all-pairs quadratic path — the
+    * verification twin for differential tests at small SF, NOT for
+    * production data. */
   def embeddingDupPairs(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, lshBits: Int = 0): DataFrame = {
+      threshold: Double, bits: Int = 16, bands: Int = 32,
+      dim: Int = 64): DataFrame = {
     // norms precomputed per vector (not per pair) and the relation
-    // persisted for both join sides; the pair expression is then a
-    // single dot + one division — same arithmetic as dot/(|a||b|).
+    // persisted across its consumers; the pair expression is then a
+    // single dot + one division.
     val v = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
       .withColumn("nv", VectorOps.norm(col("v")))
-    val withB =
-      if (lshBits <= 0) v.withColumn("bucket", lit(0L))
-      else {
-        val dim = 64 // embeddings table dimension
-        v.withColumn("bucket", VectorOps.signBucket(col("v"),
-          VectorOps.hyperplanes(lshBits, dim)))
-      }
-    val cached = withB.persist()
     val nn = col("a.nv") * col("b.nv")
-    cached.as("a").join(cached.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        when(nn === 0.0, 0.0)
-          .otherwise(VectorOps.dot(col("a.v"), col("b.v")) / nn).as("cos"))
-      .filter(col("cos") >= threshold)
+    val cosExpr = when(nn === 0.0, 0.0)
+      .otherwise(VectorOps.dot(col("a.v"), col("b.v")) / nn)
+    if (bands <= 0) {
+      val cached = v.persist()
+      cached.as("a").join(cached.as("b"), col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"), cosExpr.as("cos"))
+        .filter(col("cos") >= threshold)
+    } else {
+      import org.apache.spark.sql.graft.ColumnBridge
+      val bk = ColumnBridge.column(graft.expressions.SignLshBands(
+        ColumnBridge.expression(col("v")), bits, bands, dim))
+      // persisted: band explode + both verify-join sides consume it
+      val withB = v.withColumn("bk", bk).persist()
+      val exploded = withB.select(col("id"), posexplode(col("bk")).as(Seq("band", "key")))
+      val cand = exploded.as("a")
+        .join(exploded.as("b"),
+          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+            col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .distinct()
+      val side = withB.select(col("id"), col("v"), col("nv"))
+      cand
+        .join(side.toDF("id_a", "va", "nva"), "id_a")
+        .join(side.toDF("id_b", "vb", "nvb"), "id_b")
+        .select(col("id_a"), col("id_b"),
+          when(col("nva") * col("nvb") === 0.0, 0.0)
+            .otherwise(VectorOps.dot(col("va"), col("vb")) /
+              (col("nva") * col("nvb"))).as("cos"))
+        .filter(col("cos") >= threshold)
+    }
   }
 }

@@ -64,6 +64,19 @@ class DedupSpec extends AnyFunSuite {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((1L, 2L)))
   }
+
+  test("banded LSH embedding dedup == exact all-pairs twin (differential)") {
+    val base = Tables.t(spark, sf, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("embedding"))
+    val all = base.union(base.select(($"vec_id" + 1000000L).as("vec_id"),
+      transform($"embedding", x => x * 0.98 + 0.02).as("embedding")))
+    val lsh = Dedup.embeddingDupPairs(all, "vec_id", "embedding", 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val exact = Dedup.embeddingDupPairs(all, "vec_id", "embedding", 0.9, bands = 0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    assert(lsh == exact)
+  }
 }
 
 class SimilaritySpec extends AnyFunSuite {
