@@ -10,25 +10,59 @@ import org.apache.spark.sql.functions._
   * (start, length, value) triples.
   *
   * Ordering is by an explicit key column (global row order is
-  * meaningless in a distributed table). The gaps-and-islands windows
-  * partition-parallelize per value; decode re-expands with sequence().
+  * meaningless in a distributed table). Scale posture: the islands
+  * computation is BLOCK-LOCAL — fixed-size key blocks, a window
+  * partitioned by (block, value) whose partitions are bounded by the
+  * block size — so a dominant fill value (the sparse norm!) never
+  * lands in one task. Only runs touching a block edge (≤ 2 per block)
+  * enter the cross-block merge, a gaps-and-islands pass over a
+  * relation ~2·(keyspan/blockSize) rows — negligible next to the data.
   */
 object RunLength {
 
   /** Encode: (value, start_key, run_len).
     * `orderCol` must be DENSE consecutive integers — that requirement is
-    * what makes this scale: the global row number then equals
-    * `k - min(k) + 1`, so the islands computation needs only per-VALUE
-    * windows (partition-parallel), never a single-partition global sort. */
-  def encode(df: DataFrame, orderCol: String, valueCol: String): DataFrame = {
+    * what makes this scale: island identity within a block is
+    * `k - row_number` over (block, value), bounded per task by
+    * `blockSize` regardless of the value distribution. */
+  def encode(df: DataFrame, orderCol: String, valueCol: String,
+      blockSize: Long = 1L << 20): DataFrame = {
     val minK = df.agg(min(col(orderCol)).cast("long")).head().getLong(0)
-    val wVal = Window.partitionBy("value").orderBy("k")
-    df.select(col(orderCol).cast("long").as("k"), col(valueCol).as("value"))
-      .withColumn("grp",
-        col("k") - lit(minK) + 1 - row_number().over(wVal))
-      .groupBy("value", "grp")
-      .agg(min(col("k")).as("start_key"), count(lit(1)).as("run_len"))
-      .select("value", "start_key", "run_len")
+    val base = df.select(col(orderCol).cast("long").as("k"), col(valueCol).as("value"))
+      .withColumn("blk", floor((col("k") - minK) / blockSize).cast("long"))
+    // block-local gaps-and-islands: window partitions are (block, value)
+    // slices, each at most blockSize rows
+    val wVal = Window.partitionBy("blk", "value").orderBy("k")
+    val localRuns = base
+      .withColumn("grp", col("k") - row_number().over(wVal))
+      .groupBy("blk", "value", "grp")
+      .agg(min(col("k")).as("start_key"), max(col("k")).as("end_key"),
+        count(lit(1)).as("run_len"))
+    // a run can continue across a block boundary only if it touches the
+    // block's first or last key — at most 2 runs per block qualify
+    val blockStart = col("blk") * blockSize + minK
+    val blockEnd = blockStart + blockSize - 1
+    val touchesEdge = col("start_key") === blockStart || col("end_key") === blockEnd
+    val interior = localRuns.filter(!touchesEdge)
+      .select("value", "start_key", "end_key", "run_len")
+    // merge edge runs: islands of same-value, key-contiguous runs. The
+    // single-partition window is safe here — the edge relation is tiny
+    // (≤ 2 rows per block) by construction.
+    val wEdge = Window.orderBy("start_key")
+    val merged = localRuns.filter(touchesEdge)
+      .select("value", "start_key", "end_key", "run_len")
+      .withColumn("brk",
+        when(lag(col("end_key"), 1).over(wEdge).isNull ||
+          !(col("value") <=> lag(col("value"), 1).over(wEdge)) ||
+          col("start_key") =!= lag(col("end_key"), 1).over(wEdge) + 1, 1)
+          .otherwise(0))
+      .withColumn("island",
+        sum(col("brk")).over(wEdge.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("island"), col("value"))
+      .agg(min(col("start_key")).as("start_key"), max(col("end_key")).as("end_key"),
+        sum(col("run_len")).as("run_len"))
+      .select("value", "start_key", "end_key", "run_len")
+    interior.union(merged).select("value", "start_key", "run_len")
   }
 
   /** Decode an RLE table back to (key, value) rows. */

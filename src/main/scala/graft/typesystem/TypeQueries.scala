@@ -185,11 +185,15 @@ object TypeQueries {
   }
 
   // ---- T15: categorical dictionary encode ---------------------------------
+  // dictionary from Categorical.fit (range-partitioned sort +
+  // zipWithIndex — no single-partition window), broadcast onto the
+  // aggregated counts
   def t15Categorical(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy("value")
-    t(s, dir, "lineitem").groupBy(col("l_returnflag").as("value"))
+    val li = t(s, dir, "lineitem")
+    val counts = li.groupBy(col("l_returnflag").as("value"))
       .agg(count(lit(1)).as("n"))
-      .withColumn("code", (dense_rank().over(w) - 1).cast(IntegerType))
+    val dict = graft.operators.Categorical.fit(li, "l_returnflag")
+    counts.join(broadcast(dict), Seq("value"))
       .select("value", "code", "n").orderBy("code")
   }
 

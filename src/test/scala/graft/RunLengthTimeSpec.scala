@@ -27,6 +27,38 @@ class RunLengthSpec extends AnyFunSuite {
     val (n, runs, ratio) = RunLength.stats(df, "k", "v")
     assert(n == 4 && runs == 2 && ratio == 2.0)
   }
+
+  test("runs merge across block boundaries (skewed fill value, many blocks)") {
+    // 1000 keys, one dominant fill value with islands of 'hit' at every
+    // 100th key; blockSize=64 forces runs to span many block boundaries
+    val df = spark.range(0, 1000).toDF("k")
+      .withColumn("v", when(col("k") % 100 === 0, "hit").otherwise("fill"))
+    val rle = RunLength.encode(df, "k", "v", blockSize = 64)
+    val runs = rle.orderBy("start_key").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // expected: hit@0, fill 1..99, hit@100, ... => 20 runs total
+    assert(runs.length == 20)
+    assert(runs.head == ("hit", 0L, 1L))
+    assert(runs(1) == ("fill", 1L, 99L))
+    assert(runs.last == ("fill", 901L, 99L))
+    // round-trip exactness
+    val back = RunLength.decode(rle).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(back == df.orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq)
+    // the dominant value's islands computation is partition-parallel:
+    // the window spec carries the block column, never a global sort
+    val plan = rle.queryExecution.executedPlan.toString
+    assert(plan.contains("blk"), "expected block-partitioned window in plan")
+  }
+
+  test("whole-column single run still merges to one triple") {
+    val df = spark.range(0, 500).toDF("k").withColumn("v", lit("only"))
+    val runs = RunLength.encode(df, "k", "v", blockSize = 32).collect()
+    assert(runs.length == 1)
+    val r = runs.head
+    assert((r.getString(0), r.getLong(1), r.getLong(2)) == ("only", 0L, 500L))
+  }
 }
 
 class TimezoneSpec extends AnyFunSuite {
