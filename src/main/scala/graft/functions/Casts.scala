@@ -13,8 +13,9 @@ final case class CastOptions(
     errors: String = "raise", // raise | coerce | ignore
     rounding: Option[String] = None, // one of Rounding.validRules
     tol: Double = 1e-6, // float→int without rounding: max drift
-    unit: String = "s", // epoch unit for int↔datetime/timedelta
-    since: String = "1970-01-01 00:00:00", // epoch anchor (UTC)
+    unit: String = "s", // epoch unit for int↔datetime/timedelta ("M"/"Y" = calendar)
+    since: String = "1970-01-01 00:00:00", // epoch anchor: literal or named alias
+    stepSize: Long = 1, // units per increment (reference arguments.py:554)
     trueTokens: Seq[String] = Seq("true", "t", "yes", "y", "on", "1"),
     falseTokens: Seq[String] = Seq("false", "f", "no", "n", "off", "0"),
     base: Int = 10, // string→int radix
@@ -153,14 +154,28 @@ object Casts {
     * parse ISO or `format`. Unit arithmetic is integral microseconds —
     * exact, engine-agnostic. */
   def toDatetime(c: Column, dt: DataType, opts: CastOptions = CastOptions()): Column = {
-    val sinceUs = unix_micros(lit(opts.since).cast(TimestampType))
+    val sinceUs = unix_micros(lit(TimeFns.resolveEpoch(opts.since)).cast(TimestampType))
+    val calendar = TimeFns.monthsPerUnit(opts.unit)
     dt match {
-      case ByteType | ShortType | IntegerType | LongType =>
-        timestamp_micros(sinceUs + c.cast(LongType) * lit(TimeFns.unitMicros(opts.unit)))
-      case FloatType | DoubleType =>
-        timestamp_micros(sinceUs +
-          (c.cast(DoubleType) * lit(TimeFns.unitMicros(opts.unit).toDouble))
-            .try_cast(LongType)) // ANSI-safe on NaN/Inf/overflow
+      case ByteType | ShortType | IntegerType | LongType => calendar match {
+        case Some(mp) =>
+          TimeFns.datetimeFromCalendarUnits(c, mp, opts.since, opts.stepSize)
+        case None =>
+          timestamp_micros(sinceUs +
+            c.cast(LongType) * lit(TimeFns.unitMicros(opts.unit) * opts.stepSize))
+      }
+      case FloatType | DoubleType => calendar match {
+        case Some(mp) =>
+          // fractional calendar counts round half_even to whole units
+          // first (the reference coerces via round_months_to_ns)
+          TimeFns.datetimeFromCalendarUnits(
+            Rounding.roundFloat(c.cast(DoubleType), "half_even").try_cast(LongType),
+            mp, opts.since, opts.stepSize)
+        case None =>
+          timestamp_micros(sinceUs +
+            (c.cast(DoubleType) * lit((TimeFns.unitMicros(opts.unit) * opts.stepSize).toDouble))
+              .try_cast(LongType)) // ANSI-safe on NaN/Inf/overflow
+      }
       case StringType =>
         val parsed = opts.format match {
           case Some(f) => try_to_timestamp(trim(c), lit(f))
@@ -173,15 +188,59 @@ object Casts {
   }
 
   /** to_timedelta (reference convert/base.py:264): carried as int64
-    * microseconds (SURVEY §3); integers are counts of `unit`. */
+    * microseconds (SURVEY §3); integers are counts of `unit`; strings
+    * parse the reference's clock/abbrev formats
+    * (util/time/timedelta.pyx:136). */
   def toTimedelta(c: Column, dt: DataType, opts: CastOptions = CastOptions()): Column =
     dt match {
-      case ByteType | ShortType | IntegerType | LongType => c.cast(LongType) * lit(TimeFns.unitMicros(opts.unit))
+      case ByteType | ShortType | IntegerType | LongType =>
+        c.cast(LongType) * lit(TimeFns.unitMicros(opts.unit) * opts.stepSize)
       case FloatType | DoubleType =>
-        (c.cast(DoubleType) * lit(TimeFns.unitMicros(opts.unit).toDouble))
+        (c.cast(DoubleType) * lit((TimeFns.unitMicros(opts.unit) * opts.stepSize).toDouble))
           .try_cast(LongType) // ANSI-safe on NaN/Inf/overflow
+      case StringType =>
+        val parsed = TimeFns.timedeltaMicros(c)
+        onError(c, parsed, parsed.isNotNull, "timedelta", opts)
       case other => throw new IllegalArgumentException(s"to_timedelta from $other")
     }
+
+  /** to_complex (reference convert/base.py:234 + convert/complex.py):
+    * strings parse "a+bj" / "bj" / "a" numpy-style forms (optional
+    * parens, i or j, optional imaginary coefficient as in "-j");
+    * numerics become (x, 0). Carried as struct<re,im> per SURVEY §3.
+    * Patterns avoid lookarounds so the oracle's RE2 runs them too. */
+  // complex-literal patterns, shared with the oracle SQL generator
+  private val fnum = "[+-]?(?:\\d+\\.?\\d*|\\.\\d+)(?:[eE][+-]?\\d+)?"
+  private val inum = "[+-](?:\\d+\\.?\\d*|\\.\\d+)(?:[eE][+-]?\\d+)?"
+  val complexBothRe: String = s"^\\(?($fnum)($inum)[ij]\\)?$$"
+  val complexImRe: String =
+    s"^\\(?([+-]?(?:\\d+\\.?\\d*|\\.\\d+)?(?:[eE][+-]?\\d+)?)[ij]\\)?$$"
+  val complexReRe: String = s"^\\(?($fnum)\\)?$$"
+
+  def toComplex(c: Column, dt: DataType, opts: CastOptions = CastOptions()): Column = {
+    val bothRe = complexBothRe
+    val imRe = complexImRe
+    val reRe = complexReRe
+    dt match {
+      case StringType =>
+        val v = trim(c)
+        val both = ComplexOps.complex(
+          regexp_extract(v, bothRe, 1).cast(DoubleType),
+          regexp_extract(v, bothRe, 2).cast(DoubleType))
+        val imCoeff = regexp_extract(v, imRe, 1)
+        val imVal = when(imCoeff.isin("", "+"), lit(1.0))
+          .when(imCoeff === "-", lit(-1.0))
+          .otherwise(imCoeff.cast(DoubleType))
+        val parsed = when(v.rlike(bothRe), both)
+          .when(v.rlike(imRe), ComplexOps.complex(lit(0.0), imVal))
+          .when(v.rlike(reRe),
+            ComplexOps.complex(regexp_extract(v, reRe, 1).cast(DoubleType), lit(0.0)))
+        onError(c, parsed, parsed.isNotNull, "complex", opts)
+      case _: NumericType | BooleanType =>
+        ComplexOps.complex(c.cast(DoubleType), lit(0.0))
+      case _ => c // already struct<re,im>
+    }
+  }
 
   /** to_string (reference convert/base.py:274, convert/string.py). */
   def toString(c: Column, dt: DataType, opts: CastOptions = CastOptions()): Column =

@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampType
 
 /** Time/calendar kernels re-expressing bertrand/util/time (epoch.pyx,
   * unit.pyx, calendar.pyx, timezone.py) as Column expressions. */
@@ -19,6 +20,132 @@ object TimeFns {
     case "D" | "d" | "day" | "days" => 86400L * 1000000L
     case "W" | "w" | "week" | "weeks" => 7L * 86400L * 1000000L
     case other => throw new IllegalArgumentException(s"unknown unit: $other")
+  }
+
+  /** Named epoch anchors (reference util/time/epoch.pyx:22
+    * `epoch_aliases`). "julian" (-4713-11-24) predates Spark's minimum
+    * timestamp year and is deliberately unsupported. */
+  val epochAliases: Map[String, String] = Map(
+    "gregorian" -> "1582-10-14 00:00:00",
+    "ntfs" -> "1601-01-01 00:00:00",
+    "modified julian" -> "1858-11-16 00:00:00",
+    "reduced julian" -> "1858-11-16 12:00:00",
+    "lotus" -> "1899-12-30 00:00:00",
+    "ntp" -> "1900-01-01 00:00:00",
+    "risc" -> "1900-01-01 00:00:00",
+    "labview" -> "1904-01-01 00:00:00",
+    "sas" -> "1960-01-01 00:00:00",
+    "utc" -> "1970-01-01 00:00:00",
+    "unix" -> "1970-01-01 00:00:00",
+    "posix" -> "1970-01-01 00:00:00",
+    "fat" -> "1980-01-01 00:00:00",
+    "zip" -> "1980-01-01 00:00:00",
+    "gps" -> "1980-01-06 00:00:00",
+    "j2000" -> "2000-01-01 12:00:00",
+    "cocoa" -> "2001-01-01 00:00:00")
+
+  /** Resolve an epoch specifier: named alias (case-insensitive) or a
+    * literal timestamp string, as in the reference's `Epoch(...)`. */
+  def resolveEpoch(since: String): String =
+    epochAliases.getOrElse(since.trim.toLowerCase, since)
+
+  /** Months per calendar unit, None for fixed-width units. Calendar
+    * units are case-sensitive like the reference's ("M" month vs "m"
+    * minute, unit.pyx `valid_units`). */
+  def monthsPerUnit(unit: String): Option[Int] = unit match {
+    case "M" | "month" | "months" => Some(1)
+    case "Y" | "year" | "years" => Some(12)
+    case _ => None
+  }
+
+  /** Integer calendar-unit count since an epoch → timestamp
+    * (reference unit.pyx:231,263 round_months_to_ns/round_years_to_ns):
+    * calendar-aware month addition (month-length/leap handling and
+    * end-of-month clamping via add_months), preserving the epoch's
+    * time of day. */
+  def datetimeFromCalendarUnits(n: Column, monthsPer: Int, since: String,
+      step: Long = 1): Column = {
+    val e = lit(resolveEpoch(since)).cast(TimestampType)
+    val eDate = to_date(e)
+    val tod = unix_micros(e) - unix_micros(eDate.cast(TimestampType))
+    val months = (n.cast("long") * (monthsPer * step)).cast("int")
+    timestamp_micros(
+      unix_micros(add_months(eDate, months).cast(TimestampType)) + tod)
+  }
+
+  /** Floor whole calendar units between an epoch and a timestamp
+    * (day-aware months_between semantics). */
+  def calendarUnitsSince(ts: Column, monthsPer: Int, since: String): Column =
+    floor(months_between(ts.cast(TimestampType),
+      lit(resolveEpoch(since)).cast(TimestampType)) / monthsPer).cast("long")
+
+  // ---- timedelta strings (reference util/time/timedelta.pyx:136) ------
+
+  private val numRe = "(\\d+(?:\\.\\d+)?)"
+  /** clock family: optional weeks/days prefix + H:MM[:SS[.f]] — a
+    * 2-component clock is minutes:seconds (the reference's
+    * as_hours=False default). Public: the oracle SQL is generated from
+    * the SAME patterns (no lookarounds → valid under Java regex AND
+    * the oracle's RE2). */
+  val clockRe: String =
+    s"^([+-])?(?:${numRe}w)?(?:${numRe}d)?(\\d+):(\\d{1,2})(?::(\\d{1,2}(?:\\.\\d+)?))?$$"
+  /** bare count of seconds. */
+  val secRe: String = s"^([+-])?${numRe}$$"
+  /** abbreviated units in canonical descending order (the reference's
+    * `abbrev` format): [w][d][h][m][s][ms][us]. */
+  val abbrevRe: String =
+    s"^([+-])?(?:${numRe}w)?(?:${numRe}d)?(?:${numRe}h)?(?:${numRe}m)?" +
+      s"(?:${numRe}s)?(?:${numRe}ms)?(?:${numRe}us)?$$"
+  /** longhand→short unit rewrites applied after whitespace collapse
+    * (longest names first so "milliseconds" never half-matches). */
+  val tdReplacements: Seq[(String, String)] = Seq(
+    "microseconds?|microsecs?" -> "us",
+    "milliseconds?|millisecs?" -> "ms",
+    "minutes?|mins?" -> "m",
+    "seconds?|secs?" -> "s",
+    "hours?|hrs?" -> "h",
+    "days?" -> "d",
+    "weeks?|wks?" -> "w")
+  /** micros per component of the clock/abbrev groups. */
+  val wUs = 6.048e11; val dUs = 8.64e10; val hUs = 3.6e9
+  val mUs = 6e7; val sUs = 1e6
+
+  /** Parse timedelta strings to int64 microseconds: "1:30:00", "2:15",
+    * "1h30m", "2 days 4h", "1.5h", "-0:00:30.5", "90". Longhand unit
+    * names normalize to the short forms; unparseable input → null
+    * (callers apply the error mode). Mirrors reference
+    * timedelta.pyx `timedelta_string_to_ns` at microsecond width. */
+  def timedeltaMicros(c: Column): Column = {
+    val collapsed = regexp_replace(lower(trim(c)), "\\s+", "")
+    val s = tdReplacements.foldLeft(collapsed) { case (acc, (pat, rep)) =>
+      regexp_replace(acc, pat, rep)
+    }
+    def sign(re: String): Column =
+      when(regexp_extract(s, re, 1) === "-", -1L).otherwise(1L)
+    def part(re: String, grp: Int): Column =
+      coalesce(nullif(regexp_extract(s, re, grp), lit("")).cast("double"), lit(0.0))
+    // per-component micros: explicit floor(x+0.5) (components are
+    // non-negative) — engine-identical, unlike native round()
+    def us(v: Column, unitUs: Double): Column = floor(v * unitUs + 0.5).cast("long")
+    val clockVal = {
+      val hasSec = regexp_extract(s, clockRe, 6) =!= ""
+      val hm = when(hasSec,
+        us(part(clockRe, 4), 3.6e9) + us(part(clockRe, 5), 6e7) +
+          us(part(clockRe, 6), 1e6))
+        .otherwise(us(part(clockRe, 4), 6e7) + us(part(clockRe, 5), 1e6))
+      sign(clockRe) *
+        (us(part(clockRe, 2), 6.048e11) + us(part(clockRe, 3), 8.64e10) + hm)
+    }
+    val secVal = sign(secRe) * us(part(secRe, 2), 1e6)
+    val abbrevVal = sign(abbrevRe) *
+      (us(part(abbrevRe, 2), 6.048e11) + us(part(abbrevRe, 3), 8.64e10) +
+        us(part(abbrevRe, 4), 3.6e9) + us(part(abbrevRe, 5), 6e7) +
+        us(part(abbrevRe, 6), 1e6) + us(part(abbrevRe, 7), 1000.0) +
+        us(part(abbrevRe, 8), 1.0))
+    when(s.rlike(clockRe), clockVal)
+      .when(s.rlike(secRe), secVal)
+      .when(s.rlike(abbrevRe) && s.rlike("\\d"), abbrevVal)
+      .otherwise(lit(null).cast("long"))
   }
 
   /** Exact whole-unit difference between two timestamps (floor).

@@ -45,6 +45,7 @@ package object syntax {
         case t: GDecimal => Casts.toDecimal(c, from, t, opts)
         case _: GDatetime => Casts.toDatetime(c, from, opts)
         case GTimedelta => Casts.toTimedelta(c, from, opts)
+        case _: GComplex => Casts.toComplex(c, from, opts)
         case GString => Casts.toString(c, from, opts)
         case other => c.cast(other.sparkType)
       }

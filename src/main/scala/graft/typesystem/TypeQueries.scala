@@ -264,7 +264,64 @@ object TypeQueries {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
+  // ---- T21: calendar units (M/Y), step_size, named epochs -----------------
+  // reference util/time/unit.pyx:65,231,263 (M/Y in valid_units,
+  // round_months/years_to_ns), convert/arguments.py:554 (step_size),
+  // epoch.pyx:22 (named anchors)
+  def t21UnitCalendar(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").filter(col("o_orderkey") <= 500)
+      .select(col("o_orderkey"),
+        (col("o_orderkey") % 480).cast(IntegerType).as("nm"),
+        (col("o_orderkey") % 40).cast(IntegerType).as("ny"))
+    val tsM = Casts.toDatetime(col("nm"), IntegerType,
+      CastOptions(unit = "M", since = "sas"))
+    val tsY = Casts.toDatetime(col("ny"), IntegerType,
+      CastOptions(unit = "Y", since = "utc"))
+    val tsQ = Casts.toDatetime(col("nm"), IntegerType,
+      CastOptions(unit = "M", since = "reduced julian", stepSize = 3))
+    val tsL = Casts.toDatetime(col("nm"), IntegerType,
+      CastOptions(unit = "M", since = "lotus")) // day 30: exercises EOM clamping
+    val tsS5 = Casts.toDatetime(col("nm"), IntegerType,
+      CastOptions(unit = "s", since = "gps", stepSize = 5))
+    o.select(col("o_orderkey"), col("nm"), col("ny"),
+        unix_seconds(tsM).as("ts_m"),
+        unix_seconds(tsY).as("ts_y"),
+        unix_seconds(tsQ).as("ts_q"),
+        unix_seconds(tsL).as("ts_l"),
+        unix_seconds(tsS5).as("ts_s5"),
+        TimeFns.calendarUnitsSince(tsM, 1, "sas").as("m_rt"),
+        TimeFns.calendarUnitsSince(tsY, 12, "utc").as("y_rt"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Deterministic string fixtures for t22, indexed by key modulo. */
+  private[typesystem] val tdForms = Seq("1:30:00", "2:15", "1h30m", "2 days 4h",
+    "1.5h", "90", "-0:00:30.5", "1w", "250ms", "3d1:00:00", "12 minutes",
+    "nonsense")
+  private[typesystem] val zForms = Seq("1+2j", "-1.5-2.5j", "3j", "-j", "2.5",
+    "(1-1j)", "1e2+0.5j", "+4.25i", "oops")
+
+  // ---- T22: timedelta + complex parsed from strings -----------------------
+  // reference util/time/timedelta.pyx:136 (timedelta_regex families),
+  // convert/base.py:234 + convert/complex.py (string → complex)
+  def t22ParseStrings(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").filter(col("o_orderkey") <= 500)
+      .select(col("o_orderkey"),
+        element_at(array(tdForms.map(lit): _*),
+          (col("o_orderkey") % tdForms.size).cast(IntegerType) + 1).as("td_s"),
+        element_at(array(zForms.map(lit): _*),
+          (col("o_orderkey") % zForms.size).cast(IntegerType) + 1).as("z_s"))
+    val z = Casts.toComplex(col("z_s"), StringType, CastOptions(errors = "coerce"))
+    o.select(col("o_orderkey"), col("td_s"), col("z_s"),
+        Casts.toTimedelta(col("td_s"), StringType,
+          CastOptions(errors = "coerce")).as("td_us"),
+        z.getField("re").as("z_re"), z.getField("im").as("z_im"))
+      .orderBy("o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t21_unit_calendar" -> t21UnitCalendar _,
+    "t22_parse_strings" -> t22ParseStrings _,
     "t20_round_decimal" -> t20RoundDecimal _,
     "t1_detect_types" -> t1Detect _,
     "t2_resolve_spec" -> t2Resolve _,
@@ -335,7 +392,75 @@ object TypeQueries {
 
   private val floatReSql = "^[+-]?([0-9]+\\.?[0-9]*|\\.[0-9]+)([eE][+-]?[0-9]+)?$"
 
+  // ---- t22 oracle generators: built from the SAME regex constants the
+  // Spark kernels use (TimeFns.clockRe/secRe/abbrevRe, Casts.complex*Re)
+  // so engine and oracle can only diverge on evaluation, not pattern.
+  private def sqlList(xs: Seq[String]): String =
+    xs.map(x => s"'$x'").mkString("[", ", ", "]")
+  private def tdPart(re: String, g: Int): String =
+    s"COALESCE(TRY_CAST(NULLIF(regexp_extract(td_n, '$re', $g), '') AS DOUBLE), 0)"
+  private def tdUs(re: String, g: Int, unit: Double): String =
+    s"CAST(FLOOR(${tdPart(re, g)} * $unit + 0.5) AS BIGINT)"
+  private def tdSign(re: String): String =
+    s"(CASE WHEN regexp_extract(td_n, '$re', 1) = '-' THEN -1 ELSE 1 END)"
+  private def t22OracleSql: String = {
+    import TimeFns.{clockRe, secRe, abbrevRe, wUs, dUs, hUs, mUs, sUs}
+    val norm = TimeFns.tdReplacements.foldLeft(
+      "regexp_replace(lower(trim(td_s)), '\\s+', '', 'g')") {
+      case (acc, (p, r)) => s"regexp_replace($acc, '$p', '$r', 'g')"
+    }
+    val clockVal = s"${tdSign(clockRe)} * (${tdUs(clockRe, 2, wUs)} + ${tdUs(clockRe, 3, dUs)} + " +
+      s"CASE WHEN regexp_extract(td_n, '$clockRe', 6) != '' " +
+      s"THEN ${tdUs(clockRe, 4, hUs)} + ${tdUs(clockRe, 5, mUs)} + ${tdUs(clockRe, 6, sUs)} " +
+      s"ELSE ${tdUs(clockRe, 4, mUs)} + ${tdUs(clockRe, 5, sUs)} END)"
+    val secVal = s"${tdSign(secRe)} * ${tdUs(secRe, 2, sUs)}"
+    val abbrevVal = s"${tdSign(abbrevRe)} * (${tdUs(abbrevRe, 2, wUs)} + ${tdUs(abbrevRe, 3, dUs)} + " +
+      s"${tdUs(abbrevRe, 4, hUs)} + ${tdUs(abbrevRe, 5, mUs)} + ${tdUs(abbrevRe, 6, sUs)} + " +
+      s"${tdUs(abbrevRe, 7, 1000.0)} + ${tdUs(abbrevRe, 8, 1.0)})"
+    val bothRe = Casts.complexBothRe
+    val imRe = Casts.complexImRe
+    val reRe = Casts.complexReRe
+    val imCoeff = s"regexp_extract(z_t, '$imRe', 1)"
+    s"""WITH f AS (
+       |  SELECT o_orderkey,
+       |    (${sqlList(tdForms)})[CAST(o_orderkey % ${tdForms.size} AS INT) + 1] AS td_s,
+       |    (${sqlList(zForms)})[CAST(o_orderkey % ${zForms.size} AS INT) + 1] AS z_s
+       |  FROM orders WHERE o_orderkey <= 500),
+       |n AS (SELECT *, $norm AS td_n, trim(z_s) AS z_t FROM f)
+       |SELECT o_orderkey, td_s, z_s,
+       |  CASE WHEN regexp_matches(td_n, '$clockRe') THEN $clockVal
+       |       WHEN regexp_matches(td_n, '$secRe') THEN $secVal
+       |       WHEN regexp_matches(td_n, '$abbrevRe') AND regexp_matches(td_n, '\\d') THEN $abbrevVal
+       |       ELSE NULL END AS td_us,
+       |  CASE WHEN regexp_matches(z_t, '$bothRe') THEN TRY_CAST(regexp_extract(z_t, '$bothRe', 1) AS DOUBLE)
+       |       WHEN regexp_matches(z_t, '$imRe') THEN 0.0
+       |       WHEN regexp_matches(z_t, '$reRe') THEN TRY_CAST(regexp_extract(z_t, '$reRe', 1) AS DOUBLE)
+       |       ELSE NULL END AS z_re,
+       |  CASE WHEN regexp_matches(z_t, '$bothRe') THEN TRY_CAST(regexp_extract(z_t, '$bothRe', 2) AS DOUBLE)
+       |       WHEN regexp_matches(z_t, '$imRe') THEN
+       |         (CASE WHEN $imCoeff IN ('', '+') THEN 1.0
+       |               WHEN $imCoeff = '-' THEN -1.0
+       |               ELSE TRY_CAST($imCoeff AS DOUBLE) END)
+       |       WHEN regexp_matches(z_t, '$reRe') THEN 0.0
+       |       ELSE NULL END AS z_im
+       |FROM n ORDER BY o_orderkey""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "t21_unit_calendar" ->
+      """WITH b AS (SELECT o_orderkey, CAST(o_orderkey % 480 AS INT) AS nm,
+        |             CAST(o_orderkey % 40 AS INT) AS ny
+        |           FROM orders WHERE o_orderkey <= 500)
+        |SELECT o_orderkey, nm, ny,
+        |  CAST(epoch(TIMESTAMP '1960-01-01 00:00:00' + INTERVAL (nm) MONTH) AS BIGINT) AS ts_m,
+        |  CAST(epoch(TIMESTAMP '1970-01-01 00:00:00' + INTERVAL (ny * 12) MONTH) AS BIGINT) AS ts_y,
+        |  CAST(epoch(TIMESTAMP '1858-11-16 12:00:00' + INTERVAL (nm * 3) MONTH) AS BIGINT) AS ts_q,
+        |  CAST(epoch(TIMESTAMP '1899-12-30 00:00:00' + INTERVAL (nm) MONTH) AS BIGINT) AS ts_l,
+        |  CAST(epoch(TIMESTAMP '1980-01-06 00:00:00') AS BIGINT) + CAST(nm AS BIGINT) * 5 AS ts_s5,
+        |  CAST(nm AS BIGINT) AS m_rt,
+        |  CAST(ny AS BIGINT) AS y_rt
+        |FROM b ORDER BY o_orderkey""".stripMargin,
+    "t22_parse_strings" -> t22OracleSql,
     "t20_round_decimal" -> {
       // exact integer-cents mirror: rounding a 2-dec value to 1 decimal
       // == round_div(cents, 10, rule)/10, reusing the divSql formulas

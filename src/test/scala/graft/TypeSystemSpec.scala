@@ -245,3 +245,92 @@ class DetectSpec extends AnyFunSuite {
     assert(!res.find(_._1 == "v").get._4)
   }
 }
+
+class CalendarParseSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+  import graft.functions.{CastOptions, Casts, TimeFns}
+  import org.apache.spark.sql.types.{IntegerType, StringType}
+
+  test("calendar-unit casts: months/years since named epochs, with step") {
+    val df = Seq(0, 1, 14, 479).toDF("n")
+    val got = df.select(date_format(Casts.toDatetime($"n", IntegerType,
+        CastOptions(unit = "M", since = "lotus")), "yyyy-MM-dd").as("d"))
+      .as[String].collect().toSeq
+    // lotus = 1899-12-30; +2M clamps into Feb (1900 is NOT a leap year)
+    assert(got == Seq("1899-12-30", "1900-01-30", "1901-02-28", "1939-11-30"))
+    val y = df.select(year(Casts.toDatetime($"n", IntegerType,
+      CastOptions(unit = "Y", since = "gps", stepSize = 2))).as("y")).as[Int].collect()
+    assert(y.toSeq == Seq(1980, 1982, 2008, 2938))
+  }
+
+  test("epoch aliases resolve; unknown strings pass through") {
+    assert(TimeFns.resolveEpoch("J2000") == "2000-01-01 12:00:00")
+    assert(TimeFns.resolveEpoch("reduced julian") == "1858-11-16 12:00:00")
+    assert(TimeFns.resolveEpoch("2024-05-05") == "2024-05-05")
+  }
+
+  test("calendar unit is case-sensitive: M=month, m=minute") {
+    val df = Seq(90).toDF("n")
+    val mo = df.select(unix_seconds(Casts.toDatetime($"n", IntegerType,
+      CastOptions(unit = "m"))).as("s")).as[Long].head()
+    assert(mo == 90L * 60)
+    val mon = df.select(date_format(Casts.toDatetime($"n", IntegerType,
+      CastOptions(unit = "M")), "yyyy-MM").as("d")).as[String].head()
+    assert(mon == "1977-07")
+  }
+
+  test("timedelta strings: clock, abbrev, longhand, sign, fractions") {
+    val cases = Seq(
+      "1:30:00" -> Some(5400000000L),
+      "2:15" -> Some(135000000L), // minutes:seconds by default
+      "1h30m" -> Some(5400000000L),
+      "2 days 4h" -> Some(2L * 86400000000L + 4L * 3600000000L),
+      "1.5h" -> Some(5400000000L),
+      "90" -> Some(90000000L),
+      "-0:00:30.5" -> Some(-30500000L),
+      "1 week" -> Some(604800000000L),
+      "250ms" -> Some(250000L),
+      "3d1:00:00" -> Some(3L * 86400000000L + 3600000000L),
+      "12 minutes" -> Some(720000000L),
+      "+2us" -> Some(2L),
+      "nonsense" -> None,
+      "1x30m" -> None,
+    )
+    val df = cases.map(_._1).toDF("s")
+    val got = df.select(Casts.toTimedelta($"s", StringType,
+      CastOptions(errors = "coerce")).as("us")).collect().map(r =>
+      if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(got.toSeq == cases.map(_._2))
+  }
+
+  test("complex strings: a+bj, bare imaginary, parens, real-only, coerce") {
+    val cases = Seq(
+      "1+2j" -> Some((1.0, 2.0)),
+      "-1.5-2.5j" -> Some((-1.5, -2.5)),
+      "3j" -> Some((0.0, 3.0)),
+      "-j" -> Some((0.0, -1.0)),
+      "j" -> Some((0.0, 1.0)),
+      "2.5" -> Some((2.5, 0.0)),
+      "(1-1j)" -> Some((1.0, -1.0)),
+      "1e2+0.5j" -> Some((100.0, 0.5)),
+      "+4.25i" -> Some((0.0, 4.25)),
+      "oops" -> None,
+    )
+    val df = cases.map(_._1).toDF("s")
+    val got = df.select(Casts.toComplex($"s", StringType,
+      CastOptions(errors = "coerce")).as("z")).collect().map { r =>
+      if (r.isNullAt(0)) None
+      else { val z = r.getStruct(0); Some((z.getDouble(0), z.getDouble(1))) }
+    }
+    assert(got.toSeq == cases.map(_._2))
+  }
+
+  test("castTo routes complex128 string parse") {
+    import graft.syntax._
+    val re = Seq("1+2j").toDF("s")
+      .select($"s".castTo("complex128", CastOptions(errors = "coerce")).as("z"))
+      .select($"z.re").as[Double].head()
+    assert(re == 1.0)
+  }
+}
