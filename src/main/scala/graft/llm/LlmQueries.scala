@@ -187,13 +187,14 @@ object LlmQueries {
         TextAnalysis.splitAssign(col("doc_id")).as("split"))
       .orderBy("doc_id")
 
-  // ---- L12: multimodal binary plumbing (stubbed decode) -------------------
+  // ---- L12: multimodal binary plumbing (real header parsing) --------------
   def m1Multimodal(s: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.asMediaTable(t(s, dir, "documents"))
     Multimodal.extractFeatures(s, media).toDF()
       .groupBy("fmt")
       .agg(count(lit(1)).as("n"), sum(col("n_bytes")).as("total_bytes"),
-        min("width").as("min_w"), max("height").as("max_h"))
+        min("width").as("min_w"), max("height").as("max_h"),
+        max("sample_rate").as("max_sr"))
       .orderBy("fmt")
   }
 
@@ -396,6 +397,22 @@ object LlmQueries {
         |SELECT id_a, id_b, ROUND(common / (sz - common), 6) AS jaccard
         |FROM j WHERE common / (sz - common) >= 0.6
         |ORDER BY id_a, id_b""".stripMargin,
+    // the Spark side PARSES planted PNG/BMP/WAV headers byte-by-byte;
+    // the oracle recomputes the planted metadata arithmetically from
+    // doc_id + header sizes (33/54/44 bytes) — a value-level check that
+    // the parser reads the right offsets/endianness
+    "m1_multimodal" ->
+      """WITH m AS (SELECT doc_id,
+        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' ELSE 'wav' END AS fmt,
+        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 33 WHEN 1 THEN 54 ELSE 44 END
+        |    + octet_length(encode(text)) AS n_bytes,
+        |  CASE WHEN doc_id % 3 IN (0, 1) THEN CAST(doc_id % 640 AS INT) + 1 ELSE 0 END AS width,
+        |  CASE WHEN doc_id % 3 IN (0, 1) THEN CAST(doc_id % 480 AS INT) + 1 ELSE 0 END AS height,
+        |  CASE WHEN doc_id % 3 = 2 THEN 8000 + CAST(doc_id % 5 AS INT) * 8000 ELSE 0 END AS sample_rate
+        |  FROM documents)
+        |SELECT fmt, COUNT(*) AS n, CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+        |  MIN(width) AS min_w, MAX(height) AS max_h, MAX(sample_rate) AS max_sr
+        |FROM m GROUP BY fmt ORDER BY fmt""".stripMargin,
     // md5-prefix fingerprints: CAST('0x'||hex AS BIGINT) parses the same
     // 15-hex-char (60-bit) prefix Spark takes via conv/ShingleMinMd5
     "x4_fingerprint" ->

@@ -1,59 +1,132 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
-import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: media as opaque `binary` payloads with
-  * typed metadata, processed per-partition.
+  * typed metadata, decoded per-partition.
   *
-  * The decode step is a clearly-marked STUB (no image/audio libs in
-  * this environment): [[FakeDecoder]] produces deterministic features
-  * from the bytes. Everything around it — schema, encoder, partition
-  * batching, the mapPartitions pipeline shape — is the real Spark
-  * plumbing a production decoder would drop into. */
+  * The decode step does REAL container parsing — PNG IHDR, BMP
+  * BITMAPINFOHEADER, and WAV RIFF/fmt headers live in fixed bytes and
+  * need no codec library. Payload synthesis plants genuine headers
+  * (dimensions derived from doc_id) over the text bytes, so the parser
+  * is exercised end-to-end and the driver oracle can recompute the
+  * expected metadata arithmetically. Pixel/sample DECODING (IDAT
+  * inflate, JPEG DCT, …) is out of scope in this environment — a
+  * production decoder drops into [[MediaCodec.decode]]'s per-format
+  * branches with the same bytes-in/features-out signature. */
 object Multimodal {
 
   /** One media row: payload + format tag + source metadata. */
   final case class MediaRow(doc_id: Long, fmt: String, payload: Array[Byte])
 
-  /** Extracted features (what a real decoder would emit). */
+  /** Parsed container metadata. `width`/`height` for images;
+    * `sample_rate`/`channels` for audio; zeros where not applicable;
+    * fmt is DETECTED from magic bytes, never trusted from the tag. */
   final case class MediaFeatures(doc_id: Long, fmt: String, n_bytes: Long,
-      width: Int, height: Int, checksum: Long)
+      width: Int, height: Int, sample_rate: Int, channels: Int, checksum: Long)
 
-  /** STUB decoder: deterministic pseudo-features derived from the raw
-    * bytes. A real implementation would decode the image/audio frame
-    * here (e.g. via a JNI codec); the signature — bytes in, fixed
-    * feature struct out, called once per row inside a partition batch —
-    * is exactly what the real one needs. */
-  object FakeDecoder {
+  /** Header synthesis + parsing for the three fixed-header containers. */
+  object MediaCodec {
+    // ---- byte helpers ---------------------------------------------------
+    private def be32(v: Int): Array[Byte] =
+      Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    private def le32(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    private def le16(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    private def rdBe32(b: Array[Byte], o: Int): Int =
+      ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) |
+        ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+    private def rdLe32(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+        ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+    private def rdLe16(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+
+    private val pngSig =
+      Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+    /** PNG: signature + IHDR chunk (len, type, 13-byte data, CRC) = 33
+      * bytes before the first data chunk. */
+    def pngHeader(width: Int, height: Int): Array[Byte] =
+      pngSig ++ be32(13) ++ "IHDR".getBytes ++ be32(width) ++ be32(height) ++
+        Array[Byte](8, 6, 0, 0, 0) ++ be32(0) // bit depth, RGBA, no interlace; CRC unchecked
+
+    /** BMP: BITMAPFILEHEADER (14) + BITMAPINFOHEADER (40) = 54 bytes. */
+    def bmpHeader(width: Int, height: Int, bodyLen: Int): Array[Byte] =
+      "BM".getBytes ++ le32(54 + bodyLen) ++ le32(0) ++ le32(54) ++
+        le32(40) ++ le32(width) ++ le32(height) ++ le16(1) ++ le16(24) ++
+        le32(0) ++ le32(bodyLen) ++ le32(2835) ++ le32(2835) ++ le32(0) ++ le32(0)
+
+    /** WAV: RIFF/WAVE + fmt chunk + data chunk header = 44 bytes. */
+    def wavHeader(sampleRate: Int, channels: Int, bodyLen: Int): Array[Byte] = {
+      val byteRate = sampleRate * channels * 2
+      "RIFF".getBytes ++ le32(36 + bodyLen) ++ "WAVE".getBytes ++
+        "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(channels) ++
+        le32(sampleRate) ++ le32(byteRate) ++ le16(channels * 2) ++ le16(16) ++
+        "data".getBytes ++ le32(bodyLen)
+    }
+
+    /** Container detection from magic bytes (never trusts metadata). */
+    def detect(p: Array[Byte]): String =
+      if (p.length >= 24 && p.take(8).sameElements(pngSig)) "png"
+      else if (p.length >= 26 && p(0) == 'B' && p(1) == 'M') "bmp"
+      else if (p.length >= 28 && p(0) == 'R' && p(1) == 'I' && p(2) == 'F' &&
+        p(3) == 'F' && p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E')
+        "wav"
+      else "unknown"
+
+    /** Parse the fixed header fields of the detected container. */
     def decode(r: MediaRow): MediaFeatures = {
-      val n = r.payload.length
+      val p = r.payload
       var sum = 0L
       var i = 0
-      while (i < n) { sum = sum * 31 + (r.payload(i) & 0xff); i += 1 }
-      MediaFeatures(r.doc_id, r.fmt, n.toLong,
-        width = (math.abs(sum) % 640).toInt + 1,
-        height = (math.abs(sum / 640) % 480).toInt + 1,
-        checksum = sum)
+      while (i < p.length) { sum = sum * 31 + (p(i) & 0xff); i += 1 }
+      detect(p) match {
+        case "png" =>
+          MediaFeatures(r.doc_id, "png", p.length.toLong,
+            rdBe32(p, 16), rdBe32(p, 20), 0, 0, sum)
+        case "bmp" =>
+          MediaFeatures(r.doc_id, "bmp", p.length.toLong,
+            rdLe32(p, 18), rdLe32(p, 22), 0, 0, sum)
+        case "wav" =>
+          MediaFeatures(r.doc_id, "wav", p.length.toLong,
+            0, 0, rdLe32(p, 24), rdLe16(p, 22), sum)
+        case other =>
+          MediaFeatures(r.doc_id, other, p.length.toLong, 0, 0, 0, 0, sum)
+      }
     }
   }
 
-  /** Wrap a text table as a binary media table (payload = UTF-8 bytes;
-    * in production this column holds the encoded image/audio). */
-  def asMediaTable(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-      when(col("doc_id") % 3 === 0, "png")
-        .when(col("doc_id") % 3 === 1, "jpeg").otherwise("wav").as("fmt"),
-      encode(col("text"), "UTF-8").as("payload"))
+  /** Wrap a text table as a binary media table: REAL container headers
+    * (dimensions/rates derived from doc_id, so oracles can recompute
+    * them) over the UTF-8 text bytes as the opaque body. */
+  def asMediaTable(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select("doc_id", "text").as[(Long, String)].map { case (id, text) =>
+      val body = text.getBytes("UTF-8")
+      (id % 3) match {
+        case 0 => MediaRow(id, "png",
+          MediaCodec.pngHeader((id % 640).toInt + 1, (id % 480).toInt + 1) ++ body)
+        case 1 => MediaRow(id, "bmp",
+          MediaCodec.bmpHeader((id % 640).toInt + 1, (id % 480).toInt + 1, body.length) ++ body)
+        case _ => MediaRow(id, "wav",
+          MediaCodec.wavHeader(8000 + (id % 5).toInt * 8000, 1 + (id % 2).toInt, body.length) ++ body)
+      }
+    }
+  }
 
-  /** Feature-extraction pipeline: Dataset-typed mapPartitions so the
+  /** Feature-extraction pipeline: Dataset-typed mapPartitions so a
     * (heavyweight, real-world) decoder initializes once per partition,
     * not per row. */
-  def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
+  def extractFeatures(spark: SparkSession, media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import spark.implicits._
-    media.as[MediaRow].mapPartitions { it =>
+    media.mapPartitions { it =>
       // per-partition init happens here in a real decoder
-      it.map(FakeDecoder.decode)
+      it.map(MediaCodec.decode)
     }
   }
 }

@@ -138,16 +138,44 @@ class MultimodalSpec extends AnyFunSuite {
   import TestSpark._
   import spark.implicits._
 
-  test("binary plumbing: encode → mapPartitions decode stub → features") {
+  test("binary plumbing: planted headers → mapPartitions parse → features") {
     val docs = Tables.t(spark, sf, "documents").limit(50)
     val feats = Multimodal.extractFeatures(spark, Multimodal.asMediaTable(docs))
     val rows = feats.collect()
     assert(rows.length == 50)
-    assert(rows.forall(f => f.width >= 1 && f.width <= 640))
-    assert(rows.forall(f => f.n_bytes > 0))
+    rows.foreach { f =>
+      f.fmt match {
+        case "png" | "bmp" =>
+          assert(f.width == (f.doc_id % 640).toInt + 1, s"${f.doc_id} width")
+          assert(f.height == (f.doc_id % 480).toInt + 1, s"${f.doc_id} height")
+          assert(f.sample_rate == 0 && f.channels == 0)
+        case "wav" =>
+          assert(f.sample_rate == 8000 + (f.doc_id % 5).toInt * 8000)
+          assert(f.channels == 1 + (f.doc_id % 2).toInt)
+          assert(f.width == 0 && f.height == 0)
+        case other => fail(s"unexpected parsed fmt $other")
+      }
+      assert(f.fmt == Seq("png", "bmp", "wav")((f.doc_id % 3).toInt))
+      assert(f.n_bytes > 0)
+    }
     // deterministic: same input → same checksum
     val again = Multimodal.extractFeatures(spark, Multimodal.asMediaTable(docs))
       .collect().map(f => f.doc_id -> f.checksum).toMap
     assert(rows.forall(f => again(f.doc_id) == f.checksum))
+  }
+
+  test("detection reads magic bytes, not the tag; garbage → unknown") {
+    import Multimodal.{MediaCodec, MediaRow}
+    val png = MediaCodec.decode(MediaRow(7L, "lies",
+      MediaCodec.pngHeader(101, 55) ++ Array.fill[Byte](20)(3)))
+    assert(png.fmt == "png" && png.width == 101 && png.height == 55)
+    val bmp = MediaCodec.decode(MediaRow(8L, "lies",
+      MediaCodec.bmpHeader(640, 480, 10) ++ Array.fill[Byte](10)(1)))
+    assert(bmp.fmt == "bmp" && bmp.width == 640 && bmp.height == 480)
+    val wav = MediaCodec.decode(MediaRow(9L, "lies",
+      MediaCodec.wavHeader(44100, 2, 8) ++ Array.fill[Byte](8)(0)))
+    assert(wav.fmt == "wav" && wav.sample_rate == 44100 && wav.channels == 2)
+    val junk = MediaCodec.decode(MediaRow(10L, "png", Array.fill[Byte](64)(42)))
+    assert(junk.fmt == "unknown" && junk.width == 0)
   }
 }
