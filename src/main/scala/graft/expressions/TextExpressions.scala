@@ -34,6 +34,128 @@ case class ShingleMinMd5(child: Expression, w: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Sorted distinct 64-bit hashes of the character n-grams of a string,
+  * in one compiled pass — replaces an interpreted
+  * `array_sort(array_distinct(transform(sequence(...), xxhash64(substr))))`
+  * chain. Code-point aware (matches SQL substr semantics); strings
+  * shorter than `n` produce one partial gram (the whole string). The
+  * hash is FNV-1a 64 — any injective-in-practice hash preserves set
+  * cardinalities, which is all Jaccard needs (the oracle compares
+  * jaccard VALUES computed on substring sets). */
+case class CharGramHashes(child: Expression, n: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_char_gram_hashes"
+
+  override def nullSafeEval(v: Any): Any =
+    TextHashKernels.charGrams(v.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.TextHashKernels.charGrams($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): CharGramHashes =
+    copy(child = newChild)
+}
+
+/** Sorted distinct 64-bit hashes of the word w-shingles of a normalized
+  * (single-spaced) string, one compiled pass — replaces the interpreted
+  * zip_with/concat_ws/transform shingle chain. Shingle text spans are
+  * hashed in place (tokens joined by single spaces already). */
+case class WordShingleHashes(child: Expression, w: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_word_shingle_hashes"
+
+  override def nullSafeEval(v: Any): Any =
+    TextHashKernels.wordShingles(v.asInstanceOf[UTF8String], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.TextHashKernels.wordShingles($c, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingleHashes =
+    copy(child = newChild)
+}
+
+object TextHashKernels {
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+
+  private val FnvBasis = 0xcbf29ce484222325L
+  private val FnvPrime = 0x100000001b3L
+
+  private def fnv(cps: Array[Int], from: Int, until: Int): Long = {
+    var h = FnvBasis
+    var i = from
+    while (i < until) { h ^= cps(i); h *= FnvPrime; i += 1 }
+    h
+  }
+
+  private def codePoints(s: String): Array[Int] = {
+    val out = new Array[Int](s.codePointCount(0, s.length))
+    var i = 0; var j = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      out(j) = cp; j += 1; i += Character.charCount(cp)
+    }
+    out
+  }
+
+  private def sortedDistinct(h: Array[Long], len: Int): ArrayData = {
+    java.util.Arrays.sort(h, 0, len)
+    var out = 1
+    var i = 1
+    while (i < len) {
+      if (h(i) != h(i - 1)) { h(out) = h(i); out += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(h, if (len == 0) 0 else out))
+  }
+
+  def charGrams(s: UTF8String, n: Int): ArrayData = {
+    val cps = codePoints(s.toString)
+    val count = math.max(cps.length - n + 1, 1)
+    val h = new Array[Long](count)
+    var i = 0
+    while (i < count) {
+      h(i) = fnv(cps, i, math.min(i + n, cps.length))
+      i += 1
+    }
+    sortedDistinct(h, count)
+  }
+
+  /** Input must be single-space normalized. Shingle i spans token i
+    * through token i+w-1 including separating spaces — identical to
+    * joining the tokens with ' '. Fewer than w tokens → one partial
+    * shingle (the whole string). */
+  def wordShingles(s: UTF8String, w: Int): ArrayData = {
+    val cps = codePoints(s.toString)
+    val n = cps.length
+    // token start offsets
+    var ntok = 1
+    var i = 0
+    while (i < n) { if (cps(i) == ' ') ntok += 1; i += 1 }
+    val starts = new Array[Int](ntok)
+    val ends = new Array[Int](ntok)
+    var t = 0
+    starts(0) = 0
+    i = 0
+    while (i < n) {
+      if (cps(i) == ' ') { ends(t) = i; t += 1; starts(t) = i + 1 }
+      i += 1
+    }
+    ends(t) = n
+    val count = math.max(ntok - w + 1, 1)
+    val h = new Array[Long](count)
+    var sIdx = 0
+    while (sIdx < count) {
+      h(sIdx) = fnv(cps, starts(sIdx), ends(math.min(sIdx + w - 1, ntok - 1)))
+      sIdx += 1
+    }
+    sortedDistinct(h, count)
+  }
+}
+
 object ShingleMinMd5 {
 
   private val mdLocal: ThreadLocal[MessageDigest] =

@@ -31,25 +31,16 @@ object Dedup {
   // MinHash + LSH
   // ---------------------------------------------------------------------
 
-  /** Word w-shingles of the normalized text, as xxhash64 values.
-    * Built by zipping w shifted copies of the token array — interpreted
-    * HOF lambdas re-evaluate any OUTER expression they reference per
-    * element, so no lambda here touches anything but its own variables
-    * (an element_at(split(...)) formulation re-tokenizes per shingle).
-    * Documents shorter than `w` words get one partial shingle. */
+  /** Word w-shingles of the normalized text as SORTED DISTINCT 64-bit
+    * hashes — one compiled pass (graft.expressions.WordShingleHashes;
+    * replaced a chain of interpreted zip_with/transform HOF lambdas).
+    * Sorted: min-hash aggregation is order-independent, and the jaccard
+    * verify join gets a merge-scan intersection. Documents shorter than
+    * `w` words get one partial shingle. */
   def shingleHashes(text: Column, w: Int = 3): Column = {
-    val toks = split(normText(text), " ")
-    // zip_with pads the shorter (shifted) side with null and concat_ws
-    // skips nulls → the trailing w-1 entries are partial shingles,
-    // trimmed by the final slice.
-    val joined = (1 until w).foldLeft(toks) { (acc, k) =>
-      zip_with(acc, slice(toks, lit(k + 1), greatest(size(toks) - k, lit(0))),
-        (a, b) => concat_ws(" ", a, b))
-    }
-    val full = slice(joined, lit(1), greatest(size(toks) - (w - 1), lit(1)))
-    // sorted: min-hash aggregation is order-independent, and the jaccard
-    // verify join gets a codegen'd merge-scan intersection
-    array_sort(array_distinct(transform(full, s => xxhash64(s))))
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.expressions.WordShingleHashes(
+      ColumnBridge.expression(normText(text)), w))
   }
 
   /** MinHash signature: `h` minima in one compiled loop (native
@@ -87,12 +78,26 @@ object Dedup {
       .withColumn("sig", minhashSignature(col("sh"), h))
       .withColumn("bands", bandKeys(col("sig"), h, bands))
       .persist()
-    val exploded = withSig.select(col("id"), posexplode(col("bands")).as(Seq("band", "key")))
-    val cand = exploded.as("a")
-      .join(exploded.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    // BLOCK-LOCAL candidate generation: one shuffle groups each
+    // (band, key) bucket's ids; ordered pairs are enumerated inside the
+    // group — vs the former self-join this shuffles the exploded rows
+    // once (not twice) and skips the join's row-materialization.
+    // Buckets are LSH buckets: small by construction.
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cand = withSig
+      .select(col("id"), posexplode(col("bands")).as(Seq("band", "key")))
+      .as[(Long, Int, Long)]
+      .groupByKey(t => (t._2, t._3))
+      .flatMapGroups { (_, it) =>
+        val ids = it.map(_._1).toArray
+        java.util.Arrays.sort(ids)
+        for {
+          i <- ids.indices.iterator
+          j <- (i + 1) until ids.length
+        } yield (ids(i), ids(j))
+      }
+      .toDF("id_a", "id_b")
       .distinct()
     val sets = withSig.select(col("id"), col("sh"))
     cand
@@ -159,36 +164,60 @@ object Dedup {
   // n-gram Jaccard (character level)
   // ---------------------------------------------------------------------
 
-  /** Exact char-3-gram Jaccard for candidate pairs blocked on
+  /** Sorted-array intersection count (merge scan) — shared by the
+    * pair-generation kernels below. */
+  private def intersectCount(a: Array[Long], b: Array[Long]): Int = {
+    var i = 0; var j = 0; var c = 0
+    while (i < a.length && j < b.length) {
+      val x = a(i); val y = b(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  /** Exact char-n-gram Jaccard for candidate pairs blocked on
     * (source, length bucket) — blocking bounds the pair count so the
-    * join never goes quadratic in the corpus. */
+    * work never goes quadratic in the corpus.
+    *
+    * Pair generation is BLOCK-LOCAL: one shuffle groups each block's
+    * (id, grams) rows, then pairs are enumerated and merge-scan
+    * verified inside the group, emitting only survivors. Compared to
+    * the former self-join this shuffles the gram arrays once (not both
+    * join sides) and never materializes sub-threshold pair rows.
+    * Blocks must fit one task's memory — that bound is the blocking
+    * key's design contract (same as the join formulation's skew bound). */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       blockCols: Seq[Column], n: Int = 3, threshold: Double = 0.4): DataFrame = {
-    // grams as SORTED xxhash64 longs: 8-byte elements + sort-once so the
-    // per-pair intersection is a codegen'd merge scan, not a hash set
-    val grams = expr(s"array_sort(array_distinct(transform(sequence(1, greatest(length(nt) - ${n - 1}, 1)), i -> xxhash64(substr(nt, i, $n)))))")
-    // persisted: both join sides consume the gram arrays
-    val base = df.select(Seq(col(idCol).as("id"), normText(col(textCol)).as("nt")) ++
-        blockCols.zipWithIndex.map { case (c, i) => c.as(s"blk$i") }: _*)
-      .withColumn("grams", grams).drop("nt")
-      .withColumn("ng", size(col("grams")).cast("double"))
-      .persist()
-    val keys = blockCols.indices.map(i => s"blk$i")
-    val joined = base.as("a").join(base.as("b"),
-      keys.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _) &&
-        col("a.id") < col("b.id"))
-    // |union| = |a| + |b| - |intersect|: one set operation per pair, not
-    // two — and `common` is staged into its own projection so the
-    // interpreted intersect isn't re-evaluated per reference (no CSE)
-    import org.apache.spark.sql.graft.ColumnBridge
-    val common = ColumnBridge.column(graft.expressions.SortedLongArrayIntersectCount(
-      ColumnBridge.expression(col("a.grams")), ColumnBridge.expression(col("b.grams"))))
-    joined.select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        common.cast("double").as("common"),
-        (col("a.ng") + col("b.ng")).as("sz"))
-      .select(col("id_a"), col("id_b"),
-        (col("common") / (col("sz") - col("common"))).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    val spark = df.sparkSession
+    import spark.implicits._
+    // grams as SORTED DISTINCT hashed longs in one compiled pass: 8-byte
+    // elements + sort-once so the per-pair intersection is a merge scan
+    val grams = {
+      import org.apache.spark.sql.graft.ColumnBridge
+      ColumnBridge.column(graft.expressions.CharGramHashes(
+        ColumnBridge.expression(col("nt")), n))
+    }
+    val prepared = df
+      .select(Seq(col(idCol).cast("long").as("id"), normText(col(textCol)).as("nt")) ++
+        blockCols.zipWithIndex.map { case (c, i) => c.cast("string").as(s"blk$i") }: _*)
+      .withColumn("grams", grams)
+      .select(concat_ws("\u0001", blockCols.indices.map(i => col(s"blk$i")): _*).as("bk"),
+        col("id"), col("grams"))
+      .as[(String, Long, Array[Long])]
+    prepared.groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val rows = it.map(t => (t._2, t._3)).toArray.sortBy(_._1)
+        for {
+          i <- rows.indices.iterator
+          j <- (i + 1) until rows.length
+          common = intersectCount(rows(i)._2, rows(j)._2).toDouble
+          jac = common / (rows(i)._2.length + rows(j)._2.length - common)
+          if jac >= threshold
+        } yield (rows(i)._1, rows(j)._1, jac)
+      }
+      .toDF("id_a", "id_b", "jaccard")
   }
 
   // ---------------------------------------------------------------------
