@@ -1,0 +1,36 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bucketed-table writers: pre-shuffle a relation ONCE at write time so
+  * every later equi-join / aggregation on the bucket key runs with no
+  * Exchange at all (Spark's bucketing metadata satisfies the join's
+  * ClusteredDistribution; sortBy additionally satisfies the SMJ's
+  * ordering, skipping the per-task sort).
+  *
+  * The 100 TB play: fact tables are written bucketed by their join key
+  * (l_orderkey, document digest, …). A bucketed join of two tables with
+  * the same bucket count reads co-located buckets directly — the
+  * dominant shuffle of the pipeline is paid once at ingest, not per
+  * query. */
+object Bucketed {
+
+  /** Write `df` as a bucketed (optionally bucket-sorted) managed
+    * parquet table. `saveAsTable` is required — bucket metadata lives
+    * in the catalog, not the files. */
+  def write(df: DataFrame, table: String, bucketCol: String,
+      numBuckets: Int, sorted: Boolean = true): Unit = {
+    val w = df.write.format("parquet").mode("overwrite")
+      .bucketBy(numBuckets, bucketCol)
+    (if (sorted) w.sortBy(bucketCol) else w).saveAsTable(table)
+  }
+
+  /** Join two bucketed tables on their bucket keys. With equal bucket
+    * counts the physical plan contains no Exchange (asserted in
+    * BucketedSpec). */
+  def join(spark: SparkSession, left: String, right: String,
+      leftKey: String, rightKey: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    spark.table(left).join(spark.table(right), col(leftKey) === col(rightKey))
+  }
+}
