@@ -102,7 +102,12 @@ object Casts {
           onError(c, v.try_cast(LongType),
             v.rlike(intRe) && v.try_cast(LongType).isNotNull, target.spec, opts)
         } else {
-          val parsed = conv(v, opts.base, 10).try_cast(LongType)
+          // conv() is unsigned: peel an explicit sign first so radix
+          // output ("-ff") round-trips
+          val neg = v.startsWith("-")
+          val mag = when(v.rlike("^[+-]"), v.substr(lit(2), length(v))).otherwise(v)
+          val parsed = (conv(mag, opts.base, 10).try_cast(LongType) *
+            when(neg, -1L).otherwise(1L)).cast(LongType)
           onError(c, parsed, parsed.isNotNull, target.spec, opts)
         }
       case TimestampType => unix_timestamp(c)
@@ -153,10 +158,20 @@ object Casts {
     * integers are counts of `unit` since the `since` epoch; strings
     * parse ISO or `format`. Unit arithmetic is integral microseconds —
     * exact, engine-agnostic. */
+  /** "ns" unit family: sub-microsecond — truncates toward zero into the
+    * micros lane (the reference's rounding="down" residual default). */
+  private def isNanos(u: String): Boolean =
+    u == "ns" || u == "nanosecond" || u == "nanoseconds"
+
+  private def nanosToMicros(n: Column): Column =
+    ((n - n % 1000) / 1000).cast(LongType)
+
   def toDatetime(c: Column, dt: DataType, opts: CastOptions = CastOptions()): Column = {
     val sinceUs = unix_micros(lit(TimeFns.resolveEpoch(opts.since)).cast(TimestampType))
     val calendar = TimeFns.monthsPerUnit(opts.unit)
     dt match {
+      case ByteType | ShortType | IntegerType | LongType if isNanos(opts.unit) =>
+        timestamp_micros(sinceUs + nanosToMicros(c.cast(LongType) * opts.stepSize))
       case ByteType | ShortType | IntegerType | LongType => calendar match {
         case Some(mp) =>
           TimeFns.datetimeFromCalendarUnits(c, mp, opts.since, opts.stepSize)
@@ -164,6 +179,9 @@ object Casts {
           timestamp_micros(sinceUs +
             c.cast(LongType) * lit(TimeFns.unitMicros(opts.unit) * opts.stepSize))
       }
+      case FloatType | DoubleType if isNanos(opts.unit) =>
+        timestamp_micros(sinceUs +
+          (c.cast(DoubleType) * (0.001 * opts.stepSize)).try_cast(LongType))
       case FloatType | DoubleType => calendar match {
         case Some(mp) =>
           // fractional calendar counts round half_even to whole units
@@ -193,8 +211,12 @@ object Casts {
     * (util/time/timedelta.pyx:136). */
   def toTimedelta(c: Column, dt: DataType, opts: CastOptions = CastOptions()): Column =
     dt match {
+      case ByteType | ShortType | IntegerType | LongType if isNanos(opts.unit) =>
+        nanosToMicros(c.cast(LongType) * opts.stepSize)
       case ByteType | ShortType | IntegerType | LongType =>
         c.cast(LongType) * lit(TimeFns.unitMicros(opts.unit) * opts.stepSize)
+      case FloatType | DoubleType if isNanos(opts.unit) =>
+        (c.cast(DoubleType) * (0.001 * opts.stepSize)).try_cast(LongType)
       case FloatType | DoubleType =>
         (c.cast(DoubleType) * lit((TimeFns.unitMicros(opts.unit) * opts.stepSize).toDouble))
           .try_cast(LongType) // ANSI-safe on NaN/Inf/overflow
@@ -242,11 +264,16 @@ object Casts {
     }
   }
 
-  /** to_string (reference convert/base.py:274, convert/string.py). */
+  /** to_string (reference convert/base.py:274, convert/string.py).
+    * Integral inputs honour `base` (reference util/string.pyx:45
+    * `int_to_base`): lowercase digits, explicit sign. */
   def toString(c: Column, dt: DataType, opts: CastOptions = CastOptions()): Column =
     dt match {
       case BooleanType => when(c, "true").otherwise(when(!c, "false"))
       case TimestampType => date_format(c, "yyyy-MM-dd HH:mm:ss")
+      case ByteType | ShortType | IntegerType | LongType if opts.base != 10 =>
+        val mag = lower(conv(abs(c).cast(StringType), 10, opts.base))
+        when(c < 0, concat(lit("-"), mag)).otherwise(mag)
       case _ => c.cast(StringType)
     }
 }

@@ -155,6 +155,16 @@ object TimeFns {
     floor((unix_micros(end.cast("timestamp")) - unix_micros(a.cast("timestamp"))) /
       lit(unitMicros(unit))).cast("long")
 
+  /** date → days since 1970-01-01 (reference util/time/calendar.pyx:55
+    * `date_to_days`, proleptic Gregorian). */
+  def dateToOrdinal(d: Column): Column =
+    datediff(d.cast("date"), lit("1970-01-01").cast("date")).cast("long")
+
+  /** days since 1970-01-01 → date (reference calendar.pyx:233
+    * `days_to_date`). */
+  def ordinalToDate(n: Column): Column =
+    date_add(lit("1970-01-01").cast("date"), n.cast("int"))
+
   /** Leap-year predicate (reference util/time/calendar.pyx
     * `is_leap_year`): Gregorian rule, pure integer arithmetic. */
   def isLeapYear(y: Column): Column =

@@ -216,7 +216,12 @@ object TypeQueries {
         dayofmonth(col("o_orderdate")).as("d"),
         TimeFns.dowSunday0(col("o_orderdate")).as("dow"),
         TimeFns.daysInMonth(col("o_orderdate")).as("dim"),
-        TimeFns.isLeapYear(year(col("o_orderdate"))).as("leap"))
+        TimeFns.isLeapYear(year(col("o_orderdate"))).as("leap"),
+        TimeFns.dateToOrdinal(col("o_orderdate")).as("ord"),
+        // ordinal → date → ordinal roundtrip proves days_to_date
+        TimeFns.dateToOrdinal(
+          TimeFns.ordinalToDate(TimeFns.dateToOrdinal(col("o_orderdate"))))
+          .as("ord_rt"))
       .orderBy("o_orderkey")
 
   // ---- T18: complex as struct<re,im> --------------------------------------
@@ -625,7 +630,9 @@ object TypeQueries {
         |  CAST(dayofweek(o_orderdate) AS INTEGER) AS dow,
         |  CAST(day(last_day(o_orderdate)) AS INTEGER) AS dim,
         |  (year(o_orderdate) % 4 = 0 AND year(o_orderdate) % 100 != 0)
-        |    OR year(o_orderdate) % 400 = 0 AS leap
+        |    OR year(o_orderdate) % 400 = 0 AS leap,
+        |  CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS ord,
+        |  CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS ord_rt
         |FROM orders WHERE o_orderkey <= 200 ORDER BY o_orderkey""".stripMargin,
     "t18_cast_complex" ->
       """SELECT c_custkey,

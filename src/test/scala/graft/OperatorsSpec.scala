@@ -77,6 +77,30 @@ class DedupSpec extends AnyFunSuite {
     assert(exact.nonEmpty)
     assert(lsh == exact)
   }
+
+  test("minhash LSH == exact all-pairs shingle jaccard (differential)") {
+    // corpus with planted exact+near dups; exact twin brute-forces every
+    // pair's shingle jaccard. Hashes/permutations are seeded, so this
+    // equality is deterministic — LSH banding loses nothing here, down
+    // to the weakest organic pair (j = 0.615).
+    val base = Tables.t(spark, sf, "documents").select($"doc_id", $"text")
+    val all = base.union(base.select(($"doc_id" + 1000000L).as("doc_id"),
+      concat($"text", lit(" zz qq")).as("text")))
+    val lsh = Dedup.minhashPairs(all, "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    import org.apache.spark.sql.graft.ColumnBridge
+    val sh = all.select($"doc_id".as("id"), Dedup.shingleHashes($"text").as("sh")).persist()
+    val common = ColumnBridge.column(graft.expressions.SortedLongArrayIntersectCount(
+      ColumnBridge.expression($"a.sh"), ColumnBridge.expression($"b.sh"))).cast("double")
+    val exact = sh.as("a").join(sh.as("b"), $"a.id" < $"b.id")
+      .select($"a.id".as("id_a"), $"b.id".as("id_b"),
+        (common / (size($"a.sh") + size($"b.sh") - common)).as("j"))
+      .filter($"j" >= 0.5)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    sh.unpersist()
+    assert(exact.size > 500)
+    assert(lsh == exact)
+  }
 }
 
 class SimilaritySpec extends AnyFunSuite {

@@ -334,3 +334,46 @@ class CalendarParseSpec extends AnyFunSuite {
     assert(re == 1.0)
   }
 }
+
+class RadixOrdinalSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+  import graft.functions.{CastOptions, Casts, TimeFns}
+  import org.apache.spark.sql.types.LongType
+
+  test("int → string radix output: lowercase digits, explicit sign") {
+    val df = Seq(255L, -255L, 0L, 16L).toDF("n")
+    val hex = df.select(Casts.toString($"n", LongType,
+      CastOptions(base = 16)).as("s")).as[String].collect().toSeq
+    assert(hex == Seq("ff", "-ff", "0", "10"))
+    val bin = df.select(Casts.toString($"n", LongType,
+      CastOptions(base = 2)).as("s")).as[String].collect().toSeq
+    assert(bin == Seq("11111111", "-11111111", "0", "10000"))
+    // round-trips through the string→int radix parser
+    val back = df.select(Casts.toInteger(
+      Casts.toString($"n", LongType, CastOptions(base = 16)),
+      org.apache.spark.sql.types.StringType,
+      graft.types.GInteger(64), CastOptions(base = 16)).as("b"))
+      .as[Long].collect().toSeq
+    assert(back == Seq(255L, -255L, 0L, 16L))
+  }
+
+  test("ns unit truncates toward zero into the micros lane") {
+    val df = Seq(1500L, -1500L, 999L).toDF("n")
+    val us = df.select(Casts.toTimedelta($"n", LongType,
+      CastOptions(unit = "ns")).as("us")).as[Long].collect().toSeq
+    assert(us == Seq(1L, -1L, 0L))
+    val ts = df.select(unix_micros(Casts.toDatetime($"n", LongType,
+      CastOptions(unit = "ns"))).as("t")).as[Long].collect().toSeq
+    assert(ts == Seq(1L, -1L, 0L))
+  }
+
+  test("date ↔ ordinal: known anchors and inverse composition") {
+    val df = Seq("1970-01-01", "1970-01-02", "1969-12-31", "2024-02-29").toDF("d")
+    val ord = df.select(TimeFns.dateToOrdinal($"d").as("o")).as[Long].collect().toSeq
+    assert(ord == Seq(0L, 1L, -1L, 19782L))
+    val back = df.select(date_format(TimeFns.ordinalToDate(
+      TimeFns.dateToOrdinal($"d")), "yyyy-MM-dd").as("b")).as[String].collect().toSeq
+    assert(back == Seq("1970-01-01", "1970-01-02", "1969-12-31", "2024-02-29"))
+  }
+}
