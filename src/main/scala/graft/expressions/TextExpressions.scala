@@ -78,11 +78,114 @@ case class WordShingleHashes(child: Expression, w: Int) extends UnaryExpression 
     copy(child = newChild)
 }
 
+/** Heuristic language ID fused into one compiled pass: CJK code-point
+  * ratio over the RAW text plus per-profile stopword-hit ratios over
+  * the NORMALIZED text, with the earliest-max tie-break — exactly the
+  * arithmetic of the Column formulation it replaces (and of the DuckDB
+  * oracle): pred = cjk > 0.3 ? "zh" : best > 0 ? argmax : "und". */
+case class LangIdHeuristic(rawText: Expression, normText: Expression)
+    extends BinaryExpression {
+
+  override def left: Expression = rawText
+  override def right: Expression = normText
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_lang_id"
+
+  override def nullSafeEval(raw: Any, norm: Any): Any =
+    TextHashKernels.langId(raw.asInstanceOf[UTF8String], norm.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.expressions.TextHashKernels.langId($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LangIdHeuristic =
+    copy(rawText = newLeft, normText = newRight)
+}
+
 object TextHashKernels {
   import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 
   private val FnvBasis = 0xcbf29ce484222325L
   private val FnvPrime = 0x100000001b3L
+
+  /** Canonical language stopword profiles, in tie-break order (the
+    * earliest profile attaining the max score wins). TextAnalysis
+    * derives its public map from this list. */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "you", "that", "it", "for", "a"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "mit", "ein", "zu", "von"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "para", "con", "por"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "une", "pour", "que", "dans"))
+
+  private def fnvBytes(b: Array[Byte], from: Int, until: Int): Long = {
+    var h = FnvBasis
+    var i = from
+    while (i < until) { h ^= (b(i) & 0xff); h *= FnvPrime; i += 1 }
+    h
+  }
+
+  private lazy val profileNames: Array[UTF8String] =
+    langProfiles.map(p => UTF8String.fromString(p._1)).toArray
+  private lazy val profileHashes: Array[Array[Long]] =
+    langProfiles.map(_._2.map { w =>
+      val b = w.getBytes("UTF-8"); fnvBytes(b, 0, b.length)
+    }.toArray).toArray
+
+  private val zh = UTF8String.fromString("zh")
+  private val und = UTF8String.fromString("und")
+
+  /** One-pass language ID: CJK code-point ratio on the raw text, then
+    * stopword-hash hit ratios per profile on the normalized text with
+    * strict-greater (earliest-max) argmax — arithmetic identical to the
+    * Column/oracle formulation. */
+  def langId(raw: UTF8String, norm: UTF8String): UTF8String = {
+    val rs = raw.toString
+    var i = 0
+    var total = 0
+    var cjkN = 0
+    while (i < rs.length) {
+      val cp = rs.codePointAt(i)
+      total += 1
+      if (cp >= 0x4e00 && cp <= 0x9fff) cjkN += 1
+      i += Character.charCount(cp)
+    }
+    if (cjkN.toDouble / math.max(total, 1) > 0.3) return zh
+    val b = norm.getBytes
+    val n = b.length
+    val hits = new Array[Int](profileHashes.length)
+    var ntok = 0
+    var start = 0
+    var pos = 0
+    while (pos <= n) {
+      if (pos == n || b(pos) == ' ') {
+        ntok += 1
+        val h = fnvBytes(b, start, pos)
+        var p = 0
+        while (p < profileHashes.length) {
+          val ph = profileHashes(p)
+          var k = 0
+          while (k < ph.length) {
+            if (ph(k) == h) { hits(p) += 1; k = ph.length }
+            else k += 1
+          }
+          p += 1
+        }
+        start = pos + 1
+      }
+      pos += 1
+    }
+    val denom = math.max(ntok, 1).toDouble
+    var bestIdx = 0
+    var best = hits(0) / denom
+    var p = 1
+    while (p < hits.length) {
+      val sc = hits(p) / denom
+      if (sc > best) { best = sc; bestIdx = p }
+      p += 1
+    }
+    if (best > 0.0) profileNames(bestIdx) else und
+  }
 
   private def fnv(cps: Array[Int], from: Int, until: Int): Long = {
     var h = FnvBasis

@@ -118,12 +118,11 @@ object LlmQueries {
       .orderBy("vec_id")
   }
 
-  // ---- L8: language ID heuristic ------------------------------------------
+  // ---- L8: language ID heuristic (fused compiled kernel) ------------------
   def x1LangId(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
-      .withColumn("toks", TextAnalysis.tokens(col("text")))
       .select(col("doc_id"),
-        TextAnalysis.langIdFromToks(col("text"), col("toks")).as("pred"),
+        TextAnalysis.langId(col("text")).as("pred"),
         col("lang").as("actual"))
       .withColumn("hit", col("pred") === col("actual"))
       .orderBy("doc_id")

@@ -10,13 +10,11 @@ object TextAnalysis {
 
   /** Per-language stopword profiles for the n-gram/stopword heuristic
     * language detector. Deliberately tiny: langid at scale is a
-    * cheap first-pass filter, not a classifier. */
-  val stopwords: Map[String, Seq[String]] = Map(
-    "en" -> Seq("the", "and", "of", "to", "in", "is", "you", "that", "it", "for", "a"),
-    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "mit", "ein", "zu", "von"),
-    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "para", "con", "por"),
-    "fr" -> Seq("le", "la", "de", "et", "les", "des", "une", "pour", "que", "dans"),
-  )
+    * cheap first-pass filter, not a classifier. Canonical list (with
+    * tie-break order) lives in TextHashKernels.langProfiles, shared
+    * with the fused kernel. */
+  val stopwords: Map[String, Seq[String]] =
+    graft.expressions.TextHashKernels.langProfiles.toMap
 
   def tokens(text: Column): Column =
     split(trim(regexp_replace(lower(text), "\\s+", " ")), " ")
@@ -48,7 +46,14 @@ object TextAnalysis {
       .otherwise("und")
   }
 
-  def langId(text: Column): Column = langIdFromToks(text, tokens(text))
+  /** Fused one-pass language ID (graft.expressions.LangIdHeuristic) —
+    * same arithmetic as [[langIdFromToks]], compiled. */
+  def langId(text: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.expressions.LangIdHeuristic(
+      ColumnBridge.expression(text),
+      ColumnBridge.expression(Dedup.normText(text))))
+  }
 
   /** Quality features: lengths, token stats, punctuation/alpha/stopword
     * ratios, and a composite [0,1] score (heuristic curation signal). */

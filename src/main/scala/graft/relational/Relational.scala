@@ -389,7 +389,24 @@ object Relational {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
+  // ---- R32: quantiles — exact order statistics ----------------------------
+  // Exact percentile sorts each group's values: the verification-grade
+  // twin, oracled against DuckDB quantile_cont (same linear
+  // interpolation at p·(n-1)). The 100 TB default is the MERGEABLE
+  // approx_percentile t-digest — QuantileSketchSpec asserts the sketch
+  // tracks these exact values.
+  def q32Quantiles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        round(percentile(col("l_extendedprice"), lit(0.25)), 6).as("p25"),
+        round(percentile(col("l_extendedprice"), lit(0.5)), 6).as("p50"),
+        round(percentile(col("l_extendedprice"), lit(0.75)), 6).as("p75"),
+        round(percentile(col("l_extendedprice"), lit(0.9)), 6).as("p90"))
+      .orderBy("l_returnflag")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q32_quantiles" -> q32Quantiles _,
     "q30_sketch_distinct" -> q30SketchDistinct _,
     "q31_hash_sample" -> q31HashSample _,
     "q27_asof_join" -> q27AsofJoin _,
@@ -426,6 +443,13 @@ object Relational {
   private val rev = revenueSql // DuckDB fragment
 
   val oracles: Map[String, String] = Map(
+    "q32_quantiles" ->
+      """SELECT l_returnflag,
+        |  ROUND(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+        |  ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+        |  ROUND(quantile_cont(l_extendedprice, 0.75), 6) AS p75,
+        |  ROUND(quantile_cont(l_extendedprice, 0.9), 6) AS p90
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q31_hash_sample" -> {
       val hexVal = (1 to 4).map(i =>
         s"(strpos('0123456789abcdef', substr(md5(CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR)), $i, 1)) - 1) * ${math.pow(16, 4 - i).toLong}")

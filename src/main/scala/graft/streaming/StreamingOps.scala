@@ -89,6 +89,30 @@ object StreamingOps {
       }
   }
 
+  /** S4: stream-static enrichment join — the static dimension is
+    * BROADCAST to every micro-batch task (no stream-stream state, no
+    * watermark needed for the join itself); counts roll up per segment
+    * window. The canonical "enrich events with a dimension table" shape
+    * at any scale: only the aggregation keeps state. */
+  def enrichedSegmentCounts(events: DataFrame, dim: DataFrame,
+      window_ : String = "1 hour", watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy(window(col("ts"), window_), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("win_start"), col("c_mktsegment"),
+        col("n"), col("total_value"))
+
+  /** Batch twin of [[enrichedSegmentCounts]]. */
+  def enrichedSegmentCountsBatch(events: DataFrame, dim: DataFrame,
+      window_ : String = "1 hour"): DataFrame =
+    events.join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy(window(col("ts"), window_), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("win_start"), col("c_mktsegment"),
+        col("n"), col("total_value"))
+
   /** Batch twin of [[windowedCounts]] for equivalence checks. */
   def windowedCountsBatch(events: DataFrame, window_ : String = "1 hour"): DataFrame =
     events.groupBy(window(col("ts"), window_), col("event_type"))

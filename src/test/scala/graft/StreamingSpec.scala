@@ -65,3 +65,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(n > 0 && n == distinct)
   }
 }
+
+class StreamStaticJoinSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("S4: stream-static broadcast enrichment matches its batch twin") {
+    val dim = Tables.t(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    val stream = StreamingOps.readEventsStream(spark, sf)
+    val q = StreamingOps.enrichedSegmentCounts(stream, dim)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("s4_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.table("s4_out")
+      .orderBy("win_start", "c_mktsegment").collect()
+    val want = StreamingOps.enrichedSegmentCountsBatch(Tables.events(spark, sf), dim)
+      .orderBy("win_start", "c_mktsegment").collect()
+    assert(got.length == want.length && got.length > 0)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.getTimestamp(0) == w.getTimestamp(0))
+      assert(g.getString(1) == w.getString(1))
+      assert(g.getLong(2) == w.getLong(2))
+      assert(math.abs(g.getDouble(3) - w.getDouble(3)) < 1e-6)
+    }
+  }
+}
+
+class QuantileSketchSpec extends AnyFunSuite {
+  import TestSpark._
+  import org.apache.spark.sql.functions._
+
+  test("t-digest approx percentiles track the exact order statistics") {
+    val li = Tables.t(spark, sf, "lineitem")
+    val approx = li.groupBy("l_returnflag")
+      .agg(approx_percentile(col("l_extendedprice"),
+        array(lit(0.25), lit(0.5), lit(0.75), lit(0.9)), lit(5000)).as("ap"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    val exact = relational.Relational.q32Quantiles(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    exact.foreach { case (flag, ex) =>
+      approx(flag).zip(ex).foreach { case (a, e) =>
+        assert(math.abs(a - e) / math.max(math.abs(e), 1.0) < 0.02,
+          s"$flag: approx $a vs exact $e")
+      }
+    }
+  }
+}
