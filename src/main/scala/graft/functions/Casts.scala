@@ -16,6 +16,11 @@ final case class CastOptions(
     unit: String = "s", // epoch unit for int↔datetime/timedelta ("M"/"Y" = calendar)
     since: String = "1970-01-01 00:00:00", // epoch anchor: literal or named alias
     stepSize: Long = 1, // units per increment (reference arguments.py:554)
+    tz: Option[String] = None, // wall-clock zone of naive datetime strings (arguments.py:761)
+    dayFirst: Boolean = false, // "01/02/03" = 1 Feb (arguments.py:859)
+    yearFirst: Boolean = false, // "01/02/03" = 2001-02-03 (arguments.py:921)
+    asHours: Boolean = false, // "1:30" = hours:minutes, not minutes:seconds (arguments.py:973)
+    ignoreCase: Boolean = true, // boolean token matching (arguments.py:1220)
     trueTokens: Seq[String] = Seq("true", "t", "yes", "y", "on", "1"),
     falseTokens: Seq[String] = Seq("false", "f", "no", "n", "off", "0"),
     base: Int = 10, // string→int radix
@@ -59,7 +64,7 @@ object Casts {
   def toBoolean(c: Column, dt: DataType, opts: CastOptions = CastOptions()): Column =
     dt match {
       case StringType =>
-        val v = lower(trim(c))
+        val v = if (opts.ignoreCase) lower(trim(c)) else trim(c)
         val res = when(v.isin(opts.trueTokens: _*), lit(true))
           .when(v.isin(opts.falseTokens: _*), lit(false))
         val convertible = v.isin((opts.trueTokens ++ opts.falseTokens): _*)
@@ -195,10 +200,22 @@ object Casts {
               .try_cast(LongType)) // ANSI-safe on NaN/Inf/overflow
       }
       case StringType =>
-        val parsed = opts.format match {
-          case Some(f) => try_to_timestamp(trim(c), lit(f))
-          case None => try_to_timestamp(trim(c))
+        val v = trim(c)
+        val naive = opts.format match {
+          case Some(f) => try_to_timestamp(v, lit(f))
+          case None =>
+            // ambiguous slashed dates honour day_first/year_first
+            // (reference arguments.py:859,921; dateutil semantics),
+            // falling back to ISO parsing
+            val ambiguous: Seq[String] =
+              if (opts.dayFirst) Seq("d/M/yyyy H:m:s", "d/M/yyyy", "d-M-yyyy")
+              else if (opts.yearFirst) Seq("yy/M/d H:m:s", "yy/M/d", "yy-M-d")
+              else Seq.empty
+            (ambiguous.map(f => try_to_timestamp(v, lit(f))) :+
+              try_to_timestamp(v)).reduce(coalesce(_, _))
         }
+        // tz: the string is wall-clock time in `tz` → absolute UTC instant
+        val parsed = opts.tz.fold(naive)(z => to_utc_timestamp(naive, z))
         onError(c, parsed, parsed.isNotNull, "datetime", opts)
       case TimestampType | DateType => c.cast(TimestampType)
       case other => throw new IllegalArgumentException(s"to_datetime from $other")
@@ -221,7 +238,7 @@ object Casts {
         (c.cast(DoubleType) * lit((TimeFns.unitMicros(opts.unit) * opts.stepSize).toDouble))
           .try_cast(LongType) // ANSI-safe on NaN/Inf/overflow
       case StringType =>
-        val parsed = TimeFns.timedeltaMicros(c)
+        val parsed = TimeFns.timedeltaMicros(c, opts.asHours)
         onError(c, parsed, parsed.isNotNull, "timedelta", opts)
       case other => throw new IllegalArgumentException(s"to_timedelta from $other")
     }

@@ -115,7 +115,7 @@ object TimeFns {
     * names normalize to the short forms; unparseable input → null
     * (callers apply the error mode). Mirrors reference
     * timedelta.pyx `timedelta_string_to_ns` at microsecond width. */
-  def timedeltaMicros(c: Column): Column = {
+  def timedeltaMicros(c: Column, asHours: Boolean = false): Column = {
     val collapsed = regexp_replace(lower(trim(c)), "\\s+", "")
     val s = tdReplacements.foldLeft(collapsed) { case (acc, (pat, rep)) =>
       regexp_replace(acc, pat, rep)
@@ -129,10 +129,13 @@ object TimeFns {
     def us(v: Column, unitUs: Double): Column = floor(v * unitUs + 0.5).cast("long")
     val clockVal = {
       val hasSec = regexp_extract(s, clockRe, 6) =!= ""
+      // 2-component clocks are ambiguous: minutes:seconds by default,
+      // hours:minutes under as_hours (reference arguments.py:973)
+      val (u1, u2) = if (asHours) (hUs, mUs) else (mUs, sUs)
       val hm = when(hasSec,
         us(part(clockRe, 4), 3.6e9) + us(part(clockRe, 5), 6e7) +
           us(part(clockRe, 6), 1e6))
-        .otherwise(us(part(clockRe, 4), 6e7) + us(part(clockRe, 5), 1e6))
+        .otherwise(us(part(clockRe, 4), u1) + us(part(clockRe, 5), u2))
       sign(clockRe) *
         (us(part(clockRe, 2), 6.048e11) + us(part(clockRe, 3), 8.64e10) + hm)
     }

@@ -398,11 +398,15 @@ object Relational {
   def q32Quantiles(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .groupBy("l_returnflag")
-      .agg(
-        round(percentile(col("l_extendedprice"), lit(0.25)), 6).as("p25"),
-        round(percentile(col("l_extendedprice"), lit(0.5)), 6).as("p50"),
-        round(percentile(col("l_extendedprice"), lit(0.75)), 6).as("p75"),
-        round(percentile(col("l_extendedprice"), lit(0.9)), 6).as("p90"))
+      // ONE percentile aggregate for all four points (4 separate aggs
+      // would buffer+sort each group's values four times)
+      .agg(percentile(col("l_extendedprice"),
+        array(lit(0.25), lit(0.5), lit(0.75), lit(0.9))).as("ps"))
+      .select(col("l_returnflag"),
+        round(element_at(col("ps"), 1), 6).as("p25"),
+        round(element_at(col("ps"), 2), 6).as("p50"),
+        round(element_at(col("ps"), 3), 6).as("p75"),
+        round(element_at(col("ps"), 4), 6).as("p90"))
       .orderBy("l_returnflag")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -377,3 +377,50 @@ class RadixOrdinalSpec extends AnyFunSuite {
     assert(back == Seq("1970-01-01", "1970-01-02", "1969-12-31", "2024-02-29"))
   }
 }
+
+class CastArgumentsSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+  import graft.functions.{CastOptions, Casts}
+  import org.apache.spark.sql.types.StringType
+
+  test("day_first / year_first disambiguate slashed dates") {
+    val df = Seq("01/02/2003").toDF("s")
+    def parse(o: CastOptions) = df.select(date_format(
+      Casts.toDatetime($"s", StringType, o), "yyyy-MM-dd").as("d")).as[String].head()
+    assert(parse(CastOptions(errors = "coerce", dayFirst = true)) == "2003-02-01")
+    val yf = Seq("03/04/05").toDF("s").select(date_format(
+      Casts.toDatetime($"s", StringType,
+        CastOptions(errors = "coerce", yearFirst = true)), "yyyy-MM-dd").as("d"))
+      .as[String].head()
+    assert(yf == "2003-04-05")
+  }
+
+  test("tz localizes naive datetime strings to UTC instants") {
+    val df = Seq("2024-06-01 12:00:00").toDF("s")
+    val utc = df.select(date_format(Casts.toDatetime($"s", StringType,
+      CastOptions(errors = "coerce", tz = Some("America/New_York"))),
+      "yyyy-MM-dd HH:mm").as("d")).as[String].head()
+    assert(utc == "2024-06-01 16:00") // EDT = UTC-4
+  }
+
+  test("as_hours flips 2-component clock interpretation") {
+    val df = Seq("1:30").toDF("s")
+    def td(o: CastOptions) = df.select(Casts.toTimedelta($"s", StringType, o)
+      .as("us")).as[Long].head()
+    assert(td(CastOptions(errors = "coerce")) == 90000000L) // 1m30s
+    assert(td(CastOptions(errors = "coerce", asHours = true)) == 5400000000L) // 1h30m
+  }
+
+  test("ignore_case=false makes boolean tokens case-sensitive") {
+    val df = Seq("TRUE", "true").toDF("s")
+    val loose = df.select(Casts.toBoolean($"s", StringType,
+      CastOptions(errors = "coerce")).as("b")).collect().map(r =>
+      if (r.isNullAt(0)) None else Some(r.getBoolean(0)))
+    assert(loose.toSeq == Seq(Some(true), Some(true)))
+    val strict = df.select(Casts.toBoolean($"s", StringType,
+      CastOptions(errors = "coerce", ignoreCase = false)).as("b")).collect().map(r =>
+      if (r.isNullAt(0)) None else Some(r.getBoolean(0)))
+    assert(strict.toSeq == Seq(None, Some(true)))
+  }
+}
