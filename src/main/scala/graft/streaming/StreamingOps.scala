@@ -104,6 +104,46 @@ object StreamingOps {
       .select(col("window.start").as("win_start"), col("c_mktsegment"),
         col("n"), col("total_value"))
 
+  /** S5: stream-stream interval join — each purchase joined to the same
+    * user's views in the preceding hour (conversion attribution). Both
+    * sides carry watermarks and the join condition bounds event-time
+    * distance, so Spark evicts join state once the watermark passes:
+    * state is O(events in the interval horizon), not O(stream). */
+  def conversionJoin(events: DataFrame, intervalSql: String = "INTERVAL 1 HOUR",
+      watermark: String = "2 hours"): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("view_id"))
+      .withWatermark("v_ts", watermark)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", watermark)
+    purchases.join(views,
+      col("p_user") === col("v_user") &&
+        col("v_ts") <= col("p_ts") &&
+        col("v_ts") >= col("p_ts") - expr(intervalSql))
+      .select(col("p_user").as("user_id"), col("purchase_id"), col("view_id"),
+        col("p_ts"), col("v_ts"))
+  }
+
+  /** Batch twin of [[conversionJoin]]. */
+  def conversionJoinBatch(events: DataFrame,
+      intervalSql: String = "INTERVAL 1 HOUR"): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("view_id"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+    purchases.join(views,
+      col("p_user") === col("v_user") &&
+        col("v_ts") <= col("p_ts") &&
+        col("v_ts") >= col("p_ts") - expr(intervalSql))
+      .select(col("p_user").as("user_id"), col("purchase_id"), col("view_id"),
+        col("p_ts"), col("v_ts"))
+  }
+
   /** Batch twin of [[enrichedSegmentCounts]]. */
   def enrichedSegmentCountsBatch(events: DataFrame, dim: DataFrame,
       window_ : String = "1 hour"): DataFrame =

@@ -66,3 +66,53 @@ class RoundingPropertySpec extends AnyFunSuite {
     }
   }
 }
+
+/** Grid differential test for the timedelta string parser: render
+  * component grids in every format family, parse with the Column
+  * kernel, compare against directly-computed microseconds. */
+class TimedeltaParsePropertySpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+  import graft.functions.TimeFns
+
+  private val grid = for {
+    sign <- Seq("", "-", "+")
+    d <- Seq(0L, 1L, 23L)
+    h <- Seq(0L, 1L, 11L)
+    m <- Seq(0L, 5L, 59L)
+    s <- Seq(0L, 9L, 59L)
+  } yield (sign, d, h, m, s)
+
+  private def signOf(s: String): Long = if (s == "-") -1L else 1L
+
+  test("abbrev render → parse roundtrip over the component grid") {
+    val cases = grid.collect { case (sign, d, h, m, s) if d + h + m + s > 0 =>
+      val rendered = sign + (if (d > 0) s"${d}d" else "") +
+        (if (h > 0) s"${h}h" else "") + (if (m > 0) s"${m}m" else "") +
+        (if (s > 0) s"${s}s" else "")
+      val expected = signOf(sign) *
+        (d * 86400000000L + h * 3600000000L + m * 60000000L + s * 1000000L)
+      (rendered, expected)
+    }
+    val got = cases.map(_._1).toDF("s")
+      .select(TimeFns.timedeltaMicros($"s").as("us")).as[Long].collect()
+    got.zip(cases.map(_._2)).zip(cases.map(_._1)).foreach { case ((g, e), r) =>
+      assert(g == e, s"'$r': $g != $e")
+    }
+  }
+
+  test("clock render → parse roundtrip (H:MM:SS, with day prefix)") {
+    val cases = grid.map { case (sign, d, h, m, s) =>
+      val clock = f"$h%d:$m%02d:$s%02d"
+      val rendered = sign + (if (d > 0) s"${d}d" else "") + clock
+      val expected = signOf(sign) *
+        (d * 86400000000L + h * 3600000000L + m * 60000000L + s * 1000000L)
+      (rendered, expected)
+    }
+    val got = cases.map(_._1).toDF("s")
+      .select(TimeFns.timedeltaMicros($"s").as("us")).as[Long].collect()
+    got.zip(cases.map(_._2)).zip(cases.map(_._1)).foreach { case ((g, e), r) =>
+      assert(g == e, s"'$r': $g != $e")
+    }
+  }
+}

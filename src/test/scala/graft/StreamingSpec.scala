@@ -113,3 +113,25 @@ class QuantileSketchSpec extends AnyFunSuite {
     }
   }
 }
+
+class StreamStreamJoinSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("S5: stream-stream interval join matches its batch twin") {
+    val stream = StreamingOps.readEventsStream(spark, sf)
+    val q = StreamingOps.conversionJoin(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("s5_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.table("s5_out")
+      .select("user_id", "purchase_id", "view_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = StreamingOps.conversionJoinBatch(Tables.events(spark, sf))
+      .select("user_id", "purchase_id", "view_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(want.nonEmpty)
+    assert(got == want)
+  }
+}
