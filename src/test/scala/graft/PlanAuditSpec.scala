@@ -1,0 +1,65 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression guards: the properties that make these
+  * plans survive a 100× scale-up, asserted so a refactor can't silently
+  * lose them. */
+class PlanAuditSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  // queries whose nested-loop joins are INTENTIONAL: a broadcast cross
+  // of a tiny probe/query/centroid relation against the corpus scan
+  private val nestedLoopOk = Set("s1_ann_brute", "s4_quant_cosine", "s3_ann_ivf")
+
+  test("no query plan contains a cartesian product") {
+    SparkEntry.queries.keys.foreach { name =>
+      assert(!plan(name).contains("CartesianProduct"),
+        s"$name has a cartesian product")
+    }
+  }
+
+  test("nested-loop joins only where a broadcast tiny side is intended") {
+    SparkEntry.queries.keys.filterNot(nestedLoopOk).foreach { name =>
+      assert(!plan(name).contains("BroadcastNestedLoopJoin"),
+        s"$name has an unexpected nested-loop join")
+    }
+  }
+
+  test("filters and projections reach the parquet scan") {
+    val p2 = plan("q2_filter_project")
+    assert(p2.contains("PushedFilters: ["), s"q2 lost pushdown:\n$p2")
+    assert(p2.contains("GreaterThan") || p2.contains("LessThan") ||
+      p2.contains("EqualTo"), s"q2 pushed no predicate:\n$p2")
+    val p6 = plan("q6_scan_agg")
+    assert(p6.contains("PushedFilters: ["), s"q6 lost pushdown:\n$p6")
+  }
+
+  test("dimension joins broadcast the small side") {
+    assert(plan("q3_join_agg").contains("BroadcastHashJoin"))
+    assert(plan("q5_multi_join").contains("BroadcastHashJoin"))
+  }
+
+  test("native as-of join plans its custom exec with SMJ layout") {
+    val p = plan("q29_asof_native")
+    assert(p.contains("AsOfJoin"), s"custom exec missing:\n$p")
+  }
+
+  test("whole-stage codegen covers the scan-agg pipeline") {
+    // AQE wraps everything in an unmaterialized AdaptiveSparkPlan (0
+    // visible codegen subtrees pre-execution) — disable it for the
+    // introspection only
+    def codegen(name: String): String =
+      SparkEntry.queries(name)(spark, sf).queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      assert(codegen("q6_scan_agg").contains("WholeStageCodegen subtrees"))
+      assert(!codegen("q6_scan_agg").startsWith("Found 0 WholeStageCodegen"))
+      assert(!codegen("q1_agg").startsWith("Found 0 WholeStageCodegen"))
+    } finally spark.conf.unset("spark.sql.adaptive.enabled")
+  }
+}
