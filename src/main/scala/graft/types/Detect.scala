@@ -75,7 +75,10 @@ object Detect {
       val actual = detected.getOrElse(name, "missing")
       val ok = detected.contains(name) && {
         val act = TypeResolver.resolve(actual)
-        act.spec == expected.spec || act.family == expected.family
+        expected match {
+          case u: GUnion => u.admits(act) // any member admits the column
+          case _ => act.spec == expected.spec || act.family == expected.family
+        }
       }
       (name, expected.spec, actual, ok)
     }

@@ -115,6 +115,21 @@ final case class GSparse(wrapped: GraftType, fill: Option[String] = None) extend
   val family = wrapped.family
 }
 
+/** Union of types (reference UnionMeta, types/base/meta.py:677 —
+  * `resolve_type("int64 | float64")`): a column satisfies the union if
+  * it satisfies ANY member. Spark carrier is the first member's
+  * physical type (unions are a validation/dispatch concept, not a
+  * storage one — mixed physical storage goes through `object` or
+  * split-apply-combine, SURVEY §3). */
+final case class GUnion(members: Seq[GraftType]) extends GraftType {
+  require(members.nonEmpty, "empty union")
+  val spec: String = members.map(_.spec).mkString(" | ")
+  val sparkType: DataType = members.head.sparkType
+  val family = "union"
+  def admits(t: GraftType): Boolean =
+    members.exists(m => m.spec == t.spec || m.family == t.family)
+}
+
 /** A user-defined scalar type (reference: `@register class CustomType`,
   * types/base tutorial — "new types added in as little as 10 lines").
   * Wraps a Spark physical type with a distinct spec name; cast behavior
@@ -196,6 +211,9 @@ object TypeResolver {
     * raises on unresolvable specifiers). */
   def resolve(rawSpec: String): GraftType = {
     val s = rawSpec.trim
+    // top-level unions first: "int64 | float64" (reference UnionMeta)
+    val parts = splitTop(s, '|')
+    if (parts.length > 1) return GUnion(parts.map(resolve))
     val lower = s.toLowerCase
     aliases.get(lower).orElse(TypeRegistry.lookup(lower)).getOrElse {
       // decorator payloads (tz names, fill values) keep their case: match
@@ -223,14 +241,14 @@ object TypeResolver {
     }
   }
 
-  /** Split on top-level commas only (nested brackets stay intact). */
-  private def splitTop(s: String): Seq[String] = {
+  /** Split on a top-level separator only (nested brackets stay intact). */
+  private def splitTop(s: String, sep: Char = ','): Seq[String] = {
     val out = Seq.newBuilder[String]
     var depth = 0; val cur = new StringBuilder
     s.foreach {
       case '[' => depth += 1; cur += '['
       case ']' => depth -= 1; cur += ']'
-      case ',' if depth == 0 => out += cur.result(); cur.clear()
+      case c if c == sep && depth == 0 => out += cur.result(); cur.clear()
       case c => cur += c
     }
     if (cur.nonEmpty) out += cur.result()

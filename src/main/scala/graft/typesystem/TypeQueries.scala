@@ -34,7 +34,8 @@ object TypeQueries {
     val specs = Seq("bool", "?", "i8", "uint16", "float32", "half",
       "decimal(10,2)", "datetime[UTC]", "sparse[int, 0]",
       "categorical[string]", "sparse[categorical[int8]]", "str",
-      "object", "NA", "complex64", "timedelta")
+      "object", "NA", "complex64", "timedelta",
+      "int | float", "bool | sparse[int8]")
     specs.map(sp => (sp, TypeResolver.resolve(sp).spec,
         TypeResolver.resolve(sp).family))
       .toDF("spec", "canonical", "family").orderBy("spec")
@@ -500,7 +501,9 @@ object TypeQueries {
         | ('object','object','object'),
         | ('sparse[categorical[int8]]','sparse[categorical[int8]]','int'),
         | ('sparse[int, 0]','sparse[int64, 0]','int'), ('str','string','string'),
-        | ('timedelta','timedelta','timedelta'), ('uint16','uint16','int')
+        | ('timedelta','timedelta','timedelta'), ('uint16','uint16','int'),
+        | ('int | float','int64 | float64','union'),
+        | ('bool | sparse[int8]','bool | sparse[int8]','union')
         |) t(spec, canonical, family) ORDER BY spec""".stripMargin,
     "t3_typecheck" ->
       """SELECT * FROM (VALUES

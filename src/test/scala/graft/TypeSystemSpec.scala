@@ -424,3 +424,35 @@ class CastArgumentsSpec extends AnyFunSuite {
     assert(strict.toSeq == Seq(None, Some(true)))
   }
 }
+
+class UnionTypeSpec extends AnyFunSuite {
+  import TestSpark._
+  import graft.types._
+
+  test("union specs resolve, canonicalize, and round-trip") {
+    val u = TypeResolver.resolve("int | float | str")
+    assert(u.spec == "int64 | float64 | string")
+    assert(u.family == "union")
+    assert(TypeResolver.resolve(u.spec).spec == u.spec)
+  }
+
+  test("unions nest inside decorators stay top-level only") {
+    // the | split must not break bracketed payloads
+    val t = TypeResolver.resolve("sparse[int8] | categorical[string]")
+    assert(t.isInstanceOf[GUnion])
+    assert(t.spec == "sparse[int8] | categorical[string]")
+  }
+
+  test("typecheck admits a column matching any union member") {
+    val df = Tables.t(spark, sf, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_returnflag")
+    val res = Detect.typecheck(df, Seq(
+      "l_orderkey" -> "int | float",    // int64 → ok via int member
+      "l_quantity" -> "int | float",    // float64 → ok via float member
+      "l_returnflag" -> "int | float")) // string → fails
+      .map(r => r._1 -> r._4).toMap
+    assert(res("l_orderkey"))
+    assert(res("l_quantity"))
+    assert(!res("l_returnflag"))
+  }
+}
