@@ -1,9 +1,9 @@
 package graft
 
-import graft.expressions.{ArrayDotProduct, SortedLongArrayIntersectCount}
+import graft.expressions._
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions as SQL functions so `spark.sql` users get them too:
@@ -35,6 +35,24 @@ object GraftExtensions {
       s"$name requires exactly 2 arguments, got ${es.length}")
   }
 
+  /** Extract a literal int argument (for kernel shape parameters like
+    * shingle width or signature length — they parameterize generated
+    * code, so they must be literals). */
+  private def litInt(name: String, e: Expression): Int = e match {
+    case Literal(v: Int, _) => v
+    case Literal(v: Long, _) => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"$name expects a literal integer parameter, got $other")
+  }
+
+  private def unaryWithInt(name: String, default: Int)(
+      mk: (Expression, Int) => Expression): Seq[Expression] => Expression = {
+    case Seq(a) => mk(a, default)
+    case Seq(a, n) => mk(a, litInt(name, n))
+    case es => throw new IllegalArgumentException(
+      s"$name requires 1-2 arguments, got ${es.length}")
+  }
+
   val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("graft_dot",
       info("graft_dot", "graft_dot(a, b) - dot product of two array<double>"),
@@ -43,6 +61,32 @@ object GraftExtensions {
       info("graft_sorted_intersect_count",
         "graft_sorted_intersect_count(a, b) - |a ∩ b| for sorted array<bigint>"),
       binary("graft_sorted_intersect_count")(SortedLongArrayIntersectCount)),
+    ("graft_minhash",
+      info("graft_minhash",
+        "graft_minhash(shingle_hashes[, h]) - h-permutation MinHash signature"),
+      unaryWithInt("graft_minhash", 64)((e, h) => MinHashSignature(e, h))),
+    ("graft_simhash",
+      info("graft_simhash", "graft_simhash(token_hashes) - 64-bit SimHash"), {
+        case Seq(a) => SimHash64(a)
+        case es => throw new IllegalArgumentException(
+          s"graft_simhash requires 1 argument, got ${es.length}")
+      }),
+    ("graft_char_grams",
+      info("graft_char_grams",
+        "graft_char_grams(text[, n]) - sorted distinct char n-gram hashes"),
+      unaryWithInt("graft_char_grams", 3)(CharGramHashes)),
+    ("graft_word_shingles",
+      info("graft_word_shingles",
+        "graft_word_shingles(normalized_text[, w]) - sorted distinct word shingle hashes"),
+      unaryWithInt("graft_word_shingles", 3)(WordShingleHashes)),
+    ("graft_shingle_min_md5",
+      info("graft_shingle_min_md5",
+        "graft_shingle_min_md5(normalized_text[, w]) - min md5-prefix shingle fingerprint"),
+      unaryWithInt("graft_shingle_min_md5", 3)(ShingleMinMd5)),
+    ("graft_lang_id",
+      info("graft_lang_id",
+        "graft_lang_id(raw_text, normalized_text) - heuristic language code"),
+      binary("graft_lang_id")(LangIdHeuristic)),
   )
 
   /** Register on a live session (temp-function variant). */

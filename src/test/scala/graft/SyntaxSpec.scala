@@ -51,6 +51,24 @@ class SyntaxSpec extends AnyFunSuite {
     assert(r.getDouble(0) == 11.0 && r.getInt(1) == 2)
   }
 
+  test("full kernel family callable from SQL") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT
+        |  size(graft_minhash(array(1L, 2L, 3L), 16)) AS mh,
+        |  graft_simhash(array(1L, 2L, 3L)) AS sh,
+        |  size(graft_char_grams('abcd', 3)) AS cg,
+        |  size(graft_word_shingles('a b c d', 3)) AS ws,
+        |  graft_shingle_min_md5('a b c d', 3) AS fp,
+        |  graft_lang_id('the cat and the dog it is', 'the cat and the dog it is') AS lang
+        |""".stripMargin).head()
+    assert(r.getInt(0) == 16)
+    assert(r.getInt(2) == 2) // "abc", "bcd"
+    assert(r.getInt(3) == 2) // "a b c", "b c d"
+    assert(r.getLong(4) > 0)
+    assert(r.getString(5) == "en")
+  }
+
   test("withExtensions builder path registers functions") {
     // verify the SparkSessionExtensions wiring compiles & applies: use a
     // fresh session with the extension class name conf
