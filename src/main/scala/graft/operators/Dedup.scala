@@ -139,25 +139,33 @@ object Dedup {
     * runs per chunk bucket, never all-pairs. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxDist: Int = 3): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
     val chunks = maxDist + 1
     val bits = 64 / chunks
-    // persisted: both sides of the chunk-bucket self-join read it
-    val sh = df.select(col(idCol).as("id"),
+    // block-local pair generation per (chunk, key) bucket — one shuffle
+    // of (id, hash, chunk, key) quads; the hamming filter applies
+    // in-group so over-distance pairs never materialize as rows
+    df.select(col(idCol).cast("long").as("id"),
         transform(split(normText(col(textCol)), " "), t => xxhash64(t)).as("th"))
       .select(col("id"), simhashFromTokHashes(col("th")).as("sh"))
-      .persist()
-    val chunked = sh.select(col("id"), col("sh"),
-      posexplode(array((0 until chunks).map(i =>
-        shiftright(col("sh"), i * bits)
-          .bitwiseAND(lit((1L << bits) - 1))): _*)).as(Seq("chunk", "key")))
-    chunked.as("a")
-      .join(chunked.as("b"),
-        col("a.chunk") === col("b.chunk") && col("a.key") === col("b.key") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
+      .select(col("id"), col("sh"),
+        posexplode(array((0 until chunks).map(i =>
+          shiftright(col("sh"), i * bits)
+            .bitwiseAND(lit((1L << bits) - 1))): _*)).as(Seq("chunk", "key")))
+      .as[(Long, Long, Int, Long)]
+      .groupByKey(t => (t._3, t._4))
+      .flatMapGroups { (_, it) =>
+        val rows = it.map(t => (t._1, t._2)).toArray.sortBy(_._1)
+        for {
+          i <- rows.indices.iterator
+          j <- (i + 1) until rows.length
+          h = java.lang.Long.bitCount(rows(i)._2 ^ rows(j)._2)
+          if h <= maxDist
+        } yield (rows(i)._1, rows(j)._1, h)
+      }
+      .toDF("id_a", "id_b", "hamming")
       .distinct()
-      .filter(col("hamming") <= maxDist)
   }
 
   // ---------------------------------------------------------------------
