@@ -259,12 +259,61 @@ object TextHashKernels {
   }
 }
 
+/** Per-token 60-bit md5-prefix hashes of a normalized (single-spaced)
+  * string, in token order (multiset — NOT sorted/deduped: SimHash needs
+  * every occurrence). md5-prefix so the DuckDB oracle reproduces each
+  * value: `CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT)`. */
+case class TokenMd5Hashes(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_token_md5_hashes"
+
+  override def nullSafeEval(v: Any): Any =
+    ShingleMinMd5.tokenHashes(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.ShingleMinMd5.tokenHashes($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenMd5Hashes =
+    copy(child = newChild)
+}
+
 object ShingleMinMd5 {
 
   private val mdLocal: ThreadLocal[MessageDigest] =
     new ThreadLocal[MessageDigest] {
       override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
     }
+
+  /** Per-token md5-prefix hashes (see [[TokenMd5Hashes]]). */
+  def tokenHashes(nt: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val b = nt.getBytes
+    val n = b.length
+    var ntok = 1
+    var i = 0
+    while (i < n) { if (b(i) == ' ') ntok += 1; i += 1 }
+    val out = new Array[Long](ntok)
+    val md = mdLocal.get()
+    var t = 0
+    var start = 0
+    var pos = 0
+    while (pos <= n) {
+      if (pos == n || b(pos) == ' ') {
+        md.reset()
+        md.update(b, start, pos - start)
+        val d = md.digest()
+        var v = 0L
+        var k = 0
+        while (k < 8) { v = (v << 8) | (d(k) & 0xffL); k += 1 }
+        out(t) = v >>> 4
+        t += 1
+        start = pos + 1
+      }
+      pos += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 
   /** Input MUST be normalized text (single 0x20 separators — 0x20 never
     * occurs inside a UTF-8 multibyte sequence, so byte-level splitting

@@ -222,10 +222,38 @@ object LlmQueries {
     "list_cosine_similarity(list_transform(a.embedding, x -> CAST(x AS DOUBLE)), " +
       "list_transform(b.embedding, x -> CAST(x AS DOUBLE)))"
 
+  /** d3 oracle: recompute the SimHash bit-by-bit in SQL. Token hashes
+    * are md5 prefixes (engine-reproducible); bit i of the hash
+    * contributes ±1 to counter i and the sign of each counter forms the
+    * hash — 60 generated terms (the top 4 bits of a 60-bit hash are
+    * structurally zero on both engines). Pigeonhole chunk join +
+    * bit_count(xor) mirrors simhashPairs exactly. */
+  private def d3OracleSql: String = {
+    val bitTerms = (0 until 60).map { i =>
+      s"(CASE WHEN list_sum(list_transform(th, tok -> CASE WHEN (tok >> $i) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH all_docs AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT doc_id + 1000000, text || ' zz qq' FROM documents),
+       |toks AS (SELECT doc_id,
+       |    list_transform(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+       |      w -> CAST('0x' || substr(md5(w), 1, 15) AS BIGINT)) AS th
+       |  FROM all_docs),
+       |s AS (SELECT doc_id, $bitTerms AS sh FROM toks),
+       |k AS (SELECT doc_id, sh, chunk, (sh >> (chunk * 16)) & 65535 AS key
+       |      FROM (SELECT doc_id, sh, unnest([0, 1, 2, 3]) AS chunk FROM s)),
+       |p AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+       |  FROM k a JOIN k b ON a.chunk = b.chunk AND a.key = b.key
+       |    AND a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, hamming FROM p WHERE hamming <= 3
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** Oracles for the SQL-expressible subset; the rest are rows-only
-    * (minhash/simhash/LSH signatures and xxhash64 fingerprints are not
-    * reproducible in DuckDB SQL). */
+    * (probabilistic sketches / LSH top-k with engine-seeded internals). */
   val oracles: Map[String, String] = Map(
+    "d3_simhash" -> d3OracleSql,
     "d1_exact_dedup" ->
       s"""WITH all_docs AS (
          |  SELECT doc_id, text FROM documents
@@ -233,6 +261,30 @@ object LlmQueries {
          |SELECT sha256($normSql) AS digest, MIN(doc_id) AS keep_id,
          |  COUNT(*) AS n_copies
          |FROM all_docs GROUP BY 1 ORDER BY keep_id""".stripMargin,
+    // minhash LSH vs exact brute force: jaccard on hashed shingle sets
+    // == jaccard on the shingle STRINGS (hash-independent set sizes), so
+    // the oracle enumerates all pairs and verifies >= 0.5 directly. The
+    // size-ratio prefilter is lossless at this threshold: j >= 0.5
+    // implies 2*min(|a|,|b|) >= max(|a|,|b|). The Spark side runs the
+    // banded-LSH plan, so a hash-match is also a 100%-recall proof.
+    "d2_minhash_lsh" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text || ' zz qq' FROM documents),
+        |b AS (SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      range(1, CAST(greatest(len(string_split(nt, ' ')) - 2, 1) AS BIGINT) + 1),
+        |      i -> array_to_string((string_split(nt, ' '))[CAST(i AS INT):CAST(i AS INT)+2], ' '))) AS sh
+        |  FROM (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+        |        FROM all_docs)),
+        |j AS (
+        |  SELECT a.doc_id AS id_a, bb.doc_id AS id_b,
+        |    CAST(len(list_intersect(a.sh, bb.sh)) AS DOUBLE) AS common,
+        |    CAST(len(a.sh) + len(bb.sh) AS DOUBLE) AS sz
+        |  FROM b a JOIN b bb ON a.doc_id < bb.doc_id
+        |    AND len(a.sh) * 2 >= len(bb.sh) AND len(bb.sh) * 2 >= len(a.sh))
+        |SELECT id_a, id_b, ROUND(common / (sz - common), 6) AS jaccard
+        |FROM j WHERE common / (sz - common) >= 0.5 ORDER BY id_a, id_b""".stripMargin,
     // oracle = exact all-pairs over base ∪ planted copies; the Spark
     // side runs the LSH-banded plan — the compare is on OUTPUT, so this
     // doubles as a recall proof for the blocked path

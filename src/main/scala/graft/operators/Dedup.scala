@@ -120,10 +120,20 @@ object Dedup {
   // ---------------------------------------------------------------------
 
   /** 64-bit SimHash of the token multiset: per bit, sign of the sum of
-    * ±1 contributions from each token hash. The 64 bit-counters are
-    * computed in a single native-expression pass. */
+    * ±1 contributions from each token hash. Token hashes are 60-bit
+    * md5 prefixes (one compiled pass — TokenMd5Hashes) so the DuckDB
+    * oracle reproduces the exact bit pattern; the top 4 simhash bits
+    * are structurally 0. The 64 bit-counters run in a single
+    * native-expression pass. */
   def simhash(text: Column): Column =
-    simhashFromTokHashes(transform(split(normText(text), " "), t => xxhash64(t)))
+    simhashFromTokHashes(tokenMd5Hashes(normText(text)))
+
+  /** Per-token md5-prefix hashes of normalized text (compiled). */
+  def tokenMd5Hashes(normed: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.expressions.TokenMd5Hashes(
+      ColumnBridge.expression(normed)))
+  }
 
   /** SimHash from a token-hash array: one compiled loop (native
     * expression — see graft.expressions.SimHash64). */
@@ -147,7 +157,7 @@ object Dedup {
     // of (id, hash, chunk, key) quads; the hamming filter applies
     // in-group so over-distance pairs never materialize as rows
     df.select(col(idCol).cast("long").as("id"),
-        transform(split(normText(col(textCol)), " "), t => xxhash64(t)).as("th"))
+        tokenMd5Hashes(normText(col(textCol))).as("th"))
       .select(col("id"), simhashFromTokHashes(col("th")).as("sh"))
       .select(col("id"), col("sh"),
         posexplode(array((0 until chunks).map(i =>
