@@ -78,6 +78,55 @@ case class WordShingleHashes(child: Expression, w: Int) extends UnaryExpression 
     copy(child = newChild)
 }
 
+/** Text normalization in one compiled pass: lowercase (UTF8String's
+  * own toLowerCase — identical to Spark's `lower()`), runs of
+  * whitespace collapsed to a single space, leading/trailing trimmed.
+  * Byte-level whitespace set = Java regex `\s` ([ \t\n\x0B\f\r]), so
+  * the result is byte-identical to
+  * `trim(regexp_replace(lower(text), "\\s+", " "))` — digests computed
+  * on it keep matching the oracle's regexp formulation. */
+case class NormalizeText(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_norm_text"
+
+  override def nullSafeEval(v: Any): Any =
+    NormalizeText.compute(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.NormalizeText.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): NormalizeText =
+    copy(child = newChild)
+}
+
+object NormalizeText {
+  private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0b || b == '\f' || b == '\r'
+
+  def compute(s: UTF8String): UTF8String = {
+    val lowered = s.toLowerCase
+    val b = lowered.getBytes
+    val n = b.length
+    val out = new Array[Byte](n)
+    var o = 0
+    var i = 0
+    var pendingSpace = false
+    while (i < n) {
+      val c = b(i)
+      if (isWs(c)) {
+        if (o > 0) pendingSpace = true // leading ws drops; interior defers
+      } else {
+        if (pendingSpace) { out(o) = ' '; o += 1; pendingSpace = false }
+        out(o) = c; o += 1
+      }
+      i += 1
+    }
+    // trailing pendingSpace (if any) is dropped = trim
+    UTF8String.fromBytes(java.util.Arrays.copyOf(out, o))
+  }
+}
+
 /** Heuristic language ID fused into one compiled pass: CJK code-point
   * ratio over the RAW text plus per-profile stopword-hit ratios over
   * the NORMALIZED text, with the earliest-max tie-break — exactly the

@@ -13,9 +13,15 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Normalized text: lowercase, collapsed whitespace. */
-  def normText(text: Column): Column =
-    trim(regexp_replace(lower(text), "\\s+", " "))
+  /** Normalized text: lowercase, collapsed whitespace, trimmed — one
+    * compiled pass (graft.expressions.NormalizeText), byte-identical to
+    * the `trim(regexp_replace(lower(text), "\\s+", " "))` formulation
+    * the oracles use. */
+  def normText(text: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.expressions.NormalizeText(
+      ColumnBridge.expression(text)))
+  }
 
   // ---------------------------------------------------------------------
   // Exact dedup

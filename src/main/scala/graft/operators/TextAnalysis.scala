@@ -16,8 +16,7 @@ object TextAnalysis {
   val stopwords: Map[String, Seq[String]] =
     graft.expressions.TextHashKernels.langProfiles.toMap
 
-  def tokens(text: Column): Column =
-    split(trim(regexp_replace(lower(text), "\\s+", " ")), " ")
+  def tokens(text: Column): Column = split(Dedup.normText(text), " ")
 
   /** Stopword-hit score for one language profile: hits / n_tokens.
     * Takes pre-tokenized input so one tokenization feeds all profiles. */
