@@ -76,19 +76,23 @@ object Similarity {
   }
 
   /** LSH-bucketed ANN: candidates = corpus vectors sharing the query's
-    * sign-LSH bucket (multi-probe over single-bit flips keeps recall
-    * up), then exact cosine on candidates only. */
+    * sign-LSH bucket (multi-probe over all 1- and 2-bit flips keeps
+    * recall up — each probe is a cheap bucket lookup), then exact
+    * cosine on candidates only. Probing Hamming ≤ 2 visits
+    * 1 + b + b(b-1)/2 of the 2^b buckets: ~14% of the corpus at b=8,
+    * against brute force's 100%. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       bits: Int = 8, dim: Int = 64): DataFrame = {
     val planes = VectorOps.hyperplanes(bits, dim)
     val c = withNorm(corpus, "id", "v", "nv")
       .withColumn("bucket", VectorOps.signBucket(col("v"), planes))
+    val flips: Seq[Long] = 0L +:
+      ((0 until bits).map(i => 1L << i) ++
+        (for (i <- 0 until bits; j <- (i + 1) until bits) yield (1L << i) | (1L << j)))
     val q = withNorm(queries, "qid", "qv", "nqv")
       .withColumn("qbucket", VectorOps.signBucket(col("qv"), planes))
-      // multi-probe: the bucket itself + all single-bit flips
       .withColumn("bucket", explode(array(
-        (col("qbucket") +: (0 until bits).map(i =>
-          col("qbucket").bitwiseXOR(lit(1L << i)))): _*)))
+        flips.map(m => col("qbucket").bitwiseXOR(lit(m))): _*)))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("id") =!= col("qid"))
       .select(col("qid"), col("id"), cosOf("v", "qv", "nv", "nqv").as("cos"))

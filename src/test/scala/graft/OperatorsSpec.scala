@@ -115,8 +115,12 @@ class SimilaritySpec extends AnyFunSuite {
     assert(brute.size == 30)
     val lsh = Similarity.lshTopK(emb, queries, 10, bits = 8, dim = 64)
       .select("qid", "id").as[(Long, Long)].collect().toSet
-    // multi-probe sign-LSH on near-uniform vectors: just require overlap
-    assert(lsh.nonEmpty && brute.intersect(lsh).nonEmpty)
+    assert(lsh.nonEmpty)
+    // near-uniform random vectors are sign-LSH's worst case; Hamming≤2
+    // multi-probe scans ~14% of buckets and holds 33% top-10 recall
+    // here (deterministic hyperplanes — pinned with margin)
+    val recall = brute.intersect(lsh).size.toDouble / brute.size
+    assert(recall >= 0.25, s"s2 recall regressed: $recall")
   }
 }
 
@@ -201,5 +205,38 @@ class MultimodalSpec extends AnyFunSuite {
     assert(wav.fmt == "wav" && wav.sample_rate == 44100 && wav.channels == 2)
     val junk = MediaCodec.decode(MediaRow(10L, "png", Array.fill[Byte](64)(42)))
     assert(junk.fmt == "unknown" && junk.width == 0)
+  }
+}
+
+class SkewJoinSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("salted join returns exactly the plain join's rows on skewed data") {
+    // 90% of rows share one hot key
+    val big = spark.range(0, 20000).toDF("i")
+      .select(when($"i" % 10 === 0, $"i" % 100).otherwise(7L).as("k"),
+        $"i".as("payload"))
+    val small = Seq((7L, "hot"), (3L, "cold"), (40L, "mid")).toDF("k", "label")
+    val salted = SkewJoin.saltedJoin(big, small, "k", salt = 8)
+      .select("k", "payload", "label")
+      .as[(Long, Long, String)].collect().sorted.toSeq
+    val plain = big.join(small, Seq("k"))
+      .select("k", "payload", "label")
+      .as[(Long, Long, String)].collect().sorted.toSeq
+    assert(salted == plain)
+    assert(plain.nonEmpty)
+    // the hot key spreads across multiple salt values
+    val saltSpread = big.withColumn("__salt",
+      pmod(xxhash64(struct(big.columns.map(col).toIndexedSeq: _*)), lit(8)))
+      .filter($"k" === 7L).select("__salt").distinct().count()
+    assert(saltSpread > 4)
+  }
+
+  test("hotKeys surfaces the skew") {
+    val big = spark.range(0, 1000).toDF("i")
+      .select(when($"i" % 10 === 0, $"i" % 100).otherwise(7L).as("k"))
+    val top = SkewJoin.hotKeys(big, "k", 1).collect().head
+    assert(top.getLong(0) == 7L && top.getLong(1) == 900L)
   }
 }
