@@ -135,3 +135,27 @@ class StreamStreamJoinSpec extends AnyFunSuite {
     assert(got == want)
   }
 }
+
+class StreamSinkSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("S6: parquet sink + checkpoint is exactly-once across restarts") {
+    val out = java.nio.file.Files.createTempDirectory("graft_s6_out").toString
+    val chk = java.nio.file.Files.createTempDirectory("graft_s6_chk").toString
+    def runOnce(): Unit = {
+      val q = StreamingOps.readEventsStream(spark, sf)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", chk)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+    runOnce()
+    val expected = Tables.events(spark, sf).count()
+    assert(spark.read.parquet(out).count() == expected)
+    // second start from the same checkpoint: source exhausted, no
+    // duplicate output — the exactly-once resume contract
+    runOnce()
+    assert(spark.read.parquet(out).count() == expected)
+  }
+}
