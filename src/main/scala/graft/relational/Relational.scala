@@ -409,7 +409,34 @@ object Relational {
         round(element_at(col("ps"), 4), 6).as("p90"))
       .orderBy("l_returnflag")
 
+  // ---- R33: theta-sketch dataset overlap ----------------------------------
+  // Two overlapping document sets (ids <600 / ≥300) sketched once each;
+  // union/intersection cardinalities estimated from the SKETCHES — no
+  // re-scan, no distinct-join. Exact counts computed alongside so the
+  // estimate quality is visible in the output; ThetaSketchSpec pins the
+  // error bounds. Estimates are deterministic (seeded hash) but not
+  // reproducible in DuckDB → rows-only.
+  def q33ThetaOverlap(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sketches._
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), sha2(col("text"), 256).as("digest"))
+    val a = docs.filter(col("doc_id") < 600)
+    val b = docs.filter(col("doc_id") >= 300)
+    val skA = a.agg(thetaSketch(col("digest")).as("sk"), count(lit(1)).as("n"))
+    val skB = b.agg(thetaSketch(col("digest")).as("sk"), count(lit(1)).as("n"))
+    skA.select(col("sk").as("sk_a"), col("n").as("exact_a"))
+      .crossJoin(skB.select(col("sk").as("sk_b"), col("n").as("exact_b")))
+      .select(
+        round(thetaEstimate(col("sk_a")), 2).as("est_a"),
+        col("exact_a"),
+        round(thetaEstimate(col("sk_b")), 2).as("est_b"),
+        col("exact_b"),
+        round(thetaEstimate(thetaUnion(col("sk_a"), col("sk_b"))), 2).as("est_union"),
+        round(thetaIntersect(col("sk_a"), col("sk_b")), 2).as("est_intersect"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q33_theta_overlap" -> q33ThetaOverlap _,
     "q32_quantiles" -> q32Quantiles _,
     "q30_sketch_distinct" -> q30SketchDistinct _,
     "q31_hash_sample" -> q31HashSample _,

@@ -12,8 +12,10 @@ class PlanAuditSpec extends AnyFunSuite {
     SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
 
   // queries whose nested-loop joins are INTENTIONAL: a broadcast cross
-  // of a tiny probe/query/centroid relation against the corpus scan
-  private val nestedLoopOk = Set("s1_ann_brute", "s4_quant_cosine", "s3_ann_ivf")
+  // of a tiny probe/query/centroid relation against the corpus scan,
+  // or q33's 1-row × 1-row sketch cross
+  private val nestedLoopOk =
+    Set("s1_ann_brute", "s4_quant_cosine", "s3_ann_ivf", "q33_theta_overlap")
 
   test("no query plan contains a cartesian product") {
     SparkEntry.queries.keys.foreach { name =>

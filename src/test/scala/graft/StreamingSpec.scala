@@ -159,3 +159,49 @@ class StreamSinkSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() == expected)
   }
 }
+
+class ThetaSketchSpec extends AnyFunSuite {
+  import TestSpark._
+  import org.apache.spark.sql.functions._
+  import graft.operators.Sketches._
+
+  test("theta estimates track exact distinct / union / intersection") {
+    val docs = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), sha2(col("text"), 256).as("d"))
+    val a = docs.filter(col("doc_id") < 350)
+    val b = docs.filter(col("doc_id") >= 150)
+    val exactA = a.select("d").distinct().count().toDouble
+    val exactB = b.select("d").distinct().count().toDouble
+    val exactU = a.select("d").union(b.select("d")).distinct().count().toDouble
+    val exactI = a.select("d").intersect(b.select("d")).count().toDouble
+    val r = a.agg(thetaSketch(col("d")).as("ska"))
+      .crossJoin(b.agg(thetaSketch(col("d")).as("skb")))
+      .select(thetaEstimate(col("ska")).as("ea"),
+        thetaEstimate(col("skb")).as("eb"),
+        thetaEstimate(thetaUnion(col("ska"), col("skb"))).as("eu"),
+        thetaIntersect(col("ska"), col("skb")).as("ei"))
+      .head()
+    // sets smaller than k=1024 are EXACT in a KMV sketch
+    assert(r.getDouble(0) == exactA)
+    assert(r.getDouble(1) == exactB)
+    assert(r.getDouble(2) == exactU)
+    assert(r.getDouble(3) == exactI)
+  }
+
+  test("above-k estimates stay within 10% (merge across partitions)") {
+    import spark.implicits._
+    // 30k distinct values in 8 partitions, k=512 → genuine estimation
+    val df = spark.range(0, 30000, 1, 8).toDF("v")
+    val est = df.agg(thetaSketch(concat(lit("x"), col("v")), k = 512).as("sk"))
+      .select(thetaEstimate(col("sk"))).as[Double].head()
+    assert(math.abs(est - 30000) / 30000 < 0.10, s"estimate $est")
+    // two overlapping ranges: intersection error within 15% of truth
+    val s1 = spark.range(0, 20000).toDF("v")
+      .agg(thetaSketch(concat(lit("x"), col("v")), k = 512).as("sk"))
+    val s2 = spark.range(10000, 30000).toDF("v")
+      .agg(thetaSketch(concat(lit("x"), col("v")), k = 512).as("sk"))
+    val ei = s1.crossJoin(s2.withColumnRenamed("sk", "sk2"))
+      .select(thetaIntersect(col("sk"), col("sk2"))).as[Double].head()
+    assert(math.abs(ei - 10000) / 10000 < 0.15, s"intersect estimate $ei")
+  }
+}
