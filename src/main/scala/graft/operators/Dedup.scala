@@ -83,6 +83,9 @@ object Dedup {
         shingleHashes(col(textCol), w).as("sh"))
       .withColumn("sig", minhashSignature(col("sh"), h))
       .withColumn("bands", bandKeys(col("sig"), h, bands))
+      // the full signature is subsumed by its band keys from here on —
+      // drop it before persisting (512 B/doc dead weight × 3 consumers)
+      .select("id", "sh", "bands")
       .persist()
     // BLOCK-LOCAL candidate generation: one shuffle groups each
     // (band, key) bucket's ids; ordered pairs are enumerated inside the
