@@ -85,3 +85,44 @@ class TimezoneSpec extends AnyFunSuite {
     assert(utc == "17:00") // EST is UTC-5
   }
 }
+
+/** Seeded randomized differential test for the block-local RLE: random
+  * value sequences + adversarial block sizes vs a straightforward
+  * in-memory reference encoder. Exercises runs that start/end exactly
+  * on block edges, whole-block runs, blockSize=1, and null values. */
+class RunLengthPropertySpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def referenceRle(vals: Seq[Option[String]], startKey: Long): Seq[(Option[String], Long, Long)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Option[String], Long, Long)]
+    var i = 0
+    while (i < vals.length) {
+      var j = i
+      while (j < vals.length && vals(j) == vals(i)) j += 1
+      out += ((vals(i), startKey + i, (j - i).toLong))
+      i = j
+    }
+    out.toSeq
+  }
+
+  test("random sequences match the reference encoder at hostile block sizes") {
+    val rnd = new scala.util.Random(1234)
+    for (trial <- 0 until 6) {
+      val n = 200 + rnd.nextInt(300)
+      val alphabet = Seq(Some("a"), Some("b"), Some("fill"), None)
+      // biased toward the fill value to create long skewed runs
+      val vals = Seq.fill(n)(
+        if (rnd.nextInt(10) < 6) Some("fill") else alphabet(rnd.nextInt(alphabet.size)))
+      val startKey = rnd.nextInt(1000).toLong
+      val blockSize = Seq(1L, 2L, 7L, 64L, 1000L)(trial % 5)
+      val df = vals.zipWithIndex
+        .map { case (v, i) => (startKey + i, v.orNull) }.toDF("k", "v")
+      val got = RunLength.encode(df, "k", "v", blockSize)
+        .orderBy("start_key").collect()
+        .map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2))).toSeq
+      val want = referenceRle(vals, startKey)
+      assert(got == want, s"trial $trial blockSize $blockSize start $startKey")
+    }
+  }
+}
