@@ -24,6 +24,12 @@ object Bench {
     SparkEntry.queries("q1_agg")(spark, sfDir).write
       .format("noop").mode("overwrite").save()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // drop predecessors' persisted blocks (the dedup pipelines cache
+      // multi-consumer relations) and settle the heap — without this,
+      // queries that run in ~1 s isolated read 2+ s mid-sequence from
+      // storage/execution memory contention
+      spark.catalog.clearCache()
+      System.gc()
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
