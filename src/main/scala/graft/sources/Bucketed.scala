@@ -33,4 +33,12 @@ object Bucketed {
     import org.apache.spark.sql.functions.col
     spark.table(left).join(spark.table(right), col(leftKey) === col(rightKey))
   }
+
+  /** Hive-style partitioned parquet layout: one directory per value of
+    * `partitionCol`. Predicates on the partition column prune to
+    * matching directories at PLANNING time (PartitionFilters in the
+    * scan — asserted in BucketedSpec): a date/source-scoped query over
+    * a 100 TB corpus reads only its slice. */
+  def writePartitioned(df: DataFrame, path: String, partitionCol: String): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
 }

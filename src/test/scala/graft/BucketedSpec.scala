@@ -59,3 +59,26 @@ class BucketedSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS li_bucketed_agg")
   }
 }
+
+class PartitionedLayoutSpec extends AnyFunSuite {
+  import TestSpark._
+  import org.apache.spark.sql.functions._
+
+  test("partition-column predicates prune to matching directories") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val docs = Tables.t(spark, sf, "documents").select("doc_id", "n_chars", "source")
+    sources.Bucketed.writePartitioned(docs, dir, "source")
+    val q = spark.read.parquet(dir).filter(col("source") === "src3")
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(source"),
+      s"partition filter not pushed:\n$scan")
+    // only the matching partition's rows are read, and values are right
+    val expected = docs.filter(col("source") === "src3").count()
+    assert(expected > 0 && q.count() == expected)
+    // data files for other sources are in other directories: reading
+    // the pruned path directly shows the layout
+    val subdirs = new java.io.File(dir).listFiles().filter(_.isDirectory).map(_.getName).toSet
+    assert(subdirs.exists(_.startsWith("source=")))
+    assert(subdirs.size > 1)
+  }
+}
