@@ -435,7 +435,23 @@ object Relational {
         round(thetaIntersect(col("sk_a"), col("sk_b")), 2).as("est_intersect"))
   }
 
+  // ---- R34: semi-structured JSON property extraction ----------------------
+  // from_json with an explicit schema (never schema_of_json per row —
+  // one schema, codegen'd parse, no sampling pass), then a typed
+  // aggregation. The standard "JSON props column" shape of event logs.
+  def q34JsonExtract(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .select(col("event_type"),
+        from_json(col("props"), StructType(Seq(StructField("k", IntegerType))))
+          .getField("k").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+        count(when(col("k") >= 50, 1)).as("n_hi"))
+      .orderBy("event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q34_json_extract" -> q34JsonExtract _,
     "q33_theta_overlap" -> q33ThetaOverlap _,
     "q32_quantiles" -> q32Quantiles _,
     "q30_sketch_distinct" -> q30SketchDistinct _,
@@ -474,6 +490,13 @@ object Relational {
   private val rev = revenueSql // DuckDB fragment
 
   val oracles: Map[String, String] = Map(
+    "q34_json_extract" ->
+      """SELECT event_type, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS sum_k,
+        |  MIN(k) AS min_k, MAX(k) AS max_k,
+        |  COUNT(CASE WHEN k >= 50 THEN 1 END) AS n_hi
+        |FROM (SELECT event_type, CAST(json_extract(props, '$.k') AS INT) AS k
+        |      FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q32_quantiles" ->
       """SELECT l_returnflag,
         |  ROUND(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
