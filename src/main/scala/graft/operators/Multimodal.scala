@@ -119,6 +119,60 @@ object Multimodal {
     }
   }
 
+  /** REAL frame/sample clipping for WAV payloads: truncates the data
+    * chunk to at most `maxSamples` per channel and rewrites both RIFF
+    * sizes — pure byte surgery on the container, no codec needed. The
+    * audio analog of video frame-sampling for training-data curation
+    * (cap every clip at N seconds). Non-WAV payloads pass through. */
+  def clipWav(payload: Array[Byte], maxSamples: Int): Array[Byte] = {
+    if (MediaCodec.detect(payload) != "wav") return payload
+    val channels = (payload(22) & 0xff) | ((payload(23) & 0xff) << 8)
+    val bytesPerSample = channels * 2 // planted headers are 16-bit PCM
+    val body = payload.length - 44
+    val keep = math.min(body, maxSamples * bytesPerSample)
+    val out = java.util.Arrays.copyOf(payload, 44 + keep)
+    def putLe32(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte
+      out(off + 1) = ((v >> 8) & 0xff).toByte
+      out(off + 2) = ((v >> 16) & 0xff).toByte
+      out(off + 3) = ((v >> 24) & 0xff).toByte
+    }
+    putLe32(4, 36 + keep) // RIFF size
+    putLe32(40, keep) // data size
+    out
+  }
+
+  /** Image resize STUB: rewrites the container's dimension fields (real
+    * byte surgery, same offsets the parser reads) but keeps the opaque
+    * body — an actual pixel resample needs a codec, which this
+    * environment lacks. A production implementation replaces the body
+    * write; everything else (detection, header layout, plumbing) is the
+    * real job. */
+  def resizeHeaderStub(payload: Array[Byte], width: Int, height: Int): Array[Byte] =
+    MediaCodec.detect(payload) match {
+      case "png" =>
+        val out = payload.clone()
+        def putBe32(off: Int, v: Int): Unit = {
+          out(off) = ((v >> 24) & 0xff).toByte
+          out(off + 1) = ((v >> 16) & 0xff).toByte
+          out(off + 2) = ((v >> 8) & 0xff).toByte
+          out(off + 3) = (v & 0xff).toByte
+        }
+        putBe32(16, width); putBe32(20, height)
+        out
+      case "bmp" =>
+        val out = payload.clone()
+        def putLe32(off: Int, v: Int): Unit = {
+          out(off) = (v & 0xff).toByte
+          out(off + 1) = ((v >> 8) & 0xff).toByte
+          out(off + 2) = ((v >> 16) & 0xff).toByte
+          out(off + 3) = ((v >> 24) & 0xff).toByte
+        }
+        putLe32(18, width); putLe32(22, height)
+        out
+      case _ => payload
+    }
+
   /** Feature-extraction pipeline: Dataset-typed mapPartitions so a
     * (heavyweight, real-world) decoder initializes once per partition,
     * not per row. */

@@ -206,6 +206,31 @@ class MultimodalSpec extends AnyFunSuite {
     val junk = MediaCodec.decode(MediaRow(10L, "png", Array.fill[Byte](64)(42)))
     assert(junk.fmt == "unknown" && junk.width == 0)
   }
+
+  test("wav clipping truncates samples and rewrites RIFF sizes") {
+    import Multimodal.{clipWav, MediaCodec, MediaRow}
+    val body = Array.fill[Byte](1000)(5) // 250 stereo 16-bit samples
+    val wav = MediaCodec.wavHeader(16000, 2, body.length) ++ body
+    val clipped = clipWav(wav, maxSamples = 100)
+    assert(clipped.length == 44 + 100 * 4)
+    val f = MediaCodec.decode(MediaRow(1L, "wav", clipped))
+    assert(f.fmt == "wav" && f.sample_rate == 16000 && f.channels == 2)
+    // shorter than the cap: untouched
+    assert(clipWav(wav, maxSamples = 1000).length == wav.length)
+    // non-wav passthrough
+    val png = MediaCodec.pngHeader(10, 10) ++ Array.fill[Byte](8)(1)
+    assert(clipWav(png, 10).sameElements(png))
+  }
+
+  test("resize stub rewrites the dimension fields the parser reads") {
+    import Multimodal.{resizeHeaderStub, MediaCodec, MediaRow}
+    val png = MediaCodec.pngHeader(640, 480) ++ Array.fill[Byte](16)(1)
+    val r = MediaCodec.decode(MediaRow(1L, "png", resizeHeaderStub(png, 64, 48)))
+    assert(r.width == 64 && r.height == 48)
+    val bmp = MediaCodec.bmpHeader(640, 480, 16) ++ Array.fill[Byte](16)(1)
+    val r2 = MediaCodec.decode(MediaRow(2L, "bmp", resizeHeaderStub(bmp, 32, 24)))
+    assert(r2.width == 32 && r2.height == 24)
+  }
 }
 
 class SkewJoinSpec extends AnyFunSuite {
