@@ -40,6 +40,16 @@ object VectorOps {
     Seq.fill(n)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
+  /** Elementwise mean of an `array<double>` column (mergeable
+    * TypedImperativeAggregate — one partial-aggregating pass; see
+    * graft.expressions.VectorMeanAgg): mean-pooled document embeddings,
+    * cluster centroids. */
+  def meanPool(v: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.expressions.VectorMeanAgg(
+      ColumnBridge.expression(v.cast("array<double>"))).toAggregateExpression())
+  }
+
   /** Sign-LSH bucket key: one bit per hyperplane (random projection
     * sign), packed into a long. Cosine-similar vectors collide with
     * high probability (Charikar 2002 SimHash for angles). */

@@ -450,7 +450,26 @@ object Relational {
         count(when(col("k") >= 50, 1)).as("n_hi"))
       .orderBy("event_type")
 
+  // ---- R35: mean-pooled embeddings ----------------------------------------
+  // Elementwise vector mean per group via the mergeable VectorMeanAgg —
+  // one partial-aggregating pass (a posexplode formulation shuffles
+  // n·dim rows). First four components oracled at 6 digits (sums of
+  // ~0.1-scale doubles: cross-engine drift ≪ rounding grain).
+  def q35MeanPool(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .withColumn("g", (col("vec_id") % 8).cast(IntegerType))
+      .groupBy("g")
+      .agg(graft.operators.VectorOps.meanPool(col("embedding")).as("mv"),
+        count(lit(1)).as("n"))
+      .select(col("g"), col("n"),
+        round(element_at(col("mv"), 1), 6).as("m1"),
+        round(element_at(col("mv"), 2), 6).as("m2"),
+        round(element_at(col("mv"), 3), 6).as("m3"),
+        round(element_at(col("mv"), 4), 6).as("m4"))
+      .orderBy("g")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q35_mean_pool" -> q35MeanPool _,
     "q34_json_extract" -> q34JsonExtract _,
     "q33_theta_overlap" -> q33ThetaOverlap _,
     "q32_quantiles" -> q32Quantiles _,
@@ -490,6 +509,13 @@ object Relational {
   private val rev = revenueSql // DuckDB fragment
 
   val oracles: Map[String, String] = Map(
+    "q35_mean_pool" ->
+      """SELECT CAST(vec_id % 8 AS INT) AS g, COUNT(*) AS n,
+        |  ROUND(AVG(CAST(embedding[1] AS DOUBLE)), 6) AS m1,
+        |  ROUND(AVG(CAST(embedding[2] AS DOUBLE)), 6) AS m2,
+        |  ROUND(AVG(CAST(embedding[3] AS DOUBLE)), 6) AS m3,
+        |  ROUND(AVG(CAST(embedding[4] AS DOUBLE)), 6) AS m4
+        |FROM embeddings GROUP BY 1 ORDER BY g""".stripMargin,
     "q34_json_extract" ->
       """SELECT event_type, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS sum_k,
         |  MIN(k) AS min_k, MAX(k) AS max_k,

@@ -205,3 +205,34 @@ class ThetaSketchSpec extends AnyFunSuite {
     assert(math.abs(ei - 10000) / 10000 < 0.15, s"intersect estimate $ei")
   }
 }
+
+class VectorMeanSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("mean-pool merges across partitions and equals the explicit mean") {
+    val df = spark.range(0, 10000, 1, 16).toDF("i")
+      .select((col("i") % 4).cast("int").as("g"),
+        array(col("i").cast("double"), lit(1.0), (col("i") * 2).cast("double")).as("v"))
+    val got = df.groupBy("g").agg(operators.VectorOps.meanPool(col("v")).as("m"))
+      .select(col("g"), element_at(col("m"), 1), element_at(col("m"), 2),
+        element_at(col("m"), 3))
+      .as[(Int, Double, Double, Double)].collect().map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    val want = df.select(col("g"), element_at(col("v"), 1).as("a"),
+        element_at(col("v"), 2).as("b"), element_at(col("v"), 3).as("c"))
+      .groupBy("g").agg(avg("a"), avg("b"), avg("c"))
+      .as[(Int, Double, Double, Double)].collect().map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    got.foreach { case (g, (a, b, c)) =>
+      val (wa, wb, wc) = want(g)
+      assert(math.abs(a - wa) < 1e-9 && math.abs(b - wb) < 1e-9 &&
+        math.abs(c - wc) < 1e-9, s"group $g")
+    }
+  }
+
+  test("mean-pool of all-null input is null") {
+    val df = Seq.fill(3)(Option.empty[Array[Double]]).toDF("v")
+    val r = df.agg(operators.VectorOps.meanPool(col("v")).as("m")).head()
+    assert(r.isNullAt(0))
+  }
+}
