@@ -87,6 +87,33 @@ object GraftExtensions {
       info("graft_lang_id",
         "graft_lang_id(raw_text, normalized_text) - heuristic language code"),
       binary("graft_lang_id")(LangIdHeuristic)),
+    // aggregates: the analyzer wraps a bare AggregateFunction into its
+    // AggregateExpression, so these work in GROUP BY queries directly
+    ("graft_theta_sketch",
+      info("graft_theta_sketch",
+        "graft_theta_sketch(col[, k]) - KMV theta sketch blob (agg)"),
+      unaryWithInt("graft_theta_sketch", 1024)((e, k) => ThetaSketchAgg(e, k))),
+    ("graft_theta_estimate",
+      info("graft_theta_estimate",
+        "graft_theta_estimate(sketch) - distinct estimate of a theta sketch"), {
+        case Seq(a) => ThetaEstimate(a)
+        case es => throw new IllegalArgumentException(
+          s"graft_theta_estimate requires 1 argument, got ${es.length}")
+      }),
+    ("graft_theta_union",
+      info("graft_theta_union", "graft_theta_union(a, b) - sketch union blob"),
+      binary("graft_theta_union")(ThetaUnion)),
+    ("graft_theta_intersect",
+      info("graft_theta_intersect",
+        "graft_theta_intersect(a, b) - intersection-cardinality estimate"),
+      binary("graft_theta_intersect")(ThetaIntersect)),
+    ("graft_vec_mean",
+      info("graft_vec_mean",
+        "graft_vec_mean(array<double>) - elementwise mean (agg)"), {
+        case Seq(a) => VectorMeanAgg(a)
+        case es => throw new IllegalArgumentException(
+          s"graft_vec_mean requires 1 argument, got ${es.length}")
+      }),
   )
 
   /** Register on a live session (temp-function variant). */

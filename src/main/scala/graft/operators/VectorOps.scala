@@ -25,6 +25,15 @@ object VectorOps {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** L2-normalized copy of a vector. `normAttr` must be a pre-staged
+    * row ATTRIBUTE (e.g. `withColumn("nv", norm(col))` first) — an
+    * inline norm expression inside the HOF lambda would re-evaluate the
+    * whole dot product per element (the staging rule). Zero vectors
+    * pass through. */
+  def l2Normalize(v: Column, normAttr: Column): Column =
+    when(normAttr === 0.0, v.cast("array<double>"))
+      .otherwise(transform(v.cast("array<double>"), x => x / normAttr))
+
   /** Cosine similarity in double; null-safe on zero vectors. */
   def cosine(a: Column, b: Column): Column = {
     val d = dot(a, b)

@@ -83,3 +83,31 @@ class SyntaxSpec extends AnyFunSuite {
     assert(d == 2.0)
   }
 }
+
+class VectorOpsExtraSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+  import graft.operators.VectorOps
+
+  test("l2Normalize produces unit vectors; zero vectors pass through") {
+    val df = Seq(Array(3.0, 4.0), Array(0.0, 0.0)).toDF("v")
+      .withColumn("nv", VectorOps.norm($"v"))
+      .withColumn("u", VectorOps.l2Normalize($"v", $"nv"))
+    val rows = df.select(VectorOps.norm($"u")).as[Double].collect()
+    assert(math.abs(rows(0) - 1.0) < 1e-12)
+    assert(rows(1) == 0.0)
+  }
+
+  test("sketch and vector aggregates callable from SQL") {
+    GraftExtensions.register(spark)
+    spark.range(0, 5000).toDF("v").createOrReplaceTempView("nums")
+    val r = spark.sql(
+      """SELECT graft_theta_estimate(graft_theta_sketch(CAST(v AS STRING), 256)) AS est,
+        |  graft_vec_mean(array(CAST(v AS DOUBLE), 2.0d)) AS m
+        |FROM nums""".stripMargin).head()
+    assert(math.abs(r.getDouble(0) - 5000) / 5000 < 0.15)
+    assert(r.getSeq[Double](1)(1) == 2.0)
+    assert(math.abs(r.getSeq[Double](1)(0) - 2499.5) < 1e-6)
+  }
+}
