@@ -25,8 +25,12 @@ object Tables {
     val df = t(spark, dir, "events")
     df.schema("ts").dataType match {
       case TimestampType => df
-      case LongType => // nanosAsLong fallback: ns since epoch
-        df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast(LongType)))
+      case LongType => // nanosAsLong fallback: ns since epoch.
+        // Integer `div`, NOT `/`: ns values (~1.7e18) exceed double's
+        // 53-bit mantissa, so `col / 1000` (double division) is off by up
+        // to ~256 ns — enough to flip a boundary-exact event into the
+        // previous microsecond/second after truncation.
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _ => df.withColumn("ts", col("ts").cast(TimestampType))
     }
   }

@@ -720,8 +720,8 @@ object Relational {
         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)),
         |sess AS (
         |  SELECT user_id, es,
-        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY es, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY es, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         |  FROM flagged)
         |SELECT user_id, session_id, COUNT(*) AS n_events, MIN(es) AS start_s,
         |  MAX(es) - MIN(es) AS dur_s

@@ -125,10 +125,15 @@ object TypeQueries {
   // ---- T9: float→decimal exact --------------------------------------------
   def t9CastDecimal(s: SparkSession, dir: String): DataFrame = {
     val o = t(s, dir, "orders").filter(col("o_orderkey") <= 300)
+    // Output surfaced as DOUBLE: the cast itself runs in exact decimal
+    // arithmetic (the point of T9), but DECIMAL result columns render
+    // differently across the driver's pandas/pyarrow bridges (trailing
+    // zeros, HUGEINT-style coercion), so hash-compare on the final double.
     o.select(col("o_orderkey"),
-      Casts.toDecimal(col("o_totalprice"), DoubleType, GDecimal(18, 2)).as("price_dec"),
+      Casts.toDecimal(col("o_totalprice"), DoubleType, GDecimal(18, 2))
+        .cast(DoubleType).as("price_dec"),
       (Casts.toDecimal(col("o_totalprice"), DoubleType, GDecimal(18, 2)) * lit(2))
-        .cast(DecimalType(20, 2)).as("price_x2"))
+        .cast(DecimalType(20, 2)).cast(DoubleType).as("price_x2"))
       .orderBy("o_orderkey")
   }
 
@@ -549,8 +554,9 @@ object TypeQueries {
         |  CAST(FLOOR((epoch(o_orderdate) - epoch(TIMESTAMP '1995-01-01')) / 86400) AS BIGINT) * 86400000000 AS td_us
         |FROM orders WHERE o_orderkey <= 300 ORDER BY o_orderkey""".stripMargin,
     "t9_cast_decimal" ->
-      """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price_dec,
-        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2 AS DECIMAL(20,2)) AS price_x2
+      """SELECT o_orderkey,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price_dec,
+        |  CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2 AS DECIMAL(20,2)) AS DOUBLE) AS price_x2
         |FROM orders WHERE o_orderkey <= 300 ORDER BY o_orderkey""".stripMargin,
     "t10_round_rules" -> {
       val ruleCols = Rounding.validRules
