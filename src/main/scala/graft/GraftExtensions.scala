@@ -114,6 +114,14 @@ object GraftExtensions {
         case es => throw new IllegalArgumentException(
           s"graft_vec_mean requires 1 argument, got ${es.length}")
       }),
+    ("graft_top_k",
+      info("graft_top_k",
+        "graft_top_k(score, id, k) - bounded-heap top-k (agg): " +
+          "array<struct<id,cos>> ranked by score desc, id asc"), {
+        case Seq(s, i, kLit) => TopKAgg(s, i, litInt("graft_top_k", kLit))
+        case es => throw new IllegalArgumentException(
+          s"graft_top_k requires 3 arguments, got ${es.length}")
+      }),
   )
 
   /** Register on a live session (temp-function variant). */

@@ -5,6 +5,9 @@ import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
+
+import graft.expressions.TopKAgg
 
 /** Approximate-nearest-neighbor search over an embedding column.
   *
@@ -27,6 +30,25 @@ object Similarity {
       .otherwise(VectorOps.dot(col(av), col(bv)) / nn)
   }
 
+  /** Per-query top-k of `(qid, id, cos)` rows via the mergeable
+    * bounded-heap aggregate [[graft.expressions.TopKAgg]] — NOT a
+    * `row_number` window. The window form repartitions every candidate
+    * of a query into one task (the whole corpus per query under brute
+    * force); the aggregate keeps ≤k rows per map partition per query
+    * and merges k-sized heaps, so reduce-side work is
+    * O(partitions × k), independent of corpus size. Output schema and
+    * ordering are identical to the previous window formulation
+    * (rank by cos desc, id asc; rk starting at 1). */
+  private def topK(scored: DataFrame, k: Int): DataFrame = {
+    val hits = ColumnBridge.column(
+      TopKAgg(ColumnBridge.expression(col("cos")),
+        ColumnBridge.expression(col("id")), k).toAggregateExpression())
+    scored.groupBy("qid").agg(hits.as("hits"))
+      .select(col("qid"), posexplode(col("hits")))
+      .select(col("qid"), col("col.id").as("id"), col("col.cos").as("cos"),
+        (col("pos") + 1).cast("int").as("rk"))
+  }
+
   /** Exact top-k by cosine for each query vector (brute force).
     * One pass over the corpus; per-query top-k via window over the
     * (queries × corpus) scored rows — only (id, score) wide. */
@@ -35,8 +57,7 @@ object Similarity {
       .crossJoin(broadcast(withNorm(queries, "qid", "qv", "nqv")))
       .filter(col("id") =!= col("qid"))
       .select(col("qid"), col("id"), cosOf("v", "qv", "nv", "nqv").as("cos"))
-    val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("id"))
-    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+    topK(scored, k)
   }
 
   /** IVF (inverted-file) ANN: K-means partitions the corpus into
@@ -58,21 +79,25 @@ object Similarity {
     import spark.implicits._
     val centroids = model.clusterCenters.zipWithIndex
       .map { case (c, i) => (i, c.toArray) }.toSeq.toDF("cell", "cv")
-    // per query: nProbe nearest centroids by euclidean distance
+    // per query: nProbe nearest centroids by euclidean distance —
+    // selected with the same bounded-heap aggregate as the final top-k
+    // (score = -dist so "largest" = nearest; cell id breaks ties asc),
+    // keeping every ANN plan window-free.
     val q = withNorm(queries, "qid", "qv", "nqv")
-    val wProbe = Window.partitionBy("qid").orderBy(asc("dist"), asc("cell"))
-    val probes = q.crossJoin(broadcast(centroids))
+    val probeCells = q.crossJoin(broadcast(centroids))
       .withColumn("dist",
         aggregate(zip_with(col("qv"), col("cv"), (a, b) => (a - b) * (a - b)),
           lit(0.0), (acc, x) => acc + x))
-      .withColumn("pr", row_number().over(wProbe))
-      .filter(col("pr") <= nProbe)
+      .select(col("qid"), (-col("dist")).as("cos"),
+        col("cell").cast("long").as("id"))
+    val probes = topK(probeCells, nProbe)
+      .select(col("qid"), col("id").cast("int").as("cell"))
+      .join(q, Seq("qid"))
       .select("qid", "qv", "nqv", "cell")
     val scored = cells.join(broadcast(probes), Seq("cell"))
       .filter(col("id") =!= col("qid"))
       .select(col("qid"), col("id"), cosOf("v", "qv", "nv", "nqv").as("cos"))
-    val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("id"))
-    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+    topK(scored, k)
   }
 
   /** LSH-bucketed ANN: candidates = corpus vectors sharing the query's
@@ -97,7 +122,6 @@ object Similarity {
       .filter(col("id") =!= col("qid"))
       .select(col("qid"), col("id"), cosOf("v", "qv", "nv", "nqv").as("cos"))
       .distinct()
-    val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("id"))
-    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+    topK(scored, k)
   }
 }
