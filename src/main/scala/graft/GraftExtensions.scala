@@ -117,7 +117,7 @@ object GraftExtensions {
     ("graft_top_k",
       info("graft_top_k",
         "graft_top_k(score, id, k) - bounded-heap top-k (agg): " +
-          "array<struct<id,cos>> ranked by score desc, id asc"), {
+          "array<struct<id,score>> ranked by score desc, id asc"), {
         case Seq(s, i, kLit) => TopKAgg(s, i, litInt("graft_top_k", kLit))
         case es => throw new IllegalArgumentException(
           s"graft_top_k requires 3 arguments, got ${es.length}")

@@ -7,8 +7,15 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     // Optional 3rd arg: comma-separated query names (dev-only fast path).
+    // A blank arg means "all" (not "none"); unknown names fail fast
+    // instead of silently writing nothing with exit 0.
     val only: Option[Set[String]] =
-      if (args.length > 2) Some(args(2).split(",").toSet) else None
+      if (args.length > 2) {
+        val names = args(2).split(",").map(_.trim).filter(_.nonEmpty).toSet
+        val unknown = names -- SparkEntry.queries.keySet
+        require(unknown.isEmpty, s"unknown query names: ${unknown.mkString(", ")}")
+        if (names.isEmpty) None else Some(names)
+      } else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -3,7 +3,7 @@ package graft.expressions
 import java.nio.ByteBuffer
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.BinaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -27,9 +27,15 @@ class TopKBuffer(val k: Int) {
   val scores: Array[Double] = new Array[Double](k)
   val ids: Array[Long] = new Array[Long](k)
 
-  /** true if (s1,i1) ranks WORSE than (s2,i2) under (score desc, id asc). */
-  @inline private def worse(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
-    s1 < s2 || (s1 == s2 && i1 > i2)
+  /** true if (s1,i1) ranks WORSE than (s2,i2) under (score desc, id asc).
+    * `Double.compare` gives a TOTAL order: NaN ranks above +Inf (so a
+    * NaN-scored row is never dropped and sorts first — the ordering the
+    * replaced `row_number() ... ORDER BY score DESC` window used), and
+    * -0.0 ranks below 0.0 deterministically. */
+  @inline private def worse(s1: Double, i1: Long, s2: Double, i2: Long): Boolean = {
+    val c = java.lang.Double.compare(s1, s2)
+    c < 0 || (c == 0 && i1 > i2)
+  }
 
   private def siftDown(start: Int): Unit = {
     var i = start
@@ -73,28 +79,41 @@ class TopKBuffer(val k: Int) {
     this
   }
 
-  /** (score, id) pairs in rank order (score desc, id asc). */
+  /** (score, id) pairs in rank order (score desc, id asc) — same total
+    * order as [[worse]] (NaN first, -0.0 after 0.0). */
   def sorted: Array[(Double, Long)] =
     Array.tabulate(n)(i => (scores(i), ids(i)))
-      .sortWith((a, b) => a._1 > b._1 || (a._1 == b._1 && a._2 < b._2))
+      .sortWith { (a, b) =>
+        val c = java.lang.Double.compare(a._1, b._1)
+        c > 0 || (c == 0 && a._2 < b._2)
+      }
 }
 
 /** Mergeable bounded-heap top-k aggregate:
-  * `graft_top_k(score, id, k)` → `array<struct<id:bigint, cos:double>>`
+  * `graft_top_k(score, id, k)` → `array<struct<id:bigint, score:double>>`
   * in rank order (score desc, id asc), at most k elements.
-  */
+  *
+  * Input coercion: `ImplicitCastInputTypes` makes the analyzer cast
+  * (or cleanly reject) non-DOUBLE scores / non-BIGINT ids at analysis
+  * time — a FLOAT score or INT id widens instead of hitting a runtime
+  * ClassCastException in `update`. */
 case class TopKAgg(left: Expression, right: Expression, k: Int,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[TopKBuffer] with BinaryLike[Expression] {
+    extends TypedImperativeAggregate[TopKBuffer]
+    with ImplicitCastInputTypes with BinaryLike[Expression] {
 
   require(k > 0, s"graft_top_k requires k > 0, got $k")
 
   private def score: Expression = left
   private def id: Expression = right
 
+  // Seq[DataType] (not Seq[AbstractDataType]: private[sql] in Spark 4)
+  // is a valid covariant override naming only public types
+  override def inputTypes: Seq[DataType] = Seq(DoubleType, LongType)
+
   override def dataType: DataType = ArrayType(
     StructType(Seq(StructField("id", LongType, nullable = false),
-      StructField("cos", DoubleType, nullable = false))),
+      StructField("score", DoubleType, nullable = false))),
     containsNull = false)
   override def nullable: Boolean = false
   override def prettyName: String = "graft_top_k"

@@ -3,7 +3,6 @@ package graft.operators
 import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.ColumnBridge
 
@@ -45,7 +44,7 @@ object Similarity {
         ColumnBridge.expression(col("id")), k).toAggregateExpression())
     scored.groupBy("qid").agg(hits.as("hits"))
       .select(col("qid"), posexplode(col("hits")))
-      .select(col("qid"), col("col.id").as("id"), col("col.cos").as("cos"),
+      .select(col("qid"), col("col.id").as("id"), col("col.score").as("cos"),
         (col("pos") + 1).cast("int").as("rk"))
   }
 
@@ -118,10 +117,14 @@ object Similarity {
       .withColumn("qbucket", VectorOps.signBucket(col("qv"), planes))
       .withColumn("bucket", explode(array(
         flips.map(m => col("qbucket").bitwiseXOR(lit(m))): _*)))
+    // no distinct: the probe masks are distinct XOR values and each
+    // corpus vector lives in exactly one bucket, so a (qid, id) pair
+    // matches at most one probe row — dedup would be a pure extra
+    // exchange. (If probe sets ever overlap, dedup candidate (qid, id)
+    // BEFORE scoring, not the scored rows.)
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("id") =!= col("qid"))
       .select(col("qid"), col("id"), cosOf("v", "qv", "nv", "nqv").as("cos"))
-      .distinct()
     topK(scored, k)
   }
 }

@@ -45,6 +45,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan("q5_multi_join").contains("BroadcastHashJoin"))
   }
 
+  test("ANN per-query top-k stays aggregate-based — no Window node") {
+    // the row_number window form funnels every candidate of a query
+    // into one task; TopKAgg keeps the reduce side O(partitions × k).
+    // This guard stops a refactor from silently reintroducing it.
+    Seq("s1_ann_brute", "s2_ann_lsh", "s3_ann_ivf").foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("Window"), s"$name reintroduced a window top-k")
+    }
+  }
+
   test("native as-of join plans its custom exec with SMJ layout") {
     val p = plan("q29_asof_native")
     assert(p.contains("AsOfJoin"), s"custom exec missing:\n$p")
