@@ -86,7 +86,7 @@ object LlmQueries {
       .orderBy("qid", "rk")
   }
 
-  // ---- L13: IVF ANN (KMeans cells + multi-probe) --------------------------
+  // ---- L13: IVF ANN (sampled-centroid cells + multi-probe) ----------------
   def s3AnnIvf(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 10,
@@ -250,9 +250,83 @@ object LlmQueries {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** s2 oracle: DuckDB replays the ENTIRE sign-LSH procedure — the 8
+    * seeded hyperplanes are embedded as literal arrays (Double.toString
+    * round-trips to the same binary double), buckets recompute as sign
+    * bits of literal-plane dot products, the 37 multi-probe XOR masks
+    * enumerate inline, and the top-k window ranks by UNROUNDED cosine
+    * exactly like TopKAgg. A hash-match is therefore a bit-level proof
+    * of the whole bucketing + probing + scoring pipeline. */
+  private def s2OracleSql: String = {
+    val bits = 8
+    val planes = graft.operators.VectorOps.hyperplanes(bits, 64)
+    def arr(p: Array[Double]) = p.mkString("[", ", ", "]")
+    val bucketExpr = planes.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN list_inner_product(v, ${arr(p)}) >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+    val masks = (0L +: ((0 until bits).map(i => 1L << i) ++
+      (for (i <- 0 until bits; j <- (i + 1) until bits)
+        yield (1L << i) | (1L << j)))).mkString(", ")
+    s"""WITH emb AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |b AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nv,
+       |    $bucketExpr AS bucket FROM emb),
+       |probes AS (SELECT vec_id AS qid, v AS qv, nv AS nqv,
+       |    xor(bucket, f.m) AS bucket
+       |  FROM b CROSS JOIN (SELECT unnest([$masks]) AS m) f
+       |  WHERE vec_id < 5),
+       |scored AS (SELECT p.qid, c.vec_id AS id,
+       |    CASE WHEN c.nv * p.nqv = 0 THEN 0.0
+       |         ELSE list_inner_product(c.v, p.qv) / (c.nv * p.nqv) END AS cos
+       |  FROM b c JOIN probes p ON c.bucket = p.bucket AND c.vec_id <> p.qid)
+       |SELECT qid, id, ROUND(cos, 6) AS cos, rk FROM (
+       |  SELECT qid, id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, id ASC) AS rk
+       |  FROM scored) t
+       |WHERE rk <= 10 ORDER BY qid, rk""".stripMargin
+  }
+
+  /** s3 oracle: the sampled-centroid IVF index is pure SQL — centroids
+    * are the 16 corpus vectors with smallest md5(id), cell assignment
+    * is the argmin of ip(c,c) - 2·ip(v,c) (ties to the smaller cid,
+    * mirroring the struct-ordering argmin on the Spark side), probes
+    * are each query's 4 nearest centroids. DuckDB rebuilds the index
+    * from the raw table and must land on the identical top-k. */
+  private def s3OracleSql: String = {
+    val rankOrder = "list_inner_product(c.cv, c.cv) - " +
+      "2 * list_inner_product(b.v, c.cv) ASC, c.cid ASC"
+    s"""WITH emb AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |cent AS (SELECT vec_id AS cid, v AS cv FROM emb
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+       |b AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nv FROM emb),
+       |assign AS (SELECT vec_id, v, nv, cid AS cell FROM (
+       |    SELECT b.vec_id, b.v, b.nv, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY $rankOrder) AS rn
+       |    FROM b CROSS JOIN cent c) t WHERE rn = 1),
+       |probes AS (SELECT vec_id AS qid, cid AS cell FROM (
+       |    SELECT b.vec_id, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY $rankOrder) AS rn
+       |    FROM b CROSS JOIN cent c WHERE b.vec_id < 5) t WHERE rn <= 4),
+       |scored AS (SELECT p.qid, a.vec_id AS id,
+       |    CASE WHEN a.nv * q.nv = 0 THEN 0.0
+       |         ELSE list_inner_product(a.v, q.v) / (a.nv * q.nv) END AS cos
+       |  FROM assign a JOIN probes p ON a.cell = p.cell AND a.vec_id <> p.qid
+       |  JOIN b q ON q.vec_id = p.qid)
+       |SELECT qid, id, ROUND(cos, 6) AS cos, rk FROM (
+       |  SELECT qid, id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, id ASC) AS rk
+       |  FROM scored) t
+       |WHERE rk <= 10 ORDER BY qid, rk""".stripMargin
+  }
+
   /** Oracles for the SQL-expressible subset; the rest are rows-only
     * (probabilistic sketches / LSH top-k with engine-seeded internals). */
   val oracles: Map[String, String] = Map(
+    "s2_ann_lsh" -> s2OracleSql,
+    "s3_ann_ivf" -> s3OracleSql,
     "d3_simhash" -> d3OracleSql,
     "d1_exact_dedup" ->
       s"""WITH all_docs AS (

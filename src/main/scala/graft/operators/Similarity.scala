@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.ColumnBridge
 
@@ -59,14 +59,78 @@ object Similarity {
     topK(scored, k)
   }
 
-  /** IVF (inverted-file) ANN: K-means partitions the corpus into
-    * `nCells` cells (index build = one MLlib fit, seeded/deterministic);
-    * each query probes its `nProbe` nearest centroids and scores only
-    * those cells' vectors exactly. The classic Faiss-IVF layout on
-    * Spark: the cell assignment is the partition key, queries broadcast.
-    */
+  /** IVF (inverted-file) ANN: a coarse quantizer partitions the corpus
+    * into `nCells` cells; each query probes its `nProbe` nearest
+    * centroids and scores only those cells' vectors exactly. The
+    * classic Faiss-IVF layout on Spark: cell assignment is the
+    * partition key, queries broadcast.
+    *
+    * Quantizers:
+    *  - `"sample"` (default): centroids = the `nCells` corpus vectors
+    *    with the smallest `md5(id)` — deterministic hash sampling (the
+    *    q31 idiom). No training fit at all: centroid selection is a
+    *    TakeOrdered scan, assignment is a map-side argmin over literal
+    *    centroids, and the whole index build is reproducible in plain
+    *    SQL (which is what lets the DuckDB oracle hash-verify s3).
+    *  - `"kmeans"`: seeded MLlib K-means fit — tighter cells (better
+    *    recall per probe) at the cost of an iterative training job;
+    *    the right trade when the index is built once and reused. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+      nCells: Int = 16, nProbe: Int = 4,
+      quantizer: String = "sample"): DataFrame = quantizer match {
+    case "sample" => ivfTopKSampled(corpus, queries, k, nCells, nProbe)
+    case "kmeans" => ivfTopKKMeans(corpus, queries, k, nCells, nProbe)
+    case other => throw new IllegalArgumentException(
+      s"ivfTopK quantizer must be 'sample' or 'kmeans', got '$other'")
+  }
+
+  /** Deterministic-sampled-centroid IVF (see [[ivfTopK]]).
+    *
+    * Scale shape: centroid pick is one TakeOrdered over the corpus
+    * (O(n) scan, nCells-sized heaps); the 16×64 doubles collect to the
+    * driver (same footprint as KMeans `clusterCenters`) and return as
+    * LITERAL expressions, so cell assignment and probe selection are
+    * pure map-side projections — zero extra shuffles beyond topK's
+    * one aggregate exchange. */
+  private def ivfTopKSampled(corpus: DataFrame, queries: DataFrame,
+      k: Int, nCells: Int, nProbe: Int): DataFrame = {
+    val c = withNorm(corpus, "id", "v", "nv")
+    val centroids: Array[(Long, Array[Double])] =
+      c.select(col("id").cast("long"), col("v"))
+        .orderBy(md5(col("id").cast("string")), col("id"))
+        .limit(nCells).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    // relative distance to centroid j: ip(c_j,c_j) - 2·ip(v,c_j) —
+    // euclidean argmin without the ip(v,v) term (constant across j).
+    // ip(c_j,c_j) is summed left-to-right in Scala, matching
+    // ArrayDotProduct's order, so both factors reproduce in the oracle.
+    def cellRank(v: Column): Column = array(centroids.map { case (cid, cv) =>
+      var ipcc = 0.0
+      var i = 0
+      while (i < cv.length) { ipcc += cv(i) * cv(i); i += 1 }
+      struct(
+        (lit(ipcc) - VectorOps.dot(v, array(cv.map(lit(_)): _*)) * 2.0).as("d"),
+        lit(cid).as("cid"))
+    }: _*)
+    // struct ordering is lexicographic (d asc, cid asc) — ties go to
+    // the smaller centroid id, deterministically
+    val cells = c.withColumn("cell",
+      array_min(cellRank(col("v"))).getField("cid"))
+    val q = withNorm(queries, "qid", "qv", "nqv")
+    val probes = q.withColumn("cell",
+        explode(transform(slice(array_sort(cellRank(col("qv"))), 1, nProbe),
+          s => s.getField("cid"))))
+      .select("qid", "qv", "nqv", "cell")
+    val scored = cells.join(broadcast(probes), Seq("cell"))
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("id"), cosOf("v", "qv", "nv", "nqv").as("cos"))
+    topK(scored, k)
+  }
+
+  /** K-means-quantized IVF (see [[ivfTopK]]): index build = one seeded
+    * MLlib fit. */
+  private def ivfTopKKMeans(corpus: DataFrame, queries: DataFrame,
+      k: Int, nCells: Int, nProbe: Int): DataFrame = {
     val feats = withNorm(corpus, "id", "v", "nv")
       .withColumn("features", array_to_vector(col("v")))
     val km = new KMeans().setK(nCells).setSeed(42L).setMaxIter(10)

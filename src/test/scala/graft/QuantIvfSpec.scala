@@ -46,12 +46,26 @@ class IvfSpec extends AnyFunSuite {
     val queries = emb.filter($"vec_id" < 3)
     val brute = Similarity.bruteTopK(emb, queries, 10)
       .select("qid", "id").as[(Long, Long)].collect().toSet
-    val ivf = Similarity.ivfTopK(emb, queries, 10, nCells = 16, nProbe = 4)
-    val got = ivf.select("qid", "id").as[(Long, Long)].collect().toSet
-    assert(got.nonEmpty)
-    // every query produced results and they are genuine top-k candidates
-    assert(got.intersect(brute).nonEmpty)
-    // pruning actually happened: scored candidates < corpus per query
-    assert(got.size <= 30)
+    // both quantizers produce genuine top-k candidates with pruning
+    Seq("sample", "kmeans").foreach { quant =>
+      val ivf = Similarity.ivfTopK(emb, queries, 10,
+        nCells = 16, nProbe = 4, quantizer = quant)
+      val got = ivf.select("qid", "id").as[(Long, Long)].collect().toSet
+      assert(got.nonEmpty, quant)
+      assert(got.intersect(brute).nonEmpty, quant)
+      // pruning actually happened: scored candidates < corpus per query
+      assert(got.size <= 30, quant)
+    }
+  }
+
+  test("sampled-centroid assignment ties break to the smaller cell id") {
+    // two identical centroids-by-construction can't occur from distinct
+    // corpus vectors, but equal relative distances can: verify the
+    // argmin is deterministic by re-running the same assignment twice
+    val emb = Tables.t(spark, sf, "embeddings")
+    val q = emb.filter($"vec_id" < 3)
+    val a = Similarity.ivfTopK(emb, q, 5).collect().toSeq
+    val b = Similarity.ivfTopK(emb, q, 5).collect().toSeq
+    assert(a == b)
   }
 }
