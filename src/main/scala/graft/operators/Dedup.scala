@@ -23,6 +23,59 @@ object Dedup {
       ColumnBridge.expression(text)))
   }
 
+  /** Conditional skew salting for bucket-local pair generation.
+    *
+    * Input needs columns `id`, `band`, `key`; output adds `sub`
+    * (the row's hash sub-bucket) and `gi` <= `gj` (the sub-bucket PAIR
+    * group this copy participates in). A bucket of B rows gets
+    * S = min(ceil(B / cap), maxSalt) sub-buckets; each row replicates
+    * to its S groups {(min(sub,j), max(sub,j))}. Pair enumeration per
+    * (band, key, gi, gj) group then touches ~B/S rows, so one
+    * degenerate band key (boilerplate/empty docs sharing a signature)
+    * costs S(S+1)/2 bounded tasks instead of ONE quadratic task.
+    * S = 1 (every healthy bucket) reproduces the unsalted layout with
+    * zero replication.
+    *
+    * Exactness: pairs within sub-bucket i appear only in group (i,i);
+    * pairs across i < j only in (i,j) — each candidate pair is
+    * enumerated exactly once. Truly pathological cliques (B >> cap ×
+    * maxSalt) remain quadratic WORK by definition — a clique of B
+    * near-identical docs has B²/2 true pairs; mass-identical content
+    * should fall to [[exactGroups]] first, which collapses it in one
+    * hash aggregate. */
+  private[graft] def saltBuckets(df: DataFrame, cap: Int, maxSalt: Int): DataFrame = {
+    val wsz = Window.partitionBy("band", "key")
+    df.withColumn("bsz", count(lit(1)).over(wsz))
+      .withColumn("nsalt",
+        least(ceil(col("bsz").cast("double") / cap), lit(maxSalt.toLong)).cast("int"))
+      .withColumn("sub", pmod(xxhash64(col("id")), col("nsalt")).cast("int"))
+      .withColumn("g", explode(transform(sequence(lit(0), col("nsalt") - 1),
+        j => struct(least(col("sub"), j).as("gi"), greatest(col("sub"), j).as("gj")))))
+      .withColumn("gi", col("g.gi")).withColumn("gj", col("g.gj"))
+      .drop("g", "bsz", "nsalt")
+  }
+
+  /** Ordered candidate pairs from one salted group: all pairs for a
+    * diagonal group (gi == gj), only cross-sub pairs off-diagonal
+    * (within-sub pairs belong to that sub's own diagonal group). */
+  private def groupPairs(rows: Array[(Long, Int)], gi: Int, gj: Int)
+      : Iterator[(Long, Long)] =
+    if (gi == gj) {
+      val ids = rows.map(_._1)
+      java.util.Arrays.sort(ids)
+      for {
+        i <- ids.indices.iterator
+        j <- (i + 1) until ids.length
+      } yield (ids(i), ids(j))
+    } else {
+      val as = rows.collect { case (id, s) if s == gi => id }
+      val bs = rows.collect { case (id, s) if s == gj => id }
+      for {
+        a <- as.iterator
+        b <- bs.iterator
+      } yield (math.min(a, b), math.max(a, b))
+    }
+
   // ---------------------------------------------------------------------
   // Exact dedup
   // ---------------------------------------------------------------------
@@ -73,7 +126,8 @@ object Dedup {
     * joined back only for surviving candidate pairs. */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
       w: Int = 3, h: Int = 64, bands: Int = 16,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      capBucket: Int = 4096, maxSalt: Int = 64): DataFrame = {
     // staged projections: sh → sig → bands, so each step reads the
     // previous as a row attribute (bandKeys over an inline signature
     // would re-run the signature aggregate once per band). persisted:
@@ -87,24 +141,23 @@ object Dedup {
       // drop it before persisting (512 B/doc dead weight × 3 consumers)
       .select("id", "sh", "bands")
       .persist()
-    // BLOCK-LOCAL candidate generation: one shuffle groups each
-    // (band, key) bucket's ids; ordered pairs are enumerated inside the
-    // group — vs the former self-join this shuffles the exploded rows
-    // once (not twice) and skips the join's row-materialization.
-    // Buckets are LSH buckets: small by construction.
+    // BLOCK-LOCAL candidate generation: pairs are enumerated inside
+    // each (band, key) group — vs the former self-join this shuffles
+    // the exploded rows (not the join's materialized pair rows).
+    // Buckets are usually small by LSH construction, but "usually" is
+    // not a guard: saltBuckets splits any bucket over `capBucket` ids
+    // into hash sub-groups so a degenerate band key (mass-shared
+    // boilerplate signature) never lands on one quadratic task.
     val spark = df.sparkSession
     import spark.implicits._
-    val cand = withSig
-      .select(col("id"), posexplode(col("bands")).as(Seq("band", "key")))
-      .as[(Long, Int, Long)]
-      .groupByKey(t => (t._2, t._3))
-      .flatMapGroups { (_, it) =>
-        val ids = it.map(_._1).toArray
-        java.util.Arrays.sort(ids)
-        for {
-          i <- ids.indices.iterator
-          j <- (i + 1) until ids.length
-        } yield (ids(i), ids(j))
+    val cand = saltBuckets(
+        withSig.select(col("id"), posexplode(col("bands")).as(Seq("band", "key"))),
+        capBucket, maxSalt)
+      .select("id", "sub", "band", "key", "gi", "gj")
+      .as[(Long, Int, Int, Long, Int, Int)]
+      .groupByKey(t => (t._3, t._4, t._5, t._6))
+      .flatMapGroups { (key, it) =>
+        groupPairs(it.map(t => (t._1, t._2)).toArray, key._3, key._4)
       }
       .toDF("id_a", "id_b")
       .distinct()
@@ -157,31 +210,50 @@ object Dedup {
     * pair within maxDist agrees on at least one chunk, so the self-join
     * runs per chunk bucket, never all-pairs. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxDist: Int = 3): DataFrame = {
+      maxDist: Int = 3, capBucket: Int = 4096, maxSalt: Int = 64): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val chunks = maxDist + 1
     val bits = 64 / chunks
-    // block-local pair generation per (chunk, key) bucket — one shuffle
-    // of (id, hash, chunk, key) quads; the hamming filter applies
-    // in-group so over-distance pairs never materialize as rows
-    df.select(col(idCol).cast("long").as("id"),
+    // block-local pair generation per (chunk-band, key) bucket — one
+    // pass of (id, hash, band, key) quads; the hamming filter applies
+    // in-group so over-distance pairs never materialize as rows.
+    // saltBuckets bounds the per-task pair count for degenerate keys
+    // (e.g. the all-zero chunk of near-empty docs) exactly as in
+    // minhashPairs.
+    val exploded = df.select(col(idCol).cast("long").as("id"),
         tokenMd5Hashes(normText(col(textCol))).as("th"))
       .select(col("id"), simhashFromTokHashes(col("th")).as("sh"))
       .select(col("id"), col("sh"),
         posexplode(array((0 until chunks).map(i =>
           shiftright(col("sh"), i * bits)
-            .bitwiseAND(lit((1L << bits) - 1))): _*)).as(Seq("chunk", "key")))
-      .as[(Long, Long, Int, Long)]
-      .groupByKey(t => (t._3, t._4))
-      .flatMapGroups { (_, it) =>
-        val rows = it.map(t => (t._1, t._2)).toArray.sortBy(_._1)
-        for {
-          i <- rows.indices.iterator
-          j <- (i + 1) until rows.length
-          h = java.lang.Long.bitCount(rows(i)._2 ^ rows(j)._2)
-          if h <= maxDist
-        } yield (rows(i)._1, rows(j)._1, h)
+            .bitwiseAND(lit((1L << bits) - 1))): _*)).as(Seq("band", "key")))
+    saltBuckets(exploded, capBucket, maxSalt)
+      .select("id", "sh", "sub", "band", "key", "gi", "gj")
+      .as[(Long, Long, Int, Int, Long, Int, Int)]
+      .groupByKey(t => (t._4, t._5, t._6, t._7))
+      .flatMapGroups { (key, it) =>
+        val (gi, gj) = (key._3, key._4)
+        val rows = it.map(t => ((t._1, t._2), t._3)).toArray
+        val pairs =
+          if (gi == gj) {
+            val m = rows.map(_._1).sortBy(_._1)
+            for {
+              i <- m.indices.iterator
+              j <- (i + 1) until m.length
+            } yield (m(i), m(j))
+          } else {
+            val as = rows.collect { case (r, s) if s == gi => r }
+            val bs = rows.collect { case (r, s) if s == gj => r }
+            for {
+              a <- as.iterator
+              b <- bs.iterator
+            } yield if (a._1 < b._1) (a, b) else (b, a)
+          }
+        pairs.flatMap { case ((ida, sha), (idb, shb)) =>
+          val h = java.lang.Long.bitCount(sha ^ shb)
+          if (h <= maxDist) Iterator.single((ida, idb, h)) else Iterator.empty
+        }
       }
       .toDF("id_a", "id_b", "hamming")
       .distinct()
