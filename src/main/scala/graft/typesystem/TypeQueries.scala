@@ -330,7 +330,66 @@ object TypeQueries {
       .orderBy("o_orderkey")
   }
 
+  // ---- T23: string→datetime parse grid ------------------------------------
+  // reference convert/datetime.py (string paths in util/string.pyx),
+  // arguments.py:761 (tz), :859 (day_first), :921 (year_first).
+  // Fixture strings are FORMATTED from o_orderdate by both engines
+  // (date_format vs strftime), then parsed back through every option:
+  // default ISO, explicit format, dayFirst, yearFirst, wall-clock tz,
+  // and errors=coerce on planted junk. yearFirst uses dates shifted
+  // +360 months (2022-2028): Java's "yy" maps to 2000-2099 while
+  // DuckDB's %y splits at 69, so the grid stays where both agree.
+  def t23ParseDatetime(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").filter(col("o_orderkey") <= 400)
+      .select(col("o_orderkey"),
+        col("o_orderdate").cast(TimestampType).as("d"),
+        add_months(col("o_orderdate"), 360).cast(TimestampType).as("d30"))
+    val fix = o.select(col("o_orderkey"),
+      date_format(col("d"), "yyyy-MM-dd HH:mm:ss").as("iso_s"),
+      date_format(col("d"), "MM/dd/yyyy").as("us_s"),
+      date_format(col("d"), "dd/MM/yyyy").as("df_s"),
+      date_format(col("d30"), "yy/MM/dd").as("yf_s"),
+      when(col("o_orderkey") % 3 === 0, lit("not a date"))
+        .otherwise(date_format(col("d"), "yyyy-MM-dd")).as("mixed_s"))
+    fix.select(col("o_orderkey"), col("iso_s"),
+      unix_micros(Casts.toDatetime(col("iso_s"), StringType)).as("us_iso"),
+      unix_micros(Casts.toDatetime(col("us_s"), StringType,
+        CastOptions(format = Some("M/d/yyyy")))).as("us_fmt"),
+      unix_micros(Casts.toDatetime(col("df_s"), StringType,
+        CastOptions(dayFirst = true))).as("us_dayfirst"),
+      unix_micros(Casts.toDatetime(col("yf_s"), StringType,
+        CastOptions(yearFirst = true))).as("us_yearfirst"),
+      unix_micros(Casts.toDatetime(col("iso_s"), StringType,
+        CastOptions(tz = Some("America/New_York")))).as("us_tz"),
+      unix_micros(Casts.toDatetime(col("mixed_s"), StringType,
+        CastOptions(errors = "coerce"))).as("us_coerce"))
+      .orderBy("o_orderkey")
+  }
+
+  // ---- T24: to_string incl. int→radix, and the radix round-trip -----------
+  // reference convert/base.py:274 (to_string), util/string.pyx:45
+  // (int_to_base: lowercase digits, explicit sign)
+  def t24ToString(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").filter(col("o_orderkey") <= 500)
+      .select(col("o_orderkey"),
+        (col("o_orderkey") *
+          when(col("o_orderkey") % 2 === 1, -1).otherwise(1)).as("v"),
+        col("o_orderdate").cast(TimestampType).as("d"))
+    o.select(col("o_orderkey"), col("v"),
+      Casts.toString(col("v"), LongType, CastOptions(base = 16)).as("hex_s"),
+      Casts.toString(col("v"), LongType, CastOptions(base = 2)).as("bin_s"),
+      Casts.toString(col("v"), LongType, CastOptions(base = 8)).as("oct_s"),
+      Casts.toString(col("o_orderkey") % 2 === 0, BooleanType).as("bool_s"),
+      Casts.toString(col("d"), TimestampType).as("ts_s"),
+      Casts.toInteger(
+        Casts.toString(col("v"), LongType, CastOptions(base = 16)),
+        StringType, GInteger(64), CastOptions(base = 16)).as("rt"))
+      .orderBy("o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t23_parse_datetime" -> t23ParseDatetime _,
+    "t24_to_string" -> t24ToString _,
     "t21_unit_calendar" -> t21UnitCalendar _,
     "t22_parse_strings" -> t22ParseStrings _,
     "t20_round_decimal" -> t20RoundDecimal _,
@@ -458,6 +517,43 @@ object TypeQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "t23_parse_datetime" ->
+      """WITH b AS (SELECT o_orderkey, CAST(o_orderdate AS TIMESTAMP) AS d,
+        |    CAST(o_orderdate AS TIMESTAMP) + INTERVAL (360) MONTH AS d30
+        |  FROM orders WHERE o_orderkey <= 400),
+        |f AS (SELECT o_orderkey,
+        |    strftime(d, '%Y-%m-%d %H:%M:%S') AS iso_s,
+        |    strftime(d, '%m/%d/%Y') AS us_s,
+        |    strftime(d, '%d/%m/%Y') AS df_s,
+        |    strftime(d30, '%y/%m/%d') AS yf_s,
+        |    CASE WHEN o_orderkey % 3 = 0 THEN 'not a date'
+        |         ELSE strftime(d, '%Y-%m-%d') END AS mixed_s
+        |  FROM b)
+        |SELECT o_orderkey, iso_s,
+        |  epoch_us(strptime(iso_s, '%Y-%m-%d %H:%M:%S')) AS us_iso,
+        |  epoch_us(strptime(us_s, '%m/%d/%Y')) AS us_fmt,
+        |  epoch_us(strptime(df_s, '%d/%m/%Y')) AS us_dayfirst,
+        |  epoch_us(strptime(yf_s, '%y/%m/%d')) AS us_yearfirst,
+        |  epoch_us(timezone('America/New_York',
+        |    strptime(iso_s, '%Y-%m-%d %H:%M:%S'))) AS us_tz,
+        |  CASE WHEN o_orderkey % 3 = 0 THEN NULL
+        |       ELSE epoch_us(strptime(mixed_s, '%Y-%m-%d')) END AS us_coerce
+        |FROM f ORDER BY o_orderkey""".stripMargin,
+    "t24_to_string" ->
+      """WITH b AS (SELECT o_orderkey,
+        |    o_orderkey * (CASE WHEN o_orderkey % 2 = 1 THEN -1 ELSE 1 END) AS v,
+        |    CAST(o_orderdate AS TIMESTAMP) AS d
+        |  FROM orders WHERE o_orderkey <= 500),
+        |m AS (SELECT *, ABS(v) AS mag,
+        |    CASE WHEN v < 0 THEN '-' ELSE '' END AS sg FROM b)
+        |SELECT o_orderkey, v,
+        |  sg || format('{:x}', mag) AS hex_s,
+        |  sg || format('{:b}', mag) AS bin_s,
+        |  sg || format('{:o}', mag) AS oct_s,
+        |  CASE WHEN o_orderkey % 2 = 0 THEN 'true' ELSE 'false' END AS bool_s,
+        |  strftime(d, '%Y-%m-%d %H:%M:%S') AS ts_s,
+        |  v AS rt
+        |FROM m ORDER BY o_orderkey""".stripMargin,
     "t21_unit_calendar" ->
       """WITH b AS (SELECT o_orderkey, CAST(o_orderkey % 480 AS INT) AS nm,
         |             CAST(o_orderkey % 40 AS INT) AS ny
