@@ -17,10 +17,13 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   * [[GraftExtensions.register]] does the same on an existing session
   * (temp functions) for environments that can't set the conf. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    // optimizer rule: auto-broadcast registered bounded dimensions
+    ext.injectOptimizerRule(graft.plans.AutoBroadcastDims(_))
+  }
 }
 
 object GraftExtensions {

@@ -60,6 +60,26 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("AsOfJoin"), s"custom exec missing:\n$p")
   }
 
+  test("AutoBroadcastDims rule broadcasts bounded dims when stats cannot") {
+    // disable the stats-based broadcast path entirely: without the
+    // injected optimizer rule this join would be sort-merge
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val n = spark.read.parquet(s"$sf/nation.parquet")
+      val c = spark.read.parquet(s"$sf/customer.parquet")
+      val joined = c.join(n, c("c_nationkey") === n("n_nationkey"))
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("BroadcastHashJoin"),
+        s"bounded-dim join did not broadcast under threshold=-1:\n$p")
+      // the rule must not touch a non-registered table pair
+      val o = spark.read.parquet(s"$sf/orders.parquet")
+      val p2 = c.join(o, c("c_custkey") === o("o_custkey"))
+        .queryExecution.executedPlan.toString
+      assert(!p2.contains("BroadcastHashJoin"),
+        s"fact-fact join broadcast unexpectedly:\n$p2")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("whole-stage codegen covers the scan-agg pipeline") {
     // AQE wraps everything in an unmaterialized AdaptiveSparkPlan (0
     // visible codegen subtrees pre-execution) — disable it for the
