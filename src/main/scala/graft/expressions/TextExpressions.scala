@@ -2,6 +2,7 @@ package graft.expressions
 
 import java.security.MessageDigest
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
@@ -404,5 +405,82 @@ object ShingleMinMd5 {
       s += 1
     }
     best
+  }
+}
+
+/** Fused mixed-type cell classification + numeric parse: ONE compiled
+  * scan replaces the t19 hot path's four regex-engine evaluations per
+  * row (int rlike, float rlike, lowercase token isin, and the coercing
+  * float cast's own rlike). Returns struct<subtype, v> where subtype ∈
+  * int|float|bool|string (first match wins, in that order — identical
+  * to the reference's split-apply-combine detection ladder,
+  * bertrand/convert/base.py columnwise) and v is the parsed double for
+  * numeric shapes, null otherwise.
+  *
+  * The scanner accepts EXACTLY the shared oracle regex grammar:
+  * int `^[+-]?\d+$`; float `^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$`;
+  * bool = case-insensitive true/false. */
+case class ClassifyNumeric(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("subtype", StringType, nullable = false),
+    StructField("v", DoubleType, nullable = true)))
+  override def prettyName: String = "graft_classify_numeric"
+
+  override def nullSafeEval(v: Any): Any =
+    ClassifyNumeric.compute(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.ClassifyNumeric.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): ClassifyNumeric =
+    copy(child = newChild)
+}
+
+object ClassifyNumeric {
+  private val INT = UTF8String.fromString("int")
+  private val FLOAT = UTF8String.fromString("float")
+  private val BOOL = UTF8String.fromString("bool")
+  private val STRING = UTF8String.fromString("string")
+
+  /** (intShape, floatShape) in one left-to-right scan. */
+  private def numericShape(s: String): (Boolean, Boolean) = {
+    val n = s.length
+    var i = 0
+    if (n == 0) return (false, false)
+    if (s.charAt(i) == '+' || s.charAt(i) == '-') i += 1
+    var digs = 0
+    while (i < n && s.charAt(i) >= '0' && s.charAt(i) <= '9') { i += 1; digs += 1 }
+    if (i == n && digs > 0) return (true, true) // pure integer
+    var fracDigs = 0
+    var sawDot = false
+    if (i < n && s.charAt(i) == '.') {
+      sawDot = true
+      i += 1
+      while (i < n && s.charAt(i) >= '0' && s.charAt(i) <= '9') { i += 1; fracDigs += 1 }
+    }
+    // mantissa: \d+\.?\d* (digs >= 1) or \.\d+ (dot with >= 1 frac digit)
+    if (!(digs >= 1 || (sawDot && fracDigs >= 1))) return (false, false)
+    if (i < n && (s.charAt(i) == 'e' || s.charAt(i) == 'E')) {
+      i += 1
+      if (i < n && (s.charAt(i) == '+' || s.charAt(i) == '-')) i += 1
+      var expDigs = 0
+      while (i < n && s.charAt(i) >= '0' && s.charAt(i) <= '9') { i += 1; expDigs += 1 }
+      if (expDigs == 0) return (false, false)
+    }
+    (false, i == n)
+  }
+
+  def compute(raw: UTF8String): InternalRow = {
+    val s = raw.toString
+    val (isInt, isFloat) = numericShape(s)
+    if (isInt)
+      new GenericInternalRow(Array[Any](INT, java.lang.Double.parseDouble(s)))
+    else if (isFloat)
+      new GenericInternalRow(Array[Any](FLOAT, java.lang.Double.parseDouble(s)))
+    else if (s.equalsIgnoreCase("true") || s.equalsIgnoreCase("false"))
+      new GenericInternalRow(Array[Any](BOOL, null))
+    else
+      new GenericInternalRow(Array[Any](STRING, null))
   }
 }

@@ -251,12 +251,16 @@ object TypeQueries {
           col("l_quantity").cast(IntegerType).cast(StringType))
         .otherwise(when(col("l_returnflag") === "R", "true").otherwise("false"))
         .as("raw"))
-    val subtype = when(col("raw").rlike("^[+-]?\\d+$"), "int")
-      .when(col("raw").rlike("^[+-]?(\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?$"), "float")
-      .when(lower(col("raw")).isin("true", "false"), "bool")
-      .otherwise("string")
-    val num = Casts.toFloat(col("raw"), StringType, GFloat(64), CastOptions(errors = "coerce"))
-    mixed.select(subtype.as("subtype"), num.as("v"))
+    // fused classify+parse: one compiled scan per row instead of four
+    // regex-engine evaluations (int/float rlike, token isin, and the
+    // coercing cast's own rlike) — same grammar, same oracle
+    val cls = {
+      import org.apache.spark.sql.graft.ColumnBridge
+      ColumnBridge.column(graft.expressions.ClassifyNumeric(
+        ColumnBridge.expression(col("raw"))))
+    }
+    mixed.select(cls.as("c")) // staged: both fields read from one eval
+      .select(col("c.subtype").as("subtype"), col("c.v").as("v"))
       .groupBy("subtype")
       .agg(count(lit(1)).as("n"), dsum(dec(col("v"))).as("total"))
       .orderBy("subtype")
