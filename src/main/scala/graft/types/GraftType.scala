@@ -160,6 +160,16 @@ object TypeRegistry {
     }
   }
 
+  /** Override the cast kernel of an EXISTING spec — builtin or custom.
+    * Mirrors the reference's multi-dispatch precedence
+    * (decorators/dispatch.py:2453: a user `@cast.overload` beats the
+    * default implementation; most-recent registration wins).
+    * `Column.castTo(spec)` consults this registry BEFORE the builtin
+    * kernels, so the override takes effect immediately;
+    * [[unregister]] restores the builtin. */
+  def overrideCast(spec: String, kernel: Column => Column): Unit =
+    casters.put(spec.toLowerCase, kernel)
+
   /** Add an alias to an already-registered spec (reference:
     * `resolve_type("foo").aliases.add("baz")`). */
   def addAlias(existingSpec: String, alias: String): Unit =

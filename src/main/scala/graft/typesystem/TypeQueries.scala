@@ -391,7 +391,58 @@ object TypeQueries {
       .orderBy("o_orderkey")
   }
 
+  // ---- T25: object dtype — tagged-string store + dispatch round-trip ------
+  // reference types/object.py: the object dtype carries heterogeneous
+  // values; SURVEY §3 maps it to a string-serialized store with
+  // per-value dispatch. Values of four subtypes serialize to
+  // "tag:payload" strings, then each row dispatches to its subtype's
+  // cast kernel and the decoded value is checked against the original
+  // (rt_ok) — a full serialize → detect → dispatch → decode round-trip.
+  def t25ObjectRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").filter(col("l_orderkey") <= 300)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"), col("l_returnflag"),
+        col("l_shipdate").cast(TimestampType).as("sd"))
+    val tagged = li.withColumn("obj",
+      when(col("l_linenumber") % 4 === 0,
+        concat(lit("int:"), col("l_orderkey").cast(StringType)))
+      .when(col("l_linenumber") % 4 === 1,
+        concat(lit("float:"), col("l_extendedprice").cast(StringType)))
+      .when(col("l_linenumber") % 4 === 2,
+        concat(lit("bool:"),
+          when(col("l_returnflag") === "R", "true").otherwise("false")))
+      .otherwise(concat(lit("datetime:"),
+        date_format(col("sd"), "yyyy-MM-dd HH:mm:ss"))))
+    val co = CastOptions(errors = "coerce")
+    val split = tagged
+      .withColumn("tag", substring_index(col("obj"), ":", 1))
+      // payload = everything after the FIRST ':' (datetime payloads
+      // contain colons themselves)
+      .withColumn("payload", expr("substring(obj, instr(obj, ':') + 1)"))
+    split.select(col("l_orderkey"), col("l_linenumber"), col("tag"),
+        when(col("tag") === "int",
+          Casts.toInteger(col("payload"), StringType, GInteger(64), co)).as("v_int"),
+        when(col("tag") === "float",
+          Casts.toFloat(col("payload"), StringType, GFloat(64), co)).as("v_float"),
+        when(col("tag") === "bool",
+          Casts.toBoolean(col("payload"), StringType, co).cast(IntegerType)).as("v_bool"),
+        when(col("tag") === "datetime",
+          unix_micros(Casts.toDatetime(col("payload"), StringType, co))).as("v_ts_us"),
+        when(col("tag") === "int",
+            Casts.toInteger(col("payload"), StringType, GInteger(64), co) === col("l_orderkey"))
+          .when(col("tag") === "float",
+            Casts.toFloat(col("payload"), StringType, GFloat(64), co) === col("l_extendedprice"))
+          .when(col("tag") === "bool",
+            (Casts.toBoolean(col("payload"), StringType, co).cast(IntegerType) === 1) ===
+              (col("l_returnflag") === "R"))
+          .otherwise(
+            unix_micros(Casts.toDatetime(col("payload"), StringType, co)) ===
+              unix_micros(col("sd"))).as("rt_ok"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t25_object_roundtrip" -> t25ObjectRoundtrip _,
     "t23_parse_datetime" -> t23ParseDatetime _,
     "t24_to_string" -> t24ToString _,
     "t21_unit_calendar" -> t21UnitCalendar _,
@@ -521,6 +572,33 @@ object TypeQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "t25_object_roundtrip" ->
+      """WITH li AS (SELECT l_orderkey, l_linenumber, l_extendedprice,
+        |    l_returnflag, CAST(l_shipdate AS TIMESTAMP) AS sd
+        |  FROM lineitem WHERE l_orderkey <= 300),
+        |t AS (SELECT *, CASE CAST(l_linenumber % 4 AS INT)
+        |    WHEN 0 THEN 'int:' || CAST(l_orderkey AS VARCHAR)
+        |    WHEN 1 THEN 'float:' || CAST(l_extendedprice AS VARCHAR)
+        |    WHEN 2 THEN 'bool:' ||
+        |      (CASE WHEN l_returnflag = 'R' THEN 'true' ELSE 'false' END)
+        |    ELSE 'datetime:' || strftime(sd, '%Y-%m-%d %H:%M:%S') END AS obj
+        |  FROM li),
+        |d AS (SELECT *, split_part(obj, ':', 1) AS tag,
+        |    substr(obj, strpos(obj, ':') + 1) AS payload FROM t)
+        |SELECT l_orderkey, l_linenumber, tag,
+        |  CASE WHEN tag = 'int' THEN CAST(payload AS BIGINT) END AS v_int,
+        |  CASE WHEN tag = 'float' THEN CAST(payload AS DOUBLE) END AS v_float,
+        |  CASE WHEN tag = 'bool'
+        |    THEN (CASE WHEN payload = 'true' THEN 1 ELSE 0 END) END AS v_bool,
+        |  CASE WHEN tag = 'datetime'
+        |    THEN epoch_us(strptime(payload, '%Y-%m-%d %H:%M:%S')) END AS v_ts_us,
+        |  CASE WHEN tag = 'int' THEN CAST(payload AS BIGINT) = l_orderkey
+        |       WHEN tag = 'float' THEN CAST(payload AS DOUBLE) = l_extendedprice
+        |       WHEN tag = 'bool' THEN
+        |         (CASE WHEN payload = 'true' THEN 1 ELSE 0 END = 1) = (l_returnflag = 'R')
+        |       ELSE epoch_us(strptime(payload, '%Y-%m-%d %H:%M:%S')) = epoch_us(sd)
+        |  END AS rt_ok
+        |FROM d ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "t23_parse_datetime" ->
       """WITH b AS (SELECT o_orderkey, CAST(o_orderdate AS TIMESTAMP) AS d,
         |    CAST(o_orderdate AS TIMESTAMP) + INTERVAL (360) MONTH AS d30

@@ -58,6 +58,32 @@ class TypeResolverSpec extends AnyFunSuite {
   test("unregistered alias resolves no more") {
     intercept[IllegalArgumentException](TypeResolver.resolve("foo"))
   }
+
+  test("dispatch override: user cast overload beats the builtin (dispatch.py:2453)") {
+    import graft.syntax._
+    import org.apache.spark.sql.functions.col
+    import TestSpark.spark.implicits._
+    val df = Seq("ja", "nein", "true", "x").toDF("s")
+    def run() = df.select(col("s"),
+        $"s".castTo("bool", CastOptions(errors = "coerce")).cast("string").as("b"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // builtin kernel: only the default token sets parse
+    val before = run()
+    assert(before == Map("ja" -> null, "nein" -> null, "true" -> "true", "x" -> null))
+    // a user overload for the SAME spec wins over the builtin,
+    // immediately, through the same Column.castTo entry point
+    TypeRegistry.overrideCast("bool", c =>
+      Casts.toBoolean(c, org.apache.spark.sql.types.StringType,
+        CastOptions(errors = "coerce",
+          trueTokens = Seq("true", "ja"), falseTokens = Seq("false", "nein"))))
+    try {
+      val after = run()
+      assert(after == Map("ja" -> "true", "nein" -> "false",
+        "true" -> "true", "x" -> null))
+    } finally TypeRegistry.unregister("bool")
+    // the builtin kernel is restored once the override is dropped
+    assert(run() == before)
+  }
 }
 
 class RoundingSpec extends AnyFunSuite {
