@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -78,4 +78,30 @@ object RunLength {
     val runs = encode(df, orderCol, valueCol).count()
     (n, runs, if (runs == 0) 0.0 else n.toDouble / runs)
   }
+
+  // ---------------------------------------------------------------------
+  // Fill-aware compute ON the compressed form (reference types/sparse.py
+  // arithmetic: operations act on sparse storage without densifying)
+  // ---------------------------------------------------------------------
+
+  /** Elementwise scalar op on an RLE relation: transforms O(runs)
+    * value cells, never the O(rows) dense form. Run boundaries are
+    * untouched (any pointwise f preserves run structure; the fill value
+    * maps through the same f, mirroring `sparse[T, fill] op scalar →
+    * sparse[T, f(fill)]`). */
+  def mapValues(rle: DataFrame, f: Column => Column): DataFrame =
+    rle.withColumn("value", f(col("value")))
+
+  /** Aggregates folded from runs — sum/min/max/count and fill-aware
+    * nnz, all computed as Σ over (value, run_len) triples without
+    * decoding. One row: n, n_runs, sum_v, min_v, max_v, n_fill, nnz. */
+  def aggregatesFromRuns(rle: DataFrame, fill: Column): DataFrame =
+    rle.agg(
+      sum(col("run_len")).as("n"),
+      count(lit(1)).as("n_runs"),
+      sum(col("value") * col("run_len")).as("sum_v"),
+      min(col("value")).as("min_v"),
+      max(col("value")).as("max_v"),
+      sum(when(col("value") === fill, col("run_len")).otherwise(0L)).as("n_fill"),
+      sum(when(col("value") === fill, 0L).otherwise(col("run_len"))).as("nnz"))
 }

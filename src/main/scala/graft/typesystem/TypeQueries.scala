@@ -441,7 +441,29 @@ object TypeQueries {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
+  // ---- T26: sparse fill-aware compute on the compressed form --------------
+  // reference types/sparse.py: arithmetic acts on sparse storage
+  // without densifying. Encode event codes to RLE, apply v*2+1 to the
+  // O(runs) triples, fold all aggregates from (value, run_len) — the
+  // oracle computes the same numbers from the DENSE rows, so a match
+  // proves compressed-form compute ≡ dense semantics (incl. the
+  // gaps-and-islands run count).
+  def t26SparseCompute(s: SparkSession, dir: String): DataFrame = {
+    val code = when(col("event_type") === "click", 0)
+      .when(col("event_type") === "view", 1)
+      .when(col("event_type") === "purchase", 2)
+      .when(col("event_type") === "signup", 3)
+      .otherwise(4).cast(LongType)
+    val e = events(s, dir).filter(col("event_id") < 5000)
+      .select(col("event_id"), code.as("v"))
+    val rle = graft.operators.RunLength.encode(e, "event_id", "v")
+    val mapped = graft.operators.RunLength.mapValues(rle, v => v * 2 + 1)
+    // fill tracks the same op: sparse[long, 0] * 2 + 1 → fill 1
+    graft.operators.RunLength.aggregatesFromRuns(mapped, lit(1L))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t26_sparse_compute" -> t26SparseCompute _,
     "t25_object_roundtrip" -> t25ObjectRoundtrip _,
     "t23_parse_datetime" -> t23ParseDatetime _,
     "t24_to_string" -> t24ToString _,
@@ -572,6 +594,22 @@ object TypeQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "t26_sparse_compute" ->
+      """WITH e AS (SELECT event_id,
+        |    CAST(CASE event_type WHEN 'click' THEN 0 WHEN 'view' THEN 1
+        |      WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3 ELSE 4 END AS BIGINT) AS v
+        |  FROM events WHERE event_id < 5000),
+        |m AS (SELECT event_id, v * 2 + 1 AS mv FROM e),
+        |isl AS (SELECT COUNT(*) AS n_runs FROM (
+        |  SELECT DISTINCT v, event_id - ROW_NUMBER() OVER (PARTITION BY v ORDER BY event_id) AS grp
+        |  FROM e))
+        |SELECT (SELECT COUNT(*) FROM m) AS n,
+        |  (SELECT n_runs FROM isl) AS n_runs,
+        |  (SELECT CAST(SUM(mv) AS BIGINT) FROM m) AS sum_v,
+        |  (SELECT MIN(mv) FROM m) AS min_v,
+        |  (SELECT MAX(mv) FROM m) AS max_v,
+        |  (SELECT COUNT(*) FROM m WHERE mv = 1) AS n_fill,
+        |  (SELECT COUNT(*) FROM m WHERE mv != 1) AS nnz""".stripMargin,
     "t25_object_roundtrip" ->
       """WITH li AS (SELECT l_orderkey, l_linenumber, l_extendedprice,
         |    l_returnflag, CAST(l_shipdate AS TIMESTAMP) AS sd

@@ -59,6 +59,27 @@ class RunLengthSpec extends AnyFunSuite {
     val r = runs.head
     assert((r.getString(0), r.getLong(1), r.getLong(2)) == ("only", 0L, 500L))
   }
+
+  test("compressed-form compute equals dense semantics (fill-aware)") {
+    // sparse-ish column: long fill runs of 0 with scattered values
+    val dense = spark.range(0, 2000).toDF("k")
+      .withColumn("v", when(col("k") % 37 === 0, col("k") % 7 + 1).otherwise(0L))
+    val rle = RunLength.encode(dense, "k", "v", blockSize = 256)
+    // map on O(runs), aggregates folded from (value, run_len)
+    val got = RunLength.aggregatesFromRuns(
+      RunLength.mapValues(rle, v => v * 3 - 1), lit(-1L)).head()
+    val m = dense.withColumn("mv", col("v") * 3 - 1)
+    val want = m.agg(count(lit(1)), sum("mv"), min("mv"), max("mv"),
+      sum(when(col("mv") === -1L, 1L).otherwise(0L))).head()
+    assert(got.getLong(0) == want.getLong(0)) // n
+    assert(got.getLong(2) == want.getLong(1)) // sum_v
+    assert(got.getLong(3) == want.getLong(2)) // min_v
+    assert(got.getLong(4) == want.getLong(3)) // max_v
+    assert(got.getLong(5) == want.getLong(4)) // n_fill
+    assert(got.getLong(6) == got.getLong(0) - got.getLong(5)) // nnz
+    // the compute really ran compressed: far fewer runs than rows
+    assert(rle.count() < 200)
+  }
 }
 
 class TimezoneSpec extends AnyFunSuite {
