@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Document-deduplication operators for training-data pipelines.
@@ -44,15 +43,29 @@ object Dedup {
     * should fall to [[exactGroups]] first, which collapses it in one
     * hash aggregate. */
   private[graft] def saltBuckets(df: DataFrame, cap: Int, maxSalt: Int): DataFrame = {
-    val wsz = Window.partitionBy("band", "key")
-    df.withColumn("bsz", count(lit(1)).over(wsz))
-      .withColumn("nsalt",
-        least(ceil(col("bsz").cast("double") / cap), lit(maxSalt.toLong)).cast("int"))
+    // Oversized buckets are found with a partial-aggregating count and
+    // broadcast back — NOT a window over the exploded rows, which would
+    // sort the whole relation just to count. The over-cap set is small
+    // by construction: every entry needs > cap rows, so it has at most
+    // rows/cap entries (and in a healthy corpus it is empty) — the
+    // standard skew-handling shape: tiny skew map broadcast, big side
+    // untouched.
+    // nsalt is computed INSIDE the skew map (not after the join): Spark's
+    // least()/greatest() skip nulls, so least(null_bsz, maxSalt) after a
+    // left join would silently return maxSalt for every healthy bucket.
+    val big = df.groupBy("band", "key")
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") > cap)
+      .select(col("band"), col("key"),
+        least(ceil(col("bsz").cast("double") / cap), lit(maxSalt.toLong))
+          .cast("int").as("bigsalt"))
+    df.join(broadcast(big), Seq("band", "key"), "left")
+      .withColumn("nsalt", coalesce(col("bigsalt"), lit(1)))
       .withColumn("sub", pmod(xxhash64(col("id")), col("nsalt")).cast("int"))
       .withColumn("g", explode(transform(sequence(lit(0), col("nsalt") - 1),
         j => struct(least(col("sub"), j).as("gi"), greatest(col("sub"), j).as("gj")))))
       .withColumn("gi", col("g.gi")).withColumn("gj", col("g.gj"))
-      .drop("g", "bsz", "nsalt")
+      .drop("g", "bigsalt", "nsalt")
   }
 
   /** Ordered candidate pairs from one salted group: all pairs for a
