@@ -24,7 +24,11 @@ object Bench {
     // JVM/codegen warmup so the first measured query isn't charged for it
     SparkEntry.queries("q1_agg")(spark, sfDir).write
       .format("noop").mode("overwrite").save()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional args: subset of query names (dev iteration; driver passes none)
+    val only = args.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty).toSet
+    val picked = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.isEmpty || only(n) }
+    val results = picked.map { case (name, fn) =>
       // drop predecessors' persisted blocks (the dedup pipelines cache
       // multi-consumer relations) and settle the heap — without this,
       // queries that run in ~1 s isolated read 2+ s mid-sequence from

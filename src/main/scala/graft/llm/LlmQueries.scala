@@ -49,6 +49,19 @@ object LlmQueries {
       .orderBy("id_a", "id_b")
   }
 
+  // ---- L18: duplicate-cluster resolution (connected components) ----------
+  /** The d2 pair graph collapsed to clusters: transitive closure via
+    * hash-min + pointer-jump CC, cluster id = min doc_id, keep-one
+    * policy surfaced as a boolean. */
+  def d6DupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minhashPairs(withCopies(t(s, dir, "documents"), perturb = true),
+      "doc_id", "text", w = 3, h = 64, bands = 16, threshold = 0.5)
+    Dedup.dupClusters(pairs, "id_a", "id_b")
+      .select(col("id").as("doc_id"), col("cluster_id"),
+        col("cluster_size"), col("keep"))
+      .orderBy("doc_id")
+  }
+
   /** embeddings ∪ perturbed copies (ids offset by 10^6): planted
     * near-duplicates at cos ≈ 0.987 against a random background whose
     * max pair cosine is ~0.5 — the dedup-grade regime the LSH-banded
@@ -186,6 +199,12 @@ object LlmQueries {
         TextAnalysis.splitAssign(col("doc_id")).as("split"))
       .orderBy("doc_id")
 
+  // ---- L19: repetition-based quality signals (Gopher rules) ---------------
+  def x8Repetition(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetitionSignals(t(s, dir, "documents"), "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
   // ---- L12: multimodal binary plumbing (real header parsing) --------------
   def m1Multimodal(s: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.asMediaTable(t(s, dir, "documents"))
@@ -203,6 +222,7 @@ object LlmQueries {
     "d3_simhash" -> d3Simhash _,
     "d4_ngram_jaccard" -> d4NgramJaccard _,
     "d5_embed_dup" -> d5EmbedDup _,
+    "d6_dup_clusters" -> d6DupClusters _,
     "s1_ann_brute" -> s1AnnBrute _,
     "s2_ann_lsh" -> s2AnnLsh _,
     "s3_ann_ivf" -> s3AnnIvf _,
@@ -214,6 +234,7 @@ object LlmQueries {
     "x5_chunk" -> x5Chunk _,
     "x6_redact" -> x6Redact _,
     "x7_split" -> x7Split _,
+    "x8_repetition" -> x8Repetition _,
     "m1_multimodal" -> m1Multimodal _,
   )
 
@@ -324,6 +345,26 @@ object LlmQueries {
 
   /** Oracles for the SQL-expressible subset; the rest are rows-only
     * (probabilistic sketches / LSH top-k with engine-seeded internals). */
+  /** Shared by d2/d6: docs ∪ perturbed copies → distinct word-3-shingle
+    * sets → exact all-pairs jaccard candidates (j). RECURSIVE is inert
+    * for d2 and enables d6's closure CTE. */
+  private val d2PairCtes: String =
+    """WITH RECURSIVE all_docs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 1000000, text || ' zz qq' FROM documents),
+      |b AS (SELECT doc_id,
+      |    list_distinct(list_transform(
+      |      range(1, CAST(greatest(len(string_split(nt, ' ')) - 2, 1) AS BIGINT) + 1),
+      |      i -> array_to_string((string_split(nt, ' '))[CAST(i AS INT):CAST(i AS INT)+2], ' '))) AS sh
+      |  FROM (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+      |        FROM all_docs)),
+      |j AS (
+      |  SELECT a.doc_id AS id_a, bb.doc_id AS id_b,
+      |    CAST(len(list_intersect(a.sh, bb.sh)) AS DOUBLE) AS common,
+      |    CAST(len(a.sh) + len(bb.sh) AS DOUBLE) AS sz
+      |  FROM b a JOIN b bb ON a.doc_id < bb.doc_id
+      |    AND len(a.sh) * 2 >= len(bb.sh) AND len(bb.sh) * 2 >= len(a.sh))""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "s2_ann_lsh" -> s2OracleSql,
     "s3_ann_ivf" -> s3OracleSql,
@@ -341,24 +382,67 @@ object LlmQueries {
     // size-ratio prefilter is lossless at this threshold: j >= 0.5
     // implies 2*min(|a|,|b|) >= max(|a|,|b|). The Spark side runs the
     // banded-LSH plan, so a hash-match is also a 100%-recall proof.
+    // (shared WITH chain: d2PairCtes below the map)
     "d2_minhash_lsh" ->
-      """WITH all_docs AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL SELECT doc_id + 1000000, text || ' zz qq' FROM documents),
-        |b AS (SELECT doc_id,
-        |    list_distinct(list_transform(
-        |      range(1, CAST(greatest(len(string_split(nt, ' ')) - 2, 1) AS BIGINT) + 1),
-        |      i -> array_to_string((string_split(nt, ' '))[CAST(i AS INT):CAST(i AS INT)+2], ' '))) AS sh
-        |  FROM (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
-        |        FROM all_docs)),
-        |j AS (
-        |  SELECT a.doc_id AS id_a, bb.doc_id AS id_b,
-        |    CAST(len(list_intersect(a.sh, bb.sh)) AS DOUBLE) AS common,
-        |    CAST(len(a.sh) + len(bb.sh) AS DOUBLE) AS sz
-        |  FROM b a JOIN b bb ON a.doc_id < bb.doc_id
-        |    AND len(a.sh) * 2 >= len(bb.sh) AND len(bb.sh) * 2 >= len(a.sh))
+      s"""$d2PairCtes
         |SELECT id_a, id_b, ROUND(common / (sz - common), 6) AS jaccard
         |FROM j WHERE common / (sz - common) >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+    // repetition signals recomputed with unnest + two-level GROUP BY;
+    // integer '/' is float division on both engines, and the flag is
+    // evaluated on the ROUNDED fractions exactly as the Spark side does
+    "x8_repetition" ->
+      """WITH base AS (SELECT doc_id,
+        |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+        |  FROM documents),
+        |b2 AS (SELECT doc_id, toks, len(toks) AS n_tok FROM base),
+        |uni AS (SELECT doc_id, MAX(cnt) AS top_tok FROM (
+        |    SELECT doc_id, tok, COUNT(*) AS cnt
+        |    FROM (SELECT doc_id, unnest(toks) AS tok FROM b2)
+        |    GROUP BY doc_id, tok) GROUP BY doc_id),
+        |bi AS (SELECT doc_id, MAX(cnt) AS top_bi FROM (
+        |    SELECT doc_id, bg, COUNT(*) AS cnt FROM (
+        |      SELECT doc_id,
+        |        unnest(list_transform(range(1, CAST(n_tok AS BIGINT)),
+        |          i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1])) AS bg
+        |      FROM b2 WHERE n_tok >= 2)
+        |    GROUP BY doc_id, bg) GROUP BY doc_id),
+        |g5 AS (SELECT doc_id, n_tok,
+        |    CASE WHEN n_tok >= 5 THEN
+        |      1.0 - CAST(len(list_distinct(l5)) AS DOUBLE) / len(l5)
+        |    ELSE 0.0 END AS dup5
+        |  FROM (SELECT doc_id, n_tok,
+        |      list_transform(range(1, CAST(n_tok AS BIGINT) - 3),
+        |        i -> array_to_string(toks[CAST(i AS INT):CAST(i AS INT) + 4], ' ')) AS l5
+        |    FROM b2)),
+        |f AS (SELECT g5.doc_id, g5.n_tok,
+        |    ROUND(COALESCE(uni.top_tok / g5.n_tok, 0.0), 6) AS top_tok_frac,
+        |    ROUND(COALESCE(bi.top_bi / (g5.n_tok - 1), 0.0), 6) AS top_bigram_frac,
+        |    ROUND(g5.dup5, 6) AS dup_5gram_frac
+        |  FROM g5 LEFT JOIN uni ON g5.doc_id = uni.doc_id
+        |    LEFT JOIN bi ON g5.doc_id = bi.doc_id)
+        |SELECT doc_id, n_tok, top_tok_frac, top_bigram_frac, dup_5gram_frac,
+        |  (top_tok_frac > 0.2 OR top_bigram_frac > 0.18 OR dup_5gram_frac > 0.3)
+        |    AS repetitive
+        |FROM f ORDER BY doc_id""".stripMargin,
+    // transitive closure of the d2 pair graph as a recursive CTE:
+    // reach(v, u) = u reachable from v; cluster id = MIN reachable.
+    // Component sizes are small (near-dup cliques), so the closure is
+    // Σ|C|² rows — fine at oracle SF. The Spark side runs log-round
+    // pointer-jump CC; the hash-match proves the fixpoint labels.
+    "d6_dup_clusters" ->
+      s"""$d2PairCtes,
+        |pairs AS (SELECT id_a, id_b FROM j WHERE common / (sz - common) >= 0.5),
+        |edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT s, s FROM edges
+        |  UNION
+        |  SELECT re.id, e.d FROM reach re JOIN edges e ON e.s = re.r),
+        |cc AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+        |csz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM cc GROUP BY cluster_id)
+        |SELECT cc.id AS doc_id, cc.cluster_id, csz.cluster_size,
+        |  cc.id = cc.cluster_id AS keep
+        |FROM cc JOIN csz USING (cluster_id) ORDER BY doc_id""".stripMargin,
     // oracle = exact all-pairs over base ∪ planted copies; the Spark
     // side runs the LSH-banded plan — the compare is on OUTPUT, so this
     // doubles as a recall proof for the blocked path

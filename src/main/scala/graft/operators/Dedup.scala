@@ -59,13 +59,21 @@ object Dedup {
       .select(col("band"), col("key"),
         least(ceil(col("bsz").cast("double") / cap), lit(maxSalt.toLong))
           .cast("int").as("bigsalt"))
-    df.join(broadcast(big), Seq("band", "key"), "left")
-      .withColumn("nsalt", coalesce(col("bigsalt"), lit(1)))
-      .withColumn("sub", pmod(xxhash64(col("id")), col("nsalt")).cast("int"))
-      .withColumn("g", explode(transform(sequence(lit(0), col("nsalt") - 1),
-        j => struct(least(col("sub"), j).as("gi"), greatest(col("sub"), j).as("gj")))))
-      .withColumn("gi", col("g.gi")).withColumn("gj", col("g.gj"))
-      .drop("g", "bigsalt", "nsalt")
+    // Healthy corpus = empty skew map: skip the join and per-row group
+    // explode entirely and stamp the trivial layout. The existence
+    // check is one driver-side scalar over the already-needed aggregate
+    // — the same runtime-stats shape AQE uses to pick skew handling.
+    if (big.isEmpty) {
+      df.withColumn("sub", lit(0)).withColumn("gi", lit(0)).withColumn("gj", lit(0))
+    } else {
+      df.join(broadcast(big), Seq("band", "key"), "left")
+        .withColumn("nsalt", coalesce(col("bigsalt"), lit(1)))
+        .withColumn("sub", pmod(xxhash64(col("id")), col("nsalt")).cast("int"))
+        .withColumn("g", explode(transform(sequence(lit(0), col("nsalt") - 1),
+          j => struct(least(col("sub"), j).as("gi"), greatest(col("sub"), j).as("gj")))))
+        .withColumn("gi", col("g.gi")).withColumn("gj", col("g.gj"))
+        .drop("g", "bigsalt", "nsalt")
+    }
   }
 
   /** Ordered candidate pairs from one salted group: all pairs for a
@@ -390,5 +398,76 @@ object Dedup {
               (col("nva") * col("nvb"))).as("cos"))
         .filter(col("cos") >= threshold)
     }
+  }
+
+  // ---------------------------------------------------------------------
+  // Duplicate-cluster resolution (connected components over pair graph)
+  // ---------------------------------------------------------------------
+
+  /** Connected components over a near-dup pair graph: every pair
+    * generator above emits edges; a keep-one-per-cluster policy needs
+    * the transitive closure of those edges (A~B, B~C ⇒ one cluster
+    * {A,B,C} even if A,C never paired). Reference scope: the dedup
+    * pipeline this library's pair operators feed.
+    *
+    * Returns (id, cluster) for every vertex that appears in `pairs`,
+    * with cluster = MIN vertex id of its component — the canonical
+    * representative a keep-min policy retains.
+    *
+    * Algorithm: hash-min label propagation with pointer jumping
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond" —
+    * public literature). Per round each vertex takes the min label in
+    * its neighborhood, then compresses label chains by one hop
+    * (lbl ← lbl(lbl)), so convergence is O(log n) rounds even on
+    * path-shaped components — not O(diameter) as plain propagation.
+    * Each round is two hash joins + one aggregate on the (id, lbl)
+    * relation, all key-partitioned: nothing is collected to the
+    * driver, and `localCheckpoint` truncates lineage so plans stay
+    * O(1) per round (on a cluster, swap for reliable `checkpoint`).
+    * Convergence test: labels only ever decrease, so one `isEmpty` on
+    * the decreased-rows filter per round, not a full comparison join.
+    * At 100 TB the label relation is one long per *distinct paired
+    * doc* — orders of magnitude smaller than the corpus. */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 25): DataFrame = {
+    val sym = pairs.select(col(aCol).cast("long").as("src"),
+      col(bCol).cast("long").as("dst"))
+    val edges = sym.union(sym.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().persist()
+    var labels = edges.groupBy("src").agg(min("dst").as("nmin"))
+      .select(col("src").as("id"), least(col("src"), col("nmin")).as("lbl"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = labels.isEmpty
+    while (!converged && iter < maxIter) {
+      val fromNbrs = edges
+        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst").as("id")).agg(min("lbl").as("nlbl"))
+      val stepped = labels.join(fromNbrs, Seq("id"), "left")
+        .select(col("id"), col("lbl").as("old"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("mid"))
+      // pointer jump: a label is itself a vertex id, so one self-join
+      // replaces lbl with lbl's own label, halving chain lengths
+      val jump = stepped.select(col("id").as("jid"), col("mid").as("jlbl"))
+      val next = stepped.join(jump, col("mid") === col("jid"), "left")
+        .select(col("id"), col("old"),
+          least(col("mid"), coalesce(col("jlbl"), col("mid"))).as("lbl"))
+        .localCheckpoint()
+      converged = next.filter(col("lbl") < col("old")).isEmpty
+      labels = next.select("id", "lbl")
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Cluster assignment + size + keep flag — the full dedup verdict a
+    * pipeline applies: keep rows where `keep`, drop the rest. */
+  def dupClusters(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cc = connectedComponents(pairs, aCol, bCol)
+    val sizes = cc.groupBy("lbl").agg(count(lit(1)).as("cluster_size"))
+    cc.join(sizes, "lbl")
+      .select(col("id"), col("lbl").as("cluster_id"), col("cluster_size"),
+        (col("id") === col("lbl")).as("keep"))
   }
 }

@@ -140,4 +140,53 @@ object TextAnalysis {
     ColumnBridge.column(graft.expressions.ShingleMinMd5(
       ColumnBridge.expression(Dedup.normText(text)), w))
   }
+
+  /** Repetition-based quality signals, after the published Gopher
+    * repetition rules (Rae et al. 2021, table A1) re-based on word
+    * tokens: the fraction of token positions held by the single most
+    * frequent token / bigram, and the fraction of 5-gram positions
+    * whose 5-gram occurs more than once. High values mark boilerplate,
+    * keyword stuffing, and generation loops — the documents a
+    * pretraining pipeline drops first.
+    *
+    * Returns (id, n_tok, top_tok_frac, top_bigram_frac,
+    * dup_5gram_frac, repetitive).
+    *
+    * Scale shape: the top-token/bigram modes run as explode → two-level
+    * hash aggregate keyed on (doc, gram) — partial map-side combine,
+    * never a per-row O(n²) array histogram (a 10k-token doc would pay
+    * 10⁸ comparisons per row) — and the two mode relations join back on
+    * the same id hash partitioning. The 5-gram dup fraction is per-row
+    * O(n) set arithmetic. */
+  def repetitionSignals(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val base = df.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+      .withColumn("n_tok", size(col("toks")))
+    val uni = base.select(col("id"), explode(col("toks")).as("tok"))
+      .groupBy("id", "tok").count()
+      .groupBy("id").agg(max("count").as("top_tok"))
+    val bi = base.filter(col("n_tok") >= 2)
+      .select(col("id"), explode(transform(sequence(lit(0), col("n_tok") - 2),
+        i => concat_ws(" ", col("toks")(i), col("toks")(i + 1)))).as("bg"))
+      .groupBy("id", "bg").count()
+      .groupBy("id").agg(max("count").as("top_bi"))
+    val g5 = base.withColumn("g5",
+        when(col("n_tok") >= 5, transform(sequence(lit(0), col("n_tok") - 5),
+          i => concat_ws(" ", slice(col("toks"), i + 1, lit(5)))))
+          .otherwise(array()))
+      .select(col("id"), col("n_tok"),
+        when(size(col("g5")) > 0,
+          lit(1.0) - size(array_distinct(col("g5"))).cast("double") / size(col("g5")))
+          .otherwise(0.0).as("dup_5gram_frac"))
+    val out = g5
+      .join(uni, Seq("id"), "left")
+      .join(bi, Seq("id"), "left")
+      .select(col("id"), col("n_tok"),
+        round(coalesce(col("top_tok") / col("n_tok"), lit(0.0)), 6).as("top_tok_frac"),
+        round(coalesce(col("top_bi") / (col("n_tok") - 1), lit(0.0)), 6).as("top_bigram_frac"),
+        round(col("dup_5gram_frac"), 6).as("dup_5gram_frac"))
+    out.withColumn("repetitive",
+      col("top_tok_frac") > 0.2 || col("top_bigram_frac") > 0.18 ||
+        col("dup_5gram_frac") > 0.3)
+  }
 }

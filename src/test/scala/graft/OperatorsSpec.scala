@@ -160,6 +160,30 @@ class TextAnalysisSpec extends AnyFunSuite {
     val fps = df.select(TextAnalysis.minShingleFingerprint($"text")).as[Long].collect()
     assert(fps(0) == fps(1)) // min over mostly-shared shingle set
   }
+
+  test("repetition signals: degenerate loop text vs varied text") {
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam"),      // 6x one token
+      (2L, "one two three four five six seven"),  // all distinct
+      (3L, "ab cd ab cd ab cd ab cd ab cd")       // bigram loop
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionSignals(docs, "doc_id", "text")
+      .as[(Long, Int, Double, Double, Double, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    // doc 1: top token 6/6, every bigram slot "spam spam", both
+    // 5-grams identical -> dup frac 1 - 1/2
+    assert(got(1L) == ((1L, 6, 1.0, 1.0, 0.5, true)))
+    // doc 2: everything unique, nothing repeats
+    assert(got(2L) == ((2L, 7, round6(1.0 / 7), round6(1.0 / 6), 0.0, false)))
+    // doc 3: "ab" 5x of 10, "ab cd" 5x of 9 slots, 5-grams cycle with
+    // period 2 -> only 2 distinct of 6
+    val d3 = got(3L)
+    assert(d3._2 == 10 && d3._3 == 0.5 && d3._4 == round6(5.0 / 9))
+    assert(d3._5 == round6(1.0 - 2.0 / 6) && d3._6)
+  }
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }
 
 class MultimodalSpec extends AnyFunSuite {
