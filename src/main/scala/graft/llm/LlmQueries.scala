@@ -109,6 +109,16 @@ object LlmQueries {
       .orderBy("qid", "rk")
   }
 
+  // ---- L20: product-quantization ANN (ADC + exact re-rank) ----------------
+  def s5AnnPq(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.pqTopK(emb, emb.filter(col("vec_id") < 5), k = 10,
+        m = 8, ks = 16, rerank = 4)
+      .withColumn("cos", round(col("cos"), 6))
+      .select("qid", "id", "cos", "rk")
+      .orderBy("qid", "rk")
+  }
+
   // ---- L14: int8 embedding quantization -----------------------------------
   def s4QuantCosine(s: SparkSession, dir: String): DataFrame = {
     val base = t(s, dir, "embeddings")
@@ -205,6 +215,34 @@ object LlmQueries {
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id")
 
+  // ---- L21: benchmark decontamination (13-gram overlap) -------------------
+  /** Corpus = documents ∪ perturbed copies of the 20 eval docs; the
+    * copies share interior 13-grams with the eval set and must flag. */
+  def d7Decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val evalSet = docs.filter(col("doc_id") < 20)
+    val corpus = docs.select("doc_id", "text").union(
+      evalSet.select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" zz qq")).as("text")))
+    Dedup.decontaminate(corpus, evalSet, "doc_id", "text", w = 13)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
+  // ---- L22: per-source quota sampling -------------------------------------
+  def x9SourceQuota(s: SparkSession, dir: String): DataFrame =
+    Sampling.groupQuota(t(s, dir, "documents"), "source", "doc_id", n = 18)
+      .orderBy("source", "rk")
+
+  // ---- L23: temperature mixture sampling ----------------------------------
+  /** alpha = 0 (flatten sources equal) — the no-float-group-sum path,
+    * so the rate chain reproduces exactly in DuckDB; alpha = 0.5/1
+    * run Spark-side under SamplingSpec. */
+  def x10MixtureSample(s: SparkSession, dir: String): DataFrame =
+    Sampling.mixtureSample(t(s, dir, "documents"), "source", "doc_id",
+        targetTotal = 250, alpha = 0.0)
+      .orderBy("source", "doc_id")
+
   // ---- L12: multimodal binary plumbing (real header parsing) --------------
   def m1Multimodal(s: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.asMediaTable(t(s, dir, "documents"))
@@ -227,6 +265,7 @@ object LlmQueries {
     "s2_ann_lsh" -> s2AnnLsh _,
     "s3_ann_ivf" -> s3AnnIvf _,
     "s4_quant_cosine" -> s4QuantCosine _,
+    "s5_ann_pq" -> s5AnnPq _,
     "x1_lang_id" -> x1LangId _,
     "x2_quality" -> x2Quality _,
     "x3_token_count" -> x3TokenCount _,
@@ -235,6 +274,9 @@ object LlmQueries {
     "x6_redact" -> x6Redact _,
     "x7_split" -> x7Split _,
     "x8_repetition" -> x8Repetition _,
+    "d7_decontaminate" -> d7Decontaminate _,
+    "x9_source_quota" -> x9SourceQuota _,
+    "x10_mixture_sample" -> x10MixtureSample _,
     "m1_multimodal" -> m1Multimodal _,
   )
 
@@ -343,6 +385,66 @@ object LlmQueries {
        |WHERE rk <= 10 ORDER BY qid, rk""".stripMargin
   }
 
+  /** s5 oracle: replay the ENTIRE PQ index in SQL — md5-order codeword
+    * sample (ROW_NUMBER-1 = positional code, matching the Spark array
+    * index), per-subspace argmin encoding, reconstruction norm and ADC
+    * dot as EXPLICIT left-associated 8-term sums (matching the Spark
+    * reduce(_ + _) summation order bit-for-bit), approx top-40
+    * candidates, exact-cosine re-rank to top-10. */
+  private def s5OracleSql: String = {
+    def chain(f: Int => String): String =
+      (0 until 8).map(f).mkString("(", " + ", ")")
+    val recChain = chain(j => s"MAX(CASE WHEN j = $j THEN ipcc END)")
+    val adcChain = chain(j => s"MAX(CASE WHEN j = $j THEN ipq END)")
+    s"""WITH emb AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |cent AS (SELECT ROW_NUMBER() OVER (
+       |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS c, v AS cv
+       |  FROM emb ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+       |b AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nv FROM emb),
+       |js AS (SELECT CAST(j AS INT) AS j FROM range(8) t(j)),
+       |enc AS (SELECT vec_id, j, c FROM (
+       |    SELECT b.vec_id, js.j, ct.c,
+       |      ROW_NUMBER() OVER (PARTITION BY b.vec_id, js.j ORDER BY
+       |        list_inner_product(ct.cv[js.j*8+1:js.j*8+8],
+       |                           ct.cv[js.j*8+1:js.j*8+8])
+       |        - 2 * list_inner_product(b.v[js.j*8+1:js.j*8+8],
+       |                                 ct.cv[js.j*8+1:js.j*8+8]) ASC,
+       |        ct.c ASC) AS rn
+       |    FROM b CROSS JOIN js CROSS JOIN cent ct) t WHERE rn = 1),
+       |jq AS (SELECT e.vec_id, e.j,
+       |    ct.cv[e.j*8+1:e.j*8+8] AS cw
+       |  FROM enc e JOIN cent ct ON ct.c = e.c),
+       |rec AS (SELECT vec_id, $recChain AS rn2
+       |  FROM (SELECT vec_id, j, list_inner_product(cw, cw) AS ipcc FROM jq)
+       |  GROUP BY vec_id),
+       |adc AS (SELECT qid, id, $adcChain AS dot FROM (
+       |    SELECT q.vec_id AS qid, jq.vec_id AS id, jq.j,
+       |      list_inner_product(q.v[jq.j*8+1:jq.j*8+8], jq.cw) AS ipq
+       |    FROM jq CROSS JOIN (SELECT vec_id, v FROM b WHERE vec_id < 5) q
+       |    WHERE jq.vec_id <> q.vec_id)
+       |  GROUP BY qid, id),
+       |appr AS (SELECT a.qid, a.id,
+       |    CASE WHEN sqrt(r.rn2) * qn.nv = 0 THEN 0.0
+       |         ELSE a.dot / (sqrt(r.rn2) * qn.nv) END AS acos
+       |  FROM adc a JOIN rec r ON r.vec_id = a.id
+       |  JOIN b qn ON qn.vec_id = a.qid),
+       |cand AS (SELECT qid, id FROM (
+       |    SELECT qid, id,
+       |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY acos DESC, id ASC) AS rn
+       |    FROM appr) t WHERE rn <= 40),
+       |ex AS (SELECT c.qid, c.id,
+       |    CASE WHEN x.nv * qq.nv = 0 THEN 0.0
+       |         ELSE list_inner_product(x.v, qq.v) / (x.nv * qq.nv) END AS cos
+       |  FROM cand c JOIN b x ON x.vec_id = c.id JOIN b qq ON qq.vec_id = c.qid)
+       |SELECT qid, id, ROUND(cos, 6) AS cos, rk FROM (
+       |  SELECT qid, id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, id ASC) AS rk
+       |  FROM ex) t
+       |WHERE rk <= 10 ORDER BY qid, rk""".stripMargin
+  }
+
   /** Oracles for the SQL-expressible subset; the rest are rows-only
     * (probabilistic sketches / LSH top-k with engine-seeded internals). */
   /** Shared by d2/d6: docs ∪ perturbed copies → distinct word-3-shingle
@@ -368,6 +470,7 @@ object LlmQueries {
   val oracles: Map[String, String] = Map(
     "s2_ann_lsh" -> s2OracleSql,
     "s3_ann_ivf" -> s3OracleSql,
+    "s5_ann_pq" -> s5OracleSql,
     "d3_simhash" -> d3OracleSql,
     "d1_exact_dedup" ->
       s"""WITH all_docs AS (
@@ -387,6 +490,51 @@ object LlmQueries {
       s"""$d2PairCtes
         |SELECT id_a, id_b, ROUND(common / (sz - common), 6) AS jaccard
         |FROM j WHERE common / (sz - common) >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+    // decontamination recomputed on shingle STRINGS (the Spark side
+    // joins xxhash64 grams; intersection counts agree modulo hash
+    // collisions, the d2 precedent). Short docs (< 13 words) fall back
+    // to one whole-text partial gram on both engines.
+    "d7_decontaminate" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text || ' zz qq' FROM documents
+        |  WHERE doc_id < 20),
+        |cg AS (SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      range(1, CAST(greatest(len(string_split(nt, ' ')) - 12, 1) AS BIGINT) + 1),
+        |      i -> array_to_string((string_split(nt, ' '))[CAST(i AS INT):CAST(i AS INT)+12], ' '))) AS sh
+        |  FROM (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+        |        FROM corpus)),
+        |eg AS (SELECT DISTINCT unnest(sh) AS g FROM cg WHERE doc_id < 20),
+        |dg AS (SELECT doc_id, unnest(sh) AS g FROM cg),
+        |hits AS (SELECT doc_id, COUNT(*) AS n_hits
+        |  FROM dg JOIN eg USING (g) GROUP BY doc_id)
+        |SELECT c.doc_id, COALESCE(h.n_hits, 0) AS n_hits,
+        |  COALESCE(h.n_hits, 0) > 0 AS contaminated
+        |FROM (SELECT doc_id FROM corpus) c LEFT JOIN hits h USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    // alpha=0 mixture: S = group count (exact), rate chain
+    // T * (1.0/G) / cnt left-associated as on the Spark side; the keep
+    // coin compares the UNROUNDED rate on both engines
+    "x10_mixture_sample" ->
+      """WITH c AS (SELECT source, COUNT(*) AS cnt FROM documents GROUP BY source),
+        |g AS (SELECT COUNT(*) AS ng FROM c),
+        |r AS (SELECT source,
+        |    LEAST(1.0, 250 * (1.0 / (SELECT ng FROM g)) / cnt) AS rate FROM c)
+        |SELECT d.source, d.doc_id, ROUND(r.rate, 6) AS rate,
+        |  (CAST(CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS DOUBLE)
+        |    / 1152921504606846976.0) < r.rate AS kept
+        |FROM documents d JOIN r USING (source)
+        |ORDER BY source, doc_id""".stripMargin,
+    // quota rank mirrors TopKAgg's (score desc, id asc) with
+    // score = -double(md5-prefix): hash asc, id asc
+    "x9_source_quota" ->
+      """SELECT source, doc_id, rk FROM (
+        |  SELECT source, doc_id, CAST(ROW_NUMBER() OVER (PARTITION BY source
+        |    ORDER BY CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS DOUBLE) ASC,
+        |      doc_id ASC) AS INT) AS rk
+        |  FROM documents) t
+        |WHERE rk <= 18 ORDER BY source, rk""".stripMargin,
     // repetition signals recomputed with unnest + two-level GROUP BY;
     // integer '/' is float division on both engines, and the flag is
     // evaluated on the ROUNDED fractions exactly as the Spark side does

@@ -470,4 +470,36 @@ object Dedup {
       .select(col("id"), col("lbl").as("cluster_id"), col("cluster_size"),
         (col("id") === col("lbl")).as("keep"))
   }
+
+  // ---------------------------------------------------------------------
+  // Benchmark decontamination
+  // ---------------------------------------------------------------------
+
+  /** Benchmark decontamination: flag corpus documents sharing any
+    * word `w`-gram with an evaluation set — the published long-n-gram
+    * overlap rule (GPT-3 appendix C / Dolma use 13-grams) that keeps
+    * eval answers out of training data.
+    *
+    * Returns the corpus id column plus `n_hits` (distinct eval w-grams
+    * present in the doc) and `contaminated`.
+    *
+    * Scale shape: the eval side is small by nature (benchmarks are
+    * MBs; the corpus is the 100 TB side), so its distinct w-gram hash
+    * set builds in one aggregate and BROADCASTS; the corpus explodes
+    * its w-grams map-side, hash-joins the broadcast set with no corpus
+    * shuffle of text, and re-aggregates per doc on the id — w-gram
+    * hashes (8 B) move, never text. */
+  def decontaminate(corpus: DataFrame, evalDocs: DataFrame,
+      idCol: String, textCol: String, w: Int = 13): DataFrame = {
+    val evalGrams = evalDocs
+      .select(explode(shingleHashes(col(textCol), w)).as("g")).distinct()
+    val docGrams = corpus.select(col(idCol).as("id"),
+      explode(shingleHashes(col(textCol), w)).as("g"))
+    val hits = docGrams.join(broadcast(evalGrams), Seq("g"))
+      .groupBy("id").agg(count(lit(1)).as("n_hits"))
+    corpus.select(col(idCol).as("id"))
+      .join(hits, Seq("id"), "left")
+      .select(col("id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+  }
 }

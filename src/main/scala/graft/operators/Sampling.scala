@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
+
+import graft.expressions.TopKAgg
+
+/** Deterministic corpus-sampling operators.
+  *
+  * Complements the hash-sample (q31) and md5-bucket split (x7)
+  * primitives: here the unit of control is a GROUP (source, domain,
+  * language) rather than a global rate.
+  */
+object Sampling {
+
+  /** Per-group quota: keep at most `n` rows of each group, chosen in
+    * deterministic md5 order of the id — the anti-domination rule a
+    * corpus mixer applies so no domain floods the training mix
+    * regardless of its crawl volume. Hash order (not "first n") makes
+    * the quota a uniform-without-replacement sample that is stable
+    * across runs, partitionings, and incremental re-crawls.
+    *
+    * Returns (group, id, rk) with rk 1..n in hash order.
+    *
+    * Scale shape: one hash aggregate keyed on the group via the
+    * mergeable bounded-heap [[TopKAgg]] — each map partition holds at
+    * most n (score, id) pairs per group and heaps merge reduce-side,
+    * so a group with a billion rows still reduces O(partitions × n);
+    * no window, no sort of the corpus. */
+  def groupQuota(df: DataFrame, groupCol: String, idCol: String,
+      n: Int): DataFrame = {
+    // smallest-md5-first surfaced through a largest-first heap by
+    // negating; 15 hex chars keep the value exact in a double's 53-bit
+    // mantissa... they don't (60 bits), but both engines round the
+    // SAME bigint to the SAME nearest double, and ties fall to id asc,
+    // so the order is still deterministic and oracle-reproducible.
+    val score = -conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+      .cast("long").cast("double")
+    val hits = ColumnBridge.column(
+      TopKAgg(ColumnBridge.expression(score),
+        ColumnBridge.expression(col(idCol).cast("long")), n)
+        .toAggregateExpression())
+    df.groupBy(col(groupCol).as("grp")).agg(hits.as("hits"))
+      .select(col("grp"), posexplode(col("hits")))
+      .select(col("grp").as(groupCol), col("col.id").as(idCol),
+        (col("pos") + 1).cast("int").as("rk"))
+  }
+
+  /** Temperature-reweighted mixture sampling: each group's keep rate
+    * targets `targetTotal` total rows distributed ∝ count^alpha — the
+    * standard pretraining mixture policy (alpha = 1 preserves the
+    * natural mix, 0 flattens every group equal, 0.5 is the common
+    * square-root temperature). The keep decision is a deterministic
+    * md5 coin per id (`u = hash60 / 2^60 < rate`), so the sample is
+    * reproducible across runs and partitionings and monotone in the
+    * rate (raising a rate only ADDS rows — incremental-friendly).
+    *
+    * Returns (group, id, rate, kept) for every input row.
+    *
+    * Scale shape: one count aggregate; the per-group rates are a
+    * GROUP-cardinality relation (domains/sources — thousands at most)
+    * computed driver-side with a SORTED fold (deterministic float
+    * sum) and broadcast back; the corpus side is one map pass.
+    * alpha = 0 and 1 avoid pow() entirely; 0.5 uses sqrt (an IEEE
+    * correctly-rounded op), so rates reproduce bit-for-bit in the
+    * DuckDB oracle. */
+  def mixtureSample(df: DataFrame, groupCol: String, idCol: String,
+      targetTotal: Long, alpha: Double = 0.0): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts: Seq[(String, Long)] = df
+      .groupBy(col(groupCol).cast("string").as("g")).count()
+      .as[(String, Long)].collect().toSeq.sortBy(_._1)
+    def w(c: Long): Double = alpha match {
+      case 0.0 => 1.0
+      case 1.0 => c.toDouble
+      case 0.5 => math.sqrt(c.toDouble)
+      case a => math.pow(c.toDouble, a)
+    }
+    val s = counts.foldLeft(0.0) { case (acc, (_, c)) => acc + w(c) }
+    val rates = counts.map { case (g, c) =>
+      (g, math.min(1.0, targetTotal * (w(c) / s) / c))
+    }.toDF("g", "rate")
+    val u = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+      .cast("long").cast("double") / lit(1152921504606846976.0) // 2^60
+    df.select(col(groupCol).cast("string").as("g"), col(idCol).as("id"))
+      .join(broadcast(rates), Seq("g"))
+      .select(col("g").as(groupCol), col("id").as(idCol),
+        round(col("rate"), 6).as("rate"), (u < col("rate")).as("kept"))
+  }
+}

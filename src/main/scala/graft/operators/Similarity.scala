@@ -49,8 +49,9 @@ object Similarity {
   }
 
   /** Exact top-k by cosine for each query vector (brute force).
-    * One pass over the corpus; per-query top-k via window over the
-    * (queries × corpus) scored rows — only (id, score) wide. */
+    * One pass over the corpus; per-query top-k via the bounded-heap
+    * [[topK]] aggregate over the (queries × corpus) scored rows —
+    * only (id, score) wide. */
   def bruteTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val scored = withNorm(corpus, "id", "v", "nv")
       .crossJoin(broadcast(withNorm(queries, "qid", "qv", "nqv")))
@@ -190,5 +191,91 @@ object Similarity {
       .filter(col("id") =!= col("qid"))
       .select(col("qid"), col("id"), cosOf("v", "qv", "nv", "nqv").as("cos"))
     topK(scored, k)
+  }
+
+  /** Product-quantization ANN (Jégou et al., "Product Quantization for
+    * Nearest Neighbor Search", public literature): the vector is split
+    * into `m` subvectors, each encoded as the index of its nearest
+    * codeword in a per-subspace codebook, so a 64-dim double vector
+    * compresses to `m` small ints (~128× storage). Queries score the
+    * whole compressed corpus with asymmetric distance (ADC): a
+    * per-query lookup table of query-subvector × codeword dot products,
+    * so each corpus row costs m array lookups + adds instead of a
+    * 64-dim dot. The approximate top `rerank`·k candidates are then
+    * re-ranked by exact cosine — the standard PQ + re-rank pipeline.
+    *
+    * Codebooks use the same deterministic md5-order sample as the IVF
+    * "sample" quantizer: the `ks` sampled vectors' j-th subvectors form
+    * subspace j's codebook. No training fit; the whole index is
+    * replayable in plain SQL (which is what lets the oracle hash-verify
+    * s5). A production variant would swap in per-subspace k-means the
+    * way ivfTopK offers `quantizer = "kmeans"`.
+    *
+    * Scale shape: codebooks are m·ks·(dim/m) doubles — literals in the
+    * plan, no join; encoding is a map-side projection; ADC scoring is
+    * one scan of the compressed corpus against broadcast LUTs; both
+    * top-k stages run on the mergeable bounded-heap [[TopKAgg]]
+    * (window-free); the exact re-rank touches only rerank·k·|queries|
+    * full vectors. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      m: Int = 8, ks: Int = 16, rerank: Int = 4): DataFrame = {
+    val c = withNorm(corpus, "id", "v", "nv")
+    val sample: Array[Array[Double]] =
+      c.select(col("id").cast("long"), col("v"))
+        .orderBy(md5(col("id").cast("string")), col("id"))
+        .limit(ks).collect()
+        .map(_.getSeq[Double](1).toArray)
+    require(sample.nonEmpty, "pqTopK: empty corpus")
+    val dim = sample(0).length
+    require(dim % m == 0, s"pqTopK: dim $dim not divisible by m=$m")
+    val sub = dim / m
+    // books(j)(c) = codeword c of subspace j; ipcc = its self inner
+    // product, summed left-to-right to match ArrayDotProduct (and
+    // DuckDB list_inner_product) exactly
+    val books: Array[Array[Array[Double]]] =
+      Array.tabulate(m)(j => sample.map(_.slice(j * sub, (j + 1) * sub)))
+    val ipcc: Array[Array[Double]] = books.map(_.map { cw =>
+      var s = 0.0; var i = 0
+      while (i < cw.length) { s += cw(i) * cw(i); i += 1 }
+      s
+    })
+    def subv(v: Column, j: Int): Column = slice(v, j * sub + 1, sub)
+    def cwLit(j: Int, cIdx: Int): Column = array(books(j)(cIdx).map(lit(_)): _*)
+    // encode subspace j: argmin_c ipcc - 2·ip(x_j, cw) (euclidean sans
+    // the constant ip(x_j,x_j)); struct array_min ties to the smaller
+    // codeword index, deterministically
+    def codeOf(v: Column, j: Int): Column =
+      array_min(array(books(j).indices.map { cIdx =>
+        struct(
+          (lit(ipcc(j)(cIdx)) - VectorOps.dot(subv(v, j), cwLit(j, cIdx)) * 2.0).as("d"),
+          lit(cIdx).as("c"))
+      }: _*)).getField("c")
+    val encoded = c
+      .withColumn("codes", array((0 until m).map(j => codeOf(col("v"), j)): _*))
+      // reconstruction norm² = Σ_j ip(cw_code, cw_code), j ascending
+      .withColumn("rn2", (0 until m).map(j =>
+          element_at(array(ipcc(j).map(lit(_)): _*), col("codes")(j) + 1))
+        .reduce(_ + _))
+      .persist()
+    // per-query LUT: lut(j)(c) = ip(q_j, cw_{j,c}); tiny and broadcast
+    val q = withNorm(queries, "qid", "qv", "nqv")
+      .withColumn("lut", array((0 until m).map(j =>
+        array(books(j).indices.map(cIdx =>
+          VectorOps.dot(subv(col("qv"), j), cwLit(j, cIdx))): _*)): _*))
+    val adc = (0 until m).map(j =>
+        element_at(element_at(col("lut"), j + 1), col("codes")(j) + 1))
+      .reduce(_ + _)
+    val approx = encoded.select("id", "codes", "rn2")
+      .crossJoin(broadcast(q.select("qid", "lut", "nqv")))
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("id"),
+        when(sqrt(col("rn2")) * col("nqv") === 0.0, 0.0)
+          .otherwise(adc / (sqrt(col("rn2")) * col("nqv"))).as("cos"))
+    val cand = topK(approx, rerank * k).select("qid", "id")
+    val exact = cand
+      .join(encoded.select(col("id"), col("v"), col("nv")), Seq("id"))
+      .join(broadcast(q.select(col("qid"), col("qv"), col("nqv"))), Seq("qid"))
+      .select(col("qid"), col("id"), cosOf("v", "qv", "nv", "nqv").as("cos"))
+    topK(exact, k)
   }
 }

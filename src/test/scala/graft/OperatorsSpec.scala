@@ -101,6 +101,88 @@ class DedupSpec extends AnyFunSuite {
     assert(exact.size > 500)
     assert(lsh == exact)
   }
+
+  test("decontamination flags docs sharing a 13-gram with the eval set") {
+    val evalDoc = "alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi omicron"
+    val evalSet = Seq((100L, evalDoc)).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "prefix words " + evalDoc + " suffix words"), // embeds the eval text
+      (2L, "totally unrelated content about query engines and shuffles " +
+        "with many more words than thirteen in this clean document here"),
+      (3L, evalDoc)                                      // verbatim eval copy
+    ).toDF("doc_id", "text")
+    val got = Dedup.decontaminate(corpus, evalSet, "doc_id", "text", w = 13)
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L)._3 && got(1L)._2 >= 1) // shares interior 13-grams
+    assert(got(2L) == ((2L, 0L, false)))
+    assert(got(3L)._3 && got(3L)._2 == 3) // 15 words -> 3 shared 13-grams
+  }
+
+  test("short docs decontaminate on the whole-text partial gram") {
+    val evalSet = Seq((100L, "short secret answer")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "short secret answer"),     // exact short match
+      (2L, "short secret answers")     // differs -> different partial gram
+    ).toDF("doc_id", "text")
+    val got = Dedup.decontaminate(corpus, evalSet, "doc_id", "text", w = 13)
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 1L, true)))
+    assert(got(2L) == ((2L, 0L, false)))
+  }
+}
+
+class SamplingSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("groupQuota keeps min(n, group size) rows in stable md5 order") {
+    val rows = (0L until 30L).map(i => ("big", i)) ++
+      (100L until 102L).map(i => ("small", i)) ++
+      (200L until 204L).map(i => ("edge", i))
+    val df = rows.toDF("source", "doc_id")
+    val got = Sampling.groupQuota(df, "source", "doc_id", n = 4)
+      .as[(String, Long, Int)].collect()
+    val bySrc = got.groupBy(_._1)
+    assert(bySrc("big").length == 4)
+    assert(bySrc("small").length == 2)
+    assert(bySrc("edge").length == 4)
+    // expected order: ascending md5-prefix of the id, ties impossible
+    def md5Key(i: Long): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+    val expectBig = (0L until 30L).sortBy(md5Key).take(4)
+    assert(bySrc("big").sortBy(_._3).map(_._2).toSeq == expectBig)
+    // repartitioning must not change the sample
+    val again = Sampling.groupQuota(df.repartition(13), "source", "doc_id", 4)
+      .as[(String, Long, Int)].collect().toSet
+    assert(again == got.toSet)
+  }
+
+  test("mixtureSample flattens the mix; rates clamp; coin is stable") {
+    val rows = (0 until 90).map(i => ("big", i.toLong)) ++
+      (0 until 10).map(i => ("small", 1000L + i))
+    val df = rows.toDF("source", "doc_id")
+    val out = Sampling.mixtureSample(df, "source", "doc_id",
+        targetTotal = 20, alpha = 0.0)
+      .as[(String, Long, Double, Boolean)].collect()
+    assert(out.length == 100)
+    // alpha=0 targets 10 per group: big keeps at 10/90, small clamps to 1
+    val rates = out.groupBy(_._1).map { case (g, v) => g -> v.head._3 }
+    assert(math.abs(rates("big") - 10.0 / 90) < 1e-6)
+    assert(rates("small") == 1.0)
+    assert(out.filter(_._1 == "small").forall(_._4))
+    // alpha=1 preserves the natural mix: one global rate for everyone
+    val nat = Sampling.mixtureSample(df, "source", "doc_id", 20, alpha = 1.0)
+      .as[(String, Long, Double, Boolean)].collect()
+    assert(nat.map(_._3).distinct.toSeq == Seq(0.2))
+    // the md5 coin is partitioning-independent
+    val again = Sampling.mixtureSample(df.repartition(7), "source", "doc_id",
+        20, alpha = 0.0)
+      .as[(String, Long, Double, Boolean)].collect().toSet
+    assert(again == out.toSet)
+  }
 }
 
 class SimilaritySpec extends AnyFunSuite {

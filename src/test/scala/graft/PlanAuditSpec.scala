@@ -14,8 +14,13 @@ class PlanAuditSpec extends AnyFunSuite {
   // queries whose nested-loop joins are INTENTIONAL: a broadcast cross
   // of a tiny probe/query/centroid relation against the corpus scan,
   // or q33's 1-row × 1-row sketch cross
+  // each of these scans the corpus once against a BROADCAST tiny side
+  // (query set / probe set) by design — the nested loop is the intended
+  // "stream the big side" shape, not an accident. s5's ADC scan joins
+  // the compressed corpus against broadcast query LUTs the same way.
   private val nestedLoopOk =
-    Set("s1_ann_brute", "s4_quant_cosine", "s3_ann_ivf", "q33_theta_overlap")
+    Set("s1_ann_brute", "s4_quant_cosine", "s3_ann_ivf", "q33_theta_overlap",
+      "s5_ann_pq")
 
   test("no query plan contains a cartesian product") {
     SparkEntry.queries.keys.foreach { name =>
@@ -49,7 +54,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // the row_number window form funnels every candidate of a query
     // into one task; TopKAgg keeps the reduce side O(partitions × k).
     // This guard stops a refactor from silently reintroducing it.
-    Seq("s1_ann_brute", "s2_ann_lsh", "s3_ann_ivf").foreach { name =>
+    Seq("s1_ann_brute", "s2_ann_lsh", "s3_ann_ivf", "s5_ann_pq").foreach { name =>
       val p = plan(name)
       assert(!p.contains("Window"), s"$name reintroduced a window top-k")
     }

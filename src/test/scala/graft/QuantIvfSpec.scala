@@ -69,3 +69,64 @@ class IvfSpec extends AnyFunSuite {
     assert(a == b)
   }
 }
+
+class PqSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("PQ ADC carries signal: recall beats the random-candidate baseline") {
+    // this corpus is near-uniform random noise — the adversarial case
+    // for a 16-codeword untrained codebook, where true top-10 cosines
+    // sit barely above background. The honest claim is that the ADC
+    // candidate stage is much better than picking candidates at
+    // random, not that it solves noise retrieval.
+    val emb = Tables.t(spark, sf, "embeddings").cache()
+    val n = emb.count().toDouble
+    val queries = emb.filter($"vec_id" < 3)
+    val brute = Similarity.bruteTopK(emb, queries, 10)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    val pq = Similarity.pqTopK(emb, queries, 10)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    assert(pq.size == brute.size)
+    val recall = pq.intersect(brute).size.toDouble / brute.size
+    val randomBaseline = 40.0 / n // P(true neighbor in 40 random candidates)
+    assert(recall > 2 * randomBaseline,
+      s"PQ recall $recall vs random-candidate baseline $randomBaseline")
+  }
+
+  test("PQ finds planted near-duplicates at rank 1") {
+    // the dedup-grade regime PQ is deployed for: a near-identical copy
+    // (cos ≈ 0.99 vs a ≤0.5 background) must dominate ADC scoring,
+    // survive the candidate cut, and re-rank to the top
+    val base = Tables.t(spark, sf, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("embedding"))
+    val planted = base.filter($"vec_id" < 3)
+      .select(($"vec_id" + 1000000L).as("vec_id"),
+        transform($"embedding", x => x * 0.98 + 0.02).as("embedding"))
+    val corpus = base.union(planted)
+    val queries = planted
+    val top1 = Similarity.pqTopK(corpus, queries, k = 5)
+      .filter($"rk" === 1).select("qid", "id").as[(Long, Long)].collect().toMap
+    (0L until 3L).foreach(i => assert(top1(i + 1000000L) == i))
+  }
+
+  test("PQ run is deterministic across invocations") {
+    val emb = Tables.t(spark, sf, "embeddings")
+    val q = emb.filter($"vec_id" < 2)
+    val a = Similarity.pqTopK(emb, q, 5).collect().toSeq
+    val b = Similarity.pqTopK(emb, q, 5).collect().toSeq
+    assert(a == b)
+  }
+
+  test("rerank=∞ degenerate: PQ with all candidates equals brute force") {
+    // with rerank·k >= corpus size the candidate stage passes everything
+    // through and the exact re-rank must reproduce brute force verbatim
+    val emb = Tables.t(spark, sf, "embeddings").limit(120).cache()
+    val q = emb.filter($"vec_id" < 2)
+    val brute = Similarity.bruteTopK(emb, q, 8)
+      .select("qid", "id", "rk").as[(Long, Long, Int)].collect().toSet
+    val pq = Similarity.pqTopK(emb, q, 8, rerank = 1000)
+      .select("qid", "id", "rk").as[(Long, Long, Int)].collect().toSet
+    assert(pq == brute)
+  }
+}
