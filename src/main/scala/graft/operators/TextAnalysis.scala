@@ -162,14 +162,19 @@ object TextAnalysis {
       textCol: String): org.apache.spark.sql.DataFrame = {
     val base = df.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
       .withColumn("n_tok", size(col("toks")))
-    val uni = base.select(col("id"), explode(col("toks")).as("tok"))
-      .groupBy("id", "tok").count()
-      .groupBy("id").agg(max("count").as("top_tok"))
-    val bi = base.filter(col("n_tok") >= 2)
-      .select(col("id"), explode(transform(sequence(lit(0), col("n_tok") - 2),
-        i => concat_ws(" ", col("toks")(i), col("toks")(i + 1)))).as("bg"))
-      .groupBy("id", "bg").count()
-      .groupBy("id").agg(max("count").as("top_bi"))
+    // ONE explode carries unigrams and bigrams together (a bigram
+    // always contains a space, a token never does, so the two
+    // populations separate again in the final conditional max): one
+    // shuffle and one join instead of two of each
+    val modes = base.select(col("id"), explode(concat(
+        col("toks"),
+        when(col("n_tok") >= 2, transform(sequence(lit(0), col("n_tok") - 2),
+          i => concat_ws(" ", col("toks")(i), col("toks")(i + 1))))
+          .otherwise(array()))).as("g"))
+      .groupBy("id", "g").count()
+      .groupBy("id").agg(
+        max(when(!col("g").contains(" "), col("count"))).as("top_tok"),
+        max(when(col("g").contains(" "), col("count"))).as("top_bi"))
     val g5 = base.withColumn("g5",
         when(col("n_tok") >= 5, transform(sequence(lit(0), col("n_tok") - 5),
           i => concat_ws(" ", slice(col("toks"), i + 1, lit(5)))))
@@ -179,8 +184,7 @@ object TextAnalysis {
           lit(1.0) - size(array_distinct(col("g5"))).cast("double") / size(col("g5")))
           .otherwise(0.0).as("dup_5gram_frac"))
     val out = g5
-      .join(uni, Seq("id"), "left")
-      .join(bi, Seq("id"), "left")
+      .join(modes, Seq("id"), "left")
       .select(col("id"), col("n_tok"),
         round(coalesce(col("top_tok") / col("n_tok"), lit(0.0)), 6).as("top_tok_frac"),
         round(coalesce(col("top_bi") / (col("n_tok") - 1), lit(0.0)), 6).as("top_bigram_frac"),

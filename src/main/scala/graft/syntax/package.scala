@@ -90,5 +90,35 @@ package object syntax {
     def dedupExact(idCol: String, textCol: String): DataFrame =
       df.join(operators.Dedup.exactGroups(df, idCol, textCol)
           .select(col("keep_id").as(idCol)), Seq(idCol), "left_semi")
+
+    /** Near-dedup end-to-end: MinHash-LSH pairs → connected-component
+      * clusters → keep one representative (min id) per cluster. */
+    def dedupNear(idCol: String, textCol: String,
+        threshold: Double = 0.5): DataFrame = {
+      val pairs = operators.Dedup.minhashPairs(df, idCol, textCol,
+        threshold = threshold)
+      val drop = operators.Dedup.dupClusters(pairs, "id_a", "id_b")
+        .filter(!col("keep")).select(col("id").as(idCol))
+      df.join(drop, Seq(idCol), "left_anti")
+    }
+
+    /** Drop documents sharing any word `w`-gram with the eval set. */
+    def decontaminateAgainst(evalDocs: DataFrame, idCol: String,
+        textCol: String, w: Int = 13): DataFrame =
+      df.join(operators.Dedup.decontaminate(df, evalDocs, idCol, textCol, w)
+          .filter(!col("contaminated")).select(col("id").as(idCol)),
+        Seq(idCol), "left_semi")
+
+    /** Keep at most `n` rows per group, in deterministic md5 order. */
+    def quotaPerGroup(groupCol: String, idCol: String, n: Int): DataFrame =
+      df.join(operators.Sampling.groupQuota(df, groupCol, idCol, n)
+          .select(col(idCol)), Seq(idCol), "left_semi")
+
+    /** Temperature-reweighted mixture sample (count^alpha per group). */
+    def sampleMixture(groupCol: String, idCol: String, targetTotal: Long,
+        alpha: Double = 0.0): DataFrame =
+      df.join(operators.Sampling.mixtureSample(df, groupCol, idCol,
+            targetTotal, alpha)
+          .filter(col("kept")).select(col(idCol)), Seq(idCol), "left_semi")
   }
 }

@@ -82,6 +82,24 @@ class SyntaxSpec extends AnyFunSuite {
     val d = s2.sql("SELECT graft_dot(array(1.0d), array(2.0d)) AS d").head().getDouble(0)
     assert(d == 2.0)
   }
+
+  test("pipeline verbs: dedupNear, decontaminateAgainst, quota, mixture") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river", "a"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river", "a"),
+      (3L, "entirely different text about distributed query planning", "a"),
+      (4L, "spark catalyst tungsten whole stage codegen shuffles", "b")
+    ).toDF("doc_id", "text", "source")
+    val deduped = docs.dedupNear("doc_id", "text")
+    assert(deduped.select("doc_id").as[Long].collect().toSet == Set(1L, 3L, 4L))
+    val evalSet = Seq((9L, "entirely different text about distributed query planning"))
+      .toDF("doc_id", "text")
+    val clean = docs.decontaminateAgainst(evalSet, "doc_id", "text")
+    assert(clean.select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 4L))
+    assert(docs.quotaPerGroup("source", "doc_id", 2).count() == 3)
+    val mixed = docs.sampleMixture("source", "doc_id", targetTotal = 100)
+    assert(mixed.count() == 4) // rates clamp to 1 -> everything kept
+  }
 }
 
 class VectorOpsExtraSpec extends org.scalatest.funsuite.AnyFunSuite {
