@@ -15,20 +15,26 @@ import org.apache.spark.sql.types._
   */
 object Detect {
 
-  private val intRe = "^[+-]?\\d+$"
-  private val floatRe = "^[+-]?(\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?$"
-  private val boolTokens = Seq("true", "false", "t", "f", "yes", "no", "y", "n", "1", "0", "on", "off")
-  private val dateRe = "^\\d{4}-\\d{2}-\\d{2}([ T]\\d{2}:\\d{2}(:\\d{2}(\\.\\d+)?)?)?$"
+  /** Content-class bitmask per value — ONE compiled byte scan for all
+    * four candidate classes (graft.expressions.DetectClass; replaced
+    * four per-value `rlike` regex machines whose generated aggregate
+    * dominated detection time). */
+  private def mask(c: String): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.expressions.DetectClass(
+      ColumnBridge.expression(col(c))))
+  }
 
-  /** Per-column counters for content-based inference of string columns. */
+  /** Per-column counters over the staged class mask. */
   private def counters(c: String): Seq[Column] = {
-    val v = trim(col(c).cast(StringType))
+    val m = col(s"${c}__m")
+    import graft.expressions.DetectKernel._
     Seq(
-      count(col(c)).as(s"${c}__n"),
-      count(when(v.rlike(intRe), 1)).as(s"${c}__int"),
-      count(when(v.rlike(floatRe), 1)).as(s"${c}__num"),
-      count(when(lower(v).isin(boolTokens: _*), 1)).as(s"${c}__bool"),
-      count(when(v.rlike(dateRe), 1)).as(s"${c}__date"),
+      count(m).as(s"${c}__n"),
+      count(when(m.bitwiseAND(INT) > 0, 1)).as(s"${c}__int"),
+      count(when(m.bitwiseAND(NUM) > 0, 1)).as(s"${c}__num"),
+      count(when(m.bitwiseAND(BOOL) > 0, 1)).as(s"${c}__bool"),
+      count(when(m.bitwiseAND(DATE) > 0, 1)).as(s"${c}__date"),
     )
   }
 
@@ -41,9 +47,11 @@ object Detect {
     val stats: Map[String, Long] =
       if (stringCols.isEmpty) Map.empty
       else {
-        val row = df.agg(counters(stringCols.head).head,
-          (counters(stringCols.head).tail ++ stringCols.tail.flatMap(counters)): _*)
-          .head()
+        // stage the masks as row attributes so each column's value is
+        // classified once, not once per counter
+        val staged = df.select(stringCols.map(c => mask(c).as(s"${c}__m")).toSeq: _*)
+        val all = stringCols.flatMap(counters)
+        val row = staged.agg(all.head, all.tail.toSeq: _*).head()
         row.schema.fieldNames.zipWithIndex
           .map { case (f, i) => f -> row.getLong(i) }.toMap
       }
