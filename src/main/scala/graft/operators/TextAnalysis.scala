@@ -152,45 +152,27 @@ object TextAnalysis {
     * Returns (id, n_tok, top_tok_frac, top_bigram_frac,
     * dup_5gram_frac, repetitive).
     *
-    * Scale shape: the top-token/bigram modes run as explode → two-level
-    * hash aggregate keyed on (doc, gram) — partial map-side combine,
-    * never a per-row O(n²) array histogram (a 10k-token doc would pay
-    * 10⁸ comparisons per row) — and the two mode relations join back on
-    * the same id hash partitioning. The 5-gram dup fraction is per-row
-    * O(n) set arithmetic. */
+    * Scale shape: per-document statistics never leave the row — ONE
+    * compiled pass ([[graft.expressions.RepetitionKernel]]) counts
+    * tokens, mode token, mode bigram, and duplicate 5-grams in
+    * O(n_tok) per row with memory bounded by the document, so the
+    * whole operator is a shuffle-free projection (the previous
+    * explode → groupBy(doc, gram) → groupBy(doc) → join-back chain
+    * shuffled ~2× the corpus token count). */
   def repetitionSignals(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String): org.apache.spark.sql.DataFrame = {
-    val base = df.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
-      .withColumn("n_tok", size(col("toks")))
-    // ONE explode carries unigrams and bigrams together (a bigram
-    // always contains a space, a token never does, so the two
-    // populations separate again in the final conditional max): one
-    // shuffle and one join instead of two of each
-    val modes = base.select(col("id"), explode(concat(
-        col("toks"),
-        when(col("n_tok") >= 2, transform(sequence(lit(0), col("n_tok") - 2),
-          i => concat_ws(" ", col("toks")(i), col("toks")(i + 1))))
-          .otherwise(array()))).as("g"))
-      .groupBy("id", "g").count()
-      .groupBy("id").agg(
-        max(when(!col("g").contains(" "), col("count"))).as("top_tok"),
-        max(when(col("g").contains(" "), col("count"))).as("top_bi"))
-    val g5 = base.withColumn("g5",
-        when(col("n_tok") >= 5, transform(sequence(lit(0), col("n_tok") - 5),
-          i => concat_ws(" ", slice(col("toks"), i + 1, lit(5)))))
-          .otherwise(array()))
-      .select(col("id"), col("n_tok"),
-        when(size(col("g5")) > 0,
-          lit(1.0) - size(array_distinct(col("g5"))).cast("double") / size(col("g5")))
-          .otherwise(0.0).as("dup_5gram_frac"))
-    val out = g5
-      .join(modes, Seq("id"), "left")
-      .select(col("id"), col("n_tok"),
-        round(coalesce(col("top_tok") / col("n_tok"), lit(0.0)), 6).as("top_tok_frac"),
-        round(coalesce(col("top_bi") / (col("n_tok") - 1), lit(0.0)), 6).as("top_bigram_frac"),
-        round(col("dup_5gram_frac"), 6).as("dup_5gram_frac"))
-    out.withColumn("repetitive",
-      col("top_tok_frac") > 0.2 || col("top_bigram_frac") > 0.18 ||
-        col("dup_5gram_frac") > 0.3)
+    import org.apache.spark.sql.graft.ColumnBridge
+    val st = ColumnBridge.column(graft.expressions.RepetitionStats(
+      ColumnBridge.expression(Dedup.normText(col(textCol)))))
+    df.select(col(idCol).as("id"), st.as("st"))
+      .select(col("id"), col("st.n_tok").as("n_tok"),
+        round(coalesce(col("st.top_tok") / col("st.n_tok"), lit(0.0)), 6)
+          .as("top_tok_frac"),
+        round(coalesce(col("st.top_bi") / (col("st.n_tok") - 1), lit(0.0)), 6)
+          .as("top_bigram_frac"),
+        round(coalesce(col("st.dup5"), lit(0.0)), 6).as("dup_5gram_frac"))
+      .withColumn("repetitive",
+        col("top_tok_frac") > 0.2 || col("top_bigram_frac") > 0.18 ||
+          col("dup_5gram_frac") > 0.3)
   }
 }

@@ -264,6 +264,24 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(d3._5 == round6(1.0 - 2.0 / 6) && d3._6)
   }
 
+  test("repetition kernel edges: empty, single, sub-5-gram docs; plan is shuffle-free") {
+    import graft.expressions.RepetitionKernel
+    import org.apache.spark.unsafe.types.UTF8String
+    def k(s: String) = {
+      val r = RepetitionKernel.compute(UTF8String.fromString(s))
+      (r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3))
+    }
+    assert(k("") == ((1, 1, 0, 0.0)))            // split("") -> [""], like SQL
+    assert(k("solo") == ((1, 1, 0, 0.0)))
+    assert(k("a b a") == ((3, 2, 1, 0.0)))       // "a b" vs "b a": tie -> 1
+    assert(k("a b c d") == ((4, 1, 1, 0.0)))     // 4 toks: no 5-gram lane
+    assert(k("a b c d e") == ((5, 1, 1, 0.0)))   // exactly one 5-gram, distinct
+    val plan = TextAnalysis.repetitionSignals(
+        Seq((1L, "x y z")).toDF("doc_id", "text"), "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"per-doc stats must not shuffle:\n$plan")
+  }
+
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }
