@@ -256,30 +256,19 @@ object Casts {
     s"^\\(?([+-]?(?:\\d+\\.?\\d*|\\.\\d+)?(?:[eE][+-]?\\d+)?)[ij]\\)?$$"
   val complexReRe: String = s"^\\(?($fnum)\\)?$$"
 
-  def toComplex(c: Column, dt: DataType, opts: CastOptions = CastOptions()): Column = {
-    val bothRe = complexBothRe
-    val imRe = complexImRe
-    val reRe = complexReRe
+  def toComplex(c: Column, dt: DataType, opts: CastOptions = CastOptions()): Column =
     dt match {
       case StringType =>
-        val v = trim(c)
-        val both = ComplexOps.complex(
-          regexp_extract(v, bothRe, 1).cast(DoubleType),
-          regexp_extract(v, bothRe, 2).cast(DoubleType))
-        val imCoeff = regexp_extract(v, imRe, 1)
-        val imVal = when(imCoeff.isin("", "+"), lit(1.0))
-          .when(imCoeff === "-", lit(-1.0))
-          .otherwise(imCoeff.cast(DoubleType))
-        val parsed = when(v.rlike(bothRe), both)
-          .when(v.rlike(imRe), ComplexOps.complex(lit(0.0), imVal))
-          .when(v.rlike(reRe),
-            ComplexOps.complex(regexp_extract(v, reRe, 1).cast(DoubleType), lit(0.0)))
+        // one compiled call, per-JVM precompiled patterns (the same
+        // three pattern strings; CastsSpec pins kernel == cascade)
+        import org.apache.spark.sql.graft.ColumnBridge
+        val parsed = ColumnBridge.column(graft.expressions.ComplexParse(
+          ColumnBridge.expression(c)))
         onError(c, parsed, parsed.isNotNull, "complex", opts)
       case _: NumericType | BooleanType =>
         ComplexOps.complex(c.cast(DoubleType), lit(0.0))
       case _ => c // already struct<re,im>
     }
-  }
 
   /** to_string (reference convert/base.py:274, convert/string.py).
     * Integral inputs honour `base` (reference util/string.pyx:45

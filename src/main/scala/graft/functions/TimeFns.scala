@@ -114,8 +114,22 @@ object TimeFns {
     * "1h30m", "2 days 4h", "1.5h", "-0:00:30.5", "90". Longhand unit
     * names normalize to the short forms; unparseable input → null
     * (callers apply the error mode). Mirrors reference
-    * timedelta.pyx `timedelta_string_to_ns` at microsecond width. */
+    * timedelta.pyx `timedelta_string_to_ns` at microsecond width.
+    *
+    * One compiled call with per-JVM precompiled patterns
+    * ([[graft.expressions.TimedeltaKernel]]) — the Column cascade it
+    * replaced inlined ~20 regex machines into generated code;
+    * TimeFnsSpec pins the two formulations equal on the full grid. */
   def timedeltaMicros(c: Column, asHours: Boolean = false): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.expressions.TimedeltaParse(
+      ColumnBridge.expression(c), asHours))
+  }
+
+  /** The original Column-cascade formulation, kept as the differential
+    * oracle for the kernel (and the template the DuckDB oracle SQL is
+    * generated from). Not in any hot path. */
+  def timedeltaMicrosColumns(c: Column, asHours: Boolean = false): Column = {
     val collapsed = regexp_replace(lower(trim(c)), "\\s+", "")
     val s = tdReplacements.foldLeft(collapsed) { case (acc, (pat, rep)) =>
       regexp_replace(acc, pat, rep)
