@@ -243,6 +243,18 @@ object LlmQueries {
         targetTotal = 250, alpha = 0.0)
       .orderBy("source", "doc_id")
 
+  // ---- L24: BM25 query-side retrieval -------------------------------------
+  /** Every matching doc with its full BM25 score and per-term tf —
+    * hashing all scores is strictly stronger than checking a top-k cut
+    * (and implies the top-k agrees); bm25TopK's deterministic cut is
+    * spec-covered. */
+  def x11Bm25(s: SparkSession, dir: String): DataFrame =
+    Retrieval.bm25(t(s, dir, "documents"), "doc_id", "text", bm25Terms)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
+  private val bm25Terms = Seq("hash", "join", "merge", "sort")
+
   // ---- L12: multimodal binary plumbing (real header parsing) --------------
   def m1Multimodal(s: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.asMediaTable(t(s, dir, "documents"))
@@ -277,8 +289,40 @@ object LlmQueries {
     "d7_decontaminate" -> d7Decontaminate _,
     "x9_source_quota" -> x9SourceQuota _,
     "x10_mixture_sample" -> x10MixtureSample _,
+    "x11_bm25" -> x11Bm25 _,
     "m1_multimodal" -> m1Multimodal _,
   )
+
+  /** x11 oracle: BM25 recomputed from scratch in SQL, generated from
+    * the SAME term list. Arithmetic mirrors Retrieval.bm25 EXPRESSION
+    * FOR EXPRESSION (unfolded "(1.2 + 1.0)", left-assoc sums, exact
+    * Σdl/N avgdl) so every double op is the same IEEE sequence; ln is
+    * the one library call, washed out by ROUND(...,6). */
+  private def x11OracleSql: String = {
+    val ts = bm25Terms
+    val tfDefs = ts.zipWithIndex.map { case (t, i) =>
+      s"CAST(len(list_filter(toks, t -> t = '$t')) AS INT) AS tf$i" }.mkString(",\n    ")
+    val dfDefs = ts.indices.map(i =>
+      s"SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i").mkString(", ")
+    val terms = ts.indices.map { i =>
+      s"""ln((CAST(n_docs AS DOUBLE) - CAST(df$i AS DOUBLE) + 0.5) /
+         |      (CAST(df$i AS DOUBLE) + 0.5) + 1.0) *
+         |    (CAST(tf$i AS DOUBLE) * (1.2 + 1.0)) /
+         |    (CAST(tf$i AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / avgdl))""".stripMargin
+    }.mkString(" +\n    ")
+    val tfOut = ts.zipWithIndex.map { case (t, i) => s"tf$i AS tf_$t" }.mkString(", ")
+    val anyHit = ts.indices.map(i => s"tf$i > 0").mkString(" OR ")
+    s"""WITH base AS (SELECT doc_id,
+       |    string_split($normSql, ' ') AS toks FROM documents),
+       |tf AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+       |    $tfDefs
+       |  FROM base),
+       |st AS (SELECT COUNT(*) AS n_docs,
+       |    CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl, $dfDefs
+       |  FROM tf)
+       |SELECT doc_id, ROUND($terms, 6) AS score, $tfOut
+       |FROM tf, st WHERE $anyHit ORDER BY doc_id""".stripMargin
+  }
 
   private val normSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
   private val cosSql =
@@ -535,6 +579,7 @@ object LlmQueries {
         |      doc_id ASC) AS INT) AS rk
         |  FROM documents) t
         |WHERE rk <= 18 ORDER BY source, rk""".stripMargin,
+    "x11_bm25" -> x11OracleSql,
     // repetition signals recomputed with unnest + two-level GROUP BY;
     // integer '/' is float division on both engines, and the flag is
     // evaluated on the ROUNDED fractions exactly as the Spark side does

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Query-side relevance scoring over a document corpus — the
+  * "retrieve the best training documents for a topic" primitive of a
+  * data-curation pipeline (and the standard IR baseline).
+  *
+  * BM25 (Robertson/Spärck Jones, Okapi at TREC-3, 1994), Lucene's
+  * non-negative IDF variant:
+  *
+  *   score(D,Q) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·|D|/avgdl))
+  *   idf(t)     = ln( (N − df + 0.5)/(df + 0.5) + 1 )
+  *
+  * Scale shape: the per-document tf vector for the query's terms is
+  * ONE compiled pass over the tokens ([[graft.expressions.TermCounts]]
+  * — never an explode), so candidate filtering (any tf > 0) happens
+  * row-locally before anything moves. The only exchanges are two
+  * single-row corpus-stats aggregates (N · Σdl and per-term df, fused
+  * into one agg) broadcast back as a literal row — at 100 TB the plan
+  * is scan → map ⨝ broadcast(1 row) → sort-limit. avgdl is computed
+  * exactly (long Σdl / long N, one double division) so the score
+  * reproduces bit-for-bit on any engine regardless of partitioning. */
+object Retrieval {
+
+  def termCounts(toks: Column, terms: Seq[String]): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.expressions.TermCounts(
+      ColumnBridge.expression(toks), terms))
+  }
+
+  /** (doc_id, score, per-term tf) for documents matching ≥1 query
+    * term, BM25-scored. `round6` keeps the emitted score reproducible
+    * across engines for oracle comparison. */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+      query: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val q = query.size
+    val counted = docs
+      .select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("toks"))
+      .select(col("id"), size(col("toks")).cast("long").as("dl"),
+        termCounts(col("toks"), query).as("tf"))
+    // one single-row aggregate carries every corpus statistic the
+    // score needs; broadcast-joined back (AQE turns a 1-row join side
+    // into a broadcast automatically, but be explicit)
+    val stats = counted.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("sum_dl"),
+      array((0 until q).map(i =>
+        sum(when(col("tf")(i) > 0, 1L).otherwise(0L))): _*).as("df"))
+    val avgdl = (col("sum_dl").cast("double") / col("n_docs")).as("avgdl")
+    val scored = counted
+      .filter((0 until q).map(i => col("tf")(i) > 0).reduce(_ || _))
+      .crossJoin(broadcast(stats.select(col("n_docs"), avgdl, col("df"))))
+    val norm = lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))
+    val score = (0 until q).map { i =>
+      val tf = col("tf")(i).cast("double")
+      val df = col("df")(i).cast("double")
+      val idf = log((col("n_docs").cast("double") - df + 0.5) / (df + 0.5) + 1.0)
+      idf * (tf * (k1 + 1)) / (tf + norm)
+    }.reduce(_ + _)
+    scored.select(col("id") +: round(score, 6).as("score") +:
+      (0 until q).map(i => col("tf")(i).as(s"tf_${query(i)}")): _*)
+  }
+
+  /** Top-k retrieval: rounded-score ordering with id tiebreak keeps
+    * the cut deterministic on any engine. */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      query: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25(docs, idCol, textCol, query, k1, b)
+      .orderBy(col("score").desc, col("id"))
+      .limit(k)
+}

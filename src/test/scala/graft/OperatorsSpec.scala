@@ -282,6 +282,38 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"per-doc stats must not shuffle:\n$plan")
   }
 
+  test("bm25: hand-computed score, non-matching docs dropped, deterministic top-k") {
+    val docs = Seq(
+      (1L, "hash join hash probe"),   // tf(hash)=2, tf(join)=1, dl=4
+      (2L, "merge sort merge"),       // tf(merge)=2, tf(sort)=1, dl=3
+      (3L, "scan filter project"),    // no query terms -> dropped
+      (4L, "hash")                    // tf(hash)=1, dl=1
+    ).toDF("doc_id", "text")
+    val q = Seq("hash", "join")
+    val got = Retrieval.bm25(docs, "doc_id", "text", q)
+      .orderBy("id").collect()
+    // docs 2 and 3 contain no query term -> dropped row-locally
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L, 4L))
+    // corpus stats still cover ALL docs: N=4, avgdl=(4+3+3+1)/4,
+    // df(hash)=2, df(join)=1
+    val n = 4.0; val avgdl = 11.0 / 4
+    def idf(df: Double) = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+    def term(tf: Double, df: Double, dl: Double) =
+      idf(df) * (tf * (1.2 + 1.0)) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(0).getDouble(1) == r6(term(2, 2, 4) + term(1, 1, 4)))
+    assert(got(1).getDouble(1) == r6(term(1, 2, 1) + term(0, 1, 1)))
+    assert(got(0).getInt(2) == 2 && got(0).getInt(3) == 1) // tf_hash, tf_join
+    val topk = Retrieval.bm25TopK(docs, "doc_id", "text", q, k = 2).collect()
+    assert(topk.map(_.getLong(0)).toSeq == Seq(1L, 4L)) // score desc, id tiebreak
+    // plan: corpus stats join must be a broadcast, no SortMergeJoin
+    val plan = Retrieval.bm25(docs, "doc_id", "text", q)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"stats must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"no shuffle join in bm25:\n$plan")
+  }
+
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }
