@@ -255,6 +255,16 @@ object LlmQueries {
 
   private val bm25Terms = Seq("hash", "join", "merge", "sort")
 
+  // ---- L25: sequence packing ----------------------------------------------
+  def x12Pack(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("source"),
+      size(TextAnalysis.tokens(col("text"))).as("n_tok"))
+    Packing.packGreedy(docs, "doc_id", "source", "n_tok", capacity = 256)
+      .select(col("grp").as("source"), col("id").as("doc_id"),
+        col("n_tok"), col("bin_id"), col("bin_pos"), col("oversize"))
+      .orderBy("source", "doc_id")
+  }
+
   // ---- L12: multimodal binary plumbing (real header parsing) --------------
   def m1Multimodal(s: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.asMediaTable(t(s, dir, "documents"))
@@ -290,6 +300,7 @@ object LlmQueries {
     "x9_source_quota" -> x9SourceQuota _,
     "x10_mixture_sample" -> x10MixtureSample _,
     "x11_bm25" -> x11Bm25 _,
+    "x12_pack" -> x12Pack _,
     "m1_multimodal" -> m1Multimodal _,
   )
 
@@ -580,6 +591,29 @@ object LlmQueries {
         |  FROM documents) t
         |WHERE rk <= 18 ORDER BY source, rk""".stripMargin,
     "x11_bm25" -> x11OracleSql,
+    // greedy packing replayed as a recursive CTE chained on the
+    // per-source row_number; the UNION ALL step carries (bin, fill)
+    // state exactly like the Spark side's streaming scan
+    "x12_pack" ->
+      s"""WITH RECURSIVE base AS (SELECT doc_id, source,
+        |    CAST(len(string_split($normSql, ' ')) AS INT) AS n_tok,
+        |    CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) AS INT) AS rn
+        |  FROM documents),
+        |rec AS (
+        |  SELECT source, doc_id, n_tok, rn, CAST(0 AS BIGINT) AS bin_id,
+        |    n_tok AS fill, CAST(0 AS INT) AS bin_pos
+        |  FROM base WHERE rn = 1
+        |  UNION ALL
+        |  SELECT b.source, b.doc_id, b.n_tok, b.rn,
+        |    CAST(CASE WHEN r.fill + b.n_tok <= 256 THEN r.bin_id
+        |      ELSE r.bin_id + 1 END AS BIGINT),
+        |    CAST(CASE WHEN r.fill + b.n_tok <= 256 THEN r.fill + b.n_tok
+        |      ELSE b.n_tok END AS INT),
+        |    CAST(CASE WHEN r.fill + b.n_tok <= 256 THEN r.bin_pos + 1
+        |      ELSE 0 END AS INT)
+        |  FROM rec r JOIN base b ON b.source = r.source AND b.rn = r.rn + 1)
+        |SELECT source, doc_id, n_tok, bin_id, bin_pos, n_tok > 256 AS oversize
+        |FROM rec ORDER BY source, doc_id""".stripMargin,
     // repetition signals recomputed with unnest + two-level GROUP BY;
     // integer '/' is float division on both engines, and the flag is
     // evaluated on the ROUNDED fractions exactly as the Spark side does

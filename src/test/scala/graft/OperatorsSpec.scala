@@ -185,6 +185,46 @@ class SamplingSpec extends AnyFunSuite {
   }
 }
 
+class PackingSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("greedy first-fit-in-order bins; oversize isolated; partition-stable") {
+    // src a, capacity 10, id order: 4,4,3,12,2,10,1
+    //   bin0=[4,4] (fill 8, 3 doesn't fit... wait 8+3>10 -> yes new bin)
+    //   bin1=[3], 12 oversize -> bin2=[12], bin3=[2], 10 fits? 2+10>10 -> bin4=[10]
+    //   1 fits? 10+1>10 -> bin5=[1]
+    val rows = Seq(("a", 1L, 4), ("a", 2L, 4), ("a", 3L, 3), ("a", 4L, 12),
+      ("a", 5L, 2), ("a", 6L, 10), ("a", 7L, 1), ("b", 10L, 5), ("b", 11L, 5))
+    val df = rows.toDF("source", "doc_id", "n_tok")
+    val got = Packing.packGreedy(df, "doc_id", "source", "n_tok", capacity = 10)
+      .as[(String, Long, Int, Long, Int, Boolean)].collect()
+      .sortBy(r => (r._1, r._2))
+    val a = got.filter(_._1 == "a").map(r => (r._4, r._5, r._6)).toSeq
+    assert(a == Seq((0L, 0, false), (0L, 1, false), (1L, 0, false),
+      (2L, 0, true), (3L, 0, false), (4L, 0, false), (5L, 0, false)))
+    // b: [5,5] fills one bin exactly
+    assert(got.filter(_._1 == "b").map(r => (r._4, r._5)).toSeq ==
+      Seq((0L, 0), (0L, 1)))
+    // input partitioning must not change the packing (secondary sort)
+    val again = Packing.packGreedy(df.repartition(7), "doc_id", "source",
+        "n_tok", capacity = 10)
+      .as[(String, Long, Int, Long, Int, Boolean)].collect().toSet
+    assert(again == got.toSet)
+    // exactly one exchange: the groupBy-key shuffle
+    val plan = Packing.packGreedy(df, "doc_id", "source", "n_tok", 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.count(_.contains("Exchange")) <= 1,
+      s"packing needs one shuffle only:\n$plan")
+    val stats = Packing.binStats(
+      Packing.packGreedy(df, "doc_id", "source", "n_tok", 10), 10)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    assert(stats(("a", 0L)) == ((2L, 8L, 2L)))
+    assert(stats(("a", 2L)) == ((1L, 12L, 0L))) // oversize: waste clamps to 0
+  }
+}
+
 class SimilaritySpec extends AnyFunSuite {
   import TestSpark._
   import spark.implicits._
