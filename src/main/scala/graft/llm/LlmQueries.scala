@@ -265,6 +265,15 @@ object LlmQueries {
       .orderBy("source", "doc_id")
   }
 
+  // ---- L26: unigram LM perplexity (CCNet-style quality filter) ------------
+  /** vocabSize below the corpus vocabulary so the OOV floor path is
+    * exercised in the oracled query, not just the spec. */
+  def x13UnigramPpl(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.unigramPerplexity(t(s, dir, "documents"), "doc_id", "text",
+        vocabSize = 32)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
   // ---- L12: multimodal binary plumbing (real header parsing) --------------
   def m1Multimodal(s: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.asMediaTable(t(s, dir, "documents"))
@@ -301,6 +310,7 @@ object LlmQueries {
     "x10_mixture_sample" -> x10MixtureSample _,
     "x11_bm25" -> x11Bm25 _,
     "x12_pack" -> x12Pack _,
+    "x13_unigram_ppl" -> x13UnigramPpl _,
     "m1_multimodal" -> m1Multimodal _,
   )
 
@@ -614,6 +624,23 @@ object LlmQueries {
         |  FROM rec r JOIN base b ON b.source = r.source AND b.rn = r.rn + 1)
         |SELECT source, doc_id, n_tok, bin_id, bin_pos, n_tok > 256 AS oversize
         |FROM rec ORDER BY source, doc_id""".stripMargin,
+    // unigram perplexity: per-token ln p rounded to 9 decimals and
+    // summed as DECIMAL — exact and order-free on both engines (the
+    // dsum pattern), so the per-doc mean is partitioning-independent
+    "x13_unigram_ppl" ->
+      s"""WITH base AS (SELECT doc_id, string_split($normSql, ' ') AS toks
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(toks) AS tok FROM base),
+        |counts AS (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok),
+        |st AS (SELECT SUM(cnt) AS total FROM counts),
+        |vocab AS (SELECT tok, cnt FROM counts ORDER BY cnt DESC, tok LIMIT 32),
+        |sc AS (SELECT t.doc_id,
+        |    CAST(ROUND(ln(COALESCE(CAST(v.cnt AS DOUBLE), 0.5) / st.total), 9)
+        |      AS DECIMAL(18,9)) AS lp
+        |  FROM tok t LEFT JOIN vocab v ON t.tok = v.tok, st)
+        |SELECT doc_id, COUNT(*) AS n_tok,
+        |  ROUND(exp(-(CAST(SUM(lp) AS DOUBLE) / COUNT(*))), 6) AS ppl
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // repetition signals recomputed with unnest + two-level GROUP BY;
     // integer '/' is float division on both engines, and the flag is
     // evaluated on the ROUNDED fractions exactly as the Spark side does

@@ -159,6 +159,47 @@ object TextAnalysis {
     * whole operator is a shuffle-free projection (the previous
     * explode → groupBy(doc, gram) → groupBy(doc) → join-back chain
     * shuffled ~2× the corpus token count). */
+  /** Unigram language-model perplexity per document — the CCNet-style
+    * quality signal (Wenzek et al. 2020 filter corpora by LM
+    * perplexity; a unigram model is its cheapest honest form, and the
+    * plumbing — vocab fit, broadcast, per-token score, per-doc reduce
+    * — is exactly what a KenLM-scale model needs).
+    *
+    * Model: p(t) = count(t)/total over the corpus itself; tokens
+    * outside the top-`vocabSize` by count (ties: token asc) score the
+    * floor p = 0.5/total. ppl(D) = exp(−mean_t ln p(t)).
+    *
+    * Determinism at any partitioning: per-token ln p is rounded to 9
+    * decimals and summed as DECIMAL(18,9) — an EXACT, order-free sum
+    * (the dsum pattern) — so the per-doc mean never depends on shuffle
+    * order on either engine.
+    *
+    * Scale shape: token explode feeds a map-side-combined count (one
+    * shuffle of distinct (partition, token) partials); the top-V vocab
+    * is a TakeOrdered broadcast; scoring is explode ⨝ broadcast(vocab)
+    * re-aggregated by doc — partials combine map-side, so the doc agg
+    * shuffles ~one row per doc, not per token. */
+  def unigramPerplexity(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, vocabSize: Int): org.apache.spark.sql.DataFrame = {
+    val toks = df.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+    val tok = toks.select(col("id"), explode(col("toks")).as("tok"))
+    val counts = tok.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val stats = counts.agg(sum(col("cnt")).as("total"))
+    val vocab = counts
+      .orderBy(col("cnt").desc, col("tok"))
+      .limit(vocabSize)
+    val scored = tok
+      .join(broadcast(vocab), Seq("tok"), "left")
+      .crossJoin(broadcast(stats))
+      .withColumn("p",
+        coalesce(col("cnt").cast("double"), lit(0.5)) / col("total"))
+      .withColumn("lp", round(log(col("p")), 9).cast("decimal(18,9)"))
+    scored.groupBy("id")
+      .agg(count(lit(1)).as("n_tok"), sum(col("lp")).as("slp"))
+      .select(col("id"), col("n_tok"),
+        round(exp(-(col("slp").cast("double") / col("n_tok"))), 6).as("ppl"))
+  }
+
   def repetitionSignals(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.graft.ColumnBridge

@@ -322,6 +322,28 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"per-doc stats must not shuffle:\n$plan")
   }
 
+  test("unigram perplexity: hand-computed, OOV floor, partition-stable") {
+    // corpus: "a a a b" + "a b c" -> counts a=4 b=2 c=1, total 7
+    val docs = Seq((1L, "a a a b"), (2L, "a b c")).toDF("doc_id", "text")
+    def r(x: Double, s: Int) =
+      BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def lp(p: Double) = r(math.log(p), 9)
+    // vocabSize=2 -> vocab {a,b}; c is OOV -> p = 0.5/7
+    val e1 = r(math.exp(-((lp(4.0 / 7) * 3 + lp(2.0 / 7)) / 4)), 6)
+    val e2 = r(math.exp(-((lp(4.0 / 7) + lp(2.0 / 7) + lp(0.5 / 7)) / 3)), 6)
+    val got = TextAnalysis.unigramPerplexity(docs, "doc_id", "text", vocabSize = 2)
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(got.map(_._2).toSeq == Seq(4L, 3L))
+    assert(got(0)._3 == e1, s"doc1 ppl ${got(0)._3} != $e1")
+    assert(got(1)._3 == e2, s"doc2 ppl ${got(1)._3} != $e2")
+    // rarer tokens -> higher perplexity
+    assert(got(1)._3 > got(0)._3)
+    val again = TextAnalysis.unigramPerplexity(docs.repartition(5),
+        "doc_id", "text", vocabSize = 2)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(again == got.toSet)
+  }
+
   test("bm25: hand-computed score, non-matching docs dropped, deterministic top-k") {
     val docs = Seq(
       (1L, "hash join hash probe"),   // tf(hash)=2, tf(join)=1, dl=4
