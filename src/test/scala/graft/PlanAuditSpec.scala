@@ -18,9 +18,11 @@ class PlanAuditSpec extends AnyFunSuite {
   // (query set / probe set) by design — the nested loop is the intended
   // "stream the big side" shape, not an accident. s5's ADC scan joins
   // the compressed corpus against broadcast query LUTs the same way.
+  // x11/x13 cross-join ONE broadcast row of corpus statistics into the
+  // scan — the canonical "stats ride along" shape
   private val nestedLoopOk =
     Set("s1_ann_brute", "s4_quant_cosine", "s3_ann_ivf", "q33_theta_overlap",
-      "s5_ann_pq")
+      "s5_ann_pq", "x11_bm25", "x13_unigram_ppl")
 
   test("no query plan contains a cartesian product") {
     SparkEntry.queries.keys.foreach { name =>
