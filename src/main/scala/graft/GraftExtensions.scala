@@ -125,6 +125,15 @@ object GraftExtensions {
         case es => throw new IllegalArgumentException(
           s"graft_top_k requires 3 arguments, got ${es.length}")
       }),
+    ("graft_freq_items",
+      info("graft_freq_items",
+        "graft_freq_items(item, k, n) - Misra-Gries k-counter frequent " +
+          "items (agg): top-n array<struct<item,cnt>>, cnt desc, item asc"), {
+        case Seq(e, kLit, nLit) => FreqItemsAgg(e,
+          litInt("graft_freq_items", kLit), litInt("graft_freq_items", nLit))
+        case es => throw new IllegalArgumentException(
+          s"graft_freq_items requires 3 arguments, got ${es.length}")
+      }),
   )
 
   /** Register on a live session (temp-function variant). */

@@ -274,6 +274,24 @@ object LlmQueries {
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id")
 
+  // ---- L27: Misra-Gries heavy hitters -------------------------------------
+  /** Corpus-wide top tokens via the mergeable k-counter summary.
+    * Capacity 4096 >> corpus vocabulary, so counts are exact and the
+    * GROUP BY oracle applies; the sub-capacity error bound is
+    * spec-asserted adversarially (FreqItemsSpec). */
+  def x14HeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val tok = t(s, dir, "documents")
+      .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+    val hh = ColumnBridge.column(
+      graft.expressions.FreqItemsAgg(ColumnBridge.expression(col("tok")),
+        k = 4096, outN = 20).toAggregateExpression())
+    tok.agg(hh.as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.item").as("item"), col("e.cnt").as("cnt"))
+      .orderBy(col("cnt").desc, col("item"))
+  }
+
   // ---- L12: multimodal binary plumbing (real header parsing) --------------
   def m1Multimodal(s: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.asMediaTable(t(s, dir, "documents"))
@@ -311,6 +329,7 @@ object LlmQueries {
     "x11_bm25" -> x11Bm25 _,
     "x12_pack" -> x12Pack _,
     "x13_unigram_ppl" -> x13UnigramPpl _,
+    "x14_heavy_hitters" -> x14HeavyHitters _,
     "m1_multimodal" -> m1Multimodal _,
   )
 
@@ -624,6 +643,14 @@ object LlmQueries {
         |  FROM rec r JOIN base b ON b.source = r.source AND b.rn = r.rn + 1)
         |SELECT source, doc_id, n_tok, bin_id, bin_pos, n_tok > 256 AS oversize
         |FROM rec ORDER BY source, doc_id""".stripMargin,
+    // exact GROUP BY counts: valid because the MG capacity exceeds the
+    // corpus vocabulary (no decrement ever fires), which the hash-match
+    // itself then proves
+    "x14_heavy_hitters" ->
+      s"""WITH base AS (SELECT string_split($normSql, ' ') AS toks FROM documents),
+        |tok AS (SELECT unnest(toks) AS tok FROM base)
+        |SELECT tok AS item, COUNT(*) AS cnt FROM tok GROUP BY tok
+        |ORDER BY cnt DESC, item LIMIT 20""".stripMargin,
     // unigram perplexity: per-token ln p rounded to 9 decimals and
     // summed as DECIMAL — exact and order-free on both engines (the
     // dsum pattern), so the per-doc mean is partitioning-independent
