@@ -159,4 +159,19 @@ object StreamingOps {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n"), col("total_value"))
+
+  /** S7: streaming heavy hitters — the Misra-Gries summary as global
+    * streaming state. Works BECAUSE the aggregate is mergeable: each
+    * micro-batch's partials merge into the k-counter state exactly as
+    * executor partials do in batch, so unbounded streams keep O(k)
+    * state (complete output mode re-emits the current top-n per
+    * trigger). Returns one row with the array<struct<item,cnt>>. */
+  def streamingHeavyHitters(rows: DataFrame, itemCol: String,
+      k: Int, n: Int): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    rows.agg(ColumnBridge.column(
+      graft.expressions.FreqItemsAgg(
+        ColumnBridge.expression(col(itemCol)), k, n)
+        .toAggregateExpression()).as("hh"))
+  }
 }

@@ -120,5 +120,25 @@ package object syntax {
       df.join(operators.Sampling.mixtureSample(df, groupCol, idCol,
             targetTotal, alpha)
           .filter(col("kept")).select(col(idCol)), Seq(idCol), "left_semi")
+
+    /** Top-k documents for a keyword query (BM25, deterministic cut). */
+    def searchBm25(idCol: String, textCol: String, query: Seq[String],
+        k: Int = 10): DataFrame =
+      operators.Retrieval.bm25TopK(df, idCol, textCol, query, k)
+
+    /** Keep rows whose unigram-LM perplexity is at most `maxPpl`
+      * (CCNet-style quality cut; the model is fit on `df` itself). */
+    def filterByPerplexity(idCol: String, textCol: String, maxPpl: Double,
+        vocabSize: Int = 65536): DataFrame =
+      df.join(operators.TextAnalysis.unigramPerplexity(df, idCol, textCol,
+            vocabSize)
+          .filter(col("ppl") <= maxPpl).select(col("id").as(idCol)),
+        Seq(idCol), "left_semi")
+
+    /** Assign docs to fixed-capacity training sequences (greedy
+      * first-fit in id order per group). */
+    def packInto(idCol: String, groupCol: String, nTokCol: String,
+        capacity: Int): DataFrame =
+      operators.Packing.packGreedy(df, idCol, groupCol, nTokCol, capacity)
   }
 }

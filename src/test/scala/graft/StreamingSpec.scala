@@ -1,6 +1,7 @@
 package graft
 
 import graft.streaming.StreamingOps
+import org.apache.spark.sql.functions.{col, explode}
 import org.apache.spark.sql.streaming.Trigger
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -50,6 +51,26 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     assert(got == want)
     assert(got.nonEmpty)
+  }
+
+  test("S7: streaming heavy hitters equal batch counts (mergeable state)") {
+    val stream = StreamingOps.readEventsStream(spark, sf)
+    val q = StreamingOps.streamingHeavyHitters(stream, "event_type", k = 64, n = 10)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("s7_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.table("s7_out")
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.item"), col("e.cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val expect = Tables.events(spark, sf)
+      .groupBy("event_type").count()
+      .orderBy(col("count").desc, col("event_type"))
+      .limit(10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == expect, s"streaming MG state diverged: $got vs $expect")
   }
 
   test("S2: streaming dedup emits each event_id once") {

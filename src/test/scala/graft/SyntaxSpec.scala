@@ -100,6 +100,31 @@ class SyntaxSpec extends AnyFunSuite {
     val mixed = docs.sampleMixture("source", "doc_id", targetTotal = 100)
     assert(mixed.count() == 4) // rates clamp to 1 -> everything kept
   }
+
+  test("pipeline verbs: searchBm25, filterByPerplexity, packInto") {
+    val docs = Seq(
+      (1L, "spark shuffle spark shuffle spark", "a"),
+      (2L, "spark planner", "a"),
+      (3L, "unrelated words entirely", "b")
+    ).toDF("doc_id", "text", "source")
+    val hits = docs.searchBm25("doc_id", "text", Seq("spark"), k = 1)
+      .select("id").as[Long].collect()
+    assert(hits.toSeq == Seq(1L)) // highest tf wins
+    // doc 3's rare tokens give it the worst (highest) perplexity
+    val ppls = graft.operators.TextAnalysis
+      .unigramPerplexity(docs, "doc_id", "text", 64)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    val kept = docs.filterByPerplexity("doc_id", "text",
+        maxPpl = ppls(3L) - 0.001, vocabSize = 64)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L))
+    val packed = docs
+      .withColumn("n_tok", size(split($"text", " ")))
+      .packInto("doc_id", "source", "n_tok", capacity = 6)
+      .as[(String, Long, Int, Long, Int, Boolean)].collect()
+      .map(r => r._2 -> r._4).toMap
+    assert(packed(1L) == 0L && packed(2L) == 1L && packed(3L) == 0L)
+  }
 }
 
 class VectorOpsExtraSpec extends org.scalatest.funsuite.AnyFunSuite {
