@@ -462,7 +462,16 @@ object TypeQueries {
     graft.operators.RunLength.aggregatesFromRuns(mapped, lit(1L))
   }
 
+  // ---- T27: one-pass column profiling -------------------------------------
+  /** describe-style stats for heterogeneous columns in ONE aggregation
+    * pass (graft.types.Profile): the data-quality sweep a pipeline
+    * runs before choosing casts/filters. */
+  def t27Profile(s: SparkSession, dir: String): DataFrame =
+    graft.types.Profile.profile(t(s, dir, "documents"),
+      Seq("doc_id", "lang", "source", "n_chars"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t27_profile" -> t27Profile _,
     "t26_sparse_compute" -> t26SparseCompute _,
     "t25_object_roundtrip" -> t25ObjectRoundtrip _,
     "t23_parse_datetime" -> t23ParseDatetime _,
@@ -594,6 +603,12 @@ object TypeQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "t27_profile" -> Seq("doc_id", "lang", "source", "n_chars").map(c =>
+      s"""SELECT '$c' AS "column", COUNT(*) AS n,
+         |  COUNT(*) - COUNT($c) AS n_null, COUNT(DISTINCT $c) AS n_distinct,
+         |  CAST(MIN($c) AS VARCHAR) AS min_s, CAST(MAX($c) AS VARCHAR) AS max_s
+         |FROM documents""".stripMargin)
+      .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\""),
     "t26_sparse_compute" ->
       """WITH e AS (SELECT event_id,
         |    CAST(CASE event_type WHEN 'click' THEN 0 WHEN 'view' THEN 1

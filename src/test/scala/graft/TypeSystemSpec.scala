@@ -482,3 +482,24 @@ class UnionTypeSpec extends AnyFunSuite {
     assert(!res("l_returnflag"))
   }
 }
+
+class ProfileSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("one-pass profile: nulls, exact distinct, string-rendered min/max") {
+    val df = Seq(
+      (Some(3L), Some("b")), (Some(1L), None),
+      (Some(3L), Some("a")), (None, Some("a"))
+    ).toDF("id", "tag")
+    val got = graft.types.Profile.profile(df, Seq("id", "tag"))
+      .as[(String, Long, Long, Long, String, String)].collect().toSeq
+    assert(got == Seq(
+      ("id", 4L, 1L, 2L, "1", "3"),
+      ("tag", 4L, 1L, 2L, "a", "b")))
+    // single scan: exactly one aggregate source, no join
+    val plan = graft.types.Profile.profile(df, Seq("id", "tag"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"profile must be one pass:\n$plan")
+  }
+}
