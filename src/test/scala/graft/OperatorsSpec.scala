@@ -322,6 +322,39 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"per-doc stats must not shuffle:\n$plan")
   }
 
+  test("repetition + term-count kernels match a naive reimplementation on random docs") {
+    import graft.expressions.{RepetitionKernel, TermCountsKernel}
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val rnd = new scala.util.Random(7)
+    val vocab = Array("a", "bb", "ccc", "dd", "e")
+    for (_ <- 1 to 200) {
+      val toks = Array.fill(rnd.nextInt(30))(vocab(rnd.nextInt(vocab.length)))
+      val doc = toks.mkString(" ")
+      // naive mode counts
+      val uni = toks.groupBy(identity).values.map(_.length).maxOption.getOrElse(0)
+      val bis = toks.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+      val bi = bis.groupBy(identity).values.map(_.length).maxOption.getOrElse(0)
+      val g5 = toks.sliding(5).filter(_.length == 5).map(_.mkString(" ")).toSeq
+      val dup5 = if (g5.isEmpty) 0.0 else 1.0 - g5.distinct.size.toDouble / g5.size
+      val r = RepetitionKernel.compute(UTF8String.fromString(doc))
+      // split("") yields one empty token — mirror that in the naive side
+      val nTok = if (toks.isEmpty) 1 else toks.length
+      val expUni = if (toks.isEmpty) 1 else uni
+      assert((r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3)) ==
+        ((nTok, expUni, bi, dup5)), s"doc='$doc'")
+      // term counts vs naive count (same split-"" tokenization)
+      val splitToks = if (toks.isEmpty) Array("") else toks
+      val terms = Array("a", "ccc", "zz").map(UTF8String.fromString)
+      val arr = new GenericArrayData(splitToks.map(UTF8String.fromString))
+      val counts = TermCountsKernel.compute(arr, terms)
+      terms.indices.foreach { j =>
+        assert(counts.getInt(j) == splitToks.count(_ == terms(j).toString),
+          s"term ${terms(j)} in doc='$doc'")
+      }
+    }
+  }
+
   test("unigram perplexity: hand-computed, OOV floor, partition-stable") {
     // corpus: "a a a b" + "a b c" -> counts a=4 b=2 c=1, total 7
     val docs = Seq((1L, "a a a b"), (2L, "a b c")).toDF("doc_id", "text")

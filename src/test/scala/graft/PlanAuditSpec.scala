@@ -62,6 +62,17 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("pipeline ops broadcast their small sides: d7 eval grams, x10 rates, x13 vocab") {
+    // each of these joins a corpus-scale relation against a tiny
+    // derived relation — the tiny side must broadcast, never shuffle
+    // the corpus
+    Seq("d7_decontaminate", "x10_mixture_sample", "x13_unigram_ppl").foreach { name =>
+      val p = plan(name)
+      assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+        s"$name lost its broadcast:\n$p")
+    }
+  }
+
   test("native as-of join plans its custom exec with SMJ layout") {
     val p = plan("q29_asof_native")
     assert(p.contains("AsOfJoin"), s"custom exec missing:\n$p")
