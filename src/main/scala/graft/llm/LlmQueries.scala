@@ -229,6 +229,25 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  // ---- L28: corpus-internal duplicated-span statistics --------------------
+  /** Corpus = documents ∪ exact copies of docs <20 ∪ copies of docs
+    * 20–39 with a 5-word prefix: exact copies share every 13-gram
+    * (shared_frac = 1), prefixed copies share only interior grams
+    * (fractional shared_frac on BOTH the copy and its original), and
+    * the untouched majority stays at 0. */
+  def d8DupSpans(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val corpus = docs.select("doc_id", "text")
+      .union(docs.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      .union(docs.filter(col("doc_id") >= 20 && col("doc_id") < 40)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(lit("qq ww ee rr tt "), col("text")).as("text")))
+    Dedup.dupSpans(corpus, "doc_id", "text", w = 13)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
   // ---- L22: per-source quota sampling -------------------------------------
   def x9SourceQuota(s: SparkSession, dir: String): DataFrame =
     Sampling.groupQuota(t(s, dir, "documents"), "source", "doc_id", n = 18)
@@ -324,6 +343,7 @@ object LlmQueries {
     "x7_split" -> x7Split _,
     "x8_repetition" -> x8Repetition _,
     "d7_decontaminate" -> d7Decontaminate _,
+    "d8_dup_spans" -> d8DupSpans _,
     "x9_source_quota" -> x9SourceQuota _,
     "x10_mixture_sample" -> x10MixtureSample _,
     "x11_bm25" -> x11Bm25 _,

@@ -489,6 +489,52 @@ object Dedup {
     * its w-grams map-side, hash-joins the broadcast set with no corpus
     * shuffle of text, and re-aggregates per doc on the id — w-gram
     * hashes (8 B) move, never text. */
+  /** Corpus-INTERNAL duplicated-span statistics: for each document, how
+    * many of its distinct word `w`-grams also occur in at least one
+    * OTHER document (the fixed-length-gram simplification of exact
+    * substring dedup, Lee et al. 2022, "Deduplicating Training Data
+    * Makes Language Models Better" §4.1 — reference-adjacent pipeline
+    * lore; the reference type library has no corpus-level op).
+    * `decontaminate` compares against a small broadcast eval set; this
+    * is the self-comparison where BOTH sides are the 100 TB corpus.
+    *
+    * Returns (id, n_grams, n_shared, shared_frac): distinct w-grams in
+    * the doc, how many of them are shared corpus-wide, and the ratio —
+    * the signal a pipeline thresholds to drop or mask boilerplate-heavy
+    * documents.
+    *
+    * Scale shape: the exploded relation is (id, gramHash) = 16 B rows —
+    * text NEVER shuffles. Two hash-partitioned passes: (1) groupBy(g)
+    * document-frequency, keeping only grams with df > 1 (the duplicated
+    * vocabulary — tiny next to the gram table on real corpora); (2) a
+    * shuffle hash join of the gram table against it, re-aggregated per
+    * doc. The duplicated-gram side is NOT forced broadcast: on a
+    * boilerplate-heavy corpus it can be arbitrarily large, so the plan
+    * stays a key-partitioned join and AQE may downgrade it to broadcast
+    * when the df>1 relation turns out small. The compiled shingle
+    * kernel re-runs per consumer (two scans) rather than caching a
+    * corpus-sized gram table — recompute is the cheaper posture at
+    * scale. A doc shorter than `w` words contributes its whole text as
+    * one partial gram (shingleHashes' documented fallback). */
+  def dupSpans(corpus: DataFrame, idCol: String, textCol: String,
+      w: Int = 13): DataFrame = {
+    val grams = corpus.select(col(idCol).as("id"),
+      explode(shingleHashes(col(textCol), w)).as("g"))
+    val dupGrams = grams.groupBy("g")
+      .agg(count(lit(1)).as("ndocs"))
+      .filter(col("ndocs") > 1)
+      .select("g")
+    val shared = grams.join(dupGrams, Seq("g"))
+      .groupBy("id").agg(count(lit(1)).as("n_shared"))
+    corpus.select(col(idCol).as("id"),
+        size(shingleHashes(col(textCol), w)).cast("long").as("n_grams"))
+      .join(shared, Seq("id"), "left")
+      .select(col("id"), col("n_grams"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        round(coalesce(col("n_shared"), lit(0L)) / col("n_grams"), 6)
+          .as("shared_frac"))
+  }
+
   def decontaminate(corpus: DataFrame, evalDocs: DataFrame,
       idCol: String, textCol: String, w: Int = 13): DataFrame = {
     val evalGrams = evalDocs
