@@ -617,6 +617,34 @@ object LlmQueries {
         |  COALESCE(h.n_hits, 0) > 0 AS contaminated
         |FROM (SELECT doc_id FROM corpus) c LEFT JOIN hits h USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    // corpus-internal dup spans recomputed on shingle STRINGS (the d7
+    // precedent): per-doc DISTINCT 13-grams (shingleHashes dedupes),
+    // document frequency > 1 marks the shared vocabulary, and each
+    // doc counts how many of its grams are in it. Exact copies of
+    // docs < 20 land shared_frac = 1; the 5-word-prefixed copies of
+    // 20-39 share only interior grams.
+    "d8_dup_spans" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents
+        |  WHERE doc_id < 20
+        |  UNION ALL SELECT doc_id + 2000000, 'qq ww ee rr tt ' || text
+        |  FROM documents WHERE doc_id >= 20 AND doc_id < 40),
+        |cg AS (SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      range(1, CAST(greatest(len(string_split(nt, ' ')) - 12, 1) AS BIGINT) + 1),
+        |      i -> array_to_string((string_split(nt, ' '))[CAST(i AS INT):CAST(i AS INT)+12], ' '))) AS sh
+        |  FROM (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+        |        FROM corpus)),
+        |dg AS (SELECT doc_id, unnest(sh) AS g FROM cg),
+        |dupg AS (SELECT g FROM dg GROUP BY g HAVING COUNT(*) > 1),
+        |shr AS (SELECT doc_id, COUNT(*) AS n_shared
+        |  FROM dg JOIN dupg USING (g) GROUP BY doc_id)
+        |SELECT c.doc_id, CAST(len(c.sh) AS BIGINT) AS n_grams,
+        |  COALESCE(s.n_shared, 0) AS n_shared,
+        |  ROUND(COALESCE(s.n_shared, 0) / CAST(len(c.sh) AS DOUBLE), 6) AS shared_frac
+        |FROM cg c LEFT JOIN shr s USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     // alpha=0 mixture: S = group count (exact), rate chain
     // T * (1.0/G) / cnt left-associated as on the Spark side; the keep
     // coin compares the UNROUNDED rate on both engines

@@ -457,6 +457,11 @@ object Dedup {
       labels = next.select("id", "lbl")
       iter += 1
     }
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"connectedComponents: hit maxIter=$maxIter with labels still " +
+          "changing; components may be under-merged (raise maxIter — " +
+          "pointer jumping converges in O(log longest-chain) rounds)")
     edges.unpersist()
     labels
   }

@@ -82,7 +82,11 @@ object Sampling {
     val rates = counts.map { case (g, c) =>
       (g, math.min(1.0, targetTotal * (w(c) / s) / c))
     }.toDF("g", "rate")
-    val u = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+    // u is built from the post-rename "id" column so resolution never
+    // depends on lateral-column-alias binding (which would break with
+    // spark.sql.lateralColumnAlias.enableImplicitResolution=false or a
+    // user idCol named "g"/"rate").
+    val u = conv(substring(md5(col("id").cast("string")), 1, 15), 16, 10)
       .cast("long").cast("double") / lit(1152921504606846976.0) // 2^60
     df.select(col(groupCol).cast("string").as("g"), col(idCol).as("id"))
       .join(broadcast(rates), Seq("g"))

@@ -276,6 +276,13 @@ object Similarity {
       .join(encoded.select(col("id"), col("v"), col("nv")), Seq("id"))
       .join(broadcast(q.select(col("qid"), col("qv"), col("nqv"))), Seq("qid"))
       .select(col("qid"), col("id"), cosOf("v", "qv", "nv", "nqv").as("cos"))
-    topK(exact, k)
+    // materialize the (tiny: |queries|·k rows) result eagerly so the
+    // corpus-sized `encoded` cache can be released before returning —
+    // otherwise every pqTopK call in a long-lived session leaks its
+    // encoded blocks into the block manager until the caller happens to
+    // clearCache
+    val res = topK(exact, k).localCheckpoint(true)
+    encoded.unpersist()
+    res
   }
 }

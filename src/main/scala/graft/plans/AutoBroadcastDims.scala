@@ -48,8 +48,18 @@ case class AutoBroadcastDims(spark: SparkSession) extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  /** Registered-name match alone is not enough to force a broadcast:
+    * the registry keys on the path stem, so a LARGE table that merely
+    * shares a directory name with a bounded dim would be force-built
+    * into every executor (and the driver) — an OOM, not a plan
+    * improvement. Guard on the scan's own size statistic and fail open
+    * to Catalyst's stats-based planning when the relation is bigger
+    * than the cap (or its size is unknown, i.e. defaultSizeInBytes). */
+  private def fitsCap(p: LogicalPlan): Boolean =
+    p.stats.sizeInBytes <= AutoBroadcastDims.maxBroadcastBytes
+
   private def isDim(p: LogicalPlan): Boolean =
-    dimName(p).exists(AutoBroadcastDims.registered.contains)
+    dimName(p).exists(AutoBroadcastDims.registered.contains) && fitsCap(p)
 
   private def canBuildLeft(jt: JoinType): Boolean = jt match {
     case _: InnerLike | RightOuter => true
@@ -86,4 +96,10 @@ object AutoBroadcastDims {
 
   /** Declare additional bounded dimensions (e.g. a tenant catalog). */
   def register(names: String*): Unit = synchronized { dims ++= names }
+
+  /** Hard ceiling on a force-broadcast dim's scan-size statistic; a
+    * registered name whose files exceed this falls back to stats-based
+    * planning. Generous vs any schema-bounded dimension, small vs
+    * executor memory. */
+  @volatile var maxBroadcastBytes: Long = 256L << 20
 }
