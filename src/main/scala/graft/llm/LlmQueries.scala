@@ -248,6 +248,34 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  // ---- L29: incremental (continuous-crawl) dedup ---------------------------
+  /** Corpus = documents; batch = 15 exact re-crawls (docs 0–14), 15
+    * near re-crawls with a 2-token suffix (15–29), 15 novel docs built
+    * by reversing word order (30–44: trigrams all differ from the
+    * original's), plus second copies of the first 8 reversed docs —
+    * in-batch duplicates whose `dup_of` must point at the SMALLER batch
+    * id, not a corpus id. */
+  def d9IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val corpus = docs.select("doc_id", "text")
+    val nt = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+    val rev = array_join(reverse(split(nt, " ")), " ")
+    val batch = docs.filter(col("doc_id") < 15)
+      .select((col("doc_id") + 5000000L).as("doc_id"), col("text"))
+      .union(docs.filter(col("doc_id") >= 15 && col("doc_id") < 30)
+        .select((col("doc_id") + 5000000L).as("doc_id"),
+          concat(col("text"), lit(" zz qq")).as("text")))
+      .union(docs.filter(col("doc_id") >= 30 && col("doc_id") < 45)
+        .select((col("doc_id") + 5000000L).as("doc_id"), rev.as("text")))
+      .union(docs.filter(col("doc_id") >= 30 && col("doc_id") < 38)
+        .select((col("doc_id") + 6000000L).as("doc_id"), rev.as("text")))
+    Dedup.incrementalDedup(corpus, batch, "doc_id", "text",
+        w = 3, h = 64, bands = 16, threshold = 0.5)
+      .withColumnRenamed("id", "doc_id")
+      .withColumn("jaccard", round(col("jaccard"), 6))
+      .orderBy("doc_id")
+  }
+
   // ---- L22: per-source quota sampling -------------------------------------
   def x9SourceQuota(s: SparkSession, dir: String): DataFrame =
     Sampling.groupQuota(t(s, dir, "documents"), "source", "doc_id", n = 18)
@@ -344,6 +372,7 @@ object LlmQueries {
     "x8_repetition" -> x8Repetition _,
     "d7_decontaminate" -> d7Decontaminate _,
     "d8_dup_spans" -> d8DupSpans _,
+    "d9_incremental_dedup" -> d9IncrementalDedup _,
     "x9_source_quota" -> x9SourceQuota _,
     "x10_mixture_sample" -> x10MixtureSample _,
     "x11_bm25" -> x11Bm25 _,
@@ -645,6 +674,47 @@ object LlmQueries {
         |  ROUND(COALESCE(s.n_shared, 0) / CAST(len(c.sh) AS DOUBLE), 6) AS shared_frac
         |FROM cg c LEFT JOIN shr s USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    // incremental dedup replayed as the all-pairs ground truth: every
+    // batch doc against every pool doc with a smaller id (corpus ids
+    // all precede batch ids here, so in_corpus OR pid < id reduces to
+    // pid < id), jaccard on distinct 3-gram STRINGS (the d2 precedent;
+    // hash-match doubles as a 100%-recall proof for the index join),
+    // smallest matching id kept via row_number
+    "d9_incremental_dedup" ->
+      """WITH batch AS (
+        |  SELECT doc_id + 5000000 AS doc_id, text FROM documents WHERE doc_id < 15
+        |  UNION ALL SELECT doc_id + 5000000, text || ' zz qq' FROM documents
+        |  WHERE doc_id >= 15 AND doc_id < 30
+        |  UNION ALL SELECT doc_id + 5000000,
+        |    array_to_string(list_reverse(string_split(
+        |      trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')), ' ')
+        |  FROM documents WHERE doc_id >= 30 AND doc_id < 45
+        |  UNION ALL SELECT doc_id + 6000000,
+        |    array_to_string(list_reverse(string_split(
+        |      trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')), ' ')
+        |  FROM documents WHERE doc_id >= 30 AND doc_id < 38),
+        |pool AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id, text FROM batch),
+        |psh AS (SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      range(1, CAST(greatest(len(string_split(nt, ' ')) - 2, 1) AS BIGINT) + 1),
+        |      i -> array_to_string((string_split(nt, ' '))[CAST(i AS INT):CAST(i AS INT)+2], ' '))) AS sh
+        |  FROM (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+        |        FROM pool)),
+        |bsh AS (SELECT doc_id, sh FROM psh WHERE doc_id >= 5000000),
+        |v AS (SELECT b.doc_id AS id, p.doc_id AS pid,
+        |    CAST(len(list_intersect(b.sh, p.sh)) AS DOUBLE) AS common,
+        |    CAST(len(b.sh) + len(p.sh) AS DOUBLE) AS sz
+        |  FROM bsh b JOIN psh p ON p.doc_id < b.doc_id),
+        |hit AS (SELECT id, pid, common / (sz - common) AS jac FROM v
+        |  WHERE common / (sz - common) >= 0.5),
+        |best AS (SELECT id, pid, jac,
+        |    ROW_NUMBER() OVER (PARTITION BY id ORDER BY pid) AS rn FROM hit)
+        |SELECT b.doc_id, h.pid IS NOT NULL AS is_dup, h.pid AS dup_of,
+        |  ROUND(h.jac, 6) AS jaccard
+        |FROM (SELECT doc_id FROM batch) b
+        |LEFT JOIN (SELECT * FROM best WHERE rn = 1) h ON h.id = b.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
     // alpha=0 mixture: S = group count (exact), rate chain
     // T * (1.0/G) / cnt left-associated as on the Spark side; the keep
     // coin compares the UNROUNDED rate on both engines

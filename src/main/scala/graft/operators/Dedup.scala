@@ -198,6 +198,81 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Incremental (continuous-crawl) dedup: match a NEW batch against an
+    * EXISTING corpus's LSH band index plus the batch itself, and return
+    * one verdict row per batch document — WITHOUT re-pairing the
+    * corpus. This is the shape a 100 TB pipeline actually runs: the
+    * corpus's (band, key, id) index and shingle sets are computed once
+    * at ingest and stored; each incoming crawl batch only explodes ITS
+    * OWN bands, hash-joins them against the index, and exact-verifies
+    * the few candidates. Corpus text never re-shuffles, corpus×corpus
+    * pairs never re-enumerate.
+    *
+    * Matching policy: a batch doc is a duplicate if some corpus doc, or
+    * an EARLIER batch doc (smaller id — the dedup direction inside the
+    * batch), has shingle-Jaccard >= `threshold`. `dup_of` is the
+    * smallest matching id (deterministic), `jaccard` that pair's score.
+    * Ids must be unique across corpus ∪ batch.
+    *
+    * Returns (id, is_dup, dup_of, jaccard) for every batch row.
+    *
+    * Scale shape: candidate generation is a key-partitioned equi-join
+    * on (band, key) — batch-side rows are bands·|batch|, corpus-side is
+    * the stored index. Unlike the in-batch `flatMapGroups` path this
+    * join materializes candidate rows through the shuffle machinery, so
+    * a degenerate hot band key is AQE-skew-splittable rather than a
+    * single quadratic task. Exact verification joins shingle sets for
+    * surviving (batch, pool) id pairs only, and the final verdict is
+    * one aggregate keyed on the batch id. */
+  def incrementalDedup(corpus: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String,
+      w: Int = 3, h: Int = 64, bands: Int = 16,
+      threshold: Double = 0.5): DataFrame = {
+    def indexed(df: DataFrame): DataFrame =
+      df.select(col(idCol).cast("long").as("id"),
+          shingleHashes(col(textCol), w).as("sh"))
+        .withColumn("bands", bandKeys(minhashSignature(col("sh"), h), h, bands))
+    // the corpus index: in production a stored table, here built once
+    val corpusIdx = indexed(corpus).persist()
+    val batchIdx = indexed(batch).persist()
+    def bandRows(idx: DataFrame): DataFrame =
+      idx.select(col("id"), posexplode(col("bands")).as(Seq("band", "key")))
+    // pool = stored corpus index ∪ the batch's own bands; an in-batch
+    // match only counts when the pool id precedes the batch id, so the
+    // first occurrence inside a batch is kept exactly like a corpus hit
+    val pool = bandRows(corpusIdx).withColumn("in_corpus", lit(true))
+      .union(bandRows(batchIdx).withColumn("in_corpus", lit(false)))
+      .select(col("id").as("pid"), col("band"), col("key"), col("in_corpus"))
+    val cand = bandRows(batchIdx)
+      .join(pool, Seq("band", "key"))
+      .filter(col("in_corpus") || col("pid") < col("id"))
+      .select(col("id"), col("pid")).distinct()
+    val batchSets = batchIdx.select(col("id"), col("sh"))
+    val poolSets = corpusIdx.select(col("id").as("pid"), col("sh").as("psh"))
+      .union(batchSets.select(col("id").as("pid"), col("sh").as("psh")))
+    val verified = cand
+      .join(batchSets, Seq("id"))
+      .join(poolSets, Seq("pid"))
+      .withColumn("common", {
+        import org.apache.spark.sql.graft.ColumnBridge
+        ColumnBridge.column(graft.expressions.SortedLongArrayIntersectCount(
+          ColumnBridge.expression(col("sh")),
+          ColumnBridge.expression(col("psh")))).cast("double")
+      })
+      .withColumn("jaccard",
+        col("common") / (size(col("sh")) + size(col("psh")) - col("common")))
+      .filter(col("jaccard") >= threshold)
+    // smallest matching id wins; its own jaccard rides along in the
+    // struct-min so the verdict row is fully deterministic
+    val best = verified.groupBy("id")
+      .agg(min(struct(col("pid"), col("jaccard"))).as("m"))
+      .select(col("id"), col("m.pid").as("dup_of"), col("m.jaccard").as("jaccard"))
+    batchIdx.select(col("id"))
+      .join(best, Seq("id"), "left")
+      .select(col("id"), col("dup_of").isNotNull.as("is_dup"),
+        col("dup_of"), col("jaccard"))
+  }
+
   // ---------------------------------------------------------------------
   // SimHash
   // ---------------------------------------------------------------------
