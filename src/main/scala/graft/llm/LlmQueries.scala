@@ -276,6 +276,29 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  // ---- L30: embedding outlier detection ------------------------------------
+  /** Cosine of each vector to its own label's (rounded) centroid;
+    * `is_outlier` = anti-correlated with the cluster (cos < 0). */
+  def e1EmbedOutliers(s: SparkSession, dir: String): DataFrame =
+    EmbedStats.centroidOutliers(t(s, dir, "embeddings"),
+        "label", "embedding", "vec_id", threshold = 0.0)
+      .withColumnRenamed("id", "vec_id")
+      .orderBy("vec_id")
+
+  // ---- L31: random-projection dimensionality reduction ---------------------
+  /** 64 → 8 dims via seeded JL sign-free Gaussian planes; outputs are
+    * exact doubles (literal planes + left-to-right dots reproduce
+    * bit-for-bit in the oracle). */
+  def e2RandomProjection(s: SparkSession, dir: String): DataFrame = {
+    val planes = VectorOps.hyperplanes(8, 64, seed = 7L)
+    t(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        VectorOps.randomProject(col("embedding"), planes).as("y"))
+      .select(col("vec_id") +: col("label") +:
+        (1 to 8).map(i => element_at(col("y"), i).as(s"y$i")): _*)
+      .orderBy("vec_id")
+  }
+
   // ---- L22: per-source quota sampling -------------------------------------
   def x9SourceQuota(s: SparkSession, dir: String): DataFrame =
     Sampling.groupQuota(t(s, dir, "documents"), "source", "doc_id", n = 18)
@@ -373,6 +396,8 @@ object LlmQueries {
     "d7_decontaminate" -> d7Decontaminate _,
     "d8_dup_spans" -> d8DupSpans _,
     "d9_incremental_dedup" -> d9IncrementalDedup _,
+    "e1_embed_outliers" -> e1EmbedOutliers _,
+    "e2_random_projection" -> e2RandomProjection _,
     "x9_source_quota" -> x9SourceQuota _,
     "x10_mixture_sample" -> x10MixtureSample _,
     "x11_bm25" -> x11Bm25 _,
@@ -600,8 +625,49 @@ object LlmQueries {
       |  FROM b a JOIN b bb ON a.doc_id < bb.doc_id
       |    AND len(a.sh) * 2 >= len(bb.sh) AND len(bb.sh) * 2 >= len(a.sh))""".stripMargin
 
+  /** e2 oracle: the 8 seeded planes embedded as literal arrays
+    * (Double.toString round-trips), each output dim one
+    * list_inner_product — bit-identical to ArrayDotProduct. */
+  private def e2OracleSql: String = {
+    val planes = graft.operators.VectorOps.hyperplanes(8, 64, seed = 7L)
+    val scale = math.sqrt(64.0)
+    def arr(p: Array[Double]) = p.mkString("[", ", ", "]")
+    val cols = planes.zipWithIndex.map { case (p, i) =>
+      s"list_inner_product(v, ${arr(p)}) / $scale AS y${i + 1}"
+    }.mkString(",\n       |  ")
+    s"""WITH ve AS (SELECT vec_id, label,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings)
+       |SELECT vec_id, label,
+       |  $cols
+       |FROM ve ORDER BY vec_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "s2_ann_lsh" -> s2OracleSql,
+    "e2_random_projection" -> e2OracleSql,
+    // e1: centroid recomputed per (label, dim) via AVG then rounded to
+    // 6 decimals — the SAME pre-rounding the Spark side applies, so the
+    // cosine arithmetic downstream is bit-identical (list_inner_product
+    // == ArrayDotProduct, left-to-right)
+    "e1_embed_outliers" ->
+      """WITH ve AS (SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |u AS (SELECT label, vec_id, i, v[CAST(i AS INT)] AS x
+        |  FROM ve, (SELECT unnest(range(1, 65)) AS i) t),
+        |cent AS (SELECT label, i, ROUND(AVG(x), 6) AS c
+        |  FROM u GROUP BY label, i),
+        |cl AS (SELECT label, list(c ORDER BY i) AS cent FROM cent GROUP BY label),
+        |sc AS (SELECT ve.vec_id, ve.label,
+        |    CASE WHEN sqrt(list_inner_product(ve.v, ve.v)) *
+        |              sqrt(list_inner_product(cl.cent, cl.cent)) = 0.0 THEN 0.0
+        |         ELSE ROUND(list_inner_product(ve.v, cl.cent) /
+        |           (sqrt(list_inner_product(ve.v, ve.v)) *
+        |            sqrt(list_inner_product(cl.cent, cl.cent))), 6) END AS cos_centroid
+        |  FROM ve JOIN cl USING (label))
+        |SELECT vec_id, label, cos_centroid, cos_centroid < 0.0 AS is_outlier
+        |FROM sc ORDER BY vec_id""".stripMargin,
     "s3_ann_ivf" -> s3OracleSql,
     "s5_ann_pq" -> s5OracleSql,
     "d3_simhash" -> d3OracleSql,

@@ -59,6 +59,16 @@ object VectorOps {
       ColumnBridge.expression(v.cast("array<double>"))).toAggregateExpression())
   }
 
+  /** Johnson–Lindenstrauss random projection onto `planes`: the
+    * dimensionality-reduction map pass (64-dim corpus → |planes| dims)
+    * that makes downstream ANN / clustering cheaper while approximately
+    * preserving pairwise distances. Scaled by 1/√dim; purely map-side,
+    * planes are plan literals — no join, no shuffle, codegen'd dots. */
+  def randomProject(v: Column, planes: Seq[Array[Double]]): Column = {
+    val scale = math.sqrt(planes.head.length.toDouble)
+    array(planes.map(p => dot(v, array(p.map(lit(_)): _*)) / scale): _*)
+  }
+
   /** Sign-LSH bucket key: one bit per hyperplane (random projection
     * sign), packed into a long. Cosine-similar vectors collide with
     * high probability (Charikar 2002 SimHash for angles). */
