@@ -174,4 +174,27 @@ object StreamingOps {
         ColumnBridge.expression(col(itemCol)), k, n)
         .toAggregateExpression()).as("hh"))
   }
+
+  /** S8: continuous-crawl dedup — the streaming form of d9. Each
+    * micro-batch of newly crawled documents is matched against the
+    * stored corpus LSH index (plus itself, smaller-id-first) via
+    * `foreachBatch` → [[graft.operators.Dedup.incrementalDedup]], and
+    * the per-doc verdicts go to `sink`. The corpus side is the static
+    * stored index; a production deployment appends each processed
+    * batch's (band, key, id, shingles) rows to that store between
+    * triggers so later crawls also dedup against earlier ones — the
+    * operator itself is already index-shaped, the append is a plain
+    * parquet write. foreachBatch (not a stream-static join) because the
+    * verdict is a multi-stage job — explode, index join, exact verify,
+    * per-doc aggregate — not a row-wise enrichment. */
+  def streamingIncrementalDedup(docs: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String)(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        sink(graft.operators.Dedup.incrementalDedup(
+          corpus, b.toDF(), idCol, textCol))
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
 }

@@ -73,6 +73,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == expect, s"streaming MG state diverged: $got vs $expect")
   }
 
+  test("S8: streaming incremental dedup matches its batch twin") {
+    import org.apache.spark.sql.types._
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    // the "crawl": every corpus doc re-crawled under a new id — each
+    // must come back is_dup with dup_of = its original
+    val stream = spark.readStream.schema(docSchema)
+      .option("pathGlobFilter", "documents.parquet").parquet(sf)
+      .select((col("doc_id") + 5000000L).as("doc_id"), col("text"))
+    val corpus = Tables.t(spark, sf, "documents").select("doc_id", "text")
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Boolean, Long)]
+    val q = StreamingOps.streamingIncrementalDedup(
+        stream, corpus, "doc_id", "text") { verdicts =>
+      got.synchronized {
+        got ++= verdicts.select("id", "is_dup", "dup_of").collect()
+          .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2)))
+      }
+    }
+    q.awaitTermination(180000)
+    val batch = corpus.select((col("doc_id") + 5000000L).as("doc_id"), col("text"))
+    val expect = graft.operators.Dedup
+      .incrementalDedup(corpus, batch, "doc_id", "text")
+      .select("id", "is_dup", "dup_of").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2))).toSet
+    assert(got.nonEmpty && got.toSet == expect,
+      s"streaming verdicts diverged from batch twin (${got.size} rows)")
+    // and the planted truth: every re-crawl is a dup, attributed to its
+    // original OR an even smaller natural near-dup of it in the corpus
+    assert(got.forall { case (id, dup, of) => dup && of <= id - 5000000L })
+  }
+
   test("S2: streaming dedup emits each event_id once") {
     val stream = StreamingOps.readEventsStream(spark, sf)
     val q = StreamingOps.streamingDedup(stream)
