@@ -505,8 +505,14 @@ object Dedup {
     * doc* — orders of magnitude smaller than the corpus. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 25): DataFrame = {
+    // materialize the pair list ONCE before symmetrizing: the union
+    // references it twice, and Spark does not share a subplan across
+    // union branches — without this, an expensive upstream (the LSH
+    // pair generation) executes twice. The pair graph is orders of
+    // magnitude smaller than the corpus, so an eager local checkpoint
+    // is cheap and also cuts the iterative loop's replay lineage.
     val sym = pairs.select(col(aCol).cast("long").as("src"),
-      col(bCol).cast("long").as("dst"))
+      col(bCol).cast("long").as("dst")).localCheckpoint(true)
     val edges = sym.union(sym.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().persist()
     var labels = edges.groupBy("src").agg(min("dst").as("nmin"))

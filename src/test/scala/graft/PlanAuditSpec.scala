@@ -98,6 +98,32 @@ class PlanAuditSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("AutoBroadcastDims size guard fails open past the cap") {
+    import graft.plans.AutoBroadcastDims
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val saved = AutoBroadcastDims.maxBroadcastBytes
+    AutoBroadcastDims.maxBroadcastBytes = 1L // every scan now "too big"
+    try {
+      val n = spark.read.parquet(s"$sf/nation.parquet")
+      val c = spark.read.parquet(s"$sf/customer.parquet")
+      val p = c.join(n, c("c_nationkey") === n("n_nationkey"))
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastHashJoin"),
+        s"registered dim force-broadcast despite exceeding the size cap:\n$p")
+    } finally {
+      AutoBroadcastDims.maxBroadcastBytes = saved
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("e1 broadcasts its label-cardinality centroids; e2 stays join-free") {
+    val p1 = plan("e1_embed_outliers")
+    assert(p1.contains("BroadcastHashJoin") || p1.contains("BroadcastExchange"),
+      s"e1 centroid join lost its broadcast:\n$p1")
+    val p2 = plan("e2_random_projection")
+    assert(!p2.contains("Join"), s"e2 projection grew a join:\n$p2")
+  }
+
   test("whole-stage codegen covers the scan-agg pipeline") {
     // AQE wraps everything in an unmaterialized AdaptiveSparkPlan (0
     // visible codegen subtrees pre-execution) — disable it for the
