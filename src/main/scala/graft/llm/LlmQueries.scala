@@ -299,6 +299,25 @@ object LlmQueries {
       .orderBy("vec_id")
   }
 
+  // ---- L32: URL/domain census ----------------------------------------------
+  /** The synthetic corpus has no URLs; plant two deterministic ones per
+    * doc (the x6 pattern), then run the census: distinct domains per
+    * doc exploded and counted corpus-wide — the table a blocklist /
+    * domain-quota policy consumes. Shuffles only (domain, 1) pairs. */
+  def x15UrlDomains(s: SparkSession, dir: String): DataFrame = {
+    val planted = t(s, dir, "documents").select(col("doc_id"),
+      concat(lit("see https://site"), col("doc_id") % 50,
+        lit(".example.com/p/"), col("doc_id"),
+        lit(" and http://www.ref"), col("doc_id") % 7,
+        lit(".org "), col("text")).as("text"))
+    planted
+      .select(col("doc_id"),
+        explode(TextAnalysis.urlDomains(col("text"))).as("domain"))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("domain")
+  }
+
   // ---- L22: per-source quota sampling -------------------------------------
   def x9SourceQuota(s: SparkSession, dir: String): DataFrame =
     Sampling.groupQuota(t(s, dir, "documents"), "source", "doc_id", n = 18)
@@ -398,6 +417,7 @@ object LlmQueries {
     "d9_incremental_dedup" -> d9IncrementalDedup _,
     "e1_embed_outliers" -> e1EmbedOutliers _,
     "e2_random_projection" -> e2RandomProjection _,
+    "x15_url_domains" -> x15UrlDomains _,
     "x9_source_quota" -> x9SourceQuota _,
     "x10_mixture_sample" -> x10MixtureSample _,
     "x11_bm25" -> x11Bm25 _,
@@ -781,6 +801,22 @@ object LlmQueries {
         |FROM (SELECT doc_id FROM batch) b
         |LEFT JOIN (SELECT * FROM best WHERE rn = 1) h ON h.id = b.doc_id
         |ORDER BY b.doc_id""".stripMargin,
+    // URL census on the same planted text; regexp_extract_all group 1
+    // with a pure character-class pattern parses identically under
+    // Java regex and RE2
+    "x15_url_domains" ->
+      """WITH planted AS (SELECT doc_id,
+        |    'see https://site' || CAST(doc_id % 50 AS VARCHAR) ||
+        |    '.example.com/p/' || CAST(doc_id AS VARCHAR) ||
+        |    ' and http://www.ref' || CAST(doc_id % 7 AS VARCHAR) ||
+        |    '.org ' || text AS text
+        |  FROM documents),
+        |d AS (SELECT doc_id,
+        |    unnest(list_distinct(regexp_extract_all(lower(text),
+        |      'https?://([a-z0-9.-]+)', 1))) AS domain
+        |  FROM planted)
+        |SELECT domain, COUNT(*) AS n_docs FROM d
+        |GROUP BY domain ORDER BY domain""".stripMargin,
     // alpha=0 mixture: S = group count (exact), rate chain
     // T * (1.0/G) / cnt left-associated as on the Spark side; the keep
     // coin compares the UNROUNDED rate on both engines

@@ -114,6 +114,15 @@ object TextAnalysis {
     * md5 prefix (stable across runs, engines, and cluster layouts —
     * unlike `df.randomSplit`, re-runs and backfills land every row in
     * the same split). Fractions are cumulative percentages. */
+  /** All URL host names in a text, lowercased (C4/RefinedWeb-style
+    * domain analysis: the per-domain corpus census drives blocklists,
+    * quota caps, and quality priors). Codegen'd regexp_extract_all; the
+    * simple character-class pattern means Java and RE2 (DuckDB) agree
+    * byte for byte. */
+  def urlDomains(text: Column): Column =
+    array_distinct(regexp_extract_all(lower(text),
+      lit("https?://([a-z0-9.-]+)"), lit(1)))
+
   def splitBucket(id: Column): Column =
     (conv(substring(md5(id.cast("string")), 1, 4), 16, 10).cast("long") % 100)
       .cast("int")
