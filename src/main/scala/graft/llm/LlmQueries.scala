@@ -276,6 +276,23 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  // ---- L33: semantic dedup (SemDeDup) ---------------------------------------
+  /** Corpus = embeddings ∪ exact vector copies of vec_id < 40 (ids
+    * +100000): copies land in the SAME cell as their original (identical
+    * argmin) with cos = 1; natural random pairs sit far below the 0.95
+    * threshold, and the comparison is bit-exact on both engines. */
+  def d10SemanticDedup(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val corpus = emb.select(col("vec_id"), col("embedding"))
+      .union(emb.filter(col("vec_id") < 40)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding")))
+    Dedup.semanticDedup(corpus, "vec_id", "embedding",
+        nCells = 16, threshold = 0.95)
+      .withColumnRenamed("id", "vec_id")
+      .withColumn("cos", round(col("cos"), 6))
+      .orderBy("vec_id")
+  }
+
   // ---- L30: embedding outlier detection ------------------------------------
   /** Cosine of each vector to its own label's (rounded) centroid;
     * `is_outlier` = anti-correlated with the cluster (cos < 0). */
@@ -418,6 +435,7 @@ object LlmQueries {
     "e1_embed_outliers" -> e1EmbedOutliers _,
     "e2_random_projection" -> e2RandomProjection _,
     "x15_url_domains" -> x15UrlDomains _,
+    "d10_semantic_dedup" -> d10SemanticDedup _,
     "x9_source_quota" -> x9SourceQuota _,
     "x10_mixture_sample" -> x10MixtureSample _,
     "x11_bm25" -> x11Bm25 _,
@@ -666,6 +684,41 @@ object LlmQueries {
   val oracles: Map[String, String] = Map(
     "s2_ann_lsh" -> s2OracleSql,
     "e2_random_projection" -> e2OracleSql,
+    // SemDeDup replayed end to end: md5-order centroid sample,
+    // spherical cell assignment (rn = 1 over -cos ASC, cid ASC),
+    // within-cell pairs, min-id verdict. Every float op is the same
+    // IEEE sequence as the Spark side, so the 0.95 cut is exact.
+    "d10_semantic_dedup" ->
+      """WITH emb0 AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |corpus AS (SELECT vec_id, v FROM emb0
+        |  UNION ALL SELECT vec_id + 100000, v FROM emb0 WHERE vec_id < 40),
+        |cent AS (SELECT vec_id AS cid, v AS cv,
+        |    sqrt(list_inner_product(v, v)) AS nc FROM corpus
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+        |b AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nv FROM corpus),
+        |assign AS (SELECT vec_id, v, nv, cid AS cell FROM (
+        |    SELECT b.vec_id, b.v, b.nv, c.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY
+        |        CASE WHEN b.nv * c.nc = 0.0 THEN 0.0
+        |             ELSE -(list_inner_product(b.v, c.cv) / (b.nv * c.nc))
+        |        END ASC, c.cid ASC) AS rn
+        |    FROM b CROSS JOIN cent c) t WHERE rn = 1),
+        |hits AS (SELECT bb.vec_id AS id_b, a.vec_id AS id_a,
+        |    CASE WHEN a.nv * bb.nv = 0.0 THEN 0.0
+        |         ELSE list_inner_product(a.v, bb.v) / (a.nv * bb.nv) END AS cos
+        |  FROM assign a JOIN assign bb
+        |    ON a.cell = bb.cell AND a.vec_id < bb.vec_id),
+        |hit AS (SELECT id_b, id_a, cos FROM hits WHERE cos >= 0.95),
+        |best AS (SELECT id_b, id_a, cos,
+        |    ROW_NUMBER() OVER (PARTITION BY id_b ORDER BY id_a) AS rn FROM hit)
+        |SELECT c.vec_id, a.cell, h.id_a IS NOT NULL AS is_dup,
+        |  h.id_a AS dup_of, ROUND(h.cos, 6) AS cos
+        |FROM (SELECT vec_id FROM corpus) c
+        |JOIN (SELECT vec_id, cell FROM assign) a USING (vec_id)
+        |LEFT JOIN (SELECT * FROM best WHERE rn = 1) h ON h.id_b = c.vec_id
+        |ORDER BY c.vec_id""".stripMargin,
     // e1: centroid recomputed per (label, dim) via AVG then rounded to
     // 6 decimals — the SAME pre-rounding the Spark side applies, so the
     // cosine arithmetic downstream is bit-identical (list_inner_product

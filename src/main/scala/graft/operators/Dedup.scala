@@ -273,6 +273,81 @@ object Dedup {
         col("dup_of"), col("jaccard"))
   }
 
+  /** Semantic dedup over an embedding column (SemDeDup, Abbas et al.
+    * 2023, arXiv:2303.09540): a coarse quantizer clusters the corpus
+    * into `nCells` cells, cosine comparisons run only WITHIN a cell,
+    * and of each near-identical group the smallest id is kept. The
+    * embedding-space counterpart of MinHash dedup — catches paraphrase/
+    * re-encode duplicates that share no n-grams.
+    *
+    * Quantizer = the deterministic md5-order sample of
+    * [[Similarity.ivfTopK]] ("sample") ranked SPHERICALLY: cell =
+    * argmax cosine(v, centroid) (ties → smallest centroid id), so
+    * assignment is scale-invariant like the comparison it gates — a
+    * scaled re-encode of a vector provably shares its original's cell.
+    * Centroids are plan literals, assignment a map-side argmax — no
+    * training fit, and the whole index replays in plain SQL for the
+    * oracle. Verdict rows mirror
+    * [[incrementalDedup]]: (id, cell, is_dup, dup_of, cos) with
+    * smallest-matching-id determinism; the cosine comparison is
+    * bit-exact on both engines, so ANY threshold is boundary-safe.
+    *
+    * Scale shape: assignment shuffles (cell, id, v) once; the
+    * within-cell self-join is key-partitioned on the cell (AQE-
+    * splittable if a cell runs hot) and enumerates O(Σ|cell|²) pairs —
+    * SemDeDup's own cost model; size `nCells` ∝ corpus/expected-cell so
+    * cells stay bounded (the paper uses ~100k cells at web scale). */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      nCells: Int = 16, threshold: Double = 0.95): DataFrame = {
+    val c = df.select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nv", VectorOps.norm(col("v")))
+    val centroids: Array[(Long, Array[Double])] =
+      c.select(col("id"), col("v"))
+        .orderBy(md5(col("id").cast("string")), col("id"))
+        .limit(nCells).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    // spherical rank: -cos(v, c) ASC (centroid norm folded in driver-
+    // side with the same left-to-right sum as ArrayDotProduct; the
+    // division order matches the oracle SQL exactly)
+    val cellOf: Column = {
+      val ranked = array(centroids.map { case (cid, cv) =>
+        var ipcc = 0.0
+        var i = 0
+        while (i < cv.length) { ipcc += cv(i) * cv(i); i += 1 }
+        val nc = math.sqrt(ipcc)
+        struct(
+          when(col("nv") * lit(nc) === 0.0, 0.0)
+            .otherwise(-(VectorOps.dot(col("v"), array(cv.map(lit(_)): _*)) /
+              (col("nv") * lit(nc)))).as("d"),
+          lit(cid).as("cid"))
+      }: _*)
+      array_min(ranked).getField("cid")
+    }
+    // persisted: the self-join consumes the assignment twice (union-
+    // branch rule — Spark shares no subplan across join sides)
+    val assign = c.withColumn("cell", cellOf).persist()
+    val lhs = assign.select(col("cell"), col("id").as("id_a"),
+      col("v").as("va"), col("nv").as("na"))
+    val rhs = assign.select(col("cell"), col("id").as("id_b"),
+      col("v").as("vb"), col("nv").as("nb"))
+    val hits = lhs.join(rhs, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_b"), col("id_a"),
+        when(col("na") * col("nb") === 0.0, 0.0)
+          .otherwise(VectorOps.dot(col("va"), col("vb")) /
+            (col("na") * col("nb"))).as("cos"))
+      .filter(col("cos") >= threshold)
+    val best = hits.groupBy("id_b")
+      .agg(min(struct(col("id_a"), col("cos"))).as("m"))
+      .select(col("id_b").as("id"),
+        col("m.id_a").as("dup_of"), col("m.cos").as("cos"))
+    assign.select(col("id"), col("cell"))
+      .join(best, Seq("id"), "left")
+      .select(col("id"), col("cell"), col("dup_of").isNotNull.as("is_dup"),
+        col("dup_of"), col("cos"))
+  }
+
   // ---------------------------------------------------------------------
   // SimHash
   // ---------------------------------------------------------------------
