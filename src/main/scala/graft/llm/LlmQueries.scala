@@ -293,6 +293,18 @@ object LlmQueries {
       .orderBy("vec_id")
   }
 
+  // ---- L34: distributed k-means --------------------------------------------
+  /** 3 Lloyd iterations, k = 8, over the 500×64 corpus: final cluster
+    * assignment + euclidean distance. Deterministic end to end (md5
+    * init, min-cid ties, round-6 centroid resync per iteration), so the
+    * oracle replays every iteration and the compare is bit-exact. */
+  def e3Kmeans(s: SparkSession, dir: String): DataFrame =
+    Clustering.kmeansAssign(t(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 8, iters = 3)
+      .select(col("id").as("vec_id"), col("cluster").cast("long").as("cluster"),
+        col("dist"))
+      .orderBy("vec_id")
+
   // ---- L30: embedding outlier detection ------------------------------------
   /** Cosine of each vector to its own label's (rounded) centroid;
     * `is_outlier` = anti-correlated with the cluster (cos < 0). */
@@ -436,6 +448,7 @@ object LlmQueries {
     "e2_random_projection" -> e2RandomProjection _,
     "x15_url_domains" -> x15UrlDomains _,
     "d10_semantic_dedup" -> d10SemanticDedup _,
+    "e3_kmeans" -> e3Kmeans _,
     "x9_source_quota" -> x9SourceQuota _,
     "x10_mixture_sample" -> x10MixtureSample _,
     "x11_bm25" -> x11Bm25 _,
@@ -681,9 +694,53 @@ object LlmQueries {
        |FROM ve ORDER BY vec_id""".stripMargin
   }
 
+  /** e3 oracle: every Lloyd iteration replayed — assignment = rn 1 over
+    * (ip(c,c) − 2·ip(v,c)) ASC, cid ASC; update = per-dim AVG rounded
+    * to 6 (the round-6 resync makes the AVG order-independence moot);
+    * emptied cells COALESCE to their previous centroid. Iteration CTEs
+    * are generated from one template so all three are identical. */
+  private def e3IterSql(i: Int): String = {
+    val (prev, a, m, c) = (s"c${i - 1}", s"a$i", s"m$i", s"c$i")
+    s"""$a AS (SELECT vec_id, v, cid AS cell FROM (
+       |    SELECT e.vec_id, e.v, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+       |        list_inner_product(c.cv, c.cv) -
+       |        2 * list_inner_product(e.v, c.cv) ASC, c.cid ASC) AS rn
+       |    FROM emb e CROSS JOIN $prev c) t WHERE rn = 1),
+       |$m AS (SELECT cell, list(m ORDER BY dim) AS cv FROM (
+       |    SELECT a.cell, d.dim, ROUND(AVG(a.v[d.dim]), 6) AS m
+       |    FROM $a a CROSS JOIN dims d GROUP BY a.cell, d.dim) t GROUP BY cell),
+       |$c AS (SELECT p.cid, COALESCE(m.cv, p.cv) AS cv
+       |  FROM $prev p LEFT JOIN $m m ON m.cell = p.cid)""".stripMargin
+  }
+
+  private val e3OracleSql: String =
+    s"""WITH emb AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |dims AS (SELECT UNNEST(range(1, 65)) AS dim),
+       |c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+       |      vec_id) - 1 AS cid, v AS cv
+       |  FROM (SELECT vec_id, v FROM emb
+       |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8) t),
+       |${(1 to 3).map(e3IterSql).mkString(",\n")},
+       |fin AS (SELECT vec_id, cid AS cluster, d, ipvv FROM (
+       |    SELECT e.vec_id, c.cid,
+       |      list_inner_product(c.cv, c.cv) -
+       |      2 * list_inner_product(e.v, c.cv) AS d,
+       |      list_inner_product(e.v, e.v) AS ipvv,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+       |        list_inner_product(c.cv, c.cv) -
+       |        2 * list_inner_product(e.v, c.cv) ASC, c.cid ASC) AS rn
+       |    FROM emb e CROSS JOIN c3 c) t WHERE rn = 1)
+       |SELECT vec_id, cluster,
+       |  ROUND(sqrt(GREATEST(0.0, d + ipvv)), 6) AS dist
+       |FROM fin ORDER BY vec_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "s2_ann_lsh" -> s2OracleSql,
     "e2_random_projection" -> e2OracleSql,
+    "e3_kmeans" -> e3OracleSql,
     // SemDeDup replayed end to end: md5-order centroid sample,
     // spherical cell assignment (rn = 1 over -cos ASC, cid ASC),
     // within-cell pairs, min-id verdict. Every float op is the same

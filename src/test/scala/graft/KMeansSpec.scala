@@ -1,0 +1,45 @@
+package graft
+
+import graft.operators.Clustering
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Lloyd k-means semantics on planted geometry: well-separated groups
+  * must land in the same cluster as their own members, never with
+  * another group's, and determinism must hold across reruns. */
+class KMeansSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  // 3 tight blobs at distance-2√2-separated orthogonal corners: blob g
+  // lives on axes (2g, 2g+1) at 2.0 ± a per-point 0.01 jitter
+  private def blobs: Seq[(Long, Array[Float])] =
+    for (g <- 0 until 3; p <- 0 until 10) yield {
+      val v = Array.fill(8)(0.0f)
+      v(2 * g) = 2.0f + 0.01f * p
+      v(2 * g + 1) = 2.0f - 0.01f * p
+      ((g * 10 + p).toLong, v)
+    }
+
+  test("well-separated blobs are never split across clusters") {
+    val df = blobs.toDF("id", "vec")
+    val out = Clustering.kmeansAssign(df, "id", "vec", k = 3, iters = 4)
+      .as[(Long, Int, Double)].collect()
+    assert(out.length == 30)
+    val byGroup = out.groupBy(_._1 / 10).view.mapValues(_.map(_._2).distinct)
+    byGroup.foreach { case (g, cls) =>
+      assert(cls.length == 1, s"blob $g split across clusters $cls")
+    }
+    // 3 blobs → 3 distinct cluster ids, and intra-blob distance is tiny
+    assert(byGroup.values.flatten.toSet.size == 3)
+    assert(out.forall(_._3 < 0.5), "every point near its own centroid")
+  }
+
+  test("assignment is deterministic across reruns") {
+    val df = blobs.toDF("id", "vec")
+    val a = Clustering.kmeansAssign(df, "id", "vec", k = 3, iters = 2)
+      .as[(Long, Int, Double)].collect().sortBy(_._1).toSeq
+    val b = Clustering.kmeansAssign(df, "id", "vec", k = 3, iters = 2)
+      .as[(Long, Int, Double)].collect().sortBy(_._1).toSeq
+    assert(a == b)
+  }
+}
