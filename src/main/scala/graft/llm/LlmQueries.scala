@@ -421,6 +421,27 @@ object LlmQueries {
       .orderBy("fmt")
   }
 
+  // ---- L35: multimodal transform pass (clip + thumbnail) -------------------
+  /** The media curation pass: clip every WAV to ≤500 samples/channel
+    * (real RIFF byte surgery) and thumbnail every image to 64×48
+    * (header-field rewrite; pixel resample is the documented codec
+    * drop-in), then RE-extract features from the transformed bytes —
+    * the output metadata is read back from the payloads, not assumed.
+    * One mapPartitions pass, no shuffle; oracle recomputes the
+    * expected post-transform metadata arithmetically. */
+  def m2MediaTransform(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Multimodal.asMediaTable(t(s, dir, "documents"))
+    val transformed = media.mapPartitions { it =>
+      it.map(r => r.copy(payload = Multimodal.resizeHeaderStub(
+        Multimodal.clipWav(r.payload, maxSamples = 500), 64, 48)))
+    }
+    Multimodal.extractFeatures(s, transformed).toDF()
+      .select(col("doc_id"), col("fmt"), col("n_bytes"), col("width"),
+        col("height"), col("sample_rate"), col("channels"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup" -> d1ExactDedup _,
     "d2_minhash_lsh" -> d2MinhashLsh _,
@@ -456,6 +477,7 @@ object LlmQueries {
     "x13_unigram_ppl" -> x13UnigramPpl _,
     "x14_heavy_hitters" -> x14HeavyHitters _,
     "m1_multimodal" -> m1Multimodal _,
+    "m2_media_transform" -> m2MediaTransform _,
   )
 
   /** x11 oracle: BM25 recomputed from scratch in SQL, generated from
@@ -1233,6 +1255,23 @@ object LlmQueries {
         |SELECT fmt, COUNT(*) AS n, CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
         |  MIN(width) AS min_w, MAX(height) AS max_h, MAX(sample_rate) AS max_sr
         |FROM m GROUP BY fmt ORDER BY fmt""".stripMargin,
+    // m2: post-transform metadata recomputed arithmetically — images
+    // become 64×48 (header rewrite, body kept), WAV data chunks are cut
+    // at 500 samples × channels × 2 bytes, everything else unchanged
+    "m2_media_transform" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' ELSE 'wav' END AS fmt,
+        |  CAST(CASE CAST(doc_id % 3 AS INT)
+        |    WHEN 0 THEN 33 + octet_length(encode(text))
+        |    WHEN 1 THEN 54 + octet_length(encode(text))
+        |    ELSE 44 + LEAST(octet_length(encode(text)),
+        |                    500 * (1 + CAST(doc_id % 2 AS INT)) * 2)
+        |  END AS BIGINT) AS n_bytes,
+        |  CASE WHEN doc_id % 3 IN (0, 1) THEN 64 ELSE 0 END AS width,
+        |  CASE WHEN doc_id % 3 IN (0, 1) THEN 48 ELSE 0 END AS height,
+        |  CASE WHEN doc_id % 3 = 2 THEN 8000 + CAST(doc_id % 5 AS INT) * 8000 ELSE 0 END AS sample_rate,
+        |  CASE WHEN doc_id % 3 = 2 THEN 1 + CAST(doc_id % 2 AS INT) ELSE 0 END AS channels
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // md5-prefix fingerprints: CAST('0x'||hex AS BIGINT) parses the same
     // 15-hex-char (60-bit) prefix Spark takes via conv/ShingleMinMd5
     "x4_fingerprint" ->
