@@ -468,7 +468,27 @@ object Relational {
         round(element_at(col("mv"), 4), 6).as("m4"))
       .orderBy("g")
 
+  // ---- R36: bloom-pruned semi-join ---------------------------------------
+  // Manual runtime filtering (operators.BloomPrune): a bloom over the
+  // urgent orders' keys prunes lineitem BEFORE its shuffle; the exact
+  // semi-join then removes the bloom's false positives, so the result
+  // equals the plain semi-join (the oracle). The 100 TB shape: only
+  // the ~1/5 of the fact table that can possibly match pays the
+  // exchange.
+  def q36BloomSemijoin(s: SparkSession, dir: String): DataFrame = {
+    val urgent = t(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+    graft.operators.BloomPrune.semiJoinPruned(
+        t(s, dir, "lineitem"), urgent, "l_orderkey", "o_orderkey",
+        expectedItems = 200000L)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_items"),
+        dsum(dec(col("l_extendedprice"))).as("sum_price"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q36_bloom_semijoin" -> q36BloomSemijoin _,
     "q35_mean_pool" -> q35MeanPool _,
     "q34_json_extract" -> q34JsonExtract _,
     "q33_theta_overlap" -> q33ThetaOverlap _,
@@ -589,6 +609,15 @@ object Relational {
         |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
         |  AND l_discount > 0.05
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // the bloom prune is invisible to semantics — the oracle is the
+    // plain semi-join
+    "q36_bloom_semijoin" ->
+      s"""SELECT l_returnflag, COUNT(*) AS n_items,
+         |  ${dsumSql("l_extendedprice")} AS sum_price
+         |FROM lineitem
+         |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+         |                     WHERE o_orderpriority = '1-URGENT')
+         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q3_join_agg" ->
       s"""SELECT l_orderkey, o_orderdate, CAST(SUM($rev) AS DOUBLE) AS rev
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey

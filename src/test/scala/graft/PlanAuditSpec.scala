@@ -124,6 +124,37 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p2.contains("Join"), s"e2 projection grew a join:\n$p2")
   }
 
+  test("k-means assignment is map-only: literal centroids, no join, no shuffle") {
+    // the returned frame must be scan → project — centroids ride as
+    // plan literals, never as a joined relation
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val p = graft.operators.Clustering
+      .kmeansAssign(emb, "vec_id", "embedding", k = 4, iters = 1)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"k-means assignment grew a join:\n$p")
+    assert(!p.contains("Exchange"), s"k-means assignment shuffles:\n$p")
+  }
+
+  test("d10 pairs stay within cells: equi-join on cell, no window, no cartesian") {
+    val p = plan("d10_semantic_dedup")
+    assert(!p.contains("Window"), s"d10 grew a window:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"d10 lost its equi-join:\n$p")
+  }
+
+  test("q36 bloom probe runs before the join, inside the scan stage") {
+    val p = plan("q36_bloom_semijoin")
+    assert(p.contains("graft_bloom_might_contain"),
+      s"q36 lost its bloom probe:\n$p")
+    // the probe must appear as a Filter on the fact side, not after the join
+    val probeIdx = p.indexOf("graft_bloom_might_contain")
+    val joinIdx = math.max(p.indexOf("SortMergeJoin"),
+      math.max(p.indexOf("ShuffledHashJoin"), p.indexOf("BroadcastHashJoin")))
+    assert(joinIdx >= 0, s"q36 has no equi-join:\n$p")
+    assert(probeIdx > joinIdx,
+      s"bloom probe not under the join subtree (tree prints top-down):\n$p")
+  }
+
   test("whole-stage codegen covers the scan-agg pipeline") {
     // AQE wraps everything in an unmaterialized AdaptiveSparkPlan (0
     // visible codegen subtrees pre-execution) — disable it for the
