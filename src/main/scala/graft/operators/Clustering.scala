@@ -44,21 +44,28 @@ object Clustering {
         .limit(k).collect()
         .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](1).toArray) }
 
-    // rank column for the current centroids: struct(d, cid) argmin —
-    // d = ip(c,c) − 2·ip(v,c), ipcc summed driver-side left-to-right
-    // (same IEEE sequence as the oracle's list_inner_product)
-    def ranked(cs: Array[(Int, Array[Double])]): Column =
-      array_min(array(cs.map { case (cid, cv) =>
+    // rank column for the current centroids: fused argmin over
+    // (d, cid) — d = ip(c,c) − 2·ip(v,c), ipcc summed driver-side
+    // left-to-right (same IEEE sequence as the oracle's
+    // list_inner_product). Centroids are codegen REFERENCE objects
+    // (expressions.NearestCentroidEuclid), so the generated source —
+    // and its Janino compile — is shared across all iterations.
+    def ranked(cs: Array[(Int, Array[Double])]): Column = {
+      import org.apache.spark.sql.graft.ColumnBridge
+      val ipccs = cs.map { case (_, cv) =>
         var ipcc = 0.0
         var i = 0
         while (i < cv.length) { ipcc += cv(i) * cv(i); i += 1 }
-        struct(
-          (lit(ipcc) - VectorOps.dot(col("v"), array(cv.map(lit(_)): _*)) * 2.0).as("d"),
-          lit(cid).as("cid"))
-      }: _*))
+        ipcc
+      }
+      ColumnBridge.column(graft.expressions.NearestCentroidEuclid(
+        ColumnBridge.expression(col("v")),
+        cs.map(_._2), cs.map(_._1.toLong), ipccs))
+    }
 
     for (_ <- 1 to iters) {
-      val means = v.withColumn("cell", ranked(cents).getField("cid"))
+      val means = v.withColumn("cell",
+          element_at(ranked(cents), 2).cast("int"))
         .groupBy("cell")
         .agg(VectorOps.meanPool(col("v")).as("raw"))
         .select(col("cell"), transform(col("raw"), x => round(x, 6)).as("cv"))
@@ -68,9 +75,9 @@ object Clustering {
     }
 
     val win = ranked(cents)
-    v.select(col("id"), win.getField("cid").as("cluster"),
+    v.select(col("id"), element_at(win, 2).cast("int").as("cluster"),
         round(sqrt(greatest(lit(0.0),
-          win.getField("d") + VectorOps.dot(col("v"), col("v")))), 6)
+          element_at(win, 1) + VectorOps.dot(col("v"), col("v")))), 6)
           .as("dist"))
   }
 }

@@ -307,22 +307,23 @@ object Dedup {
         .orderBy(md5(col("id").cast("string")), col("id"))
         .limit(nCells).collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-    // spherical rank: -cos(v, c) ASC (centroid norm folded in driver-
+    // spherical rank: -cos(v, c) ASC (centroid norms folded in driver-
     // side with the same left-to-right sum as ArrayDotProduct; the
-    // division order matches the oracle SQL exactly)
+    // division order matches the oracle SQL exactly). Fused argmin
+    // expression (expressions.NearestCentroidCosine): centroids ride
+    // as codegen reference objects, not k·dim plan literals.
     val cellOf: Column = {
-      val ranked = array(centroids.map { case (cid, cv) =>
+      import org.apache.spark.sql.graft.ColumnBridge
+      val ncs = centroids.map { case (_, cv) =>
         var ipcc = 0.0
         var i = 0
         while (i < cv.length) { ipcc += cv(i) * cv(i); i += 1 }
-        val nc = math.sqrt(ipcc)
-        struct(
-          when(col("nv") * lit(nc) === 0.0, 0.0)
-            .otherwise(-(VectorOps.dot(col("v"), array(cv.map(lit(_)): _*)) /
-              (col("nv") * lit(nc)))).as("d"),
-          lit(cid).as("cid"))
-      }: _*)
-      array_min(ranked).getField("cid")
+        math.sqrt(ipcc)
+      }
+      element_at(ColumnBridge.column(graft.expressions.NearestCentroidCosine(
+        ColumnBridge.expression(col("v")),
+        ColumnBridge.expression(col("nv")),
+        centroids.map(_._2), centroids.map(_._1), ncs)), 2).cast("long")
     }
     // persisted: the self-join consumes the assignment twice (union-
     // branch rule — Spark shares no subplan across join sides)
