@@ -543,6 +543,26 @@ object Relational {
         |FROM (SELECT event_type, CAST(json_extract(props, '$.k') AS INT) AS k
         |      FROM events)
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // q33: at the verification SFs both sides hold < k = 1024 distinct
+    // digests, the KMV sketch's EXACT regime (kept-hash count below the
+    // kth-minimum threshold; theta = 1), so every estimate provably
+    // equals the plain distinct/intersection count and the oracle needs
+    // no hash replay. Above k the sketch is spec-bounded instead
+    // (ThetaSketchSpec pins the error envelope).
+    "q33_theta_overlap" ->
+      """WITH a AS (SELECT DISTINCT sha256(text) AS dg FROM documents
+        |           WHERE doc_id < 600),
+        |b AS (SELECT DISTINCT sha256(text) AS dg FROM documents
+        |      WHERE doc_id >= 300)
+        |SELECT
+        |  ROUND(CAST((SELECT COUNT(*) FROM a) AS DOUBLE), 2) AS est_a,
+        |  (SELECT COUNT(*) FROM documents WHERE doc_id < 600) AS exact_a,
+        |  ROUND(CAST((SELECT COUNT(*) FROM b) AS DOUBLE), 2) AS est_b,
+        |  (SELECT COUNT(*) FROM documents WHERE doc_id >= 300) AS exact_b,
+        |  ROUND(CAST((SELECT COUNT(*) FROM
+        |    (SELECT dg FROM a UNION SELECT dg FROM b) u) AS DOUBLE), 2) AS est_union,
+        |  ROUND(CAST((SELECT COUNT(*) FROM a JOIN b USING (dg)) AS DOUBLE), 2)
+        |    AS est_intersect""".stripMargin,
     "q32_quantiles" ->
       """SELECT l_returnflag,
         |  ROUND(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
