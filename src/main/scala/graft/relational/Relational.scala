@@ -468,6 +468,51 @@ object Relational {
         round(element_at(col("mv"), 4), 6).as("m4"))
       .orderBy("g")
 
+  // ---- R37: window-function breadth --------------------------------------
+  // lead/lag/ntile/percent_rank + a bounded sliding frame in ONE window
+  // pass per customer: one shuffle on the partition key serves every
+  // function (Spark fuses same-spec window exprs into a single node).
+  def q37WindowFns(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    val w3 = w.rowsBetween(-2, Window.currentRow)
+    t(s, dir, "orders")
+      .filter(col("o_custkey") < 200)
+      .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+      .withColumn("next_price", lead(col("o_totalprice"), 1).over(w))
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("pr", round(percent_rank().over(w), 6))
+      .withColumn("ma3",
+        sum(dec(col("o_totalprice"))).over(w3).cast(DoubleType) /
+          count(lit(1)).over(w3))
+      .select("o_custkey", "o_orderkey", "prev_price", "next_price",
+        "quartile", "pr", "ma3")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  // ---- R38: TPC-H Q21-shaped multi-EXISTS ---------------------------------
+  // suppliers with a returned lineitem on orders where at least one
+  // OTHER supplier also participated (EXISTS) but no other supplier
+  // had a return (NOT EXISTS; the synthetic lineitem carries no
+  // receipt/commit dates, so returnflag plays Q21's "late" role):
+  // semi + anti self-joins on the fact table, all equi-keyed on
+  // l_orderkey — shuffles share the key (co-partitioned; no broadcast
+  // of the fact side).
+  def q38MultiExists(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val late = li.filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_suppkey")
+    val others = li.select(col("l_orderkey").as("o_k"), col("l_suppkey").as("o_s"))
+    val lateOthers = late.select(col("l_orderkey").as("x_k"),
+      col("l_suppkey").as("x_s"))
+    late
+      .join(others, col("l_orderkey") === col("o_k") &&
+        col("l_suppkey") =!= col("o_s"), "left_semi")
+      .join(lateOthers, col("l_orderkey") === col("x_k") &&
+        col("l_suppkey") =!= col("x_s"), "left_anti")
+      .groupBy("l_suppkey").agg(count(lit(1)).as("numwait"))
+      .orderBy(desc("numwait"), asc("l_suppkey"))
+  }
+
   // ---- R36: bloom-pruned semi-join ---------------------------------------
   // Manual runtime filtering (operators.BloomPrune): a bloom over the
   // urgent orders' keys prunes lineitem BEFORE its shuffle; the exact
@@ -489,6 +534,8 @@ object Relational {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q36_bloom_semijoin" -> q36BloomSemijoin _,
+    "q37_window_fns" -> q37WindowFns _,
+    "q38_multi_exists" -> q38MultiExists _,
     "q35_mean_pool" -> q35MeanPool _,
     "q34_json_extract" -> q34JsonExtract _,
     "q33_theta_overlap" -> q33ThetaOverlap _,
@@ -629,6 +676,37 @@ object Relational {
         |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
         |  AND l_discount > 0.05
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q37_window_fns" ->
+      """SELECT o_custkey, o_orderkey,
+        |  lag(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price,
+        |  lead(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_price,
+        |  CAST(ntile(4) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS INT) AS quartile,
+        |  ROUND(percent_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 6) AS pr,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+        |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |  / (COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)) AS ma3
+        |FROM orders WHERE o_custkey < 200
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    // EXISTS/NOT EXISTS in the set-based Q21 rewrite (DuckDB 1.0's
+    // binder rejects the doubly-correlated NOT EXISTS form): "another
+    // supplier participated" = the order has ≥ 2 distinct suppliers;
+    // "no other supplier was late" = I am the order's ONLY late one.
+    "q38_multi_exists" ->
+      """WITH late AS (SELECT l_orderkey, l_suppkey FROM lineitem
+        |              WHERE l_returnflag = 'R'),
+        |ord_supp AS (SELECT l_orderkey, COUNT(DISTINCT l_suppkey) AS n_supp
+        |             FROM lineitem GROUP BY 1),
+        |ord_late AS (SELECT l_orderkey, COUNT(DISTINCT l_suppkey) AS n_late
+        |             FROM late GROUP BY 1)
+        |SELECT l1.l_suppkey, COUNT(*) AS numwait
+        |FROM late l1
+        |JOIN ord_supp os ON os.l_orderkey = l1.l_orderkey
+        |JOIN ord_late ol ON ol.l_orderkey = l1.l_orderkey
+        |WHERE os.n_supp > 1 AND ol.n_late = 1
+        |GROUP BY l1.l_suppkey
+        |ORDER BY numwait DESC, l1.l_suppkey""".stripMargin,
     // the bloom prune is invisible to semantics — the oracle is the
     // plain semi-join
     "q36_bloom_semijoin" ->
