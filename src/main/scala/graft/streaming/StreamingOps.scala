@@ -197,4 +197,28 @@ object StreamingOps {
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
+
+  /** S9: streaming ingest curation — each arriving micro-batch runs the
+    * FULL [[graft.operators.Curation.curate]] pipeline (dedup against
+    * the stored corpus AND in-batch, eval-set decontamination, quality,
+    * length) and only the batch's own verdicts go to `sink`; the stored
+    * corpus is never re-verdicted. Same foreachBatch rationale as S8:
+    * the verdict is a multi-stage job, not a row-wise enrichment. A
+    * production deployment appends kept batch docs to the corpus store
+    * between triggers. */
+  def streamingCuration(docs: DataFrame, corpus: DataFrame,
+      evalDocs: DataFrame, idCol: String, textCol: String)(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.functions.col
+    docs.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val batch = b.toDF().select(col(idCol), col(textCol))
+        val full = corpus.select(col(idCol), col(textCol)).union(batch)
+        sink(graft.operators.Curation.curate(full, evalDocs, idCol, textCol)
+          .join(batch.select(col(idCol).cast("long").as("id")),
+            Seq("id"), "left_semi"))
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
 }

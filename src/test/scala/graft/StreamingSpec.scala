@@ -106,6 +106,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.forall { case (id, dup, of) => dup && of <= id - 5000000L })
   }
 
+  test("S9: streaming curation matches its batch twin on arriving docs") {
+    import org.apache.spark.sql.types._
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    // the "crawl": every corpus doc re-crawled under a new id — each
+    // must come back dropped as a dup of its original
+    val stream = spark.readStream.schema(docSchema)
+      .option("pathGlobFilter", "documents.parquet").parquet(sf)
+      .select((col("doc_id") + 5000000L).as("doc_id"), col("text"))
+    val corpus = Tables.t(spark, sf, "documents").select("doc_id", "text")
+    val evalDocs = corpus.filter(col("doc_id") < 20)
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Boolean, Option[String])]
+    val q = StreamingOps.streamingCuration(
+        stream, corpus, evalDocs, "doc_id", "text") { verdicts =>
+      got.synchronized {
+        got ++= verdicts.select("id", "keep", "drop_reason").collect()
+          .map(r => (r.getLong(0), r.getBoolean(1), Option(r.getString(2))))
+      }
+    }
+    q.awaitTermination(180000)
+    val batch = corpus.select((col("doc_id") + 5000000L).as("doc_id"), col("text"))
+    val expect = graft.operators.Curation
+      .curate(corpus.union(batch), evalDocs, "doc_id", "text")
+      .filter(col("id") >= 5000000L)
+      .select("id", "keep", "drop_reason").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), Option(r.getString(2)))).toSet
+    assert(got.nonEmpty && got.toSet == expect,
+      s"streaming curation diverged from batch twin (${got.size} rows)")
+    // planted truth: every re-crawl is an exact copy → dropped as dup
+    assert(got.forall { case (_, keep, reason) =>
+      !keep && reason.contains("dup") })
+  }
+
   test("S2: streaming dedup emits each event_id once") {
     val stream = StreamingOps.readEventsStream(spark, sf)
     val q = StreamingOps.streamingDedup(stream)
