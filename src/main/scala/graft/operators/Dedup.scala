@@ -325,8 +325,12 @@ object Dedup {
         ColumnBridge.expression(col("nv")),
         centroids.map(_._2), centroids.map(_._1), ncs)), 2).cast("long")
     }
-    // persisted: the self-join consumes the assignment twice (union-
-    // branch rule — Spark shares no subplan across join sides)
+    // persisted: three consumers (both self-join sides + the verdict
+    // join) would otherwise each recompute the scan+assign stage —
+    // measured ~40% slower uncached at sf0.1. CACHING CONTRACT (the
+    // minhashPairs convention): the blocks live until the session's
+    // next clearCache/unpersist; at cluster scale swap MEMORY_AND_DISK
+    // or drop the persist — assignment recompute is one map pass.
     val assign = c.withColumn("cell", cellOf).persist()
     val lhs = assign.select(col("cell"), col("id").as("id_a"),
       col("v").as("va"), col("nv").as("na"))
