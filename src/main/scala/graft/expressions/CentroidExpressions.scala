@@ -70,6 +70,53 @@ object NearestCentroid {
   }
 }
 
+/** Upper-triangular outer product of an `array<double>` with itself:
+  * output[k] = v[i]·v[j] for pairs (i, j), i ≤ j, flattened row-major —
+  * the per-row moment contribution a covariance/Gram aggregation
+  * consumes (feed through VectorMeanAgg for E[x_i·x_j] in ONE pass).
+  * A Column formulation would need n(n+1)/2 separate expressions —
+  * thousands of plan nodes for 64 dims; this is one tight loop. */
+case class UpperTriOuterProduct(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_upper_tri_outer"
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val out = new Array[Double](n * (n + 1) / 2)
+    var k = 0
+    var i = 0
+    while (i < n) {
+      val vi = a.getDouble(i)
+      var j = i
+      while (j < n) { out(k) = vi * a.getDouble(j); k += 1; j += 1 }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val v = ev.value
+      s"""
+         |int ${v}_n = $a.numElements();
+         |double[] ${v}_out = new double[${v}_n * (${v}_n + 1) / 2];
+         |int ${v}_k = 0;
+         |for (int ${v}_i = 0; ${v}_i < ${v}_n; ${v}_i++) {
+         |  double ${v}_vi = $a.getDouble(${v}_i);
+         |  for (int ${v}_j = ${v}_i; ${v}_j < ${v}_n; ${v}_j++) {
+         |    ${v}_out[${v}_k++] = ${v}_vi * $a.getDouble(${v}_j);
+         |  }
+         |}
+         |$v = new org.apache.spark.sql.catalyst.util.GenericArrayData(${v}_out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): UpperTriOuterProduct = copy(child = newChild)
+}
+
 /** Euclidean variant; `ipccs` precomputed driver-side with the same
   * left-to-right sum the oracle's `list_inner_product(cv, cv)` uses. */
 case class NearestCentroidEuclid(child: Expression,

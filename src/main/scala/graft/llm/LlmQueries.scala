@@ -328,6 +328,14 @@ object LlmQueries {
       .orderBy("vec_id")
   }
 
+  // ---- L36: embedding dimension covariance ---------------------------------
+  /** Full 64-dim upper-triangular covariance matrix in one aggregation
+    * pass (2080 long-form rows); round-6 washes the cross-engine
+    * float-summation wobble (the e1 precedent). */
+  def e4Covariance(s: SparkSession, dir: String): DataFrame =
+    EmbedStats.dimCovariance(t(s, dir, "embeddings"), "embedding", dim = 64)
+      .orderBy("dim_i", "dim_j")
+
   // ---- L32: URL/domain census ----------------------------------------------
   /** The synthetic corpus has no URLs; plant two deterministic ones per
     * doc (the x6 pattern), then run the census: distinct domains per
@@ -486,6 +494,7 @@ object LlmQueries {
     "x15_url_domains" -> x15UrlDomains _,
     "d10_semantic_dedup" -> d10SemanticDedup _,
     "e3_kmeans" -> e3Kmeans _,
+    "e4_covariance" -> e4Covariance _,
     "x9_source_quota" -> x9SourceQuota _,
     "x10_mixture_sample" -> x10MixtureSample _,
     "x11_bm25" -> x11Bm25 _,
@@ -779,6 +788,19 @@ object LlmQueries {
     "s2_ann_lsh" -> s2OracleSql,
     "e2_random_projection" -> e2OracleSql,
     "e3_kmeans" -> e3OracleSql,
+    // e4: covariance recomputed per pair via AVG; round-6 washes the
+    // summation-order wobble on both sides (the e1 precedent)
+    "e4_covariance" ->
+      """WITH e AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |d AS (SELECT CAST(unnest(range(1, 65)) AS INT) AS i),
+        |p AS (SELECT a.i AS i, b.i AS j FROM d a JOIN d b ON b.i >= a.i),
+        |m AS (SELECT p.i, p.j, AVG(v[p.i] * v[p.j]) AS exy,
+        |        AVG(v[p.i]) AS ex, AVG(v[p.j]) AS ey
+        |      FROM e CROSS JOIN p GROUP BY p.i, p.j)
+        |SELECT i - 1 AS dim_i, j - 1 AS dim_j,
+        |  ROUND(exy - ex * ey, 6) + 0.0 AS cov
+        |FROM m ORDER BY dim_i, dim_j""".stripMargin,
     // SemDeDup replayed end to end: md5-order centroid sample,
     // spherical cell assignment (rn = 1 over -cos ASC, cid ASC),
     // within-cell pairs, min-id verdict. Every float op is the same

@@ -41,4 +41,35 @@ object EmbedStats {
           .as("cos_centroid"))
       .withColumn("is_outlier", col("cos_centroid") < threshold)
   }
+
+  /** Dimension-covariance matrix of an embedding corpus (whitening /
+    * PCA prep, redundant-dimension detection): cov(i, j) =
+    * E[x_i·x_j] − E[x_i]·E[x_j] for every pair i ≤ j, long-form.
+    *
+    * ONE aggregation pass: each row contributes its upper-triangular
+    * outer product (fused native expression — a Column formulation
+    * would be n(n+1)/2 separate plan nodes) and the raw vector, both
+    * through the mergeable [[VectorOps.meanPool]]; the single moment
+    * row then explodes against a broadcast (pos → i, j) map. Nothing
+    * corpus-sized ever shuffles — only k-partial sums per partition. */
+  def dimCovariance(df: DataFrame, vecCol: String, dim: Int): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = df.select(col(vecCol).cast("array<double>").as("v"))
+    val tri = ColumnBridge.column(graft.expressions.UpperTriOuterProduct(
+      ColumnBridge.expression(col("v"))))
+    val m = v.agg(VectorOps.meanPool(col("v")).as("mu"),
+      VectorOps.meanPool(tri).as("m2"))
+    val pairs = (for (i <- 0 until dim; j <- i until dim) yield (i, j))
+      .zipWithIndex.map { case ((i, j), k) => (k, i, j) }
+      .toDF("pos", "dim_i", "dim_j")
+    m.select(col("mu"), posexplode(col("m2")).as(Seq("pos", "exy")))
+      .join(broadcast(pairs), Seq("pos"))
+      .select(col("dim_i"), col("dim_j"),
+        // + 0.0 folds IEEE −0.0 to +0.0 (string-compared oracles)
+        (round(col("exy") -
+          element_at(col("mu"), col("dim_i") + 1) *
+          element_at(col("mu"), col("dim_j") + 1), 6) + 0.0).as("cov"))
+  }
 }
