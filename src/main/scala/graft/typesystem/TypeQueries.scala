@@ -470,7 +470,25 @@ object TypeQueries {
     graft.types.Profile.profile(t(s, dir, "documents"),
       Seq("doc_id", "lang", "source", "n_chars"))
 
+  // ---- T28: end-to-end typed ingestion ------------------------------------
+  /** GraftReader's whole pipeline on a simulated raw feed: orders
+    * rendered as ALL-STRINGS (the phase-1 read), then content-inferred
+    * and coercively cast back (phase 2). The oracle is the ORIGINAL
+    * typed table — passing proves inference picked int64/float64/
+    * datetime/string correctly AND that every cast round-trips
+    * losslessly (shortest-roundtrip double render, ISO datetime). */
+  def t28IngestInfer(s: SparkSession, dir: String): DataFrame = {
+    val raw = t(s, dir, "orders").select(
+      col("o_orderkey").cast(StringType).as("k"),
+      col("o_totalprice").cast(StringType).as("price"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+      col("o_orderpriority").as("prio"))
+    graft.sources.GraftReader.inferAndCast(raw)
+      .orderBy("k")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t28_ingest_infer" -> t28IngestInfer _,
     "t27_profile" -> t27Profile _,
     "t26_sparse_compute" -> t26SparseCompute _,
     "t25_object_roundtrip" -> t25ObjectRoundtrip _,
@@ -603,6 +621,12 @@ object TypeQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // the raw strings round-trip losslessly, so the oracle is simply
+    // the original typed table — any inference or cast error diverges
+    "t28_ingest_infer" ->
+      """SELECT o_orderkey AS k, o_totalprice AS price,
+        |  o_orderdate AS ts, o_orderpriority AS prio
+        |FROM orders ORDER BY k""".stripMargin,
     "t27_profile" -> Seq("doc_id", "lang", "source", "n_chars").map(c =>
       s"""SELECT '$c' AS "column", COUNT(*) AS n,
          |  COUNT(*) - COUNT($c) AS n_null, COUNT(DISTINCT $c) AS n_distinct,
