@@ -2,7 +2,8 @@ package graft.operators
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.graft.ColumnBridge
-import graft.expressions.{ThetaEstimate, ThetaIntersect, ThetaSketchAgg, ThetaUnion}
+import graft.expressions.{HllEstimate, HllSketchAgg, HllUnion,
+  ThetaEstimate, ThetaIntersect, ThetaSketchAgg, ThetaUnion}
 
 /** Mergeable sketch aggregates (SURVEY §7(f)). Theta/KMV sketches
   * complement the HLL distinct counts of q30 with SET OPERATIONS:
@@ -29,5 +30,25 @@ object Sketches {
   /** Intersection-cardinality estimate of two sketch blobs. */
   def thetaIntersect(a: Column, b: Column): Column =
     ColumnBridge.column(ThetaIntersect(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Aggregate a column into an md5-register HLL (4096-byte blob;
+    * partial registers MAX-merge map-side; the estimate — not just the
+    * shape — replays in SQL, see graft.expressions.HllSketch). Values
+    * hash by their string rendering so every engine agrees on bytes.
+    * Spark's DataSketches `hll_sketch_agg` is the one-line swap when
+    * replayability isn't needed. */
+  def hllSketch(c: Column): Column =
+    ColumnBridge.column(
+      HllSketchAgg(ColumnBridge.expression(c.cast("string")))
+        .toAggregateExpression())
+
+  /** Distinct-count estimate of an HLL register blob. */
+  def hllEstimate(sketch: Column): Column =
+    ColumnBridge.column(HllEstimate(ColumnBridge.expression(sketch)))
+
+  /** Register-wise MAX union of two HLL blobs — itself a sketch. */
+  def hllUnion(a: Column, b: Column): Column =
+    ColumnBridge.column(HllUnion(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

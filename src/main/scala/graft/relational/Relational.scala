@@ -366,14 +366,20 @@ object Relational {
   // distinct-count shape at 100 TB. approx estimates can't hash-match a
   // different engine's sketch, so the oracle is rows-only; the spec
   // asserts the estimates sit within 2% of exact.
-  def q30SketchDistinct(s: SparkSession, dir: String): DataFrame =
+  // md5-register HLL (operators.Sketches.hllSketch): mergeable like
+  // Spark's DataSketches hll_sketch_agg (the documented one-line swap)
+  // but every register — and therefore the ESTIMATE itself — replays
+  // in the DuckDB oracle. Accuracy spec (±2%) in SketchSpec.
+  def q30SketchDistinct(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sketches._
     t(s, dir, "lineitem")
       .groupBy("l_returnflag")
       .agg(
-        hll_sketch_estimate(hll_sketch_agg(col("l_partkey"))).as("nd_parts"),
-        hll_sketch_estimate(hll_sketch_agg(col("l_orderkey"))).as("nd_orders"),
-        approx_count_distinct(col("l_suppkey")).as("nd_supps"))
+        round(hllEstimate(hllSketch(col("l_partkey"))), 2).as("nd_parts"),
+        round(hllEstimate(hllSketch(col("l_orderkey"))), 2).as("nd_orders"),
+        round(hllEstimate(hllSketch(col("l_suppkey"))), 2).as("nd_supps"))
       .orderBy("l_returnflag")
+  }
 
   // ---- R31: deterministic hash sampling -----------------------------------
   // ~10% sample that is STABLE across runs/engines/cluster layouts
@@ -590,6 +596,47 @@ object Relational {
         |FROM (SELECT event_type, CAST(json_extract(props, '$.k') AS INT) AS k
         |      FROM events)
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // q30: the md5-HLL replayed register by register — bucket = first
+    // 3 hex chars, rho = 53 − bitlength(low 52 bits), MAX per bucket,
+    // then αm²/Σ2^−M with the linear-counting branch. The Σ differs
+    // only in association order across engines → ROUND(·, 2).
+    "q30_sketch_distinct" -> {
+      def hll(valueCol: String, alias: String): String = {
+        val b3 = (1 to 3).map(i =>
+          s"(strpos('0123456789abcdef', substr(hx, $i, 1)) - 1) * ${math.pow(16, 3 - i).toLong}")
+          .mkString(" + ")
+        val l13 = (4 to 16).map(i =>
+          s"(strpos('0123456789abcdef', substr(hx, $i, 1)) - 1) * ${math.pow(16, 16 - i).toLong}")
+          .mkString(" + ")
+        val m = graft.expressions.HllSketch.M
+        // CAST: DuckDB would otherwise parse the literal as DECIMAL(16,16)
+        // and overflow on × m²
+        val alpha = s"CAST(${graft.expressions.HllSketch.Alpha} AS DOUBLE)"
+        s"""${alias}_h AS (SELECT l_returnflag,
+           |    md5(CAST($valueCol AS VARCHAR)) AS hx FROM lineitem),
+           |${alias}_r AS (SELECT l_returnflag, ($b3) AS bucket,
+           |    MAX(CASE WHEN ($l13) = 0 THEN 53
+           |        ELSE 53 - length(bin($l13)) END) AS rho
+           |  FROM ${alias}_h GROUP BY l_returnflag, ($b3)),
+           |${alias}_e AS (SELECT l_returnflag,
+           |    SUM(POWER(2.0, -rho)) + ($m - COUNT(*)) AS denom,
+           |    $m - COUNT(*) AS zeros
+           |  FROM ${alias}_r GROUP BY l_returnflag),
+           |${alias}_x AS (SELECT l_returnflag,
+           |    ROUND(CASE WHEN $alpha * $m * $m / denom <= 2.5 * $m AND zeros > 0
+           |          THEN $m * ln($m.0 / zeros)
+           |          ELSE $alpha * $m * $m / denom END, 2) AS $alias
+           |  FROM ${alias}_e)""".stripMargin
+      }
+      s"""WITH ${hll("l_partkey", "nd_parts")},
+         |${hll("l_orderkey", "nd_orders")},
+         |${hll("l_suppkey", "nd_supps")}
+         |SELECT p.l_returnflag, p.nd_parts, o.nd_orders, s.nd_supps
+         |FROM nd_parts_x p
+         |JOIN nd_orders_x o USING (l_returnflag)
+         |JOIN nd_supps_x s USING (l_returnflag)
+         |ORDER BY p.l_returnflag""".stripMargin
+    },
     // q33: at the verification SFs both sides hold < k = 1024 distinct
     // digests, the KMV sketch's EXACT regime (kept-hash count below the
     // kth-minimum threshold; theta = 1), so every estimate provably

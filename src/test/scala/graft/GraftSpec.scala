@@ -41,12 +41,24 @@ class SketchSpec extends org.scalatest.funsuite.AnyFunSuite {
   import TestSpark._
   test("HLL sketch estimates within 2% of exact distincts") {
     val est = SparkEntry.queries("q30_sketch_distinct")(spark, sf)
-      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
     val exact = relational.Relational.q9Distinct(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     exact.foreach { case (flag, nParts) =>
-      val got = est(flag)._1.toDouble
+      val got = est(flag)._1
       assert(math.abs(got - nParts) / nParts < 0.02, s"$flag: $got vs $nParts")
     }
+  }
+
+  test("HLL union of disjoint sketches tracks the combined distinct count") {
+    import TestSpark.spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.Sketches._
+    val a = (0 until 3000).map(i => s"a$i").toDF("v").agg(hllSketch(col("v")).as("sk"))
+    val b = (0 until 2000).map(i => s"b$i").toDF("v").agg(hllSketch(col("v")).as("sk"))
+    val u = a.crossJoin(b.withColumnRenamed("sk", "sk2"))
+      .select(hllEstimate(hllUnion(col("sk"), col("sk2"))).as("est"))
+      .first().getDouble(0)
+    assert(math.abs(u - 5000.0) / 5000.0 < 0.05, s"union estimate $u vs 5000")
   }
 }
