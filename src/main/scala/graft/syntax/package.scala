@@ -140,5 +140,34 @@ package object syntax {
     def packInto(idCol: String, groupCol: String, nTokCol: String,
         capacity: Int): DataFrame =
       operators.Packing.packGreedy(df, idCol, groupCol, nTokCol, capacity)
+
+    /** Semantic (embedding-space) dedup: keep one representative per
+      * SemDeDup near-identical group (cosine ≥ threshold within a
+      * spherical quantizer cell). */
+    def dedupSemantic(idCol: String, vecCol: String,
+        nCells: Int = 16, threshold: Double = 0.95): DataFrame =
+      df.join(operators.Dedup.semanticDedup(df, idCol, vecCol, nCells, threshold)
+          .filter(!col("is_dup")).select(col("id").as(idCol)),
+        Seq(idCol), "left_semi")
+
+    /** Lloyd k-means cluster id + distance per row (deterministic
+      * md5-sample init; see operators.Clustering). */
+    def kmeans(idCol: String, vecCol: String, k: Int = 8,
+        iters: Int = 3): DataFrame =
+      operators.Clustering.kmeansAssign(df, idCol, vecCol, k, iters)
+
+    /** Full curation verdict per doc (dedup + decontamination +
+      * quality + length; see operators.Curation). */
+    def curateAgainst(evalDocs: DataFrame, idCol: String, textCol: String,
+        minQuality: Double = 0.5, minTokens: Int = 20,
+        maxTokens: Int = 2000): DataFrame =
+      operators.Curation.curate(df, evalDocs, idCol, textCol,
+        minQuality, minTokens, maxTokens)
+
+    /** Keep only rows whose curation verdict is `keep`. */
+    def curated(evalDocs: DataFrame, idCol: String, textCol: String): DataFrame =
+      df.join(operators.Curation.curate(df, evalDocs, idCol, textCol)
+          .filter(col("keep")).select(col("id").as(idCol)),
+        Seq(idCol), "left_semi")
   }
 }

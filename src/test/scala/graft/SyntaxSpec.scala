@@ -101,6 +101,29 @@ class SyntaxSpec extends AnyFunSuite {
     assert(mixed.count() == 4) // rates clamp to 1 -> everything kept
   }
 
+  test("pipeline verbs: dedupSemantic, kmeans, curated") {
+    // two exact-duplicate directions + two distinct ones
+    def basis(i: Int): Array[Float] = {
+      val v = Array.fill(8)(0.0f); v(i) = 1.0f; v
+    }
+    val vecs = Seq((1L, basis(0)), (2L, basis(0)), (3L, basis(1)),
+      (4L, basis(2))).toDF("id", "vec")
+    assert(vecs.dedupSemantic("id", "vec", nCells = 2)
+      .select("id").as[Long].collect().toSet == Set(1L, 3L, 4L))
+    val clusters = vecs.kmeans("id", "vec", k = 2, iters = 2)
+    assert(clusters.count() == 4 &&
+      clusters.select("cluster").distinct().count() == 2)
+
+    val filler = (0 until 60)
+      .map(i => s"the word$i and of to in is that it for").mkString(" ")
+    val docs = Seq((1L, filler), (2L, filler), (3L, "12 34 " * 30))
+      .toDF("doc_id", "text")
+    val evalSet = Seq((9L, "nothing shared here")).toDF("doc_id", "text")
+    // 2 drops as dup of 1; 3 drops on quality; 1 keeps
+    assert(docs.curated(evalSet, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet == Set(1L))
+  }
+
   test("pipeline verbs: searchBm25, filterByPerplexity, packInto") {
     val docs = Seq(
       (1L, "spark shuffle spark shuffle spark", "a"),
