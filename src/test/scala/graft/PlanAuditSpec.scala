@@ -155,6 +155,15 @@ class PlanAuditSpec extends AnyFunSuite {
       s"bloom probe not under the join subtree (tree prints top-down):\n$p")
   }
 
+  test("q37's five window functions share ONE partition shuffle") {
+    // same partitionBy/orderBy → Spark fuses the window expressions;
+    // only the final global orderBy adds a range exchange on top
+    val p = plan("q37_window_fns")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges == 1,
+      s"q37 expected exactly 1 window shuffle, got $hashExchanges:\n$p")
+  }
+
   test("whole-stage codegen covers the scan-agg pipeline") {
     // AQE wraps everything in an unmaterialized AdaptiveSparkPlan (0
     // visible codegen subtrees pre-execution) — disable it for the
