@@ -33,12 +33,15 @@ object BloomPrune {
       ColumnBridge.expression(key.cast("long")), bloom))
   }
 
-  /** fact ⋉ dim with the fact side bloom-pruned before the shuffle. */
+  /** fact ⋉ dim with the fact side bloom-pruned before the shuffle.
+    * The dim key is renamed internally, so factKey == dimKey (the
+    * common same-name join shape) resolves unambiguously. */
   def semiJoinPruned(fact: DataFrame, dim: DataFrame,
       factKey: String, dimKey: String,
       expectedItems: Long, fpp: Double = 0.01): DataFrame = {
     val bloom = buildLongBloom(dim.select(dimKey), dimKey, expectedItems, fpp)
+    val dimKeys = dim.select(col(dimKey).as("__bloom_dim_key"))
     fact.filter(mightContain(bloom, col(factKey)))
-      .join(dim.select(col(dimKey)), col(factKey) === col(dimKey), "left_semi")
+      .join(dimKeys, col(factKey) === col("__bloom_dim_key"), "left_semi")
   }
 }

@@ -35,8 +35,12 @@ object Clustering {
     * centroid, rounded to 6 decimals. */
   def kmeansAssign(df: DataFrame, idCol: String, vecCol: String,
       k: Int = 8, iters: Int = 3): DataFrame = {
+    // persisted for the driver loop (init collect + one aggregate per
+    // iteration would otherwise each re-scan and re-cast the source);
+    // released before returning — the final assignment recomputes from
+    // the scan once, lazily, so no cache outlives the call
     val v = df.select(col(idCol).cast("long").as("id"),
-      col(vecCol).cast("array<double>").as("v"))
+      col(vecCol).cast("array<double>").as("v")).persist()
 
     // init: md5-order deterministic sample, cid = position in that order
     var cents: Array[(Int, Array[Double])] =
@@ -52,12 +56,7 @@ object Clustering {
     // and its Janino compile — is shared across all iterations.
     def ranked(cs: Array[(Int, Array[Double])]): Column = {
       import org.apache.spark.sql.graft.ColumnBridge
-      val ipccs = cs.map { case (_, cv) =>
-        var ipcc = 0.0
-        var i = 0
-        while (i < cv.length) { ipcc += cv(i) * cv(i); i += 1 }
-        ipcc
-      }
+      val ipccs = cs.map { case (_, cv) => VectorOps.selfDot(cv) }
       ColumnBridge.column(graft.expressions.NearestCentroidEuclid(
         ColumnBridge.expression(col("v")),
         cs.map(_._2), cs.map(_._1.toLong), ipccs))
@@ -75,9 +74,11 @@ object Clustering {
     }
 
     val win = ranked(cents)
-    v.select(col("id"), element_at(win, 2).cast("int").as("cluster"),
+    val out = v.select(col("id"), element_at(win, 2).cast("int").as("cluster"),
         round(sqrt(greatest(lit(0.0),
           element_at(win, 1) + VectorOps.dot(col("v"), col("v")))), 6)
           .as("dist"))
+    v.unpersist()
+    out
   }
 }

@@ -314,12 +314,7 @@ object Dedup {
     // as codegen reference objects, not k·dim plan literals.
     val cellOf: Column = {
       import org.apache.spark.sql.graft.ColumnBridge
-      val ncs = centroids.map { case (_, cv) =>
-        var ipcc = 0.0
-        var i = 0
-        while (i < cv.length) { ipcc += cv(i) * cv(i); i += 1 }
-        math.sqrt(ipcc)
-      }
+      val ncs = centroids.map { case (_, cv) => math.sqrt(VectorOps.selfDot(cv)) }
       element_at(ColumnBridge.column(graft.expressions.NearestCentroidCosine(
         ColumnBridge.expression(col("v")),
         ColumnBridge.expression(col("nv")),

@@ -35,9 +35,14 @@ object Sketches {
   /** Aggregate a column into an md5-register HLL (4096-byte blob;
     * partial registers MAX-merge map-side; the estimate — not just the
     * shape — replays in SQL, see graft.expressions.HllSketch). Values
-    * hash by their string rendering so every engine agrees on bytes.
-    * Spark's DataSketches `hll_sketch_agg` is the one-line swap when
-    * replayability isn't needed. */
+    * hash by their string rendering. CROSS-ENGINE REPLAY CONTRACT:
+    * only integral and string columns render identically everywhere
+    * (Spark prints 1.0e7 as "1.0E7", DuckDB as "10000000.0"; timestamp
+    * renders differ in sub-second digits) — estimates on other types
+    * are still correct, but an oracle must mirror Spark's rendering,
+    * not just CAST(x AS VARCHAR). Spark's DataSketches
+    * `hll_sketch_agg` is the one-line swap when replayability isn't
+    * needed. */
   def hllSketch(c: Column): Column =
     ColumnBridge.column(
       HllSketchAgg(ColumnBridge.expression(c.cast("string")))

@@ -53,6 +53,19 @@ object VectorOps {
     * TypedImperativeAggregate — one partial-aggregating pass; see
     * graft.expressions.VectorMeanAgg): mean-pooled document embeddings,
     * cluster centroids. */
+  /** Driver-side self dot product, summed strictly left-to-right — the
+    * SAME IEEE sequence as [[dot]] (ArrayDotProduct) and the oracles'
+    * `list_inner_product(v, v)`. This exact order is load-bearing for
+    * oracle bit-exactness; every driver-side caller (centroid norms,
+    * k-means ipcc) must go through this one helper so the contract
+    * lives in one place. */
+  def selfDot(a: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { s += a(i) * a(i); i += 1 }
+    s
+  }
+
   def meanPool(v: Column): Column = {
     import org.apache.spark.sql.graft.ColumnBridge
     ColumnBridge.column(graft.expressions.VectorMeanAgg(

@@ -426,8 +426,12 @@ object Relational {
     import graft.operators.Sketches._
     val docs = t(s, dir, "documents")
       .select(col("doc_id"), sha2(col("text"), 256).as("digest"))
+    // id-bounded sides (≤ 600 / ≤ 700 docs at ANY scale factor) keep
+    // both sketches below k = 1024 — the provably-exact regime the
+    // oracle relies on — while the ≥ sf0.1 corpus still exercises the
+    // estimator path in SketchSpec
     val a = docs.filter(col("doc_id") < 600)
-    val b = docs.filter(col("doc_id") >= 300)
+    val b = docs.filter(col("doc_id") >= 300 && col("doc_id") < 1000)
     val skA = a.agg(thetaSketch(col("digest")).as("sk"), count(lit(1)).as("n"))
     val skB = b.agg(thetaSketch(col("digest")).as("sk"), count(lit(1)).as("n"))
     skA.select(col("sk").as("sk_a"), col("n").as("exact_a"))
@@ -637,22 +641,23 @@ object Relational {
          |JOIN nd_supps_x s USING (l_returnflag)
          |ORDER BY p.l_returnflag""".stripMargin
     },
-    // q33: at the verification SFs both sides hold < k = 1024 distinct
-    // digests, the KMV sketch's EXACT regime (kept-hash count below the
-    // kth-minimum threshold; theta = 1), so every estimate provably
-    // equals the plain distinct/intersection count and the oracle needs
-    // no hash replay. Above k the sketch is spec-bounded instead
-    // (ThetaSketchSpec pins the error envelope).
+    // q33: both sides are id-bounded to < 1024 distinct digests at ANY
+    // scale factor — the KMV sketch's EXACT regime (kept-hash count
+    // below the kth-minimum threshold; theta = 1) — so every estimate
+    // provably equals the plain distinct/intersection count and the
+    // oracle needs no hash replay. Above k the sketch is spec-bounded
+    // instead (ThetaSketchSpec pins the error envelope).
     "q33_theta_overlap" ->
       """WITH a AS (SELECT DISTINCT sha256(text) AS dg FROM documents
         |           WHERE doc_id < 600),
         |b AS (SELECT DISTINCT sha256(text) AS dg FROM documents
-        |      WHERE doc_id >= 300)
+        |      WHERE doc_id >= 300 AND doc_id < 1000)
         |SELECT
         |  ROUND(CAST((SELECT COUNT(*) FROM a) AS DOUBLE), 2) AS est_a,
         |  (SELECT COUNT(*) FROM documents WHERE doc_id < 600) AS exact_a,
         |  ROUND(CAST((SELECT COUNT(*) FROM b) AS DOUBLE), 2) AS est_b,
-        |  (SELECT COUNT(*) FROM documents WHERE doc_id >= 300) AS exact_b,
+        |  (SELECT COUNT(*) FROM documents
+        |   WHERE doc_id >= 300 AND doc_id < 1000) AS exact_b,
         |  ROUND(CAST((SELECT COUNT(*) FROM
         |    (SELECT dg FROM a UNION SELECT dg FROM b) u) AS DOUBLE), 2) AS est_union,
         |  ROUND(CAST((SELECT COUNT(*) FROM a JOIN b USING (dg)) AS DOUBLE), 2)

@@ -198,25 +198,24 @@ object StreamingOps {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
-  /** S9: streaming ingest curation — each arriving micro-batch runs the
-    * FULL [[graft.operators.Curation.curate]] pipeline (dedup against
-    * the stored corpus AND in-batch, eval-set decontamination, quality,
-    * length) and only the batch's own verdicts go to `sink`; the stored
-    * corpus is never re-verdicted. Same foreachBatch rationale as S8:
-    * the verdict is a multi-stage job, not a row-wise enrichment. A
-    * production deployment appends kept batch docs to the corpus store
-    * between triggers. */
+  /** S9: streaming ingest curation — each arriving micro-batch runs
+    * the full curation pipeline (dedup, decontamination, quality,
+    * length) INCREMENTALLY against the corpus's precomputed digest
+    * index ([[graft.operators.Curation.curateIncremental]]): the
+    * corpus's digests/grams/quality are computed ONCE here, never per
+    * trigger, and per batch the index is consulted via a map-only
+    * broadcast semi-join — the S8 "corpus never re-pairs" posture.
+    * Only batch verdicts reach `sink`. A production deployment appends
+    * kept batch digests to the index between triggers. */
   def streamingCuration(docs: DataFrame, corpus: DataFrame,
       evalDocs: DataFrame, idCol: String, textCol: String)(
       sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
-    import org.apache.spark.sql.functions.col
+    val corpusIndex = graft.operators.Curation
+      .digests(corpus, idCol, textCol).persist()
     docs.writeStream
       .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val batch = b.toDF().select(col(idCol), col(textCol))
-        val full = corpus.select(col(idCol), col(textCol)).union(batch)
-        sink(graft.operators.Curation.curate(full, evalDocs, idCol, textCol)
-          .join(batch.select(col(idCol).cast("long").as("id")),
-            Seq("id"), "left_semi"))
+        sink(graft.operators.Curation.curateIncremental(
+          b.toDF(), corpusIndex, evalDocs, idCol, textCol))
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
