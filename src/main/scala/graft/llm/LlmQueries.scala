@@ -465,8 +465,24 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  // ---- P2: incremental curation (batch vs stored digest index) -------------
+  /** The continuous-crawl form of p1: the corpus contributes only its
+    * precomputed digest index; every copy must verdict exactly as it
+    * does in the full p1 run (the oracle IS p1's, filtered to batch
+    * ids) while the corpus is never re-curated. */
+  def p2CurateIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val batch = docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    Curation.curateIncremental(batch,
+        Curation.digests(docs, "doc_id", "text"),
+        docs.filter(col("doc_id") < 20), "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_curate" -> p1Curate _,
+    "p2_curate_incremental" -> p2CurateIncremental _,
     "d1_exact_dedup" -> d1ExactDedup _,
     "d2_minhash_lsh" -> d2MinhashLsh _,
     "d3_simhash" -> d3Simhash _,
@@ -784,6 +800,46 @@ object LlmQueries {
        |  ROUND(sqrt(GREATEST(0.0, d + ipvv)), 6) AS dist
        |FROM fin ORDER BY vec_id""".stripMargin
 
+  /** p1 oracle body (shared with p2, which filters to batch ids). */
+  private val p1OracleSql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 1000000, text FROM documents),
+      |dup AS (SELECT doc_id, md5(text) AS dg FROM corpus),
+      |keep0 AS (SELECT dg, MIN(doc_id) AS keeper FROM dup GROUP BY dg),
+      |dupv AS (SELECT d.doc_id, d.doc_id <> k.keeper AS is_dup,
+      |    CASE WHEN d.doc_id <> k.keeper THEN k.keeper END AS dup_of
+      |  FROM dup d JOIN keep0 k USING (dg)),
+      |cg AS (SELECT doc_id,
+      |    list_distinct(list_transform(
+      |      range(1, CAST(greatest(len(string_split(nt, ' ')) - 12, 1) AS BIGINT) + 1),
+      |      i -> array_to_string((string_split(nt, ' '))[CAST(i AS INT):CAST(i AS INT)+12], ' '))) AS sh
+      |  FROM (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+      |        FROM corpus)),
+      |eg AS (SELECT DISTINCT unnest(sh) AS g FROM cg WHERE doc_id < 20),
+      |docg AS (SELECT doc_id, unnest(sh) AS g FROM cg),
+      |hits AS (SELECT DISTINCT doc_id FROM docg JOIN eg USING (g)),
+      |q AS (SELECT doc_id,
+      |    CAST(len(string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_tokens,
+      |    least(len(string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) / 100.0, 1.0) * 0.4
+      |     + (length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / greatest(length(text), 1)) * 0.4
+      |     + least(len(list_filter(string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+      |          t -> t IN ('the','and','of','to','in','is','you','that','it','for','a')))
+      |        / greatest(len(string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')), 1) * 5.0, 1.0) * 0.2
+      |     AS quality_score
+      |  FROM corpus)
+      |SELECT v.doc_id, v.is_dup, v.dup_of,
+      |  h.doc_id IS NOT NULL AS contaminated,
+      |  q.n_tokens, q.quality_score,
+      |  (NOT v.is_dup AND h.doc_id IS NULL AND q.quality_score >= 0.5
+      |   AND q.n_tokens BETWEEN 20 AND 2000) AS keep,
+      |  CASE WHEN v.is_dup THEN 'dup'
+      |       WHEN h.doc_id IS NOT NULL THEN 'contaminated'
+      |       WHEN q.quality_score < 0.5 THEN 'low_quality'
+      |       WHEN q.n_tokens NOT BETWEEN 20 AND 2000 THEN 'length' END AS drop_reason
+      |FROM dupv v LEFT JOIN hits h USING (doc_id) JOIN q USING (doc_id)
+      |ORDER BY v.doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "s2_ann_lsh" -> s2OracleSql,
     "e2_random_projection" -> e2OracleSql,
@@ -887,44 +943,13 @@ object LlmQueries {
     // pieces — d1's md5 keep-min dup verdict, d7's 13-gram eval
     // overlap, x2's token count + quality score (verbatim fragments),
     // with the same drop-reason precedence CASE as the Spark side.
-    "p1_curate" ->
-      """WITH corpus AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL SELECT doc_id + 1000000, text FROM documents),
-        |dup AS (SELECT doc_id, md5(text) AS dg FROM corpus),
-        |keep0 AS (SELECT dg, MIN(doc_id) AS keeper FROM dup GROUP BY dg),
-        |dupv AS (SELECT d.doc_id, d.doc_id <> k.keeper AS is_dup,
-        |    CASE WHEN d.doc_id <> k.keeper THEN k.keeper END AS dup_of
-        |  FROM dup d JOIN keep0 k USING (dg)),
-        |cg AS (SELECT doc_id,
-        |    list_distinct(list_transform(
-        |      range(1, CAST(greatest(len(string_split(nt, ' ')) - 12, 1) AS BIGINT) + 1),
-        |      i -> array_to_string((string_split(nt, ' '))[CAST(i AS INT):CAST(i AS INT)+12], ' '))) AS sh
-        |  FROM (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
-        |        FROM corpus)),
-        |eg AS (SELECT DISTINCT unnest(sh) AS g FROM cg WHERE doc_id < 20),
-        |docg AS (SELECT doc_id, unnest(sh) AS g FROM cg),
-        |hits AS (SELECT DISTINCT doc_id FROM docg JOIN eg USING (g)),
-        |q AS (SELECT doc_id,
-        |    CAST(len(string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_tokens,
-        |    least(len(string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) / 100.0, 1.0) * 0.4
-        |     + (length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / greatest(length(text), 1)) * 0.4
-        |     + least(len(list_filter(string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
-        |          t -> t IN ('the','and','of','to','in','is','you','that','it','for','a')))
-        |        / greatest(len(string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')), 1) * 5.0, 1.0) * 0.2
-        |     AS quality_score
-        |  FROM corpus)
-        |SELECT v.doc_id, v.is_dup, v.dup_of,
-        |  h.doc_id IS NOT NULL AS contaminated,
-        |  q.n_tokens, q.quality_score,
-        |  (NOT v.is_dup AND h.doc_id IS NULL AND q.quality_score >= 0.5
-        |   AND q.n_tokens BETWEEN 20 AND 2000) AS keep,
-        |  CASE WHEN v.is_dup THEN 'dup'
-        |       WHEN h.doc_id IS NOT NULL THEN 'contaminated'
-        |       WHEN q.quality_score < 0.5 THEN 'low_quality'
-        |       WHEN q.n_tokens NOT BETWEEN 20 AND 2000 THEN 'length' END AS drop_reason
-        |FROM dupv v LEFT JOIN hits h USING (doc_id) JOIN q USING (doc_id)
-        |ORDER BY v.doc_id""".stripMargin,
+    "p1_curate" -> p1OracleSql,
+    // p2: incremental ≡ full-run restricted to the batch — the oracle
+    // IS p1's with the batch-id filter (equivalence also spec-asserted
+    // in StreamingSpec's S9 batch twin)
+    "p2_curate_incremental" -> p1OracleSql.replace("ORDER BY v.doc_id",
+      "WHERE v.doc_id >= 1000000 ORDER BY v.doc_id"),
+
     "d7_decontaminate" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents
