@@ -110,6 +110,30 @@ object GraftExtensions {
       info("graft_theta_intersect",
         "graft_theta_intersect(a, b) - intersection-cardinality estimate"),
       binary("graft_theta_intersect")(ThetaIntersect)),
+    ("graft_hll_sketch",
+      info("graft_hll_sketch",
+        "graft_hll_sketch(col) - md5-register HLL blob (agg); hash the " +
+          "column's string rendering"), {
+        // cast-to-string first, like operators.Sketches.hllSketch —
+        // HllSketchAgg renders the CATALYST value, which for e.g.
+        // timestamps is a raw long without the cast
+        case Seq(a) => HllSketchAgg(
+          org.apache.spark.sql.catalyst.expressions.Cast(a,
+            org.apache.spark.sql.types.StringType))
+        case es => throw new IllegalArgumentException(
+          s"graft_hll_sketch requires 1 argument, got ${es.length}")
+      }),
+    ("graft_hll_estimate",
+      info("graft_hll_estimate",
+        "graft_hll_estimate(sketch) - distinct estimate of an HLL blob"), {
+        case Seq(a) => HllEstimate(a)
+        case es => throw new IllegalArgumentException(
+          s"graft_hll_estimate requires 1 argument, got ${es.length}")
+      }),
+    ("graft_hll_union",
+      info("graft_hll_union",
+        "graft_hll_union(a, b) - register-wise MAX union of two HLL blobs"),
+      binary("graft_hll_union")(HllUnion)),
     ("graft_vec_mean",
       info("graft_vec_mean",
         "graft_vec_mean(array<double>) - elementwise mean (agg)"), {

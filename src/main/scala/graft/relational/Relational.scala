@@ -523,6 +523,21 @@ object Relational {
       .orderBy(desc("numwait"), asc("l_suppkey"))
   }
 
+  // ---- R39: INTERSECT / EXCEPT set operations -----------------------------
+  // customers active in both 1996 and 1997 (INTERSECT) vs 1996-only
+  // (EXCEPT) — Spark plans both as hash-aggregated left-semi/anti
+  // joins on the full row, shuffling only the distinct key sets.
+  def q39SetOps(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    def yr(y: Int) = o.filter(year(col("o_orderdate")) === y)
+      .select("o_custkey").distinct()
+    val c96 = yr(1996)
+    val c97 = yr(1997)
+    c96.intersect(c97).withColumn("set_op", lit("both"))
+      .union(c96.except(c97).withColumn("set_op", lit("only_1996")))
+      .orderBy("set_op", "o_custkey")
+  }
+
   // ---- R36: bloom-pruned semi-join ---------------------------------------
   // Manual runtime filtering (operators.BloomPrune): a bloom over the
   // urgent orders' keys prunes lineitem BEFORE its shuffle; the exact
@@ -546,6 +561,7 @@ object Relational {
     "q36_bloom_semijoin" -> q36BloomSemijoin _,
     "q37_window_fns" -> q37WindowFns _,
     "q38_multi_exists" -> q38MultiExists _,
+    "q39_set_ops" -> q39SetOps _,
     "q35_mean_pool" -> q35MeanPool _,
     "q34_json_extract" -> q34JsonExtract _,
     "q33_theta_overlap" -> q33ThetaOverlap _,
@@ -759,6 +775,17 @@ object Relational {
         |WHERE os.n_supp > 1 AND ol.n_late = 1
         |GROUP BY l1.l_suppkey
         |ORDER BY numwait DESC, l1.l_suppkey""".stripMargin,
+    "q39_set_ops" ->
+      """WITH c96 AS (SELECT DISTINCT o_custkey FROM orders
+        |             WHERE year(o_orderdate) = 1996),
+        |c97 AS (SELECT DISTINCT o_custkey FROM orders
+        |        WHERE year(o_orderdate) = 1997)
+        |SELECT o_custkey, 'both' AS set_op
+        |FROM (SELECT o_custkey FROM c96 INTERSECT SELECT o_custkey FROM c97) t1
+        |UNION ALL
+        |SELECT o_custkey, 'only_1996' AS set_op
+        |FROM (SELECT o_custkey FROM c96 EXCEPT SELECT o_custkey FROM c97) t2
+        |ORDER BY set_op, o_custkey""".stripMargin,
     // the bloom prune is invisible to semantics — the oracle is the
     // plain semi-join
     "q36_bloom_semijoin" ->

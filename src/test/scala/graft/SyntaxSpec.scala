@@ -170,10 +170,12 @@ class VectorOpsExtraSpec extends org.scalatest.funsuite.AnyFunSuite {
     spark.range(0, 5000).toDF("v").createOrReplaceTempView("nums")
     val r = spark.sql(
       """SELECT graft_theta_estimate(graft_theta_sketch(CAST(v AS STRING), 256)) AS est,
-        |  graft_vec_mean(array(CAST(v AS DOUBLE), 2.0d)) AS m
+        |  graft_vec_mean(array(CAST(v AS DOUBLE), 2.0d)) AS m,
+        |  graft_hll_estimate(graft_hll_sketch(v)) AS hll
         |FROM nums""".stripMargin).head()
     assert(math.abs(r.getDouble(0) - 5000) / 5000 < 0.15)
     assert(r.getSeq[Double](1)(1) == 2.0)
     assert(math.abs(r.getSeq[Double](1)(0) - 2499.5) < 1e-6)
+    assert(math.abs(r.getDouble(2) - 5000) / 5000 < 0.05)
   }
 }
