@@ -270,6 +270,23 @@ object Casts {
       case _ => c // already struct<re,im>
     }
 
+  /** Column-level errors="ignore" — the reference's actual
+    * `errors="ignore"` contract (pandas `to_numeric(errors='ignore')`,
+    * bertrand convert/base.py): if ANY value fails to convert, the
+    * WHOLE column comes back unchanged; otherwise the cast applies.
+    * `castFn` must be a coercing kernel (null = unconvertible); one
+    * aggregation over the column decides — a driver-side schema
+    * decision, same scale posture as detectTypes (no data collected,
+    * one count). */
+  def castColumnOrKeep(df: org.apache.spark.sql.DataFrame, name: String,
+      castFn: Column => Column): org.apache.spark.sql.DataFrame = {
+    val converted = castFn(col(name))
+    val bad = df.agg(
+        count(when(converted.isNull && col(name).isNotNull, 1)).as("n"))
+      .first().getLong(0)
+    if (bad == 0L) df.withColumn(name, converted) else df
+  }
+
   /** to_string (reference convert/base.py:274, convert/string.py).
     * Integral inputs honour `base` (reference util/string.pyx:45
     * `int_to_base`): lowercase digits, explicit sign. */

@@ -487,7 +487,26 @@ object TypeQueries {
       .orderBy("k")
   }
 
+  // ---- T29: errors="ignore" (whole-column semantics) ----------------------
+  /** The reference's `errors="ignore"` is COLUMN-level: any
+    * unconvertible value keeps the whole column unchanged. k_good (all
+    * parseable) casts to int64; k_bad (odd keys get an 'x' suffix)
+    * comes back verbatim as strings. */
+  def t29CastIgnore(s: SparkSession, dir: String): DataFrame = {
+    val raw = t(s, dir, "orders").select(
+      col("o_orderkey"),
+      col("o_orderkey").cast(StringType).as("k_good"),
+      concat(col("o_orderkey").cast(StringType),
+        when(col("o_orderkey") % 2 === 1, "x").otherwise("")).as("k_bad"))
+    val cast = (c: Column) =>
+      Casts.toInteger(c, StringType, GInteger(64), CastOptions(errors = "coerce"))
+    val step = Casts.castColumnOrKeep(raw, "k_good", cast)
+    Casts.castColumnOrKeep(step, "k_bad", cast)
+      .orderBy("o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t29_cast_ignore" -> t29CastIgnore _,
     "t28_ingest_infer" -> t28IngestInfer _,
     "t27_profile" -> t27Profile _,
     "t26_sparse_compute" -> t26SparseCompute _,
@@ -627,6 +646,13 @@ object TypeQueries {
       """SELECT o_orderkey AS k, o_totalprice AS price,
         |  o_orderdate AS ts, o_orderpriority AS prio
         |FROM orders ORDER BY k""".stripMargin,
+    // t29: good column casts (identity on the key), bad column stays
+    // the original strings — whole-column ignore semantics
+    "t29_cast_ignore" ->
+      """SELECT o_orderkey, o_orderkey AS k_good,
+        |  CAST(o_orderkey AS VARCHAR) ||
+        |    CASE WHEN o_orderkey % 2 = 1 THEN 'x' ELSE '' END AS k_bad
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "t27_profile" -> Seq("doc_id", "lang", "source", "n_chars").map(c =>
       s"""SELECT '$c' AS "column", COUNT(*) AS n,
          |  COUNT(*) - COUNT($c) AS n_null, COUNT(DISTINCT $c) AS n_distinct,

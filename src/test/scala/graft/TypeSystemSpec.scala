@@ -503,3 +503,31 @@ class ProfileSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), s"profile must be one pass:\n$plan")
   }
 }
+
+class CastIgnoreSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("errors=ignore is whole-column: one bad value keeps every row unchanged") {
+    import graft.functions.{CastOptions, Casts}
+    import graft.types.GInteger
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val cast = (c: org.apache.spark.sql.Column) =>
+      Casts.toInteger(c, StringType, GInteger(64), CastOptions(errors = "coerce"))
+
+    val clean = Seq("1", "2", "300").toDF("v")
+    val kept = Casts.castColumnOrKeep(clean, "v", cast)
+    assert(kept.schema("v").dataType == LongType)
+    assert(kept.as[Long].collect().sorted.toSeq == Seq(1L, 2L, 300L))
+
+    val dirty = Seq("1", "2x", "300").toDF("v")
+    val unchanged = Casts.castColumnOrKeep(dirty, "v", cast)
+    assert(unchanged.schema("v").dataType == StringType)
+    assert(unchanged.as[String].collect().sorted.toSeq == Seq("1", "2x", "300"))
+
+    // nulls are NOT failures (the reference's NA passes through ignore)
+    val withNull = Seq(Some("1"), None, Some("3")).toDF("v")
+    assert(Casts.castColumnOrKeep(withNull, "v", cast)
+      .schema("v").dataType == LongType)
+  }
+}
