@@ -538,6 +538,24 @@ object Relational {
       .orderBy("set_op", "o_custkey")
   }
 
+  // ---- R40: INTERSECT ALL / EXCEPT ALL (bag semantics) --------------------
+  // multiplicity-preserving set ops over (custkey, priority) order
+  // rows: INTERSECT ALL keeps min(n96, n97) copies, EXCEPT ALL keeps
+  // n96 − n97 — Spark plans both via a count-tagged aggregate +
+  // generate, shuffling only the distinct keys with their counts.
+  def q40SetOpsAll(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    def yr(y: Int) = o.filter(year(col("o_orderdate")) === y)
+      .select(col("o_custkey"), col("o_orderpriority"))
+    val r96 = yr(1996)
+    val r97 = yr(1997)
+    r96.intersectAll(r97).groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n")).withColumn("set_op", lit("intersect_all"))
+      .union(r96.exceptAll(r97).groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n")).withColumn("set_op", lit("except_all")))
+      .orderBy("set_op", "o_orderpriority")
+  }
+
   // ---- R36: bloom-pruned semi-join ---------------------------------------
   // Manual runtime filtering (operators.BloomPrune): a bloom over the
   // urgent orders' keys prunes lineitem BEFORE its shuffle; the exact
@@ -562,6 +580,7 @@ object Relational {
     "q37_window_fns" -> q37WindowFns _,
     "q38_multi_exists" -> q38MultiExists _,
     "q39_set_ops" -> q39SetOps _,
+    "q40_set_ops_all" -> q40SetOpsAll _,
     "q35_mean_pool" -> q35MeanPool _,
     "q34_json_extract" -> q34JsonExtract _,
     "q33_theta_overlap" -> q33ThetaOverlap _,
@@ -786,6 +805,19 @@ object Relational {
         |SELECT o_custkey, 'only_1996' AS set_op
         |FROM (SELECT o_custkey FROM c96 EXCEPT SELECT o_custkey FROM c97) t2
         |ORDER BY set_op, o_custkey""".stripMargin,
+    "q40_set_ops_all" ->
+      """WITH r96 AS (SELECT o_custkey, o_orderpriority FROM orders
+        |             WHERE year(o_orderdate) = 1996),
+        |r97 AS (SELECT o_custkey, o_orderpriority FROM orders
+        |        WHERE year(o_orderdate) = 1997)
+        |SELECT o_orderpriority, COUNT(*) AS n, 'intersect_all' AS set_op
+        |FROM (SELECT * FROM r96 INTERSECT ALL SELECT * FROM r97) t1
+        |GROUP BY o_orderpriority
+        |UNION ALL
+        |SELECT o_orderpriority, COUNT(*) AS n, 'except_all' AS set_op
+        |FROM (SELECT * FROM r96 EXCEPT ALL SELECT * FROM r97) t2
+        |GROUP BY o_orderpriority
+        |ORDER BY set_op, o_orderpriority""".stripMargin,
     // the bloom prune is invisible to semantics — the oracle is the
     // plain semi-join
     "q36_bloom_semijoin" ->
