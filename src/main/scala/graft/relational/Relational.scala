@@ -556,6 +556,32 @@ object Relational {
       .orderBy("set_op", "o_orderpriority")
   }
 
+  // ---- R41: sequential conversion funnel ----------------------------------
+  // first view → first click within 24 h of it → first purchase within
+  // 24 h of that, per user (epoch-second granularity, the events-table
+  // idiom; the window creates real drop-off: ~90/35/25 across depths
+  // at sf0.01). Each step filters its event type BEFORE the user-key
+  // shuffle; step outputs are user-cardinality relations
+  // (broadcastable into the next step).
+  def q41Funnel(s: SparkSession, dir: String): DataFrame = {
+    val w = 86400L
+    val e = events(s, dir).select(col("user_id"),
+      unix_timestamp(col("ts")).as("es"), col("event_type"))
+    val a = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("es").as("t_view"))
+    val b = e.filter(col("event_type") === "click").join(a, Seq("user_id"))
+      .filter(col("es") > col("t_view") && col("es") <= col("t_view") + w)
+      .groupBy("user_id").agg(min("es").as("t_click"))
+    val c = e.filter(col("event_type") === "purchase").join(b, Seq("user_id"))
+      .filter(col("es") > col("t_click") && col("es") <= col("t_click") + w)
+      .groupBy("user_id").agg(min("es").as("t_purchase"))
+    a.join(b, Seq("user_id"), "left").join(c, Seq("user_id"), "left")
+      .select(col("user_id"), col("t_view"), col("t_click"), col("t_purchase"),
+        (lit(1) + when(col("t_click").isNotNull, 1).otherwise(0) +
+          when(col("t_purchase").isNotNull, 1).otherwise(0)).as("depth"))
+      .orderBy("user_id")
+  }
+
   // ---- R36: bloom-pruned semi-join ---------------------------------------
   // Manual runtime filtering (operators.BloomPrune): a bloom over the
   // urgent orders' keys prunes lineitem BEFORE its shuffle; the exact
@@ -581,6 +607,7 @@ object Relational {
     "q38_multi_exists" -> q38MultiExists _,
     "q39_set_ops" -> q39SetOps _,
     "q40_set_ops_all" -> q40SetOpsAll _,
+    "q41_funnel" -> q41Funnel _,
     "q35_mean_pool" -> q35MeanPool _,
     "q34_json_extract" -> q34JsonExtract _,
     "q33_theta_overlap" -> q33ThetaOverlap _,
@@ -818,6 +845,23 @@ object Relational {
         |FROM (SELECT * FROM r96 EXCEPT ALL SELECT * FROM r97) t2
         |GROUP BY o_orderpriority
         |ORDER BY set_op, o_orderpriority""".stripMargin,
+    "q41_funnel" ->
+      """WITH e AS (SELECT user_id,
+        |    CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS es,
+        |    event_type FROM events),
+        |a AS (SELECT user_id, MIN(es) AS t_view FROM e
+        |      WHERE event_type = 'view' GROUP BY user_id),
+        |b AS (SELECT e.user_id, MIN(es) AS t_click FROM e JOIN a USING (user_id)
+        |      WHERE event_type = 'click' AND es > t_view
+        |        AND es <= t_view + 86400 GROUP BY e.user_id),
+        |c AS (SELECT e.user_id, MIN(es) AS t_purchase FROM e JOIN b USING (user_id)
+        |      WHERE event_type = 'purchase' AND es > t_click
+        |        AND es <= t_click + 86400 GROUP BY e.user_id)
+        |SELECT a.user_id, t_view, t_click, t_purchase,
+        |  1 + CASE WHEN t_click IS NOT NULL THEN 1 ELSE 0 END
+        |    + CASE WHEN t_purchase IS NOT NULL THEN 1 ELSE 0 END AS depth
+        |FROM a LEFT JOIN b USING (user_id) LEFT JOIN c USING (user_id)
+        |ORDER BY a.user_id""".stripMargin,
     // the bloom prune is invisible to semantics — the oracle is the
     // plain semi-join
     "q36_bloom_semijoin" ->
