@@ -582,6 +582,30 @@ object Relational {
       .orderBy("user_id")
   }
 
+  // ---- R42: cohort retention ----------------------------------------------
+  // users cohorted by their first signup week; retention = distinct
+  // users active N weeks after their own cohort start. Week boundaries
+  // are UTC Mondays on both engines, so offsets are exact integers.
+  // Shuffle shape: per-user signup agg + distinct (user, week) pairs —
+  // both user-keyed; the cohort join broadcasts the user-cardinality
+  // signup relation.
+  def q42CohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+    val su = e.filter(col("event_type") === "signup")
+      .groupBy("user_id")
+      .agg(min(date_trunc("week", col("ts"))).as("w0"))
+    val act = e.select(col("user_id"), date_trunc("week", col("ts")).as("w"))
+      .distinct()
+    act.join(su, Seq("user_id"))
+      .select(col("user_id"),
+        ((unix_timestamp(col("w")) - unix_timestamp(col("w0"))) / 604800L)
+          .cast(IntegerType).as("week_offset"))
+      .filter(col("week_offset") >= 0)
+      .groupBy("week_offset")
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("week_offset")
+  }
+
   // ---- R36: bloom-pruned semi-join ---------------------------------------
   // Manual runtime filtering (operators.BloomPrune): a bloom over the
   // urgent orders' keys prunes lineitem BEFORE its shuffle; the exact
@@ -608,6 +632,7 @@ object Relational {
     "q39_set_ops" -> q39SetOps _,
     "q40_set_ops_all" -> q40SetOpsAll _,
     "q41_funnel" -> q41Funnel _,
+    "q42_cohort_retention" -> q42CohortRetention _,
     "q35_mean_pool" -> q35MeanPool _,
     "q34_json_extract" -> q34JsonExtract _,
     "q33_theta_overlap" -> q33ThetaOverlap _,
@@ -862,6 +887,17 @@ object Relational {
         |    + CASE WHEN t_purchase IS NOT NULL THEN 1 ELSE 0 END AS depth
         |FROM a LEFT JOIN b USING (user_id) LEFT JOIN c USING (user_id)
         |ORDER BY a.user_id""".stripMargin,
+    "q42_cohort_retention" ->
+      """WITH su AS (SELECT user_id,
+        |    MIN(date_trunc('week', CAST(ts AS TIMESTAMP))) AS w0
+        |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        |act AS (SELECT DISTINCT user_id,
+        |    date_trunc('week', CAST(ts AS TIMESTAMP)) AS w FROM events)
+        |SELECT CAST((epoch(w) - epoch(w0)) / 604800 AS INT) AS week_offset,
+        |  COUNT(DISTINCT user_id) AS n_users
+        |FROM act JOIN su USING (user_id)
+        |WHERE epoch(w) >= epoch(w0)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the bloom prune is invisible to semantics — the oracle is the
     // plain semi-join
     "q36_bloom_semijoin" ->
