@@ -606,6 +606,36 @@ object Relational {
       .orderBy("week_offset")
   }
 
+  // ---- R43: snapshot diff (CDC shape) -------------------------------------
+  // old = orders; new = orders with ids ≡ 0 (mod 97) dropped, ids ≡ 1
+  // (mod 97) repriced, and fresh ids appended — the diff must label
+  // every affected key added/removed/changed. One full-outer join on
+  // the key comparing row digests; only (key, digest) pairs shuffle,
+  // never whole rows.
+  def q43SnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val oldSnap = o.select(col("o_orderkey").as("k"),
+      md5(concat_ws("|", col("o_totalprice"), col("o_orderpriority"))).as("dg"))
+    val newSnap = o
+      .filter(col("o_orderkey") % 97 =!= 0)
+      .select(col("o_orderkey").as("k"),
+        md5(concat_ws("|",
+          when(col("o_orderkey") % 97 === 1, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice")),
+          col("o_orderpriority"))).as("dg"))
+      .union(o.filter(col("o_orderkey") % 97 === 2)
+        .select((col("o_orderkey") + 10000000L).as("k"),
+          md5(concat_ws("|", col("o_totalprice"), col("o_orderpriority"))).as("dg")))
+    oldSnap.join(newSnap.withColumnRenamed("dg", "dg_new"), Seq("k"), "full_outer")
+      .select(col("k"),
+        when(col("dg").isNull, "added")
+          .when(col("dg_new").isNull, "removed")
+          .when(col("dg") =!= col("dg_new"), "changed")
+          .as("change"))
+      .filter(col("change").isNotNull)
+      .orderBy("k")
+  }
+
   // ---- R36: bloom-pruned semi-join ---------------------------------------
   // Manual runtime filtering (operators.BloomPrune): a bloom over the
   // urgent orders' keys prunes lineitem BEFORE its shuffle; the exact
@@ -633,6 +663,7 @@ object Relational {
     "q40_set_ops_all" -> q40SetOpsAll _,
     "q41_funnel" -> q41Funnel _,
     "q42_cohort_retention" -> q42CohortRetention _,
+    "q43_snapshot_diff" -> q43SnapshotDiff _,
     "q35_mean_pool" -> q35MeanPool _,
     "q34_json_extract" -> q34JsonExtract _,
     "q33_theta_overlap" -> q33ThetaOverlap _,
@@ -887,6 +918,19 @@ object Relational {
         |    + CASE WHEN t_purchase IS NOT NULL THEN 1 ELSE 0 END AS depth
         |FROM a LEFT JOIN b USING (user_id) LEFT JOIN c USING (user_id)
         |ORDER BY a.user_id""".stripMargin,
+    // q43: digests are compared Spark-to-Spark inside the join, so the
+    // oracle is the planted construction itself — the semantic truth,
+    // immune to cross-engine double-rendering differences
+    "q43_snapshot_diff" ->
+      """SELECT o_orderkey AS k, 'removed' AS change FROM orders
+        |WHERE o_orderkey % 97 = 0
+        |UNION ALL
+        |SELECT o_orderkey AS k, 'changed' AS change FROM orders
+        |WHERE o_orderkey % 97 = 1
+        |UNION ALL
+        |SELECT o_orderkey + 10000000 AS k, 'added' AS change FROM orders
+        |WHERE o_orderkey % 97 = 2
+        |ORDER BY k""".stripMargin,
     "q42_cohort_retention" ->
       """WITH su AS (SELECT user_id,
         |    MIN(date_trunc('week', CAST(ts AS TIMESTAMP))) AS w0
