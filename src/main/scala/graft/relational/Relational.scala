@@ -636,6 +636,27 @@ object Relational {
       .orderBy("k")
   }
 
+  // ---- R44: group top-k via mergeable aggregate ---------------------------
+  // q7's result (top-3 orders per customer) through the bounded-heap
+  // TopKAgg instead of a window: the window form funnels EVERY row of
+  // a group into one task; the aggregate keeps the reduce side
+  // O(partitions × k) with map-side partials — the shape that survives
+  // a hot-key 100× scale-up. Same (score desc, id asc) ranking, so the
+  // window SQL is the oracle.
+  def q44GroupTopkAgg(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val tk = ColumnBridge.column(graft.expressions.TopKAgg(
+      ColumnBridge.expression(col("o_totalprice")),
+      ColumnBridge.expression(col("o_orderkey")), k = 3).toAggregateExpression())
+    t(s, dir, "orders")
+      .groupBy("o_custkey").agg(tk.as("tk"))
+      .select(col("o_custkey"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("o_custkey"), col("e.id").as("o_orderkey"),
+        col("e.score").as("o_totalprice"),
+        (col("pos") + 1).cast(IntegerType).as("rn"))
+      .orderBy("o_custkey", "rn")
+  }
+
   // ---- R36: bloom-pruned semi-join ---------------------------------------
   // Manual runtime filtering (operators.BloomPrune): a bloom over the
   // urgent orders' keys prunes lineitem BEFORE its shuffle; the exact
@@ -664,6 +685,7 @@ object Relational {
     "q41_funnel" -> q41Funnel _,
     "q42_cohort_retention" -> q42CohortRetention _,
     "q43_snapshot_diff" -> q43SnapshotDiff _,
+    "q44_group_topk_agg" -> q44GroupTopkAgg _,
     "q35_mean_pool" -> q35MeanPool _,
     "q34_json_extract" -> q34JsonExtract _,
     "q33_theta_overlap" -> q33ThetaOverlap _,
@@ -918,6 +940,14 @@ object Relational {
         |    + CASE WHEN t_purchase IS NOT NULL THEN 1 ELSE 0 END AS depth
         |FROM a LEFT JOIN b USING (user_id) LEFT JOIN c USING (user_id)
         |ORDER BY a.user_id""".stripMargin,
+    // q44: the mergeable-aggregate top-k must equal the window form
+    "q44_group_topk_agg" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |        ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |          ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |      FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
     // q43: digests are compared Spark-to-Spark inside the join, so the
     // oracle is the planted construction itself — the semantic truth,
     // immune to cross-engine double-rendering differences

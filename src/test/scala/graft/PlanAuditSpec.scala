@@ -164,6 +164,12 @@ class PlanAuditSpec extends AnyFunSuite {
       s"q37 expected exactly 1 window shuffle, got $hashExchanges:\n$p")
   }
 
+  test("q44 group top-k is aggregate-based — no Window node") {
+    val p = plan("q44_group_topk_agg")
+    assert(!p.contains("Window"), s"q44 reintroduced a window top-k:\n$p")
+    assert(p.contains("graft_top_k"), s"q44 lost its TopKAgg:\n$p")
+  }
+
   test("whole-stage codegen covers the scan-agg pipeline") {
     // AQE wraps everything in an unmaterialized AdaptiveSparkPlan (0
     // visible codegen subtrees pre-execution) — disable it for the
