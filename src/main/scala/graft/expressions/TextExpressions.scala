@@ -484,3 +484,41 @@ object ClassifyNumeric {
       new GenericInternalRow(Array[Any](STRING, null))
   }
 }
+
+/** Unicode text normalization for curation: NFC compose → NFD accent
+  * strip (combining marks removed) → ROOT lowercase → trim + whitespace
+  * collapse. The canonical pre-dedup/pre-tokenize cleanup ("Café" and
+  * "Café" must dedup together). Kernel is a static call inside
+  * codegen (one virtual call per row, no regex re-compilation — the
+  * patterns are per-JVM singletons). Mirrors DuckDB's
+  * `regexp_replace(trim(lower(strip_accents(nfc_normalize(x)))), ...)`
+  * byte for byte on decomposable accents. */
+object TextNormKernel {
+  private val marks = java.util.regex.Pattern.compile("\\p{M}+")
+  private val ws = java.util.regex.Pattern.compile("\\s+")
+
+  def normalize(s: String): String = {
+    import java.text.Normalizer
+    val nfc = Normalizer.normalize(s, Normalizer.Form.NFC)
+    val stripped = marks.matcher(
+      Normalizer.normalize(nfc, Normalizer.Form.NFD)).replaceAll("")
+    ws.matcher(stripped.toLowerCase(java.util.Locale.ROOT).trim)
+      .replaceAll(" ")
+  }
+
+  def normalizeU(s: UTF8String): UTF8String =
+    UTF8String.fromString(normalize(s.toString))
+}
+
+case class UnicodeNormalizeText(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_unicode_normalize"
+  override def nullSafeEval(v: Any): Any =
+    TextNormKernel.normalizeU(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.TextNormKernel.normalizeU($c)")
+  override protected def withNewChildInternal(
+      newChild: Expression): UnicodeNormalizeText =
+    copy(child = newChild)
+}

@@ -336,6 +336,26 @@ object LlmQueries {
     EmbedStats.dimCovariance(t(s, dir, "embeddings"), "embedding", dim = 64)
       .orderBy("dim_i", "dim_j")
 
+  // ---- L37: unicode normalization -------------------------------------------
+  /** The corpus has no accents; plant a decomposable-accent suffix per
+    * doc, then run the full cleanup (NFC → accent strip → lower →
+    * whitespace collapse — expressions.UnicodeNormalizeText) and emit
+    * the md5 of the result: "Café" and "Café" must normalize to
+    * the same bytes on both engines. Pure map pass. */
+  def x16UnicodeNormalize(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val planted = t(s, dir, "documents").select(col("doc_id"),
+      concat(col("text"),
+        lit("  CafÉ  ZÜrich   NIÑO façade à ö  ")).as("text"))
+    val norm = ColumnBridge.column(graft.expressions.UnicodeNormalizeText(
+      ColumnBridge.expression(col("text"))))
+    planted
+      .select(col("doc_id"), norm.as("nt"), length(col("text")).as("n_raw"))
+      .select(col("doc_id"), md5(col("nt")).as("norm_md5"),
+        col("n_raw"), length(col("nt")).as("n_norm"))
+      .orderBy("doc_id")
+  }
+
   // ---- L32: URL/domain census ----------------------------------------------
   /** The synthetic corpus has no URLs; plant two deterministic ones per
     * doc (the x6 pattern), then run the census: distinct domains per
@@ -508,6 +528,7 @@ object LlmQueries {
     "e1_embed_outliers" -> e1EmbedOutliers _,
     "e2_random_projection" -> e2RandomProjection _,
     "x15_url_domains" -> x15UrlDomains _,
+    "x16_unicode_normalize" -> x16UnicodeNormalize _,
     "d10_semantic_dedup" -> d10SemanticDedup _,
     "e3_kmeans" -> e3Kmeans _,
     "e4_covariance" -> e4Covariance _,
@@ -844,6 +865,21 @@ object LlmQueries {
     "s2_ann_lsh" -> s2OracleSql,
     "e2_random_projection" -> e2OracleSql,
     "e3_kmeans" -> e3OracleSql,
+    // x16: same pipeline via DuckDB's ICU functions — strip_accents
+    // removes exactly the combining marks the NFD pass removes for
+    // decomposable accents, so the normalized bytes (and their md5)
+    // agree
+    "x16_unicode_normalize" ->
+      """WITH p AS (SELECT doc_id,
+        |    text || '  CafÉ  ZÜrich   NIÑO façade à ö  ' AS text
+        |  FROM documents),
+        |n AS (SELECT doc_id, length(text) AS n_raw,
+        |    regexp_replace(trim(lower(strip_accents(nfc_normalize(text)))),
+        |      '\s+', ' ', 'g') AS nt
+        |  FROM p)
+        |SELECT doc_id, md5(nt) AS norm_md5, CAST(n_raw AS INT) AS n_raw,
+        |  CAST(length(nt) AS INT) AS n_norm
+        |FROM n ORDER BY doc_id""".stripMargin,
     // e4: covariance recomputed per pair via AVG; round-6 washes the
     // summation-order wobble on both sides (the e1 precedent)
     "e4_covariance" ->

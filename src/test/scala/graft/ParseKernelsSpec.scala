@@ -82,3 +82,16 @@ class ParseKernelsSpec extends AnyFunSuite {
     assert(ComplexKernel.reReStr == Casts.complexReRe)
   }
 }
+
+class UnicodeNormalizeSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("precomposed and decomposed accent forms normalize to the same bytes") {
+    import graft.expressions.TextNormKernel.normalize
+    val precomposed = "Caf\u00e9 Z\u00fcrich" // single code points
+    val decomposed = "Cafe\u0301 Zu\u0308rich" // combining marks
+    assert(precomposed != decomposed) // genuinely different byte forms
+    assert(normalize(precomposed) == "cafe zurich")
+    assert(normalize(decomposed) == "cafe zurich")
+    assert(normalize("  AÑO\t nuevo \n") == "ano nuevo") // case+ws collapse
+    assert(normalize("plain ascii") == "plain ascii")
+  }
+}
