@@ -657,6 +657,41 @@ object Relational {
       .orderBy("o_custkey", "rn")
   }
 
+  // ---- R45: CDC MERGE / upsert apply -------------------------------------
+  // Applies a CDC batch (update / delete / insert ops) to a snapshot —
+  // the MERGE INTO shape, q43's diff run in reverse. Scale posture: the
+  // snapshot (the 100 TB side) joins the batch with a LEFT join + a
+  // LEFT ANTI for inserts, both broadcastable when the batch is small —
+  // the snapshot itself never shuffles. (A full-outer formulation would
+  // force both sides to exchange; Spark can't broadcast full-outer.)
+  // The batch is derived deterministically from the snapshot keys so
+  // the oracle can replay the exact construction.
+  def q45MergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val snap = o.select(col("o_orderkey").as("k"),
+      col("o_totalprice").as("price"), col("o_orderpriority").as("priority"))
+    val ups = o.filter(col("o_orderkey") % 101 === 1)
+      .select(col("o_orderkey").as("k"),
+        (col("o_totalprice") + 1.0).as("b_price"),
+        col("o_orderpriority").as("b_priority"))
+    val dels = o.filter(col("o_orderkey") % 101 === 2)
+      .select(col("o_orderkey").as("k"))
+    val ins = o.filter(col("o_orderkey") % 101 === 3)
+      .select((col("o_orderkey") + 20000000L).as("k"),
+        col("o_totalprice").as("b_price"), lit("5-LOW").as("b_priority"))
+    val kept = snap
+      .join(broadcast(dels), Seq("k"), "left_anti")
+      .join(broadcast(ups), Seq("k"), "left")
+      .select(col("k"),
+        coalesce(col("b_price"), col("price")).as("price"),
+        coalesce(col("b_priority"), col("priority")).as("priority"),
+        when(col("b_price").isNotNull, "U").otherwise("K").as("action"))
+    val inserted = ins.join(snap, Seq("k"), "left_anti")
+      .select(col("k"), col("b_price").as("price"),
+        col("b_priority").as("priority"), lit("I").as("action"))
+    kept.union(inserted).orderBy("k")
+  }
+
   // ---- R36: bloom-pruned semi-join ---------------------------------------
   // Manual runtime filtering (operators.BloomPrune): a bloom over the
   // urgent orders' keys prunes lineitem BEFORE its shuffle; the exact
@@ -686,6 +721,7 @@ object Relational {
     "q42_cohort_retention" -> q42CohortRetention _,
     "q43_snapshot_diff" -> q43SnapshotDiff _,
     "q44_group_topk_agg" -> q44GroupTopkAgg _,
+    "q45_merge_upsert" -> q45MergeUpsert _,
     "q35_mean_pool" -> q35MeanPool _,
     "q34_json_extract" -> q34JsonExtract _,
     "q33_theta_overlap" -> q33ThetaOverlap _,
@@ -948,6 +984,26 @@ object Relational {
         |          ORDER BY o_totalprice DESC, o_orderkey) AS rn
         |      FROM orders) t
         |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    // q45: MERGE semantics replayed set-wise; price math is plain double
+    // arithmetic on identical parquet values in both engines
+    "q45_merge_upsert" ->
+      """WITH snap AS (SELECT o_orderkey AS k, o_totalprice AS price,
+        |    o_orderpriority AS priority FROM orders),
+        |ups AS (SELECT o_orderkey AS k, o_totalprice + 1.0 AS b_price,
+        |    o_orderpriority AS b_priority FROM orders WHERE o_orderkey % 101 = 1),
+        |dels AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 101 = 2),
+        |ins AS (SELECT o_orderkey + 20000000 AS k, o_totalprice AS b_price,
+        |    '5-LOW' AS b_priority FROM orders WHERE o_orderkey % 101 = 3)
+        |SELECT s.k, COALESCE(u.b_price, s.price) AS price,
+        |  COALESCE(u.b_priority, s.priority) AS priority,
+        |  CASE WHEN u.k IS NOT NULL THEN 'U' ELSE 'K' END AS action
+        |FROM snap s LEFT JOIN ups u ON s.k = u.k
+        |WHERE s.k NOT IN (SELECT k FROM dels)
+        |UNION ALL
+        |SELECT i.k, i.b_price AS price, i.b_priority AS priority,
+        |  'I' AS action
+        |FROM ins i WHERE i.k NOT IN (SELECT k FROM snap)
+        |ORDER BY k""".stripMargin,
     // q43: digests are compared Spark-to-Spark inside the join, so the
     // oracle is the planted construction itself — the semantic truth,
     // immune to cross-engine double-rendering differences

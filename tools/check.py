@@ -13,10 +13,15 @@ import pyarrow.parquet as pq
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 OUT = Path(sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify")
 RUN_SPARK = "--no-spark" not in sys.argv
+ONLY = None  # --only=q45_merge_upsert,q46_x : restrict spark run + compare
+for a in sys.argv:
+    if a.startswith("--only="):
+        ONLY = set(a.split("=", 1)[1].split(","))
 
 if RUN_SPARK:
+    sel = f' {",".join(sorted(ONLY))}' if ONLY else ''
     r = subprocess.run(
-        ["sbt", f'runMain graft.Verify {SF_DIR} {OUT}'],
+        ["sbt", f'runMain graft.Verify {SF_DIR} {OUT}{sel}'],
         capture_output=True, text=True, cwd="/root/repo",
         env={**__import__("os").environ, "SPARK_GRAFT_CPUS": "8"})
     if r.returncode != 0:
@@ -50,7 +55,7 @@ def canon(cols, rows):
 n_pass = n_fail = 0
 results = sorted(p for p in OUT.iterdir() if p.is_dir())
 names = {p.name for p in results}
-for name in sorted(set(oracle) | names):
+for name in sorted((set(oracle) | names) if ONLY is None else ONLY):
     if name not in names:
         print(f"FAIL {name}: no spark result written")
         n_fail += 1
