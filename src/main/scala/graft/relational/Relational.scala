@@ -692,6 +692,38 @@ object Relational {
     kept.union(inserted).orderBy("k")
   }
 
+  // ---- R46: time-series resample + forward fill ---------------------------
+  // pandas `series.resample('1D').last().ffill()` re-expressed: per-user
+  // daily grid over each user's own [first, last] purchase-day span,
+  // gaps carried forward from the last observed value. Scale posture:
+  // the last-per-bucket step is a mergeable max(struct(...)) aggregate
+  // (one shuffle, map-side partials — NOT a per-bucket window); the grid
+  // explodes O(output) rows; the fill is the canonical per-key window
+  // (the one unavoidable per-user sort). Reference surface:
+  // pandas resample/ffill ≈ bertrand's datetime unit handling
+  // (util/time/unit.pyx) applied column-wise.
+  def q46ResampleFfill(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("es"), col("value"))
+      .withColumn("ds", expr("es div 86400"))
+    // argmax by (es, event_id) via lexicographic struct max: value rides
+    // along and is never compared (event_id is unique).
+    val lastPerDay = e.groupBy("user_id", "ds")
+      .agg(max(struct(col("es"), col("event_id"), col("value"))).as("m"))
+      .select(col("user_id"), col("ds"), col("m.value").as("v_obs"))
+    val grid = e.groupBy("user_id")
+      .agg(min("ds").as("d0"), max("ds").as("d1"))
+      .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("ds"))
+    val w = Window.partitionBy("user_id").orderBy("ds")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(lastPerDay, Seq("user_id", "ds"), "left")
+      .select(col("user_id"), col("ds"),
+        last(col("v_obs"), ignoreNulls = true).over(w).as("value"),
+        col("v_obs").isNotNull.as("observed"))
+      .orderBy("user_id", "ds")
+  }
+
   // ---- R36: bloom-pruned semi-join ---------------------------------------
   // Manual runtime filtering (operators.BloomPrune): a bloom over the
   // urgent orders' keys prunes lineitem BEFORE its shuffle; the exact
@@ -722,6 +754,7 @@ object Relational {
     "q43_snapshot_diff" -> q43SnapshotDiff _,
     "q44_group_topk_agg" -> q44GroupTopkAgg _,
     "q45_merge_upsert" -> q45MergeUpsert _,
+    "q46_resample_ffill" -> q46ResampleFfill _,
     "q35_mean_pool" -> q35MeanPool _,
     "q34_json_extract" -> q34JsonExtract _,
     "q33_theta_overlap" -> q33ThetaOverlap _,
@@ -984,6 +1017,28 @@ object Relational {
         |          ORDER BY o_totalprice DESC, o_orderkey) AS rn
         |      FROM orders) t
         |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    // q46: same resample/ffill replayed with generate_series + IGNORE
+    // NULLS; values are copied (never summed) so plain doubles are exact
+    "q46_resample_ffill" ->
+      """WITH e AS (SELECT user_id, event_id, value,
+        |    CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) // 86400 AS ds,
+        |    CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS es
+        |  FROM events WHERE event_type = 'purchase'),
+        |lastv AS (SELECT user_id, ds, value AS v_obs FROM (
+        |    SELECT user_id, ds, value,
+        |      ROW_NUMBER() OVER (PARTITION BY user_id, ds
+        |        ORDER BY es DESC, event_id DESC) AS rn
+        |    FROM e) t WHERE rn = 1),
+        |grid AS (SELECT user_id, unnest(generate_series(d0, d1)) AS ds
+        |  FROM (SELECT user_id, MIN(ds) AS d0, MAX(ds) AS d1
+        |        FROM e GROUP BY user_id) s),
+        |j AS (SELECT g.user_id, g.ds, l.v_obs
+        |  FROM grid g LEFT JOIN lastv l ON g.user_id = l.user_id AND g.ds = l.ds)
+        |SELECT user_id, ds,
+        |  LAST_VALUE(v_obs IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ds
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+        |  v_obs IS NOT NULL AS observed
+        |FROM j ORDER BY user_id, ds""".stripMargin,
     // q45: MERGE semantics replayed set-wise; price math is plain double
     // arithmetic on identical parquet values in both engines
     "q45_merge_upsert" ->
