@@ -505,7 +505,43 @@ object TypeQueries {
       .orderBy("o_orderkey")
   }
 
+  // ---- T30: linear interpolation of missing values ------------------------
+  /** pandas `Series.interpolate(method='index')` re-expressed per
+    * group: interior nulls get the linear blend of the nearest non-null
+    * neighbors (x = o_orderkey, the index); leading/trailing nulls stay
+    * null (strict interpolation — the fill variants are t14's surface).
+    * Reference: NA semantics in types/missing.py; positional fill in
+    * convert/base.py. Scale posture: two frame-bounded IGNORE NULLS
+    * windows per key partition — one shuffle on the group key, no
+    * self-joins; the blend itself is pure codegen'd arithmetic. */
+  def t30Interpolate(s: SparkSession, dir: String): DataFrame = {
+    val src = t(s, dir, "orders").select(
+      col("o_custkey").as("g"),
+      col("o_orderkey").as("x"),
+      when(col("o_orderkey") % 5 < 2, lit(null).cast(DoubleType))
+        .otherwise(col("o_totalprice")).as("v"))
+    val wPrev = Window.partitionBy("g").orderBy("x")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy("g").orderBy("x")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val xOrNull = when(col("v").isNotNull, col("x"))
+    src
+      .withColumn("y0", last(col("v"), ignoreNulls = true).over(wPrev))
+      .withColumn("x0", last(xOrNull, ignoreNulls = true).over(wPrev))
+      .withColumn("y1", first(col("v"), ignoreNulls = true).over(wNext))
+      .withColumn("x1", first(xOrNull, ignoreNulls = true).over(wNext))
+      .select(col("g"), col("x"),
+        when(col("v").isNotNull, col("v"))
+          .when(col("y0").isNull || col("y1").isNull, lit(null).cast(DoubleType))
+          .otherwise(col("y0") +
+            (col("y1") - col("y0")) * (col("x") - col("x0")) / (col("x1") - col("x0")))
+          .as("v_interp"),
+        col("v").isNull.as("was_null"))
+      .orderBy("g", "x")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t30_interpolate" -> t30Interpolate _,
     "t29_cast_ignore" -> t29CastIgnore _,
     "t28_ingest_infer" -> t28IngestInfer _,
     "t27_profile" -> t27Profile _,
@@ -646,6 +682,31 @@ object TypeQueries {
       """SELECT o_orderkey AS k, o_totalprice AS price,
         |  o_orderdate AS ts, o_orderpriority AS prio
         |FROM orders ORDER BY k""".stripMargin,
+    // t30: identical IEEE op order on identical parquet doubles →
+    // bit-exact blend; leading/trailing nulls stay null on both sides
+    "t30_interpolate" ->
+      """WITH src AS (SELECT o_custkey AS g, o_orderkey AS x,
+        |    CASE WHEN o_orderkey % 5 < 2 THEN NULL
+        |         ELSE o_totalprice END AS v
+        |  FROM orders),
+        |n AS (SELECT g, x, v,
+        |    LAST_VALUE(v IGNORE NULLS) OVER wp AS y0,
+        |    LAST_VALUE(CASE WHEN v IS NOT NULL THEN x END IGNORE NULLS)
+        |      OVER wp AS x0,
+        |    FIRST_VALUE(v IGNORE NULLS) OVER wn AS y1,
+        |    FIRST_VALUE(CASE WHEN v IS NOT NULL THEN x END IGNORE NULLS)
+        |      OVER wn AS x1
+        |  FROM src
+        |  WINDOW wp AS (PARTITION BY g ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    wn AS (PARTITION BY g ORDER BY x
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT g, x,
+        |  CASE WHEN v IS NOT NULL THEN v
+        |       WHEN y0 IS NULL OR y1 IS NULL THEN NULL
+        |       ELSE y0 + (y1 - y0) * (x - x0) / (x1 - x0) END AS v_interp,
+        |  v IS NULL AS was_null
+        |FROM n ORDER BY g, x""".stripMargin,
     // t29: good column casts (identity on the key), bad column stays
     // the original strings — whole-column ignore semantics
     "t29_cast_ignore" ->
