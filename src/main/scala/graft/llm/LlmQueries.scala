@@ -186,6 +186,32 @@ object LlmQueries {
         md5(col("chunk")).as("chunk_md5"))
       .orderBy("doc_id", "chunk_id")
 
+  // ---- L38: C4-style corpus line-level dedup ------------------------------
+  /** Line-level exact dedup across the corpus (C4's "all but one of any
+    * repeated span", Raffel et al. 2020): the synthetic docs are
+    * single-line, so "lines" are 10-word segments (the operator is
+    * segmentation-agnostic — real corpora pass split(text, '\n')).
+    * Planted full-copy docs (ids +10^6) prove the zero-kept edge: a doc
+    * whose every line is owned elsewhere keeps nothing. Output: per-doc
+    * survival stats + md5 of the reconstructed (kept-lines) text. */
+  def x17LineDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = withCopies(t(s, dir, "documents"), perturb = false)
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("lines", expr(
+        "transform(sequence(0, cast(ceil(size(words)/10.0) as int) - 1), " +
+          "i -> array_join(slice(words, i*10+1, 10), ' '))"))
+    Dedup.dedupLines(docs, "doc_id", "lines")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("keep").cast("long")).as("n_kept"),
+        md5(concat_ws("\n",
+          transform(
+            array_sort(collect_list(when(col("keep"),
+              struct(col("line_no"), col("line"))))),
+            x => x.getField("line")))).as("kept_md5"))
+      .orderBy("doc_id")
+  }
+
   // ---- L16: PII redaction --------------------------------------------------
   def x6Redact(s: SparkSession, dir: String): DataFrame = {
     // the synthetic corpus has no PII; plant deterministic addresses and
@@ -529,6 +555,7 @@ object LlmQueries {
     "e2_random_projection" -> e2RandomProjection _,
     "x15_url_domains" -> x15UrlDomains _,
     "x16_unicode_normalize" -> x16UnicodeNormalize _,
+    "x17_line_dedup" -> x17LineDedup _,
     "d10_semantic_dedup" -> d10SemanticDedup _,
     "e3_kmeans" -> e3Kmeans _,
     "e4_covariance" -> e4Covariance _,
@@ -865,6 +892,30 @@ object LlmQueries {
     "s2_ann_lsh" -> s2OracleSql,
     "e2_random_projection" -> e2OracleSql,
     "e3_kmeans" -> e3OracleSql,
+    // x17: same segmentation + first-occurrence ownership replayed with
+    // a window; md5 of identical reconstructed bytes agrees
+    "x17_line_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents),
+        |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus),
+        |seg0 AS (SELECT doc_id, ws,
+        |    unnest(generate_series(0, CAST(CEIL(len(ws)/10.0) AS INT) - 1))
+        |      AS line_no
+        |  FROM w),
+        |seg AS (SELECT doc_id, line_no,
+        |    array_to_string(ws[(line_no*10+1):(line_no*10+10)], ' ') AS line
+        |  FROM seg0),
+        |rk AS (SELECT doc_id, line_no, line,
+        |    ROW_NUMBER() OVER (PARTITION BY md5(line)
+        |      ORDER BY doc_id, line_no) AS rn
+        |  FROM seg)
+        |SELECT doc_id, COUNT(*) AS n_lines,
+        |  COUNT(CASE WHEN rn = 1 THEN 1 END) AS n_kept,
+        |  md5(COALESCE(string_agg(CASE WHEN rn = 1 THEN line END, chr(10)
+        |    ORDER BY line_no), '')) AS kept_md5
+        |FROM rk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // x16: same pipeline via DuckDB's ICU functions — strip_accents
     // removes exactly the combining marks the NFD pass removes for
     // decomposable accents, so the normalized bytes (and their md5)

@@ -696,6 +696,32 @@ object Dedup {
           .as("shared_frac"))
   }
 
+  /** C4-style corpus-level exact line dedup (Raffel et al. 2020 dedup
+    * "all but one of any three-sentence span"; here the caller chooses
+    * the line/span segmentation): every distinct line survives only at
+    * its FIRST occurrence — min (id, lineNo) across the whole corpus.
+    *
+    * Input: one row per doc with `linesCol: array<string>`. Output: one
+    * row per (id, line_no, line) with a `keep` verdict.
+    *
+    * Scale shape: ownership is a groupBy on the line's md5 — only
+    * (hash, id, line_no) triples shuffle, with map-side min partials;
+    * the text itself moves once, in the hash-keyed equi-join that
+    * fetches each line's owner (corpus-sized on both sides → plain
+    * shuffle join, AQE-skew-splittable; never a broadcast). */
+  def dedupLines(df: DataFrame, idCol: String, linesCol: String): DataFrame = {
+    val ex = df.select(col(idCol),
+      posexplode(col(linesCol)).as(Seq("line_no", "line")))
+    val hashed = ex.withColumn("lh", md5(col("line")))
+    val owners = hashed
+      .groupBy("lh")
+      .agg(min(struct(col(idCol), col("line_no"))).as("owner"))
+    hashed.join(owners, Seq("lh"))
+      .select(col(idCol), col("line_no"), col("line"),
+        (col(idCol) === col(s"owner.$idCol") &&
+          col("line_no") === col("owner.line_no")).as("keep"))
+  }
+
   def decontaminate(corpus: DataFrame, evalDocs: DataFrame,
       idCol: String, textCol: String, w: Int = 13): DataFrame = {
     val evalGrams = evalDocs
