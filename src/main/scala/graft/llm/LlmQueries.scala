@@ -212,6 +212,33 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  // ---- L39: Gopher quality rule set ---------------------------------------
+  /** The full Gopher repetition-free quality filter (Rae et al. 2021
+    * §A1.1) over a deterministically multi-lined corpus: docs are
+    * re-lined into 10-word lines, and planted mutations give every rule
+    * something to catch (docs %17 → bulleted lines, %19 →
+    * ellipsis-terminated lines, %11 → a '#' symbol burst; short docs
+    * fail the word-count rule naturally). One map pass, no shuffle. */
+  def x18GopherRules(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("segs", expr(
+        "transform(sequence(0, cast(ceil(size(words)/10.0) as int) - 1), " +
+          "i -> array_join(slice(words, i*10+1, 10), ' '))"))
+      .withColumn("segs", when(col("doc_id") % 17 === 0,
+        expr("transform(segs, l -> concat('- ', l))")).otherwise(col("segs")))
+      .withColumn("segs", when(col("doc_id") % 19 === 0,
+        expr("transform(segs, l -> concat(l, '...'))")).otherwise(col("segs")))
+      .withColumn("mtext", concat_ws("\n", col("segs")))
+      .withColumn("mtext", when(col("doc_id") % 11 === 0,
+        concat(col("mtext"), lit(" # # # # # # # # # # # # # # #")))
+        .otherwise(col("mtext")))
+      .withColumn("aw", split(col("mtext"), "\\s+"))
+      .withColumn("lines", split(col("mtext"), "\n"))
+      .select(Seq(col("doc_id")) ++
+        TextAnalysis.gopherColumns(col("mtext"), col("aw"), col("lines")): _*)
+      .orderBy("doc_id")
+
   // ---- L16: PII redaction --------------------------------------------------
   def x6Redact(s: SparkSession, dir: String): DataFrame = {
     // the synthetic corpus has no PII; plant deterministic addresses and
@@ -556,6 +583,7 @@ object LlmQueries {
     "x15_url_domains" -> x15UrlDomains _,
     "x16_unicode_normalize" -> x16UnicodeNormalize _,
     "x17_line_dedup" -> x17LineDedup _,
+    "x18_gopher_rules" -> x18GopherRules _,
     "d10_semantic_dedup" -> d10SemanticDedup _,
     "e3_kmeans" -> e3Kmeans _,
     "e4_covariance" -> e4Covariance _,
@@ -892,6 +920,59 @@ object LlmQueries {
     "s2_ann_lsh" -> s2OracleSql,
     "e2_random_projection" -> e2OracleSql,
     "e3_kmeans" -> e3OracleSql,
+    // x18: the same planted construction + rule formulas; every ratio is
+    // one division of exact integer counts, so doubles agree bit-exact
+    "x18_gopher_rules" ->
+      """WITH w0 AS (SELECT doc_id, string_split(text, ' ') AS ws0
+        |  FROM documents),
+        |s0 AS (SELECT doc_id,
+        |    list_transform(generate_series(0, CAST(CEIL(len(ws0)/10.0) AS INT) - 1),
+        |      i -> array_to_string(ws0[(i*10+1):(i*10+10)], ' ')) AS segs
+        |  FROM w0),
+        |s1 AS (SELECT doc_id, CASE WHEN doc_id % 17 = 0
+        |      THEN list_transform(segs, l -> '- ' || l) ELSE segs END AS segs
+        |  FROM s0),
+        |s2 AS (SELECT doc_id, CASE WHEN doc_id % 19 = 0
+        |      THEN list_transform(segs, l -> l || '...') ELSE segs END AS segs
+        |  FROM s1),
+        |m AS (SELECT doc_id, array_to_string(segs, chr(10)) ||
+        |      CASE WHEN doc_id % 11 = 0
+        |        THEN ' # # # # # # # # # # # # # # #' ELSE '' END AS mtext
+        |  FROM s2),
+        |st AS (SELECT doc_id, mtext,
+        |    string_split_regex(mtext, '\s+') AS aw,
+        |    string_split(mtext, chr(10)) AS lines
+        |  FROM m),
+        |sig AS (SELECT doc_id,
+        |    CAST(len(aw) AS BIGINT) AS n_words,
+        |    CAST(list_sum(list_transform(aw, w -> length(w))) AS DOUBLE)
+        |      / CAST(len(aw) AS DOUBLE) AS mean_word_len,
+        |    (CAST(length(mtext) - length(replace(mtext, '#', '')) AS DOUBLE)
+        |      + (length(mtext) - length(replace(mtext, '...', ''))) / 3)
+        |      / CAST(len(aw) AS DOUBLE) AS symbol_ratio,
+        |    CAST(len(list_filter(lines, l -> l LIKE '- %')) AS DOUBLE)
+        |      / CAST(len(lines) AS DOUBLE) AS frac_bullet_lines,
+        |    CAST(len(list_filter(lines, l -> l LIKE '%...')) AS DOUBLE)
+        |      / CAST(len(lines) AS DOUBLE) AS frac_ellipsis_lines,
+        |    CAST(len(list_filter(aw, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+        |      / CAST(len(aw) AS DOUBLE) AS frac_alpha_words,
+        |    CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+        |      sw -> list_contains(aw, sw))) AS BIGINT) AS n_stop
+        |  FROM st)
+        |SELECT doc_id, n_words, mean_word_len, symbol_ratio,
+        |  frac_bullet_lines, frac_ellipsis_lines, frac_alpha_words, n_stop,
+        |  n_words BETWEEN 50 AND 100000 AS r_word_count,
+        |  mean_word_len BETWEEN 3.0 AND 10.0 AS r_mean_word_len,
+        |  symbol_ratio <= 0.1 AS r_symbol,
+        |  frac_bullet_lines <= 0.9 AS r_bullet,
+        |  frac_ellipsis_lines <= 0.3 AS r_ellipsis,
+        |  frac_alpha_words >= 0.8 AS r_alpha,
+        |  n_stop >= 2 AS r_stop,
+        |  (n_words BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
+        |    AND symbol_ratio <= 0.1 AND frac_bullet_lines <= 0.9
+        |    AND frac_ellipsis_lines <= 0.3 AND frac_alpha_words >= 0.8
+        |    AND n_stop >= 2 AS keep
+        |FROM sig ORDER BY doc_id""".stripMargin,
     // x17: same segmentation + first-occurrence ownership replayed with
     // a window; md5 of identical reconstructed bytes agrees
     "x17_line_dedup" ->

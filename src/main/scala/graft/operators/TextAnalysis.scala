@@ -75,6 +75,52 @@ object TextAnalysis {
       meanWord.as("mean_word_len"), score.as("quality_score"))
   }
 
+  /** The eight Gopher stop words (Rae et al. 2021 §A1.1): a document
+    * must contain at least two to pass the stop-word rule. */
+  val gopherStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Full Gopher quality-filter rule set (Rae et al. 2021 §A1.1),
+    * one shuffle-free map pass: word-count bounds, mean word length,
+    * symbol-to-word ratio (# and ...), bullet-/ellipsis-line
+    * fractions, alpha-word fraction, stop-word presence — each as a
+    * signal column + boolean rule verdict, plus the conjunction.
+    * `aw` = whitespace tokens of `mtext`, `lines` = its lines (staged
+    * by the caller so interpreted HOF lambdas never re-evaluate the
+    * splits per element). All ratios are single divisions of exact
+    * integer counts — bit-reproducible cross-engine. */
+  def gopherColumns(mtext: Column, aw: Column, lines: Column): Seq[Column] = {
+    val nW = size(aw).cast("long")
+    val nWd = size(aw).cast("double")
+    val meanWL = aggregate(transform(aw, w => length(w)), lit(0),
+      (a, x) => a + x).cast("double") / nWd
+    val nHash = (length(mtext) - length(regexp_replace(mtext, "#", "")))
+      .cast("double")
+    val nEll = (length(mtext) - length(regexp_replace(mtext, "\\.\\.\\.", ""))) / 3
+    val symRatio = (nHash + nEll) / nWd
+    val nLines = size(lines).cast("double")
+    val fBullet = size(filter(lines, l => l.like("- %"))).cast("double") / nLines
+    val fEll = size(filter(lines, l => l.like("%..."))).cast("double") / nLines
+    val fAlpha = size(filter(aw, w => w.rlike("[A-Za-z]"))).cast("double") / nWd
+    val nStop = size(filter(array(gopherStops.map(lit(_)): _*),
+      sw => array_contains(aw, sw))).cast("long")
+    val rWc = nW.between(50L, 100000L)
+    val rMwl = meanWL.between(3.0, 10.0)
+    val rSym = symRatio <= 0.1
+    val rBullet = fBullet <= 0.9
+    val rEll = fEll <= 0.3
+    val rAlpha = fAlpha >= 0.8
+    val rStop = nStop >= 2L
+    Seq(nW.as("n_words"), meanWL.as("mean_word_len"),
+      symRatio.as("symbol_ratio"), fBullet.as("frac_bullet_lines"),
+      fEll.as("frac_ellipsis_lines"), fAlpha.as("frac_alpha_words"),
+      nStop.as("n_stop"),
+      rWc.as("r_word_count"), rMwl.as("r_mean_word_len"),
+      rSym.as("r_symbol"), rBullet.as("r_bullet"), rEll.as("r_ellipsis"),
+      rAlpha.as("r_alpha"), rStop.as("r_stop"),
+      (rWc && rMwl && rSym && rBullet && rEll && rAlpha && rStop).as("keep"))
+  }
+
   /** Whitespace token count. */
   def wsTokenCount(text: Column): Column = size(split(trim(text), "\\s+"))
 
