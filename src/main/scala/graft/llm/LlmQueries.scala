@@ -389,6 +389,20 @@ object LlmQueries {
     EmbedStats.dimCovariance(t(s, dir, "embeddings"), "embedding", dim = 64)
       .orderBy("dim_i", "dim_j")
 
+  // ---- L40: PCA projection (power iteration + deflation) -------------------
+  /** Top-2 principal-component projection of the embedding corpus (the
+    * whitening/compression pass e4's covariance motivates). The fit is
+    * [[EmbedStats.pcaPowerProject]]: exact integer-grid covariance (one
+    * wide aggregation), driver-side power iteration (model state), a
+    * broadcast literal-vector dot per row. The oracle replays the
+    * IDENTICAL IEEE sequence — exact sums, the same 30+30 iterations as
+    * generated CTEs over list_inner_product — so p1/p2/λ1/λ2 all
+    * hash-match bit-exact. */
+  def e5PcaProject(s: SparkSession, dir: String): DataFrame =
+    EmbedStats.pcaPowerProject(t(s, dir, "embeddings"),
+        Seq("vec_id", "label"), "embedding")
+      .orderBy("vec_id")
+
   // ---- L37: unicode normalization -------------------------------------------
   /** The corpus has no accents; plant a decomposable-accent suffix per
     * doc, then run the full cleanup (NFC → accent strip → lower →
@@ -584,6 +598,7 @@ object LlmQueries {
     "x16_unicode_normalize" -> x16UnicodeNormalize _,
     "x17_line_dedup" -> x17LineDedup _,
     "x18_gopher_rules" -> x18GopherRules _,
+    "e5_pca_project" -> e5PcaProject _,
     "d10_semantic_dedup" -> d10SemanticDedup _,
     "e3_kmeans" -> e3Kmeans _,
     "e4_covariance" -> e4Covariance _,
@@ -818,6 +833,64 @@ object LlmQueries {
   /** e2 oracle: the 8 seeded planes embedded as literal arrays
     * (Double.toString round-trips), each output dim one
     * list_inner_product — bit-identical to ArrayDotProduct. */
+  /** e5 oracle: full replay. Exact HUGEINT moment sums on the 1e-6
+    * grid → identical covariance doubles; then the same fixed-order
+    * power iteration (list_inner_product ≡ the strict left-to-right
+    * driver loops), 30 iterations per component, one deflation. */
+  private def e5OracleSql: String = {
+    val d = 16; val iters = 30
+    val prs = for { i <- 0 until d; j <- i until d } yield (i, j)
+    val qdefs = (0 until d).map(i =>
+      s"CAST(FLOOR(CAST(embedding[${i + 1}] AS DOUBLE) * 1000000.0) AS BIGINT) AS q$i")
+    val sums = (0 until d).map(i => s"CAST(SUM(q$i) AS DOUBLE) AS sq$i") ++
+      prs.map { case (i, j) => s"CAST(SUM(q$i * q$j) AS DOUBLE) AS sqq_${i}_$j" }
+    def cexpr(i: Int, j: Int) = {
+      val (a, b) = (math.min(i, j), math.max(i, j))
+      s"(sqq_${a}_$b - sq$i * sq$j / nd) / nd"
+    }
+    val rowdefs = (0 until d).map(i =>
+      s"[${(0 until d).map(j => cexpr(i, j)).mkString(", ")}] AS r$i")
+    def chain(pfx: String, mat: String, rn: Int => String): String =
+      (1 to iters).map { k =>
+        val prev = if (k == 1) s"${pfx}0" else s"$pfx${k - 1}"
+        s"${pfx}w$k AS (SELECT [${(0 until d)
+          .map(i => s"list_inner_product($mat.${rn(i)}, p.v)")
+          .mkString(", ")}] AS w FROM $mat, $prev p),\n" +
+          s"$pfx$k AS (SELECT list_transform(w, x -> x / sqrt(list_inner_product(w, w))) AS v FROM ${pfx}w$k)"
+      }.mkString(",\n")
+    val v0 = "[" + Seq.fill(d)("0.25").mkString(", ") + "]::DOUBLE[]"
+    val defl = (0 until d).map(i =>
+      s"[${(0 until d).map(j =>
+        s"cv.r$i[${j + 1}] - l1.lam1 * l1.v1[${i + 1}] * l1.v1[${j + 1}]")
+        .mkString(", ")}] AS s$i")
+    s"""WITH ve AS (SELECT vec_id, label,
+       |    list_transform(embedding[1:$d], x -> CAST(x AS DOUBLE)) AS xv,
+       |    ${qdefs.mkString(",\n    ")}
+       |  FROM embeddings),
+       |mo AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd,
+       |    ${sums.mkString(",\n    ")}
+       |  FROM ve),
+       |cv AS (SELECT ${rowdefs.mkString(",\n    ")} FROM mo),
+       |a0 AS (SELECT $v0 AS v),
+       |${chain("a", "cv", i => s"r$i")},
+       |l1a AS (SELECT p.v AS v,
+       |    [${(0 until d).map(i => s"list_inner_product(cv.r$i, p.v)").mkString(", ")}] AS cvv
+       |  FROM cv, a$iters p),
+       |l1 AS (SELECT v AS v1, list_inner_product(v, cvv) AS lam1 FROM l1a),
+       |cv2 AS (SELECT ${defl.mkString(",\n    ")} FROM cv, l1),
+       |b0 AS (SELECT $v0 AS v),
+       |${chain("b", "cv2", i => s"s$i")},
+       |l2a AS (SELECT p.v AS v,
+       |    [${(0 until d).map(i => s"list_inner_product(cv2.s$i, p.v)").mkString(", ")}] AS cvv
+       |  FROM cv2, b$iters p),
+       |l2 AS (SELECT v AS v2, list_inner_product(v, cvv) AS lam2 FROM l2a)
+       |SELECT e.vec_id, e.label,
+       |  list_inner_product(e.xv, l1.v1) AS p1,
+       |  list_inner_product(e.xv, l2.v2) AS p2,
+       |  l1.lam1 AS lam1, l2.lam2 AS lam2
+       |FROM ve e, l1, l2 ORDER BY e.vec_id""".stripMargin
+  }
+
   private def e2OracleSql: String = {
     val planes = graft.operators.VectorOps.hyperplanes(8, 64, seed = 7L)
     val scale = math.sqrt(64.0)
@@ -920,6 +993,7 @@ object LlmQueries {
     "s2_ann_lsh" -> s2OracleSql,
     "e2_random_projection" -> e2OracleSql,
     "e3_kmeans" -> e3OracleSql,
+    "e5_pca_project" -> e5OracleSql,
     // x18: the same planted construction + rule formulas; every ratio is
     // one division of exact integer counts, so doubles agree bit-exact
     "x18_gopher_rules" ->

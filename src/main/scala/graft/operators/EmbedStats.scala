@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Embedding-corpus quality analytics: the vector-side counterpart of
   * the text quality signals (x1–x8) — flag vectors that don't belong to
@@ -40,6 +41,77 @@ object EmbedStats {
               (col("nv") * col("nc"))), 6)
           .as("cos_centroid"))
       .withColumn("is_outlier", col("cos_centroid") < threshold)
+  }
+
+  /** PCA projection onto the top-2 principal components, fit by power
+    * iteration with one deflation step — the classic whitening /
+    * dimensionality-reduction pass a training pipeline runs after [[
+    * dimCovariance]] says dimensions are redundant.
+    *
+    * Bit-reproducibility (the whole design): the covariance is computed
+    * on a 1e-6 integer grid — q = floor(x·10⁶) — whose sums are EXACT
+    * decimals, so both engines see the identical covariance doubles (at
+    * these corpus sizes the sums are < 2⁵³ and the double cast is even
+    * rounding-free); the power iteration then runs the identical IEEE
+    * sequence on both sides (strict left-to-right inner products — the
+    * [[VectorOps.selfDot]] / list_inner_product contract — fixed 0.25
+    * start, fixed iteration count).
+    *
+    * Scale shape: ONE wide aggregation pass (dim + dim(dim+1)/2 exact
+    * decimal sums with map-side partials) collects a single moment row
+    * — the only driver-side state is the dim×dim matrix (model state,
+    * the k-means-centroids precedent); the projection is a broadcast
+    * literal-vector dot, a pure map pass. `dim` defaults to 16 (the
+    * leading block) to keep the oracle replay tractable; the plan shape
+    * is dim-independent. */
+  def pcaPowerProject(df: DataFrame, idCols: Seq[String], vecCol: String,
+      dim: Int = 16, iters: Int = 30): DataFrame = {
+    val xs = (0 until dim).map(i => element_at(col(vecCol), i + 1).cast("double"))
+    val qdf = df.select((0 until dim).map(i =>
+      floor(xs(i) * 1000000.0).as(s"q$i")): _*)
+    val aggCols: Seq[Column] =
+      count(lit(1)).as("n") +:
+        ((0 until dim).map(i =>
+          sum(col(s"q$i").cast(DecimalType(28, 0))).cast("double").as(s"sq$i")) ++
+          (for { i <- 0 until dim; j <- i until dim } yield
+            sum((col(s"q$i") * col(s"q$j")).cast(DecimalType(38, 0)))
+              .cast("double").as(s"sqq_${i}_$j")))
+    val r = qdf.agg(aggCols.head, aggCols.tail: _*).collect()(0)
+    val n = r.getLong(0).toDouble
+    val sq = Array.tabulate(dim)(i => r.getDouble(1 + i))
+    val idx = (for { i <- 0 until dim; j <- i until dim } yield (i, j))
+      .zipWithIndex.toMap
+    def sqq(i: Int, j: Int): Double =
+      r.getDouble(1 + dim + idx((math.min(i, j), math.max(i, j))))
+    val c = Array.tabulate(dim, dim)((i, j) =>
+      (sqq(i, j) - sq(i) * sq(j) / n) / n)
+    def dotl(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var k = 0
+      while (k < dim) { s += a(k) * b(k); k += 1 }
+      s
+    }
+    def matvec(m: Array[Array[Double]], v: Array[Double]): Array[Double] =
+      m.map(row => dotl(row, v))
+    def topEig(m: Array[Array[Double]]): (Array[Double], Double) = {
+      var v = Array.fill(dim)(0.25)
+      var it = 0
+      while (it < iters) {
+        val w = matvec(m, v)
+        val nm = math.sqrt(dotl(w, w))
+        v = w.map(_ / nm)
+        it += 1
+      }
+      (v, dotl(v, matvec(m, v)))
+    }
+    val (v1, lam1) = topEig(c)
+    val c2 = Array.tabulate(dim, dim)((i, j) =>
+      c(i)(j) - lam1 * v1(i) * v1(j))
+    val (v2, lam2) = topEig(c2)
+    val xv = array(xs: _*)
+    df.select(idCols.map(col) ++ Seq(
+      VectorOps.dot(xv, array(v1.map(lit(_)): _*)).as("p1"),
+      VectorOps.dot(xv, array(v2.map(lit(_)): _*)).as("p2"),
+      lit(lam1).as("lam1"), lit(lam2).as("lam2")): _*)
   }
 
   /** Dimension-covariance matrix of an embedding corpus (whitening /

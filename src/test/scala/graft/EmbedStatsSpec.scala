@@ -30,4 +30,37 @@ class EmbedStatsSpec extends AnyFunSuite {
     assert(cov((3, 3)) == 0.0)  // constant dim: zero variance
     assert(cov((0, 3)) == 0.0 && cov((1, 3)) == 0.0 && cov((2, 3)) == 0.0)
   }
+
+  test("pcaPowerProject recovers a planted dominant direction") {
+    // dim0 carries a large-variance signal t; dim1 = t/2 (same
+    // direction); dims 2..15 carry a tiny ±0.001 dither. The top PC
+    // must align with (2,1)/√5 in the (dim0,dim1) plane → p1 strongly
+    // correlated with t; λ1 ≫ λ2.
+    val rows = (0 until 300).map { r =>
+      val t = (r % 100 - 50) / 100.0f // in [-0.5, 0.5), var ≈ 0.083
+      val dither = (d: Int) => if ((r + d) % 2 == 0) 0.001f else -0.001f
+      (r.toLong, s"g${r % 3}",
+        Array(2.0f * t, t) ++ Array.tabulate(14)(d => dither(d)))
+    }
+    val out = EmbedStats.pcaPowerProject(
+        rows.toDF("vec_id", "label", "embedding"),
+        Seq("vec_id"), "embedding")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(3)))
+    val lam1 = out.head._3
+    // correlation of p1 with the planted t
+    val ts = out.map { case (id, _, _) => (id % 100 - 50) / 100.0 }
+    val ps = out.map(_._2)
+    def corr(a: Array[Double], b: Array[Double]): Double = {
+      val n = a.length.toDouble
+      val (ma, mb) = (a.sum / n, b.sum / n)
+      val cov = a.zip(b).map { case (x, y) => (x - ma) * (y - mb) }.sum / n
+      cov / math.sqrt(a.map(x => (x - ma) * (x - ma)).sum / n *
+        (b.map(y => (y - mb) * (y - mb)).sum / n))
+    }
+    assert(math.abs(corr(ps, ts)) > 0.999)
+    val lam2 = EmbedStats.pcaPowerProject(
+        rows.toDF("vec_id", "label", "embedding"), Seq("vec_id"), "embedding")
+      .head().getDouble(4)
+    assert(lam1 > 0.05 && lam1 > 100 * math.abs(lam2))
+  }
 }
