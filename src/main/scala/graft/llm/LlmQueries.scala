@@ -239,6 +239,18 @@ object LlmQueries {
         TextAnalysis.gopherColumns(col("mtext"), col("aw"), col("lines")): _*)
       .orderBy("doc_id")
 
+  // ---- L41: DSIR importance weights ---------------------------------------
+  /** DSIR data selection (Xie et al. 2023) with the English slice as
+    * the target distribution: hashed unigram+bigram models (256 md5
+    * buckets, Laplace-smoothed) for target vs raw, per-doc
+    * log-importance weight, `selected` = target-leaning. The en docs
+    * themselves score high and zh/de/fr/es score low — a real verdict
+    * on this corpus, not a planted one. */
+  def x19Dsir(s: SparkSession, dir: String): DataFrame =
+    Sampling.dsirWeights(t(s, dir, "documents"), "doc_id", "text",
+        col("lang") === "en", buckets = 256)
+      .orderBy("doc_id")
+
   // ---- L16: PII redaction --------------------------------------------------
   def x6Redact(s: SparkSession, dir: String): DataFrame = {
     // the synthetic corpus has no PII; plant deterministic addresses and
@@ -599,6 +611,7 @@ object LlmQueries {
     "x17_line_dedup" -> x17LineDedup _,
     "x18_gopher_rules" -> x18GopherRules _,
     "e5_pca_project" -> e5PcaProject _,
+    "x19_dsir" -> x19Dsir _,
     "d10_semantic_dedup" -> d10SemanticDedup _,
     "e3_kmeans" -> e3Kmeans _,
     "e4_covariance" -> e4Covariance _,
@@ -994,6 +1007,39 @@ object LlmQueries {
     "e2_random_projection" -> e2OracleSql,
     "e3_kmeans" -> e3OracleSql,
     "e5_pca_project" -> e5OracleSql,
+    // x19: full model replay — same md5 buckets, same smoothing, the
+    // per-bucket log-ratio rounded to 6 and summed as exact DECIMALs so
+    // the per-doc sum is order-free on both engines
+    "x19_dsir" -> {
+      val hexVal = (1 to 4).map(i =>
+        s"(strpos('0123456789abcdef', substr(md5(g), $i, 1)) - 1) * ${math.pow(16, 4 - i).toLong}")
+        .mkString(" + ")
+      s"""WITH w AS (SELECT doc_id, lang = 'en' AS tgt,
+         |    string_split(text, ' ') AS ws FROM documents),
+         |g0 AS (SELECT doc_id, tgt,
+         |    unnest(ws || CASE WHEN len(ws) >= 2
+         |      THEN list_transform(generate_series(1, len(ws) - 1),
+         |        i -> ws[i] || ' ' || ws[i+1])
+         |      ELSE []::VARCHAR[] END) AS g
+         |  FROM w),
+         |gb AS (SELECT doc_id, tgt, CAST(($hexVal) % 256 AS INT) AS b FROM g0),
+         |cnt AS (SELECT b, COUNT(*) AS cr,
+         |    COUNT(CASE WHEN tgt THEN 1 END) AS ct
+         |  FROM gb GROUP BY b),
+         |fb AS (SELECT unnest(generate_series(0, 255)) AS b),
+         |fullb AS (SELECT fb.b, COALESCE(cr, 0) AS cr, COALESCE(ct, 0) AS ct
+         |  FROM fb LEFT JOIN cnt ON fb.b = cnt.b),
+         |tot AS (SELECT SUM(cr) AS tr, SUM(ct) AS tt FROM fullb),
+         |lam AS (SELECT b,
+         |    CAST(ROUND(ln(((ct + 1.0) / (tt + 256.0)) /
+         |      ((cr + 1.0) / (tr + 256.0))), 6) AS DECIMAL(16,6)) AS lam
+         |  FROM fullb, tot),
+         |sc AS (SELECT doc_id, COUNT(*) AS n_grams,
+         |    CAST(SUM(lam) AS DOUBLE) AS logw
+         |  FROM gb JOIN lam USING (b) GROUP BY doc_id)
+         |SELECT doc_id, n_grams, logw, logw > 0 AS selected
+         |FROM sc ORDER BY doc_id""".stripMargin
+    },
     // x18: the same planted construction + rule formulas; every ratio is
     // one division of exact integer counts, so doubles agree bit-exact
     "x18_gopher_rules" ->

@@ -65,6 +65,58 @@ object Sampling {
     * alpha = 0 and 1 avoid pow() entirely; 0.5 uses sqrt (an IEEE
     * correctly-rounded op), so rates reproduce bit-for-bit in the
     * DuckDB oracle. */
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): fit hashed-n-gram
+    * (unigram + bigram, md5 → `buckets` buckets) bag-of-words models
+    * over the TARGET slice (`targetCol` true) and the RAW corpus, both
+    * Laplace-smoothed; each doc's importance weight is
+    * log w(d) = Σ_grams [log p_target(b) − log p_raw(b)].
+    * `selected` = log w > 0 (the doc looks more target- than raw-like).
+    *
+    * Determinism: per-bucket log-ratios are rounded to 6 decimals and
+    * summed as DECIMALs — per-doc sums are exact and order-free, so the
+    * result is independent of partitioning (and replayable in SQL).
+    *
+    * Scale shape: the gram explode shuffles (bucket, flag) pairs only
+    * — constant size per gram, never text; the model is `buckets` rows
+    * — broadcast back for the per-doc scoring join; one final groupBy
+    * on the doc id. The target slice rides the same scan (a boolean
+    * flag, not a second pass). */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+      targetCol: Column, buckets: Int = 256): DataFrame = {
+    val grams = docs
+      .withColumn("is_target", targetCol)
+      .withColumn("words", split(col(textCol), " "))
+      .withColumn("grams", concat(col("words"),
+        when(size(col("words")) >= 2,
+          expr("transform(sequence(1, size(words)-1), " +
+            "i -> concat(element_at(words, i), ' ', element_at(words, i+1)))"))
+          .otherwise(array().cast("array<string>"))))
+      .select(col(idCol), col("is_target"), explode(col("grams")).as("g"))
+      .withColumn("b",
+        (conv(substring(md5(col("g")), 1, 4), 16, 10).cast("long") % buckets)
+          .cast("int"))
+      .drop("g")
+    val counts = grams.groupBy("b").agg(
+      count(lit(1)).as("cr"),
+      sum(when(col("is_target"), 1L).otherwise(0L)).as("ct"))
+    val allB = docs.sparkSession.range(buckets)
+      .select(col("id").cast("int").as("b"))
+    val full = allB.join(counts, Seq("b"), "left")
+      .na.fill(0L, Seq("cr", "ct"))
+    val tot = full.agg(sum("cr").as("tr"), sum("ct").as("tt"))
+    val bd = lit(buckets.toDouble)
+    val lam = full.crossJoin(broadcast(tot)).select(col("b"),
+      round(log(((col("ct") + 1.0) / (col("tt") + bd)) /
+        ((col("cr") + 1.0) / (col("tr") + bd))), 6)
+        .cast(org.apache.spark.sql.types.DecimalType(16, 6)).as("lam"))
+    grams.join(broadcast(lam), Seq("b"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_grams"),
+        sum(col("lam")).cast("double").as("logw"))
+      .withColumn("selected", col("logw") > 0.0)
+  }
+
   def mixtureSample(df: DataFrame, groupCol: String, idCol: String,
       targetTotal: Long, alpha: Double = 0.0): DataFrame = {
     val spark = df.sparkSession
