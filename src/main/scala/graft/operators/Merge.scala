@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** CDC MERGE / upsert application — the write-side complement of the
+  * q43 snapshot diff. Re-expresses the reference-category "apply a
+  * change feed to a table" operation (MERGE INTO) as pure joins.
+  */
+object Merge {
+
+  /** Apply a compacted CDC batch to a snapshot.
+    *
+    * `batch` carries `keyCol`, `opCol` ∈ {"U","D","I"} and the
+    * snapshot's payload columns (same names). Semantics: D removes the
+    * key, U rewrites an EXISTING key's payload, I adds a MISSING key;
+    * a U on a missing key or an I on a present key is a no-op (the
+    * strict MERGE matched/not-matched split). One op per key per batch
+    * (compacted feed) — with multiple ops the last-writer is
+    * unspecified, as in SQL MERGE.
+    *
+    * Scale shape: the snapshot — the 100 TB side — NEVER shuffles: a
+    * left-anti (deletes), a left join (updates) and a left-anti-driven
+    * insert union, each against the broadcast batch. A full-outer
+    * formulation would exchange both sides; Spark can't broadcast
+    * full-outer. `withAction` appends the per-row verdict
+    * (K kept / U updated / I inserted). */
+  def applyCdc(snap: DataFrame, batch: DataFrame, keyCol: String,
+      opCol: String = "op", withAction: Boolean = false): DataFrame = {
+    val payload = snap.columns.filterNot(_ == keyCol).toSeq
+    val renamed = payload.foldLeft(batch)((d, c) =>
+      d.withColumnRenamed(c, "__b_" + c))
+    val dels = renamed.filter(col(opCol) === "D").select(col(keyCol))
+    val ups = renamed.filter(col(opCol) === "U").drop(opCol)
+      .withColumn("__upd", lit(true))
+    val ins = renamed.filter(col(opCol) === "I").drop(opCol)
+    val kept = snap
+      .join(broadcast(dels), Seq(keyCol), "left_anti")
+      .join(broadcast(ups), Seq(keyCol), "left")
+      .select((col(keyCol) +:
+        payload.map(c => coalesce(col("__b_" + c), col(c)).as(c))) ++
+        (if (withAction) Seq(when(col("__upd"), "U").otherwise("K").as("action"))
+         else Nil): _*)
+    val inserted = ins
+      .join(snap.select(keyCol), Seq(keyCol), "left_anti")
+      .select((col(keyCol) +: payload.map(c => col("__b_" + c).as(c))) ++
+        (if (withAction) Seq(lit("I").as("action")) else Nil): _*)
+    kept.union(inserted)
+  }
+}

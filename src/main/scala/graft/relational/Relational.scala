@@ -670,26 +670,17 @@ object Relational {
     val o = t(s, dir, "orders")
     val snap = o.select(col("o_orderkey").as("k"),
       col("o_totalprice").as("price"), col("o_orderpriority").as("priority"))
-    val ups = o.filter(col("o_orderkey") % 101 === 1)
-      .select(col("o_orderkey").as("k"),
-        (col("o_totalprice") + 1.0).as("b_price"),
-        col("o_orderpriority").as("b_priority"))
-    val dels = o.filter(col("o_orderkey") % 101 === 2)
-      .select(col("o_orderkey").as("k"))
-    val ins = o.filter(col("o_orderkey") % 101 === 3)
-      .select((col("o_orderkey") + 20000000L).as("k"),
-        col("o_totalprice").as("b_price"), lit("5-LOW").as("b_priority"))
-    val kept = snap
-      .join(broadcast(dels), Seq("k"), "left_anti")
-      .join(broadcast(ups), Seq("k"), "left")
-      .select(col("k"),
-        coalesce(col("b_price"), col("price")).as("price"),
-        coalesce(col("b_priority"), col("priority")).as("priority"),
-        when(col("b_price").isNotNull, "U").otherwise("K").as("action"))
-    val inserted = ins.join(snap, Seq("k"), "left_anti")
-      .select(col("k"), col("b_price").as("price"),
-        col("b_priority").as("priority"), lit("I").as("action"))
-    kept.union(inserted).orderBy("k")
+    val m = col("o_orderkey") % 101
+    val batch = o.filter(m.isin(1, 2, 3)).select(
+      when(m === 3, col("o_orderkey") + 20000000L)
+        .otherwise(col("o_orderkey")).as("k"),
+      when(m === 1, "U").when(m === 2, "D").otherwise("I").as("op"),
+      when(m === 1, col("o_totalprice") + 1.0)
+        .when(m === 3, col("o_totalprice")).as("price"),
+      when(m === 1, col("o_orderpriority"))
+        .when(m === 3, lit("5-LOW")).as("priority"))
+    graft.operators.Merge.applyCdc(snap, batch, "k", withAction = true)
+      .orderBy("k")
   }
 
   // ---- R46: time-series resample + forward fill ---------------------------

@@ -198,6 +198,34 @@ object StreamingOps {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** S10: streaming CDC merge — a change feed applied to a maintained
+    * snapshot, one [[graft.operators.Merge.applyCdc]] per micro-batch
+    * (foreachBatch: the merge is a multi-join job, not a row-wise
+    * enrichment). The updated snapshot goes to `sink` after every
+    * trigger; batches apply strictly in trigger order (foreachBatch's
+    * sequential contract), so the maintained state equals the batch
+    * fold. Each new snapshot is materialized (persist + count) before
+    * its parent is released — the incremental-state idiom S8/S9 use
+    * for their indexes; a production deployment would write/read a
+    * parquet (or Delta-style) table between triggers instead. */
+  def streamingCdcMerge(ops: DataFrame, initial: DataFrame,
+      keyCol: String, opCol: String = "op")(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    var snap = initial.persist()
+    snap.count()
+    ops.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val next = graft.operators.Merge
+          .applyCdc(snap, b.toDF(), keyCol, opCol).persist()
+        next.count()
+        snap.unpersist()
+        snap = next
+        sink(next)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
+
   /** S9: streaming ingest curation — each arriving micro-batch runs
     * the full curation pipeline (dedup, decontamination, quality,
     * length) INCREMENTALLY against the corpus's precomputed digest

@@ -1,0 +1,44 @@
+package graft
+
+import graft.operators.Merge
+import org.scalatest.funsuite.AnyFunSuite
+
+/** CDC MERGE semantics on planted feeds: matched/not-matched edges and
+  * the multi-batch fold (delete-then-reinsert survives, ops compose in
+  * order). */
+class MergeSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def collect(df: org.apache.spark.sql.DataFrame) =
+    df.select("k", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+
+  test("applyCdc: U/D/I with strict matched/not-matched edges") {
+    val snap = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val batch = Seq(
+      (1L, "U", "a2"), // matched update
+      (2L, "D", ""),   // delete
+      (4L, "I", "d"),  // fresh insert
+      (9L, "U", "zz"), // update of a MISSING key → no-op
+      (3L, "I", "cc")  // insert of a PRESENT key → no-op
+    ).toDF("k", "op", "v")
+    val out = Merge.applyCdc(snap, batch, "k", withAction = true)
+    assert(collect(out) == Set((1L, "a2"), (3L, "c"), (4L, "d")))
+    val actions = out.collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(actions == Map(1L -> "U", 3L -> "K", 4L -> "I"))
+  }
+
+  test("applyCdc folds across batches (delete-then-reinsert)") {
+    val snap = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val batches = Seq(
+      Seq((1L, "U", "a2"), (2L, "D", ""), (4L, "I", "d")),
+      Seq((4L, "D", ""), (3L, "U", "c2"), (2L, "I", "b2")),
+      Seq((2L, "U", "b3"), (5L, "I", "e")))
+    val fin = batches.foldLeft(snap)((s, b) =>
+      Merge.applyCdc(s, b.toDF("k", "op", "v"), "k"))
+    assert(collect(fin) ==
+      Set((1L, "a2"), (2L, "b3"), (3L, "c2"), (5L, "e")))
+  }
+}

@@ -1,7 +1,7 @@
 package graft
 
 import graft.streaming.StreamingOps
-import org.apache.spark.sql.functions.{col, explode}
+import org.apache.spark.sql.functions.{col, explode, lit, when}
 import org.apache.spark.sql.streaming.Trigger
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -140,6 +140,40 @@ class StreamingSpec extends AnyFunSuite {
     // planted truth: every re-crawl is an exact copy → dropped as dup
     assert(got.forall { case (_, keep, reason) =>
       !keep && reason.contains("dup") })
+  }
+
+  test("S10: streaming CDC merge equals the batch MERGE (q45 twin)") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+      StructField("o_orderstatus", StringType),
+      StructField("o_totalprice", DoubleType),
+      StructField("o_orderdate", TimestampType),
+      StructField("o_orderpriority", StringType)))
+    val orders = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "orders.parquet").parquet(sf)
+    val m = col("o_orderkey") % 101
+    val ops = orders.filter(m.isin(1, 2, 3)).select(
+      when(m === 3, col("o_orderkey") + 20000000L)
+        .otherwise(col("o_orderkey")).as("k"),
+      when(m === 1, "U").when(m === 2, "D").otherwise("I").as("op"),
+      when(m === 1, col("o_totalprice") + 1.0)
+        .when(m === 3, col("o_totalprice")).as("price"),
+      when(m === 1, col("o_orderpriority"))
+        .when(m === 3, lit("5-LOW")).as("priority"))
+    val snap0 = Tables.t(spark, sf, "orders").select(
+      col("o_orderkey").as("k"), col("o_totalprice").as("price"),
+      col("o_orderpriority").as("priority"))
+    @volatile var last: Array[(Long, Double, String)] = Array.empty
+    val q = StreamingOps.streamingCdcMerge(ops, snap0, "k") { snap =>
+      last = snap.select("k", "price", "priority").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    }
+    q.awaitTermination(180000)
+    val want = relational.Relational.q45MergeUpsert(spark, sf)
+      .select("k", "price", "priority").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    assert(last.nonEmpty && last.toSet == want.toSet)
   }
 
   test("S2: streaming dedup emits each event_id once") {
