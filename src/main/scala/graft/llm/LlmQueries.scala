@@ -251,6 +251,38 @@ object LlmQueries {
         col("lang") === "en", buckets = 256)
       .orderBy("doc_id")
 
+  // ---- L42: blocked fuzzy string join --------------------------------------
+  /** Entity-resolution fuzzy join: customer names vs a deterministically
+    * corrupted copy (1 planted substitution, 2 for even keys) matched at
+    * hamming ≤ 2 through the pigeonhole block join — each corruption
+    * finds its original, plus the natural near-collisions between
+    * serial names. Oracle = ALL-pairs hamming (the block join's recall
+    * is provable, so hash-match is a completeness proof, the d2/d9
+    * pattern). */
+  def d11FuzzyJoin(s: SparkSession, dir: String): DataFrame = {
+    // md5-derived 16-char keys, NOT the serial c_name strings: names
+    // sharing a constant prefix would degenerate the prefix block into
+    // a cross product (the LSH hot-bucket trap) — blocked similarity
+    // joins presuppose discriminative segments, so give the operator
+    // what a real entity-resolution corpus has. 'X'/'Y' are outside the
+    // hex alphabet → planted distance is exactly 1 (odd keys) / 2
+    // (even keys).
+    val c = t(s, dir, "customer")
+      .withColumn("base", substring(md5(col("c_custkey").cast("string")), 1, 16))
+    val a = c.select(col("c_custkey").as("a_id"), col("base").as("a_name"))
+    val pert = c
+      .withColumn("p1", (lit(1) + col("c_custkey") % 16).cast("int"))
+      .withColumn("p2", (lit(1) + (col("c_custkey") + 5) % 16).cast("int"))
+      .withColumn("n1", expr(
+        "concat(substring(base, 1, p1 - 1), 'X', substring(base, p1 + 1, 100))"))
+      .withColumn("n2", when(col("c_custkey") % 2 === 0, expr(
+        "concat(substring(n1, 1, p2 - 1), 'Y', substring(n1, p2 + 1, 100))"))
+        .otherwise(col("n1")))
+      .select((col("c_custkey") + 1000000L).as("b_id"), col("n2").as("b_name"))
+    Dedup.fuzzyHammingJoin(a, pert, "a_id", "a_name", "b_id", "b_name")
+      .orderBy("a_id", "b_id")
+  }
+
   // ---- L16: PII redaction --------------------------------------------------
   def x6Redact(s: SparkSession, dir: String): DataFrame = {
     // the synthetic corpus has no PII; plant deterministic addresses and
@@ -612,6 +644,7 @@ object LlmQueries {
     "x18_gopher_rules" -> x18GopherRules _,
     "e5_pca_project" -> e5PcaProject _,
     "x19_dsir" -> x19Dsir _,
+    "d11_fuzzy_join" -> d11FuzzyJoin _,
     "d10_semantic_dedup" -> d10SemanticDedup _,
     "e3_kmeans" -> e3Kmeans _,
     "e4_covariance" -> e4Covariance _,
@@ -1007,6 +1040,30 @@ object LlmQueries {
     "e2_random_projection" -> e2OracleSql,
     "e3_kmeans" -> e3OracleSql,
     "e5_pca_project" -> e5OracleSql,
+    // d11: ALL-pairs hamming ground truth — the blocked join must find
+    // every qualifying pair (pigeonhole recall proof)
+    "d11_fuzzy_join" ->
+      """WITH c0 AS (SELECT c_custkey,
+        |    substr(md5(CAST(c_custkey AS VARCHAR)), 1, 16) AS base
+        |  FROM customer),
+        |a AS (SELECT c_custkey AS a_id, base AS a_name FROM c0),
+        |p AS (SELECT c_custkey, CAST(1 + c_custkey % 16 AS INT) AS p1,
+        |    CAST(1 + (c_custkey + 5) % 16 AS INT) AS p2, base
+        |  FROM c0),
+        |n1 AS (SELECT c_custkey, p2,
+        |    substr(base, 1, p1 - 1) || 'X' || substr(base, p1 + 1) AS n1
+        |  FROM p),
+        |b AS (SELECT c_custkey + 1000000 AS b_id,
+        |    CASE WHEN c_custkey % 2 = 0
+        |      THEN substr(n1, 1, p2 - 1) || 'Y' || substr(n1, p2 + 1)
+        |      ELSE n1 END AS b_name
+        |  FROM n1),
+        |h AS (SELECT a_id, b_id,
+        |    len(list_filter(generate_series(1, length(a_name)),
+        |      i -> substr(a_name, i, 1) <> substr(b_name, i, 1))) AS ham
+        |  FROM a, b WHERE length(a_name) = length(b_name))
+        |SELECT a_id, b_id, CAST(ham AS INT) AS dist
+        |FROM h WHERE ham <= 2 ORDER BY a_id, b_id""".stripMargin,
     // x19: full model replay — same md5 buckets, same smoothing, the
     // per-bucket log-ratio rounded to 6 and summed as exact DECIMALs so
     // the per-doc sum is order-free on both engines

@@ -722,6 +722,49 @@ object Dedup {
           col("line_no") === col("owner.line_no")).as("keep"))
   }
 
+  /** Blocked fuzzy (substitution-distance) string join: all (a, b)
+    * pairs with hamming(aName, bName) ≤ `maxDist` and equal length.
+    *
+    * Blocking is the SimHash pigeonhole (simhashPairs' idiom applied
+    * to raw strings): each name splits into `segments` fixed slices;
+    * ≤ maxDist substitutions touch at most maxDist slices, so any
+    * qualifying pair shares at least one exact (idx, slice) block when
+    * segments > maxDist — block-join recall is provably 100%. General
+    * edit distance (insert/delete) would need length-band +
+    * deletion-neighborhood blocking instead; hamming is the contract
+    * here.
+    *
+    * Scale shape: `segments` constant-size block keys per row shuffle
+    * (never full pair enumeration), candidate (a_id, b_id) pairs are
+    * distinct'd BEFORE the verify, and the verify is a per-pair
+    * character scan. */
+  def fuzzyHammingJoin(a: DataFrame, b: DataFrame,
+      aId: String, aName: String, bId: String, bName: String,
+      segments: Int = 3, maxDist: Int = 2): DataFrame = {
+    require(segments > maxDist, "pigeonhole needs segments > maxDist")
+    def blocks(name: String): Column = expr(
+      s"""transform(sequence(0, ${segments - 1}), i -> struct(
+         |  i AS idx,
+         |  substring($name, cast(floor(i * length($name) / $segments) as int) + 1,
+         |    cast(floor((i + 1) * length($name) / $segments) as int)
+         |      - cast(floor(i * length($name) / $segments) as int)) AS seg))"""
+        .stripMargin)
+    val ab = a.select(col(aId).as("a_id"), col(aName).as("a_name"),
+      explode(blocks(aName)).as("bk")).select(col("a_id"), col("a_name"),
+      col("bk.idx").as("idx"), col("bk.seg").as("seg"))
+    val bb = b.select(col(bId).as("b_id"), col(bName).as("b_name"),
+      explode(blocks(bName)).as("bk")).select(col("b_id"), col("b_name"),
+      col("bk.idx").as("idx"), col("bk.seg").as("seg"))
+    ab.join(bb, Seq("idx", "seg"))
+      .filter(length(col("a_name")) === length(col("b_name")))
+      .select("a_id", "b_id", "a_name", "b_name").distinct()
+      .withColumn("dist", expr(
+        "size(filter(sequence(1, length(a_name)), " +
+          "i -> substring(a_name, i, 1) <> substring(b_name, i, 1)))"))
+      .filter(col("dist") <= maxDist)
+      .select(col("a_id"), col("b_id"), col("dist"))
+  }
+
   def decontaminate(corpus: DataFrame, evalDocs: DataFrame,
       idCol: String, textCol: String, w: Int = 13): DataFrame = {
     val evalGrams = evalDocs

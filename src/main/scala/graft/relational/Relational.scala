@@ -715,6 +715,28 @@ object Relational {
       .orderBy("user_id", "ds")
   }
 
+  // ---- R47: SCD Type-2 history build --------------------------------------
+  // Slowly-changing-dimension history from a versioned change feed:
+  // per key (customer), consecutive same-value versions collapse, each
+  // surviving version gets [valid_from, valid_to) via lead(), the open
+  // interval is the current row. Feed = each customer's orders in
+  // (date, orderkey) order with o_orderpriority as the tracked
+  // attribute. One partition-key shuffle serves both window passes
+  // (same spec → Spark fuses; the dedup filter runs between them).
+  def q47Scd2(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("k").orderBy("ts", "oid")
+    val feed = t(s, dir, "orders").select(col("o_custkey").as("k"),
+      unix_timestamp(col("o_orderdate")).as("ts"),
+      col("o_orderkey").as("oid"), col("o_orderpriority").as("attr"))
+    feed
+      .withColumn("prev", lag("attr", 1).over(w))
+      .filter(col("prev").isNull || col("attr") =!= col("prev"))
+      .withColumn("valid_to", lead("ts", 1).over(w))
+      .select(col("k"), col("ts").as("valid_from"), col("oid"), col("attr"),
+        col("valid_to"), col("valid_to").isNull.as("is_current"))
+      .orderBy("k", "valid_from", "oid")
+  }
+
   // ---- R36: bloom-pruned semi-join ---------------------------------------
   // Manual runtime filtering (operators.BloomPrune): a bloom over the
   // urgent orders' keys prunes lineitem BEFORE its shuffle; the exact
@@ -746,6 +768,7 @@ object Relational {
     "q44_group_topk_agg" -> q44GroupTopkAgg _,
     "q45_merge_upsert" -> q45MergeUpsert _,
     "q46_resample_ffill" -> q46ResampleFfill _,
+    "q47_scd2" -> q47Scd2 _,
     "q35_mean_pool" -> q35MeanPool _,
     "q34_json_extract" -> q34JsonExtract _,
     "q33_theta_overlap" -> q33ThetaOverlap _,
@@ -1008,6 +1031,21 @@ object Relational {
         |          ORDER BY o_totalprice DESC, o_orderkey) AS rn
         |      FROM orders) t
         |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    // q47: same collapse + interval windows replayed
+    "q47_scd2" ->
+      """WITH feed AS (SELECT o_custkey AS k,
+        |    CAST(FLOOR(epoch(CAST(o_orderdate AS TIMESTAMP))) AS BIGINT) AS ts,
+        |    o_orderkey AS oid, o_orderpriority AS attr FROM orders),
+        |ch AS (SELECT k, ts, oid, attr FROM (
+        |    SELECT k, ts, oid, attr,
+        |      LAG(attr) OVER (PARTITION BY k ORDER BY ts, oid) AS prev
+        |    FROM feed) t
+        |  WHERE prev IS NULL OR attr <> prev)
+        |SELECT k, ts AS valid_from, oid, attr,
+        |  LEAD(ts) OVER w AS valid_to,
+        |  LEAD(ts) OVER w IS NULL AS is_current
+        |FROM ch WINDOW w AS (PARTITION BY k ORDER BY ts, oid)
+        |ORDER BY k, valid_from, oid""".stripMargin,
     // q46: same resample/ffill replayed with generate_series + IGNORE
     // NULLS; values are copied (never summed) so plain doubles are exact
     "q46_resample_ffill" ->

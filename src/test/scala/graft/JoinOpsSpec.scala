@@ -89,4 +89,20 @@ class JoinOpsSpec extends AnyFunSuite {
     // lt=500 matches rt=440 (|500-440|=60, inclusive)
     assert(got == Set((1L, 10L), (1L, 11L), (2L, 13L)))
   }
+
+  test("fuzzyHammingJoin finds exactly the hamming<=2 pairs") {
+    val a = Seq((1L, "abcdefghijkl"), (2L, "zzzzzzzzzzzz"))
+      .toDF("a_id", "a_name")
+    val b = Seq(
+      (10L, "abXdefghijkl"), // dist 1 of a1
+      (11L, "abXdeYghijkl"), // dist 2 of a1
+      (12L, "aXcXeXghijkl"), // dist 3 of a1 → excluded
+      (13L, "zzzzzzzzzzzY"), // dist 1 of a2
+      (14L, "bcdefghijklm")  // a1 shifted (edit-distance 2 but hamming 12)
+    ).toDF("b_id", "b_name")
+    val got = graft.operators.Dedup
+      .fuzzyHammingJoin(a, b, "a_id", "a_name", "b_id", "b_name")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == Set((1L, 10L, 1), (1L, 11L, 2), (2L, 13L, 1)))
+  }
 }
