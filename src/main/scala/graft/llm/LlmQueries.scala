@@ -283,6 +283,29 @@ object LlmQueries {
       .orderBy("a_id", "b_id")
   }
 
+  // ---- L48: containment pairs ----------------------------------------------
+  /** Asymmetric containment detection over documents ∪ half-truncated
+    * copies: each truncated prefix is contained (C = 1.0) in its
+    * original while their Jaccard ≈ 0.5 sits below d4's radar —
+    * exactly the quote/truncation case the asymmetric metric exists
+    * for. Blocked by source (25 docs/source here; the block contract
+    * is the caller's, as in d4). */
+  def d12Containment(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val trunc = docs
+      .withColumn("words", split(col("text"), " "))
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        expr("array_join(slice(words, 1, cast(ceil(size(words)/2.0) as int)), ' ')")
+          .as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    val corpus = docs.select("doc_id", "text", "lang", "source", "n_chars")
+      .union(trunc)
+    Dedup.containmentPairs(corpus, "doc_id", "text",
+        blockCols = Seq(col("source")), n = 3, threshold = 0.8)
+      .withColumn("containment", round(col("containment"), 6))
+      .orderBy("contained_id", "container_id")
+  }
+
   // ---- L16: PII redaction --------------------------------------------------
   def x6Redact(s: SparkSession, dir: String): DataFrame = {
     // the synthetic corpus has no PII; plant deterministic addresses and
@@ -645,6 +668,7 @@ object LlmQueries {
     "e5_pca_project" -> e5PcaProject _,
     "x19_dsir" -> x19Dsir _,
     "d11_fuzzy_join" -> d11FuzzyJoin _,
+    "d12_containment" -> d12Containment _,
     "d10_semantic_dedup" -> d10SemanticDedup _,
     "e3_kmeans" -> e3Kmeans _,
     "e4_covariance" -> e4Covariance _,
@@ -1040,6 +1064,38 @@ object LlmQueries {
     "e2_random_projection" -> e2OracleSql,
     "e3_kmeans" -> e3OracleSql,
     "e5_pca_project" -> e5OracleSql,
+    // d12: all-pairs-in-block string-gram ground truth (the d4 oracle
+    // shape with the asymmetric metric); Spark's hashed-gram merge scan
+    // must agree exactly
+    "d12_containment" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text, source FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |    array_to_string(ws[1:CAST(CEIL(len(ws)/2.0) AS INT)], ' ') AS text,
+        |    source
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws, source
+        |        FROM documents)),
+        |b AS (SELECT doc_id AS id, source,
+        |    list_distinct(list_transform(
+        |      range(1, CAST(greatest(length(nt) - 2, 1) AS BIGINT) + 1),
+        |      i -> substr(nt, CAST(i AS INT), 3))) AS g
+        |  FROM (SELECT doc_id, source,
+        |          trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+        |        FROM corpus)),
+        |j AS (SELECT a.id AS ia, bb.id AS ib,
+        |    CAST(len(list_intersect(a.g, bb.g)) AS DOUBLE) AS common,
+        |    CAST(len(a.g) AS DOUBLE) AS la, CAST(len(bb.g) AS DOUBLE) AS lb
+        |  FROM b a JOIN b bb ON a.source = bb.source AND a.id < bb.id
+        |  WHERE len(a.g) > 0 AND len(bb.g) > 0)
+        |SELECT CASE WHEN common / la >= common / lb THEN ia ELSE ib END
+        |    AS contained_id,
+        |  CASE WHEN common / la >= common / lb THEN ib ELSE ia END
+        |    AS container_id,
+        |  ROUND(CASE WHEN common / la >= common / lb THEN common / la
+        |        ELSE common / lb END, 6) AS containment
+        |FROM j WHERE greatest(common / la, common / lb) >= 0.8
+        |ORDER BY contained_id, container_id""".stripMargin,
     // d11: ALL-pairs hamming ground truth — the blocked join must find
     // every qualifying pair (pigeonhole recall proof)
     "d11_fuzzy_join" ->

@@ -490,6 +490,50 @@ object Dedup {
       .toDF("id_a", "id_b", "jaccard")
   }
 
+  /** Asymmetric containment pairs: C(A→B) = |grams(A) ∩ grams(B)| /
+    * |grams(A)| ≥ threshold — the quote / truncation / boilerplate-
+    * expansion detector. A prefix-truncated copy has Jaccard ≈ 0.5
+    * against its original (invisible to [[ngramJaccardPairs]] at 0.6)
+    * but containment 1.0. Same block-local sorted merge-scan shape as
+    * d4; each qualifying pair is emitted once, contained side explicit
+    * (ties — e.g. exact dups — resolve to the smaller id as contained).
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      blockCols: Seq[Column], n: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val grams = {
+      import org.apache.spark.sql.graft.ColumnBridge
+      ColumnBridge.column(graft.expressions.CharGramHashes(
+        ColumnBridge.expression(col("nt")), n))
+    }
+    val prepared = df
+      .select(Seq(col(idCol).cast("long").as("id"),
+        normText(col(textCol)).as("nt")) ++
+        blockCols.zipWithIndex.map { case (c, i) => c.cast("string").as(s"blk$i") }: _*)
+      .withColumn("grams", grams)
+      .select(concat_ws("", blockCols.indices.map(i => col(s"blk$i")): _*).as("bk"),
+        col("id"), col("grams"))
+      .as[(String, Long, Array[Long])]
+    prepared.groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val rows = it.map(t => (t._2, t._3)).toArray.sortBy(_._1)
+        for {
+          i <- rows.indices.iterator
+          j <- (i + 1) until rows.length
+          if rows(i)._2.nonEmpty && rows(j)._2.nonEmpty
+          common = intersectCount(rows(i)._2, rows(j)._2).toDouble
+          cij = common / rows(i)._2.length
+          cji = common / rows(j)._2.length
+          if math.max(cij, cji) >= threshold
+        } yield
+          if (cij >= cji) (rows(i)._1, rows(j)._1, cij)
+          else (rows(j)._1, rows(i)._1, cji)
+      }
+      .toDF("contained_id", "container_id", "containment")
+  }
+
   // ---------------------------------------------------------------------
   // Embedding cosine near-dup
   // ---------------------------------------------------------------------
