@@ -329,12 +329,75 @@ case class TokenMd5Hashes(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** DSIR hashed-gram buckets in one compiled pass: md5-bucket (first 4
+  * hex chars mod `buckets`) of every unigram AND space-joined bigram of
+  * the ' '-separated input. Bigram bytes are the contiguous original
+  * span (split on ' ' guarantees 1-space separators), so the digest
+  * equals md5(w1 || ' ' || w2) without building gram strings — replaces
+  * the interpreted transform/concat/md5/conv Column chain. */
+case class DsirGramBuckets(child: Expression, buckets: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_dsir_gram_buckets"
+
+  override def nullSafeEval(v: Any): Any =
+    ShingleMinMd5.dsirGramBuckets(v.asInstanceOf[UTF8String], buckets)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.ShingleMinMd5.dsirGramBuckets($c, $buckets)")
+
+  override protected def withNewChildInternal(newChild: Expression): DsirGramBuckets =
+    copy(child = newChild)
+}
+
 object ShingleMinMd5 {
 
   private val mdLocal: ThreadLocal[MessageDigest] =
     new ThreadLocal[MessageDigest] {
       override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
     }
+
+  /** See [[DsirGramBuckets]]. */
+  def dsirGramBuckets(s: UTF8String, buckets: Int)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val b = s.getBytes
+    val n = b.length
+    var ntok = 1
+    var i = 0
+    while (i < n) { if (b(i) == ' ') ntok += 1; i += 1 }
+    val tokStart = new Array[Int](ntok)
+    val tokEnd = new Array[Int](ntok)
+    var t = 0
+    var start = 0
+    var pos = 0
+    while (pos <= n) {
+      if (pos == n || b(pos) == ' ') {
+        tokStart(t) = start; tokEnd(t) = pos
+        t += 1
+        start = pos + 1
+      }
+      pos += 1
+    }
+    val md = mdLocal.get()
+    def bucketOf(from: Int, until: Int): Int = {
+      md.reset()
+      md.update(b, from, until - from)
+      val d = md.digest()
+      (((d(0) & 0xff) << 8) | (d(1) & 0xff)) % buckets
+    }
+    val nOut = ntok + (if (ntok >= 2) ntok - 1 else 0)
+    val out = new Array[Int](nOut)
+    i = 0
+    while (i < ntok) { out(i) = bucketOf(tokStart(i), tokEnd(i)); i += 1 }
+    i = 0
+    while (i < ntok - 1) {
+      out(ntok + i) = bucketOf(tokStart(i), tokEnd(i + 1))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 
   /** Per-token md5-prefix hashes (see [[TokenMd5Hashes]]). */
   def tokenHashes(nt: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {

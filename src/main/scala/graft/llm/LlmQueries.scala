@@ -300,11 +300,29 @@ object LlmQueries {
         col("lang"), col("source"), col("n_chars"))
     val corpus = docs.select("doc_id", "text", "lang", "source", "n_chars")
       .union(trunc)
+    // block = (source, 12-char raw-text prefix): a truncation/quote-
+    // prefix detector's natural key — the prefix copy and its original
+    // share it by construction, and blocks stay O(copies-of-one-doc)
+    // instead of O(source) (500 docs/block at sf0.1 cost ~5 s of
+    // merge scans; prefix blocks cut that ~10×)
     Dedup.containmentPairs(corpus, "doc_id", "text",
-        blockCols = Seq(col("source")), n = 3, threshold = 0.8)
+        blockCols = Seq(col("source"), substring(col("text"), 1, 12)),
+        n = 3, threshold = 0.8)
       .withColumn("containment", round(col("containment"), 6))
       .orderBy("contained_id", "container_id")
   }
+
+  // ---- L50: BPE tokenizer training ------------------------------------------
+  /** 5-merge BPE fit over the corpus vocabulary
+    * ([[graft.operators.BpeTrainer]]): one corpus pass → word counts,
+    * then per round a tiny weighted pair-count aggregation, a driver
+    * argmax (model state) and a map-only merge. Output = the tokenized
+    * vocabulary after round 5; the oracle refits the IDENTICAL
+    * procedure in SQL (5 generated CTE rounds), so a hash match proves
+    * every argmax and every merge application agreed. */
+  def x20BpeTrain(s: SparkSession, dir: String): DataFrame =
+    BpeTrainer.fit(t(s, dir, "documents"), "text", nMerges = 5)._1
+      .orderBy("word")
 
   // ---- L16: PII redaction --------------------------------------------------
   def x6Redact(s: SparkSession, dir: String): DataFrame = {
@@ -669,6 +687,7 @@ object LlmQueries {
     "x19_dsir" -> x19Dsir _,
     "d11_fuzzy_join" -> d11FuzzyJoin _,
     "d12_containment" -> d12Containment _,
+    "x20_bpe_train" -> x20BpeTrain _,
     "d10_semantic_dedup" -> d10SemanticDedup _,
     "e3_kmeans" -> e3Kmeans _,
     "e4_covariance" -> e4Covariance _,
@@ -903,6 +922,42 @@ object LlmQueries {
   /** e2 oracle: the 8 seeded planes embedded as literal arrays
     * (Double.toString round-trips), each output dim one
     * list_inner_product — bit-identical to ArrayDotProduct. */
+  /** x20 oracle: the whole 5-round BPE fit replayed — word counts,
+    * chr(1)-framed symbol strings, weighted adjacent-pair counts,
+    * (c DESC, l, r) argmax, leftmost-nonoverlapping replace. */
+  private def x20OracleSql: String = {
+    val n = 5
+    val iters = (1 to n).map { k =>
+      s"""e$k AS (SELECT cnt, ws, unnest(generate_series(1, len(ws) - 1)) AS i
+         |  FROM (SELECT cnt, list_filter(string_split(sym, chr(1)),
+         |          x -> x <> '') AS ws
+         |        FROM v${k - 1}) t
+         |  WHERE len(ws) >= 2),
+         |p$k AS (SELECT ws[i] AS l, ws[i + 1] AS r, SUM(cnt) AS c
+         |  FROM e$k GROUP BY 1, 2),
+         |m$k AS (SELECT l, r FROM p$k ORDER BY c DESC, l, r LIMIT 1),
+         |v$k AS (SELECT word, cnt,
+         |    replace(sym, chr(1) || m.l || chr(1) || m.r || chr(1),
+         |      chr(1) || m.l || m.r || chr(1)) AS sym
+         |  FROM v${k - 1}, m$k m)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH wc AS (SELECT w AS word, COUNT(*) AS cnt
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE w <> '' GROUP BY w),
+       |v0 AS (SELECT word, cnt,
+       |    chr(1) || array_to_string(list_transform(
+       |      generate_series(1, length(word)),
+       |      i -> substr(word, CAST(i AS INT), 1)), chr(1)) || chr(1) AS sym
+       |  FROM wc),
+       |$iters
+       |SELECT word, cnt, CAST(len(ws) AS INT) AS n_tokens,
+       |  array_to_string(ws, ' ') AS tokens
+       |FROM (SELECT word, cnt,
+       |      list_filter(string_split(sym, chr(1)), x -> x <> '') AS ws
+       |      FROM v$n)
+       |ORDER BY word""".stripMargin
+  }
+
   /** e5 oracle: full replay. Exact HUGEINT moment sums on the 1e-6
     * grid → identical covariance doubles; then the same fixed-order
     * power iteration (list_inner_product ≡ the strict left-to-right
@@ -1064,6 +1119,7 @@ object LlmQueries {
     "e2_random_projection" -> e2OracleSql,
     "e3_kmeans" -> e3OracleSql,
     "e5_pca_project" -> e5OracleSql,
+    "x20_bpe_train" -> x20OracleSql,
     // d12: all-pairs-in-block string-gram ground truth (the d4 oracle
     // shape with the asymmetric metric); Spark's hashed-gram merge scan
     // must agree exactly
@@ -1076,17 +1132,18 @@ object LlmQueries {
         |    source
         |  FROM (SELECT doc_id, string_split(text, ' ') AS ws, source
         |        FROM documents)),
-        |b AS (SELECT doc_id AS id, source,
+        |b AS (SELECT doc_id AS id, source, substr(text, 1, 12) AS pfx,
         |    list_distinct(list_transform(
         |      range(1, CAST(greatest(length(nt) - 2, 1) AS BIGINT) + 1),
         |      i -> substr(nt, CAST(i AS INT), 3))) AS g
-        |  FROM (SELECT doc_id, source,
+        |  FROM (SELECT doc_id, source, text,
         |          trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
         |        FROM corpus)),
         |j AS (SELECT a.id AS ia, bb.id AS ib,
         |    CAST(len(list_intersect(a.g, bb.g)) AS DOUBLE) AS common,
         |    CAST(len(a.g) AS DOUBLE) AS la, CAST(len(bb.g) AS DOUBLE) AS lb
-        |  FROM b a JOIN b bb ON a.source = bb.source AND a.id < bb.id
+        |  FROM b a JOIN b bb ON a.source = bb.source AND a.pfx = bb.pfx
+        |    AND a.id < bb.id
         |  WHERE len(a.g) > 0 AND len(bb.g) > 0)
         |SELECT CASE WHEN common / la >= common / lb THEN ia ELSE ib END
         |    AS contained_id,

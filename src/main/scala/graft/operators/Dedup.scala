@@ -436,6 +436,26 @@ object Dedup {
 
   /** Sorted-array intersection count (merge scan) — shared by the
     * pair-generation kernels below. */
+  /** Merge-scan intersect with an unreachability bail-out: returns −1
+    * as soon as `c + min(remaining)` can no longer reach `need`. For
+    * dissimilar pairs (the overwhelming majority in a block) the scan
+    * stops after ~(1 − need/min(|a|,|b|)) of the shorter side instead
+    * of exhausting both — same result as [[intersectCount]] whenever
+    * the pair qualifies. */
+  private def intersectCountAtLeast(a: Array[Long], b: Array[Long],
+      need: Int): Int = {
+    var i = 0; var j = 0; var c = 0
+    while (i < a.length && j < b.length) {
+      val remaining = math.min(a.length - i, b.length - j)
+      if (c + remaining < need) return -1
+      val x = a(i); val y = b(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    if (c >= need) c else -1
+  }
+
   private def intersectCount(a: Array[Long], b: Array[Long]): Int = {
     var i = 0; var j = 0; var c = 0
     while (i < a.length && j < b.length) {
@@ -523,7 +543,14 @@ object Dedup {
           i <- rows.indices.iterator
           j <- (i + 1) until rows.length
           if rows(i)._2.nonEmpty && rows(j)._2.nonEmpty
-          common = intersectCount(rows(i)._2, rows(j)._2).toDouble
+          // qualification needs common ≥ ⌈th·min(|A|,|B|)⌉ — scan with
+          // that bound so dissimilar pairs bail early
+          need = math.ceil(threshold *
+            math.min(rows(i)._2.length, rows(j)._2.length)).toInt
+          common0 = intersectCountAtLeast(rows(i)._2, rows(j)._2,
+            math.max(need, 1))
+          if common0 >= 0
+          common = common0.toDouble
           cij = common / rows(i)._2.length
           cji = common / rows(j)._2.length
           if math.max(cij, cji) >= threshold

@@ -86,34 +86,51 @@ object Sampling {
       targetCol: Column, buckets: Int = 256): DataFrame = {
     val grams = docs
       .withColumn("is_target", targetCol)
-      .withColumn("words", split(col(textCol), " "))
-      .withColumn("grams", concat(col("words"),
-        when(size(col("words")) >= 2,
-          expr("transform(sequence(1, size(words)-1), " +
-            "i -> concat(element_at(words, i), ' ', element_at(words, i+1)))"))
-          .otherwise(array().cast("array<string>"))))
-      .select(col(idCol), col("is_target"), explode(col("grams")).as("g"))
-      .withColumn("b",
-        (conv(substring(md5(col("g")), 1, 4), 16, 10).cast("long") % buckets)
-          .cast("int"))
-      .drop("g")
-    val counts = grams.groupBy("b").agg(
-      count(lit(1)).as("cr"),
-      sum(when(col("is_target"), 1L).otherwise(0L)).as("ct"))
+      .select(col(idCol), col("is_target"),
+        explode(ColumnBridge.column(graft.expressions.DsirGramBuckets(
+          ColumnBridge.expression(col(textCol)), buckets))).as("b"))
+    // pre-aggregate once to (doc, bucket, count): the gram explode +
+    // md5 run in exactly ONE pass; everything downstream (model fit,
+    // scoring) reuses this ≤256-rows-per-doc table. Cached like d10's
+    // assignments — constant size per doc, released by the session /
+    // caller, recomputable if evicted.
+    val docBuckets = grams
+      .groupBy(col(idCol), col("is_target"), col("b"))
+      .agg(count(lit(1)).as("c"))
+      .persist()
+    val counts = docBuckets.groupBy("b").agg(
+      sum("c").as("cr"),
+      sum(when(col("is_target"), col("c")).otherwise(0L)).as("ct"))
     val allB = docs.sparkSession.range(buckets)
       .select(col("id").cast("int").as("b"))
     val full = allB.join(counts, Seq("b"), "left")
       .na.fill(0L, Seq("cr", "ct"))
-    val tot = full.agg(sum("cr").as("tr"), sum("ct").as("tt"))
-    val bd = lit(buckets.toDouble)
-    val lam = full.crossJoin(broadcast(tot)).select(col("b"),
-      round(log(((col("ct") + 1.0) / (col("tt") + bd)) /
-        ((col("cr") + 1.0) / (col("tr") + bd))), 6)
-        .cast(org.apache.spark.sql.types.DecimalType(16, 6)).as("lam"))
-    grams.join(broadcast(lam), Seq("b"))
+    // the fitted model is `buckets` rows — collect it ONCE (the k-means
+    // model-state precedent) and finish the smoothing/log math on the
+    // driver with the identical IEEE ops; a DataFrame formulation would
+    // re-execute the gram pipeline per DAG branch (counts/totals/score),
+    // scanning the corpus 4x instead of the honest fit + score 2x
+    val fullRows = full.collect().map(r =>
+      (r.getInt(0), r.getLong(1), r.getLong(2))) // (b, cr, ct)
+    val tr = fullRows.map(_._2).sum.toDouble
+    val tt = fullRows.map(_._3).sum.toDouble
+    val bd = buckets.toDouble
+    def round6(x: Double): Double = BigDecimal(x)
+      .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+    val lamLocal = fullRows.map { case (b, cr, ct) =>
+      (b, round6(math.log(((ct + 1.0) / (tt + bd)) / ((cr + 1.0) / (tr + bd)))))
+    }.toSeq
+    val sp = docs.sparkSession
+    import sp.implicits._
+    val lam = lamLocal.toDF("b", "lam_d")
+      .select(col("b"),
+        col("lam_d").cast(org.apache.spark.sql.types.DecimalType(16, 6)).as("lam"))
+    // score from the SAME pre-aggregated table: Σ c·λ_b is exactly the
+    // per-gram Σ λ (same multiset, exact decimals — order-free)
+    docBuckets.join(broadcast(lam), Seq("b"))
       .groupBy(idCol)
-      .agg(count(lit(1)).as("n_grams"),
-        sum(col("lam")).cast("double").as("logw"))
+      .agg(sum("c").as("n_grams"),
+        sum(col("c") * col("lam")).cast("double").as("logw"))
       .withColumn("selected", col("logw") > 0.0)
   }
 
