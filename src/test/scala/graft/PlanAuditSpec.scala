@@ -73,6 +73,28 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q45 MERGE joins broadcast the CDC batch — snapshot never shuffles") {
+    val p = plan("q45_merge_upsert")
+    assert(p.contains("BroadcastHashJoin"), s"q45 lost its broadcasts:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"q45 shuffles the snapshot side:\n$p")
+  }
+
+  test("q46 last-per-bucket is a mergeable aggregate; only the fill is a window") {
+    val p = plan("q46_resample_ffill")
+    // exactly one Window (the per-user forward fill); the per-(user,day)
+    // last-value must stay a hash aggregate with map-side partials
+    assert(p.sliding("Window".length).count(_ == "Window") == 1,
+      s"q46 grew a second window (per-bucket last?):\n$p")
+    assert(p.contains("HashAggregate"), s"q46 lost its aggregate:\n$p")
+  }
+
+  test("x19 reuses the cached doc-bucket table for fit and score") {
+    val p = plan("x19_dsir")
+    assert(p.contains("InMemoryTableScan"),
+      s"x19 recomputes the gram pipeline instead of reusing the cache:\n$p")
+  }
+
   test("native as-of join plans its custom exec with SMJ layout") {
     val p = plan("q29_asof_native")
     assert(p.contains("AsOfJoin"), s"custom exec missing:\n$p")
