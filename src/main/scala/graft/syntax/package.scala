@@ -169,5 +169,49 @@ package object syntax {
       df.join(operators.Curation.curate(df, evalDocs, idCol, textCol)
           .filter(col("keep")).select(col("id").as(idCol)),
         Seq(idCol), "left_semi")
+
+    /** Apply a compacted CDC batch (op ∈ U/D/I) — MERGE INTO semantics;
+      * the receiver is the snapshot and never shuffles. */
+    def mergeCdc(batch: DataFrame, keyCol: String,
+        opCol: String = "op"): DataFrame =
+      operators.Merge.applyCdc(df, batch, keyCol, opCol)
+
+    /** Corpus-level exact line dedup verdicts (C4 rule); `linesCol` is
+      * an array<string> column. */
+    def dedupLines(idCol: String, linesCol: String): DataFrame =
+      operators.Dedup.dedupLines(df, idCol, linesCol)
+
+    /** Gopher quality rule-set signals + verdicts appended per row
+      * (`textCol` must be the framed multi-line text). */
+    def gopherQuality(textCol: String): DataFrame = {
+      val staged = df
+        .withColumn("__aw", split(col(textCol), "\\s+"))
+        .withColumn("__lines", split(col(textCol), "\n"))
+      staged.select(df.columns.map(col) ++
+        operators.TextAnalysis.gopherColumns(
+          col(textCol), col("__aw"), col("__lines")): _*)
+    }
+
+    /** DSIR importance weights vs a target slice. */
+    def dsirWeights(idCol: String, textCol: String, target: Column,
+        buckets: Int = 256): DataFrame =
+      operators.Sampling.dsirWeights(df, idCol, textCol, target, buckets)
+
+    /** Blocked hamming fuzzy join against `other`. */
+    def fuzzyJoin(other: DataFrame, idCol: String, nameCol: String,
+        otherId: String, otherName: String, maxDist: Int = 2): DataFrame =
+      operators.Dedup.fuzzyHammingJoin(df, other, idCol, nameCol,
+        otherId, otherName, maxDist = maxDist)
+
+    /** Fit a BPE tokenizer on `textCol`; returns the tokenized
+      * vocabulary and the learned merges. */
+    def trainBpe(textCol: String, nMerges: Int = 5)
+        : (DataFrame, Seq[(Int, String, String, Long)]) =
+      operators.BpeTrainer.fit(df, textCol, nMerges)
+
+    /** PCA top-2 projection of an embedding column. */
+    def pcaProject(idCols: Seq[String], vecCol: String,
+        dim: Int = 16): DataFrame =
+      operators.EmbedStats.pcaPowerProject(df, idCols, vecCol, dim)
   }
 }

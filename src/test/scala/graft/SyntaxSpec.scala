@@ -124,6 +124,45 @@ class SyntaxSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSet == Set(1L))
   }
 
+  test("round-6 verbs: mergeCdc, dedupLines, gopherQuality, dsirWeights, fuzzyJoin, trainBpe, pcaProject") {
+    val snap = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val batch = Seq((1L, "U", "a2"), (3L, "I", "c")).toDF("k", "op", "v")
+    assert(snap.mergeCdc(batch, "k").as[(Long, String)].collect().toSet ==
+      Set((1L, "a2"), (2L, "b"), (3L, "c")))
+
+    val lined = Seq((1L, Seq("x", "y")), (2L, Seq("y", "z")))
+      .toDF("id", "lines")
+    val keeps = lined.dedupLines("id", "lines")
+      .as[(Long, Int, String, Boolean)].collect()
+      .map(r => (r._1, r._3) -> r._4).toMap
+    assert(keeps((1L, "y")) && !keeps((2L, "y")) && keeps((2L, "z")))
+
+    val prose = ("the be to of and that have with " * 12).trim
+    val g = Seq((1L, prose)).toDF("id", "text").gopherQuality("text")
+    assert(g.select("keep").as[Boolean].head())
+
+    val w = Seq((1L, "aa bb", true), (2L, "cc dd", false))
+      .toDF("id", "text", "tgt")
+    val dsir = w.dsirWeights("id", "text", $"tgt")
+      .as[(Long, Long, Double, Boolean)].collect().map(r => r._1 -> r._3).toMap
+    assert(dsir(1L) > dsir(2L)) // target grams score higher
+
+    val left = Seq((1L, "abcdefgh")).toDF("a_id", "a_name")
+    val right = Seq((10L, "abcdeXgh")).toDF("b_id", "b_name")
+    assert(left.fuzzyJoin(right, "a_id", "a_name", "b_id", "b_name")
+      .count() == 1)
+
+    val (vocabDf, merges) = Seq((1L, "aaab aaab ab"))
+      .toDF("id", "text").trainBpe("text", nMerges = 2)
+    assert(merges.nonEmpty && vocabDf.count() == 2)
+
+    val basis = (i: Int) => Array.tabulate(16)(j => if (j == i) 1.0f else 0.0f)
+    val emb = (0 until 40).map(i =>
+      (i.toLong, basis(0).map(_ * (i - 20) / 10.0f))).toDF("vec_id", "v")
+    val pca = emb.pcaProject(Seq("vec_id"), "v")
+    assert(pca.count() == 40 && pca.select("lam1").head().getDouble(0) > 0.0)
+  }
+
   test("pipeline verbs: searchBm25, filterByPerplexity, packInto") {
     val docs = Seq(
       (1L, "spark shuffle spark shuffle spark", "a"),
