@@ -737,6 +737,25 @@ object Relational {
       .orderBy("k", "valid_from", "oid")
   }
 
+  // ---- R48: windowed COUNT(DISTINCT) --------------------------------------
+  // Cumulative distinct-count per key — COUNT(DISTINCT) OVER, which
+  // Spark has no native window form for. Emulated as
+  // size(collect_set() over frame): ONE partition-key shuffle, frame
+  // state bounded by the type cardinality (5 here). For unbounded
+  // cardinality the scale form is the first-occurrence-flag
+  // decomposition (rn=1 per (key, value) → cumsum per key — two
+  // shuffles), which is exactly how the oracle replays this.
+  def q48WindowCountDistinct(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("es", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, dir)
+      .select(col("user_id"), unix_timestamp(col("ts")).as("es"),
+        col("event_id"), col("event_type"))
+      .withColumn("n_distinct_types", size(collect_set(col("event_type")).over(w)))
+      .select("user_id", "es", "event_id", "n_distinct_types")
+      .orderBy("user_id", "es", "event_id")
+  }
+
   // ---- R36: bloom-pruned semi-join ---------------------------------------
   // Manual runtime filtering (operators.BloomPrune): a bloom over the
   // urgent orders' keys prunes lineitem BEFORE its shuffle; the exact
@@ -769,6 +788,7 @@ object Relational {
     "q45_merge_upsert" -> q45MergeUpsert _,
     "q46_resample_ffill" -> q46ResampleFfill _,
     "q47_scd2" -> q47Scd2 _,
+    "q48_window_count_distinct" -> q48WindowCountDistinct _,
     "q35_mean_pool" -> q35MeanPool _,
     "q34_json_extract" -> q34JsonExtract _,
     "q33_theta_overlap" -> q33ThetaOverlap _,
@@ -1031,6 +1051,21 @@ object Relational {
         |          ORDER BY o_totalprice DESC, o_orderkey) AS rn
         |      FROM orders) t
         |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    // q48: replayed via the first-occurrence-flag decomposition
+    // (cumulative distinct ≡ cumsum of per-(key,value) first flags)
+    "q48_window_count_distinct" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS es
+        |  FROM events),
+        |f AS (SELECT user_id, es, event_id,
+        |    CASE WHEN ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |        ORDER BY es, event_id) = 1 THEN 1 ELSE 0 END AS fst
+        |  FROM e)
+        |SELECT user_id, es, event_id,
+        |  CAST(SUM(fst) OVER (PARTITION BY user_id ORDER BY es, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT)
+        |    AS n_distinct_types
+        |FROM f ORDER BY user_id, es, event_id""".stripMargin,
     // q47: same collapse + interval windows replayed
     "q47_scd2" ->
       """WITH feed AS (SELECT o_custkey AS k,
