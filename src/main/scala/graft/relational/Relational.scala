@@ -756,6 +756,23 @@ object Relational {
       .orderBy("user_id", "es", "event_id")
   }
 
+  // ---- R49: interval-overlap concurrency ----------------------------------
+  // Concurrent-session load per hour: q24's sessions exploded onto the
+  // hour grid they overlap (sequence explode — sessions are gap-capped
+  // so spans are bounded; output-proportional, never a quadratic
+  // interval join), then a plain count + distinct-user count per hour.
+  // The "how many X were active at time T" sweep every ops/analytics
+  // stack needs, composed from the sessionizer.
+  def q49HourConcurrency(s: SparkSession, dir: String): DataFrame =
+    q24Sessionize(s, dir)
+      .withColumn("h", explode(sequence(
+        expr("start_s div 3600"), expr("(start_s + dur_s) div 3600"))))
+      .groupBy("h")
+      .agg(count(lit(1)).as("n_sessions"),
+        countDistinct("user_id").as("n_users"))
+      .select((col("h") * 3600).as("hour_s"), col("n_sessions"), col("n_users"))
+      .orderBy("hour_s")
+
   // ---- R36: bloom-pruned semi-join ---------------------------------------
   // Manual runtime filtering (operators.BloomPrune): a bloom over the
   // urgent orders' keys prunes lineitem BEFORE its shuffle; the exact
@@ -789,6 +806,7 @@ object Relational {
     "q46_resample_ffill" -> q46ResampleFfill _,
     "q47_scd2" -> q47Scd2 _,
     "q48_window_count_distinct" -> q48WindowCountDistinct _,
+    "q49_hour_concurrency" -> q49HourConcurrency _,
     "q35_mean_pool" -> q35MeanPool _,
     "q34_json_extract" -> q34JsonExtract _,
     "q33_theta_overlap" -> q33ThetaOverlap _,
@@ -1051,6 +1069,31 @@ object Relational {
         |          ORDER BY o_totalprice DESC, o_orderkey) AS rn
         |      FROM orders) t
         |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    // q49: q24's session CTEs + hour-grid unnest
+    "q49_hour_concurrency" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id,
+        |    CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS es
+        |  FROM events),
+        |flagged AS (
+        |  SELECT user_id, event_id, es,
+        |    CASE WHEN LAG(es) OVER w IS NULL OR es - LAG(es) OVER w > 1800
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)),
+        |sess AS (
+        |  SELECT user_id, es,
+        |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY es, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS session_id
+        |  FROM flagged),
+        |sp AS (SELECT user_id, MIN(es) AS start_s, MAX(es) AS end_s
+        |  FROM sess GROUP BY user_id, session_id),
+        |hrs AS (SELECT user_id,
+        |    unnest(generate_series(start_s // 3600, end_s // 3600)) AS h
+        |  FROM sp)
+        |SELECT h * 3600 AS hour_s, COUNT(*) AS n_sessions,
+        |  COUNT(DISTINCT user_id) AS n_users
+        |FROM hrs GROUP BY h ORDER BY hour_s""".stripMargin,
     // q48: replayed via the first-occurrence-flag decomposition
     // (cumulative distinct ≡ cumsum of per-(key,value) first flags)
     "q48_window_count_distinct" ->
