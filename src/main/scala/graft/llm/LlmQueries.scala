@@ -553,6 +553,42 @@ object LlmQueries {
 
   private val bm25Terms = Seq("hash", "join", "merge", "sort")
 
+  // ---- L52: canonical-URL dedup --------------------------------------------
+  /** URLs planted deterministically from doc_id in spelling variants
+    * (case, default port, trailing slash, tracking params, param
+    * order, fragment) that must collapse under
+    * [[graft.operators.Urls.canonicalize]]; 21 canonical keys at any
+    * SF so every rule's collapse is exercised. The oracle rebuilds the
+    * SAME urls and re-canonicalizes them rule for rule in SQL. */
+  def d13UrlDedup(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val planted = t(s, dir, "documents").select(id,
+      concat(
+        when(id % 2 === 0, "http").otherwise("HTTP"), lit("://"),
+        when(id % 3 === 0, "WWW").otherwise("www"),
+        lit(".site"), (id % 7).cast("string"), lit(".com"),
+        when(id % 4 === 0, ":80").otherwise(""),
+        lit("/page/"), (id % 3).cast("string"),
+        when(id % 3 === 0, "/").otherwise(""),
+        when(id % 2 === 0,
+          concat(lit("?utm_source=feed&id="), (id % 3).cast("string"),
+            lit("&b=2")))
+          .otherwise(concat(lit("?b=2&id="), (id % 3).cast("string"))),
+        when(id % 5 === 0, "#frag").otherwise("")).as("url"))
+    Urls.dedupByCanonical(planted, "doc_id", "url")
+      .orderBy("canonical_url")
+  }
+
+  // ---- L51: vocabulary-pruned TF-IDF --------------------------------------
+  /** Every (doc, vocabulary-token) pair with tf, df, and the smooth-idf
+    * TF-IDF score ([[graft.operators.Retrieval.tfidf]]) — hashing all
+    * scores implies any top-k cut agrees. vocabSize 64 is well below
+    * the corpus vocabulary so the pruning cut is exercised. */
+  def x21Tfidf(s: SparkSession, dir: String): DataFrame =
+    Retrieval.tfidf(t(s, dir, "documents"), "doc_id", "text", vocabSize = 64)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id", "tok")
+
   // ---- L25: sequence packing ----------------------------------------------
   def x12Pack(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").select(col("doc_id"), col("source"),
@@ -697,6 +733,8 @@ object LlmQueries {
     "x12_pack" -> x12Pack _,
     "x13_unigram_ppl" -> x13UnigramPpl _,
     "x14_heavy_hitters" -> x14HeavyHitters _,
+    "x21_tfidf" -> x21Tfidf _,
+    "d13_url_dedup" -> d13UrlDedup _,
     "m1_multimodal" -> m1Multimodal _,
     "m2_media_transform" -> m2MediaTransform _,
   )
@@ -1115,6 +1153,64 @@ object LlmQueries {
       |ORDER BY v.doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // d13: rebuild the planted urls and re-canonicalize rule for rule
+    // (lowercase scheme/host, default-port strip, fragment drop,
+    // tracking-param drop, param sort, trailing-slash strip)
+    "d13_url_dedup" ->
+      """WITH u AS (SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'HTTP' END) || '://' ||
+        |    (CASE WHEN doc_id % 3 = 0 THEN 'WWW' ELSE 'www' END) ||
+        |    '.site' || CAST(doc_id % 7 AS VARCHAR) || '.com' ||
+        |    (CASE WHEN doc_id % 4 = 0 THEN ':80' ELSE '' END) ||
+        |    '/page/' || CAST(doc_id % 3 AS VARCHAR) ||
+        |    (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 2 = 0
+        |       THEN '?utm_source=feed&id=' || CAST(doc_id % 3 AS VARCHAR) || '&b=2'
+        |       ELSE '?b=2&id=' || CAST(doc_id % 3 AS VARCHAR) END) ||
+        |    (CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END) AS url
+        |  FROM documents),
+        |c AS (SELECT doc_id, url,
+        |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#:]+)(:[0-9]+)?([^?#]*)(\?[^#]*)?(#.*)?$', 1)) AS scheme,
+        |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#:]+)(:[0-9]+)?([^?#]*)(\?[^#]*)?(#.*)?$', 2)) AS host,
+        |    regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#:]+)(:[0-9]+)?([^?#]*)(\?[^#]*)?(#.*)?$', 3) AS rawport,
+        |    regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#:]+)(:[0-9]+)?([^?#]*)(\?[^#]*)?(#.*)?$', 4) AS rawpath,
+        |    regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#:]+)(:[0-9]+)?([^?#]*)(\?[^#]*)?(#.*)?$', 5) AS rawq
+        |  FROM u),
+        |n AS (SELECT doc_id, url,
+        |    scheme || '://' || host ||
+        |    (CASE WHEN (scheme = 'http' AND rawport = ':80')
+        |       OR (scheme = 'https' AND rawport = ':443')
+        |       THEN '' ELSE rawport END) ||
+        |    (CASE WHEN regexp_replace(rawpath, '/+$', '') = '' THEN '/'
+        |       ELSE regexp_replace(rawpath, '/+$', '') END) ||
+        |    (CASE WHEN len(ps) > 0
+        |       THEN '?' || array_to_string(list_sort(ps), '&') ELSE '' END)
+        |      AS canonical_url
+        |  FROM (SELECT *,
+        |      list_filter(string_split(substr(rawq, 2), '&'),
+        |        p -> NOT (starts_with(p, 'utm_') OR starts_with(p, 'fbclid=')
+        |          OR starts_with(p, 'gclid=') OR p = '')) AS ps
+        |    FROM c))
+        |SELECT canonical_url, MIN(doc_id) AS keep_id, COUNT(*) AS n_urls,
+        |  COUNT(DISTINCT url) AS n_spellings
+        |FROM n GROUP BY 1 ORDER BY canonical_url""".stripMargin,
+    // x21: full TF-IDF recompute — same tokenization, same (df desc,
+    // tok) vocabulary cut, same smooth-idf arithmetic; ln washed by
+    // ROUND(..,6)
+    "x21_tfidf" ->
+      s"""WITH base AS (SELECT doc_id, string_split($normSql, ' ') AS toks
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(toks) AS tok FROM base),
+        |tfx AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |vocab AS (SELECT tok, COUNT(*) AS df FROM tfx
+        |  GROUP BY 1 ORDER BY df DESC, tok LIMIT 64),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+        |SELECT tfx.doc_id, tfx.tok, tfx.tf, vocab.df,
+        |  ROUND(CAST(tf AS DOUBLE) *
+        |    (ln((CAST(n_docs AS DOUBLE) + 1.0) / (CAST(df AS DOUBLE) + 1.0))
+        |      + 1.0), 6) AS tfidf
+        |FROM tfx JOIN vocab USING (tok), n
+        |ORDER BY doc_id, tok""".stripMargin,
     "s2_ann_lsh" -> s2OracleSql,
     "e2_random_projection" -> e2OracleSql,
     "e3_kmeans" -> e3OracleSql,

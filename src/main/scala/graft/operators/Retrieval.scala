@@ -71,4 +71,39 @@ object Retrieval {
     bm25(docs, idCol, textCol, query, k1, b)
       .orderBy(col("score").desc, col("id"))
       .limit(k)
+
+  /** Corpus TF-IDF restricted to the document-frequency top
+    * `vocabSize` vocabulary (Spärck Jones 1972; sklearn smooth-idf
+    * variant) — the sparse lexical featurizer, pruned the way it
+    * actually runs at web scale: a bounded vocabulary, never the
+    * unbounded corpus token set.
+    *
+    * Scale shape: text explodes ONCE into (doc, token) pairs that
+    * aggregate into per-doc tf on the (doc, token) key (map-side
+    * partials); the vocabulary (top-V by document frequency,
+    * deterministic (df desc, token) cut) and the single-row doc
+    * count are BROADCAST back, so the corpus-sized tf relation only
+    * ever joins constant-size literals — scan → shuffle(tf pairs) →
+    * map, at any corpus size. idf = ln((N+1)/(df+1)) + 1; ln is the
+    * one library call, washed out by ROUND(..,6) for engine-exact
+    * replay. Output = (id, tok, tf, df, tfidf) for every vocabulary
+    * hit — hashing all scores is strictly stronger than any top-k
+    * cut. */
+  def tfidf(docs: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int): DataFrame = {
+    val tf = docs
+      .select(col(idCol).as("id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .groupBy("id", "tok").agg(count(lit(1)).as("tf"))
+    // each (id, tok) row is distinct, so df = row count per token
+    val vocab = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("tok")).limit(vocabSize)
+    val nDocs = docs.select(col(idCol)).agg(count(lit(1)).as("n_docs"))
+    tf.join(broadcast(vocab), Seq("tok"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("id"), col("tok"), col("tf"), col("df"),
+        round(col("tf").cast("double") *
+          (log((col("n_docs").cast("double") + 1.0) /
+            (col("df").cast("double") + 1.0)) + 1.0), 6).as("tfidf"))
+  }
 }

@@ -773,6 +773,34 @@ object Relational {
       .select((col("h") * 3600).as("hour_s"), col("n_sessions"), col("n_users"))
       .orderBy("hour_s")
 
+  // ---- R50: per-group statistical profile (mode + exact quantiles) -------
+  // The describe-per-group surface: event volume, distinct users,
+  // exact p25/median/p75 of value, and the modal day-of-week with a
+  // deterministic (count desc, dow asc) tie-break. Two aggregations
+  // shuffle on the same low-cardinality group key (map-side partials);
+  // the mode window runs over the tiny (group × 7) count table, never
+  // the events. Exact percentiles keep a value→count map per group —
+  // the verification twin; approx_percentile's t-digest is the
+  // documented 100 TB swap (same contract as q32).
+  def q50GroupMode(s: SparkSession, dir: String): DataFrame = {
+    // dayofweek() is 1=Sunday..7; shift to DuckDB's 0=Sunday..6
+    val e = events(s, dir).select(col("event_type"),
+      (dayofweek(col("ts")) - 1).as("dow"), col("value"), col("user_id"))
+    val stats = e.groupBy("event_type").agg(
+      count(lit(1)).as("n_events"),
+      countDistinct("user_id").as("n_users"),
+      round(expr("percentile(value, 0.25)"), 6).as("p25_value"),
+      round(expr("percentile(value, 0.5)"), 6).as("med_value"),
+      round(expr("percentile(value, 0.75)"), 6).as("p75_value"))
+    val dowCnt = e.groupBy("event_type", "dow").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("event_type").orderBy(col("cnt").desc, col("dow"))
+    val mode = dowCnt.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("dow").as("mode_dow"),
+        col("cnt").as("mode_dow_n"))
+    stats.join(mode, Seq("event_type")).orderBy("event_type")
+  }
+
   // ---- R36: bloom-pruned semi-join ---------------------------------------
   // Manual runtime filtering (operators.BloomPrune): a bloom over the
   // urgent orders' keys prunes lineitem BEFORE its shuffle; the exact
@@ -807,6 +835,7 @@ object Relational {
     "q47_scd2" -> q47Scd2 _,
     "q48_window_count_distinct" -> q48WindowCountDistinct _,
     "q49_hour_concurrency" -> q49HourConcurrency _,
+    "q50_group_mode" -> q50GroupMode _,
     "q35_mean_pool" -> q35MeanPool _,
     "q34_json_extract" -> q34JsonExtract _,
     "q33_theta_overlap" -> q33ThetaOverlap _,
@@ -847,6 +876,28 @@ object Relational {
   private val rev = revenueSql // DuckDB fragment
 
   val oracles: Map[String, String] = Map(
+    // q50: identical dow convention (DuckDB dayofweek = 0..6 Sunday
+    // first), quantile_cont = Spark's exact interpolating percentile,
+    // same deterministic mode tie-break
+    "q50_group_mode" ->
+      """WITH e AS (SELECT event_type,
+        |    dayofweek(CAST(ts AS TIMESTAMP)) AS dow, value, user_id
+        |  FROM events),
+        |st AS (SELECT event_type, COUNT(*) AS n_events,
+        |    COUNT(DISTINCT user_id) AS n_users,
+        |    ROUND(quantile_cont(value, 0.25), 6) AS p25_value,
+        |    ROUND(quantile_cont(value, 0.5), 6) AS med_value,
+        |    ROUND(quantile_cont(value, 0.75), 6) AS p75_value
+        |  FROM e GROUP BY 1),
+        |dc AS (SELECT event_type, dow, COUNT(*) AS cnt FROM e GROUP BY 1, 2),
+        |md AS (SELECT event_type, dow AS mode_dow, cnt AS mode_dow_n,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY cnt DESC, dow) AS rn
+        |  FROM dc)
+        |SELECT st.event_type, n_events, n_users, p25_value, med_value,
+        |  p75_value, mode_dow, mode_dow_n
+        |FROM st JOIN md USING (event_type) WHERE rn = 1
+        |ORDER BY event_type""".stripMargin,
     "q35_mean_pool" ->
       """SELECT CAST(vec_id % 8 AS INT) AS g, COUNT(*) AS n,
         |  ROUND(AVG(CAST(embedding[1] AS DOUBLE)), 6) AS m1,
