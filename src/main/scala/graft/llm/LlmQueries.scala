@@ -553,6 +553,18 @@ object LlmQueries {
 
   private val bm25Terms = Seq("hash", "join", "merge", "sort")
 
+  // ---- L53: interpolated bigram LM perplexity ------------------------------
+  /** Bigram-model quality scoring past x13's unigram filter
+    * ([[graft.operators.TextAnalysis.bigramPerplexity]]); vocab cuts
+    * (32 unigram / 64 bigram) sit below the corpus vocabulary so both
+    * pruning paths and the OOV floor are exercised in the oracled
+    * query. */
+  def x22BigramPpl(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bigramPerplexity(t(s, dir, "documents"), "doc_id", "text",
+        uniVocab = 32, biVocab = 64)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
   // ---- L52: canonical-URL dedup --------------------------------------------
   /** URLs planted deterministically from doc_id in spelling variants
     * (case, default port, trailing slash, tracking params, param
@@ -735,6 +747,7 @@ object LlmQueries {
     "x14_heavy_hitters" -> x14HeavyHitters _,
     "x21_tfidf" -> x21Tfidf _,
     "d13_url_dedup" -> d13UrlDedup _,
+    "x22_bigram_ppl" -> x22BigramPpl _,
     "m1_multimodal" -> m1Multimodal _,
     "m2_media_transform" -> m2MediaTransform _,
   )
@@ -1153,6 +1166,39 @@ object LlmQueries {
       |ORDER BY v.doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // x22: full bigram-model replay — same tokenization, same
+    // (count desc, key) vocab cuts, same λ=0.75 interpolation and 0.5
+    // OOV floor; per-bigram log-probs as 9-decimal DECIMALs so the sum
+    // is order-free on both engines
+    "x22_bigram_ppl" ->
+      s"""WITH base AS (SELECT doc_id, string_split($normSql, ' ') AS toks
+        |  FROM documents),
+        |ucnt AS (SELECT tok, COUNT(*) AS cnt
+        |  FROM (SELECT unnest(toks) AS tok FROM base) GROUP BY 1),
+        |tot AS (SELECT SUM(cnt) AS t FROM ucnt),
+        |uvocab AS (SELECT tok, cnt FROM ucnt
+        |  ORDER BY cnt DESC, tok LIMIT 32),
+        |docs2 AS (SELECT doc_id, toks FROM base WHERE len(toks) >= 2),
+        |pos AS (SELECT doc_id, toks,
+        |    unnest(generate_series(1, len(toks) - 1)) AS i FROM docs2),
+        |big AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2 FROM pos),
+        |bcnt AS (SELECT w1, w2, COUNT(*) AS bcnt FROM big GROUP BY 1, 2),
+        |bvocab AS (SELECT b.w1, b.w2, b.bcnt, u.cnt AS c1
+        |  FROM bcnt b JOIN ucnt u ON b.w1 = u.tok
+        |  ORDER BY b.bcnt DESC, b.w1, b.w2 LIMIT 64),
+        |scored AS (SELECT big.doc_id,
+        |    CAST(ROUND(ln(
+        |      0.75 * (CASE WHEN bv.bcnt IS NOT NULL
+        |        THEN CAST(bv.bcnt AS DOUBLE) / CAST(bv.c1 AS DOUBLE)
+        |        ELSE 0.0 END) +
+        |      0.25 * (COALESCE(CAST(uv.cnt AS DOUBLE), 0.5) / t)), 9)
+        |      AS DECIMAL(18,9)) AS lp
+        |  FROM big
+        |  LEFT JOIN bvocab bv ON big.w1 = bv.w1 AND big.w2 = bv.w2
+        |  LEFT JOIN uvocab uv ON big.w2 = uv.tok, tot)
+        |SELECT doc_id, COUNT(*) AS n_bi,
+        |  ROUND(exp(-(CAST(SUM(lp) AS DOUBLE) / COUNT(*))), 6) AS ppl
+        |FROM scored GROUP BY 1 ORDER BY doc_id""".stripMargin,
     // d13: rebuild the planted urls and re-canonicalize rule for rule
     // (lowercase scheme/host, default-port strip, fragment drop,
     // tracking-param drop, param sort, trailing-slash strip)

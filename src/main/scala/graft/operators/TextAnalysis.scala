@@ -255,6 +255,54 @@ object TextAnalysis {
         round(exp(-(col("slp").cast("double") / col("n_tok"))), 6).as("ppl"))
   }
 
+  /** Jelinek-Mercer interpolated bigram LM perplexity — the next
+    * fidelity step past [[unigramPerplexity]]'s CCNet filter:
+    * p(w2|w1) = λ·c(w1,w2)/c(w1) + (1−λ)·p_uni(w2), with the bigram
+    * term live only for the top-`biVocab` bigram table (pruned-model
+    * reality at web scale) and p_uni carrying x13's 0.5 OOV floor over
+    * the top-`uniVocab` unigram table.
+    *
+    * Scale shape: both model tables are bounded-size corpus aggregates
+    * with deterministic (count desc, key) cuts, BROADCAST back; the
+    * per-doc pass is explode → two broadcast left joins → map. Per-doc
+    * log-probs sum as 9-decimal DECIMALs — order-free, so the oracle
+    * replays them exactly regardless of partitioning. */
+  def bigramPerplexity(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, uniVocab: Int, biVocab: Int,
+      lambda: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    val toks = df.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= 2)
+    // model statistics use the whole corpus, including 1-token docs
+    val ucnt = df.select(explode(tokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val total = ucnt.agg(sum("cnt").as("t"))
+    val uvocab = ucnt.orderBy(col("cnt").desc, col("tok")).limit(uniVocab)
+    val big = toks.select(col("id"), explode(expr(
+        "zip_with(slice(toks, 1, size(toks)-1), slice(toks, 2, size(toks)-1), " +
+          "(a, b) -> struct(a AS w1, b AS w2))")).as("bg"))
+      .select(col("id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val bcnt = big.groupBy("w1", "w2").agg(count(lit(1)).as("bcnt"))
+    // c(w1) attaches BEFORE the top-B cut (token-keyed join of two
+    // aggregates); only the cut result broadcasts
+    val bvocab = bcnt
+      .join(ucnt.select(col("tok").as("w1"), col("cnt").as("c1")), Seq("w1"))
+      .orderBy(col("bcnt").desc, col("w1"), col("w2")).limit(biVocab)
+    val pBig = when(col("bcnt").isNotNull,
+      col("bcnt").cast("double") / col("c1").cast("double")).otherwise(0.0)
+    val pUni = coalesce(col("cnt").cast("double"), lit(0.5)) / col("t")
+    big.join(broadcast(bvocab), Seq("w1", "w2"), "left")
+      .join(broadcast(uvocab.select(col("tok").as("w2"), col("cnt"))),
+        Seq("w2"), "left")
+      .crossJoin(broadcast(total))
+      .withColumn("lp",
+        round(log(lit(lambda) * pBig + lit(1 - lambda) * pUni), 9)
+          .cast("decimal(18,9)"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_bi"), sum("lp").as("slp"))
+      .select(col("id"), col("n_bi"),
+        round(exp(-(col("slp").cast("double") / col("n_bi"))), 6).as("ppl"))
+  }
+
   def repetitionSignals(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.graft.ColumnBridge
