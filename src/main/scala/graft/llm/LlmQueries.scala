@@ -553,6 +553,17 @@ object LlmQueries {
 
   private val bm25Terms = Seq("hash", "join", "merge", "sort")
 
+  // ---- L54: mutual-kNN graph ------------------------------------------------
+  /** Mutual-kNN edges over the embeddings corpus
+    * ([[graft.operators.Similarity.knnGraph]]): spherical sample-
+    * quantizer cells (the d10 index — fully SQL-replayable), within-
+    * cell candidates, bounded-heap per-node top-5, mutual
+    * symmetrization. */
+  def e6KnnGraph(s: SparkSession, dir: String): DataFrame =
+    Similarity.knnGraph(t(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 5, nCells = 16)
+      .orderBy("id_a", "id_b")
+
   // ---- L53: interpolated bigram LM perplexity ------------------------------
   /** Bigram-model quality scoring past x13's unigram filter
     * ([[graft.operators.TextAnalysis.bigramPerplexity]]); vocab cuts
@@ -748,6 +759,7 @@ object LlmQueries {
     "x21_tfidf" -> x21Tfidf _,
     "d13_url_dedup" -> d13UrlDedup _,
     "x22_bigram_ppl" -> x22BigramPpl _,
+    "e6_knn_graph" -> e6KnnGraph _,
     "m1_multimodal" -> m1Multimodal _,
     "m2_media_transform" -> m2MediaTransform _,
   )
@@ -1166,6 +1178,42 @@ object LlmQueries {
       |ORDER BY v.doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // e6: full index replay — d10's centroid pick + spherical argmax
+    // assignment, within-cell pairs, per-node ROW_NUMBER top-5 (raw-cos
+    // ordering, id tiebreak — bit-identical dots), mutual join
+    "e6_knn_graph" ->
+      """WITH emb0 AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |cent AS (SELECT vec_id AS cid, v AS cv,
+        |    sqrt(list_inner_product(v, v)) AS nc FROM emb0
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+        |b AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nv
+        |  FROM emb0),
+        |assign AS (SELECT vec_id, v, nv, cid AS cell FROM (
+        |    SELECT b.vec_id, b.v, b.nv, c.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY
+        |        CASE WHEN b.nv * c.nc = 0.0 THEN 0.0
+        |             ELSE -(list_inner_product(b.v, c.cv) / (b.nv * c.nc))
+        |        END ASC, c.cid ASC) AS rn
+        |    FROM b CROSS JOIN cent c) t WHERE rn = 1),
+        |pair AS (SELECT a.vec_id AS id_a, bb.vec_id AS id_b,
+        |    CASE WHEN a.nv * bb.nv = 0.0 THEN 0.0
+        |         ELSE list_inner_product(a.v, bb.v) / (a.nv * bb.nv)
+        |    END AS cos
+        |  FROM assign a JOIN assign bb
+        |    ON a.cell = bb.cell AND a.vec_id < bb.vec_id),
+        |directed AS (SELECT id_a AS qid, id_b AS id, cos FROM pair
+        |  UNION ALL SELECT id_b AS qid, id_a AS id, cos FROM pair),
+        |rk AS (SELECT qid, id, cos,
+        |    ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY cos DESC, id ASC) AS rk
+        |  FROM directed),
+        |topk AS (SELECT * FROM rk WHERE rk <= 5)
+        |SELECT f.qid AS id_a, f.id AS id_b, ROUND(f.cos, 6) AS cos,
+        |  f.rk AS rk_ab, r.rk AS rk_ba
+        |FROM topk f JOIN topk r ON f.qid = r.id AND f.id = r.qid
+        |WHERE f.qid < f.id ORDER BY id_a, id_b""".stripMargin,
     // x22: full bigram-model replay — same tokenization, same
     // (count desc, key) vocab cuts, same λ=0.75 interpolation and 0.5
     // OOV floor; per-bigram log-probs as 9-decimal DECIMALs so the sum

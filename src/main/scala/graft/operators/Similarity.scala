@@ -285,4 +285,67 @@ object Similarity {
     encoded.unpersist()
     res
   }
+
+  /** Approximate mutual-kNN graph over an embedding corpus — the
+    * neighborhood structure behind graph-based dedup, label
+    * propagation, and hubness/quality analysis. Index = the
+    * deterministic spherical sample quantizer ([[Dedup.semanticDedup]]
+    * / s3's md5-order centroid pick, fully SQL-replayable); candidates
+    * are same-cell pairs only; per-node top-k runs through the
+    * mergeable bounded-heap [[graft.expressions.TopKAgg]] (cos desc,
+    * id asc); an edge survives iff EACH endpoint ranks the other in
+    * its own top-k (mutual symmetrization — the standard kNN-graph
+    * noise filter).
+    *
+    * Scale shape: centroid assignment is a map-side argmax over
+    * literal centroids; candidate generation is cell-partitioned (AQE
+    * skew-splittable) and quadratic only WITHIN cells — SemDeDup's
+    * O(Σ|cell|²) cost model, bounded by nCells ∝ corpus size; reduce
+    * state is O(nodes × k); the mutual join carries only (node, node,
+    * rank) triples. */
+  def knnGraph(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, nCells: Int = 16): DataFrame = {
+    val c = corpus.select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nv", VectorOps.norm(col("v")))
+    val centroids: Array[(Long, Array[Double])] =
+      c.select(col("id"), col("v"))
+        .orderBy(md5(col("id").cast("string")), col("id"))
+        .limit(nCells).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val cellOf: Column = {
+      val ncs = centroids.map { case (_, cv) => math.sqrt(VectorOps.selfDot(cv)) }
+      element_at(ColumnBridge.column(graft.expressions.NearestCentroidCosine(
+        ColumnBridge.expression(col("v")),
+        ColumnBridge.expression(col("nv")),
+        centroids.map(_._2), centroids.map(_._1), ncs)), 2).cast("long")
+    }
+    val assign = c.withColumn("cell", cellOf).persist()
+    val half = assign.select(col("cell"), col("id").as("id_a"),
+        col("v").as("va"), col("nv").as("na"))
+      .join(assign.select(col("cell"), col("id").as("id_b"),
+        col("v").as("vb"), col("nv").as("nb")), Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        when(col("na") * col("nb") === 0.0, 0.0)
+          .otherwise(VectorOps.dot(col("va"), col("vb")) /
+            (col("na") * col("nb"))).as("cos"))
+    // each unordered pair scored once, then oriented both ways for the
+    // per-node heaps
+    val directed = half.select(col("id_a").as("qid"), col("id_b").as("id"),
+        col("cos"))
+      .union(half.select(col("id_b").as("qid"), col("id_a").as("id"),
+        col("cos")))
+    val ranked = topK(directed, k)
+    val res = ranked.as("f")
+      .join(ranked.as("r"),
+        col("f.qid") === col("r.id") && col("f.id") === col("r.qid"))
+      .filter(col("f.qid") < col("f.id"))
+      .select(col("f.qid").as("id_a"), col("f.id").as("id_b"),
+        round(col("f.cos"), 6).as("cos"),
+        col("f.rk").as("rk_ab"), col("r.rk").as("rk_ba"))
+      .localCheckpoint(true)
+    assign.unpersist()
+    res
+  }
 }
