@@ -213,5 +213,27 @@ package object syntax {
     def pcaProject(idCols: Seq[String], vecCol: String,
         dim: Int = 16): DataFrame =
       operators.EmbedStats.pcaPowerProject(df, idCols, vecCol, dim)
+
+    /** Vocabulary-pruned TF-IDF scores (top-`vocabSize` df terms). */
+    def tfidf(idCol: String, textCol: String,
+        vocabSize: Int = 4096): DataFrame =
+      operators.Retrieval.tfidf(df, idCol, textCol, vocabSize)
+
+    /** Interpolated bigram LM perplexity per document. */
+    def bigramPerplexity(idCol: String, textCol: String,
+        uniVocab: Int = 4096, biVocab: Int = 65536,
+        lambda: Double = 0.75): DataFrame =
+      operators.TextAnalysis.bigramPerplexity(df, idCol, textCol,
+        uniVocab, biVocab, lambda)
+
+    /** Canonical-URL dedup (case/port/fragment/tracking/param-order/
+      * slash normalization, keep-min id per canonical key). */
+    def dedupUrls(idCol: String, urlCol: String): DataFrame =
+      operators.Urls.dedupByCanonical(df, idCol, urlCol)
+
+    /** Mutual-kNN graph over an embedding column. */
+    def knnGraph(idCol: String, vecCol: String, k: Int = 10,
+        nCells: Int = 16): DataFrame =
+      operators.Similarity.knnGraph(df, idCol, vecCol, k, nCells)
   }
 }

@@ -163,6 +163,34 @@ class SyntaxSpec extends AnyFunSuite {
     assert(pca.count() == 40 && pca.select("lam1").head().getDouble(0) > 0.0)
   }
 
+  test("round-6b verbs: tfidf, bigramPerplexity, dedupUrls, knnGraph") {
+    val docs = Seq((1L, "aa bb aa"), (2L, "bb cc bb cc")).toDF("id", "text")
+
+    val tf = docs.tfidf("id", "text", vocabSize = 8)
+      .as[(Long, String, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(tf((1L, "aa")) == ((2L, 1L))) // tf=2 in doc 1, df=1
+    assert(tf((1L, "bb")) == ((1L, 2L)) && tf((2L, "bb")) == ((2L, 2L)))
+
+    val ppl = docs.bigramPerplexity("id", "text", uniVocab = 8, biVocab = 8)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(ppl.size == 2 && ppl.values.forall(_ > 0.0))
+
+    val urls = Seq((1L, "HTTP://Ex.COM:80/a/?utm_source=x&b=1"),
+      (2L, "http://ex.com/a?b=1")).toDF("id", "url")
+    val ded = urls.dedupUrls("id", "url")
+      .as[(String, Long, Long, Long)].collect()
+    assert(ded.length == 1 && ded.head == (("http://ex.com/a?b=1", 1L, 2L, 2L)))
+
+    val emb = (0 until 20).map { i =>
+      val v = Array.fill(4)(0.0); v(i % 2) = 1.0 + 0.001 * i
+      (i.toLong, v)
+    }.toDF("vec_id", "v")
+    val g = emb.knnGraph("vec_id", "v", k = 3, nCells = 2)
+      .as[(Long, Long, Double, Int, Int)].collect()
+    assert(g.nonEmpty && g.forall(e => e._1 < e._2 && e._1 % 2 == e._2 % 2))
+  }
+
   test("pipeline verbs: searchBm25, filterByPerplexity, packInto") {
     val docs = Seq(
       (1L, "spark shuffle spark shuffle spark", "a"),
