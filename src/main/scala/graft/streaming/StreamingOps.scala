@@ -226,6 +226,52 @@ object StreamingOps {
       .start()
   }
 
+  /** S11: streaming crawl-frontier URL dedup — the streaming form of
+    * d13. Each micro-batch canonicalizes arriving URLs
+    * ([[graft.operators.Urls.canonicalize]] — the map-only codegen'd
+    * expression), collapses the batch per canonical key (keep-min id),
+    * and verdicts against the maintained frontier of already-seen
+    * canonical keys (broadcast-friendly left join): `seen = true`
+    * carries the stored `first_id`. Unseen keys fold into the frontier
+    * between triggers (persist + count materialization before the
+    * parent releases — the S8–S10 state idiom; a production frontier
+    * is a parquet/Delta keyed store appended per trigger, and the
+    * lookup a key-partitioned join). Verdict rows:
+    * (canonical_url, id, n_in_batch, seen, first_id). */
+  def streamingUrlFrontier(urls: DataFrame, initial: DataFrame,
+      idCol: String, urlCol: String)(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    var frontier = initial
+      .select(col("canonical_url"), col("first_id").cast("long").as("first_id"))
+      .persist()
+    frontier.count()
+    urls.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val batch = b.toDF()
+          .select(col(idCol).cast("long").as("id"),
+            graft.operators.Urls.canonicalize(col(urlCol)).as("canonical_url"))
+          .groupBy("canonical_url")
+          .agg(min(col("id")).as("id"), count(lit(1)).as("n_in_batch"))
+        val verdict = batch.join(frontier, Seq("canonical_url"), "left")
+          .select(col("canonical_url"), col("id"), col("n_in_batch"),
+            col("first_id").isNotNull.as("seen"),
+            coalesce(col("first_id"), col("id")).as("first_id"))
+          .persist()
+        verdict.count()
+        val next = frontier.union(
+          verdict.filter(!col("seen"))
+            .select(col("canonical_url"), col("first_id"))).persist()
+        next.count()
+        frontier.unpersist()
+        frontier = next
+        sink(verdict)
+        verdict.unpersist()
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
+
   /** S9: streaming ingest curation — each arriving micro-batch runs
     * the full curation pipeline (dedup, decontamination, quality,
     * length) INCREMENTALLY against the corpus's precomputed digest

@@ -1,7 +1,7 @@
 package graft
 
 import graft.streaming.StreamingOps
-import org.apache.spark.sql.functions.{col, explode, lit, when}
+import org.apache.spark.sql.functions.{coalesce, col, concat, explode, lit, when}
 import org.apache.spark.sql.streaming.Trigger
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -174,6 +174,56 @@ class StreamingSpec extends AnyFunSuite {
       .select("k", "price", "priority").collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
     assert(last.nonEmpty && last.toSet == want.toSet)
+  }
+
+  test("S11: streaming URL frontier dedup matches its batch twin (d13)") {
+    import org.apache.spark.sql.types._
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    // planted url: case + port + tracking-param spelling varies by id,
+    // canonical key = doc_id % 13
+    def planted(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("doc_id"),
+      concat(
+        when(col("doc_id") % 2 === 0, "http").otherwise("HTTP"),
+        lit("://ex"), (col("doc_id") % 13).cast("string"), lit(".com"),
+        when(col("doc_id") % 3 === 0, ":80").otherwise(""),
+        lit("/p"),
+        when(col("doc_id") % 2 === 0, "?utm_source=s&a=1").otherwise("?a=1"))
+        .as("url"))
+    // frontier state: ids < 50 already crawled
+    val crawled = planted(
+      Tables.t(spark, sf, "documents").filter(col("doc_id") < 50))
+    val frontier0 = graft.operators.Urls
+      .dedupByCanonical(crawled, "doc_id", "url")
+      .select(col("canonical_url"), col("keep_id").as("first_id"))
+    val stream = planted(spark.readStream.schema(docSchema)
+      .option("pathGlobFilter", "documents.parquet").parquet(sf))
+    val got = scala.collection.mutable
+      .ArrayBuffer.empty[(String, Long, Boolean, Long)]
+    val q = StreamingOps.streamingUrlFrontier(stream, frontier0,
+        "doc_id", "url") { v =>
+      got.synchronized {
+        got ++= v.select("canonical_url", "id", "seen", "first_id").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2), r.getLong(3)))
+      }
+    }
+    q.awaitTermination(180000)
+    // batch twin: full-table canonical dedup joined against frontier0
+    val all = graft.operators.Urls.dedupByCanonical(
+        planted(Tables.t(spark, sf, "documents")), "doc_id", "url")
+      .join(frontier0, Seq("canonical_url"), "left")
+      .select(col("canonical_url"), col("keep_id"),
+        col("first_id").isNotNull.as("seen"),
+        coalesce(col("first_id"), col("keep_id")).as("first_id"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2), r.getLong(3)))
+    assert(got.nonEmpty && got.toSet == all.toSet,
+      s"frontier verdicts diverged (${got.size} vs ${all.length})")
+    // planted truth: all 13 canonical keys pre-seeded by ids < 50 → seen
+    assert(got.forall { case (_, _, seen, firstId) => seen && firstId < 50 })
   }
 
   test("S2: streaming dedup emits each event_id once") {
