@@ -324,6 +324,16 @@ object LlmQueries {
     BpeTrainer.fit(t(s, dir, "documents"), "text", nMerges = 5)._1
       .orderBy("word")
 
+  // ---- L55: BPE corpus encode ----------------------------------------------
+  /** Encode the corpus with the x20-fitted tokenizer
+    * ([[graft.operators.BpeTrainer.encode]]): per-doc word + BPE token
+    * counts. Merge application runs once per distinct word (in the
+    * fit); the doc pass is a word-keyed join + integer sums. */
+  def x23BpeEncode(s: SparkSession, dir: String): DataFrame =
+    BpeTrainer.encode(t(s, dir, "documents"), "doc_id", "text", nMerges = 5)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
   // ---- L16: PII redaction --------------------------------------------------
   def x6Redact(s: SparkSession, dir: String): DataFrame = {
     // the synthetic corpus has no PII; plant deterministic addresses and
@@ -760,6 +770,7 @@ object LlmQueries {
     "d13_url_dedup" -> d13UrlDedup _,
     "x22_bigram_ppl" -> x22BigramPpl _,
     "e6_knn_graph" -> e6KnnGraph _,
+    "x23_bpe_encode" -> x23BpeEncode _,
     "m1_multimodal" -> m1Multimodal _,
     "m2_media_transform" -> m2MediaTransform _,
   )
@@ -988,8 +999,9 @@ object LlmQueries {
   /** x20 oracle: the whole 5-round BPE fit replayed — word counts,
     * chr(1)-framed symbol strings, weighted adjacent-pair counts,
     * (c DESC, l, r) argmax, leftmost-nonoverlapping replace. */
-  private def x20OracleSql: String = {
-    val n = 5
+  /** Shared x20/x23 CTE prefix: the full nMerges-round BPE fit as
+    * generated CTEs ending in the tokenized vocabulary `v$n`. */
+  private def bpeVocabCtes(n: Int): String = {
     val iters = (1 to n).map { k =>
       s"""e$k AS (SELECT cnt, ws, unnest(generate_series(1, len(ws) - 1)) AS i
          |  FROM (SELECT cnt, list_filter(string_split(sym, chr(1)),
@@ -1012,13 +1024,35 @@ object LlmQueries {
        |      generate_series(1, length(word)),
        |      i -> substr(word, CAST(i AS INT), 1)), chr(1)) || chr(1) AS sym
        |  FROM wc),
-       |$iters
+       |$iters""".stripMargin
+  }
+
+  private def x20OracleSql: String = {
+    val n = 5
+    s"""${bpeVocabCtes(n)}
        |SELECT word, cnt, CAST(len(ws) AS INT) AS n_tokens,
        |  array_to_string(ws, ' ') AS tokens
        |FROM (SELECT word, cnt,
        |      list_filter(string_split(sym, chr(1)), x -> x <> '') AS ws
        |      FROM v$n)
        |ORDER BY word""".stripMargin
+  }
+
+  /** x23 oracle: the x20 fit replay extended by the encode join —
+    * per-word token counts from v5, corpus words joined back, integer
+    * sums (order-free, exact). */
+  private def x23OracleSql: String = {
+    val n = 5
+    s"""${bpeVocabCtes(n)},
+       |enc AS (SELECT word,
+       |    CAST(len(list_filter(string_split(sym, chr(1)), x -> x <> ''))
+       |      AS BIGINT) AS n_tokens
+       |  FROM v$n),
+       |w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+       |  FROM documents)
+       |SELECT doc_id, COUNT(*) AS n_words, SUM(n_tokens) AS n_bpe_tokens
+       |FROM w JOIN enc USING (word) WHERE word <> ''
+       |GROUP BY 1 ORDER BY doc_id""".stripMargin
   }
 
   /** e5 oracle: full replay. Exact HUGEINT moment sums on the 1e-6
@@ -1310,6 +1344,7 @@ object LlmQueries {
     "e3_kmeans" -> e3OracleSql,
     "e5_pca_project" -> e5OracleSql,
     "x20_bpe_train" -> x20OracleSql,
+    "x23_bpe_encode" -> x23OracleSql,
     // d12: all-pairs-in-block string-gram ground truth (the d4 oracle
     // shape with the asymmetric metric); Spark's hashed-gram merge scan
     // must agree exactly

@@ -67,4 +67,24 @@ object BpeTrainer {
         concat_ws(" ", col("toks")).as("tokens"))
     (out, merges.toSeq)
   }
+
+  /** Encode the corpus with a fitted tokenizer: per-doc whitespace
+    * word count and total BPE token count. The expensive merge
+    * application ran ONCE per distinct word inside [[fit]] — encoding
+    * is a word-keyed join of the corpus's exploded words against that
+    * vocabulary (vocab ≪ corpus; AQE broadcasts it when it fits) plus
+    * an integer sum, so the per-doc pass is explode → join → agg with
+    * no string surgery. Integer counts sum order-free — the oracle
+    * replays exactly at any partitioning. */
+  def encode(docs: DataFrame, idCol: String, textCol: String,
+      nMerges: Int = 5): DataFrame = {
+    val vocab = fit(docs, textCol, nMerges)._1.select("word", "n_tokens")
+    docs.select(col(idCol).as("id"),
+        explode(split(col(textCol), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .join(vocab, Seq("word"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_tokens").cast("long")).as("n_bpe_tokens"))
+  }
 }

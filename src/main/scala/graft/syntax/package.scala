@@ -235,5 +235,11 @@ package object syntax {
     def knnGraph(idCol: String, vecCol: String, k: Int = 10,
         nCells: Int = 16): DataFrame =
       operators.Similarity.knnGraph(df, idCol, vecCol, k, nCells)
+
+    /** Fit a BPE tokenizer and encode the corpus: per-doc word and
+      * BPE token counts. */
+    def encodeBpe(idCol: String, textCol: String,
+        nMerges: Int = 5): DataFrame =
+      operators.BpeTrainer.encode(df, idCol, textCol, nMerges)
   }
 }

@@ -22,7 +22,8 @@ class PlanAuditSpec extends AnyFunSuite {
   // scan — the canonical "stats ride along" shape
   private val nestedLoopOk =
     Set("s1_ann_brute", "s4_quant_cosine", "s3_ann_ivf", "q33_theta_overlap",
-      "s5_ann_pq", "x11_bm25", "x13_unigram_ppl")
+      "s5_ann_pq", "x11_bm25", "x13_unigram_ppl", "x21_tfidf",
+      "x22_bigram_ppl")
 
   test("no query plan contains a cartesian product") {
     SparkEntry.queries.keys.foreach { name =>
