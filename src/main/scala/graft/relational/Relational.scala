@@ -801,6 +801,23 @@ object Relational {
     stats.join(mode, Seq("event_type")).orderBy("event_type")
   }
 
+  // ---- R51: native session_window sessionization -------------------------
+  // q24's sessions through Spark's NATIVE session_window aggregate —
+  // one groupBy carries the merge logic (no lag window + cumsum
+  // composition), state is per-open-session (the streaming-capable
+  // form). Microsecond-exact: SessionWindowSpec pins the boundary rule
+  // (an exact-gap event MERGES; a new session needs gap strictly
+  // greater), and the oracle replays that rule on epoch-microseconds.
+  def q51SessionWindow(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"), dsum(dec(col("value"))).as("total_value"))
+      .select(col("user_id"),
+        unix_timestamp(col("sw.start")).as("start_s"),
+        unix_timestamp(col("sw.end")).as("end_s"),
+        col("n_events"), col("total_value"))
+      .orderBy("user_id", "start_s")
+
   // ---- R36: bloom-pruned semi-join ---------------------------------------
   // Manual runtime filtering (operators.BloomPrune): a bloom over the
   // urgent orders' keys prunes lineitem BEFORE its shuffle; the exact
@@ -836,6 +853,7 @@ object Relational {
     "q48_window_count_distinct" -> q48WindowCountDistinct _,
     "q49_hour_concurrency" -> q49HourConcurrency _,
     "q50_group_mode" -> q50GroupMode _,
+    "q51_session_window" -> q51SessionWindow _,
     "q35_mean_pool" -> q35MeanPool _,
     "q34_json_extract" -> q34JsonExtract _,
     "q33_theta_overlap" -> q33ThetaOverlap _,
@@ -876,6 +894,27 @@ object Relational {
   private val rev = revenueSql // DuckDB fragment
 
   val oracles: Map[String, String] = Map(
+    // q51: replay session_window's pinned boundary rule (new session
+    // iff gap STRICTLY > 30 min; end = last event + gap) on exact
+    // epoch-microsecond integers; // is integer division (micros
+    // exceed double's 53-bit mantissa)
+    "q51_session_window" ->
+      """WITH e AS (SELECT user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us, value FROM events),
+        |l AS (SELECT user_id, us, value,
+        |    LAG(us) OVER (PARTITION BY user_id ORDER BY us) AS prev FROM e),
+        |s AS (SELECT user_id, us, value,
+        |    SUM(CASE WHEN prev IS NULL OR us - prev > 1800000000
+        |        THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY us
+        |        ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM l)
+        |SELECT user_id,
+        |  CAST(MIN(us) // 1000000 AS BIGINT) AS start_s,
+        |  CAST(MAX(us) // 1000000 AS BIGINT) + 1800 AS end_s,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, start_s""".stripMargin,
     // q50: identical dow convention (DuckDB dayofweek = 0..6 Sunday
     // first), quantile_cont = Spark's exact interpolating percentile,
     // same deterministic mode tie-break

@@ -27,6 +27,18 @@ class UrlsSpec extends AnyFunSuite {
     assert(canon("not a url") === Seq(""))
   }
 
+  test("canonicalize is idempotent: canonical output re-canonicalizes to itself") {
+    val inputs = Seq(
+      "HTTP://WWW.Ex.COM:80/a/?utm_source=x&b=2&id=1#top",
+      "https://ex.com:443/",
+      "http://ex.com:8080/p?z=1&a=2",
+      "http://ex.com?gclid=g&fbclid=f",
+      "http://User.EX.com/deep/path/?z=9&y=8&x=7#frag",
+      "ftp://Files.Ex.com:21/pub/")
+    val once = canon(inputs: _*)
+    assert(canon(once: _*) === once)
+  }
+
   test("spelling variants of one page collapse to a single canonical key") {
     val variants = Seq(
       (1L, "HTTP://WWW.Ex.COM:80/a/?utm_source=x&b=2&id=1#top"),
