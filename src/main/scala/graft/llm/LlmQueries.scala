@@ -324,6 +324,32 @@ object LlmQueries {
     BpeTrainer.fit(t(s, dir, "documents"), "text", nMerges = 5)._1
       .orderBy("word")
 
+  // ---- L56: video frame sampling -------------------------------------------
+  /** The video curation pass ([[graft.operators.Multimodal.VideoCodec]]):
+    * spec-shaped AVI containers planted from doc_id (avih main header
+    * at real offsets, frame body), every 2nd frame kept via real RIFF
+    * surgery (dwTotalFrames/movi/RIFF sizes rewritten), then metadata
+    * RE-extracted from the transformed bytes — the m2 discipline. One
+    * mapPartitions pass, no shuffle; the oracle recomputes the
+    * post-sample metadata arithmetically from doc_id. */
+  def m3FrameSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val vids = t(s, dir, "documents").select("doc_id", "text")
+      .as[(Long, String)].map { case (id, text) =>
+        Multimodal.MediaRow(id, "avi", Multimodal.VideoCodec.buildAvi(
+          width = (id % 640).toInt + 1, height = (id % 480).toInt + 1,
+          usPerFrame = 33333 + (id % 3).toInt * 8334,
+          nFrames = (id % 7).toInt + 2, frameSize = 16,
+          fill = text.getBytes("UTF-8")))
+      }
+    vids.mapPartitions { it =>
+      it.map { r =>
+        Multimodal.VideoCodec.decodeAvi(
+          r.copy(payload = Multimodal.VideoCodec.frameSample(r.payload, 2)))
+      }
+    }.toDF().orderBy("doc_id")
+  }
+
   // ---- L55: BPE corpus encode ----------------------------------------------
   /** Encode the corpus with the x20-fitted tokenizer
     * ([[graft.operators.BpeTrainer.encode]]): per-doc word + BPE token
@@ -771,6 +797,7 @@ object LlmQueries {
     "x22_bigram_ppl" -> x22BigramPpl _,
     "e6_knn_graph" -> e6KnnGraph _,
     "x23_bpe_encode" -> x23BpeEncode _,
+    "m3_frame_sample" -> m3FrameSample _,
     "m1_multimodal" -> m1Multimodal _,
     "m2_media_transform" -> m2MediaTransform _,
   )
@@ -1212,6 +1239,17 @@ object LlmQueries {
       |ORDER BY v.doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // m3: post-sample metadata recomputed arithmetically — kept =
+    // floor((n-1)/2)+1 of n = id%7+2 16-byte frames after a 100-byte
+    // header; width/height/fps replay the planted derivations
+    "m3_frame_sample" ->
+      """SELECT doc_id, 'avi' AS fmt,
+        |  CAST(100 + ((doc_id % 7 + 1) // 2 + 1) * 16 AS BIGINT) AS n_bytes,
+        |  CAST(doc_id % 640 + 1 AS INT) AS width,
+        |  CAST(doc_id % 480 + 1 AS INT) AS height,
+        |  CAST((doc_id % 7 + 1) // 2 + 1 AS INT) AS n_frames,
+        |  CAST(1000000 // (33333 + (doc_id % 3) * 8334) AS INT) AS fps
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // e6: full index replay — d10's centroid pick + spherical argmax
     // assignment, within-cell pairs, per-node ROW_NUMBER top-5 (raw-cos
     // ordering, id tiebreak — bit-identical dots), mutual join

@@ -183,4 +183,105 @@ object Multimodal {
       it.map(MediaCodec.decode)
     }
   }
+
+  /** Parsed AVI metadata (fps = 1e6 ÷ dwMicroSecPerFrame, floored). */
+  final case class VideoFeatures(doc_id: Long, fmt: String, n_bytes: Long,
+      width: Int, height: Int, n_frames: Int, fps: Int)
+
+  /** AVI (RIFF) container synthesis, parsing, and frame sampling —
+    * the video analog of [[clipWav]] for training-data curation
+    * ("keep every Nth frame"). The container is spec-shaped RIFF:
+    * `RIFF('AVI ' LIST('hdrl' avih(56 bytes)) LIST('movi' frames))`,
+    * with the standard avih main-header fields (dwMicroSecPerFrame,
+    * dwTotalFrames, dwSuggestedBufferSize = frame size, dwWidth,
+    * dwHeight) at their real offsets; frame PAYLOAD decoding (actual
+    * video codecs) is the documented drop-in, exactly like PNG IDAT
+    * in [[resizeHeaderStub]]. All sizes live in the container, so
+    * sampling is pure byte surgery and features re-extract from the
+    * transformed bytes. */
+  object VideoCodec {
+    private def le32(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    private def rdLe32(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+        ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+    private def putLe32(b: Array[Byte], o: Int, v: Int): Unit = {
+      b(o) = (v & 0xff).toByte
+      b(o + 1) = ((v >> 8) & 0xff).toByte
+      b(o + 2) = ((v >> 16) & 0xff).toByte
+      b(o + 3) = ((v >> 24) & 0xff).toByte
+    }
+
+    /** Header layout: RIFF(12) LIST-hdrl(12) avih(8+56) LIST-movi(12)
+      * → frame body starts at offset 100. */
+    val BodyOff = 100
+
+    /** Build an AVI payload: `nFrames` frames of `frameSize` bytes,
+      * frame content cycled from `fill` (content is opaque; the
+      * metadata is what the pipeline reads). */
+    def buildAvi(width: Int, height: Int, usPerFrame: Int, nFrames: Int,
+        frameSize: Int, fill: Array[Byte]): Array[Byte] = {
+      val bodyLen = nFrames * frameSize
+      val out = new Array[Byte](BodyOff + bodyLen)
+      def putTag(o: Int, s: String): Unit = {
+        val b = s.getBytes("US-ASCII"); System.arraycopy(b, 0, out, o, 4)
+      }
+      putTag(0, "RIFF"); putLe32(out, 4, 92 + bodyLen); putTag(8, "AVI ")
+      putTag(12, "LIST"); putLe32(out, 16, 68); putTag(20, "hdrl")
+      putTag(24, "avih"); putLe32(out, 28, 56)
+      putLe32(out, 32, usPerFrame) // dwMicroSecPerFrame
+      putLe32(out, 48, nFrames) // dwTotalFrames
+      putLe32(out, 56, 1) // dwStreams
+      putLe32(out, 60, frameSize) // dwSuggestedBufferSize
+      putLe32(out, 64, width); putLe32(out, 68, height)
+      putTag(88, "LIST"); putLe32(out, 92, 4 + bodyLen); putTag(96, "movi")
+      var i = 0
+      while (i < bodyLen && fill.length > 0) {
+        out(BodyOff + i) = fill(i % fill.length); i += 1
+      }
+      out
+    }
+
+    def isAvi(p: Array[Byte]): Boolean =
+      p.length >= BodyOff && p(0) == 'R' && p(1) == 'I' && p(2) == 'F' &&
+        p(3) == 'F' && p(8) == 'A' && p(9) == 'V' && p(10) == 'I' &&
+        p(11) == ' '
+
+    /** Parse avih fields back out of the container bytes. */
+    def decodeAvi(r: MediaRow): VideoFeatures = {
+      val p = r.payload
+      if (!isAvi(p))
+        VideoFeatures(r.doc_id, "unknown", p.length.toLong, 0, 0, 0, 0)
+      else {
+        val upf = rdLe32(p, 32)
+        VideoFeatures(r.doc_id, "avi", p.length.toLong,
+          rdLe32(p, 64), rdLe32(p, 68), rdLe32(p, 48),
+          if (upf > 0) 1000000 / upf else 0)
+      }
+    }
+
+    /** Keep every `step`-th frame (0, step, 2·step, …) and rewrite
+      * dwTotalFrames, the movi LIST size, and the RIFF size — real
+      * container surgery, no codec. Non-AVI payloads pass through. */
+    def frameSample(payload: Array[Byte], step: Int): Array[Byte] = {
+      if (!isAvi(payload) || step <= 1) return payload
+      val frameSize = rdLe32(payload, 60)
+      val n = rdLe32(payload, 48)
+      if (n == 0 || frameSize <= 0) return payload
+      val kept = (n - 1) / step + 1
+      val out = new Array[Byte](BodyOff + kept * frameSize)
+      System.arraycopy(payload, 0, out, 0, BodyOff)
+      var k = 0
+      while (k < kept) {
+        System.arraycopy(payload, BodyOff + k * step * frameSize,
+          out, BodyOff + k * frameSize, frameSize)
+        k += 1
+      }
+      putLe32(out, 4, 92 + kept * frameSize) // RIFF size
+      putLe32(out, 48, kept) // dwTotalFrames
+      putLe32(out, 92, 4 + kept * frameSize) // movi LIST size
+      out
+    }
+  }
 }

@@ -482,6 +482,30 @@ class MultimodalSpec extends AnyFunSuite {
     val r2 = MediaCodec.decode(MediaRow(2L, "bmp", resizeHeaderStub(bmp, 32, 24)))
     assert(r2.width == 32 && r2.height == 24)
   }
+
+  test("avi frame sampling keeps every Nth frame and rewrites all sizes") {
+    import Multimodal.{MediaRow, VideoCodec}
+    // 7 frames of 4 bytes; fill is exactly body-sized, so frame k's
+    // bytes all carry value k
+    val fill = Array.tabulate[Byte](28)(i => (i / 4).toByte)
+    val avi = VideoCodec.buildAvi(width = 320, height = 200,
+      usPerFrame = 40000, nFrames = 7, frameSize = 4, fill = fill)
+    val f0 = VideoCodec.decodeAvi(MediaRow(1L, "avi", avi))
+    assert(f0.fmt == "avi" && f0.width == 320 && f0.height == 200 &&
+      f0.n_frames == 7 && f0.fps == 25)
+    val s = VideoCodec.frameSample(avi, 3) // keeps frames 0, 3, 6
+    val fs = VideoCodec.decodeAvi(MediaRow(1L, "avi", s))
+    assert(fs.n_frames == 3 && fs.n_bytes == 100 + 3 * 4)
+    // kept frame CONTENT is the original frames 0/3/6, order-preserved
+    val body = s.drop(VideoCodec.BodyOff)
+    assert(body.grouped(4).map(_.head.toInt).toSeq == Seq(0, 3, 6))
+    // RIFF size field consistent with the actual length
+    assert(((s(4) & 0xff) | ((s(5) & 0xff) << 8)) == s.length - 8)
+    // non-avi passthrough
+    val png = MediaCodec0.pngHeader(10, 10) ++ Array.fill[Byte](8)(1)
+    assert(VideoCodec.frameSample(png, 2).sameElements(png))
+  }
+  private val MediaCodec0 = Multimodal.MediaCodec
 }
 
 class SkewJoinSpec extends AnyFunSuite {
