@@ -241,5 +241,13 @@ package object syntax {
     def encodeBpe(idCol: String, textCol: String,
         nMerges: Int = 5): DataFrame =
       operators.BpeTrainer.encode(df, idCol, textCol, nMerges)
+
+    /** pandas `cut`: equal-width binning, appends `bin`. */
+    def cutBins(valCol: String, bins: Int): DataFrame =
+      graft.functions.Binning.cut(df, valCol, bins)
+
+    /** pandas `qcut`: quantile binning, appends `bin`. */
+    def qcutBins(valCol: String, q: Int): DataFrame =
+      graft.functions.Binning.qcut(df, valCol, q)
   }
 }

@@ -540,7 +540,27 @@ object TypeQueries {
       .orderBy("g", "x")
   }
 
+  // ---- T31: cut / qcut binning -------------------------------------------
+  /** pandas `cut` (8 equal-width bins) and `qcut` (quartiles) over
+    * events.value via [[graft.functions.Binning]]; verified through
+    * per-bin count + min/max + decimal-exact sum, which any
+    * misassigned row would break. Edges ride along as one broadcast
+    * stats row; assignment is a map expression. */
+  def t31CutQcut(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).select(col("value"))
+    def agg(binned: DataFrame, kind: String): DataFrame = binned
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), min(col("value")).as("vmin"),
+        max(col("value")).as("vmax"), dsum(dec(col("value"))).as("total"))
+      .select(lit(kind).as("kind"), col("bin"), col("n"), col("vmin"),
+        col("vmax"), col("total"))
+    agg(graft.functions.Binning.cut(e, "value", 8), "cut")
+      .union(agg(graft.functions.Binning.qcut(e, "value", 4), "qcut"))
+      .orderBy("kind", "bin")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t31_cut_qcut" -> t31CutQcut _,
     "t30_interpolate" -> t30Interpolate _,
     "t29_cast_ignore" -> t29CastIgnore _,
     "t28_ingest_infer" -> t28IngestInfer _,
@@ -676,6 +696,34 @@ object TypeQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // t31: identical edge derivations (min/max; quantile_cont ==
+    // Spark's exact interpolating percentile) and the identical
+    // assignment expressions — same IEEE sequences, same boundary
+    // semantics (rightmost inclusive; (e_{i-1}, e_i] quartiles)
+    "t31_cut_qcut" ->
+      """WITH st AS (SELECT CAST(MIN(value) AS DOUBLE) AS lo,
+        |    CAST(MAX(value) AS DOUBLE) AS hi,
+        |    quantile_cont(value, 0.25) AS e1, quantile_cont(value, 0.5) AS e2,
+        |    quantile_cont(value, 0.75) AS e3
+        |  FROM events),
+        |cb AS (SELECT CASE WHEN hi = lo THEN 0
+        |    ELSE CAST(LEAST(FLOOR((CAST(value AS DOUBLE) - lo) /
+        |      ((hi - lo) / 8)), 7) AS INT) END AS bin, value
+        |  FROM events, st),
+        |qb AS (SELECT CASE WHEN CAST(value AS DOUBLE) <= e1 THEN 0
+        |    WHEN CAST(value AS DOUBLE) <= e2 THEN 1
+        |    WHEN CAST(value AS DOUBLE) <= e3 THEN 2 ELSE 3 END AS bin, value
+        |  FROM events, st)
+        |SELECT 'cut' AS kind, bin, COUNT(*) AS n,
+        |  MIN(value) AS vmin, MAX(value) AS vmax,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM cb GROUP BY bin
+        |UNION ALL
+        |SELECT 'qcut' AS kind, bin, COUNT(*) AS n,
+        |  MIN(value) AS vmin, MAX(value) AS vmax,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM qb GROUP BY bin
+        |ORDER BY kind, bin""".stripMargin,
     // the raw strings round-trip losslessly, so the oracle is simply
     // the original typed table — any inference or cast error diverges
     "t28_ingest_infer" ->
