@@ -818,6 +818,52 @@ object Relational {
         col("n_events"), col("total_value"))
       .orderBy("user_id", "start_s")
 
+  // ---- R52: hop-bounded BFS reachability ---------------------------------
+  // Graph traversal as iterative DataFrame joins: the co-purchase graph
+  // (parts sharing an order) walked breadth-first from a seed set, hop
+  // count bounded. Per round: frontier ⋈ edges (equi-join on src) →
+  // anti-join against visited (first discovery = min distance, exactly
+  // the oracle's MIN(dist) over the recursive closure). Scale shape:
+  // edges dedup-shuffle ONCE and persist across rounds; each round
+  // shuffles only the frontier (shrinking), never the visited set's
+  // payload; pair generation is a self-join per order key — linear,
+  // not quadratic, because order size is bounded (~7 items). Rounds
+  // are driver-sequenced but all data movement is distributed — the
+  // connectedComponents idiom, here with a full DuckDB oracle.
+  def q52BfsReach(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_orderkey").as("ok"),
+      col("l_partkey").as("pk"))
+    val edges = li.as("a").join(li.as("b"), Seq("ok"))
+      .filter(col("a.pk") =!= col("b.pk"))
+      .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+      .distinct()
+      .persist()
+    val seeds = t(s, dir, "part").filter(col("p_size") === 50)
+      .select(col("p_partkey").as("node"))
+    val reach = graft.operators.Graphs.bfs(edges, seeds, maxHops = 3)
+    edges.unpersist()
+    reach.orderBy("node")
+      .select(col("node").as("p_partkey"), col("dist"))
+  }
+
+  // ---- R53: time-RANGE sliding window -------------------------------------
+  // Trailing 1-hour activity per user — a RANGE frame over event-time
+  // seconds (all rows within 3599 s, however many), not a ROWS frame
+  // (q37's shape). The frame bound is data-valued, so tied timestamps
+  // are in/out together in both engines. One partition-key shuffle
+  // serves both frames (same window spec); sums are exact decimals.
+  def q53RangeFrame(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("es"))
+      .rangeBetween(-3599L, 0L)
+    events(s, dir)
+      .select(col("user_id"), unix_timestamp(col("ts")).as("es"),
+        col("event_id"), dec(col("value")).as("v"))
+      .withColumn("n_1h", count(lit(1)).over(w))
+      .withColumn("sum_1h", sum(col("v")).over(w).cast(DoubleType))
+      .select("user_id", "es", "event_id", "n_1h", "sum_1h")
+      .orderBy("user_id", "es", "event_id")
+  }
+
   // ---- R36: bloom-pruned semi-join ---------------------------------------
   // Manual runtime filtering (operators.BloomPrune): a bloom over the
   // urgent orders' keys prunes lineitem BEFORE its shuffle; the exact
@@ -854,6 +900,8 @@ object Relational {
     "q49_hour_concurrency" -> q49HourConcurrency _,
     "q50_group_mode" -> q50GroupMode _,
     "q51_session_window" -> q51SessionWindow _,
+    "q52_bfs_reach" -> q52BfsReach _,
+    "q53_range_frame" -> q53RangeFrame _,
     "q35_mean_pool" -> q35MeanPool _,
     "q34_json_extract" -> q34JsonExtract _,
     "q33_theta_overlap" -> q33ThetaOverlap _,
@@ -894,6 +942,33 @@ object Relational {
   private val rev = revenueSql // DuckDB fragment
 
   val oracles: Map[String, String] = Map(
+    // q52: the BFS first-discovery distance equals MIN(dist) over the
+    // depth-bounded recursive closure (UNION dedups exact (node, dist)
+    // pairs, so the recursion terminates at dist < 3)
+    "q52_bfs_reach" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+        |r(node, dist) AS (
+        |  SELECT DISTINCT p_partkey, 0 FROM part WHERE p_size = 50
+        |  UNION
+        |  SELECT p.dst, r.dist + 1 FROM r JOIN pairs p ON p.src = r.node
+        |  WHERE r.dist < 3)
+        |SELECT node AS p_partkey, CAST(MIN(dist) AS BIGINT) AS dist
+        |FROM r GROUP BY node ORDER BY p_partkey""".stripMargin,
+    // q53: identical RANGE frame over epoch seconds; decimal-exact sum
+    "q53_range_frame" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |    CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS es,
+        |    CAST(value AS DECIMAL(12,2)) AS v FROM events)
+        |SELECT user_id, es, event_id,
+        |  COUNT(*) OVER w AS n_1h,
+        |  CAST(SUM(v) OVER w AS DOUBLE) AS sum_1h
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY es
+        |  RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, es, event_id""".stripMargin,
     // q51: replay session_window's pinned boundary rule (new session
     // iff gap STRICTLY > 30 min; end = last event + gap) on exact
     // epoch-microsecond integers; // is integer division (micros

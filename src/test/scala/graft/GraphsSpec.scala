@@ -1,0 +1,33 @@
+package graft
+
+import graft.operators.Graphs
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraphsSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  // 1 → 2 → 3 → 4 → 5 chain, plus a shortcut 1 → 4 and an island 9 → 10.
+  private val edges = Seq(
+    (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 4L), (9L, 10L),
+  ).toDF("src", "dst")
+
+  test("bfs assigns minimum hop distance (shortcut wins over chain)") {
+    val d = Graphs.bfs(edges, Seq(1L).toDF("node"), maxHops = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(d == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 2L))
+  }
+
+  test("bfs respects the hop bound and excludes unreachable nodes") {
+    val d = Graphs.bfs(edges, Seq(1L).toDF("node"), maxHops = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(d == Map(1L -> 0L, 2L -> 1L, 4L -> 1L))
+    assert(!d.contains(9L) && !d.contains(10L))
+  }
+
+  test("bfs from multiple seeds takes the nearest seed's distance") {
+    val d = Graphs.bfs(edges, Seq(1L, 9L).toDF("node"), maxHops = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(d(10L) == 1L && d(3L) == 2L && d(9L) == 0L)
+  }
+}
