@@ -559,7 +559,85 @@ object TypeQueries {
       .orderBy("kind", "bin")
   }
 
+  // ---- T32: melt / unpivot (wide → long) ----------------------------------
+  /** pandas `melt` via Spark's NATIVE `unpivot` (Spark 3.4+): four
+    * lineitem measures go long as (variable, value) with the id vars
+    * riding along. Values are cast to the common double type first
+    * (exactly pandas' coercion). Scale shape: unpivot is a generate —
+    * a map-side row-expansion, no shuffle at all; the deterministic
+    * id-filter keeps this test's output bounded. */
+  def t32Melt(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .filter(col("l_orderkey") % 20 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast(DoubleType).as("l_quantity"),
+        col("l_extendedprice").cast(DoubleType).as("l_extendedprice"),
+        col("l_discount").cast(DoubleType).as("l_discount"),
+        col("l_tax").cast(DoubleType).as("l_tax"))
+    li.unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+          col("l_tax")),
+        "variable", "value")
+      .orderBy("l_orderkey", "l_linenumber", "variable")
+  }
+
+  // ---- T33: rank methods --------------------------------------------------
+  /** pandas `Series.rank(method=...)` — all four tie policies plus
+    * `pct` in ONE window pass over the same partition key (Spark fuses
+    * same-spec windows; the tie-group count is a second spec on the
+    * same key, still one shuffle): `min` = RANK, `dense` = DENSE_RANK,
+    * `first` = ROW_NUMBER with the id tiebreak, `average` = min +
+    * (ties − 1)/2 (the mean of the tie positions, provably), `pct` =
+    * average/n (pandas' default). Heavy-tie input (integer p_size
+    * within p_mfgr) so every policy actually diverges. */
+  def t33RankMethods(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("p_brand").orderBy("p_size")
+    val wFirst = Window.partitionBy("p_brand").orderBy("p_size", "p_partkey")
+    t(s, dir, "part")
+      .withColumn("r_min", rank().over(w))
+      .withColumn("r_dense", dense_rank().over(w))
+      .withColumn("r_first", row_number().over(wFirst))
+      .withColumn("ties",
+        count(lit(1)).over(Window.partitionBy("p_brand", "p_size")))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("p_brand")))
+      .select(col("p_partkey"), col("p_brand"), col("p_size"),
+        col("r_min").cast(LongType).as("r_min"),
+        col("r_dense").cast(LongType).as("r_dense"),
+        col("r_first").cast(LongType).as("r_first"),
+        (col("r_min") + (col("ties") - 1) / 2.0).as("r_avg"),
+        round((col("r_min") + (col("ties") - 1) / 2.0) / col("n"), 6)
+          .as("r_pct"))
+      .orderBy("p_partkey")
+  }
+
+  // ---- T34: shift / diff / pct_change / cumulative ------------------------
+  /** The pandas time-series accessor quartet per user in event-time
+    * order: `shift(1)`, `diff()`, `pct_change()`, `cumsum()`/`cummax()`.
+    * One partition-key shuffle serves every column (all windows share
+    * the (user) key); sums are decimal-exact, pct_change is pure IEEE
+    * double division (identical in both engines), first-row results
+    * are null exactly as pandas produces NaN. */
+  def t34ShiftDiff(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("es", "event_id")
+    val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, dir)
+      .select(col("user_id"), unix_timestamp(col("ts")).as("es"),
+        col("event_id"), col("value"), dec(col("value")).as("v"))
+      .withColumn("v_prev", lag("value", 1).over(w))
+      .select(col("user_id"), col("es"), col("event_id"),
+        col("v_prev"),
+        (dec(col("value")) - dec(col("v_prev"))).cast(DoubleType).as("diff"),
+        (round(col("value") / col("v_prev") - 1.0, 6) + 0.0).as("pct_change"),
+        sum(col("v")).over(wCum).cast(DoubleType).as("cum_sum"),
+        max(col("value")).over(wCum).as("cum_max"))
+      .orderBy("user_id", "es", "event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t32_melt" -> t32Melt _,
+    "t33_rank_methods" -> t33RankMethods _,
+    "t34_shift_diff" -> t34ShiftDiff _,
     "t31_cut_qcut" -> t31CutQcut _,
     "t30_interpolate" -> t30Interpolate _,
     "t29_cast_ignore" -> t29CastIgnore _,
@@ -696,6 +774,57 @@ object TypeQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // t32: UNION ALL replay of the unpivot (same common-double cast)
+    "t32_melt" ->
+      """WITH li AS (SELECT l_orderkey, l_linenumber, l_quantity,
+        |    l_extendedprice, l_discount, l_tax
+        |  FROM lineitem WHERE l_orderkey % 20 = 0)
+        |SELECT l_orderkey, l_linenumber, variable, value FROM (
+        |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS variable,
+        |    CAST(l_quantity AS DOUBLE) AS value FROM li
+        |  UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+        |    CAST(l_extendedprice AS DOUBLE) FROM li
+        |  UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount',
+        |    CAST(l_discount AS DOUBLE) FROM li
+        |  UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax',
+        |    CAST(l_tax AS DOUBLE) FROM li)
+        |ORDER BY l_orderkey, l_linenumber, variable""".stripMargin,
+    // t33: same four tie policies; average = min + (ties-1)/2 is the
+    // mean of the tie positions in both engines
+    "t33_rank_methods" ->
+      """SELECT p_partkey, p_brand, p_size,
+        |  RANK() OVER w AS r_min,
+        |  DENSE_RANK() OVER w AS r_dense,
+        |  ROW_NUMBER() OVER (PARTITION BY p_brand
+        |    ORDER BY p_size, p_partkey) AS r_first,
+        |  RANK() OVER w + (COUNT(*) OVER (PARTITION BY p_brand, p_size)
+        |    - 1) / 2.0 AS r_avg,
+        |  ROUND((RANK() OVER w + (COUNT(*) OVER (PARTITION BY p_brand,
+        |      p_size) - 1) / 2.0)
+        |    / COUNT(*) OVER (PARTITION BY p_brand), 6) AS r_pct
+        |FROM part
+        |WINDOW w AS (PARTITION BY p_brand ORDER BY p_size)
+        |ORDER BY p_partkey""".stripMargin,
+    // t34: decimal-exact diff/cumsum; pct_change is the identical IEEE
+    // double division; first-row lag is NULL in both engines
+    "t34_shift_diff" ->
+      """WITH e AS (SELECT user_id, event_id, value,
+        |    CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS es
+        |  FROM events),
+        |l AS (SELECT user_id, es, event_id, value,
+        |    LAG(value) OVER (PARTITION BY user_id ORDER BY es, event_id)
+        |      AS v_prev
+        |  FROM e)
+        |SELECT user_id, es, event_id, v_prev,
+        |  CAST(CAST(value AS DECIMAL(12,2)) - CAST(v_prev AS DECIMAL(12,2))
+        |    AS DOUBLE) AS diff,
+        |  ROUND(value / v_prev - 1.0, 6) + 0.0 AS pct_change,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2)))
+        |    OVER (PARTITION BY user_id ORDER BY es, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_sum,
+        |  MAX(value) OVER (PARTITION BY user_id ORDER BY es, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS cum_max
+        |FROM l ORDER BY user_id, es, event_id""".stripMargin,
     // t31: identical edge derivations (min/max; quantile_cont ==
     // Spark's exact interpolating percentile) and the identical
     // assignment expressions — same IEEE sequences, same boundary
