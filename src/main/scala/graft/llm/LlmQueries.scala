@@ -667,6 +667,18 @@ object LlmQueries {
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id")
 
+  // ---- L57: corpus-slice distribution drift --------------------------------
+  /** Token-distribution drift, en slice vs the rest
+    * ([[TextAnalysis.tokenDrift]]): per-token directed KL
+    * contributions under shared-vocabulary Laplace smoothing — the
+    * corpus-shift monitor (and slice-form of DSIR's target-vs-raw
+    * ratio). One conditional-sum aggregation over the token explode;
+    * all drift math on the vocabulary-sized table. */
+  def x24KlDrift(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenDrift(t(s, dir, "documents"), "text",
+        col("lang") === "en")
+      .orderBy("tok")
+
   // ---- L27: Misra-Gries heavy hitters -------------------------------------
   /** Corpus-wide top tokens via the mergeable k-counter summary.
     * Capacity 4096 >> corpus vocabulary, so counts are exact and the
@@ -792,6 +804,7 @@ object LlmQueries {
     "x12_pack" -> x12Pack _,
     "x13_unigram_ppl" -> x13UnigramPpl _,
     "x14_heavy_hitters" -> x14HeavyHitters _,
+    "x24_kl_drift" -> x24KlDrift _,
     "x21_tfidf" -> x21Tfidf _,
     "d13_url_dedup" -> d13UrlDedup _,
     "x22_bigram_ppl" -> x22BigramPpl _,
@@ -1846,6 +1859,27 @@ object LlmQueries {
         |SELECT doc_id, COUNT(*) AS n_tok,
         |  ROUND(exp(-(CAST(SUM(lp) AS DOUBLE) / COUNT(*))), 6) AS ppl
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // x24: identical Laplace smoothing over the shared vocabulary and
+    // the identical IEEE sequence ROUND(p * ln(p/q), 9) (+0.0 kills
+    // −0); counts cast to BIGINT (DuckDB SUM yields HUGEINT)
+    "x24_kl_drift" ->
+      s"""WITH base AS (SELECT lang = 'en' AS in_a,
+        |    string_split($normSql, ' ') AS toks FROM documents),
+        |tok AS (SELECT in_a, unnest(toks) AS tok FROM base),
+        |counts AS (SELECT tok,
+        |    CAST(SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
+        |    CAST(SUM(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS c_b
+        |  FROM tok GROUP BY tok),
+        |st AS (SELECT CAST(SUM(c_a) AS BIGINT) AS na,
+        |    CAST(SUM(c_b) AS BIGINT) AS nb, COUNT(*) AS v FROM counts),
+        |p AS (SELECT tok, c_a, c_b,
+        |    CAST(c_a + 1 AS DOUBLE) / CAST(na + v AS DOUBLE) AS p_a,
+        |    CAST(c_b + 1 AS DOUBLE) / CAST(nb + v AS DOUBLE) AS p_b
+        |  FROM counts, st)
+        |SELECT tok, c_a, c_b,
+        |  ROUND(p_a * ln(p_a / p_b), 9) + 0.0 AS kl_ab_term,
+        |  ROUND(p_b * ln(p_b / p_a), 9) + 0.0 AS kl_ba_term
+        |FROM p ORDER BY tok""".stripMargin,
     // repetition signals recomputed with unnest + two-level GROUP BY;
     // integer '/' is float division on both engines, and the flag is
     // evaluated on the ROUNDED fractions exactly as the Spark side does

@@ -319,4 +319,46 @@ object TextAnalysis {
         col("top_tok_frac") > 0.2 || col("top_bigram_frac") > 0.18 ||
           col("dup_5gram_frac") > 0.3)
   }
+
+  /** Token-distribution drift between two corpus slices — the
+    * "did this month's crawl shift under me" monitor every corpus
+    * pipeline needs (and the slice-vs-slice form of DSIR's
+    * target-vs-raw comparison, x19).
+    *
+    * Both slices get Laplace-smoothed unigram models over the SHARED
+    * vocabulary: p_s(t) = (c_s(t)+1)/(N_s+V). Output is one row per
+    * vocabulary token with both directed KL contributions
+    * p·ln(p/q) — their sums are KL(A‖B) and KL(B‖A); per-token rows
+    * beat a single scalar because they ARE the drift explanation
+    * (which tokens moved).
+    *
+    * Determinism: terms are rounded to 9 decimals (+0.0 kills IEEE
+    * −0) — the x13 convention, so the oracle replays bit-exact.
+    *
+    * Scale shape: ONE token-explode aggregation with conditional
+    * map-side-combined sums (the slice flag rides the same scan —
+    * no second corpus pass); everything downstream runs on the
+    * vocabulary-sized count table, with the 1-row totals broadcast.
+    * At open-vocabulary scale, cap V with the x13 top-V cut or x19's
+    * hashed buckets — both documented swaps. */
+  def tokenDrift(df: org.apache.spark.sql.DataFrame, textCol: String,
+      sliceA: Column): org.apache.spark.sql.DataFrame = {
+    val tok = df.select(sliceA.as("in_a"),
+      explode(tokens(col(textCol))).as("tok"))
+    val counts = tok.groupBy("tok").agg(
+      sum(when(col("in_a"), 1L).otherwise(0L)).as("c_a"),
+      sum(when(col("in_a"), 0L).otherwise(1L)).as("c_b"))
+    val stats = counts.agg(sum("c_a").as("na"), sum("c_b").as("nb"),
+      count(lit(1)).as("v"))
+    counts.crossJoin(broadcast(stats))
+      .withColumn("p_a",
+        (col("c_a") + 1).cast("double") / (col("na") + col("v")).cast("double"))
+      .withColumn("p_b",
+        (col("c_b") + 1).cast("double") / (col("nb") + col("v")).cast("double"))
+      .select(col("tok"), col("c_a"), col("c_b"),
+        (round(col("p_a") * log(col("p_a") / col("p_b")), 9) + 0.0)
+          .as("kl_ab_term"),
+        (round(col("p_b") * log(col("p_b") / col("p_a")), 9) + 0.0)
+          .as("kl_ba_term"))
+  }
 }

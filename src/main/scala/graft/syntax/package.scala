@@ -231,6 +231,11 @@ package object syntax {
     def dedupUrls(idCol: String, urlCol: String): DataFrame =
       operators.Urls.dedupByCanonical(df, idCol, urlCol)
 
+    /** Per-token directed KL drift terms between the `sliceA` rows and
+      * the rest (shared-vocabulary Laplace-smoothed unigram models). */
+    def tokenDrift(textCol: String, sliceA: Column): DataFrame =
+      operators.TextAnalysis.tokenDrift(df, textCol, sliceA)
+
     /** Mutual-kNN graph over an embedding column. */
     def knnGraph(idCol: String, vecCol: String, k: Int = 10,
         nCells: Int = 16): DataFrame =
