@@ -350,6 +350,26 @@ object LlmQueries {
     }.toDF().orderBy("doc_id")
   }
 
+  // ---- L58: JPEG marker-walk parse -----------------------------------------
+  /** Variable-length-container parsing
+    * ([[graft.operators.Multimodal.JpegCodec]]): spec-shaped JFIF
+    * payloads planted from doc_id (real segment chain — APP0, optional
+    * DQT, SOF0, SOS; lengths self-describing), dimensions and segment
+    * counts recovered by WALKING the marker chain, never by fixed
+    * offset (the PNG/BMP m1 contrast). One map pass, no shuffle; the
+    * oracle recomputes every field arithmetically from doc_id. */
+  def m4JpegParse(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val jpegs = t(s, dir, "documents").select("doc_id", "text")
+      .as[(Long, String)].map { case (id, text) =>
+        Multimodal.MediaRow(id, "jpeg", Multimodal.JpegCodec.buildJpeg(
+          width = (id % 640).toInt + 1, height = (id % 480).toInt + 1,
+          withDqt = id % 2 == 0, body = text.getBytes("UTF-8")))
+      }
+    jpegs.mapPartitions(it => it.map(Multimodal.JpegCodec.decodeJpeg))
+      .toDF().orderBy("doc_id")
+  }
+
   // ---- L55: BPE corpus encode ----------------------------------------------
   /** Encode the corpus with the x20-fitted tokenizer
     * ([[graft.operators.BpeTrainer.encode]]): per-doc word + BPE token
@@ -811,6 +831,7 @@ object LlmQueries {
     "e6_knn_graph" -> e6KnnGraph _,
     "x23_bpe_encode" -> x23BpeEncode _,
     "m3_frame_sample" -> m3FrameSample _,
+    "m4_jpeg_parse" -> m4JpegParse _,
     "m1_multimodal" -> m1Multimodal _,
     "m2_media_transform" -> m2MediaTransform _,
   )
@@ -1252,6 +1273,17 @@ object LlmQueries {
       |ORDER BY v.doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // m4: marker-walk results recomputed arithmetically — fixed chain
+    // is 55 bytes (SOI 2 + APP0 18 + SOF0 19 + SOS 14 + EOI 2), DQT
+    // adds 69 on even ids; 2 or 3 segments before the scan
+    "m4_jpeg_parse" ->
+      """SELECT doc_id, 'jpeg' AS fmt,
+        |  CAST(55 + octet_length(encode(text))
+        |    + CASE WHEN doc_id % 2 = 0 THEN 69 ELSE 0 END AS BIGINT) AS n_bytes,
+        |  CAST(doc_id % 640 + 1 AS INT) AS width,
+        |  CAST(doc_id % 480 + 1 AS INT) AS height,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 2 END AS INT) AS n_segments
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // m3: post-sample metadata recomputed arithmetically — kept =
     // floor((n-1)/2)+1 of n = id%7+2 16-byte frames after a 100-byte
     // header; width/height/fps replay the planted derivations

@@ -284,4 +284,79 @@ object Multimodal {
       out
     }
   }
+
+  /** Parsed JPEG metadata: dimensions from the SOF0 frame header,
+    * plus the marker-segment count before the scan (structure probe). */
+  final case class JpegFeatures(doc_id: Long, fmt: String, n_bytes: Long,
+      width: Int, height: Int, n_segments: Int)
+
+  /** JFIF/JPEG container build + marker-walk parse. Unlike the
+    * fixed-offset PNG/BMP/WAV headers, JPEG metadata lives in a
+    * variable-length marker-segment chain — the parser WALKS it
+    * (marker, big-endian length, skip) until the scan starts, exactly
+    * how real dimension sniffers work; nothing is read at an assumed
+    * offset. */
+  object JpegCodec {
+    private def be16(v: Int): Array[Byte] =
+      Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    private def rdBe16(b: Array[Byte], o: Int): Int =
+      ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+
+    private val M = 0xff.toByte
+
+    /** SOI + APP0(JFIF) [+ DQT] + SOF0(3-component) + SOS + entropy
+      * body + EOI. Segment lengths are real (include their own 2 length
+      * bytes, exclude the marker). */
+    def buildJpeg(width: Int, height: Int, withDqt: Boolean,
+        body: Array[Byte]): Array[Byte] = {
+      val app0 = Array[Byte](M, 0xe0.toByte) ++ be16(16) ++
+        "JFIF".getBytes("US-ASCII") ++ Array[Byte](0, 1, 1, 0) ++
+        be16(72) ++ be16(72) ++ Array[Byte](0, 0)
+      val dqt =
+        if (!withDqt) Array.emptyByteArray
+        else Array[Byte](M, 0xdb.toByte) ++ be16(67) ++ Array[Byte](0) ++
+          Array.tabulate[Byte](64)(i => ((i % 63) + 1).toByte)
+      val sof0 = Array[Byte](M, 0xc0.toByte) ++ be16(17) ++ Array[Byte](8) ++
+        be16(height) ++ be16(width) ++ Array[Byte](3) ++
+        Array[Byte](1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1)
+      val sos = Array[Byte](M, 0xda.toByte) ++ be16(12) ++ Array[Byte](3) ++
+        Array[Byte](1, 0, 2, 0x11, 3, 0x11) ++ Array[Byte](0, 63, 0)
+      Array[Byte](M, 0xd8.toByte) ++ app0 ++ dqt ++ sof0 ++ sos ++ body ++
+        Array[Byte](M, 0xd9.toByte)
+    }
+
+    def isJpeg(p: Array[Byte]): Boolean =
+      p.length >= 4 && p(0) == M && p(1) == 0xd8.toByte && p(2) == M
+
+    /** Walk the marker chain: collect SOF0–SOF3 dimensions and count
+      * segments until SOS (or a structural error → zeros). */
+    def decodeJpeg(r: MediaRow): JpegFeatures = {
+      val p = r.payload
+      if (!isJpeg(p))
+        return JpegFeatures(r.doc_id, "unknown", p.length.toLong, 0, 0, 0)
+      var i = 2
+      var w = 0; var h = 0; var nSeg = 0
+      var done = false; var ok = true
+      while (!done && ok) {
+        if (i + 4 > p.length || p(i) != M) { ok = false }
+        else {
+          val marker = p(i + 1) & 0xff
+          if (marker == 0xda) done = true // SOS: entropy data follows
+          else {
+            val len = rdBe16(p, i + 2)
+            if (len < 2 || i + 2 + len > p.length) ok = false
+            else {
+              if (marker >= 0xc0 && marker <= 0xc3) {
+                h = rdBe16(p, i + 5); w = rdBe16(p, i + 7)
+              }
+              nSeg += 1
+              i += 2 + len
+            }
+          }
+        }
+      }
+      if (!ok) JpegFeatures(r.doc_id, "unknown", p.length.toLong, 0, 0, 0)
+      else JpegFeatures(r.doc_id, "jpeg", p.length.toLong, w, h, nSeg)
+    }
+  }
 }

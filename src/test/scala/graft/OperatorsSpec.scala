@@ -506,6 +506,39 @@ class MultimodalSpec extends AnyFunSuite {
     assert(VideoCodec.frameSample(png, 2).sameElements(png))
   }
   private val MediaCodec0 = Multimodal.MediaCodec
+
+  test("jpeg marker walk recovers SOF0 dims and segment count") {
+    import Multimodal.{JpegCodec, MediaRow}
+    val body = "entropy-coded-ish bytes".getBytes("UTF-8")
+    val plain = JpegCodec.buildJpeg(321, 199, withDqt = false, body)
+    val f = JpegCodec.decodeJpeg(MediaRow(1L, "jpeg", plain))
+    assert(f.fmt == "jpeg" && f.width == 321 && f.height == 199 &&
+      f.n_segments == 2 && f.n_bytes == 55 + body.length)
+    val dqt = JpegCodec.buildJpeg(640, 480, withDqt = true, body)
+    val f2 = JpegCodec.decodeJpeg(MediaRow(2L, "jpeg", dqt))
+    assert(f2.width == 640 && f2.height == 480 && f2.n_segments == 3 &&
+      f2.n_bytes == 55 + 69 + body.length)
+  }
+
+  test("jpeg parser rejects junk, truncation, and bad segment lengths") {
+    import Multimodal.{JpegCodec, MediaRow}
+    assert(JpegCodec.decodeJpeg(
+      MediaRow(1L, "jpeg", Array.fill[Byte](32)(7))).fmt == "unknown")
+    val good = JpegCodec.buildJpeg(100, 50, withDqt = true, Array[Byte](1, 2))
+    // cut inside the SOF0 segment: the walk must fail cleanly
+    val cut = JpegCodec.decodeJpeg(MediaRow(2L, "jpeg", good.take(30)))
+    assert(cut.fmt == "unknown" && cut.width == 0)
+    // corrupt a segment length to overflow the buffer
+    val bad = good.clone(); bad(4) = 0x7f; bad(5) = 0x7f.toByte
+    assert(JpegCodec.decodeJpeg(MediaRow(3L, "jpeg", bad)).fmt == "unknown")
+  }
+
+  test("jpeg width/height above 255 survive the big-endian u16 round-trip") {
+    import Multimodal.{JpegCodec, MediaRow}
+    val f = JpegCodec.decodeJpeg(MediaRow(1L, "jpeg",
+      JpegCodec.buildJpeg(640, 479, withDqt = false, Array.emptyByteArray)))
+    assert(f.width == 640 && f.height == 479)
+  }
 }
 
 class SkewJoinSpec extends AnyFunSuite {
