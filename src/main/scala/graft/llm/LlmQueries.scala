@@ -259,6 +259,26 @@ object LlmQueries {
     * serial names. Oracle = ALL-pairs hamming (the block join's recall
     * is provable, so hash-match is a completeness proof, the d2/d9
     * pattern). */
+  // ---- L59: general edit-distance join --------------------------------------
+  /** d11's promised general-edit-distance sibling
+    * ([[graft.operators.Dedup.editDistancePairs]]): supplier names plus
+    * a deterministically corrupted copy (last char DELETED for odd
+    * keys, '#'→'X' SUBSTITUTED for even) matched at levenshtein ≤ 1
+    * through deletion-neighborhood (SymSpell) blocking — insertions,
+    * deletions, and substitutions all land, unlike d11's
+    * equal-length-only hamming. Oracle = ALL-pairs levenshtein, so a
+    * hash match is a 100%-recall proof (the d2/d9/d11 pattern). */
+  def d14EditJoin(s: SparkSession, dir: String): DataFrame = {
+    val sup = t(s, dir, "supplier")
+      .select(col("s_suppkey").as("id"), col("s_name").as("nm"))
+    val corrupted = sup.select((col("id") + 1000000).as("id"),
+      when(col("id") % 2 === 1, expr("substring(nm, 1, length(nm) - 1)"))
+        .otherwise(concat(substring(col("nm"), 1, 8), lit("X"),
+          expr("substring(nm, 10, length(nm))"))).as("nm"))
+    Dedup.editDistancePairs(sup.union(corrupted), "id", "nm")
+      .orderBy("id_a", "id_b")
+  }
+
   def d11FuzzyJoin(s: SparkSession, dir: String): DataFrame = {
     // md5-derived 16-char keys, NOT the serial c_name strings: names
     // sharing a constant prefix would degenerate the prefix block into
@@ -813,6 +833,7 @@ object LlmQueries {
     "e5_pca_project" -> e5PcaProject _,
     "x19_dsir" -> x19Dsir _,
     "d11_fuzzy_join" -> d11FuzzyJoin _,
+    "d14_edit_join" -> d14EditJoin _,
     "d12_containment" -> d12Containment _,
     "x20_bpe_train" -> x20BpeTrain _,
     "d10_semantic_dedup" -> d10SemanticDedup _,
@@ -1463,6 +1484,21 @@ object LlmQueries {
         |ORDER BY contained_id, container_id""".stripMargin,
     // d11: ALL-pairs hamming ground truth — the blocked join must find
     // every qualifying pair (pigeonhole recall proof)
+    // d14: all-pairs levenshtein ground truth — the blocked join's
+    // recall proof; the corrupted copy replays the identical string
+    // surgery (1-based substr on both engines)
+    "d14_edit_join" ->
+      """WITH sup AS (SELECT s_suppkey AS id, s_name AS nm FROM supplier),
+        |corr AS (SELECT id + 1000000 AS id,
+        |    CASE WHEN id % 2 = 1 THEN substr(nm, 1, length(nm) - 1)
+        |      ELSE substr(nm, 1, 8) || 'X' || substr(nm, 10) END AS nm
+        |  FROM sup),
+        |u AS (SELECT * FROM sup UNION ALL SELECT * FROM corr)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS dist
+        |FROM u a JOIN u b ON a.id < b.id
+        |WHERE levenshtein(a.nm, b.nm) <= 1
+        |ORDER BY id_a, id_b""".stripMargin,
     "d11_fuzzy_join" ->
       """WITH c0 AS (SELECT c_custkey,
         |    substr(md5(CAST(c_custkey AS VARCHAR)), 1, 16) AS base

@@ -533,6 +533,24 @@ class MultimodalSpec extends AnyFunSuite {
     assert(JpegCodec.decodeJpeg(MediaRow(3L, "jpeg", bad)).fmt == "unknown")
   }
 
+  test("edit-distance join catches insert, delete, substitute; rejects dist 2") {
+    import TestSpark.spark.implicits._
+    val rows = Seq(
+      (1L, "spark"), (2L, "spak"),   // deletion  (dist 1)
+      (3L, "sparko"),                // insertion (dist 1)
+      (4L, "snark"),                 // substitution (dist 1)
+      (5L, "spoke"),                 // dist 2 from spark — must be excluded
+      (6L, "ab"), (7L, "ba"),        // share deletion variants, dist 2 — FP removed
+    ).toDF("id", "nm")
+    val pairs = graft.operators.Dedup.editDistancePairs(rows, "id", "nm")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)))
+    assert(pairs.contains((1L, 4L)))
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
+    assert(!pairs.contains((6L, 7L)))
+  }
+
   test("jpeg width/height above 255 survive the big-endian u16 round-trip") {
     import Multimodal.{JpegCodec, MediaRow}
     val f = JpegCodec.decodeJpeg(MediaRow(1L, "jpeg",
