@@ -342,12 +342,23 @@ object TextAnalysis {
     * At open-vocabulary scale, cap V with the x13 top-V cut or x19's
     * hashed buckets — both documented swaps. */
   def tokenDrift(df: org.apache.spark.sql.DataFrame, textCol: String,
-      sliceA: Column): org.apache.spark.sql.DataFrame = {
-    val tok = df.select(sliceA.as("in_a"),
-      explode(tokens(col(textCol))).as("tok"))
-    val counts = tok.groupBy("tok").agg(
-      sum(when(col("in_a"), 1L).otherwise(0L)).as("c_a"),
-      sum(when(col("in_a"), 0L).otherwise(1L)).as("c_b"))
+      sliceA: Column): org.apache.spark.sql.DataFrame =
+    driftFromCounts(tokenCounts(df, textCol, sliceA))
+
+  /** The corpus pass of [[tokenDrift]]: per-token slice counts
+    * (tok, c_a, c_b). Mergeable across batches by summing — the
+    * streaming form (S12) maintains exactly this table as state. */
+  def tokenCounts(df: org.apache.spark.sql.DataFrame, textCol: String,
+      sliceA: Column): org.apache.spark.sql.DataFrame =
+    df.select(sliceA.as("in_a"), explode(tokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(
+        sum(when(col("in_a"), 1L).otherwise(0L)).as("c_a"),
+        sum(when(col("in_a"), 0L).otherwise(1L)).as("c_b"))
+
+  /** The model pass of [[tokenDrift]]: drift terms from a
+    * (tok, c_a, c_b) count table — vocabulary-sized math only. */
+  def driftFromCounts(
+      counts: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val stats = counts.agg(sum("c_a").as("na"), sum("c_b").as("nb"),
       count(lit(1)).as("v"))
     counts.crossJoin(broadcast(stats))

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -269,6 +269,41 @@ object StreamingOps {
         ()
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
+
+  /** S12: streaming distribution-drift monitor — the streaming form of
+    * x24. State is [[graft.operators.TextAnalysis.tokenCounts]]'s
+    * (tok, c_a, c_b) table — vocabulary-sized and mergeable by plain
+    * summation, so each micro-batch costs ONE token-explode aggregation
+    * plus a vocab-sized union-groupBy fold; the drift terms
+    * ([[graft.operators.TextAnalysis.driftFromCounts]]) are recomputed
+    * from the folded state and emitted per trigger — the monitor always
+    * reflects everything seen so far (equals the batch x24 over the
+    * same prefix, which is what the spec asserts). State persists via
+    * the S8–S11 persist+count idiom; production would checkpoint the
+    * count table to a keyed store per trigger. */
+  def streamingTokenDrift(docs: DataFrame, textCol: String,
+      sliceA: Column,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    var counts: Option[DataFrame] = None
+    docs.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val bc = graft.operators.TextAnalysis
+          .tokenCounts(b.toDF(), textCol, sliceA)
+        val next = counts.map(_.union(bc)
+            .groupBy("tok")
+            .agg(sum("c_a").as("c_a"), sum("c_b").as("c_b")))
+          .getOrElse(bc).persist()
+        next.count()
+        counts.foreach(_.unpersist())
+        counts = Some(next)
+        sink(graft.operators.TextAnalysis.driftFromCounts(next))
+        ()
+      }
+      .trigger(trigger)
       .start()
   }
 

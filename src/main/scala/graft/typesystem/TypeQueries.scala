@@ -634,7 +634,35 @@ object TypeQueries {
       .orderBy("user_id", "es", "event_id")
   }
 
+  // ---- T35: string accessor grid -------------------------------------------
+  /** The pandas `.str` accessor surface in one pass — case flips,
+    * `zfill`/`pad`, slice, `strip(chars)`, `contains`/`startswith`,
+    * regex `extract`, `split().get`, `repeat`, `len`, `replace` — all
+    * native codegen'd `functions._` (zero UDFs, embarrassingly
+    * parallel, pushdown-transparent). Reference: the string-kernel
+    * surface of util/string.pyx, cast-adjacent accessors. */
+  def t35StrAccessor(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .select(col("c_custkey"),
+        upper(col("c_name")).as("nm_upper"),
+        lower(col("c_mktsegment")).as("seg_lower"),
+        reverse(col("c_name")).as("nm_rev"),
+        lpad(col("c_custkey").cast(StringType), 9, "0").as("key_zfill"),
+        rpad(col("c_mktsegment"), 12, ".").as("seg_pad"),
+        substring(col("c_name"), 1, 4).as("nm_slice"),
+        col("c_mktsegment").contains("I").as("seg_has_i"),
+        col("c_name").startsWith("Customer").as("nm_is_cust"),
+        regexp_extract(col("c_name"), "([0-9]+)", 1).as("nm_digits"),
+        ltrim(regexp_extract(col("c_name"), "([0-9]+)", 1), "0")
+          .as("nm_digits_stripped"),
+        element_at(split(col("c_name"), "#"), 2).as("nm_after_hash"),
+        repeat(substring(col("c_mktsegment"), 1, 2), 3).as("seg_echo"),
+        length(col("c_name")).cast(LongType).as("nm_len"),
+        regexp_replace(col("c_name"), "^Customer", "Cust").as("nm_short"))
+      .orderBy("c_custkey")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t35_str_accessor" -> t35StrAccessor _,
     "t32_melt" -> t32Melt _,
     "t33_rank_methods" -> t33RankMethods _,
     "t34_shift_diff" -> t34ShiftDiff _,
@@ -774,6 +802,25 @@ object TypeQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // t35: function-for-function replay (1-based substr both sides)
+    "t35_str_accessor" ->
+      """SELECT c_custkey,
+        |  upper(c_name) AS nm_upper,
+        |  lower(c_mktsegment) AS seg_lower,
+        |  reverse(c_name) AS nm_rev,
+        |  lpad(CAST(c_custkey AS VARCHAR), 9, '0') AS key_zfill,
+        |  rpad(c_mktsegment, 12, '.') AS seg_pad,
+        |  substr(c_name, 1, 4) AS nm_slice,
+        |  contains(c_mktsegment, 'I') AS seg_has_i,
+        |  starts_with(c_name, 'Customer') AS nm_is_cust,
+        |  regexp_extract(c_name, '([0-9]+)', 1) AS nm_digits,
+        |  ltrim(regexp_extract(c_name, '([0-9]+)', 1), '0')
+        |    AS nm_digits_stripped,
+        |  split_part(c_name, '#', 2) AS nm_after_hash,
+        |  repeat(substr(c_mktsegment, 1, 2), 3) AS seg_echo,
+        |  length(c_name) AS nm_len,
+        |  regexp_replace(c_name, '^Customer', 'Cust') AS nm_short
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     // t32: UNION ALL replay of the unpivot (same common-double cast)
     "t32_melt" ->
       """WITH li AS (SELECT l_orderkey, l_linenumber, l_quantity,

@@ -226,6 +226,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.forall { case (_, _, seen, firstId) => seen && firstId < 50 })
   }
 
+  test("S12: streaming drift monitor folds counts across triggers to match batch x24") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val docs = Tables.t(spark, sf, "documents")
+      .select("doc_id", "text", "lang").as[(Long, String, String)]
+      .collect().toSeq
+    val (first, second) = docs.partition(_._1 % 2 == 0)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String)]
+    @volatile var last: Array[(String, Long, Long, Double, Double)] = Array.empty
+    var nTriggers = 0
+    val q = StreamingOps.streamingTokenDrift(
+        mem.toDF().toDF("doc_id", "text", "lang"), "text",
+        col("lang") === "en",
+        trigger = Trigger.ProcessingTime(0L)) { d =>
+      nTriggers += 1
+      last = d.select("tok", "c_a", "c_b", "kl_ab_term", "kl_ba_term")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3), r.getDouble(4)))
+    }
+    mem.addData(first: _*)
+    q.processAllAvailable()
+    mem.addData(second: _*)
+    q.processAllAvailable()
+    q.stop()
+    assert(nTriggers >= 2, s"expected 2+ triggers, got $nTriggers")
+    val batch = graft.operators.TextAnalysis.tokenDrift(
+        docs.toDF("doc_id", "text", "lang"), "text", col("lang") === "en")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(last.nonEmpty && last.toSet == batch.toSet,
+      s"drift state diverged (${last.length} vs ${batch.length})")
+  }
+
   test("S2: streaming dedup emits each event_id once") {
     val stream = StreamingOps.readEventsStream(spark, sf)
     val q = StreamingOps.streamingDedup(stream)
