@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** CDC MERGE / upsert application — the write-side complement of the
@@ -47,4 +47,29 @@ object Merge {
         (if (withAction) Seq(lit("I").as("action")) else Nil): _*)
     kept.union(inserted)
   }
+
+  /** Incremental materialized-aggregate maintenance: fold a delta's
+    * aggregate PARTIALS into a maintained per-key summary without ever
+    * re-reading the history — the view-maintenance analog of
+    * [[applyCdc]]. The state schema is the standard mergeable quartet
+    * (cnt, sum_v, min_v, max_v); avg and friends derive at read time
+    * (sum/cnt), which is exactly why non-mergeable forms (avg, median)
+    * must not be stored. Scale shape: the delta aggregates map-side to
+    * per-key partials first, so the merge shuffles delta-key-sized
+    * input against the state — the 100 TB history is never touched. */
+  def mergeAggState(state: DataFrame, deltaPartials: DataFrame,
+      keyCols: Seq[String]): DataFrame =
+    state.union(deltaPartials)
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum("cnt").as("cnt"), sum("sum_v").as("sum_v"),
+        min("min_v").as("min_v"), max("max_v").as("max_v"))
+
+  /** The partials for [[mergeAggState]]: per-key (cnt, sum_v, min_v,
+    * max_v) of `valCol` — run this on the delta (or once on the
+    * initial history) before folding. */
+  def aggPartials(df: DataFrame, keyCols: Seq[String],
+      valCol: Column): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("cnt"), sum(valCol).as("sum_v"),
+        min(valCol).as("min_v"), max(valCol).as("max_v"))
 }

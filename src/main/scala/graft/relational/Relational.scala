@@ -864,6 +864,52 @@ object Relational {
       .orderBy("user_id", "es", "event_id")
   }
 
+  // ---- R54: salted skew join ----------------------------------------------
+  // Hot-key join through operators.SkewJoin: 70% of events collapse
+  // onto one synthetic hot key, then join the customer dim salted —
+  // the hot key spreads over 8 (key, salt) tasks instead of one
+  // straggler, the dim replicates 8×(tiny), and row multiplicity is
+  // provably unchanged, which is exactly what the plain-join oracle
+  // certifies. The manual remedy for when AQE skew-split can't apply
+  // (co-partitioned downstream, non-sort-merge plans).
+  def q54SaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).select(
+      when(col("user_id") % 10 < 7, lit(0L)).otherwise(col("user_id")).as("k"),
+      dec(col("value")).as("v"))
+    val dim = t(s, dir, "customer")
+      .select(col("c_custkey").as("k"), col("c_mktsegment").as("seg"))
+    graft.operators.SkewJoin.saltedJoin(e, dim, "k", salt = 8)
+      .groupBy("seg")
+      .agg(count(lit(1)).as("n"), sum(col("v")).cast(DoubleType).as("total_value"))
+      .orderBy("seg")
+  }
+
+  // ---- R55: incremental materialized-view maintenance ---------------------
+  // A per-customer order summary maintained incrementally
+  // (operators.Merge.mergeAggState): history partials (before 1999)
+  // fold with the delta's partials (1999+) — the history is aggregated
+  // ONCE and never re-read; only per-key partial rows shuffle in the
+  // fold. avg derives at read time from the mergeable (cnt, sum)
+  // state. The oracle recomputes from scratch over the full table —
+  // a hash match proves fold == full recompute.
+  def q55IncrementalMv(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(col("o_custkey").as("k"),
+      unix_timestamp(col("o_orderdate")).as("ts"),
+      dec(col("o_totalprice")).as("v"))
+    val cutoff = 915148800L // 1999-01-01 UTC
+    val state = graft.operators.Merge.aggPartials(
+      o.filter(col("ts") < cutoff), Seq("k"), col("v"))
+    val delta = graft.operators.Merge.aggPartials(
+      o.filter(col("ts") >= cutoff), Seq("k"), col("v"))
+    graft.operators.Merge.mergeAggState(state, delta, Seq("k"))
+      .select(col("k"), col("cnt"),
+        col("sum_v").cast(DoubleType).as("total"),
+        col("min_v").cast(DoubleType).as("lo"),
+        col("max_v").cast(DoubleType).as("hi"),
+        round(col("sum_v").cast(DoubleType) / col("cnt"), 6).as("avg_price"))
+      .orderBy("k")
+  }
+
   // ---- R36: bloom-pruned semi-join ---------------------------------------
   // Manual runtime filtering (operators.BloomPrune): a bloom over the
   // urgent orders' keys prunes lineitem BEFORE its shuffle; the exact
@@ -902,6 +948,8 @@ object Relational {
     "q51_session_window" -> q51SessionWindow _,
     "q52_bfs_reach" -> q52BfsReach _,
     "q53_range_frame" -> q53RangeFrame _,
+    "q54_salted_join" -> q54SaltedJoin _,
+    "q55_incremental_mv" -> q55IncrementalMv _,
     "q35_mean_pool" -> q35MeanPool _,
     "q34_json_extract" -> q34JsonExtract _,
     "q33_theta_overlap" -> q33ThetaOverlap _,
@@ -957,6 +1005,26 @@ object Relational {
         |  WHERE r.dist < 3)
         |SELECT node AS p_partkey, CAST(MIN(dist) AS BIGINT) AS dist
         |FROM r GROUP BY node ORDER BY p_partkey""".stripMargin,
+    // q54: the salted join's output provably equals the plain join —
+    // that equality IS the check
+    "q54_salted_join" ->
+      """WITH e AS (SELECT CASE WHEN user_id % 10 < 7 THEN 0
+        |      ELSE user_id END AS k,
+        |    CAST(value AS DECIMAL(12,2)) AS v FROM events)
+        |SELECT c_mktsegment AS seg, COUNT(*) AS n,
+        |  CAST(SUM(v) AS DOUBLE) AS total_value
+        |FROM e JOIN customer ON k = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q55: full recompute from scratch — fold == recompute is the
+    // incremental-maintenance contract
+    "q55_incremental_mv" ->
+      """SELECT o_custkey AS k, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
+        |  CAST(MIN(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS lo,
+        |  CAST(MAX(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS hi,
+        |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+        |    / COUNT(*), 6) AS avg_price
+        |FROM orders GROUP BY o_custkey ORDER BY k""".stripMargin,
     // q53: identical RANGE frame over epoch seconds; decimal-exact sum
     "q53_range_frame" ->
       """WITH e AS (SELECT user_id, event_id,

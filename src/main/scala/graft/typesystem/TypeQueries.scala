@@ -661,7 +661,34 @@ object TypeQueries {
         regexp_replace(col("c_name"), "^Customer", "Cust").as("nm_short"))
       .orderBy("c_custkey")
 
+  // ---- T36: nested-array / higher-order function grid ---------------------
+  /** The list-column surface (pandas object-of-list / Spark ArrayType):
+    * per-order quantity vectors built with a sorted collect, then the
+    * full higher-order lambda family — `aggregate` (fold), `filter`,
+    * `exists`, `transform` — plus positional access and render. All
+    * Catalyst lambda expressions: codegen'd, no UDFs, and the
+    * nondeterministic collect_list order is neutralized by array_sort
+    * BEFORE anything order-sensitive reads it (the determinism
+    * discipline for array state). One partition-key shuffle total. */
+  def t36ArrayOps(s: SparkSession, dir: String): DataFrame = {
+    val per = t(s, dir, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(array_sort(collect_list(col("l_quantity").cast(IntegerType)))
+        .as("qs"))
+    per.select(col("l_orderkey"),
+        array_join(col("qs"), ",").as("qs_str"),
+        size(col("qs")).as("n_items"),
+        aggregate(col("qs"), lit(0L), (acc, x) => acc + x).as("q_sum"),
+        size(filter(col("qs"), x => x > 25)).as("n_big"),
+        exists(col("qs"), x => x === 50).as("has_50"),
+        array_join(transform(col("qs"), x => x * 2), ",").as("doubled"),
+        element_at(col("qs"), 1).as("q_min"),
+        element_at(col("qs"), -1).as("q_max"))
+      .orderBy("l_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t36_array_ops" -> t36ArrayOps _,
     "t35_str_accessor" -> t35StrAccessor _,
     "t32_melt" -> t32Melt _,
     "t33_rank_methods" -> t33RankMethods _,
@@ -802,6 +829,22 @@ object TypeQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // t36: list-function-for-lambda replay; both sides sort before any
+    // order-sensitive read, so collect order can't leak
+    "t36_array_ops" ->
+      """WITH per AS (SELECT l_orderkey,
+        |    list_sort(list(CAST(l_quantity AS INT))) AS qs
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_orderkey,
+        |  array_to_string(qs, ',') AS qs_str,
+        |  CAST(len(qs) AS INT) AS n_items,
+        |  CAST(list_sum(qs) AS BIGINT) AS q_sum,
+        |  CAST(len(list_filter(qs, x -> x > 25)) AS INT) AS n_big,
+        |  list_contains(qs, 50) AS has_50,
+        |  array_to_string(list_transform(qs, x -> x * 2), ',') AS doubled,
+        |  qs[1] AS q_min,
+        |  qs[-1] AS q_max
+        |FROM per ORDER BY l_orderkey""".stripMargin,
     // t35: function-for-function replay (1-based substr both sides)
     "t35_str_accessor" ->
       """SELECT c_custkey,
