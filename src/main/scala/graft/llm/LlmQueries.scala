@@ -99,6 +99,33 @@ object LlmQueries {
       .orderBy("qid", "rk")
   }
 
+  // ---- L60: ANN recall evaluation ------------------------------------------
+  /** The index-quality harness every ANN deployment needs: per-query
+    * recall@10 of the LSH index (s2) against brute-force ground truth
+    * (s1) — overlap counted by (qid, id) semi-join on the two top-k
+    * sets (both O(queries × k), tiny). Composable with any index (swap
+    * lshTopK for ivfTopK/pqTopK); the oracle composes the two proven
+    * index replays as CTEs, so a hash match certifies the recall
+    * arithmetic end to end. */
+  def e7AnnRecall(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val qs = emb.filter(col("vec_id") < 5)
+    val brute = Similarity.bruteTopK(emb, qs, k = 10).select("qid", "id")
+    val lsh = Similarity.lshTopK(emb, qs, k = 10, bits = 8, dim = 64)
+      .select("qid", "id")
+    val overlap = brute.join(lsh, Seq("qid", "id"), "left_semi")
+      .groupBy("qid").agg(count(lit(1)).as("n_overlap"))
+    val nb = brute.groupBy("qid").agg(count(lit(1)).as("n_brute"))
+    val nl = lsh.groupBy("qid").agg(count(lit(1)).as("n_lsh"))
+    nb.join(nl, Seq("qid"))
+      .join(overlap, Seq("qid"), "left")
+      .select(col("qid"), col("n_brute"), col("n_lsh"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        round(coalesce(col("n_overlap"), lit(0L)).cast("double")
+          / col("n_brute"), 6).as("recall"))
+      .orderBy("qid")
+  }
+
   // ---- L13: IVF ANN (sampled-centroid cells + multi-probe) ----------------
   def s3AnnIvf(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
@@ -810,6 +837,7 @@ object LlmQueries {
     "d6_dup_clusters" -> d6DupClusters _,
     "s1_ann_brute" -> s1AnnBrute _,
     "s2_ann_lsh" -> s2AnnLsh _,
+    "e7_ann_recall" -> e7AnnRecall _,
     "s3_ann_ivf" -> s3AnnIvf _,
     "s4_quant_cosine" -> s4QuantCosine _,
     "s5_ann_pq" -> s5AnnPq _,
@@ -928,6 +956,15 @@ object LlmQueries {
     * enumerate inline, and the top-k window ranks by UNROUNDED cosine
     * exactly like TopKAgg. A hash-match is therefore a bit-level proof
     * of the whole bucketing + probing + scoring pipeline. */
+  private def s1OracleSql: String =
+    s"""SELECT qid, id, cos, rk FROM (
+       |  SELECT b.vec_id AS qid, a.vec_id AS id, ROUND($cosSql, 6) AS cos,
+       |    ROW_NUMBER() OVER (PARTITION BY b.vec_id
+       |      ORDER BY $cosSql DESC, a.vec_id ASC) AS rk
+       |  FROM embeddings a JOIN embeddings b
+       |    ON b.vec_id < 5 AND a.vec_id != b.vec_id)
+       |WHERE rk <= 10 ORDER BY qid, rk""".stripMargin
+
   private def s2OracleSql: String = {
     val bits = 8
     val planes = graft.operators.VectorOps.hyperplanes(bits, 64)
@@ -2020,14 +2057,27 @@ object LlmQueries {
          |FROM all_v a JOIN all_v b ON a.vec_id < b.vec_id
          |WHERE list_cosine_similarity(a.e, b.e) >= 0.9
          |ORDER BY id_a, id_b""".stripMargin,
-    "s1_ann_brute" ->
-      s"""SELECT qid, id, cos, rk FROM (
-         |  SELECT b.vec_id AS qid, a.vec_id AS id, ROUND($cosSql, 6) AS cos,
-         |    ROW_NUMBER() OVER (PARTITION BY b.vec_id
-         |      ORDER BY $cosSql DESC, a.vec_id ASC) AS rk
-         |  FROM embeddings a JOIN embeddings b
-         |    ON b.vec_id < 5 AND a.vec_id != b.vec_id)
-         |WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
+    "s1_ann_brute" -> s1OracleSql,
+    // e7: both proven index replays composed as CTEs; recall counted
+    // by the same (qid, id) overlap join
+    "e7_ann_recall" ->
+      s"""WITH brute AS (
+         |$s1OracleSql
+         |), lsh AS (
+         |$s2OracleSql
+         |),
+         |ov AS (SELECT b.qid, COUNT(*) AS n_overlap
+         |  FROM brute b JOIN lsh l ON b.qid = l.qid AND b.id = l.id
+         |  GROUP BY b.qid),
+         |nb AS (SELECT qid, COUNT(*) AS n_brute FROM brute GROUP BY qid),
+         |nl AS (SELECT qid, COUNT(*) AS n_lsh FROM lsh GROUP BY qid)
+         |SELECT nb.qid, n_brute, n_lsh,
+         |  COALESCE(n_overlap, 0) AS n_overlap,
+         |  ROUND(CAST(COALESCE(n_overlap, 0) AS DOUBLE) / n_brute, 6)
+         |    AS recall
+         |FROM nb JOIN nl ON nb.qid = nl.qid
+         |LEFT JOIN ov ON nb.qid = ov.qid
+         |ORDER BY nb.qid""".stripMargin,
     "x2_quality" ->
       """SELECT doc_id, n_chars,
         |  CAST(len(string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_tokens,

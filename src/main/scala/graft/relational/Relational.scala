@@ -833,10 +833,12 @@ object Relational {
   def q52BfsReach(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem").select(col("l_orderkey").as("ok"),
       col("l_partkey").as("pk"))
+    // no edge-level distinct: the per-round distinct on matched
+    // destinations dedupes anyway, and skipping it saves a full
+    // edge-table shuffle (the multigraph probes identically)
     val edges = li.as("a").join(li.as("b"), Seq("ok"))
       .filter(col("a.pk") =!= col("b.pk"))
       .select(col("a.pk").as("src"), col("b.pk").as("dst"))
-      .distinct()
       .persist()
     val seeds = t(s, dir, "part").filter(col("p_size") === 50)
       .select(col("p_partkey").as("node"))
