@@ -73,4 +73,76 @@ object AsOfJoin {
       .select((leftCols.map(col) ++
         rightVals.map(c => col(s"__r_$c").as(s"r_$c"))): _*)
   }
+
+  /** The full pandas `merge_asof` parameter grid: `direction` ∈
+    * backward (latest right ≤ t, [[asof]]'s semantics) / forward
+    * (earliest right ≥ t) / nearest (closer of the two; exact tie →
+    * backward, pinned), plus `tolerance` (matches farther than `tol`
+    * time units null out). Ties at equal timestamps are INCLUSIVE in
+    * both directions — RANGE frames over the time value, so a right
+    * row at exactly t qualifies either way.
+    *
+    * Contract: `right` must be unique per (key, rightTime) — pre-dedup
+    * with the q27 arg-max idiom; with duplicates the per-frame pick
+    * would be partition-order-dependent.
+    *
+    * Scale shape: same as [[asof]] — tag, union, ONE shuffle on the
+    * key; both directional fills ride the same Exchange+Sort (two
+    * frame specs, zero extra shuffles), nearest/tolerance are pure row
+    * expressions on the filled columns. */
+  def asofDirected(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      leftTime: String, rightTime: String, rightVals: Seq[String],
+      direction: String = "backward",
+      tolerance: Option[Long] = None): DataFrame = {
+    require(Set("backward", "forward", "nearest")(direction),
+      s"unknown direction $direction")
+    val leftCols = left.columns.toSeq
+    val t = "__asof_t"
+    val side = "__asof_side"
+    val vals = rightVals :+ rightTime // matched time rides as a value
+
+    val l = vals.foldLeft(
+        left.withColumn(t, col(leftTime).cast("long")).withColumn(side, lit(1)))(
+      (d, c) => d.withColumn(s"__r_$c", lit(null).cast(right.schema(c).dataType)))
+    val rProjected = keyCols.map(col) ++ Seq(col(t), col(side)) ++
+      vals.map(c => col(c).as(s"__r_$c")) ++
+      leftCols.filterNot(keyCols.contains).map(c =>
+        lit(null).cast(left.schema(c).dataType).as(c))
+    val r = right.withColumn(t, col(rightTime).cast("long"))
+      .withColumn(side, lit(0)).select(rProjected: _*)
+
+    val ordered = keyCols.map(col) ++ Seq(col(t), col(side)) ++
+      vals.map(c => col(s"__r_$c")) ++
+      leftCols.filterNot(keyCols.contains).map(col)
+    val unioned = l.select(ordered: _*).unionByName(r.select(ordered: _*))
+
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(t))
+    val wb = w.rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = w.rangeBetween(Window.currentRow, Window.unboundedFollowing)
+    val filled = vals.foldLeft(unioned)((d, c) => d
+      .withColumn(s"__b_$c", last(col(s"__r_$c"), ignoreNulls = true).over(wb))
+      .withColumn(s"__f_$c", first(col(s"__r_$c"), ignoreNulls = true).over(wf)))
+
+    val bt = col(s"__b_$rightTime").cast("long")
+    val ft = col(s"__f_$rightTime").cast("long")
+    val bOk = bt.isNotNull &&
+      tolerance.map(tol => col(t) - bt <= tol).getOrElse(lit(true))
+    val fOk = ft.isNotNull &&
+      tolerance.map(tol => ft - col(t) <= tol).getOrElse(lit(true))
+    val useBackward = direction match {
+      case "backward" => bOk
+      case "forward"  => lit(false)
+      case "nearest"  => bOk && (!fOk || (col(t) - bt) <= (ft - col(t)))
+    }
+    val matched = direction match {
+      case "backward" => bOk
+      case "forward"  => fOk
+      case "nearest"  => bOk || fOk
+    }
+    filled.filter(col(side) === 1)
+      .select((leftCols.map(col) ++ vals.map(c =>
+        when(matched && useBackward, col(s"__b_$c"))
+          .when(matched && !useBackward, col(s"__f_$c"))
+          .as(s"r_$c"))): _*)
+  }
 }

@@ -912,6 +912,36 @@ object Relational {
       .orderBy("k")
   }
 
+  // ---- R56: merge_asof direction/tolerance grid ---------------------------
+  // q27's as-of completed to the full pandas merge_asof surface
+  // (operators.AsOfJoin.asofDirected): backward WITH tolerance 900 s,
+  // forward, and nearest (tie → backward, pinned) — each purchase
+  // matched to its view under all three rules in one result row. The
+  // oracle derives the matched times from first principles (correlated
+  // MIN/MAX over the view times) rather than replaying the window
+  // plan, so a hash match certifies the SEMANTICS, not the plan.
+  def q56AsofDirections(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).select(col("event_id"), col("user_id"),
+      unix_timestamp(col("ts")).as("es"), col("event_type"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "es")
+    val views = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("es").as("v_es"))
+      .agg(max("event_id").as("v_id"))
+      .select("user_id", "v_es", "v_id")
+    def run(d: String, tol: Option[Long], p: String) =
+      graft.operators.AsOfJoin.asofDirected(purchases, views,
+          keyCols = Seq("user_id"), leftTime = "es", rightTime = "v_es",
+          rightVals = Seq("v_id"), direction = d, tolerance = tol)
+        .select(col("event_id"), col("r_v_id").as(s"${p}_id"),
+          col("r_v_es").as(s"${p}_es"))
+    purchases
+      .join(run("backward", Some(900L), "b"), Seq("event_id"))
+      .join(run("forward", None, "f"), Seq("event_id"))
+      .join(run("nearest", None, "n"), Seq("event_id"))
+      .orderBy("event_id")
+  }
+
   // ---- R36: bloom-pruned semi-join ---------------------------------------
   // Manual runtime filtering (operators.BloomPrune): a bloom over the
   // urgent orders' keys prunes lineitem BEFORE its shuffle; the exact
@@ -952,6 +982,7 @@ object Relational {
     "q53_range_frame" -> q53RangeFrame _,
     "q54_salted_join" -> q54SaltedJoin _,
     "q55_incremental_mv" -> q55IncrementalMv _,
+    "q56_asof_directions" -> q56AsofDirections _,
     "q35_mean_pool" -> q35MeanPool _,
     "q34_json_extract" -> q34JsonExtract _,
     "q33_theta_overlap" -> q33ThetaOverlap _,
@@ -1007,6 +1038,37 @@ object Relational {
         |  WHERE r.dist < 3)
         |SELECT node AS p_partkey, CAST(MIN(dist) AS BIGINT) AS dist
         |FROM r GROUP BY node ORDER BY p_partkey""".stripMargin,
+    // q56: matched times from first principles (correlated MIN/MAX
+    // over view times), values joined back on the unique (user, time)
+    // key; same pinned nearest tie rule (exact tie → backward)
+    "q56_asof_directions" ->
+      """WITH e AS (SELECT event_id, user_id,
+        |    CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS es,
+        |    event_type FROM events),
+        |p AS (SELECT event_id, user_id, es FROM e
+        |  WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, es AS v_es, MAX(event_id) AS v_id FROM e
+        |  WHERE event_type = 'view' GROUP BY 1, 2),
+        |c AS (SELECT p.event_id, p.user_id, p.es,
+        |    (SELECT MAX(v_es) FROM v
+        |      WHERE v.user_id = p.user_id AND v.v_es <= p.es) AS bt0,
+        |    (SELECT MIN(v_es) FROM v
+        |      WHERE v.user_id = p.user_id AND v.v_es >= p.es) AS ft
+        |  FROM p),
+        |d AS (SELECT *,
+        |    CASE WHEN bt0 IS NOT NULL AND es - bt0 <= 900 THEN bt0 END AS bt,
+        |    CASE WHEN bt0 IS NOT NULL AND (ft IS NULL OR es - bt0 <= ft - es)
+        |      THEN bt0 ELSE ft END AS nt
+        |  FROM c)
+        |SELECT d.event_id, d.user_id, d.es,
+        |  vb.v_id AS b_id, d.bt AS b_es,
+        |  vf.v_id AS f_id, d.ft AS f_es,
+        |  vn.v_id AS n_id, d.nt AS n_es
+        |FROM d
+        |LEFT JOIN v vb ON vb.user_id = d.user_id AND vb.v_es = d.bt
+        |LEFT JOIN v vf ON vf.user_id = d.user_id AND vf.v_es = d.ft
+        |LEFT JOIN v vn ON vn.user_id = d.user_id AND vn.v_es = d.nt
+        |ORDER BY d.event_id""".stripMargin,
     // q54: the salted join's output provably equals the plain join —
     // that equality IS the check
     "q54_salted_join" ->

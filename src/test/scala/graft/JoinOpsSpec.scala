@@ -33,6 +33,34 @@ class JoinOpsSpec extends AnyFunSuite {
       ("A", 99L, Some(3.0)), ("B", 16L, Some(9.0)), ("C", 50L, None)))
   }
 
+  test("asofDirected: forward, nearest (tie → backward), and tolerance") {
+    def run(d: String, tol: Option[Long] = None) =
+      AsOfJoin.asofDirected(trades, quotes, Seq("sym"), "tt", "qt",
+          rightVals = Seq("px"), direction = d, tolerance = tol)
+        .orderBy("sym", "tt")
+        .collect()
+        .map(r => ((r.getAs[String]("sym"), r.getAs[Long]("tt")),
+          Option(r.getAs[java.lang.Double]("r_px")).map(_.toDouble)))
+        .toMap
+    val fwd = run("forward")
+    assert(fwd(("A", 5L)) == Some(1.0))    // earliest quote ≥ 5 is t=10
+    assert(fwd(("A", 20L)) == Some(2.0))   // inclusive tie at 20
+    assert(fwd(("A", 25L)) == Some(3.0))   // next quote at 30
+    assert(fwd(("A", 99L)) == None)        // nothing after 30
+    assert(fwd(("C", 50L)) == None)
+    val near = run("nearest")
+    assert(near(("A", 5L)) == Some(1.0))   // only forward exists
+    assert(near(("A", 25L)) == Some(2.0))  // |25-20| = |25-30| → backward wins
+    assert(near(("A", 99L)) == Some(3.0))  // only backward exists
+    assert(near(("C", 50L)) == None)
+    val backTol = run("backward", tol = Some(10L))
+    assert(backTol(("A", 25L)) == Some(2.0))  // Δ=5 within 10
+    assert(backTol(("A", 99L)) == None)       // Δ=69 beyond tolerance
+    val nearTol = run("nearest", tol = Some(5L))
+    assert(nearTol(("A", 25L)) == Some(2.0))  // backward Δ=5 ok, forward Δ=5 ok → backward
+    assert(nearTol(("A", 99L)) == None)       // both out of tolerance
+  }
+
   test("asof join: right duplicates resolved by tie-break (later wins)") {
     val dupQuotes = Seq(("A", 10L, 1.0, 1L), ("A", 10L, 7.0, 2L))
       .toDF("sym", "qt", "px", "seq")
