@@ -72,4 +72,25 @@ object Merge {
     df.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("cnt"), sum(valCol).as("sum_v"),
         min(valCol).as("min_v"), max(valCol).as("max_v"))
+
+  /** Survivorship merge (MDM "golden record"): per key, each value
+    * column independently keeps its LATEST NON-NULL value across the
+    * versioned feed, ordered by (`orderCol`, `tieCol`) — a sparse
+    * update at t₂ does not erase an attribute set at t₁ (the
+    * difference from plain last-row-wins).
+    *
+    * One aggregation, one shuffle, map-side-combined: each column is
+    * an arg-max over the struct (order-if-non-null, tie, value) —
+    * null order fields sort below every real timestamp, so a
+    * value-bearing row always beats a null one and ties break by
+    * `tieCol`. No windows, no per-column self-joins. */
+  def goldenRecord(feed: DataFrame, keyCols: Seq[String], orderCol: String,
+      tieCol: String, valueCols: Seq[String]): DataFrame = {
+    val aggs = count(lit(1)).as("n_versions") +: valueCols.map(c =>
+      max(struct(
+        when(col(c).isNotNull, col(orderCol)).as("o"),
+        when(col(c).isNotNull, col(tieCol)).as("tb"),
+        col(c).as("v"))).getField("v").as(c))
+    feed.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
 }

@@ -942,6 +942,28 @@ object Relational {
       .orderBy("event_id")
   }
 
+  // ---- R57: survivorship golden record ------------------------------------
+  // MDM survivorship (operators.Merge.goldenRecord): the customer's
+  // order feed with deterministically PLANTED attribute gaps — each
+  // attribute independently keeps its latest non-null value, so a
+  // sparse later version does not erase an earlier attribute (the
+  // difference from q47's last-row-wins SCD). One mergeable arg-max
+  // aggregation, one shuffle, no windows; the oracle replays with
+  // IGNORE NULLS last_value windows.
+  def q57GoldenRecord(s: SparkSession, dir: String): DataFrame = {
+    val feed = t(s, dir, "orders").select(
+      col("o_custkey").as("k"),
+      unix_timestamp(col("o_orderdate")).as("ts"),
+      col("o_orderkey").as("oid"),
+      when(col("o_orderkey") % 3 =!= 0, col("o_orderpriority")).as("pri"),
+      when(col("o_orderkey") % 4 =!= 0,
+        dec(col("o_totalprice")).cast(DoubleType)).as("price"),
+      when(col("o_orderkey") % 5 =!= 0, col("o_orderstatus")).as("status"))
+    graft.operators.Merge.goldenRecord(feed, Seq("k"), "ts", "oid",
+        Seq("pri", "price", "status"))
+      .orderBy("k")
+  }
+
   // ---- R36: bloom-pruned semi-join ---------------------------------------
   // Manual runtime filtering (operators.BloomPrune): a bloom over the
   // urgent orders' keys prunes lineitem BEFORE its shuffle; the exact
@@ -983,6 +1005,7 @@ object Relational {
     "q54_salted_join" -> q54SaltedJoin _,
     "q55_incremental_mv" -> q55IncrementalMv _,
     "q56_asof_directions" -> q56AsofDirections _,
+    "q57_golden_record" -> q57GoldenRecord _,
     "q35_mean_pool" -> q35MeanPool _,
     "q34_json_extract" -> q34JsonExtract _,
     "q33_theta_overlap" -> q33ThetaOverlap _,
@@ -1038,6 +1061,31 @@ object Relational {
         |  WHERE r.dist < 3)
         |SELECT node AS p_partkey, CAST(MIN(dist) AS BIGINT) AS dist
         |FROM r GROUP BY node ORDER BY p_partkey""".stripMargin,
+    // q57: IGNORE NULLS last_value over the same (ts, oid) order — the
+    // window form of the arg-max; identical planted gaps
+    "q57_golden_record" ->
+      """WITH feed AS (SELECT o_custkey AS k,
+        |    CAST(FLOOR(epoch(CAST(o_orderdate AS TIMESTAMP))) AS BIGINT)
+        |      AS ts,
+        |    o_orderkey AS oid,
+        |    CASE WHEN o_orderkey % 3 <> 0 THEN o_orderpriority END AS pri,
+        |    CASE WHEN o_orderkey % 4 <> 0 THEN
+        |      CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) END
+        |      AS price,
+        |    CASE WHEN o_orderkey % 5 <> 0 THEN o_orderstatus END AS status
+        |  FROM orders),
+        |w AS (SELECT k,
+        |    COUNT(*) OVER (PARTITION BY k) AS n_versions,
+        |    LAST_VALUE(pri IGNORE NULLS) OVER wk AS pri,
+        |    LAST_VALUE(price IGNORE NULLS) OVER wk AS price,
+        |    LAST_VALUE(status IGNORE NULLS) OVER wk AS status,
+        |    ROW_NUMBER() OVER (PARTITION BY k ORDER BY ts DESC, oid DESC)
+        |      AS rn
+        |  FROM feed
+        |  WINDOW wk AS (PARTITION BY k ORDER BY ts, oid
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+        |SELECT k, n_versions, pri, price, status FROM w WHERE rn = 1
+        |ORDER BY k""".stripMargin,
     // q56: matched times from first principles (correlated MIN/MAX
     // over view times), values joined back on the unique (user, time)
     // key; same pinned nearest tie rule (exact tie → backward)

@@ -41,4 +41,25 @@ class MergeSpec extends AnyFunSuite {
     assert(collect(fin) ==
       Set((1L, "a2"), (2L, "b3"), (3L, "c2"), (5L, "e")))
   }
+
+  test("goldenRecord: each column survives independently, ties break by tieCol") {
+    val feed = Seq(
+      // (k, ts, oid, name, phone)
+      (1L, 10L, 1L, Some("ann"), Some("111")),
+      (1L, 20L, 2L, Some("anne"), None), // later, phone missing → keeps 111
+      (1L, 30L, 3L, None, Some("333")),  // latest, name missing → keeps anne
+      (2L, 10L, 4L, None, None),         // all null → nulls survive
+      (3L, 10L, 5L, Some("bo"), None),   // same ts: higher oid wins name
+      (3L, 10L, 6L, Some("bob"), None),
+    ).toDF("k", "ts", "oid", "name", "phone")
+    val g = Merge.goldenRecord(feed, Seq("k"), "ts", "oid",
+        Seq("name", "phone"))
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        Option(r.getString(2)), Option(r.getString(3)))).toSeq
+    assert(g == Seq(
+      (1L, 3L, Some("anne"), Some("333")),
+      (2L, 1L, None, None),
+      (3L, 2L, Some("bob"), None)))
+  }
 }
