@@ -687,7 +687,72 @@ object TypeQueries {
       .orderBy("l_orderkey")
   }
 
+  // ---- T37: groupby().transform broadcast z-score --------------------------
+  /** pandas `groupby().transform` — a group statistic joined back onto
+    * every member row WITHOUT a window: the per-group (n, Σv, Σv²)
+    * moments aggregate exactly (decimals), broadcast back (group
+    * cardinality rows), and the z-score is a pure map expression. At
+    * 100 TB this is the only shape that works — a window would sort
+    * the fact table; the broadcast join costs one tiny exchange.
+    * Every double op ((s, sq) casts → mean/var/sqrt/divide) is the
+    * identical IEEE sequence in the oracle, so z matches bit-exact
+    * before the display round. */
+  def t37GroupTransform(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).select(col("event_id"), col("event_type"),
+      col("value"), dec(col("value")).as("v"))
+    val stats = e.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      sum(col("v")).as("s_dec"),
+      sum((col("v") * col("v")).cast(DecimalType(34, 4))).as("sq_dec"))
+    val withStats = e.join(broadcast(stats), Seq("event_type"))
+      .withColumn("s", col("s_dec").cast(DoubleType))
+      .withColumn("sq", col("sq_dec").cast(DoubleType))
+      .withColumn("mean", col("s") / col("n"))
+      .withColumn("variance",
+        (col("sq") - col("s") * col("s") / col("n")) / col("n"))
+    withStats.select(col("event_id"), col("event_type"),
+        col("value"),
+        round((col("value") - col("mean")) / sqrt(col("variance")), 6)
+          .as("z"),
+        (abs((col("value") - col("mean")) / sqrt(col("variance"))) > 2)
+          .as("outlier"))
+      .orderBy("event_id")
+  }
+
+  // ---- T38: drop_duplicates keep grid --------------------------------------
+  /** pandas `drop_duplicates(subset, keep=first/last/False)` — all
+    * three keep policies over the natural (user, event_type) duplicate
+    * groups, "first/last" pinned by (time, id). One partition-key
+    * shuffle serves all three (two orderings + one count on the same
+    * key); keep=False is the count==1 filter, which no single window
+    * rank can express. */
+  def t38DropDuplicates(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).select(col("user_id"), col("event_type"),
+      unix_timestamp(col("ts")).as("es"), col("event_id"))
+    val wf = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("es").asc, col("event_id").asc)
+    val wl = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("es").desc, col("event_id").desc)
+    val wc = Window.partitionBy("user_id", "event_type")
+    val ranked = e
+      .withColumn("rf", row_number().over(wf))
+      .withColumn("rl", row_number().over(wl))
+      .withColumn("cnt", count(lit(1)).over(wc))
+    ranked.filter(col("rf") === 1)
+        .select(lit("first").as("policy"), col("user_id"),
+          col("event_type"), col("event_id"))
+      .union(ranked.filter(col("rl") === 1)
+        .select(lit("last").as("policy"), col("user_id"),
+          col("event_type"), col("event_id")))
+      .union(ranked.filter(col("cnt") === 1)
+        .select(lit("unique").as("policy"), col("user_id"),
+          col("event_type"), col("event_id")))
+      .orderBy("policy", "user_id", "event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t37_group_transform" -> t37GroupTransform _,
+    "t38_drop_duplicates" -> t38DropDuplicates _,
     "t36_array_ops" -> t36ArrayOps _,
     "t35_str_accessor" -> t35StrAccessor _,
     "t32_melt" -> t32Melt _,
@@ -829,6 +894,42 @@ object TypeQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // t37: identical IEEE sequence — decimal moments cast to DOUBLE,
+    // then mean/var/sqrt/divide in the same order; sqrt is correctly
+    // rounded (IEEE) so no cross-engine drift
+    "t37_group_transform" ->
+      """WITH e AS (SELECT event_id, event_type, value,
+        |    CAST(value AS DECIMAL(12,2)) AS v FROM events),
+        |st AS (SELECT event_type, COUNT(*) AS n,
+        |    CAST(SUM(v) AS DOUBLE) AS s,
+        |    CAST(SUM(CAST(v * v AS DECIMAL(34,4))) AS DOUBLE) AS sq
+        |  FROM e GROUP BY 1),
+        |j AS (SELECT e.event_id, e.event_type, e.value,
+        |    s / n AS mean, (sq - s * s / n) / n AS variance
+        |  FROM e JOIN st ON e.event_type = st.event_type)
+        |SELECT event_id, event_type, value,
+        |  ROUND((value - mean) / sqrt(variance), 6) AS z,
+        |  abs((value - mean) / sqrt(variance)) > 2 AS outlier
+        |FROM j ORDER BY event_id""".stripMargin,
+    // t38: same three policies, same (es, event_id) pinning
+    "t38_drop_duplicates" ->
+      """WITH e AS (SELECT user_id, event_type, event_id,
+        |    CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS es
+        |  FROM events),
+        |r AS (SELECT user_id, event_type, event_id,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY es ASC, event_id ASC) AS rf,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY es DESC, event_id DESC) AS rl,
+        |    COUNT(*) OVER (PARTITION BY user_id, event_type) AS cnt
+        |  FROM e)
+        |SELECT 'first' AS policy, user_id, event_type, event_id
+        |  FROM r WHERE rf = 1
+        |UNION ALL
+        |SELECT 'last', user_id, event_type, event_id FROM r WHERE rl = 1
+        |UNION ALL
+        |SELECT 'unique', user_id, event_type, event_id FROM r WHERE cnt = 1
+        |ORDER BY policy, user_id, event_type""".stripMargin,
     // t36: list-function-for-lambda replay; both sides sort before any
     // order-sensitive read, so collect order can't leak
     "t36_array_ops" ->
