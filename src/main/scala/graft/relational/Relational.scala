@@ -964,6 +964,33 @@ object Relational {
       .orderBy("k")
   }
 
+  // ---- R58: custom DataSource V2 end-to-end -------------------------------
+  // The graftbin DSv2 source (sources.GraftBinary*) driven through a
+  // real query: nation converted to .gbn files (one per region →
+  // disjoint footer stats), read back through the TableProvider with
+  // column pruning + stats file-skipping live, joined against the
+  // parquet region dim — a mixed-source broadcast join. The oracle
+  // runs on the parquet originals, so a hash match proves the custom
+  // source's decode path end to end.
+  def q58CustomSource(s: SparkSession, dir: String): DataFrame = {
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graftbin_q58_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+    graft.sources.GraftBinary.write(
+      t(s, dir, "nation").select(
+        col("n_nationkey").cast(LongType).as("n_nationkey"),
+        col("n_name"),
+        col("n_regionkey").cast(LongType).as("n_regionkey")),
+      tmp, filesBy = "n_regionkey")
+    val nation = s.read.format("graft.sources.GraftBinarySource").load(tmp)
+    nation.filter(col("n_regionkey") <= 2L) // skips 2 of 5 files
+      .join(broadcast(t(s, dir, "region")
+        .select(col("r_regionkey").cast(LongType).as("n_regionkey"),
+          col("r_name"))), Seq("n_regionkey"))
+      .groupBy("r_name")
+      .agg(count(lit(1)).as("n_nations"), min("n_name").as("first_nation"))
+      .orderBy("r_name")
+  }
+
   // ---- R36: bloom-pruned semi-join ---------------------------------------
   // Manual runtime filtering (operators.BloomPrune): a bloom over the
   // urgent orders' keys prunes lineitem BEFORE its shuffle; the exact
@@ -1006,6 +1033,7 @@ object Relational {
     "q55_incremental_mv" -> q55IncrementalMv _,
     "q56_asof_directions" -> q56AsofDirections _,
     "q57_golden_record" -> q57GoldenRecord _,
+    "q58_custom_source" -> q58CustomSource _,
     "q35_mean_pool" -> q35MeanPool _,
     "q34_json_extract" -> q34JsonExtract _,
     "q33_theta_overlap" -> q33ThetaOverlap _,
@@ -1061,6 +1089,14 @@ object Relational {
         |  WHERE r.dist < 3)
         |SELECT node AS p_partkey, CAST(MIN(dist) AS BIGINT) AS dist
         |FROM r GROUP BY node ORDER BY p_partkey""".stripMargin,
+    // q58: the parquet originals — a match proves the custom source's
+    // write/decode round-trip
+    "q58_custom_source" ->
+      """SELECT r_name, COUNT(*) AS n_nations,
+        |  MIN(n_name) AS first_nation
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |WHERE n_regionkey <= 2
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
     // q57: IGNORE NULLS last_value over the same (ts, oid) order — the
     // window form of the arg-max; identical planted gaps
     "q57_golden_record" ->
