@@ -60,4 +60,55 @@ object Graphs {
     cached.foreach(_.unpersist())
     out
   }
+
+  /** Fixed-iteration PageRank (simplified: dangling mass not
+    * redistributed, as in the classic Spark example) — returns
+    * (node, rank) after `iters` rounds of
+    * r'(v) = (1−d)/N + d·Σ_{u→v} r(u)/outdeg(u).
+    *
+    * Determinism contract: per-edge contributions are rounded to 9
+    * decimals and summed as DECIMAL(28,9) — exact and order-free —
+    * then the damping blend runs in doubles; every iteration is
+    * therefore bit-replayable in SQL regardless of partitioning (the
+    * x13/e5 convention). N and the per-iteration sequencing are driver
+    * model-state (the k-means idiom).
+    *
+    * Scale shape: per iteration ONE key-shuffle (contributions grouped
+    * by dst with map-side partials) + a left join of the node list;
+    * edges and out-degrees persist across iterations; ranks
+    * materialize per round so lineage stays O(1). */
+  def pageRank(edges: DataFrame, iters: Int,
+      damping: Double = 0.85): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val cached = scala.collection.mutable.Buffer.empty[DataFrame]
+    val e = edges.select(col("src"), col("dst")).persist()
+    cached += e
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().persist()
+    cached += nodes
+    val n = nodes.count()
+    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg")).persist()
+    cached += outDeg
+    var ranks = nodes.withColumn("rank", lit(1.0 / n))
+    for (_ <- 1 to iters) {
+      val contribs = e
+        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .join(outDeg, Seq("src"))
+        .select(col("dst").as("node"),
+          round(col("rank") / col("deg"), 9).cast(DecimalType(28, 9)).as("c"))
+        .groupBy("node").agg(sum(col("c")).as("sc"))
+      ranks = nodes.join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (lit((1.0 - damping) / n) + lit(damping) *
+            coalesce(col("sc").cast(DoubleType), lit(0.0))).as("rank"))
+        .persist()
+      ranks.count()
+      cached += ranks
+    }
+    val out = ranks.select(col("node"), round(col("rank"), 9).as("rank"))
+      .cache()
+    out.count()
+    cached.foreach(_.unpersist())
+    out
+  }
 }

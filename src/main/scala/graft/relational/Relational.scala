@@ -991,6 +991,22 @@ object Relational {
       .orderBy("r_name")
   }
 
+  // ---- R59: PageRank (fixed iterations) ------------------------------------
+  // operators.Graphs.pageRank on the bipartite supplier→customer
+  // purchase graph (customer ids offset out of the supplier id space):
+  // 3 rounds of r' = (1−d)/N + d·Σ r(u)/deg(u), per-edge contributions
+  // rounded to 9 decimals and summed as exact decimals so every
+  // iteration replays bit-for-bit in the unrolled SQL oracle. One
+  // key-shuffle per iteration; edges/degrees persist across rounds.
+  def q59PageRank(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_suppkey").as("src"), col("l_orderkey").as("ok"))
+    val o = t(s, dir, "orders").select(col("o_orderkey").as("ok"),
+      (col("o_custkey") + 1000000L).as("dst"))
+    val edges = li.join(o, Seq("ok")).select("src", "dst")
+    graft.operators.Graphs.pageRank(edges, iters = 3).orderBy("node")
+  }
+
   // ---- R36: bloom-pruned semi-join ---------------------------------------
   // Manual runtime filtering (operators.BloomPrune): a bloom over the
   // urgent orders' keys prunes lineitem BEFORE its shuffle; the exact
@@ -1034,6 +1050,7 @@ object Relational {
     "q56_asof_directions" -> q56AsofDirections _,
     "q57_golden_record" -> q57GoldenRecord _,
     "q58_custom_source" -> q58CustomSource _,
+    "q59_pagerank" -> q59PageRank _,
     "q35_mean_pool" -> q35MeanPool _,
     "q34_json_extract" -> q34JsonExtract _,
     "q33_theta_overlap" -> q33ThetaOverlap _,
@@ -1073,6 +1090,37 @@ object Relational {
 
   private val rev = revenueSql // DuckDB fragment
 
+  /** q59 oracle: the three PageRank rounds unrolled — identical
+    * 9-decimal contribution rounding, exact decimal sums, identical
+    * IEEE damping blend ((1.0 - 0.85) evaluated as doubles on both
+    * engines). */
+  private def q59OracleSql: String = {
+    def round(i: Int): String =
+      s"""c$i AS (SELECT e.dst AS node,
+         |    SUM(CAST(ROUND(r.rank / d.deg, 9) AS DECIMAL(28,9))) AS sc
+         |  FROM e JOIN r${i - 1} r ON e.src = r.node
+         |  JOIN deg d ON e.src = d.src
+         |  GROUP BY e.dst),
+         |r$i AS (SELECT nodes.node,
+         |    (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / n
+         |      + CAST(0.85 AS DOUBLE) * COALESCE(CAST(sc AS DOUBLE), 0.0)
+         |      AS rank
+         |  FROM nodes CROSS JOIN nn LEFT JOIN c$i ON nodes.node = c$i.node)"""
+        .stripMargin
+    s"""WITH e AS (SELECT l_suppkey AS src, o_custkey + 1000000 AS dst
+       |    FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |nn AS (SELECT COUNT(*) AS n FROM nodes),
+       |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+       |r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / n AS rank
+       |  FROM nodes CROSS JOIN nn),
+       |${round(1)},
+       |${round(2)},
+       |${round(3)}
+       |SELECT node, ROUND(rank, 9) AS rank FROM r3 ORDER BY node"""
+      .stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     // q52: the BFS first-discovery distance equals MIN(dist) over the
     // depth-bounded recursive closure (UNION dedups exact (node, dist)
@@ -1089,6 +1137,7 @@ object Relational {
         |  WHERE r.dist < 3)
         |SELECT node AS p_partkey, CAST(MIN(dist) AS BIGINT) AS dist
         |FROM r GROUP BY node ORDER BY p_partkey""".stripMargin,
+    "q59_pagerank" -> q59OracleSql,
     // q58: the parquet originals — a match proves the custom source's
     // write/decode round-trip
     "q58_custom_source" ->

@@ -307,6 +307,38 @@ object StreamingOps {
       .start()
   }
 
+  /** S13: streaming incremental materialized-view maintenance — the
+    * streaming form of q55. Each micro-batch aggregates to per-key
+    * partials ([[graft.operators.Merge.aggPartials]]) and folds into
+    * the maintained summary ([[graft.operators.Merge.mergeAggState]])
+    * — the mergeable-state quartet (cnt, sum, min, max), so state size
+    * is key-cardinality, never history-sized, and each trigger costs
+    * one map-side-combined aggregation + a key-sized fold. The folded
+    * view goes to `sink` every trigger (equals the batch aggregate
+    * over everything seen — the spec's assertion). */
+  def streamingIncrementalMv(rows: DataFrame, keyCols: Seq[String],
+      valCol: Column,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    var state: Option[DataFrame] = None
+    rows.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val partials = graft.operators.Merge
+          .aggPartials(b.toDF(), keyCols, valCol)
+        val next = state.map(st => graft.operators.Merge
+            .mergeAggState(st, partials, keyCols))
+          .getOrElse(partials).persist()
+        next.count()
+        state.foreach(_.unpersist())
+        state = Some(next)
+        sink(next)
+        ()
+      }
+      .trigger(trigger)
+      .start()
+  }
+
   /** S9: streaming ingest curation — each arriving micro-batch runs
     * the full curation pipeline (dedup, decontamination, quality,
     * length) INCREMENTALLY against the corpus's precomputed digest

@@ -262,6 +262,42 @@ class StreamingSpec extends AnyFunSuite {
       s"drift state diverged (${last.length} vs ${batch.length})")
   }
 
+  test("S13: streaming MV maintenance folds partials across triggers to match batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val rows = Tables.t(spark, sf, "orders")
+      .select(col("o_custkey"), col("o_totalprice")).limit(600)
+      .as[(Long, Double)].collect().toSeq
+    val (first, second) = rows.splitAt(rows.length / 2)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Double)]
+    @volatile var last: Array[(Long, Long, Double, Double, Double)] = Array.empty
+    val q = StreamingOps.streamingIncrementalMv(
+        mem.toDF().toDF("k", "v"), Seq("k"), Tables.dec(col("v")),
+        trigger = Trigger.ProcessingTime(0L)) { d =>
+      last = d.select(col("k"), col("cnt"),
+          col("sum_v").cast("double"), col("min_v").cast("double"),
+          col("max_v").cast("double"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4)))
+    }
+    mem.addData(first: _*)
+    q.processAllAvailable()
+    mem.addData(second: _*)
+    q.processAllAvailable()
+    q.stop()
+    val batch = graft.operators.Merge.aggPartials(
+        rows.toDF("k", "v"), Seq("k"), Tables.dec(col("v")))
+      .select(col("k"), col("cnt"), col("sum_v").cast("double"),
+        col("min_v").cast("double"), col("max_v").cast("double"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(last.nonEmpty && last.toSet == batch.toSet,
+      s"MV state diverged (${last.length} vs ${batch.length})")
+  }
+
   test("S2: streaming dedup emits each event_id once") {
     val stream = StreamingOps.readEventsStream(spark, sf)
     val q = StreamingOps.streamingDedup(stream)
