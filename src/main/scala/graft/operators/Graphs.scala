@@ -73,31 +73,106 @@ object Graphs {
     * x13/e5 convention). N and the per-iteration sequencing are driver
     * model-state (the k-means idiom).
     *
-    * Scale shape: per iteration ONE key-shuffle (contributions grouped
-    * by dst with map-side partials) + a left join of the node list;
-    * edges and out-degrees persist across iterations; ranks
-    * materialize per round so lineage stays O(1). */
+    * Scale shape: edges shuffle ONCE (hash-partitioned by src, then
+    * persisted — every later pass reuses that layout); node inventory
+    * and out-degree come from a single explode-aggregate over the
+    * settled edges. While the rank vector fits on executors (n ≤
+    * `broadcastNodes`, known exactly before the regime is chosen) it
+    * is driver model-state (the k-means idiom): each iteration is ONE
+    * distributed job — broadcast-probe the settled edges with the
+    * (src, rank, deg) vector, map-side-combine the decimal partials,
+    * collect the ≤ n sums — so the edge table never shuffles again.
+    * Past that regime the same loop falls back to shuffled equi-joins
+    * with per-round materialization (the bfs `broadcastFrontier`
+    * idiom). */
   def pageRank(edges: DataFrame, iters: Int,
-      damping: Double = 0.85): DataFrame = {
-    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+      damping: Double = 0.85,
+      broadcastNodes: Long = 5000000L): DataFrame = {
     val cached = scala.collection.mutable.Buffer.empty[DataFrame]
-    val e = edges.select(col("src"), col("dst")).persist()
+    // one shuffle fixes the probe layout for every later pass (and
+    // keeps the persisted table at full core parallelism — an
+    // AQE-coalesced tiny cache would serialize every probe)
+    val e = edges.select(col("src"), col("dst"))
+      .repartition(col("src")).persist()
     cached += e
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().persist()
-    cached += nodes
-    val n = nodes.count()
-    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg")).persist()
-    cached += outDeg
-    var ranks = nodes.withColumn("rank", lit(1.0 / n))
+    e.count()
+    // node inventory + out-degree in ONE aggregation: every endpoint
+    // appears, src occurrences carry 1 (deg = Σ), dst occurrences 0
+    val nodeDeg = e.select(explode(array(
+        struct(col("src").as("node"), lit(1L).as("one")),
+        struct(col("dst").as("node"), lit(0L).as("one")))).as("x"))
+      .groupBy(col("x.node").as("node"))
+      .agg(sum(col("x.one")).as("deg")).persist()
+    cached += nodeDeg
+    val n = nodeDeg.count()
+    val out =
+      if (n <= broadcastNodes) pageRankSmall(e, nodeDeg, n, iters, damping)
+      else pageRankLarge(e, nodeDeg, n, iters, damping, cached)
+    out.count()
+    cached.foreach(_.unpersist())
+    out
+  }
+
+  /** Small regime (n ≤ broadcastNodes): the rank vector is driver
+    * model-state — each iteration broadcast-probes the settled edges
+    * with the (src, rank, deg) vector and collects the ≤ n decimal
+    * sums; the damping blend runs on the driver with the identical
+    * IEEE double ops. All per-edge arithmetic (the 9-dp contribution
+    * round, the decimal partial sums) stays in Spark, so both regimes
+    * and the SQL oracle share bit-identical semantics. */
+  private def pageRankSmall(e: DataFrame, nodeDeg: DataFrame, n: Long,
+      iters: Int, damping: Double): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType, StructField, StructType}
+    import org.apache.spark.sql.Row
+    val spark = e.sparkSession
+    val nd: Array[(Any, Long)] = nodeDeg.collect()
+      .map(r => (r.get(0), r.getLong(1)))
+    val schema = StructType(Seq(
+      nodeDeg.schema.fields.head.copy(name = "src"),
+      StructField("rank", DoubleType, nullable = false),
+      StructField("deg", LongType, nullable = false)))
+    def toDf(ranks: Array[Double]): DataFrame = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        nd.indices.map(i => Row(nd(i)._1, ranks(i), nd(i)._2)), 1), schema)
+    var ranks: Array[Double] = Array.fill(nd.length)(1.0 / n)
+    val base = (1.0 - damping) / n
     for (_ <- 1 to iters) {
-      val contribs = e
-        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
-        .join(outDeg, Seq("src"))
+      val sc = e
+        .join(broadcast(toDf(ranks)), Seq("src"))
         .select(col("dst").as("node"),
           round(col("rank") / col("deg"), 9).cast(DecimalType(28, 9)).as("c"))
         .groupBy("node").agg(sum(col("c")).as("sc"))
-      ranks = nodes.join(contribs, Seq("node"), "left")
+        .collect().map(r => r.get(0) -> r.getDecimal(1)).toMap
+      ranks = nd.map { case (v, _) =>
+        // decimal→double via BigDecimal.doubleValue = Spark's
+        // Decimal.toDouble; blend order matches the large regime's
+        // lit(base) + lit(damping) * coalesce(cast(sc as double), 0.0)
+        base + damping * sc.get(v).map(_.doubleValue).getOrElse(0.0)
+      }
+    }
+    // final 9-dp round runs through Spark's Round (not driver math) so
+    // both regimes share the exact rounding semantics
+    toDf(ranks).select(col("src").as("node"),
+        round(col("rank"), 9).as("rank"))
+      .cache()
+  }
+
+  /** Large regime: the rank vector stays distributed; per iteration
+    * one shuffled equi-join + key-shuffle aggregation + node-list left
+    * join, materialized per round so lineage stays O(1). */
+  private def pageRankLarge(e: DataFrame, nodeDeg: DataFrame, n: Long,
+      iters: Int, damping: Double,
+      cached: scala.collection.mutable.Buffer[DataFrame]): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    var ranks = nodeDeg.select(col("node"), lit(1.0 / n).as("rank"))
+    for (_ <- 1 to iters) {
+      val contribs = e
+        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .join(nodeDeg.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"),
+          round(col("rank") / col("deg"), 9).cast(DecimalType(28, 9)).as("c"))
+        .groupBy("node").agg(sum(col("c")).as("sc"))
+      ranks = nodeDeg.select("node").join(contribs, Seq("node"), "left")
         .select(col("node"),
           (lit((1.0 - damping) / n) + lit(damping) *
             coalesce(col("sc").cast(DoubleType), lit(0.0))).as("rank"))
@@ -105,10 +180,6 @@ object Graphs {
       ranks.count()
       cached += ranks
     }
-    val out = ranks.select(col("node"), round(col("rank"), 9).as("rank"))
-      .cache()
-    out.count()
-    cached.foreach(_.unpersist())
-    out
+    ranks.select(col("node"), round(col("rank"), 9).as("rank")).cache()
   }
 }

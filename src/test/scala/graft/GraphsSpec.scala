@@ -30,4 +30,27 @@ class GraphsSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     assert(d(10L) == 1L && d(3L) == 2L && d(9L) == 0L)
   }
+
+  test("pageRank ranks sum to ~1 and sinks hold the base rank") {
+    val r = Graphs.pageRank(edges, iters = 3).as[(Long, Double)]
+      .collect().toMap
+    assert(r.size == 7)
+    // dangling mass is dropped (simplified PR), so the total is < 1
+    // but every node holds at least the (1-d)/N floor
+    val floor = 0.15 / 7
+    assert(r.values.forall(_ >= floor - 1e-8)) // 9-dp output rounding
+    // node 4 has two in-links (3→4, 1→4), node 2 only one (1→2) of
+    // equal source rank/degree — 4 must outrank 2
+    assert(r(4L) > r(2L))
+    // island source 9 receives nothing: exactly the floor
+    assert(math.abs(r(9L) - floor) < 1e-9)
+  }
+
+  test("pageRank small (driver-vector) and large (distributed) regimes agree exactly") {
+    val small = Graphs.pageRank(edges, iters = 3).as[(Long, Double)]
+      .collect().toMap
+    val large = Graphs.pageRank(edges, iters = 3, broadcastNodes = 0L)
+      .as[(Long, Double)].collect().toMap
+    assert(small == large) // bit-identical, not approximately equal
+  }
 }
