@@ -577,6 +577,16 @@ object LlmQueries {
     EmbedStats.dimCovariance(t(s, dir, "embeddings"), "embedding", dim = 64)
       .orderBy("dim_i", "dim_j")
 
+  // ---- L45: embedding dimension correlation matrix -------------------------
+  /** Pearson correlation of every dimension pair — e4's covariance
+    * normalized by the diagonal, SAME single aggregation pass (the
+    * variances are index-picked from the one moment array, no extra
+    * join or shuffle). The one ÷/√ runs the identical IEEE sequence in
+    * the oracle; round-6 washes the residue. */
+  def e8CorrMatrix(s: SparkSession, dir: String): DataFrame =
+    EmbedStats.dimCorrelation(t(s, dir, "embeddings"), "embedding", dim = 64)
+      .orderBy("dim_i", "dim_j")
+
   // ---- L40: PCA projection (power iteration + deflation) -------------------
   /** Top-2 principal-component projection of the embedding corpus (the
     * whitening/compression pass e4's covariance motivates). The fit is
@@ -867,6 +877,7 @@ object LlmQueries {
     "d10_semantic_dedup" -> d10SemanticDedup _,
     "e3_kmeans" -> e3Kmeans _,
     "e4_covariance" -> e4Covariance _,
+    "e8_corr_matrix" -> e8CorrMatrix _,
     "x9_source_quota" -> x9SourceQuota _,
     "x10_mixture_sample" -> x10MixtureSample _,
     "x11_bm25" -> x11Bm25 _,
@@ -1696,6 +1707,25 @@ object LlmQueries {
         |SELECT i - 1 AS dim_i, j - 1 AS dim_j,
         |  ROUND(exy - ex * ey, 6) + 0.0 AS cov
         |FROM m ORDER BY dim_i, dim_j""".stripMargin,
+    // e8: e4's moment CTE normalized by the diagonal — corr(i,j) =
+    // (E[xy] − ExEy) / sqrt(var_i · var_j), the identical IEEE
+    // sequence as the Spark side (cov first, variance product under
+    // one sqrt), NULL on zero variance, round-6 + 0.0
+    "e8_corr_matrix" ->
+      """WITH e AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |d AS (SELECT CAST(unnest(range(1, 65)) AS INT) AS i),
+        |p AS (SELECT a.i AS i, b.i AS j FROM d a JOIN d b ON b.i >= a.i),
+        |m AS (SELECT p.i, p.j, AVG(v[p.i] * v[p.j]) AS exy,
+        |        AVG(v[p.i]) AS ex, AVG(v[p.j]) AS ey
+        |      FROM e CROSS JOIN p GROUP BY p.i, p.j),
+        |vr AS (SELECT i, exy - ex * ey AS var FROM m WHERE i = j)
+        |SELECT m.i - 1 AS dim_i, m.j - 1 AS dim_j,
+        |  ROUND(CASE WHEN vi.var * vj.var <= 0.0 THEN NULL
+        |    ELSE (m.exy - m.ex * m.ey) / sqrt(vi.var * vj.var) END, 6) + 0.0
+        |    AS corr
+        |FROM m JOIN vr vi ON m.i = vi.i JOIN vr vj ON m.j = vj.i
+        |ORDER BY dim_i, dim_j""".stripMargin,
     // SemDeDup replayed end to end: md5-order centroid sample,
     // spherical cell assignment (rn = 1 over -cos ASC, cid ASC),
     // within-cell pairs, min-id verdict. Every float op is the same

@@ -144,4 +144,47 @@ object EmbedStats {
           element_at(col("mu"), col("dim_i") + 1) *
           element_at(col("mu"), col("dim_j") + 1), 6) + 0.0).as("cov"))
   }
+
+  /** Pearson correlation matrix of the embedding dimensions (the
+    * normalized [[dimCovariance]] — the standard redundant-dimension /
+    * collinearity report): corr(i, j) = cov(i, j) / √(var_i · var_j)
+    * for every pair i ≤ j, long-form; NULL when either variance is 0.
+    *
+    * The SAME single aggregation pass as dimCovariance (raw vector +
+    * upper-tri outer product through the mergeable mean) — variances
+    * are just the diagonal entries of the moment array, picked by
+    * index arithmetic (pos(i,i) = i·dim − i(i−1)/2), so normalizing
+    * costs zero extra passes, shuffles, or joins. Determinism: moments
+    * are exact on the corpus's integer grid; the one division and √
+    * run the identical IEEE sequence in the oracle, washed by the
+    * 6-dp round. */
+  def dimCorrelation(df: DataFrame, vecCol: String, dim: Int): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = df.select(col(vecCol).cast("array<double>").as("v"))
+    val tri = ColumnBridge.column(graft.expressions.UpperTriOuterProduct(
+      ColumnBridge.expression(col("v"))))
+    val m = v.agg(VectorOps.meanPool(col("v")).as("mu"),
+      VectorOps.meanPool(tri).as("m2"))
+    val pairs = (for (i <- 0 until dim; j <- i until dim) yield (i, j))
+      .zipWithIndex.map { case ((i, j), k) => (k, i, j) }
+      .toDF("pos", "dim_i", "dim_j")
+    def mean(i: Column): Column = element_at(col("mu"), i + 1)
+    // diagonal moment E[x_i²] at pos(i,i) = i·dim − i(i−1)/2 (0-based);
+    // Column `/` is double division, but i(i−1) is even so it is exact
+    // — cast restores the integral index type element_at needs
+    def diag(i: Column): Column = element_at(col("m2"),
+      (i * dim - (i * (i - 1)) / 2 + 1).cast("int"))
+    def variance(i: Column): Column = diag(i) - mean(i) * mean(i)
+    m.select(col("mu"), col("m2"), posexplode(col("m2")).as(Seq("pos", "exy")))
+      .join(broadcast(pairs), Seq("pos"))
+      .select(col("dim_i"), col("dim_j"),
+        (round(when(variance(col("dim_i")) * variance(col("dim_j")) <= 0.0,
+            lit(null).cast("double"))
+          .otherwise((col("exy") -
+              mean(col("dim_i")) * mean(col("dim_j"))) /
+            sqrt(variance(col("dim_i")) * variance(col("dim_j")))),
+          6) + 0.0).as("corr"))
+  }
 }

@@ -415,6 +415,44 @@ object Relational {
         round(element_at(col("ps"), 4), 6).as("p90"))
       .orderBy("l_returnflag")
 
+  // ---- R60: histogram-sketch quantiles ------------------------------------
+  /** The SCALE path for q32's exact percentiles: a fixed-grid histogram
+    * sketch — pass 1 computes per-group (min, max, n); pass 2 buckets
+    * every value into B=4096 grid cells (map-side-combined counts, no
+    * sort anywhere); the quantile estimate is the lower edge of the
+    * first bucket whose cumulative count reaches ⌈q·n⌉. Error is
+    * bounded by one grid cell ((max−min)/B — GraftSpec pins it against
+    * the exact q32 answers). Histograms are mergeable by addition, so
+    * the same plan incrementalizes (q55) and streams (S13). Fully
+    * deterministic — identical IEEE bucket/edge arithmetic in the
+    * DuckDB oracle, no seeded sketch state — unlike approx_percentile,
+    * whose partial-merge order leaks into the result. */
+  def q60SketchQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val B = 4096
+    val src = t(s, dir, "lineitem")
+      .select(col("l_returnflag").as("g"),
+        col("l_extendedprice").cast(DoubleType).as("x"))
+    val ranges = src.groupBy("g")
+      .agg(min("x").as("mn"), max("x").as("mx"), count(lit(1)).as("n"))
+    val hist = src.join(broadcast(ranges), Seq("g"))
+      .select(col("g"),
+        when(col("mx") === col("mn"), lit(0))
+          .otherwise(least(lit(B - 1),
+            floor((col("x") - col("mn")) / (col("mx") - col("mn")) * B)
+              .cast("int"))).as("b"))
+      .groupBy("g", "b").agg(count(lit(1)).as("c"))
+    val cum = hist
+      .withColumn("cum", sum("c").over(Window.partitionBy("g").orderBy("b")))
+      .join(broadcast(ranges), Seq("g"))
+    def qEst(q: Double, name: String) =
+      round(min(when(col("cum") >= ceil(lit(q) * col("n")),
+        col("mn") + (col("mx") - col("mn")) / B * col("b"))), 6).as(name)
+    cum.groupBy(col("g").as("l_returnflag"))
+      .agg(qEst(0.25, "p25"), qEst(0.5, "p50"),
+        qEst(0.75, "p75"), qEst(0.9, "p90"))
+      .orderBy("l_returnflag")
+  }
+
   // ---- R33: theta-sketch dataset overlap ----------------------------------
   // Two overlapping document sets (ids <600 / ≥300) sketched once each;
   // union/intersection cardinalities estimated from the SKETCHES — no
@@ -836,9 +874,14 @@ object Relational {
     // no edge-level distinct: the per-round distinct on matched
     // destinations dedupes anyway, and skipping it saves a full
     // edge-table shuffle (the multigraph probes identically)
+    // repartition before persist: AQE would coalesce the ~40 MB join
+    // output into 1-2 cached partitions, serializing every BFS probe
+    // round (the pageRank lesson) — one extra shuffle buys 32-way
+    // probe parallelism for all 3 rounds
     val edges = li.as("a").join(li.as("b"), Seq("ok"))
       .filter(col("a.pk") =!= col("b.pk"))
       .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+      .repartition(col("src"))
       .persist()
     val seeds = t(s, dir, "part").filter(col("p_size") === 50)
       .select(col("p_partkey").as("node"))
@@ -1051,6 +1094,7 @@ object Relational {
     "q57_golden_record" -> q57GoldenRecord _,
     "q58_custom_source" -> q58CustomSource _,
     "q59_pagerank" -> q59PageRank _,
+    "q60_sketch_quantiles" -> q60SketchQuantiles _,
     "q35_mean_pool" -> q35MeanPool _,
     "q34_json_extract" -> q34JsonExtract _,
     "q33_theta_overlap" -> q33ThetaOverlap _,
@@ -1138,6 +1182,34 @@ object Relational {
         |SELECT node AS p_partkey, CAST(MIN(dist) AS BIGINT) AS dist
         |FROM r GROUP BY node ORDER BY p_partkey""".stripMargin,
     "q59_pagerank" -> q59OracleSql,
+    // q60: the histogram sketch replayed cell for cell — identical IEEE
+    // bucket index ((x−mn)/(mx−mn)·4096 floored, 4095 cap) and edge
+    // arithmetic (mn + (mx−mn)/4096·b), thresholds ⌈q·n⌉ in doubles
+    "q60_sketch_quantiles" ->
+      """WITH src AS (SELECT l_returnflag AS g,
+        |    CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem),
+        |r AS (SELECT g, MIN(x) AS mn, MAX(x) AS mx, COUNT(*) AS n
+        |  FROM src GROUP BY g),
+        |h AS (SELECT s.g,
+        |    CASE WHEN mx = mn THEN 0
+        |      ELSE LEAST(4095, CAST(FLOOR((x - mn) / (mx - mn) * 4096)
+        |        AS INT)) END AS b,
+        |    COUNT(*) AS c
+        |  FROM src s JOIN r ON s.g = r.g GROUP BY 1, 2),
+        |cm AS (SELECT g, b, c,
+        |    SUM(c) OVER (PARTITION BY g ORDER BY b) AS cum FROM h),
+        |j AS (SELECT cm.g, cm.b, cm.cum, r.mn, r.mx, r.n
+        |  FROM cm JOIN r ON cm.g = r.g)
+        |SELECT g AS l_returnflag,
+        |  ROUND(MIN(CASE WHEN cum >= CEIL(CAST(0.25 AS DOUBLE) * n)
+        |    THEN mn + (mx - mn) / 4096 * b END), 6) AS p25,
+        |  ROUND(MIN(CASE WHEN cum >= CEIL(CAST(0.5 AS DOUBLE) * n)
+        |    THEN mn + (mx - mn) / 4096 * b END), 6) AS p50,
+        |  ROUND(MIN(CASE WHEN cum >= CEIL(CAST(0.75 AS DOUBLE) * n)
+        |    THEN mn + (mx - mn) / 4096 * b END), 6) AS p75,
+        |  ROUND(MIN(CASE WHEN cum >= CEIL(CAST(0.9 AS DOUBLE) * n)
+        |    THEN mn + (mx - mn) / 4096 * b END), 6) AS p90
+        |FROM j GROUP BY g ORDER BY g""".stripMargin,
     // q58: the parquet originals — a match proves the custom source's
     // write/decode round-trip
     "q58_custom_source" ->

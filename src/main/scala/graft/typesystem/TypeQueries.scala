@@ -750,7 +750,67 @@ object TypeQueries {
       .orderBy("policy", "user_id", "event_type")
   }
 
+  // ---- T40: timezone localize/convert -------------------------------------
+  /** pandas `tz_localize('UTC').tz_convert(zone)` — the tz-aware
+    * datetime surface: each event instant rendered as New York and
+    * Kolkata wall-clock time plus the realized UTC offset in minutes.
+    * Events are spread across 365 synthetic days (event_id-keyed, so
+    * deterministic) to cross BOTH US DST transitions — the NY offset
+    * column takes −300 and −240 on different rows — and Kolkata pins
+    * the half-hour (+330) case. Instant→local is total (no ambiguous/
+    * nonexistent local times on this direction), both engines resolve
+    * zones from IANA tzdata, and the map pass is pure projection — no
+    * shuffle. */
+  def t40Timezone(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+      .select(col("event_id"), unix_timestamp(col("ts")).as("es0"))
+      .withColumn("es", col("es0") + (col("event_id") % 365) * 86400L)
+      .withColumn("utc", to_timestamp(col("es")))
+    def local(zone: String): Column = from_utc_timestamp(col("utc"), zone)
+    def offMin(zone: String): Column =
+      ((unix_timestamp(local(zone)) - col("es")) / 60).cast("int")
+    val fmt = "yyyy-MM-dd HH:mm:ss"
+    e.select(col("event_id"), col("es"),
+        date_format(col("utc"), fmt).as("utc_str"),
+        date_format(local("America/New_York"), fmt).as("ny_str"),
+        offMin("America/New_York").as("ny_offset_min"),
+        date_format(local("Asia/Kolkata"), fmt).as("kolkata_str"),
+        offMin("Asia/Kolkata").as("kolkata_offset_min"))
+      .orderBy("event_id")
+  }
+
+  // ---- T39: crosstab with margins -----------------------------------------
+  /** pandas `pd.crosstab(priority, status, margins=True)` + the
+    * `normalize='index'` companion in one result: wide counts per
+    * (priority × status), an `All` margin row, a row-total column, and
+    * per-cell row shares. ONE groupBy-pivot shuffle builds the wide
+    * table (explicit pivot values — no discovery scan); the margin row
+    * folds the already-tiny wide frame, costing nothing. Counts are
+    * exact longs; shares are one IEEE division washed by round-6. */
+  def t39Crosstab(s: SparkSession, dir: String): DataFrame = {
+    val wide = t(s, dir, "orders")
+      .groupBy(col("o_orderpriority").as("priority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L, Seq("F", "O", "P"))
+    val withTot = wide.select(col("priority"), col("F"), col("O"), col("P"),
+      (col("F") + col("O") + col("P")).as("row_total"))
+    val margin = withTot.agg(sum("F").as("F"), sum("O").as("O"),
+        sum("P").as("P"), sum("row_total").as("row_total"))
+      .select(lit("All").as("priority"), col("F"), col("O"), col("P"),
+        col("row_total"))
+    withTot.union(margin)
+      .select(col("priority"), col("F").as("f_cnt"), col("O").as("o_cnt"),
+        col("P").as("p_cnt"), col("row_total"),
+        round(col("F").cast(DoubleType) / col("row_total"), 6).as("f_share"),
+        round(col("O").cast(DoubleType) / col("row_total"), 6).as("o_share"),
+        round(col("P").cast(DoubleType) / col("row_total"), 6).as("p_share"))
+      .orderBy("priority")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t40_timezone" -> t40Timezone _,
+    "t39_crosstab" -> t39Crosstab _,
     "t37_group_transform" -> t37GroupTransform _,
     "t38_drop_duplicates" -> t38DropDuplicates _,
     "t36_array_ops" -> t36ArrayOps _,
@@ -930,6 +990,42 @@ object TypeQueries {
         |UNION ALL
         |SELECT 'unique', user_id, event_type, event_id FROM r WHERE cnt = 1
         |ORDER BY policy, user_id, event_type""".stripMargin,
+    // t40: instants → IANA wall clocks; epoch(naive-local) − es gives
+    // the realized offset on both engines (naive read back as UTC)
+    "t40_timezone" ->
+      """WITH e AS (SELECT event_id,
+        |    CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+        |      + (event_id % 365) * 86400 AS es
+        |  FROM events)
+        |SELECT event_id, es,
+        |  strftime(to_timestamp(es) AT TIME ZONE 'UTC',
+        |    '%Y-%m-%d %H:%M:%S') AS utc_str,
+        |  strftime(to_timestamp(es) AT TIME ZONE 'America/New_York',
+        |    '%Y-%m-%d %H:%M:%S') AS ny_str,
+        |  CAST((epoch(to_timestamp(es) AT TIME ZONE 'America/New_York')
+        |    - es) / 60 AS INT) AS ny_offset_min,
+        |  strftime(to_timestamp(es) AT TIME ZONE 'Asia/Kolkata',
+        |    '%Y-%m-%d %H:%M:%S') AS kolkata_str,
+        |  CAST((epoch(to_timestamp(es) AT TIME ZONE 'Asia/Kolkata')
+        |    - es) / 60 AS INT) AS kolkata_offset_min
+        |FROM e ORDER BY event_id""".stripMargin,
+    // t39: conditional-count crosstab + UNION margin row; shares divide
+    // the same longs in the same order, round-6
+    "t39_crosstab" ->
+      """WITH w AS (SELECT o_orderpriority AS priority,
+        |    SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS f,
+        |    SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS o,
+        |    SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS p
+        |  FROM orders GROUP BY 1),
+        |m AS (SELECT priority, f, o, p, f + o + p AS rt FROM w
+        |  UNION ALL
+        |  SELECT 'All', SUM(f), SUM(o), SUM(p), SUM(f + o + p) FROM w)
+        |SELECT priority, f AS f_cnt, o AS o_cnt, p AS p_cnt,
+        |  rt AS row_total,
+        |  ROUND(CAST(f AS DOUBLE) / rt, 6) AS f_share,
+        |  ROUND(CAST(o AS DOUBLE) / rt, 6) AS o_share,
+        |  ROUND(CAST(p AS DOUBLE) / rt, 6) AS p_share
+        |FROM m ORDER BY priority""".stripMargin,
     // t36: list-function-for-lambda replay; both sides sort before any
     // order-sensitive read, so collect order can't leak
     "t36_array_ops" ->

@@ -61,4 +61,25 @@ class SketchSpec extends org.scalatest.funsuite.AnyFunSuite {
       .first().getDouble(0)
     assert(math.abs(u - 5000.0) / 5000.0 < 0.05, s"union estimate $u vs 5000")
   }
+
+  test("q60 histogram quantile is within one grid cell of the rank-ceil(qn) order statistic") {
+    import org.apache.spark.sql.functions._
+    val est = SparkEntry.queries("q60_sketch_quantiles")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val byGroup = Tables.t(spark, sf, "lineitem")
+      .select(col("l_returnflag"), col("l_extendedprice").cast("double"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).sorted }
+    byGroup.foreach { case (flag, xs) =>
+      val w = (xs.last - xs.head) / 4096
+      Seq(0.25, 0.5, 0.75, 0.9).zip(est(flag)).foreach { case (q, e) =>
+        // contract: est = lower edge of the bucket holding the
+        // ceil(q*n)-th order statistic, so stat ∈ [est, est + w]
+        val stat = xs(math.ceil(q * xs.length).toInt - 1)
+        assert(stat >= e - 1e-6 && stat <= e + w + 1e-6,
+          s"$flag q=$q: stat $stat outside [${e}, ${e + w}]")
+      }
+    }
+  }
 }
