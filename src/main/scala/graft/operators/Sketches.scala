@@ -56,4 +56,42 @@ object Sketches {
   def hllUnion(a: Column, b: Column): Column =
     ColumnBridge.column(HllUnion(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Fixed-grid histogram of `xCol` per `gCol` group: (g, b, c) cell
+    * counts on a CALLER-SUPPLIED [lo, hi] grid — the mergeable state
+    * behind histogram quantiles (q60 derives its grid from a first
+    * min/max pass; streaming/incremental callers pin the grid up front
+    * and fold cell counts by plain addition across batches). Values
+    * outside the grid clamp to the edge cells. */
+  def histCounts(df: org.apache.spark.sql.DataFrame, gCol: String,
+      xCol: String, lo: Double, hi: Double,
+      buckets: Int = 4096): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    df.select(col(gCol).as("g"), col(xCol).cast("double").as("x"))
+      .select(col("g"),
+        when(lit(hi) === lit(lo), lit(0))
+          .otherwise(greatest(lit(0), least(lit(buckets - 1),
+            floor((col("x") - lit(lo)) / (lit(hi) - lit(lo)) * buckets)
+              .cast("int")))).as("b"))
+      .groupBy("g", "b").agg(count(lit(1)).as("c"))
+  }
+
+  /** Quantile estimates from folded histogram state (the q60 read
+    * path): per group, est(q) = lower edge of the first cell whose
+    * cumulative count reaches ⌈q·n⌉. State is cells-per-group sized;
+    * the window/aggregate run over that tiny frame, never the data. */
+  def histQuantiles(hist: org.apache.spark.sql.DataFrame,
+      lo: Double, hi: Double, buckets: Int,
+      qs: Seq[(Double, String)]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val cum = hist
+      .withColumn("cum", sum("c").over(Window.partitionBy("g").orderBy("b")))
+      .withColumn("n", sum("c").over(Window.partitionBy("g")))
+    val aggs = qs.map { case (q, name) =>
+      round(min(when(col("cum") >= ceil(lit(q) * col("n")),
+        lit(lo) + (lit(hi) - lit(lo)) / buckets * col("b"))), 6).as(name)
+    }
+    cum.groupBy("g").agg(aggs.head, aggs.tail: _*).orderBy("g")
+  }
 }

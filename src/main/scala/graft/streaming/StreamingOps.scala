@@ -339,6 +339,41 @@ object StreamingOps {
       .start()
   }
 
+  /** S14: streaming histogram quantiles — the streaming form of q60.
+    * The grid ([lo, hi] × `buckets`) is pinned up front (production:
+    * from historical data), so each micro-batch's cell counts
+    * ([[graft.operators.Sketches.histCounts]]) fold into the
+    * maintained histogram by PLAIN ADDITION — state is
+    * cells-per-group sized, never history-sized — and the per-trigger
+    * quantile read ([[graft.operators.Sketches.histQuantiles]]) runs
+    * over that tiny state. The emitted estimates equal the batch
+    * sketch over everything seen (the spec's assertion) because
+    * histogram merge is exact, not approximate-on-merge. */
+  def streamingHistQuantiles(rows: DataFrame, gCol: String, xCol: String,
+      lo: Double, hi: Double, buckets: Int = 4096,
+      qs: Seq[(Double, String)] = Seq(0.25 -> "p25", 0.5 -> "p50",
+        0.75 -> "p75", 0.9 -> "p90"),
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    var state: Option[DataFrame] = None
+    rows.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val cells = graft.operators.Sketches
+          .histCounts(b.toDF(), gCol, xCol, lo, hi, buckets)
+        val next = state.map(st =>
+            st.union(cells).groupBy("g", "b").agg(sum("c").as("c")))
+          .getOrElse(cells).persist()
+        next.count()
+        state.foreach(_.unpersist())
+        state = Some(next)
+        sink(graft.operators.Sketches.histQuantiles(next, lo, hi, buckets, qs))
+        ()
+      }
+      .trigger(trigger)
+      .start()
+  }
+
   /** S9: streaming ingest curation — each arriving micro-batch runs
     * the full curation pipeline (dedup, decontamination, quality,
     * length) INCREMENTALLY against the corpus's precomputed digest

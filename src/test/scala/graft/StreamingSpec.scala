@@ -298,6 +298,40 @@ class StreamingSpec extends AnyFunSuite {
       s"MV state diverged (${last.length} vs ${batch.length})")
   }
 
+  test("S14: streaming histogram quantiles fold cells across triggers to match batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val rows = Tables.t(spark, sf, "lineitem")
+      .select(col("l_returnflag"), col("l_extendedprice").cast("double"))
+      .limit(800).as[(String, Double)].collect().toSeq
+    val lo = rows.map(_._2).min
+    val hi = rows.map(_._2).max
+    val (first, second) = rows.splitAt(rows.length / 2)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(String, Double)]
+    @volatile var last: Array[(String, Double, Double, Double, Double)] = Array.empty
+    val q = StreamingOps.streamingHistQuantiles(
+        mem.toDF().toDF("flag", "price"), "flag", "price", lo, hi,
+        trigger = Trigger.ProcessingTime(0L)) { d =>
+      last = d.collect().map(r => (r.getString(0), r.getDouble(1),
+        r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    }
+    mem.addData(first: _*)
+    q.processAllAvailable()
+    mem.addData(second: _*)
+    q.processAllAvailable()
+    q.stop()
+    val batch = graft.operators.Sketches.histQuantiles(
+        graft.operators.Sketches.histCounts(
+          rows.toDF("flag", "price"), "flag", "price", lo, hi),
+        lo, hi, 4096, Seq(0.25 -> "p25", 0.5 -> "p50",
+          0.75 -> "p75", 0.9 -> "p90"))
+      .collect().map(r => (r.getString(0), r.getDouble(1),
+        r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(last.nonEmpty && last.toSet == batch.toSet,
+      s"hist state diverged (${last.length} vs ${batch.length})")
+  }
+
   test("S2: streaming dedup emits each event_id once") {
     val stream = StreamingOps.readEventsStream(spark, sf)
     val q = StreamingOps.streamingDedup(stream)
