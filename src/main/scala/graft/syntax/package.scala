@@ -254,5 +254,25 @@ package object syntax {
     /** pandas `qcut`: quantile binning, appends `bin`. */
     def qcutBins(valCol: String, q: Int): DataFrame =
       graft.functions.Binning.qcut(df, valCol, q)
+
+    /** Fixed-iteration PageRank over this (src, dst) edge frame. */
+    def pageRank(iters: Int = 3, damping: Double = 0.85): DataFrame =
+      operators.Graphs.pageRank(df, iters, damping)
+
+    /** Hop-bounded BFS distances from `seeds` over this edge frame. */
+    def bfsFrom(seeds: DataFrame, maxHops: Int): DataFrame =
+      operators.Graphs.bfs(df, seeds, maxHops)
+
+    /** Mergeable fixed-grid histogram cells (g, b, c) of `xCol` per
+      * `gCol` — fold across batches by summing `c`, read quantiles
+      * with [[graft.operators.Sketches.histQuantiles]]. */
+    def histogram(gCol: String, xCol: String, lo: Double, hi: Double,
+        buckets: Int = 4096): DataFrame =
+      operators.Sketches.histCounts(df, gCol, xCol, lo, hi, buckets)
+
+    /** Pearson correlation of every `vecCol` dimension pair (long
+      * form), one aggregation pass. */
+    def dimCorrelation(vecCol: String, dim: Int): DataFrame =
+      operators.EmbedStats.dimCorrelation(df, vecCol, dim)
   }
 }

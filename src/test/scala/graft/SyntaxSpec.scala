@@ -232,6 +232,21 @@ class VectorOpsExtraSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(rows(1) == 0.0)
   }
 
+  test("graph and histogram verbs compose on edge/value frames") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    val pr = edges.pageRank(iters = 2).collect()
+    assert(pr.length == 3)
+    val d = edges.bfsFrom(Seq(1L).toDF("node"), maxHops = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(d(3L) == 1L)
+    val vals = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0))
+      .toDF("g", "x")
+    val hq = graft.operators.Sketches.histQuantiles(
+      vals.histogram("g", "x", 1.0, 4.0, buckets = 16),
+      1.0, 4.0, 16, Seq(0.5 -> "p50")).head()
+    assert(hq.getString(0) == "a" && hq.getDouble(1) <= 2.0 + 1e-9)
+  }
+
   test("sketch and vector aggregates callable from SQL") {
     GraftExtensions.register(spark)
     spark.range(0, 5000).toDF("v").createOrReplaceTempView("nums")
