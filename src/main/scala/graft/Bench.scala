@@ -30,11 +30,12 @@ object Bench {
       .filter { case (n, _) => only.isEmpty || only(n) }
     val results = picked.map { case (name, fn) =>
       // drop predecessors' persisted blocks (the dedup pipelines cache
-      // multi-consumer relations) and settle the heap — without this,
-      // queries that run in ~1 s isolated read 2+ s mid-sequence from
-      // storage/execution memory contention
+      // multi-consumer relations); a forced per-query System.gc() is
+      // opt-in only (SPARK_GRAFT_BENCH_GC=1) — measured at sf0.1 it
+      // not only costs ~0.4 s/query outside the window but bleeds GC
+      // churn INTO the next measurement (total 179 s -> 120 s without)
       spark.catalog.clearCache()
-      System.gc()
+      if (sys.env.get("SPARK_GRAFT_BENCH_GC").contains("1")) System.gc()
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
