@@ -645,6 +645,18 @@ object LlmQueries {
     Sampling.groupQuota(t(s, dir, "documents"), "source", "doc_id", n = 18)
       .orderBy("source", "rk")
 
+  // ---- L62: sequential Poisson weighted sampling ---------------------------
+  /** Deterministic weighted without-replacement sampling
+    * ([[Sampling.weightedSample]]): 5 docs per source, weight = text
+    * length, rank by ξ = md5-uniform / w — longer docs win
+    * proportionally more often. ξ is one IEEE division (no
+    * transcendentals), so selection AND the emitted ξ replay
+    * bit-exactly in SQL. */
+  def x25WeightedSample(s: SparkSession, dir: String): DataFrame =
+    Sampling.weightedSample(t(s, dir, "documents"), "source", "doc_id",
+        length(col("text")), k = 5)
+      .orderBy("source", "doc_id")
+
   // ---- L23: temperature mixture sampling ----------------------------------
   /** alpha = 0 (flatten sources equal) — the no-float-group-sum path,
     * so the rate chain reproduces exactly in DuckDB; alpha = 0.5/1
@@ -880,6 +892,7 @@ object LlmQueries {
     "e8_corr_matrix" -> e8CorrMatrix _,
     "x9_source_quota" -> x9SourceQuota _,
     "x10_mixture_sample" -> x10MixtureSample _,
+    "x25_weighted_sample" -> x25WeightedSample _,
     "x11_bm25" -> x11Bm25 _,
     "x12_pack" -> x12Pack _,
     "x13_unigram_ppl" -> x13UnigramPpl _,
@@ -1935,6 +1948,20 @@ object LlmQueries {
         |  (CAST(CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS DOUBLE)
         |    / 1152921504606846976.0) < r.rate AS kept
         |FROM documents d JOIN r USING (source)
+        |ORDER BY source, doc_id""".stripMargin,
+    // x25: ξ = u / w replayed with the identical md5-uniform and one
+    // division; rank (ξ asc, id asc), k = 5 per source
+    "x25_weighted_sample" ->
+      """WITH d AS (SELECT source, doc_id,
+        |    CAST(length(text) AS DOUBLE) AS w,
+        |    (CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+        |        AS BIGINT) AS DOUBLE) / 1152921504606846976.0) AS u
+        |  FROM documents),
+        |r AS (SELECT source, doc_id, w, u / w AS xi,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY u / w ASC, doc_id ASC) AS rn
+        |  FROM d WHERE w > 0)
+        |SELECT source, doc_id, w, xi FROM r WHERE rn <= 5
         |ORDER BY source, doc_id""".stripMargin,
     // quota rank mirrors TopKAgg's (score desc, id asc) with
     // score = -double(md5-prefix): hash asc, id asc

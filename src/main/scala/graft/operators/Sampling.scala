@@ -162,4 +162,32 @@ object Sampling {
       .select(col("g").as(groupCol), col("id").as(idCol),
         round(col("rate"), 6).as("rate"), (u < col("rate")).as("kept"))
   }
+
+  /** Sequential Poisson sampling (Ohlsson '98): a deterministic
+    * weighted without-replacement sample of `k` rows per group.
+    * Every row draws its md5-uniform u (the q31/x10 idiom — stable
+    * across runs, engines, and cluster layouts) and ranks by
+    * ξ = u / w; the k smallest ξ per group win, so inclusion
+    * probability tracks the weight. ξ is ONE IEEE division — no
+    * transcendentals — so the ranking (and the emitted ξ itself)
+    * replays bit-exactly in SQL. Rows with w ≤ 0 are excluded.
+    *
+    * Scale shape: u/ξ are map-side expressions; the per-group top-k
+    * is one window over the group key — swap in [[TopKAgg]] (the q44
+    * aggregate idiom) when groups are few and rows are huge. */
+  def weightedSample(df: DataFrame, groupCol: String, idCol: String,
+      weight: Column, k: Int): DataFrame = {
+    val u = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+      .cast("long").cast("double") / lit(1152921504606846976.0) // 2^60
+    val xi = u / col("w")
+    val ranked = df
+      .select(col(groupCol), col(idCol), weight.cast("double").as("w"))
+      .filter(col("w") > 0.0)
+      .withColumn("xi", xi)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(groupCol)
+          .orderBy(col("xi").asc, col(idCol).asc)))
+    ranked.filter(col("rn") <= k)
+      .select(col(groupCol), col(idCol), col("w"), col("xi"))
+  }
 }

@@ -114,6 +114,13 @@ package object syntax {
       df.join(operators.Sampling.groupQuota(df, groupCol, idCol, n)
           .select(col(idCol)), Seq(idCol), "left_semi")
 
+    /** Deterministic weighted without-replacement sample: k rows per
+      * group by sequential Poisson ranking (u/weight). */
+    def sampleWeighted(groupCol: String, idCol: String, weight: Column,
+        k: Int): DataFrame =
+      df.join(operators.Sampling.weightedSample(df, groupCol, idCol,
+          weight, k).select(col(idCol)), Seq(idCol), "left_semi")
+
     /** Temperature-reweighted mixture sample (count^alpha per group). */
     def sampleMixture(groupCol: String, idCol: String, targetTotal: Long,
         alpha: Double = 0.0): DataFrame =

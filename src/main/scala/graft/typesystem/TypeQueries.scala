@@ -750,6 +750,30 @@ object TypeQueries {
       .orderBy("policy", "user_id", "event_type")
   }
 
+  // ---- T41: merge indicator -----------------------------------------------
+  /** pandas `merge(how='outer', indicator=True)` — the `_merge`
+    * provenance column (`both` / `left_only` / `right_only`) computed
+    * from key nullability on a FULL OUTER join (the right side is
+    * filtered to every 3rd customer and the left to every 4th order
+    * so all three verdicts actually materialize). One key shuffle; the indicator is a pure
+    * projection. Sort keys are nulls-first-pinned on both engines so
+    * the right_only block (null o_orderkey) orders deterministically
+    * by its own key. */
+  def t41MergeIndicator(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").filter(col("o_orderkey") % 4 === 0)
+      .select(col("o_orderkey"), col("o_custkey"))
+    val c = t(s, dir, "customer").filter(col("c_custkey") % 3 === 0)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    o.join(c, col("o_custkey") === col("c_custkey"), "full_outer")
+      .select(col("o_orderkey"), col("o_custkey"), col("c_custkey"),
+        col("c_mktsegment"),
+        when(col("o_custkey").isNotNull && col("c_custkey").isNotNull,
+            "both")
+          .when(col("o_custkey").isNotNull, "left_only")
+          .otherwise("right_only").as("merge_ind"))
+      .orderBy(asc_nulls_first("o_orderkey"), asc_nulls_first("c_custkey"))
+  }
+
   // ---- T40: timezone localize/convert -------------------------------------
   /** pandas `tz_localize('UTC').tz_convert(zone)` — the tz-aware
     * datetime surface: each event instant rendered as New York and
@@ -809,6 +833,7 @@ object TypeQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t41_merge_indicator" -> t41MergeIndicator _,
     "t40_timezone" -> t40Timezone _,
     "t39_crosstab" -> t39Crosstab _,
     "t37_group_transform" -> t37GroupTransform _,
@@ -990,6 +1015,21 @@ object TypeQueries {
         |UNION ALL
         |SELECT 'unique', user_id, event_type, event_id FROM r WHERE cnt = 1
         |ORDER BY policy, user_id, event_type""".stripMargin,
+    // t41: FULL OUTER + CASE on key nullability; nulls-first ordering
+    // pinned on both engines
+    "t41_merge_indicator" ->
+      """SELECT o.o_orderkey, o.o_custkey, c.c_custkey, c.c_mktsegment,
+        |  CASE WHEN o.o_custkey IS NOT NULL AND c.c_custkey IS NOT NULL
+        |      THEN 'both'
+        |    WHEN o.o_custkey IS NOT NULL THEN 'left_only'
+        |    ELSE 'right_only' END AS merge_ind
+        |FROM (SELECT o_orderkey, o_custkey FROM orders
+        |      WHERE o_orderkey % 4 = 0) o FULL OUTER JOIN
+        |  (SELECT c_custkey, c_mktsegment FROM customer
+        |   WHERE c_custkey % 3 = 0) c
+        |  ON o.o_custkey = c.c_custkey
+        |ORDER BY o_orderkey ASC NULLS FIRST, c_custkey ASC NULLS FIRST"""
+        .stripMargin,
     // t40: instants → IANA wall clocks; epoch(naive-local) − es gives
     // the realized offset on both engines (naive read back as UTC)
     "t40_timezone" ->

@@ -183,6 +183,29 @@ class SamplingSpec extends AnyFunSuite {
       .as[(String, Long, Double, Boolean)].collect().toSet
     assert(again == out.toSet)
   }
+
+  test("weightedSample biases toward heavy rows, excludes w<=0, is layout-stable") {
+    import org.apache.spark.sql.functions._
+    // weights 1..200 in one group: a k=40 sequential Poisson sample
+    // must overrepresent the heavy tail
+    val df = (1L to 200L).map(i => ("g", i, i.toDouble)).toDF("src", "id", "wt")
+    val got = Sampling.weightedSample(df, "src", "id", col("wt"), k = 40)
+      .as[(String, Long, Double, Double)].collect()
+    assert(got.length == 40)
+    val meanW = got.map(_._3).sum / got.length
+    assert(meanW > 120.0, s"sample mean weight $meanW not biased above 100.5")
+    // zero/negative weights never selected
+    val withBad = df.union(Seq(("g", 900L, 0.0), ("g", 901L, -3.0))
+      .toDF("src", "id", "wt"))
+    val ids = Sampling.weightedSample(withBad, "src", "id", col("wt"), 300)
+      .as[(String, Long, Double, Double)].collect().map(_._2).toSet
+    assert(!ids(900L) && !ids(901L) && ids.size == 200)
+    // partitioning-independent selection
+    val again = Sampling.weightedSample(df.repartition(7), "src", "id",
+        col("wt"), 40)
+      .as[(String, Long, Double, Double)].collect().toSet
+    assert(again == got.toSet)
+  }
 }
 
 class PackingSpec extends AnyFunSuite {
