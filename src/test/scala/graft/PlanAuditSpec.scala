@@ -194,6 +194,31 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("graft_top_k"), s"q44 lost its TopKAgg:\n$p")
   }
 
+  test("q60 histogram build broadcasts ranges; no sort touches the fact scan") {
+    val p = plan("q60_sketch_quantiles")
+    // both range joins (bucket assignment + quantile read) broadcast
+    // the 3-row stats frame — the fact table must never shuffle for them
+    assert(p.contains("BroadcastHashJoin"), s"q60 lost its broadcasts:\n$p")
+    // the only Sorts allowed are over the histogram (cells per group)
+    // and the 3-row output — i.e. BELOW an aggregate of the fact scan,
+    // never directly over the parquet scan (tree prints top-down, so
+    // a fact-scan sort would put "Sort" immediately above the scan)
+    val scanIdx = p.indexOf("FileScan parquet")
+    val sortAboveScan = p.lastIndexOf("Sort", scanIdx) match {
+      case -1 => false
+      case i => !p.substring(i, scanIdx).contains("HashAggregate")
+    }
+    assert(!sortAboveScan, s"q60 sorts the fact scan:\n$p")
+  }
+
+  test("x25 weighted sample: xi is map-side; one group-key window shuffle") {
+    val p = plan("x25_weighted_sample")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges == 1,
+      s"x25 expected exactly 1 window shuffle, got $hashExchanges:\n$p")
+    assert(!p.contains("Join"), s"x25 grew a join:\n$p")
+  }
+
   test("whole-stage codegen covers the scan-agg pipeline") {
     // AQE wraps everything in an unmaterialized AdaptiveSparkPlan (0
     // visible codegen subtrees pre-execution) — disable it for the
