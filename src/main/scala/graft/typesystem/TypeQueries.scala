@@ -750,6 +750,41 @@ object TypeQueries {
       .orderBy("policy", "user_id", "event_type")
   }
 
+  // ---- T42: one-hot encoding ----------------------------------------------
+  /** pandas `get_dummies` over a low-cardinality categorical: one 0/1
+    * indicator column per level (levels pinned, not discovered — the
+    * t15 categorical-code contract), plus `drop_first` shown by
+    * omitting the first level from a second projection stage is
+    * unnecessary — the indicators are pure map expressions, zero
+    * shuffles, and downstream models consume them columnar. */
+  def t42GetDummies(s: SparkSession, dir: String): DataFrame = {
+    val pr = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    val inds = pr.zipWithIndex.map { case (v, i) =>
+      when(col("o_orderpriority") === v, 1).otherwise(0).as(s"pr_$i")
+    }
+    t(s, dir, "orders")
+      .select(col("o_orderkey") +: col("o_orderpriority") +: inds: _*)
+      .orderBy("o_orderkey")
+  }
+
+  // ---- T43: clip / where / mask / between ---------------------------------
+  /** The pandas elementwise guard grid — `clip(lower, upper)`,
+    * `where(cond, other)`, `mask(cond, other)`, `between(a, b)`,
+    * `abs()` — over order totals, all as native codegen'd expressions
+    * in ONE map pass (no UDFs, no shuffle). Money math stays decimal
+    * until the final double surface. */
+  def t43ClipWhere(s: SparkSession, dir: String): DataFrame = {
+    val v = col("o_totalprice")
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), v.as("price"),
+        least(greatest(v, lit(50000.0)), lit(200000.0)).as("clipped"),
+        when(v >= 100000.0, v).otherwise(lit(-1.0)).as("where_hi"),
+        when(v >= 100000.0, lit(-1.0)).otherwise(v).as("mask_hi"),
+        v.between(80000.0, 120000.0).as("in_band"),
+        abs(v - 150000.0).as("dist_150k"))
+      .orderBy("o_orderkey")
+  }
+
   // ---- T41: merge indicator -----------------------------------------------
   /** pandas `merge(how='outer', indicator=True)` — the `_merge`
     * provenance column (`both` / `left_only` / `right_only`) computed
@@ -834,6 +869,8 @@ object TypeQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t41_merge_indicator" -> t41MergeIndicator _,
+    "t42_get_dummies" -> t42GetDummies _,
+    "t43_clip_where" -> t43ClipWhere _,
     "t40_timezone" -> t40Timezone _,
     "t39_crosstab" -> t39Crosstab _,
     "t37_group_transform" -> t37GroupTransform _,
@@ -1015,6 +1052,26 @@ object TypeQueries {
         |UNION ALL
         |SELECT 'unique', user_id, event_type, event_id FROM r WHERE cnt = 1
         |ORDER BY policy, user_id, event_type""".stripMargin,
+    // t42: pinned-level indicator projection, no discovery scan
+    "t42_get_dummies" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS pr_0,
+        |  CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END AS pr_1,
+        |  CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END AS pr_2,
+        |  CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END AS pr_3,
+        |  CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END AS pr_4
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    // t43: per-row guards — same IEEE compares and arithmetic, no aggs
+    "t43_clip_where" ->
+      """SELECT o_orderkey, o_totalprice AS price,
+        |  LEAST(GREATEST(o_totalprice, 50000.0), 200000.0) AS clipped,
+        |  CASE WHEN o_totalprice >= 100000.0 THEN o_totalprice
+        |    ELSE -1.0 END AS where_hi,
+        |  CASE WHEN o_totalprice >= 100000.0 THEN -1.0
+        |    ELSE o_totalprice END AS mask_hi,
+        |  o_totalprice BETWEEN 80000.0 AND 120000.0 AS in_band,
+        |  ABS(o_totalprice - 150000.0) AS dist_150k
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     // t41: FULL OUTER + CASE on key nullability; nulls-first ordering
     // pinned on both engines
     "t41_merge_indicator" ->
