@@ -27,9 +27,15 @@ object LlmQueries {
       .orderBy("keep_id")
 
   // ---- L2: MinHash LSH near-dup -------------------------------------------
+  /** 32 bands × 2 rows (not 16 × 4): at the 0.5 threshold the miss
+    * probability per true pair is (1−j²)³² ≤ 1e-4 (vs ~8% at j=0.6
+    * with 4-row bands — a real miss surfaced at sf0.1), so the
+    * brute-force oracle's 100%-recall claim holds with margin across
+    * every SF's pair distribution; the extra low-sim candidates the
+    * shorter bands admit die cheaply in the sorted-intersect verify. */
   def d2MinhashLsh(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashPairs(withCopies(t(s, dir, "documents"), perturb = true),
-        "doc_id", "text", w = 3, h = 64, bands = 16, threshold = 0.5)
+        "doc_id", "text", w = 3, h = 64, bands = 32, threshold = 0.5)
       .withColumn("jaccard", round(col("jaccard"), 6))
       .orderBy("id_a", "id_b")
 
