@@ -61,7 +61,7 @@ object LlmQueries {
     * policy surfaced as a boolean. */
   def d6DupClusters(s: SparkSession, dir: String): DataFrame = {
     val pairs = Dedup.minhashPairs(withCopies(t(s, dir, "documents"), perturb = true),
-      "doc_id", "text", w = 3, h = 64, bands = 16, threshold = 0.5)
+      "doc_id", "text", w = 3, h = 64, bands = 32, threshold = 0.5)
     Dedup.dupClusters(pairs, "id_a", "id_b")
       .select(col("id").as("doc_id"), col("cluster_id"),
         col("cluster_size"), col("keep"))
@@ -517,7 +517,7 @@ object LlmQueries {
       .union(docs.filter(col("doc_id") >= 30 && col("doc_id") < 38)
         .select((col("doc_id") + 6000000L).as("doc_id"), rev.as("text")))
     Dedup.incrementalDedup(corpus, batch, "doc_id", "text",
-        w = 3, h = 64, bands = 16, threshold = 0.5)
+        w = 3, h = 64, bands = 32, threshold = 0.5)
       .withColumnRenamed("id", "doc_id")
       .withColumn("jaccard", round(col("jaccard"), 6))
       .orderBy("doc_id")

@@ -142,11 +142,20 @@ object Dedup {
     * exact shingle-set Jaccard. Returns (id_a, id_b, jaccard) with
     * jaccard >= `threshold`.
     *
+    * Banding default: 32 bands × 2 rows (h = 64). At the default 0.5
+    * threshold the per-pair miss probability is (1−j²)^32 ≤ 1e-4 on
+    * the whole j ≥ 0.5 region — 4-row bands (16 × 4) miss j ≈ 0.6
+    * pairs ~8% of the time, which surfaced as a real dropped pair at
+    * sf0.1. Shorter bands admit more low-similarity candidates, but
+    * those die in the cheap sorted-intersect verify; for HIGH
+    * thresholds (≥ 0.8) prefer fewer/longer bands (e.g. 16 × 4) to
+    * keep the candidate volume down.
+    *
     * Shuffle profile: explode of (band, id) — `bands` rows of 16 bytes
     * per doc — then a self-join on the band bucket; text arrays are
     * joined back only for surviving candidate pairs. */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
-      w: Int = 3, h: Int = 64, bands: Int = 16,
+      w: Int = 3, h: Int = 64, bands: Int = 32,
       threshold: Double = 0.5,
       capBucket: Int = 4096, maxSalt: Int = 64): DataFrame = {
     // staged projections: sh → sig → bands, so each step reads the
@@ -226,7 +235,7 @@ object Dedup {
     * one aggregate keyed on the batch id. */
   def incrementalDedup(corpus: DataFrame, batch: DataFrame,
       idCol: String, textCol: String,
-      w: Int = 3, h: Int = 64, bands: Int = 16,
+      w: Int = 3, h: Int = 64, bands: Int = 32,
       threshold: Double = 0.5): DataFrame = {
     def indexed(df: DataFrame): DataFrame =
       df.select(col(idCol).cast("long").as("id"),
