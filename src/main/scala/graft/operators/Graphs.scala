@@ -182,4 +182,66 @@ object Graphs {
     }
     ranks.select(col("node"), round(col("rank"), 9).as("rank")).cache()
   }
+
+  /** Per-node triangle counts — the local clustering signal behind
+    * community detection and link-spam scoring.
+    *
+    * `edges` is an undirected edge list in any form (either or both
+    * orientations, duplicates fine); self-loops are dropped. Returns
+    * (node, n_tri: long) for every node on at least one triangle.
+    *
+    * Algorithm: degree-ordered orientation (Ortmann/Brandes, the
+    * standard distributed-triangle idiom). Each undirected edge is
+    * directed from its lower endpoint to its higher endpoint in the
+    * total order (degree asc, node asc), so every triangle survives as
+    * exactly ONE oriented wedge u→v, v→w closed by u→w — no
+    * double-counting, no min/max post-filter. The per-node count then
+    * explodes each triangle to its three corners and aggregates.
+    *
+    * Scale shape: orientation bounds every out-neighborhood by
+    * O(√m), so the wedge join materializes O(m^1.5) rows worst-case —
+    * the best possible for exact triangle enumeration — instead of the
+    * Σ deg² of a naive neighbor join on hub-heavy graphs. All three
+    * passes over the oriented table are equi-joins on its persisted
+    * hash layout; the only corpus-sized shuffles are the initial
+    * distinct and the wedge join itself. The id-ordered orientation
+    * (no degree pass) is the documented shortcut when degrees are
+    * known to be uniform. */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    // both endpoints of the canonical edge carry degree 1 — one
+    // explode-aggregate, the pageRank nodeDeg idiom
+    val deg = und.select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val oriented = und
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), Seq("b"))
+      .select(
+        when(col("da") < col("db") ||
+            (col("da") === col("db") && col("a") < col("b")),
+          struct(col("a").as("u"), col("b").as("v")))
+          .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .persist()
+    val wedges = oriented.as("e1")
+      .join(oriented.as("e2"), col("e1.v") === col("e2.u"))
+      .select(col("e1.u").as("u"), col("e1.v").as("v"),
+        col("e2.v").as("w"))
+    val tri = wedges
+      .join(oriented.as("e3"),
+        col("u") === col("e3.u") && col("w") === col("e3.v"))
+      .select("u", "v", "w")
+    val counts = tri
+      .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+    // node-cardinality result: materialize eagerly so the oriented
+    // cache releases before return (the pqTopK convention)
+    val out = counts.localCheckpoint(true)
+    oriented.unpersist()
+    out
+  }
 }

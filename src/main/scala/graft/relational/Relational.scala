@@ -1050,6 +1050,25 @@ object Relational {
     graft.operators.Graphs.pageRank(edges, iters = 3).orderBy("node")
   }
 
+  // ---- R61: triangle counting ---------------------------------------------
+  // Per-part triangle counts on the co-purchase graph (q52's edge
+  // construction): degree-ordered orientation keeps every
+  // out-neighborhood O(√m) so the wedge join is O(m^1.5) worst-case —
+  // hub-safe where a naive neighbor join is Σ deg² — and counts each
+  // triangle exactly once. The oracle orients by part id instead
+  // (same triangle set — orientation only picks the canonical corner
+  // order), so a hash-match proves the degree-ordered plan exact.
+  def q61Triangles(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_orderkey").as("ok"),
+      col("l_partkey").as("pk"))
+    val edges = li.as("a").join(li.as("b"), Seq("ok"))
+      .filter(col("a.pk") =!= col("b.pk"))
+      .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+    graft.operators.Graphs.triangleCounts(edges)
+      .select(col("node").as("p_partkey"), col("n_tri"))
+      .orderBy("p_partkey")
+  }
+
   // ---- R36: bloom-pruned semi-join ---------------------------------------
   // Manual runtime filtering (operators.BloomPrune): a bloom over the
   // urgent orders' keys prunes lineitem BEFORE its shuffle; the exact
@@ -1095,6 +1114,7 @@ object Relational {
     "q58_custom_source" -> q58CustomSource _,
     "q59_pagerank" -> q59PageRank _,
     "q60_sketch_quantiles" -> q60SketchQuantiles _,
+    "q61_triangles" -> q61Triangles _,
     "q35_mean_pool" -> q35MeanPool _,
     "q34_json_extract" -> q34JsonExtract _,
     "q33_theta_overlap" -> q33ThetaOverlap _,
@@ -1182,6 +1202,21 @@ object Relational {
         |SELECT node AS p_partkey, CAST(MIN(dist) AS BIGINT) AS dist
         |FROM r GROUP BY node ORDER BY p_partkey""".stripMargin,
     "q59_pagerank" -> q59OracleSql,
+    // q61: same triangle set under id-ordered orientation (a<b<c) —
+    // orientation only fixes the canonical corner order, so matching
+    // per-node counts prove the degree-ordered Spark plan exact
+    "q61_triangles" ->
+      """WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+        |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM e e1 JOIN e e2 ON e2.u = e1.v
+        |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+        |SELECT node AS p_partkey, COUNT(*) AS n_tri FROM (
+        |  SELECT a AS node FROM tri
+        |  UNION ALL SELECT b FROM tri
+        |  UNION ALL SELECT c FROM tri) t
+        |GROUP BY node ORDER BY node""".stripMargin,
     // q60: the histogram sketch replayed cell for cell — identical IEEE
     // bucket index ((x−mn)/(mx−mn)·4096 floored, 4095 cap) and edge
     // arithmetic (mn + (mx−mn)/4096·b), thresholds ⌈q·n⌉ in doubles

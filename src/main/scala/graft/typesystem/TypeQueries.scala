@@ -867,7 +867,67 @@ object TypeQueries {
       .orderBy("priority")
   }
 
+  // ---- T44: exponentially weighted mean ------------------------------------
+  /** pandas `ewm(alpha=0.3, adjust=False).mean()` per user in
+    * event-time order: y₁ = x₁, yₜ = 0.7·yₜ₋₁ + 0.3·xₜ — a sequential
+    * left fold, which both engines express natively (Catalyst
+    * `aggregate` / DuckDB `list_reduce`) with the identical IEEE op
+    * sequence, so every prefix value replays bit-exact.
+    *
+    * Scale shape: ONE partition-key shuffle (the sorted collect);
+    * per-row prefix folds are O(n²) in the series length — fine for
+    * per-key event series (bounded), and the documented swap for
+    * unbounded keys is the segmented-scan formulation (Blelloch '90):
+    * the fold is a linear recurrence yₜ = r·yₜ₋₁ + a·xₜ, associative
+    * over (mult, add) pairs, so a parallel prefix computes all rows in
+    * O(n) work / O(log n) depth. */
+  def t44Ewm(s: SparkSession, dir: String): DataFrame = {
+    val fold = (acc: Column, x: Column) => acc * lit(0.7) + x * lit(0.3)
+    events(s, dir)
+      .select(col("user_id"), unix_timestamp(col("ts")).as("es"),
+        col("event_id"), col("value"))
+      .groupBy("user_id")
+      .agg(array_sort(collect_list(struct(col("es"), col("event_id"),
+        col("value")))).as("evs"))
+      .select(col("user_id"),
+        transform(col("evs"), e => e.getField("value")).as("vals"),
+        posexplode(col("evs")).as(Seq("i", "e")))
+      .select(col("user_id"), col("e.event_id").as("event_id"),
+        col("e.value").as("value"),
+        round(aggregate(slice(col("vals"), 2, col("i")),
+          element_at(col("vals"), 1), fold), 6).as("ewm"))
+      .orderBy("user_id", "event_id")
+  }
+
+  // ---- T45: rolling mean / std ---------------------------------------------
+  /** pandas `rolling(3).mean()` / `rolling(3).std()` (sample, ddof=1,
+    * min_periods = window) per user in event-time order. The frame is
+    * spelled as explicit lags — value + lag1 + lag2 — so the
+    * accumulation ORDER is pinned (a window SUM's internal order is an
+    * engine choice); null lags make the first two rows null exactly as
+    * pandas yields NaN. Variance via the sums-of-squares identity with
+    * a 0-clamp for float negatives; every op IEEE-identical in the
+    * oracle. One partition-key shuffle serves both lags. */
+  def t45RollingStd(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("es", "event_id")
+    val sum3 = col("value") + col("l1") + col("l2")
+    val ssq = col("value") * col("value") + col("l1") * col("l1") +
+      col("l2") * col("l2")
+    events(s, dir)
+      .select(col("user_id"), unix_timestamp(col("ts")).as("es"),
+        col("event_id"), col("value"))
+      .withColumn("l1", lag("value", 1).over(w))
+      .withColumn("l2", lag("value", 2).over(w))
+      .select(col("user_id"), col("es"), col("event_id"), col("value"),
+        round(sum3 / lit(3.0), 6).as("roll_mean"),
+        round(sqrt(greatest(lit(0.0),
+          (ssq - sum3 * sum3 / lit(3.0)) / lit(2.0))), 6).as("roll_std"))
+      .orderBy("user_id", "es", "event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t44_ewm" -> t44Ewm _,
+    "t45_rolling_std" -> t45RollingStd _,
     "t41_merge_indicator" -> t41MergeIndicator _,
     "t42_get_dummies" -> t42GetDummies _,
     "t43_clip_where" -> t43ClipWhere _,
