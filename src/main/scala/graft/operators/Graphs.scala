@@ -231,10 +231,11 @@ object Graphs {
       .join(oriented.as("e2"), col("e1.v") === col("e2.u"))
       .select(col("e1.u").as("u"), col("e1.v").as("v"),
         col("e2.v").as("w"))
+      .as("wg")
     val tri = wedges
       .join(oriented.as("e3"),
-        col("u") === col("e3.u") && col("w") === col("e3.v"))
-      .select("u", "v", "w")
+        col("wg.u") === col("e3.u") && col("wg.w") === col("e3.v"))
+      .select(col("wg.u").as("u"), col("wg.v").as("v"), col("wg.w").as("w"))
     val counts = tri
       .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_tri"))

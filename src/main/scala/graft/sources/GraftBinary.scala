@@ -1,15 +1,18 @@
 package graft.sources
 
-import java.io.{DataInputStream, DataOutputStream, File, FileInputStream, FileOutputStream}
+import java.io.{DataInputStream, DataOutputStream, File, FileInputStream, FileOutputStream, RandomAccessFile}
 import java.util.concurrent.atomic.AtomicLong
 
 import scala.collection.JavaConverters._
+import scala.collection.mutable
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -36,49 +39,29 @@ object GraftBinary {
 
   val filesOpened = new AtomicLong(0)
 
-  // ---- writer (driver-side; dim-scale tables and test fixtures — a
-  // distributed DSv2 write path would mirror this per partition) ------
+  // ---- writer (distributed DSv2 BatchWrite; see GraftBinaryWrite) ----
+  /** Write `df` as one .gbn file per distinct `filesBy` value, through
+    * the executor-side DSv2 write path: the key repartition co-locates
+    * each key's rows in one task, the within-partition sort lets each
+    * task stream keys with ONE open file at a time (the sorted
+    * dynamic-partition writer idea), and commit is an atomic
+    * temp-rename fan-in on the driver. No row ever visits the driver. */
   def write(df: DataFrame, dir: String, filesBy: String): Unit = {
     val schema = df.schema
     require(schema.fields.forall(f => f.dataType match {
       case LongType | DoubleType | StringType => true; case _ => false
     }), "graftbin supports long/double/string")
-    val d = new File(dir)
-    d.mkdirs()
-    d.listFiles().filter(_.getName.endsWith(".gbn")).foreach(_.delete())
-    val byKey = df.collect().groupBy(r =>
-      r.get(schema.fieldIndex(filesBy)).toString)
-    byKey.foreach { case (k, rows) =>
-      val out = new DataOutputStream(new FileOutputStream(
-        new File(d, s"part-$k.gbn")))
-      try {
-        out.writeBytes("GBN1")
-        out.writeInt(schema.length)
-        schema.fields.foreach { f =>
-          out.writeUTF(f.name)
-          out.writeByte(f.dataType match {
-            case LongType => 0; case DoubleType => 1; case StringType => 2
-          })
-        }
-        out.writeLong(rows.length.toLong)
-        schema.fields.zipWithIndex.foreach { case (f, i) =>
-          if (f.dataType == LongType) {
-            val vs = rows.map(_.getLong(i))
-            out.writeLong(if (vs.isEmpty) Long.MaxValue else vs.min)
-            out.writeLong(if (vs.isEmpty) Long.MinValue else vs.max)
-          }
-        }
-        rows.foreach { r =>
-          schema.fields.zipWithIndex.foreach { case (f, i) =>
-            f.dataType match {
-              case LongType => out.writeLong(r.getLong(i))
-              case DoubleType => out.writeDouble(r.getDouble(i))
-              case StringType => out.writeUTF(r.getString(i))
-            }
-          }
-        }
-      } finally out.close()
-    }
+    require(schema.fieldNames.contains(filesBy), s"no such column: $filesBy")
+    df.repartition(col(filesBy)).sortWithinPartitions(col(filesBy))
+      .write.format("graft.sources.GraftBinarySource")
+      .option("path", dir).option("filesBy", filesBy)
+      .mode("overwrite").save()
+  }
+
+  private[sources] def typeByte(dt: DataType): Int = dt match {
+    case LongType => 0; case DoubleType => 1; case StringType => 2
+    case other => throw new IllegalArgumentException(
+      s"graftbin supports long/double/string, got $other")
   }
 
   // ---- header/stats parsing -------------------------------------------
@@ -127,9 +110,13 @@ class GraftBinarySource extends TableProvider {
     val in = new DataInputStream(new FileInputStream(first))
     try GraftBinary.readHeader(in).schema finally in.close()
   }
+  // writes to a fresh directory carry the dataframe's schema — don't
+  // force an inferSchema over files that don't exist yet
+  override def supportsExternalMetadata(): Boolean = true
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table =
-    new GraftBinaryTable(schema, properties.get("path"))
+    new GraftBinaryTable(schema, properties.get("path"),
+      Option(properties.get("filesBy")))
 }
 
 object GraftBinaryTable {
@@ -140,15 +127,20 @@ object GraftBinaryTable {
   }
 }
 
-class GraftBinaryTable(schema: StructType, path: String)
-    extends Table with SupportsRead {
+class GraftBinaryTable(schema: StructType, path: String,
+    filesBy: Option[String] = None)
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graftbin:$path"
   override def schema(): StructType = schema
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE).asJava
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftBinaryScanBuilder(schema, path)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftBinaryWriteBuilder(info.schema(), path,
+      Option(info.options.get("filesBy")).orElse(filesBy))
 }
 
 class GraftBinaryScanBuilder(fullSchema: StructType, path: String)
@@ -232,4 +224,188 @@ class GraftBinaryReader(file: String, fullSchema: StructType,
   }
   override def get(): InternalRow = row
   override def close(): Unit = in.close()
+}
+
+// ---------------------------------------------------------------------------
+// Distributed write path (DSv2 BatchWrite)
+// ---------------------------------------------------------------------------
+
+/** Truncate-capable write builder: `mode("overwrite")` replaces the
+  * directory's .gbn set atomically at commit. */
+class GraftBinaryWriteBuilder(schema: StructType, path: String,
+    filesBy: Option[String]) extends WriteBuilder with SupportsTruncate {
+  private var overwrite = false
+  override def truncate(): WriteBuilder = { overwrite = true; this }
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite =
+      new GraftBinaryBatchWrite(schema, path, filesBy, overwrite)
+  }
+}
+
+/** Executor-parallel write: each task streams its partition's rows
+  * straight to temp .gbn files (never buffering rows, never visiting
+  * the driver); the driver's commit() is a pure metadata fan-in —
+  * delete-on-truncate plus one rename per produced file. Task retries
+  * are safe: temps carry the task id, only committed temps rename.
+  *
+  * File granularity: with `filesBy` set, one file per distinct key —
+  * callers must key-repartition + sort (GraftBinary.write does), so a
+  * task holds each of its keys contiguously and keeps ONE open file
+  * at a time, like Spark's sorted dynamic-partition writer. Without
+  * `filesBy`, one file per partition. */
+class GraftBinaryBatchWrite(schema: StructType, path: String,
+    filesBy: Option[String], overwrite: Boolean) extends BatchWrite {
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory = {
+    new File(path).mkdirs()
+    new GraftBinaryWriterFactory(schema, path, filesBy)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = new File(path)
+    val renames = messages.flatMap {
+      case GraftBinCommit(pairs) => pairs
+    }
+    val dup = renames.groupBy(_._2).filter(_._2.length > 1).keys
+    require(dup.isEmpty,
+      s"graftbin write produced duplicate files ${dup.mkString(",")} — " +
+        "filesBy keys must be co-located (repartition by the key first)")
+    if (overwrite)
+      Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".gbn")).foreach(_.delete())
+    renames.foreach { case (tmp, fin) =>
+      val t = new File(tmp); val f = new File(dir, fin)
+      if (f.exists()) f.delete()
+      require(t.renameTo(f), s"rename failed: $tmp -> $f")
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case GraftBinCommit(pairs) =>
+        pairs.foreach { case (tmp, _) => new File(tmp).delete() }
+      case _ =>
+    }
+}
+
+final case class GraftBinCommit(pairs: Seq[(String, String)])
+    extends WriterCommitMessage
+
+class GraftBinaryWriterFactory(schema: StructType, path: String,
+    filesBy: Option[String]) extends DataWriterFactory {
+  override def createWriter(partitionId: Int,
+      taskId: Long): DataWriter[InternalRow] =
+    new GraftBinaryWriter(schema, path, filesBy, partitionId, taskId)
+}
+
+/** Streams rows to .gbn temps with O(1) memory: the header is written
+  * with placeholder nRows/stats, rows append behind it, and close()
+  * patches the fixed-offset header fields in place (RandomAccessFile)
+  * — row count and per-long-column (min, max) footer stats that the
+  * read side's file-skip uses. */
+class GraftBinaryWriter(schema: StructType, path: String,
+    filesBy: Option[String], partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+
+  private val keyIdx = filesBy.map(schema.fieldIndex)
+  private val longCols = schema.fields.zipWithIndex
+    .filter(_._1.dataType == LongType).map(_._2)
+  // header layout offsets (fixed once the schema is known)
+  private val nRowsOffset: Long = {
+    var off = 4L + 4L
+    schema.fields.foreach { f =>
+      off += 2 + f.name.getBytes("UTF-8").length + 1
+    }
+    off
+  }
+
+  private final class OpenFile(val tmp: File, val finalName: String) {
+    val out = new DataOutputStream(new java.io.BufferedOutputStream(
+      new FileOutputStream(tmp)))
+    var nRows = 0L
+    val mins = Array.fill(longCols.length)(Long.MaxValue)
+    val maxs = Array.fill(longCols.length)(Long.MinValue)
+    // placeholder header; nRows/stats patched on close
+    out.writeBytes("GBN1")
+    out.writeInt(schema.length)
+    schema.fields.foreach { f =>
+      out.writeUTF(f.name)
+      out.writeByte(GraftBinary.typeByte(f.dataType))
+    }
+    out.writeLong(0L)
+    longCols.foreach { _ => out.writeLong(Long.MaxValue); out.writeLong(Long.MinValue) }
+    def closePatched(): Unit = {
+      out.close()
+      val raf = new RandomAccessFile(tmp, "rw")
+      try {
+        raf.seek(nRowsOffset)
+        raf.writeLong(nRows)
+        var i = 0
+        while (i < longCols.length) {
+          raf.writeLong(mins(i)); raf.writeLong(maxs(i)); i += 1
+        }
+      } finally raf.close()
+    }
+  }
+
+  private var cur: OpenFile = _
+  private var curKey: String = _
+  private val done = mutable.ArrayBuffer.empty[OpenFile]
+  private val seenKeys = mutable.Set.empty[String]
+
+  private def roll(key: String): Unit = {
+    if (cur != null) { cur.closePatched(); done += cur }
+    require(seenKeys.add(key),
+      s"filesBy key '$key' reappeared out of order in partition " +
+        s"$partitionId — sortWithinPartitions the key before writing")
+    val finalName =
+      if (filesBy.isDefined) s"part-$key.gbn" else s"part-$partitionId.gbn"
+    cur = new OpenFile(
+      new File(path, s".$finalName.$taskId.inprogress"), finalName)
+    curKey = key
+  }
+
+  override def write(row: InternalRow): Unit = {
+    val key = keyIdx.map { i =>
+      schema.fields(i).dataType match {
+        case StringType => row.getUTF8String(i).toString
+        case LongType => row.getLong(i).toString
+        case _ => row.getDouble(i).toString
+      }
+    }.getOrElse("")
+    if (cur == null || key != curKey) roll(key)
+    cur.nRows += 1
+    var li = 0
+    var i = 0
+    while (i < schema.length) {
+      schema.fields(i).dataType match {
+        case LongType =>
+          val v = row.getLong(i)
+          cur.out.writeLong(v)
+          if (v < cur.mins(li)) cur.mins(li) = v
+          if (v > cur.maxs(li)) cur.maxs(li) = v
+          li += 1
+        case DoubleType => cur.out.writeDouble(row.getDouble(i))
+        case StringType => cur.out.writeUTF(row.getUTF8String(i).toString)
+        case other => throw new IllegalArgumentException(s"bad type $other")
+      }
+      i += 1
+    }
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (cur != null) { cur.closePatched(); done += cur }
+    cur = null
+    GraftBinCommit(done.map(o =>
+      o.tmp.getAbsolutePath -> o.finalName).toSeq)
+  }
+
+  override def abort(): Unit = {
+    if (cur != null) { cur.out.close(); done += cur }
+    done.foreach(_.tmp.delete())
+  }
+
+  override def close(): Unit =
+    if (cur != null) { cur.out.close(); cur = null }
 }

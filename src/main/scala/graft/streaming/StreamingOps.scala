@@ -20,14 +20,24 @@ object StreamingOps {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  /** File-source stream over an events directory, ts normalized. */
+  /** File-source stream over an events directory, ts normalized.
+    * The file's physical ts type differs across generator versions
+    * (TIMESTAMP(NANOS) read as long vs plain TIMESTAMP(MICROS)) — probe
+    * it with a batch schema read and adapt, mirroring `Tables.events`.
+    * Integer `div`, not `/`: ns magnitudes exceed double's mantissa. */
   def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(eventsRawSchema)
+    val phys = spark.read
+      .option("pathGlobFilter", "events.parquet").parquet(dir).schema
+    val raw = spark.readStream
+      .schema(phys)
       .option("pathGlobFilter", "events.parquet") // file source needs a dir
       .parquet(dir)
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast(LongType)))
+    phys("ts").dataType match {
+      case TimestampType => raw
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
 
   /** S1: watermarked tumbling-window aggregation per event type. */

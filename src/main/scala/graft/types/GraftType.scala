@@ -130,6 +130,30 @@ final case class GUnion(members: Seq[GraftType]) extends GraftType {
     members.exists(m => m.spec == t.spec || m.family == t.family)
 }
 
+/** Structured (named) union (reference UnionMeta `__class_getitem__`,
+  * types/base/meta.py:1278 — `resolve("Union[foo: categorical[string],
+  * bar: decimal]")` / `resolve("foo: int32 | int64, bar: bool")`): an
+  * ordered column-name → type binding used as a whole-DataFrame schema
+  * contract. Each field's bound type may itself be a plain union.
+  * Spark carrier is the corresponding struct shape. */
+final case class GStructUnion(fields: Seq[(String, GraftType)]) extends GraftType {
+  require(fields.nonEmpty, "empty structured union")
+  val spec: String =
+    fields.map { case (n, t) => s"$n: ${t.spec}" }.mkString("Union[", ", ", "]")
+  val sparkType: DataType =
+    StructType(fields.map { case (n, t) => StructField(n, t.sparkType) })
+  val family = "union"
+  /** A (name, type) column satisfies the contract iff a field of that
+    * name exists and its bound type admits the column's type. */
+  def admits(name: String, t: GraftType): Boolean =
+    fields.exists { case (n, m) =>
+      n == name && (m match {
+        case u: GUnion => u.admits(t)
+        case other => other.spec == t.spec || other.family == t.family
+      })
+    }
+}
+
 /** A user-defined scalar type (reference: `@register class CustomType`,
   * types/base tutorial — "new types added in as little as 10 lines").
   * Wraps a Spark physical type with a distinct spec name; cast behavior
@@ -221,9 +245,18 @@ object TypeResolver {
     * raises on unresolvable specifiers). */
   def resolve(rawSpec: String): GraftType = {
     val s = rawSpec.trim
-    // top-level unions first: "int64 | float64" (reference UnionMeta)
+    // explicit Union[...] wrapper (reference UnionMeta __class_getitem__,
+    // meta.py:9382): members are comma-separated, optionally named
+    if (s.toLowerCase.startsWith("union[") && s.endsWith("]"))
+      return resolveUnionBody(s.substring(s.indexOf('[') + 1, s.length - 1))
+    // top-level commas: "a, b" is a union; "foo: a, bar: b" a structured
+    // union (reference: resolve("foo: int32 | int64, bar: bool"))
+    val commaParts = splitTop(s, ',')
+    if (commaParts.length > 1 || commaParts.exists(hasTopColon))
+      return resolveUnionBody(s)
+    // top-level pipe unions: "int64 | float64" (reference UnionMeta)
     val parts = splitTop(s, '|')
-    if (parts.length > 1) return GUnion(parts.map(resolve))
+    if (parts.length > 1) return flatUnion(parts)
     val lower = s.toLowerCase
     aliases.get(lower).orElse(TypeRegistry.lookup(lower)).getOrElse {
       // decorator payloads (tz names, fill values) keep their case: match
@@ -251,13 +284,69 @@ object TypeResolver {
     }
   }
 
-  /** Split on a top-level separator only (nested brackets stay intact). */
+  /** Union body: comma-separated members, each optionally `name: spec`
+    * (structured). Mixed named/unnamed is rejected like the reference;
+    * nested unnamed unions flatten (reference: "any nested unions will
+    * be flattened"), while a named field keeps its bound union whole
+    * (`Union[foo: int32 | int64, ...]`). */
+  private def resolveUnionBody(body: String): GraftType = {
+    val members = splitTop(body, ',')
+    if (members.isEmpty)
+      throw new IllegalArgumentException(s"empty union spec: $body")
+    val named = members.count(hasTopColon)
+    if (named > 0 && named < members.length)
+      throw new IllegalArgumentException(
+        s"union mixes named and unnamed members: $body")
+    if (named == 0) {
+      val t = flatUnion(members)
+      // single unnamed member inside Union[...] still canonicalizes to
+      // the member itself (a 1-union IS its member, reference semantics)
+      t
+    } else
+      GStructUnion(members.map { m =>
+        val i = topColonIndex(m)
+        val name = m.substring(0, i).trim.stripPrefix("'").stripSuffix("'")
+        if (name.isEmpty)
+          throw new IllegalArgumentException(s"empty field name in: $m")
+        name -> resolve(m.substring(i + 1))
+      })
+  }
+
+  /** Pipe/comma members → flattened unnamed union (1 member = itself). */
+  private def flatUnion(parts: Seq[String]): GraftType = {
+    val ms = parts.map(resolve).flatMap {
+      case GUnion(inner) => inner
+      case t => Seq(t)
+    }
+    if (ms.length == 1) ms.head else GUnion(ms)
+  }
+
+  private def topColonIndex(s: String): Int = {
+    var depth = 0; var i = 0; var found = -1
+    while (i < s.length && found < 0) {
+      s.charAt(i) match {
+        case '[' | '(' => depth += 1
+        case ']' | ')' => depth -= 1
+        case ':' if depth == 0 => found = i
+        case _ =>
+      }
+      i += 1
+    }
+    found
+  }
+
+  private def hasTopColon(s: String): Boolean = topColonIndex(s) >= 0
+
+  /** Split on a top-level separator only (nested brackets/parens stay
+    * intact — `decimal(10,2)` survives a comma split). */
   private def splitTop(s: String, sep: Char = ','): Seq[String] = {
     val out = Seq.newBuilder[String]
     var depth = 0; val cur = new StringBuilder
     s.foreach {
       case '[' => depth += 1; cur += '['
       case ']' => depth -= 1; cur += ']'
+      case '(' => depth += 1; cur += '('
+      case ')' => depth -= 1; cur += ')'
       case c if c == sep && depth == 0 => out += cur.result(); cur.clear()
       case c => cur += c
     }

@@ -35,7 +35,15 @@ object TypeQueries {
       "decimal(10,2)", "datetime[UTC]", "sparse[int, 0]",
       "categorical[string]", "sparse[categorical[int8]]", "str",
       "object", "NA", "complex64", "timedelta",
-      "int | float", "bool | sparse[int8]")
+      "int | float", "bool | sparse[int8]",
+      // structured/named unions (reference meta.py:1278): bare pairs,
+      // the Union[...] wrapper, per-field unions, comma unions, and
+      // flattening of a nested union member
+      "foo: int32",
+      "foo: int32 | int64, bar: bool",
+      "Union[foo: categorical[string], bar: decimal]",
+      "int8, uint32",
+      "Union[int16, int32 | int64]")
     specs.map(sp => (sp, TypeResolver.resolve(sp).spec,
         TypeResolver.resolve(sp).family))
       .toDF("spec", "canonical", "family").orderBy("spec")
@@ -870,32 +878,38 @@ object TypeQueries {
   // ---- T44: exponentially weighted mean ------------------------------------
   /** pandas `ewm(alpha=0.3, adjust=False).mean()` per user in
     * event-time order: y₁ = x₁, yₜ = 0.7·yₜ₋₁ + 0.3·xₜ — a sequential
-    * left fold, which both engines express natively (Catalyst
-    * `aggregate` / DuckDB `list_reduce`) with the identical IEEE op
-    * sequence, so every prefix value replays bit-exact.
+    * left fold the oracle replays with the identical IEEE op sequence
+    * (DuckDB `list_reduce`), so every prefix value is bit-exact.
     *
-    * Scale shape: ONE partition-key shuffle (the sorted collect);
-    * per-row prefix folds are O(n²) in the series length — fine for
-    * per-key event series (bounded), and the documented swap for
-    * unbounded keys is the segmented-scan formulation (Blelloch '90):
-    * the fold is a linear recurrence yₜ = r·yₜ₋₁ + a·xₜ, associative
-    * over (mult, add) pairs, so a parallel prefix computes all rows in
-    * O(n) work / O(log n) depth. */
+    * Scale shape: ONE partition-key shuffle (`groupByKey`) and a
+    * single O(n) streamed pass per key — the recurrence carries one
+    * double of state, so a 100k-event key costs 100k multiply-adds,
+    * not the O(n²) of per-row prefix re-folds. The fold is inherently
+    * sequential per key but keys parallelize freely; were a single
+    * key ever to exceed executor memory, the associative (mult, add)
+    * pair formulation (Blelloch '90 segmented scan) splits it. */
   def t44Ewm(s: SparkSession, dir: String): DataFrame = {
-    val fold = (acc: Column, x: Column) => acc * lit(0.7) + x * lit(0.3)
+    import s.implicits._
     events(s, dir)
       .select(col("user_id"), unix_timestamp(col("ts")).as("es"),
         col("event_id"), col("value"))
-      .groupBy("user_id")
-      .agg(array_sort(collect_list(struct(col("es"), col("event_id"),
-        col("value")))).as("evs"))
-      .select(col("user_id"),
-        transform(col("evs"), e => e.getField("value")).as("vals"),
-        posexplode(col("evs")).as(Seq("i", "e")))
-      .select(col("user_id"), col("e.event_id").as("event_id"),
-        col("e.value").as("value"),
-        round(aggregate(slice(col("vals"), 2, col("i")),
-          element_at(col("vals"), 1), fold), 6).as("ewm"))
+      .as[(Long, Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (uid: Long, it: Iterator[(Long, Long, Long, Double)]) =>
+        // one ordered pass per key: the recurrence yₜ = 0.7·yₜ₋₁ + 0.3·xₜ
+        // is O(n) streamed, not O(n²) prefix re-folds; group state is one
+        // double, the sort buffer is the group itself (bounded per key)
+        val evs = it.toArray.sortBy(e => (e._2, e._3, e._4))
+        var acc = 0.0
+        var first = true
+        evs.iterator.map { e =>
+          acc = if (first) { first = false; e._4 } else acc * 0.7 + e._4 * 0.3
+          (uid, e._3, e._4, acc)
+        }
+      }
+      .toDF("user_id", "event_id", "value", "ewm_raw")
+      .select(col("user_id"), col("event_id"), col("value"),
+        round(col("ewm_raw"), 6).as("ewm"))
       .orderBy("user_id", "event_id")
   }
 
@@ -920,12 +934,54 @@ object TypeQueries {
       .withColumn("l2", lag("value", 2).over(w))
       .select(col("user_id"), col("es"), col("event_id"), col("value"),
         round(sum3 / lit(3.0), 6).as("roll_mean"),
-        round(sqrt(greatest(lit(0.0),
-          (ssq - sum3 * sum3 / lit(3.0)) / lit(2.0))), 6).as("roll_std"))
+        round(when(col("l1").isNull || col("l2").isNull, lit(null))
+          .otherwise(sqrt(greatest(lit(0.0),
+            (ssq - sum3 * sum3 / lit(3.0)) / lit(2.0)))), 6).as("roll_std"))
       .orderBy("user_id", "es", "event_id")
   }
 
+  // ---- T46: nested decorators — sparse[categorical[string]] ---------------
+  /** Decorator COMPOSITION at the data level (reference types/sparse.py
+    * wrapping types/categorical.py — `sparse[categorical[T]]`, the
+    * recursive decorator stack of meta.py): dictionary-encode
+    * event_type (categorical layer: Categorical.fit range-partitioned
+    * dictionary, broadcast transform), then run-length-compress the
+    * code stream in event_id order (sparse layer: RunLength block-local
+    * islands), then peel BOTH layers back off (RLE decode → dictionary
+    * inverse) and prove the round-trip restores every row (n_bad = 0
+    * per value). Output: per (value, code) the dense row count, the
+    * compressed run count, and the round-trip mismatch count.
+    *
+    * Scale shape: dictionary is distinct-cardinality (broadcast both
+    * directions); RLE islands are block-local windows (≤ blockSize rows
+    * per task); the verify join is key-equi on the dense keys. */
+  def t46SparseCategorical(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Categorical, RunLength}
+    val e = events(s, dir).filter(col("event_id") < 2000)
+      .select(col("event_id"), col("event_type"))
+    val dict = Categorical.fit(e, "event_type")
+    val coded = Categorical.transform(e, "event_type", dict)
+    val rle = RunLength.encode(coded, "event_id", "event_type")
+    // peel the decorators back off: RLE → codes → dictionary values
+    val recovered = Categorical.inverse(
+      RunLength.decode(rle).withColumnRenamed("value", "ct"), "ct", dict)
+    val stats = rle.select(col("value").as("code"),
+        col("start_key"), col("run_len"))
+      .join(broadcast(dict), Seq("code"))
+      .groupBy("value", "code")
+      .agg(sum(col("run_len")).as("n_rows"), count(lit(1)).as("n_runs"))
+    val rt = e.as("o")
+      .join(recovered.as("r"), col("o.event_id") === col("r.k"), "left")
+      .groupBy(col("o.event_type").as("value"))
+      .agg(sum(when(col("o.event_type") <=> col("r.ct"), 0L)
+        .otherwise(1L)).as("n_bad"))
+    stats.join(rt, Seq("value"))
+      .select("value", "code", "n_rows", "n_runs", "n_bad")
+      .orderBy("code")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t46_sparse_categorical" -> t46SparseCategorical _,
     "t44_ewm" -> t44Ewm _,
     "t45_rolling_std" -> t45RollingStd _,
     "t41_merge_indicator" -> t41MergeIndicator _,
@@ -1076,6 +1132,62 @@ object TypeQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // t46: categorical dictionary = sorted-distinct rank; sparse runs =
+    // gaps-and-islands (event_id − row_number is run identity); the
+    // round-trip mismatch count is structurally 0 — the oracle pins it
+    "t46_sparse_categorical" ->
+      """WITH e AS (SELECT event_id, event_type FROM events
+        |    WHERE event_id < 2000),
+        |d AS (SELECT event_type AS value,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY event_type) - 1 AS INT) AS code
+        |  FROM (SELECT DISTINCT event_type FROM e)),
+        |runs AS (SELECT event_type,
+        |    COUNT(*) AS n_rows,
+        |    COUNT(DISTINCT event_id - rn) AS n_runs
+        |  FROM (SELECT event_type, event_id,
+        |      ROW_NUMBER() OVER (PARTITION BY event_type
+        |        ORDER BY event_id) AS rn FROM e)
+        |  GROUP BY event_type)
+        |SELECT d.value, d.code, runs.n_rows, runs.n_runs,
+        |  CAST(0 AS BIGINT) AS n_bad
+        |FROM d JOIN runs ON runs.event_type = d.value
+        |ORDER BY d.code""".stripMargin,
+    // t44: same seed-first linear fold — list_reduce uses element 1 as
+    // the accumulator seed exactly like aggregate(slice(vals,2,i), vals[1])
+    "t44_ewm" ->
+      """WITH e AS (SELECT user_id,
+        |    CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS es,
+        |    event_id, value FROM events),
+        |g AS (SELECT user_id,
+        |    list(value ORDER BY es, event_id, value) AS vals,
+        |    list(event_id ORDER BY es, event_id, value) AS eids
+        |  FROM e GROUP BY user_id),
+        |p AS (SELECT user_id, vals, eids,
+        |    unnest(generate_series(1, len(vals))) AS i FROM g)
+        |SELECT user_id, eids[i] AS event_id, vals[i] AS value,
+        |  ROUND(list_reduce(vals[1:i],
+        |    (acc, x) -> acc * 0.7 + x * 0.3), 6) AS ewm
+        |FROM p ORDER BY user_id, event_id""".stripMargin,
+    // t45: identical lag frame + sums-of-squares identity, same IEEE
+    // op order; explicit NULL guard mirrors the Spark-side when()
+    "t45_rolling_std" ->
+      """WITH e AS (SELECT user_id,
+        |    CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS es,
+        |    event_id, value FROM events),
+        |l AS (SELECT user_id, es, event_id, value,
+        |    lag(value, 1) OVER (PARTITION BY user_id
+        |      ORDER BY es, event_id) AS l1,
+        |    lag(value, 2) OVER (PARTITION BY user_id
+        |      ORDER BY es, event_id) AS l2
+        |  FROM e)
+        |SELECT user_id, es, event_id, value,
+        |  ROUND((value + l1 + l2) / 3.0, 6) AS roll_mean,
+        |  ROUND(CASE WHEN l1 IS NULL OR l2 IS NULL THEN NULL
+        |    ELSE sqrt(GREATEST(0.0,
+        |      (value * value + l1 * l1 + l2 * l2
+        |        - (value + l1 + l2) * (value + l1 + l2) / 3.0) / 2.0))
+        |    END, 6) AS roll_std
+        |FROM l ORDER BY user_id, es, event_id""".stripMargin,
     // t37: identical IEEE sequence — decimal moments cast to DOUBLE,
     // then mean/var/sqrt/divide in the same order; sqrt is correctly
     // rounded (IEEE) so no cross-engine drift
@@ -1471,7 +1583,12 @@ object TypeQueries {
         | ('sparse[int, 0]','sparse[int64, 0]','int'), ('str','string','string'),
         | ('timedelta','timedelta','timedelta'), ('uint16','uint16','int'),
         | ('int | float','int64 | float64','union'),
-        | ('bool | sparse[int8]','bool | sparse[int8]','union')
+        | ('bool | sparse[int8]','bool | sparse[int8]','union'),
+        | ('foo: int32','Union[foo: int32]','union'),
+        | ('foo: int32 | int64, bar: bool','Union[foo: int32 | int64, bar: bool]','union'),
+        | ('Union[foo: categorical[string], bar: decimal]','Union[foo: categorical[string], bar: decimal(38,18)]','union'),
+        | ('int8, uint32','int8 | uint32','union'),
+        | ('Union[int16, int32 | int64]','int16 | int32 | int64','union')
         |) t(spec, canonical, family) ORDER BY spec""".stripMargin,
     "t3_typecheck" ->
       """SELECT * FROM (VALUES

@@ -40,6 +40,50 @@ class GraftBinarySpec extends AnyFunSuite {
     assert(plan.contains("pruned=n_name"), s"no pruning in:\n$plan")
   }
 
+  test("distributed write: per-key files, patched stats, truncate semantics") {
+    val dir = writeNation()
+    // one file per distinct n_regionkey, named by the key
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".gbn")).map(_.getName).sorted
+    assert(files.toSeq ==
+      (0 to 4).map(k => s"part-$k.gbn"), files.mkString(","))
+    // no stray temp files after commit
+    assert(!new java.io.File(dir).listFiles()
+      .exists(_.getName.contains("inprogress")))
+    // header stats were patched in place: each file's n_regionkey
+    // (min, max) collapses to its own key, which is what file-skip uses
+    val back = spark.read.format(fmt).load(dir)
+    GraftBinary.filesOpened.set(0)
+    assert(back.filter(col("n_regionkey") === 3L).count() ==
+      Tables.t(spark, sf, "nation").filter(col("n_regionkey") === 3).count())
+    assert(GraftBinary.filesOpened.get() == 1)
+    // overwrite truncates: rewriting a 2-region subset leaves 2 files
+    val sub = Tables.t(spark, sf, "nation")
+      .filter(col("n_regionkey") <= 1)
+      .select(col("n_nationkey").cast("long").as("n_nationkey"),
+        col("n_name"), col("n_regionkey").cast("long").as("n_regionkey"))
+    GraftBinary.write(sub, dir, filesBy = "n_regionkey")
+    val after = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".gbn")).map(_.getName).sorted
+    assert(after.toSeq == Seq("part-0.gbn", "part-1.gbn"))
+    assert(spark.read.format(fmt).load(dir).count() == sub.count())
+  }
+
+  test("write without filesBy: one file per partition, round-trips") {
+    val dir = Files.createTempDirectory("gbn").toFile.getAbsolutePath
+    val nation = Tables.t(spark, sf, "nation")
+      .select(col("n_nationkey").cast("long").as("n_nationkey"),
+        col("n_name"), col("n_regionkey").cast("long").as("n_regionkey"))
+      .repartition(3)
+    nation.write.format(fmt).option("path", dir).mode("overwrite").save()
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".gbn"))
+    assert(files.length == 3, files.map(_.getName).mkString(","))
+    val back = spark.read.format(fmt).load(dir)
+    assert(back.collect().map(_.toSeq).toSet ==
+      nation.collect().map(_.toSeq).toSet)
+  }
+
   test("footer stats skip disjoint files; results stay exact") {
     val dir = writeNation()
     val back = spark.read.format(fmt).load(dir)

@@ -462,6 +462,32 @@ class UnionTypeSpec extends AnyFunSuite {
     assert(TypeResolver.resolve(u.spec).spec == u.spec)
   }
 
+  test("structured (named) unions resolve, round-trip, and admit by name") {
+    // reference meta.py:1278: resolve("Union[foo: categorical[string], bar: decimal]")
+    val u = TypeResolver.resolve("Union[foo: categorical[string], bar: decimal]")
+    assert(u.isInstanceOf[GStructUnion])
+    assert(u.spec == "Union[foo: categorical[string], bar: decimal(38,18)]")
+    assert(u.family == "union")
+    assert(TypeResolver.resolve(u.spec).spec == u.spec)
+    // bare pairs without the wrapper; per-field unions bind looser than ':'
+    val v = TypeResolver.resolve("foo: int32 | int64, bar: bool")
+      .asInstanceOf[GStructUnion]
+    assert(v.spec == "Union[foo: int32 | int64, bar: bool]")
+    assert(v.admits("foo", GInteger(64)))
+    assert(v.admits("bar", GBoolean))
+    assert(!v.admits("bar", GString))
+    assert(!v.admits("baz", GBoolean))
+    // comma unions flatten; nested unions flatten (reference doctest)
+    assert(TypeResolver.resolve("int8, uint32").spec == "int8 | uint32")
+    assert(TypeResolver.resolve("Union[int16, int32 | int64]").spec ==
+      "int16 | int32 | int64")
+    // decimal(10,2) must survive the top-level comma split
+    assert(TypeResolver.resolve("decimal(10,2)").spec == "decimal(10,2)")
+    // mixed named/unnamed members are rejected like the reference
+    intercept[IllegalArgumentException](
+      TypeResolver.resolve("foo: int32, bool"))
+  }
+
   test("unions nest inside decorators stay top-level only") {
     // the | split must not break bracketed payloads
     val t = TypeResolver.resolve("sparse[int8] | categorical[string]")
