@@ -35,6 +35,14 @@ object Bench {
       // not only costs ~0.4 s/query outside the window but bleeds GC
       // churn INTO the next measurement (total 179 s -> 120 s without)
       spark.catalog.clearCache()
+      // clearCache only covers catalog-tracked caches; localCheckpoint
+      // blocks (the graph/sketch eager-materialize convention) live as
+      // bare persistent RDDs until a driver GC — drop them explicitly
+      // or they pile heap pressure onto every later query (s3_ann_ivf
+      // measured anywhere from 1.3 s to 12.5 s depending on how much
+      // debris the q5x/q61 graph queries left behind)
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       if (sys.env.get("SPARK_GRAFT_BENCH_GC").contains("1")) System.gc()
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()

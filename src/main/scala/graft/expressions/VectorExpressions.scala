@@ -49,6 +49,50 @@ case class ArrayDotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Intersection ELEMENTS of two SORTED `array<bigint>` columns via a
+  * merge scan — the content-returning sibling of
+  * [[SortedLongArrayIntersectCount]]. `array_intersect` builds a hash
+  * set per evaluation (per-row garbage that thrashes GC on
+  * million-row adjacency joins — triangleCounts' close); the merge
+  * allocates exactly one primitive buffer sized to the result. Same
+  * contract: pre-sorted, distinct elements. */
+case class SortedLongArrayIntersect(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_sorted_intersect"
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    SortedLongArrayIntersect.intersect(
+      l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.expressions.SortedLongArrayIntersect.intersect($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedLongArrayIntersect =
+    copy(left = newLeft, right = newRight)
+}
+
+object SortedLongArrayIntersect {
+  /** Static kernel, called from generated code (stays inside
+    * whole-stage codegen; no per-row closure or hash set). */
+  def intersect(a: ArrayData, b: ArrayData): ArrayData = {
+    val n = a.numElements(); val m = b.numElements()
+    val buf = new Array[Long](math.min(n, m))
+    var i = 0; var j = 0; var c = 0
+    while (i < n && j < m) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { buf(c) = x; c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    new GenericArrayData(
+      if (c == buf.length) buf else java.util.Arrays.copyOf(buf, c))
+  }
+}
+
 /** Intersection cardinality of two SORTED `array<bigint>` columns via a
   * merge scan — O(n+m) primitive comparisons in generated code, versus
   * `size(array_intersect(...))` building a hash set per evaluation.

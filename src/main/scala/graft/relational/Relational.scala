@@ -1061,8 +1061,10 @@ object Relational {
   def q61Triangles(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem").select(col("l_orderkey").as("ok"),
       col("l_partkey").as("pk"))
-    val edges = li.as("a").join(li.as("b"), Seq("ok"))
-      .filter(col("a.pk") =!= col("b.pk"))
+    // canonical pairs only (pk < pk): triangleCounts accepts any edge
+    // form, but emitting one orientation halves the self-join output
+    val edges = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
       .select(col("a.pk").as("src"), col("b.pk").as("dst"))
     graft.operators.Graphs.triangleCounts(edges)
       .select(col("node").as("p_partkey"), col("n_tri"))
