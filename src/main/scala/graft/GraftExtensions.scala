@@ -64,6 +64,10 @@ object GraftExtensions {
       info("graft_sorted_intersect_count",
         "graft_sorted_intersect_count(a, b) - |a ∩ b| for sorted array<bigint>"),
       binary("graft_sorted_intersect_count")(SortedLongArrayIntersectCount)),
+    ("graft_sorted_intersect",
+      info("graft_sorted_intersect",
+        "graft_sorted_intersect(a, b) - a ∩ b elements for sorted array<bigint>"),
+      binary("graft_sorted_intersect")(SortedLongArrayIntersect)),
     ("graft_minhash",
       info("graft_minhash",
         "graft_minhash(shingle_hashes[, h]) - h-permutation MinHash signature"),

@@ -91,4 +91,35 @@ object Detect {
       (name, expected.spec, actual, ok)
     }
   }
+
+  /** Whole-DataFrame contract check against a STRUCTURED union spec
+    * (reference meta.py:1278 — structured unions are schema contracts:
+    * `df isinstance Union["foo": int, "bar": bool]`). Every contract
+    * field must exist with an admitted type; DataFrame columns outside
+    * the contract report as `extra` (ok — structural subtyping, like
+    * the reference's per-column containment), contract fields absent
+    * from the DataFrame as `missing` (not ok). Returns
+    * (column, declared, actual, status, ok) in contract-then-extra
+    * order. One detection pass (detectTypes' single aggregation). */
+  def typecheckStruct(df: DataFrame, structSpec: String)
+      : Seq[(String, String, String, String, Boolean)] = {
+    val contract = TypeResolver.resolve(structSpec) match {
+      case u: GStructUnion => u
+      case other => throw new IllegalArgumentException(
+        s"not a structured union: ${other.spec}")
+    }
+    val detected = detectTypes(df).toMap
+    val declared = contract.fields.map { case (name, t) =>
+      detected.get(name) match {
+        case None => (name, t.spec, "missing", "missing", false)
+        case Some(actual) =>
+          val ok = contract.admits(name, TypeResolver.resolve(actual))
+          (name, t.spec, actual, if (ok) "match" else "mismatch", ok)
+      }
+    }
+    val names = contract.fields.map(_._1).toSet
+    val extra = detected.toSeq.filterNot(kv => names(kv._1))
+      .map { case (name, actual) => (name, "", actual, "extra", true) }
+    declared ++ extra
+  }
 }

@@ -907,9 +907,7 @@ object TypeQueries {
           (uid, e._3, e._4, acc)
         }
       }
-      .toDF("user_id", "event_id", "value", "ewm_raw")
-      .select(col("user_id"), col("event_id"), col("value"),
-        round(col("ewm_raw"), 6).as("ewm"))
+      .toDF("user_id", "event_id", "value", "ewm")
       .orderBy("user_id", "event_id")
   }
 
@@ -933,10 +931,10 @@ object TypeQueries {
       .withColumn("l1", lag("value", 1).over(w))
       .withColumn("l2", lag("value", 2).over(w))
       .select(col("user_id"), col("es"), col("event_id"), col("value"),
-        round(sum3 / lit(3.0), 6).as("roll_mean"),
-        round(when(col("l1").isNull || col("l2").isNull, lit(null))
+        (sum3 / lit(3.0)).as("roll_mean"),
+        when(col("l1").isNull || col("l2").isNull, lit(null))
           .otherwise(sqrt(greatest(lit(0.0),
-            (ssq - sum3 * sum3 / lit(3.0)) / lit(2.0)))), 6).as("roll_std"))
+            (ssq - sum3 * sum3 / lit(3.0)) / lit(2.0)))).as("roll_std"))
       .orderBy("user_id", "es", "event_id")
   }
 
@@ -980,7 +978,30 @@ object TypeQueries {
       .orderBy("code")
   }
 
+  // ---- T47: structured-union schema contract ------------------------------
+  /** Whole-DataFrame validation against a STRUCTURED (named) union —
+    * the reference's schema-contract use of structured unions
+    * (meta.py:1278: `df isinstance Union['foo': int, 'bar': bool]`).
+    * The grid exercises every status: a per-field union admitting the
+    * column, an exact match, a content-level mismatch (float64 data
+    * under an int64 contract), a contract field missing from the
+    * DataFrame, and a DataFrame column outside the contract (extra —
+    * ok, structural subtyping). Detection is ONE aggregation pass
+    * (detectTypes); the contract evaluation is driver-side over the
+    * per-column summary, the t1/t3 convention. */
+  def t47UnionTypecheck(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val df = t(s, dir, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate")
+    Detect.typecheckStruct(df,
+        "l_orderkey: int32 | int64, l_quantity: int64, " +
+          "l_returnflag: string, l_comment: string")
+      .toDF("col_name", "declared", "actual", "status", "ok")
+      .orderBy("col_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t47_union_typecheck" -> t47UnionTypecheck _,
     "t46_sparse_categorical" -> t46SparseCategorical _,
     "t44_ewm" -> t44Ewm _,
     "t45_rolling_std" -> t45RollingStd _,
@@ -1132,6 +1153,16 @@ object TypeQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // t47: the contract grid is deterministic given lineitem's fixed
+    // physical schema — pinned VALUES like t1/t3
+    "t47_union_typecheck" ->
+      """SELECT * FROM (VALUES
+        | ('l_comment','string','missing','missing',false),
+        | ('l_orderkey','int32 | int64','int64','match',true),
+        | ('l_quantity','int64','float64','mismatch',false),
+        | ('l_returnflag','string','string','match',true),
+        | ('l_shipdate','','datetime','extra',true)
+        |) t(col_name, declared, actual, status, ok) ORDER BY col_name""".stripMargin,
     // t46: categorical dictionary = sorted-distinct rank; sparse runs =
     // gaps-and-islands (event_id − row_number is run identity); the
     // round-trip mismatch count is structurally 0 — the oracle pins it
@@ -1165,8 +1196,8 @@ object TypeQueries {
         |p AS (SELECT user_id, vals, eids,
         |    unnest(generate_series(1, len(vals))) AS i FROM g)
         |SELECT user_id, eids[i] AS event_id, vals[i] AS value,
-        |  ROUND(list_reduce(vals[1:i],
-        |    (acc, x) -> acc * 0.7 + x * 0.3), 6) AS ewm
+        |  list_reduce(vals[1:i],
+        |    (acc, x) -> acc * 0.7 + x * 0.3) AS ewm
         |FROM p ORDER BY user_id, event_id""".stripMargin,
     // t45: identical lag frame + sums-of-squares identity, same IEEE
     // op order; explicit NULL guard mirrors the Spark-side when()
@@ -1181,12 +1212,12 @@ object TypeQueries {
         |      ORDER BY es, event_id) AS l2
         |  FROM e)
         |SELECT user_id, es, event_id, value,
-        |  ROUND((value + l1 + l2) / 3.0, 6) AS roll_mean,
-        |  ROUND(CASE WHEN l1 IS NULL OR l2 IS NULL THEN NULL
+        |  (value + l1 + l2) / 3.0 AS roll_mean,
+        |  CASE WHEN l1 IS NULL OR l2 IS NULL THEN NULL
         |    ELSE sqrt(GREATEST(0.0,
         |      (value * value + l1 * l1 + l2 * l2
         |        - (value + l1 + l2) * (value + l1 + l2) / 3.0) / 2.0))
-        |    END, 6) AS roll_std
+        |    END AS roll_std
         |FROM l ORDER BY user_id, es, event_id""".stripMargin,
     // t37: identical IEEE sequence — decimal moments cast to DOUBLE,
     // then mean/var/sqrt/divide in the same order; sqrt is correctly

@@ -488,6 +488,20 @@ class UnionTypeSpec extends AnyFunSuite {
       TypeResolver.resolve("foo: int32, bool"))
   }
 
+  test("typecheckStruct validates a DataFrame against a structured union") {
+    val df = Tables.t(spark, sf, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_returnflag")
+    val res = Detect.typecheckStruct(df,
+        "l_orderkey: int32 | int64, l_quantity: int64, l_comment: string")
+      .map(r => r._1 -> (r._4, r._5)).toMap
+    assert(res("l_orderkey") == ("match", true))     // union member admits
+    assert(res("l_quantity") == ("mismatch", false)) // float64 data
+    assert(res("l_comment") == ("missing", false))   // contract field absent
+    assert(res("l_returnflag") == ("extra", true))   // outside the contract
+    intercept[IllegalArgumentException](
+      Detect.typecheckStruct(df, "int64 | float64")) // not structured
+  }
+
   test("unions nest inside decorators stay top-level only") {
     // the | split must not break bracketed payloads
     val t = TypeResolver.resolve("sparse[int8] | categorical[string]")
