@@ -636,7 +636,12 @@ object TypeQueries {
       .select(col("user_id"), col("es"), col("event_id"),
         col("v_prev"),
         (dec(col("value")) - dec(col("v_prev"))).cast(DoubleType).as("diff"),
-        (round(col("value") / col("v_prev") - 1.0, 6) + 0.0).as("pct_change"),
+        // zero base → null on BOTH engines (ANSI Spark would raise on
+        // /0; DuckDB would emit inf): the NULLIF-pinned semantics.
+        // No ROUND — the raw division is IEEE-identical cross-engine,
+        // and 6-dp rounding tie-breaks differently (the t44 lesson)
+        when(col("v_prev") === 0.0, lit(null))
+          .otherwise(col("value") / col("v_prev") - 1.0).as("pct_change"),
         sum(col("v")).over(wCum).cast(DoubleType).as("cum_sum"),
         max(col("value")).over(wCum).as("cum_max"))
       .orderBy("user_id", "es", "event_id")
@@ -1405,7 +1410,7 @@ object TypeQueries {
         |SELECT user_id, es, event_id, v_prev,
         |  CAST(CAST(value AS DECIMAL(12,2)) - CAST(v_prev AS DECIMAL(12,2))
         |    AS DOUBLE) AS diff,
-        |  ROUND(value / v_prev - 1.0, 6) + 0.0 AS pct_change,
+        |  value / NULLIF(v_prev, 0) - 1.0 AS pct_change,
         |  CAST(SUM(CAST(value AS DECIMAL(12,2)))
         |    OVER (PARTITION BY user_id ORDER BY es, event_id
         |      ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_sum,
