@@ -1090,7 +1090,28 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  // ---- R62: Z-order multi-dimensional clustering --------------------------
+  /** Z-order layout audit (`operators.ZOrder`): orders clustered on
+    * (customer, order-day) via 32-bit Morton interleave, top-8-bit
+    * z-buckets (256), per-bucket footer-stat spans on BOTH dimensions.
+    * The 100 TB story: files written in z-bucket order give a
+    * rectangle predicate (customer range × date range) tight min/max
+    * pruning on every clustered column simultaneously — the Delta/
+    * Iceberg ZORDER BY idea expressed as pure codegen'd bit
+    * arithmetic, replayed bit-for-bit by the oracle's identical
+    * magic-number spread. Map-only + one 256-group aggregate; no sort,
+    * no sampled range boundaries, fully deterministic. */
+  def q62Zorder(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(
+      col("o_custkey").cast(LongType).as("a"),
+      datediff(col("o_orderdate"), to_date(lit("1970-01-01")))
+        .cast(LongType).as("b"))
+    graft.operators.ZOrder.layoutStats(o, col("a"), col("b"), 8)
+      .orderBy("zb")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q62_zorder" -> q62Zorder _,
     "q36_bloom_semijoin" -> q36BloomSemijoin _,
     "q37_window_fns" -> q37WindowFns _,
     "q38_multi_exists" -> q38MultiExists _,
@@ -1188,6 +1209,34 @@ object Relational {
   }
 
   val oracles: Map[String, String] = Map(
+    // q62: the identical 4-step mask-doubling Morton spread, unrolled
+    // per dimension — 64-bit shifts/masks/ors are engine-agnostic
+    "q62_zorder" ->
+      """WITH o AS (SELECT CAST(o_custkey AS BIGINT) AS a,
+        |    CAST(datediff('day', DATE '1970-01-01', o_orderdate)
+        |      AS BIGINT) AS b FROM orders),
+        |m AS (SELECT MIN(a) AS a_mn, MAX(a) AS a_mx,
+        |    MIN(b) AS b_mn, MAX(b) AS b_mx FROM o),
+        |n AS (SELECT a, b,
+        |    CAST(FLOOR(CAST(a - a_mn AS DOUBLE) * 65536.0
+        |      / CAST(a_mx - a_mn + 1 AS DOUBLE)) AS BIGINT) AS na,
+        |    CAST(FLOOR(CAST(b - b_mn AS DOUBLE) * 65536.0
+        |      / CAST(b_mx - b_mn + 1 AS DOUBLE)) AS BIGINT) AS nb
+        |  FROM o, m),
+        |s1 AS (SELECT a, b, na & 65535 AS xa, nb & 65535 AS xb FROM n),
+        |s2 AS (SELECT *, (xa | (xa << 8)) & 16711935 AS ya,
+        |    (xb | (xb << 8)) & 16711935 AS yb FROM s1),
+        |s3 AS (SELECT *, (ya | (ya << 4)) & 252645135 AS za,
+        |    (yb | (yb << 4)) & 252645135 AS zb2 FROM s2),
+        |s4 AS (SELECT *, (za | (za << 2)) & 858993459 AS wa,
+        |    (zb2 | (zb2 << 2)) & 858993459 AS wb FROM s3),
+        |s5 AS (SELECT a, b, (wa | (wa << 1)) & 1431655765 AS sa,
+        |    (wb | (wb << 1)) & 1431655765 AS sb FROM s4),
+        |z AS (SELECT a, b, (sa | (sb << 1)) >> 24 AS zb FROM s5)
+        |SELECT zb, COUNT(*) AS n_rows,
+        |  MIN(a) AS a_min, MAX(a) AS a_max,
+        |  MIN(b) AS b_min, MAX(b) AS b_max
+        |FROM z GROUP BY zb ORDER BY zb""".stripMargin,
     // q52: the BFS first-discovery distance equals MIN(dist) over the
     // depth-bounded recursive closure (UNION dedups exact (node, dist)
     // pairs, so the recursion terminates at dist < 3)
