@@ -270,6 +270,16 @@ package object syntax {
     def bfsFrom(seeds: DataFrame, maxHops: Int): DataFrame =
       operators.Graphs.bfs(df, seeds, maxHops)
 
+    /** Per-node triangle counts over this (src, dst) edge frame. */
+    def triangleCounts(): DataFrame = operators.Graphs.triangleCounts(df)
+
+    /** Z-order layout audit: per-z-bucket min/max spans of two
+      * clustered dimensions (see [[graft.operators.ZOrder]]). */
+    def zorderStats(a: String, b: String, log2Buckets: Int = 8): DataFrame =
+      operators.ZOrder.layoutStats(df,
+        org.apache.spark.sql.functions.col(a),
+        org.apache.spark.sql.functions.col(b), log2Buckets)
+
     /** Mergeable fixed-grid histogram cells (g, b, c) of `xCol` per
       * `gCol` — fold across batches by summing `c`, read quantiles
       * with [[graft.operators.Sketches.histQuantiles]]. */

@@ -247,6 +247,20 @@ class VectorOpsExtraSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(hq.getString(0) == "a" && hq.getDouble(1) <= 2.0 + 1e-9)
   }
 
+  test("graph and zorder verbs delegate to their operators") {
+    import spark.implicits._
+    // a 4-cycle with one chord: exactly 2 triangles, nodes 1/3 on both
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
+      .toDF("src", "dst")
+    val tri = edges.triangleCounts().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tri == Map(1L -> 2L, 2L -> 1L, 3L -> 2L, 4L -> 1L))
+    val zs = Seq((0L, 0L), (100L, 7L), (65535L, 9L))
+      .toDF("a", "b").zorderStats("a", "b", 4)
+    assert(zs.agg(org.apache.spark.sql.functions.sum("n_rows"))
+      .head().getLong(0) == 3L)
+  }
+
   test("sketch and vector aggregates callable from SQL") {
     GraftExtensions.register(spark)
     spark.range(0, 5000).toDF("v").createOrReplaceTempView("nums")
