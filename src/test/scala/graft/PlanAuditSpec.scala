@@ -24,7 +24,8 @@ class PlanAuditSpec extends AnyFunSuite {
     Set("s1_ann_brute", "s4_quant_cosine", "s3_ann_ivf", "q33_theta_overlap",
       "s5_ann_pq", "x11_bm25", "x13_unigram_ppl", "x21_tfidf",
       "x22_bigram_ppl", "t31_cut_qcut", "x24_kl_drift",
-      "e7_ann_recall") // composes s1's broadcast brute cross
+      "e7_ann_recall", // composes s1's broadcast brute cross
+      "q62_zorder") // ONE broadcast row of min/max extents rides the scan
 
   test("no query plan contains a cartesian product") {
     SparkEntry.queries.keys.foreach { name =>
