@@ -384,6 +384,49 @@ object StreamingOps {
       .start()
   }
 
+  /** S15: streaming Z-order layout audit — the streaming form of q62.
+    * The dimension EXTENTS are pinned up front (production: a layout
+    * contract fixes the z-grid so files stay mutually comparable as
+    * the table grows), so each micro-batch's per-bucket stats fold
+    * into maintained state by pure semigroup ops — counts ADD,
+    * mins MIN, maxes MAX — state is bucket-count sized, never
+    * history-sized. Emitted stats equal the batch audit over
+    * everything seen (min/max/sum merges are exact). */
+  def streamingZorderStats(rows: DataFrame, aCol: String, bCol: String,
+      aMin: Long, aMax: Long, bMin: Long, bMax: Long, log2Buckets: Int = 6,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.ZOrder
+    var state: Option[DataFrame] = None
+    rows.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val cells = b.toDF()
+          .select(col(aCol).cast(LongType).as("da"),
+            col(bCol).cast(LongType).as("db"))
+          .select(col("da"), col("db"), ZOrder.zbucket2(
+            ZOrder.normalize16(col("da"), lit(aMin), lit(aMax)),
+            ZOrder.normalize16(col("db"), lit(bMin), lit(bMax)),
+            log2Buckets).as("zb"))
+          .groupBy("zb")
+          .agg(count(lit(1)).as("n_rows"),
+            min("da").as("a_min"), max("da").as("a_max"),
+            min("db").as("b_min"), max("db").as("b_max"))
+        val next = state.map(st => st.union(cells).groupBy("zb")
+            .agg(sum("n_rows").as("n_rows"),
+              min("a_min").as("a_min"), max("a_max").as("a_max"),
+              min("b_min").as("b_min"), max("b_max").as("b_max")))
+          .getOrElse(cells).persist()
+        next.count()
+        state.foreach(_.unpersist())
+        state = Some(next)
+        sink(next)
+        ()
+      }
+      .trigger(trigger)
+      .start()
+  }
+
   /** S9: streaming ingest curation — each arriving micro-batch runs
     * the full curation pipeline (dedup, decontamination, quality,
     * length) INCREMENTALLY against the corpus's precomputed digest

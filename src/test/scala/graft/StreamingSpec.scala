@@ -1,7 +1,7 @@
 package graft
 
 import graft.streaming.StreamingOps
-import org.apache.spark.sql.functions.{coalesce, col, concat, explode, lit, when}
+import org.apache.spark.sql.functions.{coalesce, col, concat, datediff, explode, lit, to_date, when}
 import org.apache.spark.sql.streaming.Trigger
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -330,6 +330,40 @@ class StreamingSpec extends AnyFunSuite {
         r.getDouble(2), r.getDouble(3), r.getDouble(4)))
     assert(last.nonEmpty && last.toSet == batch.toSet,
       s"hist state diverged (${last.length} vs ${batch.length})")
+  }
+
+  test("S15: streaming z-order stats fold across triggers to match batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val rows = Tables.t(spark, sf, "orders")
+      .select(col("o_custkey").cast("long"),
+        datediff(col("o_orderdate"), to_date(lit("1970-01-01"))).cast("long"))
+      .limit(600).as[(Long, Long)].collect().toSeq
+    val (aMn, aMx) = (rows.map(_._1).min, rows.map(_._1).max)
+    val (bMn, bMx) = (rows.map(_._2).min, rows.map(_._2).max)
+    val (first, second) = rows.splitAt(rows.length / 2)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)]
+    @volatile var last: Array[(Long, Long, Long, Long, Long, Long)] = Array.empty
+    val q = StreamingOps.streamingZorderStats(
+        mem.toDF().toDF("a", "b"), "a", "b", aMn, aMx, bMn, bMx,
+        trigger = Trigger.ProcessingTime(0L)) { d =>
+      last = d.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    }
+    mem.addData(first: _*)
+    q.processAllAvailable()
+    mem.addData(second: _*)
+    q.processAllAvailable()
+    q.stop()
+    // batch twin over everything seen, same pinned extents: layoutStats
+    // normalizes from the SAME min/max because rows span them
+    val batch = graft.operators.ZOrder.layoutStats(
+        rows.toDF("a", "b"), col("a"), col("b"), 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(last.nonEmpty && last.toSet == batch.toSet,
+      s"zorder state diverged (${last.length} vs ${batch.length})")
   }
 
   test("S2: streaming dedup emits each event_id once") {
