@@ -132,6 +132,35 @@ object LlmQueries {
       .orderBy("qid")
   }
 
+  // ---- L62: hybrid lexical+dense retrieval (RRF) ---------------------------
+  /** Hybrid search — the standard RAG retrieval pattern: BM25 top-20
+    * (x11's proven lexical scorer, deterministic rounded-score/id cut)
+    * fused with brute-cosine top-20 for query vector 0 (s1's proven
+    * dense ranking) by Reciprocal Rank Fusion
+    * ([[graft.operators.Retrieval.rrfFuse]], k=60). documents.doc_id
+    * and embeddings.vec_id share the id space, so the fusion join is
+    * real. Scale shape: each side is already a top-k cut (corpus-sized
+    * work happens inside the proven rankers); the fuse itself touches
+    * ≤ 40 rows. Output: fused top-10 with both source ranks — rows
+    * found by only one ranker surface with a null partner rank. */
+  def s6HybridRrf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lex = Retrieval.bm25(t(s, dir, "documents"), "doc_id", "text",
+        bm25Terms)
+      .orderBy(col("score").desc, col("id")).limit(20)
+      .select(col("id"),
+        row_number().over(Window.orderBy(col("score").desc, col("id")))
+          .as("rk"))
+    val emb = t(s, dir, "embeddings")
+    val vec = Similarity.bruteTopK(emb, emb.filter(col("vec_id") === 0),
+        k = 20)
+      .select(col("id"), col("rk"))
+    Retrieval.rrfFuse(lex, vec, kRrf = 60, topK = 10)
+      .select(col("rk"), col("id"), col("rk_lex"), col("rk_vec"),
+        col("rrf"))
+      .orderBy("rk")
+  }
+
   // ---- L13: IVF ANN (sampled-centroid cells + multi-probe) ----------------
   def s3AnnIvf(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
@@ -270,6 +299,47 @@ object LlmQueries {
       .withColumn("lines", split(col("mtext"), "\n"))
       .select(Seq(col("doc_id")) ++
         TextAnalysis.gopherColumns(col("mtext"), col("aw"), col("lines")): _*)
+      .orderBy("doc_id")
+
+  // ---- L61: C4 heuristic corpus filters -----------------------------------
+  /** The C4 cleaning rules (Raffel et al. 2020 §2.2) — the OTHER
+    * canonical web-corpus filter next to x18's Gopher set, line-level
+    * where Gopher is ratio-level: keep a line iff it ends in terminal
+    * punctuation AND has ≥ 3 words AND doesn't mention javascript;
+    * keep the page iff ≥ 3 lines survive AND it contains no curly
+    * brace and no "lorem ipsum". Docs are re-lined into 10-word
+    * segments; plants give every rule something to catch (length-even
+    * segments gain terminal '.', %13 → a curly/javascript line, %23 →
+    * a lorem-ipsum line) — all content-derived, no positional lambdas,
+    * so the oracle replays them with DuckDB's index-free list
+    * functions. One map pass, zero shuffles, zero UDFs. */
+  def x26C4Filters(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("segs", expr(
+        "transform(sequence(0, cast(ceil(size(words)/10.0) as int) - 1), " +
+          "i -> array_join(slice(words, i*10+1, 10), ' '))"))
+      .withColumn("segs", expr(
+        "transform(segs, l -> IF(length(l) % 2 = 0, concat(l, '.'), l))"))
+      .withColumn("segs", when(col("doc_id") % 13 === 0,
+        expr("array_append(segs, 'var x = { javascript }')"))
+        .otherwise(col("segs")))
+      .withColumn("segs", when(col("doc_id") % 23 === 0,
+        expr("array_append(segs, 'lorem ipsum dolor sit amet.')"))
+        .otherwise(col("segs")))
+      .withColumn("kept", expr(
+        "filter(segs, l -> (l LIKE '%.' OR l LIKE '%!' OR l LIKE '%?' " +
+          "OR l LIKE '%\"') AND size(split(l, ' ')) >= 3 " +
+          "AND NOT contains(lower(l), 'javascript'))"))
+      .withColumn("mtext", concat_ws("\n", col("segs")))
+      .select(col("doc_id"),
+        size(col("segs")).cast("long").as("n_lines"),
+        size(col("kept")).cast("long").as("n_kept"),
+        col("mtext").contains("{").as("has_curly"),
+        lower(col("mtext")).contains("lorem ipsum").as("has_lorem"),
+        (size(col("kept")) >= 3 && !col("mtext").contains("{") &&
+          !lower(col("mtext")).contains("lorem ipsum")).as("doc_keep"),
+        md5(concat_ws("\n", col("kept"))).as("kept_md5"))
       .orderBy("doc_id")
 
   // ---- L41: DSIR importance weights ---------------------------------------
@@ -886,6 +956,8 @@ object LlmQueries {
     "x16_unicode_normalize" -> x16UnicodeNormalize _,
     "x17_line_dedup" -> x17LineDedup _,
     "x18_gopher_rules" -> x18GopherRules _,
+    "x26_c4_filters" -> x26C4Filters _,
+    "s6_hybrid_rrf" -> s6HybridRrf _,
     "e5_pca_project" -> e5PcaProject _,
     "x19_dsir" -> x19Dsir _,
     "d11_fuzzy_join" -> d11FuzzyJoin _,
@@ -920,7 +992,10 @@ object LlmQueries {
     * FOR EXPRESSION (unfolded "(1.2 + 1.0)", left-assoc sums, exact
     * Σdl/N avgdl) so every double op is the same IEEE sequence; ln is
     * the one library call, washed out by ROUND(...,6). */
-  private def x11OracleSql: String = {
+  /** Shared BM25 lexical CTE chain (base → tf → st → lexall) — the x11
+    * scorer replay, reused verbatim by the s6 hybrid oracle so the
+    * fused ranking certifies against the SAME proven lexical scores. */
+  private def bm25ScoredCtes: String = {
     val ts = bm25Terms
     val tfDefs = ts.zipWithIndex.map { case (t, i) =>
       s"CAST(len(list_filter(toks, t -> t = '$t')) AS INT) AS tf$i" }.mkString(",\n    ")
@@ -934,17 +1009,46 @@ object LlmQueries {
     }.mkString(" +\n    ")
     val tfOut = ts.zipWithIndex.map { case (t, i) => s"tf$i AS tf_$t" }.mkString(", ")
     val anyHit = ts.indices.map(i => s"tf$i > 0").mkString(" OR ")
-    s"""WITH base AS (SELECT doc_id,
+    s"""base AS (SELECT doc_id,
        |    string_split($normSql, ' ') AS toks FROM documents),
        |tf AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
        |    $tfDefs
        |  FROM base),
        |st AS (SELECT COUNT(*) AS n_docs,
        |    CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl, $dfDefs
-       |  FROM tf)
-       |SELECT doc_id, ROUND($terms, 6) AS score, $tfOut
-       |FROM tf, st WHERE $anyHit ORDER BY doc_id""".stripMargin
+       |  FROM tf),
+       |lexall AS (SELECT doc_id, ROUND($terms, 6) AS score, $tfOut
+       |  FROM tf, st WHERE $anyHit)""".stripMargin
   }
+
+  private def x11OracleSql: String =
+    s"""WITH $bm25ScoredCtes
+       |SELECT * FROM lexall ORDER BY doc_id""".stripMargin
+
+  /** s6 oracle: the proven lexical (x11) and dense (s1) replays as
+    * CTEs, cut to top-20 ranks, full-outer-joined and RRF-folded with
+    * the identical pinned `lex-term + vec-term` addition. */
+  private def s6OracleSql: String =
+    s"""WITH $bm25ScoredCtes,
+       |lex AS (SELECT id, rk FROM (
+       |    SELECT doc_id AS id, ROW_NUMBER() OVER
+       |      (ORDER BY score DESC, doc_id) AS rk FROM lexall)
+       |  WHERE rk <= 20),
+       |vec AS (SELECT id, rk FROM (
+       |    SELECT a.vec_id AS id, ROW_NUMBER() OVER
+       |      (ORDER BY $cosSql DESC, a.vec_id ASC) AS rk
+       |    FROM embeddings a JOIN embeddings b
+       |      ON b.vec_id = 0 AND a.vec_id <> 0)
+       |  WHERE rk <= 20),
+       |f AS (SELECT COALESCE(lex.id, vec.id) AS id,
+       |    lex.rk AS rk_lex, vec.rk AS rk_vec,
+       |    COALESCE(1.0 / (60 + lex.rk), 0.0)
+       |      + COALESCE(1.0 / (60 + vec.rk), 0.0) AS rrf
+       |  FROM lex FULL OUTER JOIN vec ON lex.id = vec.id)
+       |SELECT rk, id, rk_lex, rk_vec, rrf FROM (
+       |  SELECT f.*, ROW_NUMBER() OVER (ORDER BY rrf DESC, id) AS rk
+       |  FROM f)
+       |WHERE rk <= 10 ORDER BY rk""".stripMargin
 
   private val normSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
   private val cosSql =
@@ -1979,6 +2083,45 @@ object LlmQueries {
         |  FROM documents) t
         |WHERE rk <= 18 ORDER BY source, rk""".stripMargin,
     "x11_bm25" -> x11OracleSql,
+    "s6_hybrid_rrf" -> s6OracleSql,
+    // x26: identical relining + identical content-derived plants,
+    // replayed with DuckDB's index-free list lambdas; md5 over the
+    // same reconstructed kept-lines bytes
+    "x26_c4_filters" ->
+      """WITH w0 AS (SELECT doc_id, string_split(text, ' ') AS ws0
+        |  FROM documents),
+        |s0 AS (SELECT doc_id,
+        |    list_transform(generate_series(0, CAST(CEIL(len(ws0)/10.0) AS INT) - 1),
+        |      i -> array_to_string(ws0[(i*10+1):(i*10+10)], ' ')) AS segs
+        |  FROM w0),
+        |s1 AS (SELECT doc_id, list_transform(segs,
+        |      l -> CASE WHEN length(l) % 2 = 0 THEN l || '.' ELSE l END)
+        |      AS segs
+        |  FROM s0),
+        |s2 AS (SELECT doc_id, CASE WHEN doc_id % 13 = 0
+        |      THEN list_append(segs, 'var x = { javascript }')
+        |      ELSE segs END AS segs
+        |  FROM s1),
+        |s3 AS (SELECT doc_id, CASE WHEN doc_id % 23 = 0
+        |      THEN list_append(segs, 'lorem ipsum dolor sit amet.')
+        |      ELSE segs END AS segs
+        |  FROM s2),
+        |k AS (SELECT doc_id, segs,
+        |    list_filter(segs, l -> (l LIKE '%.' OR l LIKE '%!'
+        |      OR l LIKE '%?' OR l LIKE '%"')
+        |      AND len(string_split(l, ' ')) >= 3
+        |      AND NOT contains(lower(l), 'javascript')) AS kept,
+        |    array_to_string(segs, chr(10)) AS mtext
+        |  FROM s3)
+        |SELECT doc_id,
+        |  CAST(len(segs) AS BIGINT) AS n_lines,
+        |  CAST(len(kept) AS BIGINT) AS n_kept,
+        |  contains(mtext, '{') AS has_curly,
+        |  contains(lower(mtext), 'lorem ipsum') AS has_lorem,
+        |  len(kept) >= 3 AND NOT contains(mtext, '{')
+        |    AND NOT contains(lower(mtext), 'lorem ipsum') AS doc_keep,
+        |  md5(COALESCE(array_to_string(kept, chr(10)), '')) AS kept_md5
+        |FROM k ORDER BY doc_id""".stripMargin,
     // greedy packing replayed as a recursive CTE chained on the
     // per-source row_number; the UNION ALL step carries (bin, fill)
     // state exactly like the Spark side's streaming scan

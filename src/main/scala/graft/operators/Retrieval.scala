@@ -72,6 +72,31 @@ object Retrieval {
       .orderBy(col("score").desc, col("id"))
       .limit(k)
 
+  /** Reciprocal Rank Fusion (Cormack, Clarke & Buettcher, SIGIR 2009)
+    * of a lexical and a dense ranking — the standard hybrid-search
+    * combiner (BM25 ∪ vector top-k): score(d) = Σ 1/(kRrf + rankᵢ(d)),
+    * missing-from-a-ranking contributes 0. Inputs are top-k cuts
+    * (id, rk), so the fuse is a full-outer join + pure map over ≤ 2k
+    * rows — driver-free, and trivially tiny however large the corpus
+    * the rankings were cut from. The two reciprocal terms add in a
+    * PINNED order (lex + vec, no aggregate), so the score is
+    * bit-reproducible on any engine. */
+  def rrfFuse(lex: DataFrame, vec: DataFrame, kRrf: Int,
+      topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fused = lex.select(col("id"), col("rk").as("rk_lex"))
+      .join(vec.select(col("id"), col("rk").as("rk_vec")),
+        Seq("id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(kRrf) + col("rk_lex")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(kRrf) + col("rk_vec")), lit(0.0)))
+    // the candidate set is ≤ |lex| + |vec| rows — the single-partition
+    // rank window is over an already-tiny fused list, not the corpus
+    fused.withColumn("rk",
+        row_number().over(Window.orderBy(col("rrf").desc, col("id"))))
+      .filter(col("rk") <= topK)
+  }
+
   /** Corpus TF-IDF restricted to the document-frequency top
     * `vocabSize` vocabulary (Spärck Jones 1972; sklearn smooth-idf
     * variant) — the sparse lexical featurizer, pruned the way it

@@ -1110,7 +1110,45 @@ object Relational {
       .orderBy("zb")
   }
 
+  // ---- R63: overlapping-interval merge (interval union) -------------------
+  /** Merge overlapping/touching intervals per user — the interval-UNION
+    * operator (calendar consolidation, uptime stitching, coverage
+    * length) that q24/q51 (point gaps) and q49 (grid overlap counts)
+    * don't express. Events carry a deterministic duration (60 +
+    * event_id % 600 s, epoch-second integers); an interval opens a new
+    * merged island iff its start exceeds the running max end of ALL
+    * earlier intervals (classic sweep: max-end over unbounded-preceding
+    * lag frame, island id = running sum of the open flags — both
+    * windows and the fold share ONE (user) Exchange+Sort; the island
+    * groupBy re-uses the same hash partitioning, so the whole query is
+    * a single shuffle). Touching intervals (start == prev end) merge.
+    * All arithmetic is exact integer seconds — bit-identical replay. */
+  def q63IntervalMerge(s: SparkSession, dir: String): DataFrame = {
+    val wOrd = Window.partitionBy("user_id").orderBy("ss", "event_id")
+    val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("ss"))
+      .withColumn("ee", col("ss") + lit(60L) + pmod(col("event_id"), lit(600L)))
+      .withColumn("prev_end", max(col("ee")).over(wPrev))
+      .withColumn("opens",
+        when(col("prev_end").isNull || col("ss") > col("prev_end"), 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("opens")).over(wCum))
+      .groupBy("user_id", "island")
+      .agg(min(col("ss")).as("m_start"), max(col("ee")).as("m_end"),
+        count(lit(1)).as("n_events"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("m_end") - col("m_start")).as("covered_s"),
+        max(col("m_end") - col("m_start")).as("longest_s"),
+        max(col("n_events")).as("max_merged"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q63_interval_merge" -> q63IntervalMerge _,
     "q62_zorder" -> q62Zorder _,
     "q36_bloom_semijoin" -> q36BloomSemijoin _,
     "q37_window_fns" -> q37WindowFns _,
@@ -1209,6 +1247,35 @@ object Relational {
   }
 
   val oracles: Map[String, String] = Map(
+    // q63: identical sweep — prev-max-end lag frame, running island
+    // sum, two-level fold; exact integer-seconds arithmetic throughout
+    "q63_interval_merge" ->
+      """WITH iv AS (SELECT user_id, event_id,
+        |    CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS ss,
+        |    CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+        |      + 60 + event_id % 600 AS ee
+        |  FROM events),
+        |sw AS (SELECT user_id, event_id, ss, ee,
+        |    MAX(ee) OVER (PARTITION BY user_id ORDER BY ss, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS prev_end
+        |  FROM iv),
+        |fl AS (SELECT user_id, event_id, ss, ee,
+        |    CASE WHEN prev_end IS NULL OR ss > prev_end THEN 1
+        |         ELSE 0 END AS opens
+        |  FROM sw),
+        |isl AS (SELECT user_id, ss, ee,
+        |    SUM(opens) OVER (PARTITION BY user_id ORDER BY ss, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM fl),
+        |mg AS (SELECT user_id, island, MIN(ss) AS m_start,
+        |    MAX(ee) AS m_end, COUNT(*) AS n_events
+        |  FROM isl GROUP BY user_id, island)
+        |SELECT user_id, COUNT(*) AS n_intervals,
+        |  SUM(m_end - m_start) AS covered_s,
+        |  MAX(m_end - m_start) AS longest_s,
+        |  MAX(n_events) AS max_merged
+        |FROM mg GROUP BY user_id ORDER BY user_id""".stripMargin,
     // q62: the identical 4-step mask-doubling Morton spread, unrolled
     // per dimension — 64-bit shifts/masks/ors are engine-agnostic
     "q62_zorder" ->

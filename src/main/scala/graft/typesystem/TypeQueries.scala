@@ -1005,7 +1005,49 @@ object TypeQueries {
       .orderBy("col_name")
   }
 
+  // ---- T48: expanding-window accessor --------------------------------------
+  /** pandas `expanding()` accessor per user in event-time order —
+    * expanding count / sum / mean / max / std(ddof=1), the
+    * unbounded-preceding sibling of t45's bounded rolling frame.
+    *
+    * Exactness without order-pinning: a running window SUM of doubles
+    * depends on accumulation order (engine internals), so the moments
+    * accumulate over exact integer CENTS (`value` is DECIMAL(12,2)
+    * representable): Σx and Σx² are exact longs at any partitioning,
+    * and mean/std derive by a pinned sequence of double divisions —
+    * bit-identical cross-engine with NO rounding washes (the t44
+    * lesson). The n·Σx² − (Σx)² numerator is computed in DECIMAL(38,0)
+    * (its factors exceed int64 past ~10⁹ rows/key); it is ≥ 0 exactly
+    * (integer Cauchy-Schwarz), so no clamp is needed — vs t45's float
+    * clamp. std is null below 2 observations exactly as pandas NaN
+    * (ddof=1). Scale shape: ONE partition-key shuffle; a single
+    * Exchange+Sort serves every column. */
+  def t48Expanding(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("es", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val d19 = DecimalType(19, 0)
+    events(s, dir)
+      .select(col("user_id"), unix_timestamp(col("ts")).as("es"),
+        col("event_id"), col("value"),
+        (dec(col("value")) * lit(100)).cast(LongType).as("cents"))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("sc", sum(col("cents")).over(w))
+      .withColumn("scc", sum(col("cents") * col("cents")).over(w))
+      .withColumn("exp_max", max(col("value")).over(w))
+      .select(col("user_id"), col("es"), col("event_id"), col("n"),
+        (col("sc").cast(DoubleType) / col("n") / lit(100.0)).as("exp_mean"),
+        (col("sc").cast(DoubleType) / lit(100.0)).as("exp_sum"),
+        col("exp_max"),
+        when(col("n") < 2, lit(null)).otherwise(sqrt(
+          (col("n").cast(d19) * col("scc").cast(d19) -
+            col("sc").cast(d19) * col("sc").cast(d19)).cast(DoubleType)
+            / (col("n") * (col("n") - 1)).cast(DoubleType)
+            / lit(10000.0))).as("exp_std"))
+      .orderBy("user_id", "es", "event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t48_expanding" -> t48Expanding _,
     "t47_union_typecheck" -> t47UnionTypecheck _,
     "t46_sparse_categorical" -> t46SparseCategorical _,
     "t44_ewm" -> t44Ewm _,
@@ -1158,6 +1200,32 @@ object TypeQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // t48: identical integer-cents moments (exact at any accumulation
+    // order) + the identical pinned division sequence; no rounding
+    "t48_expanding" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |    CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS es,
+        |    value,
+        |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        |  FROM events),
+        |w AS (SELECT user_id, es, event_id, value,
+        |    COUNT(*) OVER win AS n,
+        |    CAST(SUM(cents) OVER win AS BIGINT) AS sc,
+        |    CAST(SUM(cents * cents) OVER win AS BIGINT) AS scc,
+        |    MAX(value) OVER win AS exp_max
+        |  FROM e
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY es, event_id
+        |    ROWS UNBOUNDED PRECEDING))
+        |SELECT user_id, es, event_id, n,
+        |  CAST(sc AS DOUBLE) / n / 100.0 AS exp_mean,
+        |  CAST(sc AS DOUBLE) / 100.0 AS exp_sum,
+        |  exp_max,
+        |  CASE WHEN n < 2 THEN NULL ELSE
+        |    sqrt(CAST(CAST(n AS DECIMAL(19,0)) * CAST(scc AS DECIMAL(19,0))
+        |        - CAST(sc AS DECIMAL(19,0)) * CAST(sc AS DECIMAL(19,0))
+        |        AS DOUBLE)
+        |      / CAST(n * (n - 1) AS DOUBLE) / 10000.0) END AS exp_std
+        |FROM w ORDER BY user_id, es, event_id""".stripMargin,
     // t47: the contract grid is deterministic given lineitem's fixed
     // physical schema — pinned VALUES like t1/t3
     "t47_union_typecheck" ->

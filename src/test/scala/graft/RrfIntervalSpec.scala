@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-6 additions: RRF hybrid fusion (s6), interval merge (q63),
+  * expanding accessor (t48), C4 filters (x26) — semantics proven
+  * against in-process brute-force recomputation, not just rows>0. */
+class RrfIntervalSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("rrfFuse: pinned example — scores, order, null partner ranks") {
+    val lex = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("id", "rk")
+    val vec = Seq((20L, 1), (40L, 2)).toDF("id", "rk")
+    val got = operators.Retrieval.rrfFuse(lex, vec, kRrf = 60, topK = 10)
+      .orderBy("rk")
+      .select("rk", "id", "rk_lex", "rk_vec", "rrf")
+      .collect()
+    // 20: 1/62 + 1/61 (both) > 10: 1/61 > 40: 1/62 > 30: 1/63
+    assert(got.map(_.getLong(1)).toSeq == Seq(20L, 10L, 40L, 30L))
+    assert(got(0).getDouble(4) == 1.0 / 62 + 1.0 / 61)
+    assert(got(1).isNullAt(3) && got(2).isNullAt(2))
+  }
+
+  test("q63 interval merge == brute-force sweep on collected events") {
+    val rows = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("ss"))
+      .as[(Long, Long, Long)].collect()
+    val expect = rows.groupBy(_._1).map { case (uid, evs) =>
+      val iv = evs.map(e => (e._3, e._3 + 60 + e._2 % 600, e._2))
+        .sortBy(e => (e._1, e._3))
+      // sweep: extend the open interval while start <= running max end
+      var merged = List.empty[(Long, Long, Long)] // start, end, n
+      for ((s0, e0, _) <- iv) merged match {
+        case (ms, me, n) :: rest if s0 <= me =>
+          merged = (ms, math.max(me, e0), n + 1) :: rest
+        case _ => merged = (s0, e0, 1L) :: merged
+      }
+      uid -> ((merged.size.toLong, merged.map(m => m._2 - m._1).sum,
+        merged.map(m => m._2 - m._1).max, merged.map(_._3).max))
+    }
+    val got = relational.Relational.q63IntervalMerge(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(got.length == expect.size)
+    got.foreach { case (uid, nInt, covered, longest, maxMerged) =>
+      val (eN, eCov, eLong, eMax) = expect(uid)
+      assert((nInt, covered, longest, maxMerged) == ((eN, eCov, eLong, eMax)),
+        s"user $uid")
+    }
+  }
+
+  test("t48 expanding == brute-force exact moments per user") {
+    val rows = Tables.events(spark, sf)
+      .select(col("user_id"), unix_timestamp(col("ts")).as("es"),
+        col("event_id"), col("value"))
+      .as[(Long, Long, Long, Double)].collect()
+    val byUser = rows.groupBy(_._1).map { case (u, evs) =>
+      u -> evs.sortBy(e => (e._2, e._3))
+    }
+    val got = typesystem.TypeQueries.t48Expanding(spark, sf)
+      .select("user_id", "event_id", "n", "exp_mean", "exp_std")
+      .collect()
+    val gotByKey = got.map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    byUser.foreach { case (u, evs) =>
+      var sc = 0L; var scc = 0L; var n = 0L
+      evs.foreach { e =>
+        val cents = BigDecimal(e._4).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+          .*(100).toLongExact
+        sc += cents; scc += cents * cents; n += 1
+        val r = gotByKey((u, e._3))
+        assert(r.getLong(2) == n)
+        assert(math.abs(r.getDouble(3) - sc.toDouble / n / 100.0) < 1e-12)
+        if (n >= 2) {
+          val v = (BigDecimal(n) * BigDecimal(scc) -
+            BigDecimal(sc) * BigDecimal(sc)).toDouble / (n * (n - 1)) / 1e4
+          assert(math.abs(r.getDouble(4) - math.sqrt(v)) < 1e-9)
+        } else assert(r.isNullAt(4), s"std must be null at n=1 (pandas NaN)")
+      }
+    }
+  }
+
+  test("x26 C4 plants are caught: curly/lorem docs dropped, others mixed") {
+    val got = llm.LlmQueries.x26C4Filters(spark, sf)
+      .select("doc_id", "has_curly", "has_lorem", "doc_keep", "n_kept",
+        "n_lines")
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (id, curly, lorem, keep) =
+        (r.getLong(0), r.getBoolean(1), r.getBoolean(2), r.getBoolean(3))
+      if (id % 13 == 0) assert(curly && !keep, s"doc $id: curly plant")
+      if (id % 23 == 0) assert(lorem && !keep, s"doc $id: lorem plant")
+      if (keep) assert(!curly && !lorem && r.getLong(4) >= 3)
+      assert(r.getLong(4) <= r.getLong(5))
+    }
+    // the line filter must actually drop something and keep something
+    val kept = got.count(_.getBoolean(3))
+    assert(kept > 0 && kept < got.length)
+  }
+}
