@@ -25,7 +25,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "s5_ann_pq", "x11_bm25", "x13_unigram_ppl", "x21_tfidf",
       "x22_bigram_ppl", "t31_cut_qcut", "x24_kl_drift",
       "e7_ann_recall", // composes s1's broadcast brute cross
-      "q62_zorder") // ONE broadcast row of min/max extents rides the scan
+      "q62_zorder", // ONE broadcast row of min/max extents rides the scan
+      "s6_hybrid_rrf") // composes x11's stats-row cross + s1's brute cross
 
   test("no query plan contains a cartesian product") {
     SparkEntry.queries.keys.foreach { name =>
@@ -210,6 +211,32 @@ class PlanAuditSpec extends AnyFunSuite {
       case i => !p.substring(i, scanIdx).contains("HashAggregate")
     }
     assert(!sortAboveScan, s"q60 sorts the fact scan:\n$p")
+  }
+
+  test("q63 interval merge: windows + both folds share ONE user shuffle") {
+    // sweep windows are (user_id)-partitioned; the (user_id, island)
+    // groupBy and the final user_id groupBy are both satisfied by the
+    // same hash partitioning — any second hash exchange means the
+    // single-shuffle claim in SURVEY §2 R63 regressed
+    val p = plan("q63_interval_merge")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges == 1,
+      s"q63 expected exactly 1 hash shuffle, got $hashExchanges:\n$p")
+    assert(!p.contains("Join"), s"q63 grew a join:\n$p")
+  }
+
+  test("t48 expanding: every column rides ONE user window shuffle") {
+    val p = plan("t48_expanding")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges == 1,
+      s"t48 expected exactly 1 window shuffle, got $hashExchanges:\n$p")
+  }
+
+  test("x26 C4 filters are one map pass — no shuffle before the sort") {
+    val p = plan("x26_c4_filters")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"x26 grew a shuffle:\n$p")
+    assert(!p.contains("Join"), s"x26 grew a join:\n$p")
   }
 
   test("x25 weighted sample: xi is map-side; one group-key window shuffle") {
