@@ -1115,30 +1115,20 @@ object Relational {
     * operator (calendar consolidation, uptime stitching, coverage
     * length) that q24/q51 (point gaps) and q49 (grid overlap counts)
     * don't express. Events carry a deterministic duration (60 +
-    * event_id % 600 s, epoch-second integers); an interval opens a new
-    * merged island iff its start exceeds the running max end of ALL
-    * earlier intervals (classic sweep: max-end over unbounded-preceding
-    * lag frame, island id = running sum of the open flags — both
-    * windows and the fold share ONE (user) Exchange+Sort; the island
-    * groupBy re-uses the same hash partitioning, so the whole query is
-    * a single shuffle). Touching intervals (start == prev end) merge.
-    * All arithmetic is exact integer seconds — bit-identical replay. */
+    * event_id % 600 s, epoch-second integers); the sweep lives in
+    * [[graft.operators.Intervals.merge]] — island detection + fold in
+    * ONE user-key shuffle, and the per-user rollup here rides the same
+    * hash partitioning, so the whole query is a single shuffle
+    * (PlanAuditSpec-guarded). Touching intervals (start == prev end)
+    * merge. All arithmetic is exact integer seconds — bit-identical
+    * replay; S16 streams the same operator as an associative fold. */
   def q63IntervalMerge(s: SparkSession, dir: String): DataFrame = {
-    val wOrd = Window.partitionBy("user_id").orderBy("ss", "event_id")
-    val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, -1)
-    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    events(s, dir)
+    val iv = events(s, dir)
       .select(col("user_id"), col("event_id"),
         unix_timestamp(col("ts")).as("ss"))
       .withColumn("ee", col("ss") + lit(60L) + pmod(col("event_id"), lit(600L)))
-      .withColumn("prev_end", max(col("ee")).over(wPrev))
-      .withColumn("opens",
-        when(col("prev_end").isNull || col("ss") > col("prev_end"), 1L)
-          .otherwise(0L))
-      .withColumn("island", sum(col("opens")).over(wCum))
-      .groupBy("user_id", "island")
-      .agg(min(col("ss")).as("m_start"), max(col("ee")).as("m_end"),
-        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("ss"), col("ee"), lit(1L).as("n"))
+    graft.operators.Intervals.merge(iv, "user_id")
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_intervals"),
         sum(col("m_end") - col("m_start")).as("covered_s"),

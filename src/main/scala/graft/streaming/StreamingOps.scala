@@ -427,6 +427,41 @@ object StreamingOps {
       .start()
   }
 
+  /** S16: streaming interval merge — the streaming form of q63.
+    * Interval union is ASSOCIATIVE (merge(merge(A) ∪ B) ==
+    * merge(A ∪ B)) and island event counts fold by addition, so the
+    * maintained state is the merged islands THEMSELVES — one row per
+    * merged interval regardless of how many events it absorbed, never
+    * history-sized (a key streaming 24/7 contiguously holds ONE state
+    * row). Each trigger re-sweeps state ∪ batch through
+    * [[graft.operators.Intervals.merge]] (one key shuffle over
+    * state+batch rows); the emitted islands equal the batch merge over
+    * everything seen (the spec's assertion — the fold is exact, not
+    * approximate-on-merge). Expects (user_id, ss, ee, n) rows. */
+  def streamingIntervalMerge(rows: DataFrame,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    var state: Option[DataFrame] = None
+    rows.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val iv = b.toDF().select(col("user_id"), col("ss"), col("ee"),
+          col("n"))
+        val all = state.map(st => st.select(col("user_id"),
+            col("m_start").as("ss"), col("m_end").as("ee"),
+            col("n_events").as("n")).union(iv))
+          .getOrElse(iv)
+        val next = graft.operators.Intervals.merge(all, "user_id").persist()
+        next.count()
+        state.foreach(_.unpersist())
+        state = Some(next)
+        sink(next)
+        ()
+      }
+      .trigger(trigger)
+      .start()
+  }
+
   /** S9: streaming ingest curation — each arriving micro-batch runs
     * the full curation pipeline (dedup, decontamination, quality,
     * length) INCREMENTALLY against the corpus's precomputed digest

@@ -1,7 +1,7 @@
 package graft
 
 import graft.streaming.StreamingOps
-import org.apache.spark.sql.functions.{coalesce, col, concat, datediff, explode, lit, to_date, when}
+import org.apache.spark.sql.functions.{coalesce, col, concat, datediff, explode, lit, pmod, to_date, unix_timestamp, when}
 import org.apache.spark.sql.streaming.Trigger
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -364,6 +364,46 @@ class StreamingSpec extends AnyFunSuite {
         r.getLong(3), r.getLong(4), r.getLong(5)))
     assert(last.nonEmpty && last.toSet == batch.toSet,
       s"zorder state diverged (${last.length} vs ${batch.length})")
+  }
+
+  test("S16: streaming interval merge folds islands across triggers to match batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val rows = Tables.events(spark, sf)
+      .select(col("user_id"), unix_timestamp(col("ts")).as("ss"),
+        col("event_id"))
+      .limit(800)
+      .select(col("user_id"), col("ss"),
+        (col("ss") + lit(60L) + pmod(col("event_id"), lit(600L))).as("ee"),
+        lit(1L).as("n"))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // split by TIME, not arrival order: a mid-island split exercises
+    // the state row that a later batch must extend
+    val cut = rows.map(_._2).sorted.apply(rows.length / 2)
+    val (first, second) = rows.partition(_._2 <= cut)
+    assert(first.nonEmpty && second.nonEmpty)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, Long)]
+    @volatile var last: Array[(Long, Long, Long, Long)] = Array.empty
+    val q = StreamingOps.streamingIntervalMerge(
+        mem.toDF().toDF("user_id", "ss", "ee", "n"),
+        trigger = Trigger.ProcessingTime(0L)) { d =>
+      last = d.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3)))
+    }
+    mem.addData(first: _*)
+    q.processAllAvailable()
+    mem.addData(second: _*)
+    q.processAllAvailable()
+    q.stop()
+    val batch = graft.operators.Intervals.merge(
+        rows.toDF("user_id", "ss", "ee", "n"), "user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3)))
+    assert(last.nonEmpty && last.toSet == batch.toSet,
+      s"interval state diverged (${last.length} vs ${batch.length})")
+    // state really is island-sized: strictly fewer rows than events
+    assert(last.length < rows.length)
   }
 
   test("S2: streaming dedup emits each event_id once") {
