@@ -622,6 +622,20 @@ object LlmQueries {
         col("dist"))
       .orderBy("vec_id")
 
+  // ---- L65: cluster quality — simplified silhouette ------------------------
+  /** Per-cluster simplified silhouette over e3's exact k-means fit
+    * ([[graft.operators.Clustering.silhouetteSimplified]]) — the
+    * cluster-quality read every corpus-structuring pipeline needs
+    * before trusting its buckets. O(n·k) map-only read (the exact
+    * O(n²) pairwise silhouette is the documented small-data twin);
+    * oracle replays the identical Lloyd chain (e3's proven CTEs) plus
+    * the rank-1/rank-2 centroid distances and the same decimal-exact
+    * cluster means. */
+  def e9Silhouette(s: SparkSession, dir: String): DataFrame =
+    Clustering.silhouetteSimplified(t(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 8, iters = 3)
+      .orderBy("cluster")
+
   // ---- L30: embedding outlier detection ------------------------------------
   /** Cosine of each vector to its own label's (rounded) centroid;
     * `is_outlier` = anti-correlated with the cluster (cos < 0). */
@@ -966,6 +980,7 @@ object LlmQueries {
     "x20_bpe_train" -> x20BpeTrain _,
     "d10_semantic_dedup" -> d10SemanticDedup _,
     "e3_kmeans" -> e3Kmeans _,
+    "e9_silhouette" -> e9Silhouette _,
     "e4_covariance" -> e4Covariance _,
     "e8_corr_matrix" -> e8CorrMatrix _,
     "x9_source_quota" -> x9SourceQuota _,
@@ -1401,8 +1416,11 @@ object LlmQueries {
        |  FROM $prev p LEFT JOIN $m m ON m.cell = p.cid)""".stripMargin
   }
 
-  private val e3OracleSql: String =
-    s"""WITH emb AS (SELECT vec_id,
+  /** The shared Lloyd replay (emb → dims → c0 → c1..c3) — e3's proven
+    * fit chain, reused by the e9 silhouette oracle so the quality read
+    * certifies against the SAME centroids. */
+  private val e3CtesSql: String =
+    s"""emb AS (SELECT vec_id,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings),
        |dims AS (SELECT UNNEST(range(1, 65)) AS dim),
@@ -1410,7 +1428,10 @@ object LlmQueries {
        |      vec_id) - 1 AS cid, v AS cv
        |  FROM (SELECT vec_id, v FROM emb
        |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8) t),
-       |${(1 to 3).map(e3IterSql).mkString(",\n")},
+       |${(1 to 3).map(e3IterSql).mkString(",\n")}""".stripMargin
+
+  private val e3OracleSql: String =
+    s"""WITH $e3CtesSql,
        |fin AS (SELECT vec_id, cid AS cluster, d, ipvv FROM (
        |    SELECT e.vec_id, c.cid,
        |      list_inner_product(c.cv, c.cv) -
@@ -1423,6 +1444,33 @@ object LlmQueries {
        |SELECT vec_id, cluster,
        |  ROUND(sqrt(GREATEST(0.0, d + ipvv)), 6) AS dist
        |FROM fin ORDER BY vec_id""".stripMargin
+
+  /** e9 oracle: e3's Lloyd chain + every (vector, centroid) distance
+    * ranked (d asc, cid asc); rank 1 = own cluster, rank 2 = nearest
+    * other; identical silhouette arithmetic and decimal-exact means. */
+  private val e9OracleSql: String =
+    s"""WITH $e3CtesSql,
+       |ds AS (SELECT e.vec_id, c.cid,
+       |    list_inner_product(c.cv, c.cv) -
+       |      2 * list_inner_product(e.v, c.cv) AS d,
+       |    list_inner_product(e.v, e.v) AS ipvv,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+       |      list_inner_product(c.cv, c.cv) -
+       |      2 * list_inner_product(e.v, c.cv) ASC, c.cid ASC) AS rn
+       |  FROM emb e CROSS JOIN c3 c),
+       |ab AS (SELECT o.vec_id, o.cid AS cluster,
+       |    sqrt(GREATEST(0.0, o.d + o.ipvv)) AS a,
+       |    sqrt(GREATEST(0.0, s.d + s.ipvv)) AS b
+       |  FROM (SELECT * FROM ds WHERE rn = 1) o
+       |  JOIN (SELECT * FROM ds WHERE rn = 2) s ON o.vec_id = s.vec_id),
+       |sv AS (SELECT cluster,
+       |    ROUND(CASE WHEN GREATEST(a, b) = 0 THEN 0.0
+       |          ELSE (b - a) / GREATEST(a, b) END, 6) AS sil
+       |  FROM ab)
+       |SELECT cluster, COUNT(*) AS n,
+       |  CAST(SUM(CAST(sil AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*)
+       |    AS mean_sil
+       |FROM sv GROUP BY cluster ORDER BY cluster""".stripMargin
 
   /** p1 oracle body (shared with p2, which filters to batch ids). */
   private val p1OracleSql: String =
@@ -1617,6 +1665,7 @@ object LlmQueries {
     "s2_ann_lsh" -> s2OracleSql,
     "e2_random_projection" -> e2OracleSql,
     "e3_kmeans" -> e3OracleSql,
+    "e9_silhouette" -> e9OracleSql,
     "e5_pca_project" -> e5OracleSql,
     "x20_bpe_train" -> x20OracleSql,
     "x23_bpe_encode" -> x23OracleSql,

@@ -30,38 +30,30 @@ import org.apache.spark.sql.functions._
   * documented scale-up swap for the deterministic sample init. */
 object Clustering {
 
-  /** Runs `iters` Lloyd iterations and returns the final assignment:
-    * (id, cluster, dist) with dist = euclidean distance to the final
-    * centroid, rounded to 6 decimals. */
-  def kmeansAssign(df: DataFrame, idCol: String, vecCol: String,
-      k: Int = 8, iters: Int = 3): DataFrame = {
-    // persisted for the driver loop (init collect + one aggregate per
-    // iteration would otherwise each re-scan and re-cast the source);
-    // released before returning — the final assignment recomputes from
-    // the scan once, lazily, so no cache outlives the call
-    val v = df.select(col(idCol).cast("long").as("id"),
-      col(vecCol).cast("array<double>").as("v")).persist()
+  // rank column for the current centroids: fused argmin over
+  // (d, cid) — d = ip(c,c) − 2·ip(v,c), ipcc summed driver-side
+  // left-to-right (same IEEE sequence as the oracle's
+  // list_inner_product). Centroids are codegen REFERENCE objects
+  // (expressions.NearestCentroidEuclid), so the generated source —
+  // and its Janino compile — is shared across all iterations.
+  private def ranked(cs: Array[(Int, Array[Double])]): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val ipccs = cs.map { case (_, cv) => VectorOps.selfDot(cv) }
+    ColumnBridge.column(graft.expressions.NearestCentroidEuclid(
+      ColumnBridge.expression(col("v")),
+      cs.map(_._2), cs.map(_._1.toLong), ipccs))
+  }
 
+  /** The Lloyd fit over a pre-cast, persisted (id, v) frame — the
+    * model-state producer shared by [[kmeansAssign]] (assignment read)
+    * and [[silhouetteSimplified]] (quality read). */
+  private def fitCentroids(v: DataFrame, k: Int,
+      iters: Int): Array[(Int, Array[Double])] = {
     // init: md5-order deterministic sample, cid = position in that order
     var cents: Array[(Int, Array[Double])] =
       v.orderBy(md5(col("id").cast("string")), col("id"))
         .limit(k).collect()
         .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](1).toArray) }
-
-    // rank column for the current centroids: fused argmin over
-    // (d, cid) — d = ip(c,c) − 2·ip(v,c), ipcc summed driver-side
-    // left-to-right (same IEEE sequence as the oracle's
-    // list_inner_product). Centroids are codegen REFERENCE objects
-    // (expressions.NearestCentroidEuclid), so the generated source —
-    // and its Janino compile — is shared across all iterations.
-    def ranked(cs: Array[(Int, Array[Double])]): Column = {
-      import org.apache.spark.sql.graft.ColumnBridge
-      val ipccs = cs.map { case (_, cv) => VectorOps.selfDot(cv) }
-      ColumnBridge.column(graft.expressions.NearestCentroidEuclid(
-        ColumnBridge.expression(col("v")),
-        cs.map(_._2), cs.map(_._1.toLong), ipccs))
-    }
-
     for (_ <- 1 to iters) {
       val means = v.withColumn("cell",
           element_at(ranked(cents), 2).cast("int"))
@@ -72,12 +64,80 @@ object Clustering {
         .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
       cents = cents.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
     }
+    cents
+  }
 
+  private def castVecs(df: DataFrame, idCol: String,
+      vecCol: String): DataFrame =
+    df.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+
+  /** Runs `iters` Lloyd iterations and returns the final assignment:
+    * (id, cluster, dist) with dist = euclidean distance to the final
+    * centroid, rounded to 6 decimals. */
+  def kmeansAssign(df: DataFrame, idCol: String, vecCol: String,
+      k: Int = 8, iters: Int = 3): DataFrame = {
+    // persisted for the driver loop (init collect + one aggregate per
+    // iteration would otherwise each re-scan and re-cast the source);
+    // released before returning — the final assignment recomputes from
+    // the scan once, lazily, so no cache outlives the call
+    val v = castVecs(df, idCol, vecCol).persist()
+    val cents = fitCentroids(v, k, iters)
     val win = ranked(cents)
     val out = v.select(col("id"), element_at(win, 2).cast("int").as("cluster"),
         round(sqrt(greatest(lit(0.0),
           element_at(win, 1) + VectorOps.dot(col("v"), col("v")))), 6)
           .as("dist"))
+    v.unpersist()
+    out
+  }
+
+  /** Simplified (centroid-based) silhouette per cluster — the O(n·k)
+    * cluster-quality read (Hruschka et al. 2004; sklearn's exact
+    * silhouette is O(n²) pairwise and does not scale): a(i) = distance
+    * to OWN (nearest) centroid, b(i) = distance to the nearest OTHER
+    * centroid, s(i) = (b−a)/max(a,b) (0 when both are 0 — the point IS
+    * a centroid of two coincident cells). Returns per-cluster
+    * (cluster, n, mean_sil); mean_sil ∈ [−1, 1], higher = tighter,
+    * better-separated cluster.
+    *
+    * Scale shape: the fit is [[fitCentroids]] (map pass + k-row
+    * shuffle per iteration); the quality read is ONE map-only pass —
+    * per row a k-element literal-centroid struct array sorted by
+    * (d, cid) gives own (rank 1) and nearest-other (rank 2) in a
+    * single evaluation — plus one k-group aggregate. Per-row s rounds
+    * to 6 dp and sums as DECIMAL(20,6) so the cluster means are exact
+    * at any partitioning; the division to the mean is one double op,
+    * IEEE-identical in the oracle. */
+  def silhouetteSimplified(df: DataFrame, idCol: String, vecCol: String,
+      k: Int = 8, iters: Int = 3): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val v = castVecs(df, idCol, vecCol).persist()
+    val cents = fitCentroids(v, k, iters)
+    // full (d, cid) array — unlike the argmin-only NearestCentroid
+    // expression, the quality read needs rank 2 as well; k structs of
+    // literal centroids, sorted lexicographically = (d asc, cid asc)
+    val dArr = array_sort(array(cents.map { case (cid, cv) =>
+      struct(
+        (lit(VectorOps.selfDot(cv)) -
+          VectorOps.dot(col("v"), array(cv.map(lit(_)): _*)) * 2.0).as("d"),
+        lit(cid.toLong).as("cid"))
+    }: _*))
+    val ipvv = VectorOps.dot(col("v"), col("v"))
+    val out = v
+      .withColumn("ds", dArr)
+      .select(col("id"),
+        col("ds")(0).getField("cid").as("cluster"),
+        sqrt(greatest(lit(0.0), col("ds")(0).getField("d") + ipvv)).as("a"),
+        sqrt(greatest(lit(0.0), col("ds")(1).getField("d") + ipvv)).as("b"))
+      .select(col("cluster"),
+        round(when(greatest(col("a"), col("b")) === 0.0, 0.0)
+          .otherwise((col("b") - col("a")) / greatest(col("a"), col("b"))), 6)
+          .as("sil"))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n"),
+        (sum(col("sil").cast(DecimalType(20, 6))).cast("double") /
+          count(lit(1))).as("mean_sil"))
     v.unpersist()
     out
   }

@@ -42,4 +42,27 @@ class KMeansSpec extends AnyFunSuite {
       .as[(Long, Int, Double)].collect().sortBy(_._1).toSeq
     assert(a == b)
   }
+
+  test("silhouette: tight separated blobs score near 1; range is [-1, 1]") {
+    val df = blobs.toDF("id", "vec")
+    val sil = Clustering.silhouetteSimplified(df, "id", "vec",
+        k = 3, iters = 2)
+      .as[(Long, Long, Double)].collect()
+    // every blob member sits ~0.01 from its own centroid and ~2√2 from
+    // the others → simplified silhouette ≈ 1 for every cluster
+    assert(sil.length == 3)
+    assert(sil.map(_._2).sum == 30)
+    sil.foreach { case (c, n, s) =>
+      assert(s >= -1.0 && s <= 1.0, s"cluster $c out of range: $s")
+      assert(s > 0.95, s"cluster $c should be near-perfect, got $s")
+    }
+    // a deliberately over-split k (6 > 3 true blobs) must score lower
+    // somewhere: splitting a tight blob puts its halves' centroids
+    // closer to each other than the blob radius
+    val over = Clustering.silhouetteSimplified(df, "id", "vec",
+        k = 6, iters = 2)
+      .as[(Long, Long, Double)].collect()
+    assert(over.map(_._3).min < sil.map(_._3).min,
+      "over-clustering should hurt the worst cluster's silhouette")
+  }
 }
