@@ -938,9 +938,47 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  // ---- P3: build a training shard (curate → quota → pack) ------------------
+  /** The end-to-end shard builder — the composition a pretraining data
+    * job actually ships: p1's full curation verdicts (dedup +
+    * decontamination + quality + length) → per-source quota (12 kept
+    * docs per source, the x9 md5-order operator) → greedy sequence
+    * packing into 512-token bins (the x12 operator) → per-bin shard
+    * manifest (doc count, fill, waste, md5 of the doc-id order). Every
+    * stage is the already-proven operator; the oracle composes their
+    * proven replays, so a hash match certifies the whole pipeline
+    * end to end. Scale shape: verdicts and quota are the proven
+    * shapes; packing state is one (fill, bin) pair per source; the
+    * manifest aggregate touches only selected rows. */
+  def p3BuildShard(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val corpus = withCopies(docs, perturb = false)
+    val kept = Curation.curate(corpus, docs.filter(col("doc_id") < 20),
+        "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+      .filter(col("keep"))
+      .select(col("doc_id"), col("n_tokens").cast("int").as("n_tok"))
+    val base = kept.join(corpus.select("doc_id", "source"), Seq("doc_id"))
+    val sel = base.join(
+      Sampling.groupQuota(base, "source", "doc_id", n = 12)
+        .select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    Packing.packGreedy(sel, "doc_id", "source", "n_tok", capacity = 512)
+      .groupBy(col("grp").as("source"), col("bin_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("fill"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("bin_pos"), col("id")))),
+          x => x.getField("id").cast("string")), ",")).as("ids_md5"))
+      .withColumn("waste", greatest(lit(512L) - col("fill"), lit(0L)))
+      .select("source", "bin_id", "n_docs", "fill", "waste", "ids_md5")
+      .orderBy("source", "bin_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_curate" -> p1Curate _,
     "p2_curate_incremental" -> p2CurateIncremental _,
+    "p3_build_shard" -> p3BuildShard _,
     "d1_exact_dedup" -> d1ExactDedup _,
     "d2_minhash_lsh" -> d2MinhashLsh _,
     "d3_simhash" -> d3Simhash _,
@@ -1512,7 +1550,48 @@ object LlmQueries {
       |FROM dupv v LEFT JOIN hits h USING (doc_id) JOIN q USING (doc_id)
       |ORDER BY v.doc_id""".stripMargin
 
+  /** p3 oracle: p1's proven verdict replay nested as a CTE, x9's quota
+    * ranking, x12's recursive greedy-packing replay at capacity 512,
+    * and the same manifest fold — the full shard build certified by
+    * composition of proven parts. */
+  private val p3OracleSql: String =
+    s"""WITH RECURSIVE keepset AS (
+       |$p1OracleSql
+       |),
+       |corp AS (SELECT doc_id, source FROM documents
+       |  UNION ALL SELECT doc_id + 1000000, source FROM documents),
+       |pbase AS (SELECT k.doc_id, c.source, CAST(k.n_tokens AS INT) AS n_tok
+       |  FROM keepset k JOIN corp c ON c.doc_id = k.doc_id WHERE k.keep),
+       |q AS (SELECT doc_id FROM (
+       |    SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY source
+       |      ORDER BY CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS DOUBLE) ASC,
+       |        doc_id ASC) AS rk
+       |    FROM pbase) t WHERE rk <= 12),
+       |sel AS (SELECT b.doc_id, b.source, b.n_tok,
+       |    CAST(row_number() OVER (PARTITION BY b.source
+       |      ORDER BY b.doc_id) AS INT) AS rn
+       |  FROM pbase b JOIN q USING (doc_id)),
+       |rec AS (
+       |  SELECT source, doc_id, n_tok, rn, CAST(0 AS BIGINT) AS bin_id,
+       |    n_tok AS fill, CAST(0 AS INT) AS bin_pos
+       |  FROM sel WHERE rn = 1
+       |  UNION ALL
+       |  SELECT b.source, b.doc_id, b.n_tok, b.rn,
+       |    CAST(CASE WHEN r.fill + b.n_tok <= 512 THEN r.bin_id
+       |      ELSE r.bin_id + 1 END AS BIGINT),
+       |    CAST(CASE WHEN r.fill + b.n_tok <= 512 THEN r.fill + b.n_tok
+       |      ELSE b.n_tok END AS INT),
+       |    CAST(CASE WHEN r.fill + b.n_tok <= 512 THEN r.bin_pos + 1
+       |      ELSE 0 END AS INT)
+       |  FROM rec r JOIN sel b ON b.source = r.source AND b.rn = r.rn + 1)
+       |SELECT source, bin_id, COUNT(*) AS n_docs,
+       |  SUM(n_tok) AS fill, GREATEST(512 - SUM(n_tok), 0) AS waste,
+       |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY bin_pos))
+       |    AS ids_md5
+       |FROM rec GROUP BY source, bin_id ORDER BY source, bin_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "p3_build_shard" -> p3OracleSql,
     // m4: marker-walk results recomputed arithmetically — fixed chain
     // is 55 bytes (SOI 2 + APP0 18 + SOF0 19 + SOS 14 + EOI 2), DQT
     // adds 69 on even ids; 2 or 3 segments before the scan
