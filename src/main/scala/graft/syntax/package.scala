@@ -291,5 +291,23 @@ package object syntax {
       * form), one aggregation pass. */
     def dimCorrelation(vecCol: String, dim: Int): DataFrame =
       operators.EmbedStats.dimCorrelation(df, vecCol, dim)
+
+    /** Merge overlapping/touching intervals per key: expects
+      * (keyCol, ss, ee, n) rows, returns one row per merged island
+      * (see [[graft.operators.Intervals]]; single-shuffle sweep). */
+    def mergeIntervals(keyCol: String = "user_id"): DataFrame =
+      operators.Intervals.merge(df, keyCol)
+
+    /** Per-cluster simplified silhouette (cluster-quality read) over
+      * the same deterministic Lloyd fit as [[kmeans]]. */
+    def silhouette(idCol: String, vecCol: String, k: Int = 8,
+        iters: Int = 3): DataFrame =
+      operators.Clustering.silhouetteSimplified(df, idCol, vecCol, k, iters)
+
+    /** Fuse this (id, rk) ranking with `other` by Reciprocal Rank
+      * Fusion (hybrid search; see [[graft.operators.Retrieval.rrfFuse]]). */
+    def rrfFuseWith(other: DataFrame, kRrf: Int = 60,
+        topK: Int = 10): DataFrame =
+      operators.Retrieval.rrfFuse(df, other, kRrf, topK)
   }
 }

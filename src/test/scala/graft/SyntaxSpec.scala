@@ -261,6 +261,24 @@ class VectorOpsExtraSpec extends org.scalatest.funsuite.AnyFunSuite {
       .head().getLong(0) == 3L)
   }
 
+  test("interval / silhouette / rrf verbs delegate to their operators") {
+    import spark.implicits._
+    // [0,10] ∪ [5,20] merge; [30,40] stands alone
+    val iv = Seq((1L, 0L, 10L, 1L), (1L, 5L, 20L, 1L), (1L, 30L, 40L, 1L))
+      .toDF("user_id", "ss", "ee", "n")
+    val merged = iv.mergeIntervals().orderBy("m_start")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(merged.toSeq == Seq((1L, 0L, 20L, 2L), (1L, 30L, 40L, 1L)))
+    val vecs = (0 until 12).map(i =>
+      (i.toLong, Array.fill(4)(0.0f).updated(i % 2, 3.0f + 0.01f * i)))
+      .toDF("id", "vec")
+    val sil = vecs.silhouette("id", "vec", k = 2, iters = 2).collect()
+    assert(sil.length == 2 && sil.map(_.getLong(1)).sum == 12)
+    val fused = Seq((10L, 1)).toDF("id", "rk")
+      .rrfFuseWith(Seq((11L, 1)).toDF("id", "rk"), topK = 2)
+    assert(fused.count() == 2)
+  }
+
   test("sketch and vector aggregates callable from SQL") {
     GraftExtensions.register(spark)
     spark.range(0, 5000).toDF("v").createOrReplaceTempView("nums")
