@@ -462,6 +462,48 @@ object StreamingOps {
       .start()
   }
 
+  /** S17: streaming per-group top-k — the streaming form of q44's
+    * mergeable bounded-heap TopKAgg. The heap is a SEMIGROUP (merge of
+    * two k-cuts = k-cut of the union, because any element outside both
+    * k-cuts is beaten by ≥ k elements in its own cut alone), so the
+    * maintained state is exactly one k-list per group, and each
+    * trigger costs one map-side-combined TopKAgg over the batch plus a
+    * (2k per group)-row re-cut of state ∪ partial — never
+    * history-sized. The emitted leaderboard equals the batch top-k
+    * over everything seen (the spec's assertion; ties break id asc
+    * inside TopKAgg on both paths). Expects (g, score, id) rows. */
+  def streamingTopK(rows: DataFrame, k: Int,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    def topk(df: DataFrame): DataFrame = {
+      val tk = ColumnBridge.column(graft.expressions.TopKAgg(
+        ColumnBridge.expression(col("score")),
+        ColumnBridge.expression(col("id")), k).toAggregateExpression())
+      df.groupBy("g").agg(tk.as("tk"))
+        .select(col("g"), posexplode(col("tk")).as(Seq("pos", "e")))
+        .select(col("g"), col("e.id").as("id"),
+          col("e.score").as("score"), (col("pos") + 1).cast("int").as("rk"))
+    }
+    var state: Option[DataFrame] = None
+    rows.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val batchCut = b.toDF().select(col("g"), col("score"), col("id"))
+        val all = state.map(st =>
+            st.select(col("g"), col("score"), col("id")).union(batchCut))
+          .getOrElse(batchCut)
+        val next = topk(all).persist()
+        next.count()
+        state.foreach(_.unpersist())
+        state = Some(next)
+        sink(next)
+        ()
+      }
+      .trigger(trigger)
+      .start()
+  }
+
   /** S9: streaming ingest curation — each arriving micro-batch runs
     * the full curation pipeline (dedup, decontamination, quality,
     * length) INCREMENTALLY against the corpus's precomputed digest

@@ -1,7 +1,7 @@
 package graft
 
 import graft.streaming.StreamingOps
-import org.apache.spark.sql.functions.{coalesce, col, concat, datediff, explode, lit, pmod, to_date, unix_timestamp, when}
+import org.apache.spark.sql.functions.{coalesce, col, concat, datediff, explode, lit, pmod, posexplode, to_date, unix_timestamp, when}
 import org.apache.spark.sql.streaming.Trigger
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -404,6 +404,44 @@ class StreamingSpec extends AnyFunSuite {
       s"interval state diverged (${last.length} vs ${batch.length})")
     // state really is island-sized: strictly fewer rows than events
     assert(last.length < rows.length)
+  }
+
+  test("S17: streaming top-k heap fold across triggers matches batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val rows = Tables.t(spark, sf, "orders")
+      .select(col("o_custkey"), col("o_totalprice"), col("o_orderkey"))
+      .limit(600).as[(Long, Double, Long)].collect().toSeq
+    // split by ORDER KEY so later triggers carry both displacing and
+    // non-displacing scores for already-populated heaps
+    val (first, second) = rows.partition(_._3 % 2 == 0)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Double, Long)]
+    @volatile var last: Array[(Long, Long, Double, Int)] = Array.empty
+    val q = StreamingOps.streamingTopK(
+        mem.toDF().toDF("g", "score", "id"), k = 3,
+        trigger = Trigger.ProcessingTime(0L)) { d =>
+      last = d.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getInt(3)))
+    }
+    mem.addData(first: _*)
+    q.processAllAvailable()
+    mem.addData(second: _*)
+    q.processAllAvailable()
+    q.stop()
+    // batch twin: q44's exact shape over everything seen
+    import org.apache.spark.sql.graft.ColumnBridge
+    val tk = ColumnBridge.column(graft.expressions.TopKAgg(
+      ColumnBridge.expression(col("score")),
+      ColumnBridge.expression(col("id")), 3).toAggregateExpression())
+    val batch = rows.toDF("g", "score", "id")
+      .groupBy("g").agg(tk.as("tk"))
+      .select(col("g"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("g"), col("e.id"), col("e.score"),
+        (col("pos") + 1).cast("int"))
+      .as[(Long, Long, Double, Int)].collect()
+    assert(last.nonEmpty && last.toSet == batch.toSet,
+      s"top-k state diverged (${last.length} vs ${batch.length})")
   }
 
   test("S2: streaming dedup emits each event_id once") {
