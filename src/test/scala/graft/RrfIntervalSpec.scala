@@ -81,6 +81,27 @@ class RrfIntervalSpec extends AnyFunSuite {
     }
   }
 
+  test("Intervals.merge is associative: fold of any split == batch merge") {
+    // the S16 contract, exercised across seeded random splits of a
+    // fixture rich in touching/overlapping/contained intervals
+    val rnd = new scala.util.Random(7)
+    val iv = (0 until 120).map { i =>
+      val user = i % 5L
+      val ss = rnd.nextInt(500).toLong
+      (user, ss, ss + 1 + rnd.nextInt(60), 1L)
+    }
+    def mergeDf(rows: Seq[(Long, Long, Long, Long)]) =
+      operators.Intervals.merge(rows.toDF("user_id", "ss", "ee", "n"))
+        .as[(Long, Long, Long, Long)].collect().toSet
+    val whole = mergeDf(iv)
+    for (trial <- 0 until 3) {
+      val (a, b) = iv.partition(_ => rnd.nextBoolean())
+      // fold: merge(A) re-entered as intervals, union B, merge again
+      val foldInput = mergeDf(a).toSeq.map(m => (m._1, m._2, m._3, m._4)) ++ b
+      assert(mergeDf(foldInput) == whole, s"split $trial diverged")
+    }
+  }
+
   test("x26 C4 plants are caught: curly/lorem docs dropped, others mixed") {
     val got = llm.LlmQueries.x26C4Filters(spark, sf)
       .select("doc_id", "has_curly", "has_lorem", "doc_keep", "n_kept",
