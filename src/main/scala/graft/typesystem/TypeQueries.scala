@@ -1005,6 +1005,53 @@ object TypeQueries {
       .orderBy("col_name")
   }
 
+  // ---- T49: rolling correlation / covariance -------------------------------
+  /** pandas `rolling(3, min_periods=3).cov(other)` / `.corr(other)`
+    * (ddof=1) per user in event-time order, between `value` and a
+    * second per-event series (`length(props)` — the natural companion
+    * metric on events). The t45 discipline: the 3-row frame is spelled
+    * as explicit lags so every accumulation is a PINNED left-to-right
+    * IEEE sequence (window-SUM internal order is an engine choice);
+    * warm-up rows (any null lag) are null exactly like pandas NaN, and
+    * a zero-variance window yields null corr (pandas NaN). Zero
+    * variance is detected as the EXACT all-equal window (the only way
+    * variance can vanish), not via a float threshold: a float clamp
+    * under the sqrt would turn an ulp-negative variance into a 0
+    * divisor — ANSI division-by-zero on Spark, inf on DuckDB (the t34
+    * crash class); any non-constant window's variance is ≥ ~1e-4
+    * (values are 2-dp, lengths integral), far above ulp noise. One
+    * partition-key shuffle serves all six lag columns. */
+  def t49RollingCorr(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("es", "event_id")
+    val sx = col("x") + col("x1") + col("x2")
+    val sy = col("y") + col("y1") + col("y2")
+    val sxy = col("x") * col("y") + col("x1") * col("y1") +
+      col("x2") * col("y2")
+    val sxx = col("x") * col("x") + col("x1") * col("x1") +
+      col("x2") * col("x2")
+    val syy = col("y") * col("y") + col("y1") * col("y1") +
+      col("y2") * col("y2")
+    val cov = (sxy - sx * sy / lit(3.0)) / lit(2.0)
+    val varx = sxx - sx * sx / lit(3.0)
+    val vary = syy - sy * sy / lit(3.0)
+    val xConst = col("x") === col("x1") && col("x1") === col("x2")
+    val yConst = col("y") === col("y1") && col("y1") === col("y2")
+    events(s, dir)
+      .select(col("user_id"), unix_timestamp(col("ts")).as("es"),
+        col("event_id"), col("value").as("x"),
+        length(col("props")).cast(DoubleType).as("y"))
+      .withColumn("x1", lag("x", 1).over(w))
+      .withColumn("x2", lag("x", 2).over(w))
+      .withColumn("y1", lag("y", 1).over(w))
+      .withColumn("y2", lag("y", 2).over(w))
+      .select(col("user_id"), col("es"), col("event_id"),
+        when(col("x2").isNull, lit(null)).otherwise(cov).as("roll_cov"),
+        when(col("x2").isNull || xConst || yConst, lit(null))
+          .otherwise((sxy - sx * sy / lit(3.0)) / sqrt(varx * vary))
+          .as("roll_corr"))
+      .orderBy("user_id", "es", "event_id")
+  }
+
   // ---- T48: expanding-window accessor --------------------------------------
   /** pandas `expanding()` accessor per user in event-time order —
     * expanding count / sum / mean / max / std(ddof=1), the
@@ -1047,6 +1094,7 @@ object TypeQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t49_rolling_corr" -> t49RollingCorr _,
     "t48_expanding" -> t48Expanding _,
     "t47_union_typecheck" -> t47UnionTypecheck _,
     "t46_sparse_categorical" -> t46SparseCategorical _,
@@ -1200,6 +1248,30 @@ object TypeQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // t49: identical explicit-lag frames and the identical pinned IEEE
+    // sequence; constant-window corr = NULL on both engines (exact
+    // all-equal test, no float threshold); no rounding anywhere
+    "t49_rolling_corr" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |    CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS es,
+        |    value AS x, CAST(length(props) AS DOUBLE) AS y
+        |  FROM events),
+        |l AS (SELECT user_id, es, event_id, x, y,
+        |    LAG(x, 1) OVER w AS x1, LAG(x, 2) OVER w AS x2,
+        |    LAG(y, 1) OVER w AS y1, LAG(y, 2) OVER w AS y2
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id))
+        |SELECT user_id, es, event_id,
+        |  CASE WHEN x2 IS NULL THEN NULL ELSE
+        |    ((x*y + x1*y1 + x2*y2) - (x+x1+x2) * (y+y1+y2) / 3.0) / 2.0
+        |  END AS roll_cov,
+        |  CASE WHEN x2 IS NULL OR (x = x1 AND x1 = x2)
+        |      OR (y = y1 AND y1 = y2) THEN NULL ELSE
+        |    ((x*y + x1*y1 + x2*y2) - (x+x1+x2) * (y+y1+y2) / 3.0) /
+        |    sqrt(((x*x + x1*x1 + x2*x2) - (x+x1+x2) * (x+x1+x2) / 3.0) *
+        |         ((y*y + y1*y1 + y2*y2) - (y+y1+y2) * (y+y1+y2) / 3.0))
+        |  END AS roll_corr
+        |FROM l ORDER BY user_id, es, event_id""".stripMargin,
     // t48: identical integer-cents moments (exact at any accumulation
     // order) + the identical pinned division sequence; no rounding
     "t48_expanding" ->

@@ -102,6 +102,43 @@ class RrfIntervalSpec extends AnyFunSuite {
     }
   }
 
+  test("t49 rolling corr: warm-up and constant windows null; values match brute") {
+    val got = typesystem.TypeQueries.t49RollingCorr(spark, sf)
+      .select("user_id", "event_id", "roll_cov", "roll_corr")
+      .collect()
+    assert(got.length > 100)
+    // corr ∈ [-1, 1] (+float slop) wherever defined; cov defined from
+    // the 3rd row of each user on
+    val defined = got.filter(!_.isNullAt(3))
+    assert(defined.nonEmpty)
+    defined.foreach { r =>
+      val c = r.getDouble(3)
+      assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9,
+        s"corr out of range: $c @ ${r.getLong(1)}")
+    }
+    // brute-check a sample of rows against direct recomputation
+    val rows = Tables.events(spark, sf)
+      .select(col("user_id"), unix_timestamp(col("ts")).as("es"),
+        col("event_id"), col("value"),
+        length(col("props")).cast("double").as("y"))
+      .as[(Long, Long, Long, Double, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(e => (e._2, e._3))).toMap
+    val gotByKey = got.map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    rows.take(20).foreach { case (u, evs) =>
+      evs.sliding(3).filter(_.length == 3).foreach { tri =>
+          val Array(a, b, c0) = tri
+          val (x2, x1, x) = (a._4, b._4, c0._4)
+          val (y2, y1, y) = (a._5, b._5, c0._5)
+          val r = gotByKey((u, c0._3))
+          val cov = ((x * y + x1 * y1 + x2 * y2) -
+            (x + x1 + x2) * (y + y1 + y2) / 3.0) / 2.0
+          assert(math.abs(r.getDouble(2) - cov) < 1e-9, s"cov @ ${c0._3}")
+          if (x == x1 && x1 == x2 || y == y1 && y1 == y2)
+            assert(r.isNullAt(3), s"constant window must null corr @ ${c0._3}")
+      }
+    }
+  }
+
   test("x26 C4 plants are caught: curly/lorem docs dropped, others mixed") {
     val got = llm.LlmQueries.x26C4Filters(spark, sf)
       .select("doc_id", "has_curly", "has_lorem", "doc_keep", "n_kept",
