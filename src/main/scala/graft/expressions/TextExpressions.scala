@@ -352,6 +352,33 @@ case class DsirGramBuckets(child: Expression, buckets: Int)
     copy(child = newChild)
 }
 
+/** Bottom-k (KMV) sketch of the character n-grams of a string: the k
+  * smallest DISTINCT 60-bit md5-prefix gram hashes, sorted ascending,
+  * in one compiled pass. Gram spans are code points (SQL substr
+  * semantics, like [[CharGramHashes]]); strings shorter than n yield
+  * the single whole-string gram. md5-prefix (not xxhash64) so every
+  * sketch value replays in DuckDB as
+  * `CAST('0x' || substr(md5(substr(nt, i, n)), 1, 15) AS BIGINT)`.
+  * The sketch is MERGEABLE (bottom-k of a union = bottom-k of the
+  * merged bottom-ks) — the constant-size per-doc state the KMV
+  * Jaccard estimate (Beyer et al., SIGMOD 2007) compares in O(k). */
+case class CharGramKmv(child: Expression, n: Int, k: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_char_gram_kmv"
+
+  override def nullSafeEval(v: Any): Any =
+    ShingleMinMd5.charGramKmv(v.asInstanceOf[UTF8String], n, k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.ShingleMinMd5.charGramKmv($c, $n, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): CharGramKmv =
+    copy(child = newChild)
+}
+
 object ShingleMinMd5 {
 
   private val mdLocal: ThreadLocal[MessageDigest] =
@@ -396,6 +423,58 @@ object ShingleMinMd5 {
       out(ntok + i) = bucketOf(tokStart(i), tokEnd(i + 1))
       i += 1
     }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** See [[CharGramKmv]]: bottom-k distinct 60-bit md5 gram hashes,
+    * sorted ascending. Sorted-insert into a k-slot buffer — O(len·k)
+    * worst case with k a small constant; duplicates (repeated grams)
+    * are skipped at insert, so the sketch is over the gram SET. */
+  def charGramKmv(s: UTF8String, n: Int, k: Int)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val str = s.toString
+    val len = str.length
+    var ncp = 0
+    var i = 0
+    while (i < len) { ncp += 1; i += Character.charCount(str.codePointAt(i)) }
+    val st = new Array[Int](ncp + 1)
+    i = 0
+    var c = 0
+    while (i < len) { st(c) = i; c += 1; i += Character.charCount(str.codePointAt(i)) }
+    st(ncp) = len
+    val count = math.max(ncp - n + 1, 1)
+    val md = mdLocal.get()
+    val buf = new Array[Long](k)
+    var m = 0
+    var g = 0
+    while (g < count) {
+      val bytes = str.substring(st(g), st(math.min(g + n, ncp)))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      md.reset()
+      md.update(bytes)
+      val d = md.digest()
+      var v = 0L
+      var b = 0
+      while (b < 8) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
+      v = v >>> 4
+      if (m < k || v < buf(m - 1)) {
+        var lo = 0
+        var hi = m
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (buf(mid) < v) lo = mid + 1 else hi = mid
+        }
+        if (!(lo < m && buf(lo) == v)) { // distinct grams only
+          var j = math.min(m, k - 1)
+          while (j > lo) { buf(j) = buf(j - 1); j -= 1 }
+          buf(lo) = v
+          if (m < k) m += 1
+        }
+      }
+      g += 1
+    }
+    val out = new Array[Long](m)
+    System.arraycopy(buf, 0, out, 0, m)
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 

@@ -55,6 +55,17 @@ object LlmQueries {
       .orderBy("id_a", "id_b")
   }
 
+  // ---- L67: KMV sketch calibration (estimate vs exact Jaccard) -----------
+  /** Per-pair KMV-estimate-vs-exact-Jaccard calibration over d4's
+    * candidate blocks — the measured answer to "what does replacing the
+    * full gram arrays with constant-size bottom-k sketches cost?"
+    * (e7's index-quality role, for the dedup family). */
+  def d15KmvCalibration(s: SparkSession, dir: String): DataFrame =
+    Dedup.kmvCalibrationPairs(t(s, dir, "documents"), "doc_id", "text",
+        blockCols = Seq(col("source"), (col("n_chars") / 100).cast("int")),
+        n = 3, k = 64, threshold = 0.2)
+      .orderBy("id_a", "id_b")
+
   // ---- L18: duplicate-cluster resolution (connected components) ----------
   /** The d2 pair graph collapsed to clusters: transitive closure via
     * hash-min + pointer-jump CC, cluster id = min doc_id, keep-one
@@ -983,6 +994,7 @@ object LlmQueries {
     "d2_minhash_lsh" -> d2MinhashLsh _,
     "d3_simhash" -> d3Simhash _,
     "d4_ngram_jaccard" -> d4NgramJaccard _,
+    "d15_kmv_calibration" -> d15KmvCalibration _,
     "d5_embed_dup" -> d5EmbedDup _,
     "d6_dup_clusters" -> d6DupClusters _,
     "s1_ann_brute" -> s1AnnBrute _,
@@ -2533,6 +2545,38 @@ object LlmQueries {
     // jaccard on hashed grams == jaccard on the gram strings themselves
     // (set sizes are hash-independent), so the oracle drops xxhash64 and
     // compares the jaccard VALUES on substring sets
+    // d15: d4's block/gram construction + the identical KMV rule —
+    // sketch values replay as md5-prefix BIGINTs, bottom-64 of the
+    // merged sketches, fraction present in both; raw IEEE divisions
+    "d15_kmv_calibration" ->
+      """WITH b AS (
+        |  SELECT doc_id AS id, source, CAST(floor(n_chars / 100.0) AS INT) AS lb,
+        |    list_distinct(list_transform(
+        |      range(1, CAST(greatest(length(nt) - 2, 1) AS BIGINT) + 1),
+        |      i -> substr(nt, CAST(i AS INT), 3))) AS g
+        |  FROM (SELECT doc_id, source, n_chars,
+        |          trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+        |        FROM documents)),
+        |kk AS (
+        |  SELECT id, source, lb, g,
+        |    list_sort(list_distinct(list_transform(g,
+        |      s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT))))[1:64] AS kv
+        |  FROM b),
+        |j AS (
+        |  SELECT a.id AS id_a, bb.id AS id_b,
+        |    CAST(len(list_intersect(a.g, bb.g)) AS DOUBLE) AS common,
+        |    CAST(len(a.g) + len(bb.g) AS DOUBLE) AS sz,
+        |    a.kv AS ka, bb.kv AS kb
+        |  FROM kk a JOIN kk bb
+        |    ON a.source = bb.source AND a.lb = bb.lb AND a.id < bb.id),
+        |f AS (
+        |  SELECT id_a, id_b, common / (sz - common) AS j_exact,
+        |    list_sort(list_distinct(ka || kb))[1:64] AS su, ka, kb
+        |  FROM j WHERE common / (sz - common) >= 0.2)
+        |SELECT id_a, id_b, j_exact,
+        |  CAST(len(list_filter(su, x -> list_contains(ka, x)
+        |      AND list_contains(kb, x))) AS DOUBLE) / len(su) AS j_kmv
+        |FROM f ORDER BY id_a, id_b""".stripMargin,
     "d4_ngram_jaccard" ->
       """WITH b AS (
         |  SELECT doc_id AS id, source, CAST(floor(n_chars / 100.0) AS INT) AS lb,

@@ -570,6 +570,69 @@ object Dedup {
       .toDF("contained_id", "container_id", "containment")
   }
 
+  /** KMV (bottom-k) Jaccard estimate vs EXACT Jaccard per candidate
+    * pair — the sketch-calibration harness for the dedup family, e7's
+    * role for the ANN indexes. At 100 TB the full sorted gram arrays
+    * (O(doc length) per doc, the d4 verify cost) can be swapped for
+    * constant-size KMV sketches — k longs per doc, pairs compare in
+    * O(k) — and this operator measures exactly what that swap costs on
+    * real pairs. Same block-local pair shape as [[ngramJaccardPairs]]
+    * (gram arrays shuffle once, never pair rows); per emitted pair:
+    * exact = merge-scan Jaccard over full gram-hash arrays, estimate =
+    * |bottom-k(A∪B) ∩ A_k ∩ B_k| / |bottom-k(A∪B)| (Beyer et al.,
+    * SIGMOD 2007) from the two sketches alone (bottom-k of a union is
+    * computable from the merged bottom-ks — the sketch is mergeable).
+    * md5-prefix hashes ([[graft.expressions.CharGramKmv]]) so every
+    * sketch value — hence the estimate — replays in the oracle;
+    * both ratios are raw IEEE divisions, no rounding anywhere. */
+  def kmvCalibrationPairs(df: DataFrame, idCol: String, textCol: String,
+      blockCols: Seq[Column], n: Int = 3, k: Int = 64,
+      threshold: Double = 0.2): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.graft.ColumnBridge
+    val grams = ColumnBridge.column(graft.expressions.CharGramHashes(
+      ColumnBridge.expression(col("nt")), n))
+    val kmv = ColumnBridge.column(graft.expressions.CharGramKmv(
+      ColumnBridge.expression(col("nt")), n, k))
+    val prepared = df
+      .select(Seq(col(idCol).cast("long").as("id"),
+        normText(col(textCol)).as("nt")) ++
+        blockCols.zipWithIndex.map { case (c, i) => c.cast("string").as(s"blk$i") }: _*)
+      .withColumn("grams", grams)
+      .withColumn("kv", kmv)
+      .select(concat_ws("", blockCols.indices.map(i => col(s"blk$i")): _*).as("bk"),
+        col("id"), col("grams"), col("kv"))
+      .as[(String, Long, Array[Long], Array[Long])]
+    prepared.groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val rows = it.map(t => (t._2, t._3, t._4)).toArray.sortBy(_._1)
+        for {
+          i <- rows.indices.iterator
+          j <- (i + 1) until rows.length
+          common = intersectCount(rows(i)._2, rows(j)._2).toDouble
+          jac = common / (rows(i)._2.length + rows(j)._2.length - common)
+          if jac >= threshold
+        } yield (rows(i)._1, rows(j)._1, jac,
+          kmvJaccard(rows(i)._3, rows(j)._3, k))
+      }
+      .toDF("id_a", "id_b", "j_exact", "j_kmv")
+  }
+
+  /** KMV Jaccard estimate from two sorted bottom-k sketches: one merge
+    * walk of the union ascending, stopping after k distinct values —
+    * the fraction of those present in BOTH sketches. */
+  private def kmvJaccard(a: Array[Long], b: Array[Long], k: Int): Double = {
+    var i = 0; var j = 0; var taken = 0; var inBoth = 0
+    while ((i < a.length || j < b.length) && taken < k) {
+      if (j >= b.length || (i < a.length && a(i) < b(j))) i += 1
+      else if (i >= a.length || b(j) < a(i)) j += 1
+      else { inBoth += 1; i += 1; j += 1 }
+      taken += 1
+    }
+    inBoth.toDouble / taken
+  }
+
   // ---------------------------------------------------------------------
   // Embedding cosine near-dup
   // ---------------------------------------------------------------------

@@ -1137,7 +1137,44 @@ object Relational {
       .orderBy("user_id")
   }
 
+  // ---- R64: weighted median ----------------------------------------------
+  /** Per-group WEIGHTED median — the l_quantity-weighted median of
+    * l_extendedprice per (returnflag, linestatus), the order-statistic
+    * operator q32/q50 (unweighted) don't express. Rule: in (price,
+    * orderkey, linenumber) ascending order the weighted median is the
+    * first value whose running weight reaches half the total weight
+    * (2·cumw ≥ totw) — a pinned discrete rule, no interpolation
+    * ambiguity. Weights accumulate as exact DECIMAL (an IEEE window
+    * sum would be order-fragile), so the qualifying set is
+    * bit-identical on both engines; and because that set is a SUFFIX
+    * of the sort order, the answer reads back as MIN(price) over the
+    * qualifiers — no second window, no row_number. One shuffle: the
+    * cumulative and total windows and the final groupBy all ride the
+    * same (flag, status) hash partitioning. The mergeable 100 TB swap
+    * is q60's two-pass histogram summing WEIGHT (not 1) per grid
+    * cell; this exact form is its verification twin. */
+  def q64WeightedMedian(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(
+      col("l_returnflag"), col("l_linestatus"),
+      col("l_orderkey"), col("l_linenumber"),
+      dec(col("l_quantity")).as("w"),
+      dec(col("l_extendedprice")).as("price"))
+    val part = Window.partitionBy("l_returnflag", "l_linestatus")
+    val ord = part.orderBy("price", "l_orderkey", "l_linenumber")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    li.withColumn("cumw", sum(col("w")).over(ord))
+      .withColumn("totw", sum(col("w")).over(part))
+      .withColumn("n", count(lit(1)).over(part))
+      .filter(col("cumw") * 2 >= col("totw"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(max(col("n")).as("n_rows"),
+        max(col("totw")).cast(DoubleType).as("tot_qty"),
+        min(col("price")).cast(DoubleType).as("wmed_price"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q64_weighted_median" -> q64WeightedMedian _,
     "q63_interval_merge" -> q63IntervalMerge _,
     "q62_zorder" -> q62Zorder _,
     "q36_bloom_semijoin" -> q36BloomSemijoin _,
@@ -1237,6 +1274,25 @@ object Relational {
   }
 
   val oracles: Map[String, String] = Map(
+    // q64: identical pinned rule — exact DECIMAL running/total weights,
+    // qualifier suffix read back as MIN(price)
+    "q64_weighted_median" ->
+      """WITH li AS (SELECT l_returnflag, l_linestatus, l_orderkey,
+        |    l_linenumber, CAST(l_quantity AS DECIMAL(12,2)) AS w,
+        |    CAST(l_extendedprice AS DECIMAL(12,2)) AS price FROM lineitem),
+        |cw AS (SELECT l_returnflag, l_linestatus, price,
+        |    SUM(w) OVER (PARTITION BY l_returnflag, l_linestatus
+        |      ORDER BY price, l_orderkey, l_linenumber
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+        |    SUM(w) OVER (PARTITION BY l_returnflag, l_linestatus) AS totw,
+        |    COUNT(*) OVER (PARTITION BY l_returnflag, l_linestatus) AS n
+        |  FROM li)
+        |SELECT l_returnflag, l_linestatus, MAX(n) AS n_rows,
+        |  CAST(MAX(totw) AS DOUBLE) AS tot_qty,
+        |  CAST(MIN(price) AS DOUBLE) AS wmed_price
+        |FROM cw WHERE cumw * 2 >= totw
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     // q63: identical sweep — prev-max-end lag frame, running island
     // sum, two-level fold; exact integer-seconds arithmetic throughout
     "q63_interval_merge" ->

@@ -1093,7 +1093,42 @@ object TypeQueries {
       .orderBy("user_id", "es", "event_id")
   }
 
+  // ---- T50: robust outliers (median/MAD modified z-score) ----------------
+  /** Robust per-group outlier detection — the Iglewicz–Hoaglin modified
+    * z-score (0.6745·(x−med)/MAD, flag |z| > 3.5) a curation pipeline
+    * reaches for where t37's mean/std z would be dragged by the very
+    * outliers it hunts. Two exact interpolating-percentile aggregations
+    * (the q32/q50 contract; the t-digest sketch is the documented
+    * 100 TB swap): group medians come back as a BROADCAST join for the
+    * deviation pass, then MAD medians broadcast for the final map-only
+    * scoring — the events table shuffles only into the two group-key
+    * aggregations, never sorts globally. z stays an unrounded IEEE
+    * chain (Spark `percentile` and DuckDB `quantile_cont` interpolate
+    * identically — the t37 discipline); only aggregated outputs round.
+    * A degenerate constant group (MAD = 0) yields null z and no flag
+    * via NULLIF on both engines. */
+  def t50MadOutliers(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).select(col("event_type"), col("value"))
+    val med = e.groupBy("event_type")
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    val dev = e.join(broadcast(med), Seq("event_type"))
+      .withColumn("adev", abs(col("value") - col("med")))
+    val mad = dev.groupBy("event_type")
+      .agg(expr("percentile(adev, 0.5)").as("mad"))
+    dev.join(broadcast(mad), Seq("event_type"))
+      .withColumn("z",
+        lit(0.6745) * (col("value") - col("med")) / expr("nullif(mad, 0.0d)"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        round(max(col("med")), 6).as("med_value"),
+        round(max(col("mad")), 6).as("mad_value"),
+        count(when(abs(col("z")) > 3.5, 1)).as("n_outliers"),
+        round(max(abs(col("z"))), 6).as("max_abs_z"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t50_mad_outliers" -> t50MadOutliers _,
     "t49_rolling_corr" -> t49RollingCorr _,
     "t48_expanding" -> t48Expanding _,
     "t47_union_typecheck" -> t47UnionTypecheck _,
@@ -1248,6 +1283,26 @@ object TypeQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // t50: quantile_cont == Spark's exact interpolating percentile
+    // (the q50-proven pairing); identical IEEE z chain, NULLIF guard
+    "t50_mad_outliers" ->
+      """WITH e AS (SELECT event_type, value FROM events),
+        |m AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM e GROUP BY 1),
+        |d AS (SELECT e.event_type, e.value, m.med,
+        |    ABS(e.value - m.med) AS adev
+        |  FROM e JOIN m USING (event_type)),
+        |md AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad
+        |  FROM d GROUP BY 1),
+        |z AS (SELECT d.event_type, d.value, d.med, md.mad,
+        |    0.6745 * (d.value - d.med) / NULLIF(md.mad, 0.0) AS z
+        |  FROM d JOIN md USING (event_type))
+        |SELECT event_type, COUNT(*) AS n,
+        |  ROUND(MAX(med), 6) AS med_value,
+        |  ROUND(MAX(mad), 6) AS mad_value,
+        |  COUNT(CASE WHEN ABS(z) > 3.5 THEN 1 END) AS n_outliers,
+        |  ROUND(MAX(ABS(z)), 6) AS max_abs_z
+        |FROM z GROUP BY event_type ORDER BY event_type""".stripMargin,
     // t49: identical explicit-lag frames and the identical pinned IEEE
     // sequence; constant-window corr = NULL on both engines (exact
     // all-equal test, no float threshold); no rounding anywhere

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-6 additions: weighted median (q64), median/MAD robust
+  * outliers (t50), KMV sketch calibration (d15) — semantics proven
+  * against in-process brute-force recomputation and pinned fixtures. */
+class RobustStatsSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("q64 weighted median == brute-force rule on collected lineitem") {
+    val rows = Tables.t(spark, sf, "lineitem")
+      .select(col("l_returnflag"), col("l_linestatus"), col("l_orderkey"),
+        col("l_linenumber").cast("long"),
+        col("l_quantity"), col("l_extendedprice"))
+      .as[(String, String, Long, Long, Double, Double)].collect()
+    val expect = rows.groupBy(r => (r._1, r._2)).map { case (g, rs) =>
+      // exact integer cents/centi-units to mirror the DECIMAL math
+      val sorted = rs.sortBy(r => (r._6, r._3, r._4))
+      val tot = sorted.map(r => math.round(r._5 * 100)).sum
+      var cum = 0L
+      var med = Double.NaN
+      for (r <- sorted if med.isNaN) {
+        cum += math.round(r._5 * 100)
+        if (cum * 2 >= tot) med = r._6
+      }
+      g -> med
+    }
+    val got = relational.Relational.q64WeightedMedian(spark, sf)
+      .select("l_returnflag", "l_linestatus", "wmed_price")
+      .as[(String, String, Double)].collect()
+    assert(got.length == expect.size)
+    got.foreach { case (f, st, m) =>
+      assert(m == expect((f, st)), s"group ($f, $st)")
+    }
+  }
+
+  test("t50: planted outlier flagged, clean group clean, MAD=0 -> null z") {
+    // 20 tight values + one wild one per the rule's own arithmetic
+    val base = (1 to 20).map(i => ("a", 10.0 + (i % 5))) :+ (("a", 1000.0))
+    val clean = (1 to 20).map(i => ("b", 5.0 + (i % 3)))
+    val const = (1 to 10).map(_ => ("c", 7.0))
+    val df = (base ++ clean ++ const).toDF("event_type", "value")
+    val med = df.groupBy("event_type").agg(expr("percentile(value, 0.5)").as("med"))
+    val dev = df.join(broadcast(med), Seq("event_type"))
+      .withColumn("adev", abs(col("value") - col("med")))
+    val mad = dev.groupBy("event_type").agg(expr("percentile(adev, 0.5)").as("mad"))
+    val z = dev.join(broadcast(mad), Seq("event_type"))
+      .withColumn("z",
+        lit(0.6745) * (col("value") - col("med")) / expr("nullif(mad, 0.0d)"))
+    val byType = z.groupBy("event_type")
+      .agg(count(when(abs(col("z")) > 3.5, 1)).as("n_out"),
+        count(when(col("z").isNull, 1)).as("n_null"))
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(byType("a")._1 == 1L)   // exactly the planted 1000.0
+    assert(byType("b")._1 == 0L)
+    assert(byType("c") == ((0L, 10L))) // constant group: MAD=0 -> all z null
+  }
+
+  test("t50 query runs on events with no null groups at sf") {
+    val got = typesystem.TypeQueries.t50MadOutliers(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach(r => assert(!r.isNullAt(2) && !r.isNullAt(3)))
+  }
+
+  test("d15: KMV estimate is EXACT when k >= |union| (sketch = full set)") {
+    // short texts -> few distinct 3-grams, well under k=64
+    val docs = Seq(
+      (1L, "abcdefgh abcdefgh", "s", 17L),
+      (2L, "abcdefgh abcdxyzw", "s", 17L),
+      (3L, "zzzz totally other", "s", 18L)).toDF("doc_id", "text", "source", "n_chars")
+    val got = operators.Dedup.kmvCalibrationPairs(docs, "doc_id", "text",
+        blockCols = Seq(col("source")), n = 3, k = 64, threshold = 0.0)
+      .as[(Long, Long, Double, Double)].collect()
+      .map(r => ((r._1, r._2), (r._3, r._4))).toMap
+    assert(got.size == 3)
+    got.foreach { case (pair, (exact, est)) =>
+      assert(est == exact, s"pair $pair: sketch covers the union, must be exact")
+    }
+    // and the (1,2) pair is genuinely similar while (1,3) is not
+    assert(got((1L, 2L))._1 > 0.4 && got((1L, 3L))._1 < 0.1)
+  }
+
+  test("d15: estimate within KMV error envelope on the real corpus") {
+    val rows = llm.LlmQueries.d15KmvCalibration(spark, sf)
+      .as[(Long, Long, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    // 3-sigma envelope for a k=64 bottom-k estimator: sqrt(j(1-j)/k)
+    rows.foreach { case (a, b, exact, est) =>
+      val sigma = math.sqrt(math.max(exact * (1 - exact), 0.25 / 64) / 64)
+      assert(math.abs(est - exact) <= 4 * sigma + 1e-9,
+        s"pair ($a,$b): est $est vs exact $exact out of envelope")
+    }
+  }
+}
