@@ -504,6 +504,29 @@ object LlmQueries {
       .toDF().orderBy("doc_id")
   }
 
+  // ---- L68: TIFF/EXIF IFD-walk parsing -------------------------------------
+  /** TIFF baseline metadata via the IFD chain walk
+    * ([[graft.operators.Multimodal.TiffCodec]]): spec-shaped
+    * containers planted from doc_id in BOTH byte orders (II and MM —
+    * the endianness dimension m1/m4's containers don't have), entry
+    * tables of varying arity, a real next-IFD offset chain (thumbnail
+    * IFD1 on most rows) the parser must FOLLOW. One map pass, no
+    * shuffle; the oracle recomputes every field arithmetically. */
+  def m5TiffParse(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tiffs = t(s, dir, "documents").select("doc_id", "text")
+      .as[(Long, String)].map { case (id, text) =>
+        Multimodal.MediaRow(id, "tiff", Multimodal.TiffCodec.buildTiff(
+          le = id % 2 == 0,
+          width = (id % 640).toInt + 1, height = (id % 480).toInt + 1,
+          orientation = (id % 8).toInt + 1,
+          withBits = id % 3 == 0, withThumb = id % 5 != 0,
+          body = text.getBytes("UTF-8")))
+      }
+    tiffs.mapPartitions(it => it.map(Multimodal.TiffCodec.decodeTiff))
+      .toDF().orderBy("doc_id")
+  }
+
   // ---- L55: BPE corpus encode ----------------------------------------------
   /** Encode the corpus with the x20-fitted tokenizer
     * ([[graft.operators.BpeTrainer.encode]]): per-doc word + BPE token
@@ -1048,6 +1071,7 @@ object LlmQueries {
     "x23_bpe_encode" -> x23BpeEncode _,
     "m3_frame_sample" -> m3FrameSample _,
     "m4_jpeg_parse" -> m4JpegParse _,
+    "m5_tiff_parse" -> m5TiffParse _,
     "m1_multimodal" -> m1Multimodal _,
     "m2_media_transform" -> m2MediaTransform _,
   )
@@ -1604,6 +1628,21 @@ object LlmQueries {
 
   val oracles: Map[String, String] = Map(
     "p3_build_shard" -> p3OracleSql,
+    // m5: IFD-walk results recomputed arithmetically — header 8 +
+    // IFD0 (2 + n0·12 + 4, n0 = 3 + bits-tag on id%3=0) + thumbnail
+    // IFD1 (30 bytes, 2 entries) on id%5≠0 + body
+    "m5_tiff_parse" ->
+      """SELECT doc_id, 'tiff' AS fmt,
+        |  CAST(8 + 2 + (3 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) * 12 + 4
+        |    + CASE WHEN doc_id % 5 <> 0 THEN 30 ELSE 0 END
+        |    + octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CAST(doc_id % 640 + 1 AS INT) AS width,
+        |  CAST(doc_id % 480 + 1 AS INT) AS height,
+        |  CAST(doc_id % 8 + 1 AS INT) AS orientation,
+        |  CAST(3 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+        |    + CASE WHEN doc_id % 5 <> 0 THEN 2 ELSE 0 END AS INT) AS n_entries,
+        |  CAST(CASE WHEN doc_id % 5 <> 0 THEN 2 ELSE 1 END AS INT) AS n_ifds
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // m4: marker-walk results recomputed arithmetically — fixed chain
     // is 55 bytes (SOI 2 + APP0 18 + SOF0 19 + SOS 14 + EOI 2), DQT
     // adds 69 on even ids; 2 or 3 segments before the scan

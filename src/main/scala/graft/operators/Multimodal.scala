@@ -296,6 +296,109 @@ object Multimodal {
     * (marker, big-endian length, skip) until the scan starts, exactly
     * how real dimension sniffers work; nothing is read at an assumed
     * offset. */
+  final case class TiffFeatures(doc_id: Long, fmt: String, n_bytes: Long,
+      width: Int, height: Int, orientation: Int, n_entries: Int, n_ifds: Int)
+
+  /** TIFF/EXIF baseline containers: the IFD (Image File Directory)
+    * walk — tag/type/count/value entry tables chained by next-IFD
+    * offsets, in EITHER byte order ("II" little- or "MM" big-endian,
+    * the endianness dimension none of the other containers have).
+    * Reference bertrand/types/object.py (opaque object payloads with
+    * typed decode dispatch); layout per the public TIFF 6.0 spec. */
+  object TiffCodec {
+    private def w16(le: Boolean, v: Int): Array[Byte] =
+      if (le) Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+      else Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    private def w32(le: Boolean, v: Int): Array[Byte] =
+      if (le) Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+      else Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    private def r16(b: Array[Byte], o: Int, le: Boolean): Int =
+      if (le) (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+      else ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+    private def r32(b: Array[Byte], o: Int, le: Boolean): Int =
+      if (le) (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+        ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+      else ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) |
+        ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+
+    /** A 12-byte IFD entry with an inline (left-justified) SHORT value. */
+    private def entry(le: Boolean, tag: Int, v: Int): Array[Byte] =
+      w16(le, tag) ++ w16(le, 3 /* SHORT */) ++ w32(le, 1) ++
+        w16(le, v) ++ w16(le, 0)
+
+    /** Header + IFD0 (width/height/orientation [+ bits]) +
+      * optional IFD1 (thumbnail dims) + opaque body. Offsets are real:
+      * IFD0 at 8, IFD1 (if present) directly after IFD0, body after
+      * the last IFD — the parser must FOLLOW them, not assume them. */
+    def buildTiff(le: Boolean, width: Int, height: Int, orientation: Int,
+        withBits: Boolean, withThumb: Boolean, body: Array[Byte]): Array[Byte] = {
+      val n0 = 3 + (if (withBits) 1 else 0)
+      val ifd0Size = 2 + n0 * 12 + 4
+      val ifd1Off = if (withThumb) 8 + ifd0Size else 0
+      val e0 = entry(le, 0x0100, width) ++ entry(le, 0x0101, height) ++
+        (if (withBits) entry(le, 0x0102, 8) else Array.emptyByteArray) ++
+        entry(le, 0x0112, orientation)
+      val ifd0 = w16(le, n0) ++ e0 ++ w32(le, ifd1Off)
+      val ifd1 =
+        if (!withThumb) Array.emptyByteArray
+        else w16(le, 2) ++ entry(le, 0x0100, width / 8 + 1) ++
+          entry(le, 0x0101, height / 8 + 1) ++ w32(le, 0)
+      val bom: Array[Byte] =
+        if (le) Array('I'.toByte, 'I'.toByte) else Array('M'.toByte, 'M'.toByte)
+      bom ++ w16(le, 42) ++ w32(le, 8) ++ ifd0 ++ ifd1 ++ body
+    }
+
+    def isTiff(p: Array[Byte]): Boolean =
+      p.length >= 8 &&
+        ((p(0) == 'I' && p(1) == 'I') || (p(0) == 'M' && p(1) == 'M')) &&
+        r16(p, 2, p(0) == 'I') == 42
+
+    /** Walk the IFD chain: byte order from the BOM, magic 42 checked,
+      * each IFD's entry table scanned for the dimension/orientation
+      * tags (IFD0 wins — later IFDs are thumbnails), entries counted
+      * across ALL IFDs. Structural damage (offset past the buffer,
+      * short entry table, a cycle) → zeros, never a throw. */
+    def decodeTiff(r: MediaRow): TiffFeatures = {
+      val p = r.payload
+      if (!isTiff(p))
+        return TiffFeatures(r.doc_id, "unknown", p.length.toLong, 0, 0, 0, 0, 0)
+      val le = p(0) == 'I'
+      var off = r32(p, 4, le)
+      var w = 0; var h = 0; var ori = 0
+      var nE = 0; var nI = 0
+      var ok = true
+      while (ok && off != 0) {
+        if (off < 8 || off + 2 > p.length || nI > 64) ok = false
+        else {
+          val n = r16(p, off, le)
+          if (off + 2 + n * 12 + 4 > p.length) ok = false
+          else {
+            var i = 0
+            while (i < n) {
+              val eo = off + 2 + i * 12
+              val tag = r16(p, eo, le)
+              val typ = r16(p, eo + 2, le)
+              if (typ == 3 && nI == 0) { // SHORT, IFD0 only
+                val v = r16(p, eo + 8, le) // inline, left-justified
+                if (tag == 0x0100) w = v
+                else if (tag == 0x0101) h = v
+                else if (tag == 0x0112) ori = v
+              }
+              i += 1
+            }
+            nE += n
+            nI += 1
+            off = r32(p, off + 2 + n * 12, le)
+          }
+        }
+      }
+      if (!ok) TiffFeatures(r.doc_id, "unknown", p.length.toLong, 0, 0, 0, 0, 0)
+      else TiffFeatures(r.doc_id, "tiff", p.length.toLong, w, h, ori, nE, nI)
+    }
+  }
+
   object JpegCodec {
     private def be16(v: Int): Array[Byte] =
       Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)

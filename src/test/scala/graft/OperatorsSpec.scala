@@ -556,6 +556,39 @@ class MultimodalSpec extends AnyFunSuite {
     assert(JpegCodec.decodeJpeg(MediaRow(3L, "jpeg", bad)).fmt == "unknown")
   }
 
+  test("tiff IFD walk: both byte orders, chain following, IFD0-wins dims") {
+    import Multimodal.{TiffCodec, MediaRow}
+    val body = "strip bytes".getBytes("UTF-8")
+    for (le <- Seq(true, false)) {
+      val p = TiffCodec.buildTiff(le, 321, 199, 6,
+        withBits = true, withThumb = true, body)
+      val f = TiffCodec.decodeTiff(MediaRow(1L, "tiff", p))
+      assert(f.fmt == "tiff" && f.width == 321 && f.height == 199 &&
+        f.orientation == 6 && f.n_entries == 6 && f.n_ifds == 2,
+        s"le=$le: $f")
+      // thumbnail IFD1 carries 41x25 — IFD0's dims must win
+      assert(f.width != 321 / 8 + 1)
+    }
+    val single = TiffCodec.decodeTiff(MediaRow(2L, "tiff",
+      TiffCodec.buildTiff(le = true, 64, 32, 1,
+        withBits = false, withThumb = false, body)))
+    assert(single.n_ifds == 1 && single.n_entries == 3 && single.width == 64)
+  }
+
+  test("tiff parser rejects junk, truncation, and a dangling IFD offset") {
+    import Multimodal.{TiffCodec, MediaRow}
+    assert(TiffCodec.decodeTiff(
+      MediaRow(1L, "tiff", Array.fill[Byte](32)(7))).fmt == "unknown")
+    val good = TiffCodec.buildTiff(le = true, 100, 50, 1,
+      withBits = false, withThumb = true, Array[Byte](1, 2))
+    // cut inside IFD0's entry table: clean failure
+    val cut = TiffCodec.decodeTiff(MediaRow(2L, "tiff", good.take(20)))
+    assert(cut.fmt == "unknown" && cut.width == 0)
+    // point the IFD0 offset past the buffer
+    val bad = good.clone(); bad(4) = 0x7f
+    assert(TiffCodec.decodeTiff(MediaRow(3L, "tiff", bad)).fmt == "unknown")
+  }
+
   test("edit-distance join catches insert, delete, substitute; rejects dist 2") {
     import TestSpark.spark.implicits._
     val rows = Seq(
