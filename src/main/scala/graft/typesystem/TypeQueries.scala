@@ -1127,7 +1127,34 @@ object TypeQueries {
       .orderBy("event_type")
   }
 
+  // ---- T51: factorize + value_counts -------------------------------------
+  /** pandas `factorize` + `value_counts(normalize=True)` in one pass:
+    * codes are assigned in FIRST-OCCURRENCE order over the
+    * (ts, event_id) event order — the appearance-order dictionary
+    * (vs t15's rank dictionary), pinned by the exact (first_us,
+    * first_event_id) pair from ONE mergeable min-struct aggregation
+    * (no window over the events). The ranking/total windows run over
+    * the VALUE-cardinality table only — bounded by the dictionary
+    * size, never the corpus, so the unpartitioned window is safe at
+    * any data scale. share = one IEEE division, identical on both
+    * engines. */
+  def t51Factorize(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).select(col("event_type"),
+      unix_micros(col("ts")).as("us"), col("event_id"))
+    val agg = e.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      min(struct(col("us"), col("event_id"))).as("first"))
+    val w = Window.orderBy(col("first.us"), col("first.event_id"))
+    agg.withColumn("code", row_number().over(w) - 1)
+      .withColumn("share",
+        col("n").cast(DoubleType) / sum(col("n")).over().cast(DoubleType))
+      .select(col("event_type"), col("code"), col("n"), col("share"),
+        col("first.us").as("first_us"))
+      .orderBy("code")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t51_factorize" -> t51Factorize _,
     "t50_mad_outliers" -> t50MadOutliers _,
     "t49_rolling_corr" -> t49RollingCorr _,
     "t48_expanding" -> t48Expanding _,
@@ -1283,6 +1310,24 @@ object TypeQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // t51: identical first-occurrence pinning ((us, event_id) min
+    // pair), appearance-order codes, one IEEE share division
+    "t51_factorize" ->
+      """WITH e AS (SELECT event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id FROM events),
+        |a AS (SELECT event_type, us, event_id,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY us, event_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n FROM e),
+        |f AS (SELECT event_type, n, us AS fus, event_id AS feid
+        |  FROM a WHERE rn = 1),
+        |c AS (SELECT event_type, n, fus,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY fus, feid) - 1 AS INT) AS code,
+        |    SUM(n) OVER () AS total FROM f)
+        |SELECT event_type, code, n,
+        |  CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+        |  fus AS first_us
+        |FROM c ORDER BY code""".stripMargin,
     // t50: quantile_cont == Spark's exact interpolating percentile
     // (the q50-proven pairing); identical IEEE z chain, NULLIF guard
     "t50_mad_outliers" ->

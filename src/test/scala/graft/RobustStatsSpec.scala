@@ -65,6 +65,19 @@ class RobustStatsSpec extends AnyFunSuite {
     got.foreach(r => assert(!r.isNullAt(2) && !r.isNullAt(3)))
   }
 
+  test("t51: codes follow FIRST OCCURRENCE, not alphabet or frequency") {
+    val got = typesystem.TypeQueries.t51Factorize(spark, sf)
+      .select("event_type", "code", "first_us")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    // codes 0..k-1 dense, and strictly increasing in first-occurrence time
+    assert(got.map(_._2).toSeq == got.indices.toSeq)
+    assert(got.map(_._3).toSeq == got.map(_._3).sortBy(identity).toSeq)
+    // shares sum to 1 exactly in the rounded sense
+    val shares = typesystem.TypeQueries.t51Factorize(spark, sf)
+      .agg(sum("share")).head().getDouble(0)
+    assert(math.abs(shares - 1.0) < 1e-9)
+  }
+
   test("d15: KMV estimate is EXACT when k >= |union| (sketch = full set)") {
     // short texts -> few distinct 3-grams, well under k=64
     val docs = Seq(
