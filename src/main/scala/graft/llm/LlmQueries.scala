@@ -143,6 +143,36 @@ object LlmQueries {
       .orderBy("qid")
   }
 
+  // ---- L69: IVF probe-sweep recall curve -----------------------------------
+  /** The index-TUNING harness e7 (single-operating-point recall)
+    * doesn't give: recall@10 of the s3 IVF index at nProbe ∈
+    * {1, 2, 4, 8} against the s1 brute ground truth — the
+    * recall-vs-cost curve an operator reads before fixing nProbe at
+    * 100 TB (probing twice the cells costs ~twice the candidate
+    * scoring). All four sweeps share the same deterministic index
+    * (md5-sampled centroids), so the curve isolates the probe count;
+    * counts aggregate corpus-wide (overlap / brute = one IEEE
+    * division). Monotone by construction: a larger probe set is a
+    * superset, so candidates only grow. */
+  def e10IvfRecallSweep(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val qs = emb.filter(col("vec_id") < 5)
+    val brute = Similarity.bruteTopK(emb, qs, k = 10).select("qid", "id")
+    Seq(1, 2, 4, 8).map { np =>
+      val ivf = Similarity.ivfTopK(emb, qs, k = 10, nCells = 16, nProbe = np)
+        .select("qid", "id")
+      val ov = brute.join(ivf, Seq("qid", "id"), "left_semi")
+        .agg(count(lit(1)).as("n_overlap"))
+      brute.agg(count(lit(1)).as("n_brute"))
+        .crossJoin(ivf.agg(count(lit(1)).as("n_ivf")))
+        .crossJoin(ov)
+        .select(lit(np).as("nprobe"), col("n_brute"), col("n_ivf"),
+          col("n_overlap"),
+          (col("n_overlap").cast("double") / col("n_brute").cast("double"))
+            .as("recall"))
+    }.reduce(_.unionByName(_)).orderBy("nprobe")
+  }
+
   // ---- L62: hybrid lexical+dense retrieval (RRF) ---------------------------
   /** Hybrid search — the standard RAG retrieval pattern: BM25 top-20
     * (x11's proven lexical scorer, deterministic rounded-score/id cut)
@@ -1023,6 +1053,7 @@ object LlmQueries {
     "s1_ann_brute" -> s1AnnBrute _,
     "s2_ann_lsh" -> s2AnnLsh _,
     "e7_ann_recall" -> e7AnnRecall _,
+    "e10_ivf_recall_sweep" -> e10IvfRecallSweep _,
     "s3_ann_ivf" -> s3AnnIvf _,
     "s4_quant_cosine" -> s4QuantCosine _,
     "s5_ann_pq" -> s5AnnPq _,
@@ -1251,6 +1282,62 @@ object LlmQueries {
        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, id ASC) AS rk
        |  FROM scored) t
        |WHERE rk <= 10 ORDER BY qid, rk""".stripMargin
+  }
+
+  /** e10 oracle: s3's full index replay with the probe cut left at
+    * rn ≤ 8, then one scored/top-k/count branch per nProbe sweep —
+    * brute ground truth from the s1 shape, recall the same single
+    * IEEE division. */
+  private def e10OracleSql: String = {
+    val rankOrder = "list_inner_product(c.cv, c.cv) - " +
+      "2 * list_inner_product(b.v, c.cv) ASC, c.cid ASC"
+    val branches = Seq(1, 2, 4, 8).map { np =>
+      s"""sc$np AS (SELECT p.qid, a.vec_id AS id,
+         |    CASE WHEN a.nv * q.nv = 0 THEN 0.0
+         |         ELSE list_inner_product(a.v, q.v) / (a.nv * q.nv) END AS cos
+         |  FROM assign a JOIN pr p ON a.cell = p.cell AND a.vec_id <> p.qid
+         |    AND p.rn <= $np
+         |  JOIN b q ON q.vec_id = p.qid),
+         |tk$np AS (SELECT qid, id FROM (
+         |    SELECT qid, id,
+         |      ROW_NUMBER() OVER (PARTITION BY qid
+         |        ORDER BY cos DESC, id ASC) AS rk FROM sc$np) t
+         |  WHERE rk <= 10),
+         |r$np AS (SELECT $np AS nprobe,
+         |    (SELECT COUNT(*) FROM brute) AS n_brute,
+         |    (SELECT COUNT(*) FROM tk$np) AS n_ivf,
+         |    (SELECT COUNT(*) FROM brute JOIN tk$np USING (qid, id))
+         |      AS n_overlap)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH emb AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |cent AS (SELECT vec_id AS cid, v AS cv FROM emb
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+       |b AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nv FROM emb),
+       |assign AS (SELECT vec_id, v, nv, cid AS cell FROM (
+       |    SELECT b.vec_id, b.v, b.nv, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY $rankOrder) AS rn
+       |    FROM b CROSS JOIN cent c) t WHERE rn = 1),
+       |pr AS (SELECT vec_id AS qid, cid AS cell, rn FROM (
+       |    SELECT b.vec_id, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY $rankOrder) AS rn
+       |    FROM b CROSS JOIN cent c WHERE b.vec_id < 5) t WHERE rn <= 8),
+       |brute AS (SELECT qid, id FROM (
+       |    SELECT q.vec_id AS qid, a.vec_id AS id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+       |        CASE WHEN a.nv * q.nv = 0 THEN 0.0
+       |             ELSE list_inner_product(a.v, q.v) / (a.nv * q.nv) END DESC,
+       |        a.vec_id ASC) AS rk
+       |    FROM b a CROSS JOIN (SELECT * FROM b WHERE vec_id < 5) q
+       |    WHERE a.vec_id <> q.vec_id) t
+       |  WHERE rk <= 10),
+       |$branches
+       |SELECT nprobe, n_brute, n_ivf, n_overlap,
+       |  CAST(n_overlap AS DOUBLE) / CAST(n_brute AS DOUBLE) AS recall
+       |FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2
+       |      UNION ALL SELECT * FROM r4 UNION ALL SELECT * FROM r8) u
+       |ORDER BY nprobe""".stripMargin
   }
 
   /** s5 oracle: replay the ENTIRE PQ index in SQL — md5-order codeword
@@ -2086,6 +2173,7 @@ object LlmQueries {
         |SELECT vec_id, label, cos_centroid, cos_centroid < 0.0 AS is_outlier
         |FROM sc ORDER BY vec_id""".stripMargin,
     "s3_ann_ivf" -> s3OracleSql,
+    "e10_ivf_recall_sweep" -> e10OracleSql,
     "s5_ann_pq" -> s5OracleSql,
     "d3_simhash" -> d3OracleSql,
     "d1_exact_dedup" ->

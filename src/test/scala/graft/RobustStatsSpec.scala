@@ -78,6 +78,16 @@ class RobustStatsSpec extends AnyFunSuite {
     assert(math.abs(shares - 1.0) < 1e-9)
   }
 
+  test("e10: recall curve is monotone in nProbe and ends above its start") {
+    val rows = llm.LlmQueries.e10IvfRecallSweep(spark, sf)
+      .select("nprobe", "recall").as[(Int, Double)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(1, 2, 4, 8))
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 >= a._2, s"recall must not drop: $a -> $b")
+    }
+    assert(rows.last._2 > rows.head._2, "wider probes must help on this corpus")
+  }
+
   test("d15: KMV estimate is EXACT when k >= |union| (sketch = full set)") {
     // short texts -> few distinct 3-grams, well under k=64
     val docs = Seq(
