@@ -50,6 +50,26 @@ object StreamingOps {
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** S18: q51's sessions through Spark's NATIVE session_window
+    * aggregate IN A STREAM — the engine itself carries the merge as
+    * per-OPEN-session state (closed sessions emit once the watermark
+    * passes their end; state never grows with history), the
+    * streaming-capable form q51's batch run promises and S3's
+    * hand-rolled flatMapGroupsWithState mirrors. Projection identical
+    * to batch q51, so emitted rows compare 1:1 with the batch twin
+    * restricted to watermark-closed sessions. */
+  def sessionWindowStream(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.Tables.dsum(graft.Tables.dec(col("value"))).as("total_value"))
+      .select(col("user_id"),
+        unix_timestamp(col("sw.start")).as("start_s"),
+        unix_timestamp(col("sw.end")).as("end_s"),
+        col("n_events"), col("total_value"))
+
   /** S2: streaming exact dedup on event_id within the watermark horizon
     * (bounded state: ids older than the watermark are evicted). */
   def streamingDedup(events: DataFrame, watermark: String = "2 hours"): DataFrame =

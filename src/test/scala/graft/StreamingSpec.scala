@@ -1,7 +1,7 @@
 package graft
 
 import graft.streaming.StreamingOps
-import org.apache.spark.sql.functions.{coalesce, col, concat, datediff, explode, lit, pmod, posexplode, to_date, unix_timestamp, when}
+import org.apache.spark.sql.functions.{coalesce, col, concat, datediff, explode, lit, max, pmod, posexplode, to_date, unix_timestamp, when}
 import org.apache.spark.sql.streaming.Trigger
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -51,6 +51,34 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     assert(got == want)
     assert(got.nonEmpty)
+  }
+
+  test("S18: native streaming session_window emits the watermark-closed batch sessions") {
+    val stream = StreamingOps.readEventsStream(spark, sf)
+    val q = StreamingOps.sessionWindowStream(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("s18_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.table("s18_out")
+      .select("user_id", "start_s", "end_s", "n_events", "total_value")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSet
+    // the same operator in batch, restricted to sessions the final
+    // watermark (max event time - 2h) has closed
+    val wmSec = Tables.events(spark, sf)
+      .agg(max(unix_timestamp(col("ts")))).head().getLong(0) - 7200
+    val want = relational.Relational.q51SessionWindow(spark, sf)
+      .filter(col("end_s") < wmSec)
+      .select("user_id", "start_s", "end_s", "n_events", "total_value")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSet
+    assert(got.nonEmpty)
+    assert(got == want,
+      s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
   }
 
   test("S7: streaming heavy hitters equal batch counts (mergeable state)") {
