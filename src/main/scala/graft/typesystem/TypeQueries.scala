@@ -943,6 +943,36 @@ object TypeQueries {
       .orderBy("user_id", "es", "event_id")
   }
 
+  // ---- T52: rolling median / min / max -----------------------------------
+  /** pandas `rolling(3, min_periods=3).median()/.min()/.max()` per user
+    * under t45's lag-pinned discipline (one window shuffle serves every
+    * column). The 3-element median needs NO sort and NO arithmetic:
+    * median(a,b,c) = max(min(a,b), min(max(a,b), c)) — a pure
+    * SELECTION network (the sum−max−min identity would NOT be exact:
+    * the IEEE sum rounds, and that rounding leaks into the result),
+    * so the output is bit-for-bit one of the inputs, like pandas.
+    * Warm-up rows are explicit nulls (the t45 guard — Spark's
+    * greatest/least SKIP nulls, so the inner expressions never decide
+    * the null rows on either engine). */
+  def t52RollingMedian(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("es", "event_id")
+    val med = greatest(least(col("value"), col("l1")),
+      least(greatest(col("value"), col("l1")), col("l2")))
+    val mx = greatest(col("value"), col("l1"), col("l2"))
+    val mn = least(col("value"), col("l1"), col("l2"))
+    val warm = col("l1").isNull || col("l2").isNull
+    events(s, dir)
+      .select(col("user_id"), unix_timestamp(col("ts")).as("es"),
+        col("event_id"), col("value"))
+      .withColumn("l1", lag("value", 1).over(w))
+      .withColumn("l2", lag("value", 2).over(w))
+      .select(col("user_id"), col("es"), col("event_id"), col("value"),
+        when(warm, lit(null)).otherwise(med).as("roll_med"),
+        when(warm, lit(null)).otherwise(mn).as("roll_min"),
+        when(warm, lit(null)).otherwise(mx).as("roll_max"))
+      .orderBy("user_id", "es", "event_id")
+  }
+
   // ---- T46: nested decorators — sparse[categorical[string]] ---------------
   /** Decorator COMPOSITION at the data level (reference types/sparse.py
     * wrapping types/categorical.py — `sparse[categorical[T]]`, the
@@ -1154,6 +1184,7 @@ object TypeQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t52_rolling_median" -> t52RollingMedian _,
     "t51_factorize" -> t51Factorize _,
     "t50_mad_outliers" -> t50MadOutliers _,
     "t49_rolling_corr" -> t49RollingCorr _,
@@ -1310,6 +1341,26 @@ object TypeQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // t52: identical lag frame + the same pure-selection median
+    // network (no arithmetic — output is one of the inputs, bit-exact);
+    // warm-up nulls guarded on both engines
+    "t52_rolling_median" ->
+      """WITH e AS (SELECT user_id,
+        |    CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS es,
+        |    event_id, value FROM events),
+        |l AS (SELECT user_id, es, event_id, value,
+        |    LAG(value, 1) OVER (PARTITION BY user_id ORDER BY es, event_id) AS l1,
+        |    LAG(value, 2) OVER (PARTITION BY user_id ORDER BY es, event_id) AS l2
+        |  FROM e)
+        |SELECT user_id, es, event_id, value,
+        |  CASE WHEN l1 IS NULL OR l2 IS NULL THEN NULL
+        |       ELSE greatest(least(value, l1),
+        |            least(greatest(value, l1), l2)) END AS roll_med,
+        |  CASE WHEN l1 IS NULL OR l2 IS NULL THEN NULL
+        |       ELSE least(value, l1, l2) END AS roll_min,
+        |  CASE WHEN l1 IS NULL OR l2 IS NULL THEN NULL
+        |       ELSE greatest(value, l1, l2) END AS roll_max
+        |FROM l ORDER BY user_id, es, event_id""".stripMargin,
     // t51: identical first-occurrence pinning ((us, event_id) min
     // pair), appearance-order codes, one IEEE share division
     "t51_factorize" ->

@@ -88,6 +88,28 @@ class RobustStatsSpec extends AnyFunSuite {
     assert(rows.last._2 > rows.head._2, "wider probes must help on this corpus")
   }
 
+  test("t52: 3-row rolling median equals the sorted middle, warm-ups null") {
+    val got = typesystem.TypeQueries.t52RollingMedian(spark, sf)
+      .select("user_id", "value", "roll_med")
+      .collect()
+    assert(got.nonEmpty)
+    // re-derive per user from the ordered value sequence
+    val byUser = typesystem.TypeQueries.t52RollingMedian(spark, sf)
+      .select("user_id", "value").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2)).toMap
+    val medByPos = got.groupBy(_.getLong(0)).foreach { case (uid, rows) =>
+      val vals = byUser(uid)
+      rows.zipWithIndex.foreach { case (r, i) =>
+        if (i < 2) assert(r.isNullAt(2), s"user $uid row $i must be warm-up null")
+        else {
+          val win = vals.slice(i - 2, i + 1).sorted
+          assert(r.getDouble(2) == win(1), s"user $uid row $i")
+        }
+      }
+    }
+  }
+
   test("d15: KMV estimate is EXACT when k >= |union| (sketch = full set)") {
     // short texts -> few distinct 3-grams, well under k=64
     val docs = Seq(
