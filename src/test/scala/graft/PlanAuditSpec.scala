@@ -26,7 +26,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "x22_bigram_ppl", "t31_cut_qcut", "x24_kl_drift",
       "e7_ann_recall", // composes s1's broadcast brute cross
       "q62_zorder", // ONE broadcast row of min/max extents rides the scan
-      "s6_hybrid_rrf") // composes x11's stats-row cross + s1's brute cross
+      "s6_hybrid_rrf", // composes x11's stats-row cross + s1's brute cross
+      "e10_ivf_recall_sweep") // 4× s3 probe crosses + s1 brute + 1-row count joins
 
   test("no query plan contains a cartesian product") {
     SparkEntry.queries.keys.foreach { name =>
@@ -230,6 +231,35 @@ class PlanAuditSpec extends AnyFunSuite {
     val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
     assert(hashExchanges == 1,
       s"t48 expected exactly 1 window shuffle, got $hashExchanges:\n$p")
+  }
+
+  test("q64 weighted median: windows + the qualifier groupBy share ONE shuffle") {
+    val p = plan("q64_weighted_median")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges == 1,
+      s"q64 expected exactly 1 hash shuffle, got $hashExchanges:\n$p")
+  }
+
+  test("t52 rolling median: every column rides ONE user window shuffle") {
+    val p = plan("t52_rolling_median")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges == 1,
+      s"t52 expected exactly 1 window shuffle, got $hashExchanges:\n$p")
+  }
+
+  test("t50 MAD outliers: median tables broadcast back — events never re-sort") {
+    val p = plan("t50_mad_outliers")
+    assert(p.contains("BroadcastHashJoin"), s"t50 lost its broadcasts:\n$p")
+    assert(!p.contains("Window"), s"t50 grew a window over the events:\n$p")
+  }
+
+  test("t51 factorize: the dictionary window never touches the events") {
+    // one hash shuffle for the event_type aggregation; the ranking and
+    // total windows run AFTER it, over value-cardinality rows
+    val p = plan("t51_factorize")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges == 1,
+      s"t51 expected exactly 1 hash shuffle (the groupBy), got $hashExchanges:\n$p")
   }
 
   test("x26 C4 filters are one map pass — no shuffle before the sort") {
