@@ -1173,7 +1173,61 @@ object Relational {
       .orderBy("l_returnflag", "l_linestatus")
   }
 
+  // ---- R65: skyline (Pareto frontier) -------------------------------------
+  /** Per-brand part skyline: cheapest-for-the-size Pareto frontier over
+    * (p_retailprice minimize, p_size maximize) — the DOMINANCE operator
+    * (Börzsönyi et al. ICDE'01) no groupBy/window above expresses: a
+    * part survives iff no same-brand part is ≤ price AND ≥ size with
+    * one strict. Plan ([[graft.operators.Skyline]]): dedup to distinct
+    * (brand, price, size) with multiplicity + min-key representative
+    * (equal points never dominate each other), then a shuffle-FREE
+    * per-partition frontier prune (skyline is distributive:
+    * skyline(A∪B) = skyline(skyline(A)∪skyline(B)), so only local
+    * frontiers reach the exchange), then the global frontier as one
+    * strictly-preceding running-max window per brand. All compares on
+    * exact 2-dp doubles and ints — no arithmetic at all, so both
+    * engines decide identical dominance. */
+  def q65Skyline(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "part")
+      .groupBy(col("p_brand"), col("p_retailprice").as("price"),
+        col("p_size").cast(LongType).as("size"))
+      .agg(count(lit(1)).as("n_parts"), min("p_partkey").as("min_partkey"))
+    graft.operators.Skyline
+      .skyline(d, "p_brand", "price", "size", "n_parts", "min_partkey")
+      .orderBy("p_brand", "price", "size")
+  }
+
+  // ---- R66: time-weighted average (TWAP) ----------------------------------
+  /** Time-weighted average value per user — the TWAP read (each value
+    * HOLDS from its event until the next one, so sparse-in-time values
+    * weight by duration, not tick count — vs q1/q55's per-row means).
+    * Weight = microseconds to the successor (lead); the last event has
+    * no successor and carries zero weight (pinned rule — dropped from
+    * the average). Numerator Σ(value·w) accumulates as exact
+    * DECIMAL(12,2)×BIGINT products and denominator Σw as BIGINT —
+    * order-free at any partitioning, no IEEE window-sum ambiguity —
+    * and the single terminal division is one IEEE op both engines
+    * replay. ONE shuffle: the lead window and the user groupBy share
+    * the user-key hash partitioning (PlanAuditSpec-guarded). */
+  def q66Twap(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    events(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), dec(col("value")).as("v"))
+      .withColumn("nxt", lead("us", 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .withColumn("wt", col("nxt") - col("us"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_held"),
+        sum(col("wt")).as("held_us"),
+        (sum(col("v") * col("wt")).cast(DoubleType) /
+          sum(col("wt")).cast(DoubleType)).as("twap"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q66_twap" -> q66Twap _,
+    "q65_skyline" -> q65Skyline _,
     "q64_weighted_median" -> q64WeightedMedian _,
     "q63_interval_merge" -> q63IntervalMerge _,
     "q62_zorder" -> q62Zorder _,
@@ -1274,6 +1328,34 @@ object Relational {
   }
 
   val oracles: Map[String, String] = Map(
+    // q65: first-principles dominance anti-join over the same deduped
+    // (brand, price, size) set — certifies SEMANTICS, not the plan
+    // (the Spark side proves the two-pass scan equals this definition)
+    "q65_skyline" ->
+      """WITH d AS (SELECT p_brand, p_retailprice AS price,
+        |    CAST(p_size AS BIGINT) AS size, COUNT(*) AS n_parts,
+        |    MIN(p_partkey) AS min_partkey
+        |  FROM part GROUP BY 1, 2, 3)
+        |SELECT p_brand, price, size, n_parts, min_partkey FROM d a
+        |WHERE NOT EXISTS (SELECT 1 FROM d b WHERE b.p_brand = a.p_brand
+        |  AND b.price <= a.price AND b.size >= a.size
+        |  AND (b.price < a.price OR b.size > a.size))
+        |ORDER BY p_brand, price, size""".stripMargin,
+    // q66: identical successor weights (lead), exact DECIMAL×BIGINT
+    // numerator + BIGINT denominator sums, one IEEE terminal division
+    "q66_twap" ->
+      """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |    event_id, CAST(value AS DECIMAL(12,2)) AS v FROM events),
+        |l AS (SELECT user_id, us, event_id, v,
+        |    LEAD(us, 1) OVER (PARTITION BY user_id
+        |      ORDER BY us, event_id) AS nxt
+        |  FROM e)
+        |SELECT user_id, COUNT(*) AS n_held,
+        |  SUM(nxt - us) AS held_us,
+        |  CAST(SUM(v * (nxt - us)) AS DOUBLE)
+        |    / CAST(SUM(nxt - us) AS DOUBLE) AS twap
+        |FROM l WHERE nxt IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
     // q64: identical pinned rule — exact DECIMAL running/total weights,
     // qualifier suffix read back as MIN(price)
     "q64_weighted_median" ->

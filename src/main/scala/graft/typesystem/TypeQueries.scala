@@ -973,6 +973,34 @@ object TypeQueries {
       .orderBy("user_id", "es", "event_id")
   }
 
+  // ---- T53: resample OHLC bars ---------------------------------------------
+  /** pandas `groupby('user_id').resample('1D', on='ts')` OHLC + volume
+    * bars (`.agg({'value': 'ohlc'})` + count/sum — the time-series
+    * downsample read the t44–t52 rolling family doesn't give): open and
+    * close are the values at the exact (us, event_id) MIN / MAX pairs,
+    * read back from ONE mergeable min/max-struct aggregation (t51's
+    * pinning device — no window ever touches the events, no second
+    * pass); high/low are plain min/max; volume is an exact DECIMAL sum
+    * (order-free at any partitioning). One groupBy shuffle with map-side
+    * partials; per-(user, day) state is two structs + four scalars — the
+    * mergeable semigroup shape that folds in streaming (S19 twin).
+    * Bucket surfaced as epoch seconds (q23 convention). */
+  def t53ResampleOhlc(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .select(col("user_id"),
+        unix_timestamp(date_trunc("day", col("ts"))).as("day_s"),
+        unix_micros(col("ts")).as("us"), col("event_id"), col("value"))
+      .groupBy("user_id", "day_s")
+      .agg(
+        min(struct(col("us"), col("event_id"), col("value"))).as("o"),
+        max(struct(col("us"), col("event_id"), col("value"))).as("c"),
+        max(col("value")).as("high"), min(col("value")).as("low"),
+        dsum(dec(col("value"))).as("volume"), count(lit(1)).as("n_ticks"))
+      .select(col("user_id"), col("day_s"), col("o.value").as("open"),
+        col("high"), col("low"), col("c.value").as("close"),
+        col("volume"), col("n_ticks"))
+      .orderBy("user_id", "day_s")
+
   // ---- T46: nested decorators — sparse[categorical[string]] ---------------
   /** Decorator COMPOSITION at the data level (reference types/sparse.py
     * wrapping types/categorical.py — `sparse[categorical[T]]`, the
@@ -1184,6 +1212,7 @@ object TypeQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t53_resample_ohlc" -> t53ResampleOhlc _,
     "t52_rolling_median" -> t52RollingMedian _,
     "t51_factorize" -> t51Factorize _,
     "t50_mad_outliers" -> t50MadOutliers _,
@@ -1341,6 +1370,26 @@ object TypeQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // t53: open/close pinned by the identical (us, event_id) total order
+    // (row_number asc/desc = the min/max struct), volume the shared
+    // exact-decimal sum convention
+    "t53_resample_ohlc" ->
+      """WITH e AS (SELECT user_id,
+        |    CAST(FLOOR(epoch(date_trunc('day', CAST(ts AS TIMESTAMP)))) AS BIGINT) AS day_s,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id, value FROM events),
+        |r AS (SELECT *,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, day_s
+        |      ORDER BY us, event_id) AS ra,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, day_s
+        |      ORDER BY us DESC, event_id DESC) AS rd
+        |  FROM e)
+        |SELECT user_id, day_s,
+        |  MAX(CASE WHEN ra = 1 THEN value END) AS open,
+        |  MAX(value) AS high, MIN(value) AS low,
+        |  MAX(CASE WHEN rd = 1 THEN value END) AS close,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS volume,
+        |  COUNT(*) AS n_ticks
+        |FROM r GROUP BY user_id, day_s ORDER BY user_id, day_s""".stripMargin,
     // t52: identical lag frame + the same pure-selection median
     // network (no arithmetic — output is one of the inputs, bit-exact);
     // warm-up nulls guarded on both engines

@@ -277,6 +277,37 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"x25 grew a join:\n$p")
   }
 
+  test("t53 OHLC: one mergeable groupBy shuffle, no window over the events") {
+    val p = plan("t53_resample_ohlc")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges == 1,
+      s"t53 expected exactly 1 groupBy shuffle, got $hashExchanges:\n$p")
+    assert(!p.contains("Window"), s"t53 grew a window over the events:\n$p")
+    assert(p.contains("partial_min") || p.contains("partial"),
+      s"t53 lost its map-side partials:\n$p")
+  }
+
+  test("q66 TWAP: the lead window and the user groupBy share ONE shuffle") {
+    val p = plan("q66_twap")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges == 1,
+      s"q66 expected exactly 1 user-key shuffle, got $hashExchanges:\n$p")
+    assert(!p.contains("Join"), s"q66 grew a join:\n$p")
+  }
+
+  test("q65 skyline: local prune shuffle-free; dedup + frontier = 2 shuffles") {
+    // exchange 1 = the (brand, price, size) dedup groupBy; exchange 2 =
+    // the brand-key global-frontier window. The per-partition prune
+    // between them (sortWithinPartitions + mapPartitions) must add NO
+    // exchange — that's the property that keeps only local frontiers
+    // moving at 100 TB.
+    val p = plan("q65_skyline")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges == 2,
+      s"q65 expected exactly 2 hash shuffles, got $hashExchanges:\n$p")
+    assert(!p.contains("Join"), s"q65 grew a join:\n$p")
+  }
+
   test("whole-stage codegen covers the scan-agg pipeline") {
     // AQE wraps everything in an unmaterialized AdaptiveSparkPlan (0
     // visible codegen subtrees pre-execution) — disable it for the
