@@ -524,6 +524,56 @@ object StreamingOps {
       .start()
   }
 
+  /** S19: streaming OHLC bars — the streaming form of t53. An OHLC
+    * bar is a SEMIGROUP: open/close are min/max-STRUCT selections on
+    * the total (us, event_id) order, high/low are min/max, volume and
+    * tick count are sums — every field merges exactly, so the
+    * maintained state is ONE bar row per (user, day) regardless of how
+    * many ticks it absorbed (never history-sized; a bar that stopped
+    * trading stops costing anything). Each trigger = one
+    * map-side-combined bar aggregation over the batch, folded into
+    * state by the same min/max/add merges; emitted bars equal the
+    * batch t53 over everything seen (the spec's assertion — the merge
+    * is exact, not approximate). Volume is held as DECIMAL in state
+    * (exact, order-free) and surfaced as double only in the read.
+    * Expects (user_id, day_s, us, event_id, value) rows. */
+  def streamingOhlc(rows: DataFrame,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    def bars(df: DataFrame): DataFrame = df
+      .groupBy("user_id", "day_s")
+      .agg(
+        min(struct(col("us"), col("event_id"), col("value"))).as("o"),
+        max(struct(col("us"), col("event_id"), col("value"))).as("c"),
+        max(col("value")).as("high"), min(col("value")).as("low"),
+        sum(graft.Tables.dec(col("value")))
+          .cast(DecimalType(38, 2)).as("vol"),
+        count(lit(1)).as("n_ticks"))
+    var state: Option[DataFrame] = None
+    rows.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val partial = bars(b.toDF())
+        val next = state.map(st => st.union(partial)
+            .groupBy("user_id", "day_s")
+            .agg(min("o").as("o"), max("c").as("c"),
+              max("high").as("high"), min("low").as("low"),
+              sum("vol").cast(DecimalType(38, 2)).as("vol"),
+              sum("n_ticks").as("n_ticks")))
+          .getOrElse(partial).persist()
+        next.count()
+        state.foreach(_.unpersist())
+        state = Some(next)
+        sink(next.select(col("user_id"), col("day_s"),
+          col("o.value").as("open"), col("high"), col("low"),
+          col("c.value").as("close"),
+          col("vol").cast(DoubleType).as("volume"), col("n_ticks")))
+        ()
+      }
+      .trigger(trigger)
+      .start()
+  }
+
   /** S9: streaming ingest curation — each arriving micro-batch runs
     * the full curation pipeline (dedup, decontamination, quality,
     * length) INCREMENTALLY against the corpus's precomputed digest

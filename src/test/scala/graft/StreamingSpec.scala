@@ -1,7 +1,7 @@
 package graft
 
 import graft.streaming.StreamingOps
-import org.apache.spark.sql.functions.{coalesce, col, concat, datediff, explode, lit, max, pmod, posexplode, to_date, unix_timestamp, when}
+import org.apache.spark.sql.functions.{coalesce, col, concat, date_trunc, datediff, explode, lit, max, pmod, posexplode, to_date, unix_micros, unix_timestamp, when}
 import org.apache.spark.sql.streaming.Trigger
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -392,6 +392,51 @@ class StreamingSpec extends AnyFunSuite {
         r.getLong(3), r.getLong(4), r.getLong(5)))
     assert(last.nonEmpty && last.toSet == batch.toSet,
       s"zorder state diverged (${last.length} vs ${batch.length})")
+  }
+
+  test("S19: streaming OHLC bars fold across triggers to match batch t53") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val rows = Tables.events(spark, sf)
+      .select(col("user_id"),
+        unix_timestamp(date_trunc("day", col("ts"))).as("day_s"),
+        unix_micros(col("ts")).as("us"), col("event_id"), col("value"))
+      .limit(800).as[(Long, Long, Long, Long, Double)].collect().toSeq
+    // split BY TIME so later triggers must both extend existing bars
+    // (open pinned in trigger 1, close displaced by trigger 2) and
+    // open brand-new ones
+    val sorted = rows.sortBy(_._3)
+    val (first, second) = sorted.splitAt(sorted.length / 2)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, Long, Double)]
+    @volatile var last: Array[(Long, Long, Double, Double, Double, Double,
+      Double, Long)] = Array.empty
+    val q = StreamingOps.streamingOhlc(
+        mem.toDF().toDF("user_id", "day_s", "us", "event_id", "value"),
+        trigger = Trigger.ProcessingTime(0L)) { d =>
+      last = d.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+        r.getDouble(6), r.getLong(7)))
+    }
+    mem.addData(first: _*)
+    q.processAllAvailable()
+    val mid = last
+    mem.addData(second: _*)
+    q.processAllAvailable()
+    q.stop()
+    // some bar must have been EXTENDED (same key, larger tick count)
+    val midMap = mid.map(b => (b._1, b._2) -> b._8).toMap
+    assert(last.exists(b => midMap.get((b._1, b._2)).exists(_ < b._8)),
+      "no bar spanned both triggers — the split didn't exercise the fold")
+    // batch twin over everything seen: exact per-key brute bars
+    val batch = rows.groupBy(r => (r._1, r._2)).map { case (k, rs) =>
+      val s = rs.sortBy(r => (r._3, r._4))
+      (k._1, k._2, s.head._5, rs.map(_._5).max, rs.map(_._5).min,
+        s.last._5, rs.map(r => math.round(r._5 * 100)).sum / 100.0,
+        rs.size.toLong)
+    }.toSet
+    assert(last.nonEmpty && last.toSet == batch,
+      s"ohlc state diverged (${last.length} vs ${batch.size})")
   }
 
   test("S16: streaming interval merge folds islands across triggers to match batch") {
