@@ -557,6 +557,32 @@ object LlmQueries {
       .toDF().orderBy("doc_id")
   }
 
+  // ---- L70: MP4 nested box-tree parsing ------------------------------------
+  /** ISO-BMFF recursive box-tree parse
+    * ([[graft.operators.Multimodal.Mp4Codec]]): spec-shaped MP4s
+    * planted from doc_id — ftyp + moov{mvhd, trak{tkhd, mdia{mdhd,
+    * hdlr}}×(1–2)} + mdat, the NESTED-container dimension (recursive
+    * descent, children bounded by their parent's extent, depth cap)
+    * that m4's linear marker chain and m5's offset chain don't have.
+    * First tkhd wins dimensions; duration_ms = mvhd duration scaled by
+    * the movie timescale (exact integer division both engines). One
+    * map pass, no shuffle; the oracle recomputes every field
+    * arithmetically from doc_id. */
+  def m6Mp4Parse(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val vids = t(s, dir, "documents").select("doc_id", "text")
+      .as[(Long, String)].map { case (id, text) =>
+        Multimodal.MediaRow(id, "mp4", Multimodal.Mp4Codec.buildMp4(
+          width = (id % 640).toInt + 1, height = (id % 480).toInt + 1,
+          timescale = 1000 * ((id % 5).toInt + 1),
+          duration = ((id % 9000).toInt + 1000) * ((id % 5).toInt + 1),
+          nTracks = (id % 2).toInt + 1,
+          body = text.getBytes("UTF-8")))
+      }
+    vids.mapPartitions(it => it.map(Multimodal.Mp4Codec.decodeMp4))
+      .toDF().orderBy("doc_id")
+  }
+
   // ---- L55: BPE corpus encode ----------------------------------------------
   /** Encode the corpus with the x20-fitted tokenizer
     * ([[graft.operators.BpeTrainer.encode]]): per-doc word + BPE token
@@ -1102,6 +1128,7 @@ object LlmQueries {
     "x23_bpe_encode" -> x23BpeEncode _,
     "m3_frame_sample" -> m3FrameSample _,
     "m4_jpeg_parse" -> m4JpegParse _,
+    "m6_mp4_parse" -> m6Mp4Parse _,
     "m5_tiff_parse" -> m5TiffParse _,
     "m1_multimodal" -> m1Multimodal _,
     "m2_media_transform" -> m2MediaTransform _,
@@ -1718,6 +1745,22 @@ object LlmQueries {
     // m5: IFD-walk results recomputed arithmetically — header 8 +
     // IFD0 (2 + n0·12 + 4, n0 = 3 + bits-tag on id%3=0) + thumbnail
     // IFD1 (30 bytes, 2 entries) on id%5≠0 + body
+    // m6: box-tree results recomputed arithmetically — ftyp 20 + moov
+    // (8 + mvhd 108 + trak 173 each) + mdat (8 + body); duration_ms =
+    // duration/timescale exact because duration is planted as
+    // base_ms × (timescale/1000); depth always 4 (moov→trak→mdia leaf)
+    "m6_mp4_parse" ->
+      """SELECT doc_id, 'mp4' AS fmt,
+        |  CAST(20 + 8 + 108 + (doc_id % 2 + 1) * 173 + 8
+        |    + octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CAST(doc_id % 640 + 1 AS INT) AS width,
+        |  CAST(doc_id % 480 + 1 AS INT) AS height,
+        |  CAST(1000 * (doc_id % 5 + 1) AS INT) AS timescale,
+        |  CAST(doc_id % 9000 + 1000 AS BIGINT) AS duration_ms,
+        |  CAST(doc_id % 2 + 1 AS INT) AS n_tracks,
+        |  CAST(4 + 5 * (doc_id % 2 + 1) AS INT) AS n_boxes,
+        |  CAST(4 AS INT) AS max_depth
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "m5_tiff_parse" ->
       """SELECT doc_id, 'tiff' AS fmt,
         |  CAST(8 + 2 + (3 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) * 12 + 4

@@ -399,6 +399,115 @@ object Multimodal {
     }
   }
 
+  /** Parsed MP4 movie metadata (see [[Mp4Codec]]). */
+  final case class Mp4Features(doc_id: Long, fmt: String, n_bytes: Long,
+      width: Int, height: Int, timescale: Int, duration_ms: Long,
+      n_tracks: Int, n_boxes: Int, max_depth: Int)
+
+  /** MP4 / ISO-BMFF (ISO 14496-12) box-tree parsing — the NESTED
+    * container dimension the other codecs don't have: boxes are
+    * [size:u32be][4cc type][payload], and container boxes (moov, trak,
+    * mdia, minf, stbl) hold a child box LIST in their payload, so the
+    * parser is a recursive descent over a tree, not a linear chain
+    * (m4's markers) or an offset chain (m5's IFDs). Synthesis plants a
+    * real ftyp + moov{mvhd, trak{tkhd, mdia{mdhd, hdlr}}×n} + mdat
+    * tree with spec-exact full-box layouts; every child must lie
+    * INSIDE its parent's extent and the walk is depth-capped, so
+    * structural damage (short box, size past parent, nesting bomb)
+    * fails clean to zeros, never a throw or an overrun. */
+  object Mp4Codec {
+    private def be32(v: Int): Array[Byte] =
+      Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    private def be16(v: Int): Array[Byte] =
+      Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    private def rdBe32(b: Array[Byte], o: Int): Int =
+      ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) |
+        ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+
+    /** [size][type][payload] box. */
+    def box(tp: String, payload: Array[Byte]): Array[Byte] =
+      be32(8 + payload.length) ++ tp.getBytes("US-ASCII") ++ payload
+
+    private def zeros(n: Int): Array[Byte] = new Array[Byte](n)
+    /** Unity transform matrix (9 × 16.16/2.30 fixed). */
+    private def matrix: Array[Byte] =
+      be32(0x10000) ++ be32(0) ++ be32(0) ++ be32(0) ++ be32(0x10000) ++
+        be32(0) ++ be32(0) ++ be32(0) ++ be32(0x40000000)
+
+    /** ftyp + moov{mvhd, nTracks×trak{tkhd, mdia{mdhd, hdlr}}} + mdat.
+      * All layouts are the version-0 full-box shapes of 14496-12:
+      * mvhd 108 B, tkhd 92 B, mdhd 32 B, hdlr 33 B (1-byte name). */
+    def buildMp4(width: Int, height: Int, timescale: Int, duration: Int,
+        nTracks: Int, body: Array[Byte]): Array[Byte] = {
+      val ftyp = box("ftyp",
+        "isom".getBytes("US-ASCII") ++ be32(512) ++ "mp41".getBytes("US-ASCII"))
+      val mvhd = box("mvhd", zeros(4) ++ zeros(8) ++ be32(timescale) ++
+        be32(duration) ++ be32(0x00010000) ++ be16(0x0100) ++ zeros(10) ++
+        matrix ++ zeros(24) ++ be32(nTracks + 1))
+      val traks = (1 to nTracks).map { tid =>
+        val tkhd = box("tkhd", zeros(4) ++ zeros(8) ++ be32(tid) ++
+          zeros(4) ++ be32(duration) ++ zeros(8) ++ be16(0) ++ be16(0) ++
+          be16(0) ++ be16(0) ++ matrix ++ be32(width << 16) ++ be32(height << 16))
+        val mdhd = box("mdhd", zeros(4) ++ zeros(8) ++ be32(timescale) ++
+          be32(duration) ++ be16(0x55c4) ++ be16(0))
+        val hdlr = box("hdlr", zeros(4) ++ zeros(4) ++
+          (if (tid == 1) "vide" else "soun").getBytes("US-ASCII") ++
+          zeros(12) ++ zeros(1))
+        box("trak", tkhd ++ box("mdia", mdhd ++ hdlr))
+      }.reduce(_ ++ _)
+      ftyp ++ box("moov", mvhd ++ traks) ++ box("mdat", body)
+    }
+
+    def isMp4(p: Array[Byte]): Boolean =
+      p.length >= 12 && p(4) == 'f' && p(5) == 't' && p(6) == 'y' && p(7) == 'p'
+
+    private val containers = Set("moov", "trak", "mdia", "minf", "stbl")
+    private val maxDepthCap = 32
+
+    /** Recursive-descent walk of the box tree. First tkhd wins the
+      * dimensions (later tracks are audio); mvhd yields the movie
+      * timescale/duration; every box counted, nesting depth tracked. */
+    def decodeMp4(r: MediaRow): Mp4Features = {
+      val p = r.payload
+      if (!isMp4(p))
+        return Mp4Features(r.doc_id, "unknown", p.length.toLong, 0, 0, 0, 0L, 0, 0, 0)
+      var w = 0; var h = 0; var ts = 0; var dur = 0L
+      var tracks = 0; var boxes = 0; var maxD = 0
+      var ok = true
+      def walk(start: Int, end: Int, depth: Int): Unit = {
+        if (depth > maxDepthCap) { ok = false; return }
+        var i = start
+        while (ok && i < end) {
+          if (i + 8 > end) { ok = false; return }
+          val sz = rdBe32(p, i)
+          if (sz < 8 || i.toLong + sz > end) { ok = false; return }
+          val tp = new String(p, i + 4, 4, "US-ASCII")
+          boxes += 1
+          if (depth > maxD) maxD = depth
+          if (containers(tp)) {
+            if (tp == "trak") tracks += 1
+            walk(i + 8, i + sz, depth + 1)
+          } else if (tp == "mvhd") {
+            if (sz < 108) ok = false
+            else { ts = rdBe32(p, i + 20); dur = rdBe32(p, i + 24) & 0xffffffffL }
+          } else if (tp == "tkhd") {
+            if (sz < 92) ok = false
+            else if (w == 0) {
+              w = rdBe32(p, i + 84) >>> 16; h = rdBe32(p, i + 88) >>> 16
+            }
+          }
+          i += sz
+        }
+      }
+      walk(0, p.length, 1)
+      if (!ok)
+        Mp4Features(r.doc_id, "unknown", p.length.toLong, 0, 0, 0, 0L, 0, 0, 0)
+      else Mp4Features(r.doc_id, "mp4", p.length.toLong, w, h, ts,
+        if (ts > 0) dur * 1000L / ts else 0L, tracks, boxes, maxD)
+    }
+  }
+
   object JpegCodec {
     private def be16(v: Int): Array[Byte] =
       Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)

@@ -589,6 +589,39 @@ class MultimodalSpec extends AnyFunSuite {
     assert(TiffCodec.decodeTiff(MediaRow(3L, "tiff", bad)).fmt == "unknown")
   }
 
+  test("mp4 box-tree walk: nesting depth, track count, first-tkhd wins") {
+    import Multimodal.{Mp4Codec, MediaRow}
+    val body = "mdat payload".getBytes("UTF-8")
+    val p = Mp4Codec.buildMp4(640, 360, 3000, 7500, nTracks = 2, body)
+    val f = Mp4Codec.decodeMp4(MediaRow(1L, "mp4", p))
+    assert(f.fmt == "mp4" && f.width == 640 && f.height == 360, s"$f")
+    assert(f.timescale == 3000 && f.duration_ms == 2500L, s"$f")
+    assert(f.n_tracks == 2 && f.n_boxes == 14 && f.max_depth == 4, s"$f")
+    val one = Mp4Codec.decodeMp4(MediaRow(2L, "mp4",
+      Mp4Codec.buildMp4(64, 32, 1000, 999, nTracks = 1, body)))
+    assert(one.n_tracks == 1 && one.n_boxes == 9 && one.duration_ms == 999L)
+  }
+
+  test("mp4 parser rejects junk, truncation, child-past-parent, nesting bomb") {
+    import Multimodal.{Mp4Codec, MediaRow}
+    assert(Mp4Codec.decodeMp4(
+      MediaRow(1L, "mp4", Array.fill[Byte](32)(9))).fmt == "unknown")
+    val good = Mp4Codec.buildMp4(100, 50, 1000, 5000, 1, Array[Byte](1, 2))
+    // cut inside moov: a child box extends past the truncated parent
+    val cut = Mp4Codec.decodeMp4(MediaRow(2L, "mp4", good.take(60)))
+    assert(cut.fmt == "unknown" && cut.width == 0)
+    // grow a child's size field past its parent's extent
+    val bad = good.clone(); bad(28) = 0x7f // mvhd's size, past moov's extent
+    assert(Mp4Codec.decodeMp4(MediaRow(3L, "mp4", bad)).fmt == "unknown")
+    // nesting bomb: 40 nested moov shells > the depth cap of 32
+    val bomb = (1 to 40).foldLeft("ftyp".getBytes("US-ASCII")) {
+      case (inner, _) => Mp4Codec.box("moov", inner)
+    }
+    val shell = Mp4Codec.box("ftyp", Array[Byte](0, 0, 0, 0)) ++ bomb
+    // make isMp4 see ftyp first: shell starts with a real ftyp box
+    assert(Mp4Codec.decodeMp4(MediaRow(4L, "mp4", shell)).fmt == "unknown")
+  }
+
   test("edit-distance join catches insert, delete, substitute; rejects dist 2") {
     import TestSpark.spark.implicits._
     val rows = Seq(
