@@ -383,6 +383,42 @@ object LlmQueries {
         md5(concat_ws("\n", col("kept"))).as("kept_md5"))
       .orderBy("doc_id")
 
+  // ---- L71: HTML boilerplate strip -----------------------------------------
+  /** HTML → visible-text extraction + link-density boilerplate signal
+    * (trafilatura/jusText-lite — the step that runs BEFORE x18/x26's
+    * text filters on a real crawl): docs are wrapped in a
+    * deterministic doc_id-derived page (head + script, nav/footer link
+    * farms, an entity-bearing paragraph, the text body), then
+    * [[graft.operators.TextAnalysis.htmlVisible]] drops script blocks,
+    * strips tags, decodes the five standard entities (&amp; pinned
+    * LAST — single-pass rule) and collapses whitespace; link density =
+    * anchor-inner chars / visible chars, ONE IEEE division. Pure
+    * codegen'd regexp chain, one map pass, zero shuffles; every
+    * pattern Java/RE2-agreeing so DuckDB replays rule for rule. */
+  def x27HtmlStrip(s: SparkSession, dir: String): DataFrame = {
+    val page = concat(
+      lit("<html><head><title>Doc "), col("doc_id"),
+      lit("</title><script type=\"text/js\">var x="), col("doc_id"),
+      lit(";</script></head><body><nav><a href=\"/home\">Home</a> " +
+        "<a href=\"/about\">About page</a></nav>" +
+        "<p>Q&amp;A &lt;sample&gt; &quot;quote&quot;</p><p>"),
+      col("text"),
+      lit("</p><div class=\"footer\"><a href=\"/contact\">Contact us</a>" +
+        "</div></body></html>"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), page.as("html"))
+      .select(col("doc_id"),
+        TextAnalysis.htmlVisible(col("html")).as("visible"),
+        TextAnalysis.tagCount(col("html")).cast("long").as("n_tags"),
+        TextAnalysis.linkChars(col("html")).cast("long").as("link_chars"))
+      .select(col("doc_id"), md5(col("visible")).as("visible_md5"),
+        length(col("visible")).cast("long").as("visible_chars"),
+        col("n_tags"), col("link_chars"),
+        (col("link_chars").cast("double") /
+          length(col("visible")).cast("double")).as("link_density"))
+      .orderBy("doc_id")
+  }
+
   // ---- L41: DSIR importance weights ---------------------------------------
   /** DSIR data selection (Xie et al. 2023) with the English slice as
     * the target distribution: hashed unigram+bigram models (256 md5
@@ -1100,6 +1136,7 @@ object LlmQueries {
     "x16_unicode_normalize" -> x16UnicodeNormalize _,
     "x17_line_dedup" -> x17LineDedup _,
     "x18_gopher_rules" -> x18GopherRules _,
+    "x27_html_strip" -> x27HtmlStrip _,
     "x26_c4_filters" -> x26C4Filters _,
     "s6_hybrid_rrf" -> s6HybridRrf _,
     "e5_pca_project" -> e5PcaProject _,
@@ -2397,6 +2434,42 @@ object LlmQueries {
     // x26: identical relining + identical content-derived plants,
     // replayed with DuckDB's index-free list lambdas; md5 over the
     // same reconstructed kept-lines bytes
+    // x27: rule-for-rule regexp replay — same patterns, same pinned
+    // entity order (&amp; last), 'g' flags for DuckDB's default-first
+    // semantics, one identical IEEE density division
+    "x27_html_strip" ->
+      """WITH h AS (SELECT doc_id,
+        |    '<html><head><title>Doc ' || doc_id ||
+        |    '</title><script type="text/js">var x=' || doc_id ||
+        |    ';</script></head><body><nav><a href="/home">Home</a> ' ||
+        |    '<a href="/about">About page</a></nav>' ||
+        |    '<p>Q&amp;A &lt;sample&gt; &quot;quote&quot;</p><p>' || text ||
+        |    '</p><div class="footer"><a href="/contact">Contact us</a>' ||
+        |    '</div></body></html>' AS html
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, html,
+        |    regexp_replace(regexp_replace(regexp_replace(html,
+        |      '<script[^>]*>.*?</script>', ' ', 'g'),
+        |      '<style[^>]*>.*?</style>', ' ', 'g'),
+        |      '<[^>]*>', ' ', 'g') AS t FROM h),
+        |s2 AS (SELECT doc_id, html,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |      regexp_replace(t, '&lt;', '<', 'g'), '&gt;', '>', 'g'),
+        |      '&quot;', '"', 'g'), '&#39;', chr(39), 'g'),
+        |      '&amp;', '&', 'g') AS t FROM s1),
+        |v AS (SELECT doc_id, html,
+        |    trim(regexp_replace(t, '\s+', ' ', 'g')) AS visible FROM s2)
+        |SELECT doc_id, md5(visible) AS visible_md5,
+        |  CAST(length(visible) AS BIGINT) AS visible_chars,
+        |  CAST(len(regexp_extract_all(html, '<[^>]*>', 0)) AS BIGINT) AS n_tags,
+        |  CAST(COALESCE(list_sum(list_transform(
+        |    regexp_extract_all(html, '<a [^>]*>(.*?)</a>', 1),
+        |    x -> length(x))), 0) AS BIGINT) AS link_chars,
+        |  CAST(COALESCE(list_sum(list_transform(
+        |    regexp_extract_all(html, '<a [^>]*>(.*?)</a>', 1),
+        |    x -> length(x))), 0) AS DOUBLE)
+        |    / CAST(length(visible) AS DOUBLE) AS link_density
+        |FROM v ORDER BY doc_id""".stripMargin,
     "x26_c4_filters" ->
       """WITH w0 AS (SELECT doc_id, string_split(text, ' ') AS ws0
         |  FROM documents),

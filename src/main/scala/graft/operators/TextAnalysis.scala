@@ -156,6 +156,39 @@ object TextAnalysis {
     regexp_replace(phone, "[0-9]{6,}", "<NUM>")
   }
 
+  /** HTML → visible text (the web-corpus extraction step that runs
+    * BEFORE every text filter — trafilatura/jusText-lite): drop
+    * script/style blocks, strip tags, decode the five standard
+    * entities (&amp; deliberately LAST — the single-pass rule, so
+    * "&amp;lt;" yields the literal "&lt;"), collapse whitespace. Pure
+    * regexp_replace chain — codegen'd, one pass, and every pattern is
+    * Java/RE2-agreeing so DuckDB replays it rule for rule (DuckDB
+    * needs the explicit 'g' flag; Spark is global by default). */
+  def htmlVisible(text: Column): Column = {
+    val noScript = regexp_replace(text, "<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "<style[^>]*>.*?</style>", " ")
+    val noTags = regexp_replace(noStyle, "<[^>]*>", " ")
+    val e1 = regexp_replace(noTags, "&lt;", "<")
+    val e2 = regexp_replace(e1, "&gt;", ">")
+    val e3 = regexp_replace(e2, "&quot;", "\"")
+    val e4 = regexp_replace(e3, "&#39;", "'")
+    val e5 = regexp_replace(e4, "&amp;", "&")
+    trim(regexp_replace(e5, "\\s+", " "))
+  }
+
+  /** Total characters of anchor (<a>) inner text — the numerator of
+    * link density, THE boilerplate signal (nav/footer link farms have
+    * high link density, body prose low). */
+  def linkChars(text: Column): Column =
+    aggregate(
+      transform(regexp_extract_all(text, lit("<a [^>]*>(.*?)</a>"), lit(1)),
+        t => length(t)),
+      lit(0), (acc, x) => acc + x)
+
+  /** Count of HTML tags in the raw markup. */
+  def tagCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("<[^>]*>"), lit(0)))
+
   /** Deterministic train/val/test assignment: bucket 0-99 from the id's
     * md5 prefix (stable across runs, engines, and cluster layouts —
     * unlike `df.randomSplit`, re-runs and backfills land every row in

@@ -293,6 +293,20 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r.getInt(1) == 6)
   }
 
+  test("htmlVisible: script drop, tag strip, pinned entity order, ws collapse") {
+    val html = "<html><script>var x=1;</script><p>A &amp;lt; B</p>" +
+      "<nav><a href=\"/x\">Go  home</a></nav>  <b>&quot;hi&#39;s&quot;</b></html>"
+    val df = Seq(html).toDF("h")
+    val vis = df.select(TextAnalysis.htmlVisible($"h")).as[String].head()
+    // &amp;lt; decodes to the LITERAL "&lt;" (amp last, single pass);
+    // script content gone; all whitespace runs collapsed
+    assert(vis == "A &lt; B Go home \"hi's\"", s"got [$vis]")
+    val r = df.select(TextAnalysis.tagCount($"h").as("t"),
+      TextAnalysis.linkChars($"h").as("lc")).head()
+    assert(r.getInt(0) == 12, s"tags ${r.getInt(0)}")
+    assert(r.getInt(1) == "Go  home".length, s"linkChars ${r.getInt(1)}")
+  }
+
   test("fingerprint stable under identical text, differs otherwise") {
     val df = Seq("a b c d e f", "a b c d e f", "x y z w v u").toDF("text")
     val fps = df.select(TextAnalysis.fingerprint($"text")).as[Long].collect()

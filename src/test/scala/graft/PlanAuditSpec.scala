@@ -308,6 +308,13 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"q65 grew a join:\n$p")
   }
 
+  test("x27 html strip is one map pass — no shuffle, no join") {
+    val p = plan("x27_html_strip")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"x27 grew a shuffle:\n$p")
+    assert(!p.contains("Join"), s"x27 grew a join:\n$p")
+  }
+
   test("whole-stage codegen covers the scan-agg pipeline") {
     // AQE wraps everything in an unmaterialized AdaptiveSparkPlan (0
     // visible codegen subtrees pre-execution) — disable it for the
