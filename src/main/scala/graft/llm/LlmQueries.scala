@@ -173,6 +173,80 @@ object LlmQueries {
     }.reduce(_.unionByName(_)).orderBy("nprobe")
   }
 
+  // ---- L72: LSH band-count recall/precision sweep --------------------------
+  /** The S-curve calibration harness for the MinHash-LSH dedup family
+    * — d16 is to d2 what e10 is to s3: candidate-stage recall AND
+    * candidate precision at band configs (4×4, 8×2, 16×1) over ONE
+    * shared h=16 md5-minhash signature, measured against the EXACT
+    * all-pairs Jaccard ≥ 0.5 ground truth on a deterministic md5-order
+    * 300-doc sample (+ planted near-copies, d2's device). Theory:
+    * P(candidate) = 1−(1−jʳ)ᵇ — more, shorter bands catch more of the
+    * j ≥ 0.5 region but admit more false candidates for the verify
+    * stage to kill; this measures that trade on the corpus itself,
+    * the dial an operator sets before fixing the 100 TB config (d2
+    * ships 32×2 over h=64 for exactly this curve's reason). md5-prefix
+    * hashes (d15's replayability device) make signatures, band keys,
+    * truth, and both ratios replay bit-exact in DuckDB. The sample's
+    * all-pairs truth join is an intentional broadcast cross (e10's
+    * allowlisted shape) — calibration runs on a sample, the production
+    * path stays banded. The length-ratio prefilter is lossless for
+    * j ≥ 0.5 (that similarity forces set sizes within 2×). */
+  def d16LshBandSweep(s: SparkSession, dir: String): DataFrame = {
+    val h = 16
+    val base = t(s, dir, "documents")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id")).limit(300)
+      .select(col("doc_id").as("id"), col("text"))
+    val docs = base.union(base.select((col("id") + lit(1000000L)).as("id"),
+      concat(col("text"), lit(" zz qq")).as("text")))
+    val sh = docs
+      .withColumn("nt", trim(regexp_replace(lower(col("text")), "\\s+", " ")))
+      .withColumn("words", split(col("nt"), " "))
+      .withColumn("sh", array_distinct(transform(
+        sequence(lit(1), greatest(size(col("words")) - 2, lit(1))),
+        i => array_join(slice(col("words"), i, lit(3)), " "))))
+      .select("id", "sh")
+      .persist()
+    val sig = sh.withColumn("sig", array((0 until h).map(k =>
+        array_min(transform(col("sh"), x =>
+          conv(substring(md5(concat(lit(k + "|"), x)), 1, 15), 16, 10)
+            .cast("long")))): _*))
+      .select("id", "sig").persist()
+    val commonN = size(array_intersect(col("a.sh"), col("b.sh"))).cast("double")
+    val truth = sh.as("a").join(sh.as("b"),
+        col("a.id") < col("b.id") &&
+          size(col("a.sh")) * 2 >= size(col("b.sh")) &&
+          size(col("b.sh")) * 2 >= size(col("a.sh")))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        commonN.as("common"),
+        (size(col("a.sh")) + size(col("b.sh"))).cast("double").as("sz"))
+      .filter(col("common") / (col("sz") - col("common")) >= 0.5)
+      .select("id_a", "id_b").persist()
+    def candidates(b: Int, r: Int): DataFrame = {
+      val ex = sig.select(col("id"),
+        posexplode(array((0 until b).map(i =>
+          concat_ws(",", transform(slice(col("sig"), i * r + 1, r),
+            v => v.cast("string")))): _*)).as(Seq("band", "key")))
+      ex.as("x").join(ex.as("y"),
+          col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+            col("x.id") < col("y.id"))
+        .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
+    }
+    Seq((4, 4), (8, 2), (16, 1)).map { case (b, r) =>
+      val cand = candidates(b, r)
+      truth.agg(count(lit(1)).as("n_true"))
+        .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+        .crossJoin(truth.join(cand, Seq("id_a", "id_b"), "left_semi")
+          .agg(count(lit(1)).as("n_caught")))
+        .select(lit(b).as("bands"), lit(r).as("rows_per_band"),
+          col("n_true"), col("n_cand"), col("n_caught"),
+          (col("n_caught").cast("double") /
+            nullif(col("n_true").cast("double"), lit(0.0))).as("recall"),
+          (col("n_caught").cast("double") /
+            nullif(col("n_cand").cast("double"), lit(0.0)))
+            .as("cand_precision"))
+    }.reduce(_.unionByName(_)).orderBy("bands")
+  }
+
   // ---- L62: hybrid lexical+dense retrieval (RRF) ---------------------------
   /** Hybrid search — the standard RAG retrieval pattern: BM25 top-20
     * (x11's proven lexical scorer, deterministic rounded-score/id cut)
@@ -1110,6 +1184,7 @@ object LlmQueries {
     "d3_simhash" -> d3Simhash _,
     "d4_ngram_jaccard" -> d4NgramJaccard _,
     "d15_kmv_calibration" -> d15KmvCalibration _,
+    "d16_lsh_band_sweep" -> d16LshBandSweep _,
     "d5_embed_dup" -> d5EmbedDup _,
     "d6_dup_clusters" -> d6DupClusters _,
     "s1_ann_brute" -> s1AnnBrute _,
@@ -1469,6 +1544,51 @@ object LlmQueries {
   /** Shared by d2/d6: docs ∪ perturbed copies → distinct word-3-shingle
     * sets → exact all-pairs jaccard candidates (j). RECURSIVE is inert
     * for d2 and enables d6's closure CTE. */
+  /** d16 oracle: per-config CTEs generated from the same (bands, rows)
+    * list the Spark side sweeps. */
+  private def d16OracleSql: String = {
+    val configs = Seq((4, 4), (8, 2), (16, 1))
+    val perConfig = configs.map { case (b, r) =>
+      s"""ex$b AS (SELECT id, i AS band,
+         |    array_to_string(sig[CAST(i*$r+1 AS INT):CAST(i*$r+$r AS INT)], ',') AS key
+         |  FROM sg, (SELECT unnest(range(0, $b)) AS i) t),
+         |cd$b AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b
+         |  FROM ex$b x JOIN ex$b y
+         |  ON x.band = y.band AND x.key = y.key AND x.id < y.id),
+         |r$b AS (SELECT $b AS bands, $r AS rows_per_band,
+         |  (SELECT COUNT(*) FROM tr) AS n_true,
+         |  (SELECT COUNT(*) FROM cd$b) AS n_cand,
+         |  (SELECT COUNT(*) FROM tr JOIN cd$b USING (id_a, id_b)) AS n_caught)""".stripMargin
+    }.mkString(",\n")
+    val unions = configs.map { case (b, _) => s"SELECT * FROM r$b" }
+      .mkString(" UNION ALL ")
+    s"""WITH samp AS (
+       |  SELECT doc_id AS id, text FROM documents
+       |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 300),
+       |all_docs AS (SELECT id, text FROM samp
+       |  UNION ALL SELECT id + 1000000, text || ' zz qq' FROM samp),
+       |b AS (SELECT id,
+       |    list_distinct(list_transform(
+       |      range(1, CAST(greatest(len(string_split(nt, ' ')) - 2, 1) AS BIGINT) + 1),
+       |      i -> array_to_string((string_split(nt, ' '))[CAST(i AS INT):CAST(i AS INT)+2], ' '))) AS sh
+       |  FROM (SELECT id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+       |        FROM all_docs)),
+       |sg AS (SELECT id, list_transform(range(0, 16), k ->
+       |    list_min(list_transform(sh,
+       |      s -> CAST('0x' || substr(md5(CAST(k AS VARCHAR) || '|' || s), 1, 15) AS BIGINT)))) AS sig
+       |  FROM b),
+       |tr AS (SELECT a.id AS id_a, bb.id AS id_b
+       |  FROM b a JOIN b bb ON a.id < bb.id
+       |    AND len(a.sh) * 2 >= len(bb.sh) AND len(bb.sh) * 2 >= len(a.sh)
+       |    AND CAST(len(list_intersect(a.sh, bb.sh)) AS DOUBLE)
+       |      / (len(a.sh) + len(bb.sh) - len(list_intersect(a.sh, bb.sh))) >= 0.5),
+       |$perConfig
+       |SELECT bands, rows_per_band, n_true, n_cand, n_caught,
+       |  CAST(n_caught AS DOUBLE) / NULLIF(CAST(n_true AS DOUBLE), 0.0) AS recall,
+       |  CAST(n_caught AS DOUBLE) / NULLIF(CAST(n_cand AS DOUBLE), 0.0) AS cand_precision
+       |FROM ($unions) ORDER BY bands""".stripMargin
+  }
+
   private val d2PairCtes: String =
     """WITH RECURSIVE all_docs AS (
       |  SELECT doc_id, text FROM documents
@@ -2791,6 +2911,10 @@ object LlmQueries {
     // d15: d4's block/gram construction + the identical KMV rule —
     // sketch values replay as md5-prefix BIGINTs, bottom-64 of the
     // merged sketches, fraction present in both; raw IEEE divisions
+    // d16: full replay — same md5-order sample + planted copies, same
+    // word-3-shingle sets, same h=16 md5-prefix minhash signature and
+    // band-key renders, same all-pairs truth and the two ratios
+    "d16_lsh_band_sweep" -> d16OracleSql,
     "d15_kmv_calibration" ->
       """WITH b AS (
         |  SELECT doc_id AS id, source, CAST(floor(n_chars / 100.0) AS INT) AS lb,

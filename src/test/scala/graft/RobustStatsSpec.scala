@@ -37,6 +37,23 @@ class RobustStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("d16 band sweep: recall rises and precision falls as bands shorten") {
+    val rows = llm.LlmQueries.d16LshBandSweep(spark, sf)
+      .select("bands", "n_true", "n_cand", "n_caught")
+      .as[(Int, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(4, 8, 16))
+    val nTrue = rows.head._2
+    assert(nTrue >= 300L, s"planted copies missing from truth: $nTrue")
+    // recall non-decreasing with band count, candidate volume
+    // (the precision cost) strictly growing
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._4 <= b._4, s"recall fell: $a -> $b")
+      assert(a._3 < b._3, s"candidates did not grow: $a -> $b")
+    }
+    // the shortest-band config must catch every true pair here
+    assert(rows.last._4 == nTrue, s"16x1 missed pairs: ${rows.last}")
+  }
+
   test("t50: planted outlier flagged, clean group clean, MAD=0 -> null z") {
     // 20 tight values + one wild one per the rule's own arithmetic
     val base = (1 to 20).map(i => ("a", 10.0 + (i % 5))) :+ (("a", 1000.0))
