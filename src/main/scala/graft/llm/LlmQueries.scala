@@ -173,6 +173,36 @@ object LlmQueries {
     }.reduce(_.unionByName(_)).orderBy("nprobe")
   }
 
+  // ---- L73: Matryoshka dimension-truncation recall sweep --------------------
+  /** Embedding-DIMENSION recall curve — recall@10 of brute cosine over
+    * the d-prefix of each embedding (d ∈ {8, 16, 32, 64}) against the
+    * full-64-dim ground truth: the Matryoshka/truncation read (Kusupati
+    * et al. 2022) that prices the OTHER compression axis next to s4's
+    * int8 width (fewer dims × full precision vs all dims × 8 bits) —
+    * at 100 TB, storing the 16-prefix is a 4× index shrink and this
+    * measures exactly what it costs on the corpus's own queries. All
+    * sweeps share the same 5 query vectors and the same deterministic
+    * (cos desc, id) tiebreak, so d=64 recalls 1.0 identically and the
+    * curve isolates the dimension count. Intentional broadcast crosses
+    * (the s1/e10 allowlisted shape). */
+  def e11MatryoshkaSweep(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    def trunc(df: DataFrame, d: Int): DataFrame =
+      df.select(col("vec_id"), slice(col("embedding"), 1, d).as("embedding"))
+    val qs = emb.filter(col("vec_id") < 5)
+    val full = Similarity.bruteTopK(emb, qs, k = 10).select("qid", "id")
+    Seq(8, 16, 32, 64).map { d =>
+      val cut = Similarity.bruteTopK(trunc(emb, d), trunc(qs, d), k = 10)
+        .select("qid", "id")
+      full.agg(count(lit(1)).as("n_full"))
+        .crossJoin(full.join(cut, Seq("qid", "id"), "left_semi")
+          .agg(count(lit(1)).as("n_overlap")))
+        .select(lit(d).as("dims"), col("n_full"), col("n_overlap"),
+          (col("n_overlap").cast("double") / col("n_full").cast("double"))
+            .as("recall"))
+    }.reduce(_.unionByName(_)).orderBy("dims")
+  }
+
   // ---- L72: LSH band-count recall/precision sweep --------------------------
   /** The S-curve calibration harness for the MinHash-LSH dedup family
     * — d16 is to d2 what e10 is to s3: candidate-stage recall AND
@@ -1185,6 +1215,7 @@ object LlmQueries {
     "d4_ngram_jaccard" -> d4NgramJaccard _,
     "d15_kmv_calibration" -> d15KmvCalibration _,
     "d16_lsh_band_sweep" -> d16LshBandSweep _,
+    "e11_matryoshka_sweep" -> e11MatryoshkaSweep _,
     "d5_embed_dup" -> d5EmbedDup _,
     "d6_dup_clusters" -> d6DupClusters _,
     "s1_ann_brute" -> s1AnnBrute _,
@@ -1544,6 +1575,39 @@ object LlmQueries {
   /** Shared by d2/d6: docs ∪ perturbed copies → distinct word-3-shingle
     * sets → exact all-pairs jaccard candidates (j). RECURSIVE is inert
     * for d2 and enables d6's closure CTE. */
+  /** e11 oracle: one s1-shape brute-force CTE per prefix dimension,
+    * cosine over the SAME list prefix both engines slice. */
+  private def e11OracleSql: String = {
+    val dims = Seq(8, 16, 32, 64)
+    def cos(d: Int) =
+      s"list_cosine_similarity(a.v[1:$d], b.v[1:$d])"
+    val cuts = dims.map { d =>
+      s"""cut$d AS (SELECT qid, id FROM (
+         |  SELECT b.vec_id AS qid, a.vec_id AS id,
+         |    ROW_NUMBER() OVER (PARTITION BY b.vec_id
+         |      ORDER BY ${cos(d)} DESC, a.vec_id ASC) AS rk
+         |  FROM emb a JOIN emb b ON b.vec_id < 5 AND a.vec_id <> b.vec_id)
+         |  WHERE rk <= 10),
+         |r$d AS (SELECT $d AS dims,
+         |  (SELECT COUNT(*) FROM cut64x) AS n_full,
+         |  (SELECT COUNT(*) FROM cut64x JOIN cut$d USING (qid, id)) AS n_overlap)""".stripMargin
+    }.mkString(",\n")
+    val unions = dims.map(d => s"SELECT * FROM r$d").mkString(" UNION ALL ")
+    s"""WITH emb AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |cut64x AS (SELECT qid, id FROM (
+       |  SELECT b.vec_id AS qid, a.vec_id AS id,
+       |    ROW_NUMBER() OVER (PARTITION BY b.vec_id
+       |      ORDER BY ${cos(64)} DESC, a.vec_id ASC) AS rk
+       |  FROM emb a JOIN emb b ON b.vec_id < 5 AND a.vec_id <> b.vec_id)
+       |  WHERE rk <= 10),
+       |$cuts
+       |SELECT dims, n_full, n_overlap,
+       |  CAST(n_overlap AS DOUBLE) / CAST(n_full AS DOUBLE) AS recall
+       |FROM ($unions) ORDER BY dims""".stripMargin
+  }
+
   /** d16 oracle: per-config CTEs generated from the same (bands, rows)
     * list the Spark side sweeps. */
   private def d16OracleSql: String = {
@@ -2915,6 +2979,9 @@ object LlmQueries {
     // word-3-shingle sets, same h=16 md5-prefix minhash signature and
     // band-key renders, same all-pairs truth and the two ratios
     "d16_lsh_band_sweep" -> d16OracleSql,
+    // e11: per-dim s1-shape brute CTEs on list prefixes, same raw-cos
+    // ordering + id tiebreak, overlap counted by the same (qid, id) join
+    "e11_matryoshka_sweep" -> e11OracleSql,
     "d15_kmv_calibration" ->
       """WITH b AS (
         |  SELECT doc_id AS id, source, CAST(floor(n_chars / 100.0) AS INT) AS lb,

@@ -105,6 +105,19 @@ class RobustStatsSpec extends AnyFunSuite {
     assert(rows.last._2 > rows.head._2, "wider probes must help on this corpus")
   }
 
+  test("e11: full-dim recall is exactly 1.0; prefix dims degrade informatively") {
+    val rows = llm.LlmQueries.e11MatryoshkaSweep(spark, sf)
+      .select("dims", "recall").as[(Int, Double)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(8, 16, 32, 64))
+    // d=64 is the ground truth itself — identical cut, identical
+    // tiebreaks, so recall must be EXACTLY 1.0, not approximately
+    assert(rows.last._2 == 1.0, s"full-dim recall ${rows.last._2}")
+    // on unstructured (non-Matryoshka-trained) embeddings the 8-prefix
+    // must lose most of the ranking — the honest negative result the
+    // harness exists to surface
+    assert(rows.head._2 < 0.8, s"8-dim recall suspiciously high ${rows.head}")
+  }
+
   test("t52: 3-row rolling median equals the sorted middle, warm-ups null") {
     val got = typesystem.TypeQueries.t52RollingMedian(spark, sf)
       .select("user_id", "value", "roll_med")
