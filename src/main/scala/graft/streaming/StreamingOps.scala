@@ -574,6 +574,43 @@ object StreamingOps {
       .start()
   }
 
+  /** S20: streaming skyline — the streaming form of q65. Dominance is
+    * MONOTONE under insertion (points are only added, so a dominated
+    * point stays dominated forever) and the skyline operator is
+    * distributive (skyline(A ∪ B) = skyline(skyline(A) ∪ B)), so the
+    * maintained state is the CURRENT FRONTIER ITSELF — frontier-sized,
+    * never history-sized — and each trigger re-runs the exact batch
+    * operator over state ∪ batch. Multiplicities stay exact: a point
+    * that ever reaches the final frontier was never dominated at any
+    * earlier trigger, so its (n, rep) folded every occurrence (sum /
+    * min merges on the dedup groupBy). Emitted frontier equals the
+    * batch skyline over everything seen (the spec's assertion).
+    * Expects (g, x, y, n, rep) rows — x minimized, y maximized. */
+  def streamingSkyline(rows: DataFrame,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    def frontier(df: DataFrame): DataFrame =
+      graft.operators.Skyline.skyline(
+        df.groupBy("g", "x", "y")
+          .agg(sum("n").as("n"), min("rep").as("rep")),
+        "g", "x", "y", "n", "rep")
+    var state: Option[DataFrame] = None
+    rows.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val batch = b.toDF().select("g", "x", "y", "n", "rep")
+        val next = frontier(state.map(_.union(batch)).getOrElse(batch))
+          .persist()
+        next.count()
+        state.foreach(_.unpersist())
+        state = Some(next)
+        sink(next)
+        ()
+      }
+      .trigger(trigger)
+      .start()
+  }
+
   /** S9: streaming ingest curation — each arriving micro-batch runs
     * the full curation pipeline (dedup, decontamination, quality,
     * length) INCREMENTALLY against the corpus's precomputed digest

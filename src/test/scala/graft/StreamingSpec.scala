@@ -439,6 +439,48 @@ class StreamingSpec extends AnyFunSuite {
       s"ohlc state diverged (${last.length} vs ${batch.size})")
   }
 
+  test("S20: streaming skyline state is the frontier; fold matches batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val rows = Tables.t(spark, sf, "part")
+      .select(col("p_brand"), col("p_retailprice"),
+        col("p_size").cast("long"), lit(1L), col("p_partkey"))
+      .as[(String, Double, Long, Long, Long)].collect().toSeq
+    // trigger 1 = the EXPENSIVE half: its frontier must later be
+    // displaced by trigger 2's cheaper dominators, and trigger 2 also
+    // carries points the standing frontier rejects
+    val sorted = rows.sortBy(-_._2)
+    val (first, second) = sorted.splitAt(sorted.length / 2)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(String, Double, Long, Long, Long)]
+    @volatile var last: Array[(String, Double, Long, Long, Long)] = Array.empty
+    val q = StreamingOps.streamingSkyline(
+        mem.toDF().toDF("g", "x", "y", "n", "rep"),
+        trigger = Trigger.ProcessingTime(0L)) { d =>
+      last = d.collect().map(r => (r.getString(0), r.getDouble(1),
+        r.getLong(2), r.getLong(3), r.getLong(4)))
+    }
+    mem.addData(first: _*)
+    q.processAllAvailable()
+    val mid = last.toSet
+    mem.addData(second: _*)
+    q.processAllAvailable()
+    q.stop()
+    // displacement really happened: some trigger-1 frontier point is gone
+    assert(mid.exists(p => !last.toSet.contains(p)),
+      "no frontier point was displaced — the split didn't exercise the fold")
+    // batch twin over everything seen
+    val d = rows.groupBy(r => (r._1, r._2, r._3)).map { case (k, rs) =>
+      (k._1, k._2, k._3, rs.size.toLong, rs.map(_._5).min)
+    }.toSeq
+    val batch = d.filter { a =>
+      !d.exists(b => b._1 == a._1 && b._2 <= a._2 && b._3 >= a._3 &&
+        (b._2 < a._2 || b._3 > a._3))
+    }.toSet
+    assert(last.toSet == batch,
+      s"skyline state diverged (${last.length} vs ${batch.size})")
+  }
+
   test("S16: streaming interval merge folds islands across triggers to match batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
