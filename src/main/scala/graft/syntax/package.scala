@@ -309,5 +309,19 @@ package object syntax {
     def rrfFuseWith(other: DataFrame, kRrf: Int = 60,
         topK: Int = 10): DataFrame =
       operators.Retrieval.rrfFuse(df, other, kRrf, topK)
+
+    /** Skyline / Pareto frontier per `group`: minimize `x`, maximize
+      * `y`; input must be distinct on (group, x, y) with multiplicity
+      * payload columns `n`/`rep` (see [[graft.operators.Skyline]] —
+      * shuffle-free local prune, then one window). */
+    def skyline(group: String, x: String, y: String,
+        n: String = "n", rep: String = "rep"): DataFrame =
+      operators.Skyline.skyline(df, group, x, y, n, rep)
+
+    /** Strip HTML markup to visible text (script/style drop, tag
+      * strip, entity decode, whitespace collapse — see
+      * [[graft.operators.TextAnalysis.htmlVisible]]). */
+    def stripHtml(htmlCol: String, as: String = "visible"): DataFrame =
+      df.withColumn(as, operators.TextAnalysis.htmlVisible(col(htmlCol)))
   }
 }

@@ -279,6 +279,19 @@ class VectorOpsExtraSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(fused.count() == 2)
   }
 
+  test("skyline / stripHtml verbs delegate to their operators") {
+    import spark.implicits._
+    // (1,10) and (2,20) are both frontier; (2,5) is dominated by (1,10)
+    val pts = Seq(("g", 1.0, 10L, 1L, 1L), ("g", 2.0, 20L, 1L, 2L),
+      ("g", 2.0, 5L, 1L, 3L)).toDF("g", "x", "y", "n", "rep")
+    val fr = pts.skyline("g", "x", "y")
+      .select("x", "y").as[(Double, Long)].collect().toSet
+    assert(fr == Set((1.0, 10L), (2.0, 20L)))
+    val vis = Seq("<p>a</p> <b>b</b>").toDF("h")
+      .stripHtml("h").select("visible").as[String].head()
+    assert(vis == "a b")
+  }
+
   test("sketch and vector aggregates callable from SQL") {
     GraftExtensions.register(spark)
     spark.range(0, 5000).toDF("v").createOrReplaceTempView("nums")
