@@ -1001,6 +1001,46 @@ object TypeQueries {
         col("volume"), col("n_ticks"))
       .orderBy("user_id", "day_s")
 
+  // ---- T54: json_normalize (nested record-path flatten) --------------------
+  /** pandas `json_normalize(data, record_path='items', meta=[['user',
+    * 'id'], ['user', 'tier']])` — the NESTED semi-structured flatten
+    * q34's flat props extract doesn't exercise: each event carries a
+    * planted two-level JSON document (user object + items array of
+    * objects, every value derived from row columns), parsed by
+    * `from_json` with an explicit nested schema (codegen'd — no schema
+    * inference scan), then the record path explodes positionally and
+    * the meta fields broadcast down onto each item row. The oracle
+    * recomputes every field arithmetically from the source columns
+    * (the m-family device), so a hash match proves the build → parse →
+    * flatten round-trip exact. Map + generate only — zero shuffles
+    * (output-proportional explode), pmod/floor pinned on both engines
+    * so negative values can't split truncation semantics. */
+  def t54JsonNormalize(s: SparkSession, dir: String): DataFrame = {
+    val qty1 = pmod(floor(col("value")).cast("long"), lit(5)) + 1
+    val qty2 = pmod(col("event_id"), lit(7)) + 1
+    val json = concat(
+      lit("{\"user\":{\"id\":"), col("user_id"),
+      lit(",\"tier\":\"t"), pmod(col("user_id"), lit(3)),
+      lit("\"},\"items\":[{\"sku\":"), col("event_id"),
+      lit(",\"qty\":"), qty1,
+      lit("},{\"sku\":"), col("event_id") + 1,
+      lit(",\"qty\":"), qty2, lit("}]}"))
+    val schema = StructType(Seq(
+      StructField("user", StructType(Seq(
+        StructField("id", LongType), StructField("tier", StringType)))),
+      StructField("items", ArrayType(StructType(Seq(
+        StructField("sku", LongType), StructField("qty", LongType)))))))
+    events(s, dir)
+      .select(col("event_id"), from_json(json, schema).as("j"))
+      .select(col("event_id"), col("j.user.id").as("uid"),
+        col("j.user.tier").as("tier"),
+        posexplode(col("j.items")).as(Seq("item_pos", "it")))
+      .select(col("event_id"), col("uid"), col("tier"),
+        col("item_pos").cast(IntegerType).as("item_pos"),
+        col("it.sku").as("sku"), col("it.qty").as("qty"))
+      .orderBy("event_id", "item_pos")
+  }
+
   // ---- T46: nested decorators — sparse[categorical[string]] ---------------
   /** Decorator COMPOSITION at the data level (reference types/sparse.py
     * wrapping types/categorical.py — `sparse[categorical[T]]`, the
@@ -1212,6 +1252,7 @@ object TypeQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t54_json_normalize" -> t54JsonNormalize _,
     "t53_resample_ohlc" -> t53ResampleOhlc _,
     "t52_rolling_median" -> t52RollingMedian _,
     "t51_factorize" -> t51Factorize _,
@@ -1370,6 +1411,21 @@ object TypeQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // t54: every flattened field recomputed arithmetically from the
+    // source columns (the parse round-trip proof); pmod spelled as the
+    // double-% idiom so negatives agree, floor before the cast so
+    // DuckDB's round-on-cast can't diverge from Spark's truncate
+    "t54_json_normalize" ->
+      """WITH e AS (SELECT event_id, user_id, value FROM events),
+        |x AS (SELECT e.*, unnest([0, 1]) AS item_pos FROM e)
+        |SELECT event_id, user_id AS uid,
+        |  't' || CAST(((user_id % 3) + 3) % 3 AS VARCHAR) AS tier,
+        |  CAST(item_pos AS INT) AS item_pos,
+        |  event_id + item_pos AS sku,
+        |  CASE WHEN item_pos = 0
+        |       THEN ((CAST(floor(value) AS BIGINT) % 5) + 5) % 5 + 1
+        |       ELSE ((event_id % 7) + 7) % 7 + 1 END AS qty
+        |FROM x ORDER BY event_id, item_pos""".stripMargin,
     // t53: open/close pinned by the identical (us, event_id) total order
     // (row_number asc/desc = the min/max struct), volume the shared
     // exact-decimal sum convention

@@ -317,6 +317,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"x27 grew a join:\n$p")
   }
 
+  test("t54 json_normalize is map + generate only — no shuffle, no join") {
+    val p = plan("t54_json_normalize")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"t54 grew a shuffle:\n$p")
+    assert(!p.contains("Join"), s"t54 grew a join:\n$p")
+    assert(p.contains("Generate"), s"t54 lost its explode:\n$p")
+  }
+
   test("whole-stage codegen covers the scan-agg pipeline") {
     // AQE wraps everything in an unmaterialized AdaptiveSparkPlan (0
     // visible codegen subtrees pre-execution) — disable it for the
