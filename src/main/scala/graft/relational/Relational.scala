@@ -1225,7 +1225,36 @@ object Relational {
       .orderBy("user_id")
   }
 
+  // ---- R67: event-transition (Markov) matrix -------------------------------
+  /** First-order Markov transition matrix over per-user event
+    * sequences — the "what happens after X" product-analytics read
+    * (next-event prediction base, journey mining) that q41 (fixed
+    * funnel) and q24 (gap sessions) don't express. Consecutive pairs
+    * come from ONE lag window on the user key; the (prev, cur) count
+    * table is event-type² sized, so the per-prev row totals and the
+    * probability division run on that tiny table (a prev-keyed window
+    * — no corpus-sized second pass, no self-join). p = n/tot is one
+    * IEEE division replayed identically. Shuffles: the user window +
+    * the pair groupBy + a type²-table window — only the first two
+    * touch event-scale data. */
+  def q67EventTransitions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("es", "event_id")
+    events(s, dir)
+      .select(col("user_id"), unix_timestamp(col("ts")).as("es"),
+        col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag("event_type", 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("cur_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("tot",
+        sum("n").over(Window.partitionBy("prev_type")))
+      .select(col("prev_type"), col("cur_type"), col("n"),
+        (col("n").cast(DoubleType) / col("tot").cast(DoubleType)).as("p"))
+      .orderBy("prev_type", "cur_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q67_event_transitions" -> q67EventTransitions _,
     "q66_twap" -> q66Twap _,
     "q65_skyline" -> q65Skyline _,
     "q64_weighted_median" -> q64WeightedMedian _,
@@ -1328,6 +1357,22 @@ object Relational {
   }
 
   val oracles: Map[String, String] = Map(
+    // q67: identical lag pairing + counts; probability the same single
+    // IEEE division over the per-prev window total
+    "q67_event_transitions" ->
+      """WITH e AS (SELECT user_id,
+        |    CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS es,
+        |    event_id, event_type FROM events),
+        |l AS (SELECT user_id, event_type AS cur_type,
+        |    LAG(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY es, event_id) AS prev_type
+        |  FROM e),
+        |c AS (SELECT prev_type, cur_type, COUNT(*) AS n
+        |  FROM l WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev_type, cur_type, n,
+        |  CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY prev_type)
+        |    AS DOUBLE) AS p
+        |FROM c ORDER BY prev_type, cur_type""".stripMargin,
     // q65: first-principles dominance anti-join over the same deduped
     // (brand, price, size) set — certifies SEMANTICS, not the plan
     // (the Spark side proves the two-pass scan equals this definition)

@@ -325,6 +325,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("Generate"), s"t54 lost its explode:\n$p")
   }
 
+  test("q67 transitions: probability math never re-touches the events") {
+    // the user lag window + the pair groupBy touch event-scale data;
+    // the per-prev total runs on the type²-sized count table — no
+    // join, no second event pass
+    val p = plan("q67_event_transitions")
+    assert(!p.contains("Join"), s"q67 grew a join:\n$p")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges <= 3,
+      s"q67 expected ≤3 hash shuffles (user, pair, tiny-total), got $hashExchanges:\n$p")
+  }
+
   test("whole-stage codegen covers the scan-agg pipeline") {
     // AQE wraps everything in an unmaterialized AdaptiveSparkPlan (0
     // visible codegen subtrees pre-execution) — disable it for the
