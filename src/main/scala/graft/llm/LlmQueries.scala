@@ -2,7 +2,7 @@ package graft.llm
 
 import graft.Tables._
 import graft.operators._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** SURVEY §2 L1–L12: LLM-training-data pipeline operators over the
@@ -171,6 +171,52 @@ object LlmQueries {
           (col("n_overlap").cast("double") / col("n_brute").cast("double"))
             .as("recall"))
     }.reduce(_.unionByName(_)).orderBy("nprobe")
+  }
+
+  // ---- L74: Count-Min sketch point-frequency queries ------------------------
+  /** Count-Min sketch (Cormode & Muthukrishnan 2005) — the fixed-size
+    * frequency sketch next to x14's Misra-Gries top-k: 4 seeded md5
+    * hash rows × 1024 buckets of purely ADDITIVE counts, so state is
+    * 4096 cells whatever the corpus and merges across partitions,
+    * batches, and streams by plain addition; answers a point query for
+    * ANY token as est = min over rows, guaranteed ≥ truth
+    * (conservative — every occurrence lands in the probed cell; only
+    * collisions inflate it; spec-pinned). Probes: the corpus's exact
+    * top-10 tokens (deterministic (cnt desc, token) cut) + 5 md5-order
+    * sampled tokens, reading both the heavy-hitter and the
+    * collision-noise regimes; the exact counts are the verification
+    * twin a 100 TB run drops. md5-prefix buckets so every cell and
+    * estimate replays bit-exact in DuckDB. Shuffle profile: only
+    * (seed, bucket) int pairs and (token, count) rows move — map-side
+    * combined; the 4096-cell table broadcasts to the probes. */
+  def x28CountMin(s: SparkSession, dir: String): DataFrame =
+    countMinProbe(t(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("tok")),
+      seeds = 4, buckets = 1024)
+
+  /** CMS core over a single `tok` column — parameterized so the spec
+    * can shrink `buckets` to force collisions and pin est ≥ truth. */
+  def countMinProbe(tokens: DataFrame, seeds: Int, buckets: Int): DataFrame = {
+    def bucketOf(sd: Int, c: Column): Column =
+      pmod(conv(substring(md5(concat(lit(sd + "|"), c)), 1, 15), 16, 10)
+        .cast("long"), lit(buckets))
+    val tok = tokens.filter(col("tok") =!= "").persist()
+    val cells = tok
+      .select(posexplode(array((0 until seeds).map(sd =>
+        bucketOf(sd, col("tok"))): _*)).as(Seq("seed", "bucket")))
+      .groupBy("seed", "bucket").agg(count(lit(1)).as("c"))
+    val exact = tok.groupBy("tok").agg(count(lit(1)).as("exact_n"))
+    val heavy = exact.orderBy(col("exact_n").desc, col("tok")).limit(10)
+    val sampled = exact.orderBy(md5(col("tok")), col("tok")).limit(5)
+    heavy.unionByName(sampled).distinct()
+      .select(col("tok"), col("exact_n"),
+        posexplode(array((0 until seeds).map(sd =>
+          bucketOf(sd, col("tok"))): _*)).as(Seq("seed", "bucket")))
+      .join(broadcast(cells), Seq("seed", "bucket"))
+      .groupBy("tok", "exact_n").agg(min("c").as("cms_n"))
+      .select(col("tok"), col("exact_n"), col("cms_n"),
+        (col("cms_n") - col("exact_n")).as("overcount"))
+      .orderBy(col("exact_n").desc, col("tok"))
   }
 
   // ---- L73: Matryoshka dimension-truncation recall sweep --------------------
@@ -1216,6 +1262,7 @@ object LlmQueries {
     "d15_kmv_calibration" -> d15KmvCalibration _,
     "d16_lsh_band_sweep" -> d16LshBandSweep _,
     "e11_matryoshka_sweep" -> e11MatryoshkaSweep _,
+    "x28_count_min" -> x28CountMin _,
     "d5_embed_dup" -> d5EmbedDup _,
     "d6_dup_clusters" -> d6DupClusters _,
     "s1_ann_brute" -> s1AnnBrute _,
@@ -2982,6 +3029,32 @@ object LlmQueries {
     // e11: per-dim s1-shape brute CTEs on list prefixes, same raw-cos
     // ordering + id tiebreak, overlap counted by the same (qid, id) join
     "e11_matryoshka_sweep" -> e11OracleSql,
+    // x28: identical md5 buckets, cell counts, probe cuts, and the
+    // min-over-rows estimate
+    "x28_count_min" ->
+      """WITH tk AS (SELECT tok FROM (
+        |    SELECT unnest(string_split(
+        |      trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS tok
+        |    FROM documents) WHERE tok <> ''),
+        |sd AS (SELECT unnest(range(0, 4)) AS seed),
+        |cells AS (SELECT seed,
+        |    CAST('0x' || substr(md5(CAST(seed AS VARCHAR) || '|' || tok), 1, 15)
+        |      AS BIGINT) % 1024 AS bucket, COUNT(*) AS c
+        |  FROM tk, sd GROUP BY 1, 2),
+        |exact AS (SELECT tok, COUNT(*) AS exact_n FROM tk GROUP BY 1),
+        |heavy AS (SELECT * FROM exact ORDER BY exact_n DESC, tok LIMIT 10),
+        |samp AS (SELECT * FROM exact ORDER BY md5(tok), tok LIMIT 5),
+        |probes AS (SELECT DISTINCT * FROM
+        |  (SELECT * FROM heavy UNION ALL SELECT * FROM samp)),
+        |pb AS (SELECT tok, exact_n, seed,
+        |    CAST('0x' || substr(md5(CAST(seed AS VARCHAR) || '|' || tok), 1, 15)
+        |      AS BIGINT) % 1024 AS bucket
+        |  FROM probes, sd)
+        |SELECT p.tok, p.exact_n, MIN(c.c) AS cms_n,
+        |  MIN(c.c) - p.exact_n AS overcount
+        |FROM pb p JOIN cells c ON p.seed = c.seed AND p.bucket = c.bucket
+        |GROUP BY p.tok, p.exact_n
+        |ORDER BY p.exact_n DESC, p.tok""".stripMargin,
     "d15_kmv_calibration" ->
       """WITH b AS (
         |  SELECT doc_id AS id, source, CAST(floor(n_chars / 100.0) AS INT) AS lb,

@@ -54,6 +54,22 @@ class RobustStatsSpec extends AnyFunSuite {
     assert(rows.last._4 == nTrue, s"16x1 missed pairs: ${rows.last}")
   }
 
+  test("x28 CMS: conservative (est >= truth) under forced collisions") {
+    // 60 distinct tokens into 8 buckets × 2 rows — collisions certain
+    val toks = (1 to 60).flatMap(i => Seq.fill(i % 5 + 1)(s"tk$i"))
+    val df = toks.toDF("tok")
+    val got = llm.LlmQueries.countMinProbe(df, seeds = 2, buckets = 8)
+      .select("tok", "exact_n", "cms_n").as[(String, Long, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (tk, ex, est) =>
+      assert(est >= ex, s"CMS underestimated $tk: $est < $ex")
+    }
+    // at this load at least one probe must actually collide — otherwise
+    // the conservative assertion never bites
+    assert(got.exists { case (_, ex, est) => est > ex },
+      "no collision at 60 tokens / 8 buckets — fixture broken")
+  }
+
   test("t50: planted outlier flagged, clean group clean, MAD=0 -> null z") {
     // 20 tight values + one wild one per the rule's own arithmetic
     val base = (1 to 20).map(i => ("a", 10.0 + (i % 5))) :+ (("a", 1000.0))
