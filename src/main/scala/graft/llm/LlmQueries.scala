@@ -769,6 +769,29 @@ object LlmQueries {
       .toDF().orderBy("doc_id")
   }
 
+  // ---- L75: ZIP central-directory (footer-directed) parsing ----------------
+  /** ZIP archive parse ([[graft.operators.Multimodal.ZipCodec]]):
+    * spec-shaped archives planted from doc_id — 1–3 stored entries,
+    * per-entry sizes derived arithmetically — parsed FOOTER-FIRST
+    * (backward EOCD scan → central-directory walk → per-entry
+    * local-header cross-check at each recorded offset), the
+    * parquet-style trailer-index layout none of the forward-walking
+    * codecs (m4/m5/m6) exercise. One map pass, no shuffle; oracle
+    * recomputes every field arithmetically. */
+  def m7ZipParse(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val zips = t(s, dir, "documents").select("doc_id").as[Long]
+      .map { id =>
+        val n = (id % 3).toInt + 1
+        val base = (id % 40).toInt + 10
+        val datas = (0 until n).map(i =>
+          Array.tabulate[Byte](base + 7 * i)(j => ((id + i + j) % 251).toByte))
+        Multimodal.MediaRow(id, "zip", Multimodal.ZipCodec.buildZip(datas))
+      }
+    zips.mapPartitions(it => it.map(Multimodal.ZipCodec.decodeZip))
+      .toDF().orderBy("doc_id")
+  }
+
   // ---- L55: BPE corpus encode ----------------------------------------------
   /** Encode the corpus with the x20-fitted tokenizer
     * ([[graft.operators.BpeTrainer.encode]]): per-doc word + BPE token
@@ -1319,6 +1342,7 @@ object LlmQueries {
     "m3_frame_sample" -> m3FrameSample _,
     "m4_jpeg_parse" -> m4JpegParse _,
     "m6_mp4_parse" -> m6Mp4Parse _,
+    "m7_zip_parse" -> m7ZipParse _,
     "m5_tiff_parse" -> m5TiffParse _,
     "m1_multimodal" -> m1Multimodal _,
     "m2_media_transform" -> m2MediaTransform _,
@@ -2013,6 +2037,20 @@ object LlmQueries {
     // m5: IFD-walk results recomputed arithmetically — header 8 +
     // IFD0 (2 + n0·12 + 4, n0 = 3 + bits-tag on id%3=0) + thumbnail
     // IFD1 (30 bytes, 2 entries) on id%5≠0 + body
+    // m7: footer-walk results recomputed arithmetically — entry i holds
+    // base + 7i bytes (base = id%40+10), LFH 30 + name 6, CDE 46 + 6,
+    // EOCD 22; cd_offset = Σ locals, integer // for the 7·n(n−1)/2 term
+    "m7_zip_parse" ->
+      """WITH d AS (SELECT doc_id, doc_id % 3 + 1 AS n,
+        |    (doc_id % 3 + 1) * (doc_id % 40 + 10)
+        |      + 7 * ((doc_id % 3 + 1) * (doc_id % 3) // 2) AS s
+        |  FROM documents)
+        |SELECT doc_id, 'zip' AS fmt,
+        |  CAST(36 * n + s + 52 * n + 22 AS BIGINT) AS n_bytes,
+        |  CAST(n AS INT) AS n_entries,
+        |  CAST(s AS BIGINT) AS total_uncomp,
+        |  CAST(36 * n + s AS BIGINT) AS cd_offset
+        |FROM d ORDER BY doc_id""".stripMargin,
     // m6: box-tree results recomputed arithmetically — ftyp 20 + moov
     // (8 + mvhd 108 + trak 173 each) + mdat (8 + body); duration_ms =
     // duration/timescale exact because duration is planted as

@@ -508,6 +508,105 @@ object Multimodal {
     }
   }
 
+  /** Parsed ZIP archive metadata (see [[ZipCodec]]). */
+  final case class ZipFeatures(doc_id: Long, fmt: String, n_bytes: Long,
+      n_entries: Int, total_uncomp: Long, cd_offset: Long)
+
+  /** ZIP (PKWARE APPNOTE) central-directory parsing — the
+    * FOOTER-DIRECTED container dimension none of the other codecs
+    * have: the authoritative index lives at the END (EOCD record →
+    * central directory offset → per-entry local-header back-pointers),
+    * exactly the layout parquet uses, so the parser reads BACKWARD
+    * first — scan for the EOCD signature from the tail, jump to the
+    * central directory, walk its variable-length entries, and
+    * cross-check every entry's local-file-header signature at its
+    * recorded offset. Entries use store (method 0); damage (no EOCD,
+    * dangling CD offset, wrong entry count, corrupt LFH pointer)
+    * fails clean to zeros. */
+  object ZipCodec {
+    private def le16(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    private def le32(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    private def rdLe16(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    private def rdLe32(b: Array[Byte], o: Int): Long =
+      ((b(o) & 0xffL)) | ((b(o + 1) & 0xffL) << 8) |
+        ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+
+    private val lfhSig = 0x04034b50L
+    private val cdeSig = 0x02014b50L
+    private val eocdSig = 0x06054b50L
+
+    /** n stored entries named f<i>.txt with the given data slices. */
+    def buildZip(datas: Seq[Array[Byte]]): Array[Byte] = {
+      val names = datas.indices.map(i => s"f$i.txt".getBytes("US-ASCII"))
+      var off = 0
+      val offsets = new Array[Int](datas.length)
+      val locals = datas.indices.map { i =>
+        offsets(i) = off
+        val d = datas(i)
+        val lfh = le32(lfhSig.toInt) ++ le16(20) ++ le16(0) ++ le16(0) ++
+          le16(0) ++ le16(0) ++ le32(0) ++ le32(d.length) ++ le32(d.length) ++
+          le16(names(i).length) ++ le16(0) ++ names(i) ++ d
+        off += lfh.length
+        lfh
+      }
+      val cdStart = off
+      val cd = datas.indices.map { i =>
+        val d = datas(i)
+        le32(cdeSig.toInt) ++ le16(20) ++ le16(20) ++ le16(0) ++ le16(0) ++
+          le16(0) ++ le16(0) ++ le32(0) ++ le32(d.length) ++ le32(d.length) ++
+          le16(names(i).length) ++ le16(0) ++ le16(0) ++ le16(0) ++ le16(0) ++
+          le32(0) ++ le32(offsets(i)) ++ names(i)
+      }
+      val cdSize = cd.map(_.length).sum
+      val eocd = le32(eocdSig.toInt) ++ le16(0) ++ le16(0) ++
+        le16(datas.length) ++ le16(datas.length) ++ le32(cdSize) ++
+        le32(cdStart) ++ le16(0)
+      (locals ++ cd).reduce(_ ++ _) ++ eocd
+    }
+
+    /** Backward EOCD scan (bounded by the 64 KiB max comment), then
+      * the forward central-directory walk with LFH cross-checks. */
+    def decodeZip(r: MediaRow): ZipFeatures = {
+      val p = r.payload
+      def fail = ZipFeatures(r.doc_id, "unknown", p.length.toLong, 0, 0L, 0L)
+      if (p.length < 22) return fail
+      var e = p.length - 22
+      val floor = math.max(0, p.length - 22 - 0xffff)
+      while (e >= floor && rdLe32(p, e) != eocdSig) e -= 1
+      if (e < floor) return fail
+      val nEntries = rdLe16(p, e + 10)
+      val cdOff = rdLe32(p, e + 16)
+      if (cdOff < 0 || cdOff > e) return fail
+      var i = cdOff.toInt
+      var n = 0
+      var total = 0L
+      var ok = true
+      while (ok && n < nEntries) {
+        if (i + 46 > e || rdLe32(p, i) != cdeSig) ok = false
+        else {
+          val uncomp = rdLe32(p, i + 24)
+          val nameLen = rdLe16(p, i + 28)
+          val extraLen = rdLe16(p, i + 30)
+          val commentLen = rdLe16(p, i + 32)
+          val lfhOff = rdLe32(p, i + 42)
+          if (lfhOff < 0 || lfhOff + 4 > cdOff ||
+            rdLe32(p, lfhOff.toInt) != lfhSig) ok = false
+          else {
+            total += uncomp
+            n += 1
+            i += 46 + nameLen + extraLen + commentLen
+          }
+        }
+      }
+      if (!ok || i != e) fail
+      else ZipFeatures(r.doc_id, "zip", p.length.toLong, n, total, cdOff)
+    }
+  }
+
   object JpegCodec {
     private def be16(v: Int): Array[Byte] =
       Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)

@@ -636,6 +636,32 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Mp4Codec.decodeMp4(MediaRow(4L, "mp4", shell)).fmt == "unknown")
   }
 
+  test("zip footer walk: EOCD scan, CD entries, LFH cross-check") {
+    import Multimodal.{ZipCodec, MediaRow}
+    val datas = Seq(Array.fill[Byte](10)(1), Array.fill[Byte](17)(2))
+    val p = ZipCodec.buildZip(datas)
+    val f = ZipCodec.decodeZip(MediaRow(1L, "zip", p))
+    assert(f.fmt == "zip" && f.n_entries == 2 && f.total_uncomp == 27L, s"$f")
+    assert(f.cd_offset == 36 + 10 + 36 + 17, s"$f")
+    assert(f.n_bytes == p.length.toLong)
+  }
+
+  test("zip parser rejects junk, lost EOCD, dangling CD, corrupt LFH pointer") {
+    import Multimodal.{ZipCodec, MediaRow}
+    assert(ZipCodec.decodeZip(
+      MediaRow(1L, "zip", Array.fill[Byte](64)(3))).fmt == "unknown")
+    val good = ZipCodec.buildZip(Seq(Array.fill[Byte](12)(7)))
+    // chop the EOCD off the tail
+    val cut = ZipCodec.decodeZip(MediaRow(2L, "zip", good.dropRight(8)))
+    assert(cut.fmt == "unknown" && cut.n_entries == 0)
+    // point the central directory past the buffer
+    val badCd = good.clone(); badCd(good.length - 6) = 0x7f
+    assert(ZipCodec.decodeZip(MediaRow(3L, "zip", badCd)).fmt == "unknown")
+    // corrupt the entry's local-header back-pointer target
+    val badLfh = good.clone(); badLfh(0) = 0x00
+    assert(ZipCodec.decodeZip(MediaRow(4L, "zip", badLfh)).fmt == "unknown")
+  }
+
   test("edit-distance join catches insert, delete, substitute; rejects dist 2") {
     import TestSpark.spark.implicits._
     val rows = Seq(
