@@ -1253,7 +1253,59 @@ object Relational {
       .orderBy("prev_type", "cur_type")
   }
 
+  // ---- R68: within-session co-occurrence + lift ----------------------------
+  /** Market-basket co-occurrence over q24's gap sessions: for every
+    * UNORDERED event-type pair, in how many sessions do both occur,
+    * and the lift n_ab·N / (n_a·n_b) — the association read q67's
+    * ordered transitions and q41's fixed funnel don't give (lift > 1 =
+    * the pair co-occurs beyond independence). Sessions come from the
+    * exact q24 lag/cumsum assignment; the pair self-join runs on the
+    * DISTINCT (session, type) table, so per-session work is bounded by
+    * the type cardinality squared (never events²), and the per-type
+    * session counts + the session total ride broadcast joins onto the
+    * type²-sized pair table. Lift = exact integer products and ONE
+    * IEEE division, replayed identically. */
+  def q68SessionCooccurrence(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("es", "event_id")
+    val st = events(s, dir)
+      .select(col("user_id"), unix_timestamp(col("ts")).as("es"),
+        col("event_id"), col("event_type"))
+      .withColumn("prev", lag("es", 1).over(w))
+      .withColumn("new_s",
+        when(col("prev").isNull || col("es") - col("prev") > 1800, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum("new_s").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("user_id"), col("session_id"), col("event_type"))
+      .distinct()
+      .persist()
+    val nSess = st.select("user_id", "session_id").distinct()
+      .agg(count(lit(1)).as("n_sess"))
+    val perType = st.groupBy(col("event_type").as("tp"))
+      .agg(count(lit(1)).as("n_t"))
+    val pairs = st.as("a")
+      .join(st.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.session_id") === col("b.session_id") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(broadcast(perType.withColumnRenamed("tp", "type_a")
+        .withColumnRenamed("n_t", "n_a")), Seq("type_a"))
+      .join(broadcast(perType.withColumnRenamed("tp", "type_b")
+        .withColumnRenamed("n_t", "n_b")), Seq("type_b"))
+      .crossJoin(broadcast(nSess))
+      .select(col("type_a"), col("type_b"), col("n_ab"), col("n_a"),
+        col("n_b"),
+        ((col("n_ab") * col("n_sess")).cast(DoubleType) /
+          (col("n_a") * col("n_b")).cast(DoubleType)).as("lift"))
+      .orderBy("type_a", "type_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q68_session_cooccurrence" -> q68SessionCooccurrence _,
     "q67_event_transitions" -> q67EventTransitions _,
     "q66_twap" -> q66Twap _,
     "q65_skyline" -> q65Skyline _,
@@ -1357,6 +1409,37 @@ object Relational {
   }
 
   val oracles: Map[String, String] = Map(
+    // q68: identical q24 session assignment, distinct (session, type)
+    // sets, unordered pair join, and the exact-integer-product lift
+    "q68_session_cooccurrence" ->
+      """WITH e AS (SELECT user_id,
+        |    CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS es,
+        |    event_id, event_type FROM events),
+        |l AS (SELECT *, LAG(es, 1) OVER (PARTITION BY user_id
+        |      ORDER BY es, event_id) AS prev FROM e),
+        |f AS (SELECT *, CASE WHEN prev IS NULL OR es - prev > 1800
+        |      THEN 1 ELSE 0 END AS new_s FROM l),
+        |sn AS (SELECT user_id, event_type,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY es, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS session_id FROM f),
+        |st AS (SELECT DISTINCT user_id, session_id, event_type FROM sn),
+        |ns AS (SELECT COUNT(*) AS n_sess FROM
+        |  (SELECT DISTINCT user_id, session_id FROM st)),
+        |pt AS (SELECT event_type AS tp, COUNT(*) AS n_t FROM st GROUP BY 1),
+        |pr AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    COUNT(*) AS n_ab
+        |  FROM st a JOIN st b ON a.user_id = b.user_id
+        |    AND a.session_id = b.session_id
+        |    AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT type_a, type_b, n_ab, pa.n_t AS n_a, pb.n_t AS n_b,
+        |  CAST(n_ab * ns.n_sess AS DOUBLE)
+        |    / CAST(pa.n_t * pb.n_t AS DOUBLE) AS lift
+        |FROM pr
+        |JOIN pt pa ON pr.type_a = pa.tp
+        |JOIN pt pb ON pr.type_b = pb.tp
+        |CROSS JOIN ns
+        |ORDER BY type_a, type_b""".stripMargin,
     // q67: identical lag pairing + counts; probability the same single
     // IEEE division over the per-prev window total
     "q67_event_transitions" ->

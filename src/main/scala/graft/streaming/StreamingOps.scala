@@ -611,6 +611,57 @@ object StreamingOps {
       .start()
   }
 
+  /** S21: streaming Count-Min sketch — the streaming form of x28. CMS
+    * cells are purely ADDITIVE, so the maintained state is the fixed
+    * seeds×buckets cell table whatever the stream length (4096 rows at
+    * the x28 default — the canonical bounded-state frequency monitor),
+    * and each trigger folds one map-side-combined batch cell count
+    * into state by plain addition. The per-trigger read answers point
+    * queries for a PINNED probe watchlist (production shape: the terms
+    * an operator is monitoring — a data-dependent top-k would make the
+    * probe set itself unstable across triggers); estimates carry CMS's
+    * conservative guarantee and equal the batch sketch over everything
+    * seen (the spec's assertion — addition is exact). Expects a `tok`
+    * column. */
+  def streamingCountMin(rows: DataFrame, probes: Seq[String],
+      seeds: Int = 4, buckets: Int = 1024,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    def bucketOf(sd: Int, c: Column): Column =
+      pmod(conv(substring(md5(concat(lit(sd + "|"), c)), 1, 15), 16, 10)
+        .cast("long"), lit(buckets))
+    def cellsOf(df: DataFrame): DataFrame = df
+      .filter(col("tok") =!= "")
+      .select(posexplode(array((0 until seeds).map(sd =>
+        bucketOf(sd, col("tok"))): _*)).as(Seq("seed", "bucket")))
+      .groupBy("seed", "bucket").agg(count(lit(1)).as("c"))
+    var state: Option[DataFrame] = None
+    rows.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val cells = cellsOf(b.toDF())
+        val next = state.map(st => st.union(cells).groupBy("seed", "bucket")
+            .agg(sum("c").as("c")))
+          .getOrElse(cells).persist()
+        next.count()
+        state.foreach(_.unpersist())
+        state = Some(next)
+        val s = next.sparkSession
+        import s.implicits._
+        val pb = probes.toDF("tok")
+          .select(col("tok"), posexplode(array((0 until seeds).map(sd =>
+            bucketOf(sd, col("tok"))): _*)).as(Seq("seed", "bucket")))
+        // an absent cell IS a zero count (the sketch has proven the
+        // token unseen) — coalesce BEFORE the min, not after
+        sink(pb.join(next, Seq("seed", "bucket"), "left")
+          .groupBy("tok")
+          .agg(min(coalesce(col("c"), lit(0L))).as("cms_n")))
+        ()
+      }
+      .trigger(trigger)
+      .start()
+  }
+
   /** S9: streaming ingest curation — each arriving micro-batch runs
     * the full curation pipeline (dedup, decontamination, quality,
     * length) INCREMENTALLY against the corpus's precomputed digest

@@ -29,7 +29,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "s6_hybrid_rrf", // composes x11's stats-row cross + s1's brute cross
       "e10_ivf_recall_sweep", // 4× s3 probe crosses + s1 brute + 1-row count joins
       "d16_lsh_band_sweep", // sample-local all-pairs truth cross + 1-row count joins
-      "e11_matryoshka_sweep") // 5× s1-shape brute crosses + 1-row count joins
+      "e11_matryoshka_sweep", // 5× s1-shape brute crosses + 1-row count joins
+      "q68_session_cooccurrence") // ONE broadcast row of the session total rides the pair table
 
   test("no query plan contains a cartesian product") {
     SparkEntry.queries.keys.foreach { name =>

@@ -481,6 +481,46 @@ class StreamingSpec extends AnyFunSuite {
       s"skyline state diverged (${last.length} vs ${batch.size})")
   }
 
+  test("S21: streaming CMS cells fold by addition; estimates match batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val toks = (1 to 50).flatMap(i => Seq.fill(i % 7 + 1)(s"w$i"))
+    val (first, second) = toks.splitAt(toks.length / 2)
+    val probes = Seq("w1", "w10", "w49", "never-seen")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[String]
+    @volatile var last: Map[String, Long] = Map.empty
+    val q = StreamingOps.streamingCountMin(
+        mem.toDF().toDF("tok"), probes, seeds = 3, buckets = 64,
+        trigger = Trigger.ProcessingTime(0L)) { d =>
+      last = d.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    mem.addData(first: _*)
+    q.processAllAvailable()
+    mem.addData(second: _*)
+    q.processAllAvailable()
+    q.stop()
+    // independent in-process recomputation of the whole sketch over
+    // everything seen — same md5-prefix bucket rule
+    def md5num(x: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.take(15), 16)
+    }
+    val cells = scala.collection.mutable.Map.empty[(Int, Long), Long]
+      .withDefaultValue(0L)
+    toks.foreach(t => (0 until 3).foreach { sd =>
+      cells((sd, md5num(s"$sd|$t") % 64)) += 1
+    })
+    val exact = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .withDefaultValue(0L)
+    probes.foreach { p =>
+      val want = (0 until 3).map(sd => cells((sd, md5num(s"$sd|$p") % 64))).min
+      assert(last(p) == want, s"probe $p: ${last(p)} != $want")
+      assert(last(p) >= exact(p), s"probe $p under truth")
+    }
+  }
+
   test("S16: streaming interval merge folds islands across triggers to match batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
