@@ -282,45 +282,80 @@ object LlmQueries {
         i => array_join(slice(col("words"), i, lit(3)), " "))))
       .select("id", "sh")
       .persist()
-    val sig = sh.withColumn("sig", array((0 until h).map(k =>
-        array_min(transform(col("sh"), x =>
-          conv(substring(md5(concat(lit(k + "|"), x)), 1, 15), 16, 10)
-            .cast("long")))): _*))
-      .select("id", "sig").persist()
-    val commonN = size(array_intersect(col("a.sh"), col("b.sh"))).cast("double")
-    val truth = sh.as("a").join(sh.as("b"),
+    // signature + truth hashes via ONE shingle explode and codegen'd
+    // md5 projections folded by mergeable min/collect aggregations —
+    // an array_min(transform(...)) spelling re-evaluates interpreted
+    // lambdas per element (17 md5s/shingle outside codegen, measured
+    // 2× the whole query)
+    val exploded = sh.select(col("id"), explode(col("sh")).as("sg"))
+    val minCols = (0 until h).map(k =>
+      min(conv(substring(md5(concat(lit(k + "|"), col("sg"))), 1, 15),
+        16, 10).cast("long")).as(s"m$k"))
+    val sig = exploded
+      .groupBy("id").agg(minCols.head, minCols.tail: _*)
+      .select(col("id"),
+        array((0 until h).map(k => col(s"m$k")): _*).as("sig"))
+      .persist()
+    // truth sets as SORTED md5-hash longs: the exact-Jaccard cross runs
+    // a native merge-scan intersect instead of string-set hashing
+    // (~10× on the sample cross); the oracle replays the SAME hashed
+    // sets, so parity stays bit-exact — only the truth's relation to
+    // raw strings is modulo md5 collisions (the d2/d15 precedent)
+    val hashed = exploded
+      .select(col("id"),
+        conv(substring(md5(concat(lit("g|"), col("sg"))), 1, 15), 16, 10)
+          .cast("long").as("h1"))
+      .groupBy("id").agg(array_sort(collect_set(col("h1"))).as("hv"))
+      .persist()
+    val commonN = {
+      import org.apache.spark.sql.graft.ColumnBridge
+      ColumnBridge.column(graft.expressions.SortedLongArrayIntersectCount(
+        ColumnBridge.expression(col("a.hv")),
+        ColumnBridge.expression(col("b.hv")))).cast("double")
+    }
+    val truth = hashed.as("a").join(hashed.as("b"),
         col("a.id") < col("b.id") &&
-          size(col("a.sh")) * 2 >= size(col("b.sh")) &&
-          size(col("b.sh")) * 2 >= size(col("a.sh")))
+          size(col("a.hv")) * 2 >= size(col("b.hv")) &&
+          size(col("b.hv")) * 2 >= size(col("a.hv")))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         commonN.as("common"),
-        (size(col("a.sh")) + size(col("b.sh"))).cast("double").as("sz"))
+        (size(col("a.hv")) + size(col("b.hv"))).cast("double").as("sz"))
       .filter(col("common") / (col("sz") - col("common")) >= 0.5)
       .select("id_a", "id_b").persist()
-    def candidates(b: Int, r: Int): DataFrame = {
-      val ex = sig.select(col("id"),
-        posexplode(array((0 until b).map(i =>
-          concat_ws(",", transform(slice(col("sig"), i * r + 1, r),
-            v => v.cast("string")))): _*)).as(Seq("band", "key")))
-      ex.as("x").join(ex.as("y"),
+    // ALL configs ride ONE tagged band explode + ONE self-join + ONE
+    // truth semi-join (a per-config loop costs 3× the plan/codegen and
+    // 9 scheduler jobs — measured as most of the query at sf0.1)
+    val configs = Seq((4, 4), (8, 2), (16, 1))
+    val ex = sig.select(col("id"), explode(array(configs.flatMap {
+        case (b, r) => (0 until b).map(i =>
+          struct(lit(b).as("bands"), lit(i).as("band"),
+            concat_ws(",", transform(slice(col("sig"), i * r + 1, r),
+              v => v.cast("string"))).as("key")))
+      }: _*)).as("e"))
+      .select(col("id"), col("e.bands").as("bands"),
+        col("e.band").as("band"), col("e.key").as("key"))
+    val cand = ex.as("x").join(ex.as("y"),
+        col("x.bands") === col("y.bands") &&
           col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-            col("x.id") < col("y.id"))
-        .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
-    }
-    Seq((4, 4), (8, 2), (16, 1)).map { case (b, r) =>
-      val cand = candidates(b, r)
-      truth.agg(count(lit(1)).as("n_true"))
-        .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
-        .crossJoin(truth.join(cand, Seq("id_a", "id_b"), "left_semi")
-          .agg(count(lit(1)).as("n_caught")))
-        .select(lit(b).as("bands"), lit(r).as("rows_per_band"),
-          col("n_true"), col("n_cand"), col("n_caught"),
-          (col("n_caught").cast("double") /
-            nullif(col("n_true").cast("double"), lit(0.0))).as("recall"),
-          (col("n_caught").cast("double") /
-            nullif(col("n_cand").cast("double"), lit(0.0)))
-            .as("cand_precision"))
-    }.reduce(_.unionByName(_)).orderBy("bands")
+          col("x.id") < col("y.id"))
+      .select(col("x.bands").as("bands"), col("x.id").as("id_a"),
+        col("y.id").as("id_b"))
+      .distinct().persist()
+    val nCand = cand.groupBy("bands").agg(count(lit(1)).as("n_cand"))
+    val caught = cand.join(truth, Seq("id_a", "id_b"), "left_semi")
+      .groupBy("bands").agg(count(lit(1)).as("n_caught"))
+    nCand.join(caught, Seq("bands"), "left")
+      .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_true"))))
+      .select(col("bands"), (lit(h) / col("bands")).cast("int")
+          .as("rows_per_band"),
+        col("n_true"), col("n_cand"),
+        coalesce(col("n_caught"), lit(0L)).as("n_caught"),
+        (coalesce(col("n_caught"), lit(0L)).cast("double") /
+          nullif(col("n_true").cast("double"), lit(0.0))).as("recall"),
+        (coalesce(col("n_caught"), lit(0L)).cast("double") /
+          nullif(col("n_cand").cast("double"), lit(0.0)))
+          .as("cand_precision"))
+      .orderBy("bands")
   }
 
   // ---- L62: hybrid lexical+dense retrieval (RRF) ---------------------------
@@ -1712,11 +1747,14 @@ object LlmQueries {
        |    list_min(list_transform(sh,
        |      s -> CAST('0x' || substr(md5(CAST(k AS VARCHAR) || '|' || s), 1, 15) AS BIGINT)))) AS sig
        |  FROM b),
+       |hv AS (SELECT id, list_sort(list_distinct(list_transform(sh,
+       |    s -> CAST('0x' || substr(md5('g|' || s), 1, 15) AS BIGINT)))) AS hv
+       |  FROM b),
        |tr AS (SELECT a.id AS id_a, bb.id AS id_b
-       |  FROM b a JOIN b bb ON a.id < bb.id
-       |    AND len(a.sh) * 2 >= len(bb.sh) AND len(bb.sh) * 2 >= len(a.sh)
-       |    AND CAST(len(list_intersect(a.sh, bb.sh)) AS DOUBLE)
-       |      / (len(a.sh) + len(bb.sh) - len(list_intersect(a.sh, bb.sh))) >= 0.5),
+       |  FROM hv a JOIN hv bb ON a.id < bb.id
+       |    AND len(a.hv) * 2 >= len(bb.hv) AND len(bb.hv) * 2 >= len(a.hv)
+       |    AND CAST(len(list_intersect(a.hv, bb.hv)) AS DOUBLE)
+       |      / (len(a.hv) + len(bb.hv) - len(list_intersect(a.hv, bb.hv))) >= 0.5),
        |$perConfig
        |SELECT bands, rows_per_band, n_true, n_cand, n_caught,
        |  CAST(n_caught AS DOUBLE) / NULLIF(CAST(n_true AS DOUBLE), 0.0) AS recall,
