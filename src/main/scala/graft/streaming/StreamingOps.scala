@@ -662,6 +662,67 @@ object StreamingOps {
       .start()
   }
 
+  /** S22: streaming event-transition matrix — the streaming form of
+    * q67. Transition counts fold by ADDITION, so the count state is
+    * the type²-sized matrix; the only other state is ONE carried
+    * (us, event_id, type) max-struct per user — user-cardinality, the
+    * boundary memory that stitches a batch's first event to the
+    * previous batch's last. Each trigger: union the carried last
+    * events (tagged) with the batch, one lag window, count only pairs
+    * whose CURRENT row is a real batch row (carried rows contribute
+    * only as predecessors — never double-counted), fold counts by
+    * addition and re-fold the carried struct by max. Requires
+    * per-user event-time-ordered arrival (the Kafka
+    * partition-by-user shape); the spec splits by time and proves the
+    * folded matrix equals the batch q67 counts over everything seen.
+    * Expects (user_id, us, event_id, event_type) rows. */
+  def streamingTransitions(rows: DataFrame,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.expressions.Window
+    var counts: Option[DataFrame] = None
+    var lastEv: Option[DataFrame] = None
+    rows.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val batch = b.toDF()
+          .select(col("user_id"), col("us"), col("event_id"),
+            col("event_type"), lit(false).as("carried"))
+        val all = lastEv.map(le => le.select(col("user_id"), col("us"),
+            col("event_id"), col("event_type"), lit(true).as("carried"))
+            .union(batch))
+          .getOrElse(batch)
+        val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+        val pairs = all
+          .withColumn("prev_type", lag("event_type", 1).over(w))
+          .filter(!col("carried") && col("prev_type").isNotNull)
+          .groupBy(col("prev_type"), col("event_type").as("cur_type"))
+          .agg(count(lit(1)).as("n"))
+        val nextCounts = counts.map(c => c.union(pairs)
+            .groupBy("prev_type", "cur_type").agg(sum("n").as("n")))
+          .getOrElse(pairs).persist()
+        nextCounts.count()
+        val nextLast = all
+          .groupBy("user_id")
+          .agg(max(struct(col("us"), col("event_id"), col("event_type")))
+            .as("m"))
+          .select(col("user_id"), col("m.us").as("us"),
+            col("m.event_id").as("event_id"),
+            col("m.event_type").as("event_type"))
+          .persist()
+        nextLast.count()
+        counts.foreach(_.unpersist()); lastEv.foreach(_.unpersist())
+        counts = Some(nextCounts); lastEv = Some(nextLast)
+        sink(nextCounts
+          .withColumn("tot", sum("n").over(Window.partitionBy("prev_type")))
+          .select(col("prev_type"), col("cur_type"), col("n"),
+            (col("n").cast("double") / col("tot").cast("double")).as("p")))
+        ()
+      }
+      .trigger(trigger)
+      .start()
+  }
+
   /** S9: streaming ingest curation — each arriving micro-batch runs
     * the full curation pipeline (dedup, decontamination, quality,
     * length) INCREMENTALLY against the corpus's precomputed digest

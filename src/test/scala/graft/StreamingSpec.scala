@@ -521,6 +521,48 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("S22: streaming transitions stitch batch boundaries to match batch q67") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val rows = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"))
+      .limit(900).as[(Long, Long, Long, String)].collect().toSeq
+    // split BY TIME: boundary pairs (last of batch 1 → first of batch
+    // 2 per user) exist ONLY via the carried state
+    val sorted = rows.sortBy(r => (r._2, r._3))
+    val (first, second) = sorted.splitAt(sorted.length / 2)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, String)]
+    @volatile var last: Map[(String, String), Long] = Map.empty
+    val q = StreamingOps.streamingTransitions(
+        mem.toDF().toDF("user_id", "us", "event_id", "event_type"),
+        trigger = Trigger.ProcessingTime(0L)) { d =>
+      last = d.collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    }
+    mem.addData(first: _*)
+    q.processAllAvailable()
+    val mid = last
+    mem.addData(second: _*)
+    q.processAllAvailable()
+    q.stop()
+    // batch twin over everything seen
+    val batch = rows.groupBy(_._1).toSeq.flatMap { case (_, rs) =>
+      val s = rs.sortBy(r => (r._2, r._3)).map(_._4)
+      s.zip(s.drop(1))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(last == batch, s"diverged: ${last.size} vs ${batch.size} cells")
+    // the boundary stitch really fired: total folded transitions must
+    // exceed the two batches' internal pairs alone
+    val internal = Seq(first, second).map(_.groupBy(_._1).map { case (_, rs) =>
+      math.max(0, rs.size - 1)
+    }.sum).sum
+    assert(last.values.sum > internal,
+      "no boundary transition — the split didn't exercise the carry")
+    assert(mid.values.sum < last.values.sum)
+  }
+
   test("S16: streaming interval merge folds islands across triggers to match batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
