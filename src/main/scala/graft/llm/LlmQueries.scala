@@ -173,6 +173,47 @@ object LlmQueries {
     }.reduce(_.unionByName(_)).orderBy("nprobe")
   }
 
+  // ---- L76: clustering stability (adjusted Rand index) ----------------------
+  /** Cluster-assignment STABILITY via the adjusted Rand index (Hubert &
+    * Arabie 1985) between two deterministic k-means fits that differ
+    * ONLY in their init sample (md5 salt "" vs "b") — the third leg of
+    * the clustering family: e3 fits, e9 scores cohesion, e12 asks
+    * whether the structure is REAL (a clustering that changes under an
+    * init nudge is an artifact of the init, not of the data; ARI → 1
+    * means the corpus genuinely has these clusters, ARI ≈ 0 means
+    * chance agreement). All counting is exact integers — the
+    * contingency table is k² rows, its pair-count sums Σ C(n,2) are
+    * exact BIGINTs, and ARI = (S − AB/T) / ((A+B)/2 − AB/T) evaluates
+    * the same IEEE sequence on both engines. The two fits are the
+    * proven e3 machinery (map-only assignment, k-row shuffle per
+    * iteration); everything after is type²-sized. */
+  def e12KmeansAri(s: SparkSession, dir: String): DataFrame = {
+    def comb2(c: Column): Column = ((c * (c - lit(1))) / lit(2)).cast("long")
+    val emb = t(s, dir, "embeddings")
+    val a = Clustering.kmeansAssign(emb, "vec_id", "embedding", 8, 3)
+      .select(col("id"), col("cluster").as("ca"))
+    val b2 = Clustering.kmeansAssign(emb, "vec_id", "embedding", 8, 3,
+        initSalt = "b")
+      .select(col("id"), col("cluster").as("cb"))
+    val cont = a.join(b2, Seq("id"))
+      .groupBy("ca", "cb").agg(count(lit(1)).as("n")).persist()
+    val sAgg = cont.agg(sum(comb2(col("n"))).as("s"), sum(col("n")).as("nn"),
+      countDistinct("ca").as("k_a"), countDistinct("cb").as("k_b"))
+    val aAgg = cont.groupBy("ca").agg(sum("n").as("t"))
+      .agg(sum(comb2(col("t"))).as("ac"))
+    val bAgg = cont.groupBy("cb").agg(sum("n").as("t"))
+      .agg(sum(comb2(col("t"))).as("bc"))
+    val expS = (col("ac") * col("bc")).cast("double") /
+      comb2(col("nn")).cast("double")
+    sAgg.crossJoin(aAgg).crossJoin(bAgg)
+      .select(col("nn").as("n_points"), col("k_a"), col("k_b"),
+        col("s").as("sum_comb"), col("ac").as("a_comb"),
+        col("bc").as("b_comb"),
+        ((col("s").cast("double") - expS) /
+          ((col("ac") + col("bc")).cast("double") / lit(2.0) - expS))
+          .as("ari"))
+  }
+
   // ---- L74: Count-Min sketch point-frequency queries ------------------------
   /** Count-Min sketch (Cormode & Muthukrishnan 2005) — the fixed-size
     * frequency sketch next to x14's Misra-Gries top-k: 4 seeded md5
@@ -1321,6 +1362,7 @@ object LlmQueries {
     "d16_lsh_band_sweep" -> d16LshBandSweep _,
     "e11_matryoshka_sweep" -> e11MatryoshkaSweep _,
     "x28_count_min" -> x28CountMin _,
+    "e12_kmeans_ari" -> e12KmeansAri _,
     "d5_embed_dup" -> d5EmbedDup _,
     "d6_dup_clusters" -> d6DupClusters _,
     "s1_ann_brute" -> s1AnnBrute _,
@@ -1948,6 +1990,66 @@ object LlmQueries {
        |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8) t),
        |${(1 to 3).map(e3IterSql).mkString(",\n")}""".stripMargin
 
+  /** e12 oracle helpers: the e3 iteration template with a NAME SUFFIX
+    * so two full fit chains (init salts "" and "b") coexist in one
+    * WITH, then the contingency/ARI arithmetic in exact integers. */
+  private def e12IterSql(i: Int, x: String): String = {
+    val (prev, a, m, c) = (s"c${i - 1}$x", s"a$i$x", s"m$i$x", s"c$i$x")
+    s"""$a AS (SELECT vec_id, v, cid AS cell FROM (
+       |    SELECT e.vec_id, e.v, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+       |        list_inner_product(c.cv, c.cv) -
+       |        2 * list_inner_product(e.v, c.cv) ASC, c.cid ASC) AS rn
+       |    FROM emb e CROSS JOIN $prev c) t WHERE rn = 1),
+       |$m AS (SELECT cell, list(m ORDER BY dim) AS cv FROM (
+       |    SELECT a.cell, d.dim, ROUND(AVG(a.v[d.dim]), 6) AS m
+       |    FROM $a a CROSS JOIN dims d GROUP BY a.cell, d.dim) t GROUP BY cell),
+       |$c AS (SELECT p.cid, COALESCE(m.cv, p.cv) AS cv
+       |  FROM $prev p LEFT JOIN $m m ON m.cell = p.cid)""".stripMargin
+  }
+
+  private def e12ChainSql(x: String, salt: String): String =
+    s"""c0$x AS (SELECT ROW_NUMBER() OVER (ORDER BY
+       |      md5('$salt' || CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid,
+       |    v AS cv
+       |  FROM (SELECT vec_id, v FROM emb
+       |        ORDER BY md5('$salt' || CAST(vec_id AS VARCHAR)), vec_id
+       |        LIMIT 8) t),
+       |${(1 to 3).map(i => e12IterSql(i, x)).mkString(",\n")}""".stripMargin
+
+  private def e12FinSql(x: String, cCol: String): String =
+    s"""fin$x AS (SELECT vec_id, cid AS $cCol FROM (
+       |    SELECT e.vec_id, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+       |        list_inner_product(c.cv, c.cv) -
+       |        2 * list_inner_product(e.v, c.cv) ASC, c.cid ASC) AS rn
+       |    FROM emb e CROSS JOIN c3$x c) t WHERE rn = 1)""".stripMargin
+
+  private def e12OracleSql: String =
+    s"""WITH emb AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |dims AS (SELECT UNNEST(range(1, 65)) AS dim),
+       |${e12ChainSql("xa", "")},
+       |${e12ChainSql("xb", "b")},
+       |${e12FinSql("xa", "ca")},
+       |${e12FinSql("xb", "cb")},
+       |cont AS (SELECT a.ca, b.cb, COUNT(*) AS n
+       |  FROM finxa a JOIN finxb b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+       |sagg AS (SELECT SUM(n * (n - 1) // 2) AS s, SUM(n) AS nn,
+       |    COUNT(DISTINCT ca) AS k_a, COUNT(DISTINCT cb) AS k_b FROM cont),
+       |aagg AS (SELECT SUM(t * (t - 1) // 2) AS ac
+       |  FROM (SELECT SUM(n) AS t FROM cont GROUP BY ca)),
+       |bagg AS (SELECT SUM(t * (t - 1) // 2) AS bc
+       |  FROM (SELECT SUM(n) AS t FROM cont GROUP BY cb))
+       |SELECT nn AS n_points, k_a, k_b, s AS sum_comb, ac AS a_comb,
+       |  bc AS b_comb,
+       |  (CAST(s AS DOUBLE) - CAST(ac * bc AS DOUBLE)
+       |      / CAST(nn * (nn - 1) // 2 AS DOUBLE))
+       |  / (CAST(ac + bc AS DOUBLE) / 2.0 - CAST(ac * bc AS DOUBLE)
+       |      / CAST(nn * (nn - 1) // 2 AS DOUBLE)) AS ari
+       |FROM sagg, aagg, bagg""".stripMargin
+
   private val e3OracleSql: String =
     s"""WITH $e3CtesSql,
        |fin AS (SELECT vec_id, cid AS cluster, d, ipvv FROM (
@@ -2269,6 +2371,10 @@ object LlmQueries {
     "s2_ann_lsh" -> s2OracleSql,
     "e2_random_projection" -> e2OracleSql,
     "e3_kmeans" -> e3OracleSql,
+    // e12: BOTH Lloyd chains replayed (e3's proven template, suffixed,
+    // salts '' and 'b'), exact-integer contingency/pair-count sums,
+    // identical IEEE ARI sequence
+    "e12_kmeans_ari" -> e12OracleSql,
     "e9_silhouette" -> e9OracleSql,
     "e5_pca_project" -> e5OracleSql,
     "x20_bpe_train" -> x20OracleSql,

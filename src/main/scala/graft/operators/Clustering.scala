@@ -48,10 +48,15 @@ object Clustering {
     * model-state producer shared by [[kmeansAssign]] (assignment read)
     * and [[silhouetteSimplified]] (quality read). */
   private def fitCentroids(v: DataFrame, k: Int,
-      iters: Int): Array[(Int, Array[Double])] = {
-    // init: md5-order deterministic sample, cid = position in that order
+      iters: Int, initSalt: String = ""): Array[(Int, Array[Double])] = {
+    // init: md5-order deterministic sample, cid = position in that
+    // order; initSalt prefixes the md5 input, giving an independent
+    // (but equally deterministic) init per salt — the device e12's
+    // stability read uses to get two comparable fits ("" preserves the
+    // historical order byte-for-byte: md5('' || id) == md5(id))
     var cents: Array[(Int, Array[Double])] =
-      v.orderBy(md5(col("id").cast("string")), col("id"))
+      v.orderBy(md5(concat(lit(initSalt), col("id").cast("string"))),
+          col("id"))
         .limit(k).collect()
         .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](1).toArray) }
     for (_ <- 1 to iters) {
@@ -76,13 +81,13 @@ object Clustering {
     * (id, cluster, dist) with dist = euclidean distance to the final
     * centroid, rounded to 6 decimals. */
   def kmeansAssign(df: DataFrame, idCol: String, vecCol: String,
-      k: Int = 8, iters: Int = 3): DataFrame = {
+      k: Int = 8, iters: Int = 3, initSalt: String = ""): DataFrame = {
     // persisted for the driver loop (init collect + one aggregate per
     // iteration would otherwise each re-scan and re-cast the source);
     // released before returning — the final assignment recomputes from
     // the scan once, lazily, so no cache outlives the call
     val v = castVecs(df, idCol, vecCol).persist()
-    val cents = fitCentroids(v, k, iters)
+    val cents = fitCentroids(v, k, iters, initSalt)
     val win = ranked(cents)
     val out = v.select(col("id"), element_at(win, 2).cast("int").as("cluster"),
         round(sqrt(greatest(lit(0.0),

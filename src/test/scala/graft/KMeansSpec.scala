@@ -34,6 +34,30 @@ class KMeansSpec extends AnyFunSuite {
     assert(out.forall(_._3 < 0.5), "every point near its own centroid")
   }
 
+  test("e12 ARI: real structure survives an init nudge (blobs ARI = 1)") {
+    val df = blobs.toDF("id", "vec")
+    def labels(salt: String): Map[Long, Int] =
+      Clustering.kmeansAssign(df, "id", "vec", k = 3, iters = 3,
+          initSalt = salt)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val (la, lb) = (labels(""), labels("b"))
+    // pair-counting ARI in-process
+    val ids = blobs.map(_._1)
+    val pairs = for (i <- ids; j <- ids if i < j) yield (i, j)
+    val (both, aOnly, bOnly) = pairs.foldLeft((0L, 0L, 0L)) {
+      case ((s, a, b), (i, j)) =>
+        val sa = la(i) == la(j); val sb = lb(i) == lb(j)
+        (s + (if (sa && sb) 1 else 0), a + (if (sa) 1 else 0),
+          b + (if (sb) 1 else 0))
+    }
+    val n = pairs.size.toLong
+    val exp = aOnly.toDouble * bOnly.toDouble / n
+    val ari = (both - exp) / ((aOnly + bOnly) / 2.0 - exp)
+    // the planted blobs are genuine structure: a different init sample
+    // must recover the identical partition (up to label names)
+    assert(ari > 0.999, s"blob ARI $ari — structure lost under init nudge")
+  }
+
   test("assignment is deterministic across reruns") {
     val df = blobs.toDF("id", "vec")
     val a = Clustering.kmeansAssign(df, "id", "vec", k = 3, iters = 2)

@@ -30,7 +30,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "e10_ivf_recall_sweep", // 4× s3 probe crosses + s1 brute + 1-row count joins
       "d16_lsh_band_sweep", // sample-local all-pairs truth cross + 1-row count joins
       "e11_matryoshka_sweep", // 5× s1-shape brute crosses + 1-row count joins
-      "q68_session_cooccurrence") // ONE broadcast row of the session total rides the pair table
+      "q68_session_cooccurrence", // ONE broadcast row of the session total rides the pair table
+      "e12_kmeans_ari") // 1-row stat crosses over the k²-sized contingency table
 
   test("no query plan contains a cartesian product") {
     SparkEntry.queries.keys.foreach { name =>
