@@ -173,6 +173,56 @@ object LlmQueries {
     }.reduce(_.unionByName(_)).orderBy("nprobe")
   }
 
+  // ---- L77: stratified split (largest-remainder allocation) -----------------
+  /** Proportional STRATIFIED sampling via the largest-remainder
+    * (Hamilton) method — the eval/holdout-set constructor x7's plain
+    * md5 buckets can't give (a uniform 2% split under-represents small
+    * (lang, source) strata; this one allocates ⌊n_i·k/N⌋ + the k−Σ⌊⌋
+    * largest remainders, so every stratum lands within 1 of exact
+    * proportionality — Hamilton's house-monotone guarantee). All
+    * allocation arithmetic is exact integers (remainders compared as
+    * n_i·k mod N — no float quotas anywhere); within each stratum the
+    * selection is the md5-order prefix (x9's deterministic device,
+    * layout-independent), fingerprinted as md5 of the sorted id list.
+    * Scale shape: allocation runs entirely on the strata-cardinality
+    * table (tiny, one unpartitioned window — t51's bounded-window
+    * argument); the corpus sees one (lang, source)-key window shuffle
+    * + a broadcast allocation join. */
+  def x29StratifiedSplit(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = 100
+    val docs = t(s, dir, "documents").select("doc_id", "lang", "source")
+    val strata = docs.groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"))
+    val tot = strata.agg(sum("n_docs").as("nn"))
+    val al = strata.crossJoin(broadcast(tot))
+      .withColumn("base", expr(s"(n_docs * $k) div nn"))
+      .withColumn("rem", expr(s"(n_docs * $k) % nn"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("rem").desc, col("lang"), col("source"))))
+    val lo = al.agg((lit(k) - sum("base")).as("lo"))
+    val alloc = al.crossJoin(broadcast(lo))
+      .withColumn("allocated", least(col("n_docs"),
+        col("base") + when(col("rk") <= col("lo"), 1L).otherwise(0L)))
+      .select("lang", "source", "n_docs", "allocated")
+    val sel = docs
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("lang", "source")
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))
+      .join(broadcast(alloc.select("lang", "source", "allocated")),
+        Seq("lang", "source"))
+      .filter(col("rn") <= col("allocated"))
+    val ag = sel.groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_selected"),
+        md5(concat_ws(",", transform(array_sort(collect_list(col("doc_id"))),
+          v => v.cast("string")))).as("sel_md5"))
+    alloc.join(ag, Seq("lang", "source"), "left")
+      .select(col("lang"), col("source"), col("n_docs"), col("allocated"),
+        coalesce(col("n_selected"), lit(0L)).as("n_selected"),
+        coalesce(col("sel_md5"), md5(lit(""))).as("sel_md5"))
+      .orderBy("lang", "source")
+  }
+
   // ---- L76: clustering stability (adjusted Rand index) ----------------------
   /** Cluster-assignment STABILITY via the adjusted Rand index (Hubert &
     * Arabie 1985) between two deterministic k-means fits that differ
@@ -1363,6 +1413,7 @@ object LlmQueries {
     "e11_matryoshka_sweep" -> e11MatryoshkaSweep _,
     "x28_count_min" -> x28CountMin _,
     "e12_kmeans_ari" -> e12KmeansAri _,
+    "x29_stratified_split" -> x29StratifiedSplit _,
     "d5_embed_dup" -> d5EmbedDup _,
     "d6_dup_clusters" -> d6DupClusters _,
     "s1_ann_brute" -> s1AnnBrute _,
@@ -2375,6 +2426,36 @@ object LlmQueries {
     // salts '' and 'b'), exact-integer contingency/pair-count sums,
     // identical IEEE ARI sequence
     "e12_kmeans_ari" -> e12OracleSql,
+    // x29: identical integer allocation (base // + mod-N remainder
+    // ranking), md5-prefix selection, sorted-id fingerprints
+    "x29_stratified_split" ->
+      """WITH d AS (SELECT doc_id, lang, source FROM documents),
+        |st AS (SELECT lang, source, COUNT(*) AS n_docs FROM d GROUP BY 1, 2),
+        |tt AS (SELECT SUM(n_docs) AS nn FROM st),
+        |al AS (SELECT lang, source, n_docs,
+        |    (n_docs * 100) // nn AS base, (n_docs * 100) % nn AS rem,
+        |    ROW_NUMBER() OVER (ORDER BY (n_docs * 100) % nn DESC,
+        |      lang, source) AS rk
+        |  FROM st, tt),
+        |lo AS (SELECT 100 - SUM(base) AS lo FROM al),
+        |a2 AS (SELECT lang, source, n_docs,
+        |    least(n_docs, base + CASE WHEN rk <= lo.lo THEN 1 ELSE 0 END)
+        |      AS allocated
+        |  FROM al, lo),
+        |rn AS (SELECT d.*, ROW_NUMBER() OVER (PARTITION BY lang, source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn FROM d),
+        |sel AS (SELECT r.lang, r.source, r.doc_id
+        |  FROM rn r JOIN a2 USING (lang, source)
+        |  WHERE r.rn <= a2.allocated),
+        |ag AS (SELECT lang, source, COUNT(*) AS n_selected,
+        |    md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+        |      AS sel_md5
+        |  FROM sel GROUP BY 1, 2)
+        |SELECT a2.lang, a2.source, a2.n_docs, a2.allocated,
+        |  COALESCE(ag.n_selected, 0) AS n_selected,
+        |  COALESCE(ag.sel_md5, md5('')) AS sel_md5
+        |FROM a2 LEFT JOIN ag USING (lang, source)
+        |ORDER BY lang, source""".stripMargin,
     "e9_silhouette" -> e9OracleSql,
     "e5_pca_project" -> e5OracleSql,
     "x20_bpe_train" -> x20OracleSql,

@@ -70,6 +70,20 @@ class RobustStatsSpec extends AnyFunSuite {
       "no collision at 60 tokens / 8 buckets — fixture broken")
   }
 
+  test("x29: allocation sums to k exactly, every stratum within 1 of quota") {
+    val rows = llm.LlmQueries.x29StratifiedSplit(spark, sf)
+      .select("n_docs", "allocated", "n_selected")
+      .as[(Long, Long, Long)].collect()
+    val n = rows.map(_._1).sum
+    assert(rows.map(_._2).sum == 100L, "allocation must sum to k exactly")
+    rows.foreach { case (nd, al, sel) =>
+      assert(sel == al, "selection must fill its allocation")
+      val quota = nd.toDouble * 100 / n
+      assert(al >= math.floor(quota) - 1e-9 && al <= math.ceil(quota) + 1e-9,
+        s"stratum n=$nd allocated $al outside [⌊$quota⌋, ⌈$quota⌉]")
+    }
+  }
+
   test("t50: planted outlier flagged, clean group clean, MAD=0 -> null z") {
     // 20 tight values + one wild one per the rule's own arithmetic
     val base = (1 to 20).map(i => ("a", 10.0 + (i % 5))) :+ (("a", 1000.0))
