@@ -1304,7 +1304,36 @@ object Relational {
       .orderBy("type_a", "type_b")
   }
 
+  // ---- R69: bucketed co-located join ---------------------------------------
+  /** The pay-the-shuffle-once-at-ingest story as a driver-checked
+    * query: orders and lineitem are written as BUCKETED tables (8
+    * buckets on their join keys, bucket-sorted — `sources.Bucketed`),
+    * then the fact join reads co-located buckets with NO Exchange at
+    * all (bucketing metadata satisfies the join's distribution, the
+    * sortBy satisfies SMJ ordering; plan-audited: the only hash
+    * exchange in the whole query is the tiny per-year aggregate).
+    * At 100 TB this is the difference between shuffling the fact
+    * table per query and never shuffling it again. Result provably
+    * equals the plain join (the oracle), so correctness certifies the
+    * semantics while the audit certifies the plan. */
+  def q69BucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    val sfx = Integer.toHexString(dir.hashCode)
+    graft.sources.Bucketed.write(
+      t(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate")),
+      s"graft_q69_orders_$sfx", "o_orderkey", 8)
+    graft.sources.Bucketed.write(
+      t(s, dir, "lineitem").select(col("l_orderkey"),
+        dec(col("l_extendedprice")).as("price")),
+      s"graft_q69_lineitem_$sfx", "l_orderkey", 8)
+    graft.sources.Bucketed.join(s, s"graft_q69_lineitem_$sfx",
+        s"graft_q69_orders_$sfx", "l_orderkey", "o_orderkey")
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(count(lit(1)).as("n_items"), dsum(col("price")).as("revenue"))
+      .orderBy("o_year")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q69_bucketed_join" -> q69BucketedJoin _,
     "q68_session_cooccurrence" -> q68SessionCooccurrence _,
     "q67_event_transitions" -> q67EventTransitions _,
     "q66_twap" -> q66Twap _,
@@ -1409,6 +1438,15 @@ object Relational {
   }
 
   val oracles: Map[String, String] = Map(
+    // q69: the PLAIN join — a hash match proves the bucketed read
+    // changed the plan, not the result
+    "q69_bucketed_join" ->
+      """SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+        |  COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+        |    AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY o_year""".stripMargin,
     // q68: identical q24 session assignment, distinct (session, type)
     // sets, unordered pair join, and the exact-integer-product lift
     "q68_session_cooccurrence" ->

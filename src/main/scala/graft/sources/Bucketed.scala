@@ -20,6 +20,15 @@ object Bucketed {
     * in the catalog, not the files. */
   def write(df: DataFrame, table: String, bucketCol: String,
       numBuckets: Int, sorted: Boolean = true): Unit = {
+    val spark = df.sparkSession
+    // idempotence across JVMs: a previous session's managed-table
+    // DIRECTORY survives the in-memory catalog, and CTAS refuses an
+    // existing location it has no table for — drop both first
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     val w = df.write.format("parquet").mode("overwrite")
       .bucketBy(numBuckets, bucketCol)
     (if (sorted) w.sortBy(bucketCol) else w).saveAsTable(table)

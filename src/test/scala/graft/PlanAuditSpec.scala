@@ -339,6 +339,17 @@ class PlanAuditSpec extends AnyFunSuite {
       s"q67 expected ≤3 hash shuffles (user, pair, tiny-total), got $hashExchanges:\n$p")
   }
 
+  test("q69 bucketed join: the fact join itself has NO Exchange") {
+    // the only hash exchange in the whole query is the tiny per-year
+    // aggregate — the join reads co-located buckets directly
+    val p = plan("q69_bucketed_join")
+    assert(p.contains("SortMergeJoin") || p.contains("Join"),
+      s"q69 lost its join:\n$p")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges == 1,
+      s"q69 expected exactly 1 hash shuffle (the aggregate), got $hashExchanges:\n$p")
+  }
+
   test("whole-stage codegen covers the scan-agg pipeline") {
     // AQE wraps everything in an unmaterialized AdaptiveSparkPlan (0
     // visible codegen subtrees pre-execution) — disable it for the
