@@ -1041,6 +1041,37 @@ object TypeQueries {
       .orderBy("event_id", "item_pos")
   }
 
+  // ---- T55: frame compare (cell-level diff) --------------------------------
+  /** pandas `df.compare(other)` — the CELL-level diff (which column of
+    * which row changed, old vs new) that q43's row-digest CDC labels
+    * don't give: both snapshots unpivot to (key, column, value) via
+    * Spark's native `unpivot` (a generate — zero extra shuffles), join
+    * on (key, column), and only null-safe-differing cells survive.
+    * Prices compare as exact integer CENTS rendered to strings (a
+    * float→string render differs across engines; integers don't).
+    * Plants: price bumps on k%11==1, priority tags on k%13==2 — both
+    * fire together every lcm, so multi-cell rows exist. One (k, col)
+    * join shuffle, output-proportional. */
+  def t55FrameCompare(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(col("o_orderkey").as("k"),
+      (dec(col("o_totalprice")) * 100).cast(LongType).as("cents"),
+      col("o_orderpriority").as("pri"), col("o_orderstatus").as("st"))
+    val old = o.select(col("k"), col("cents").cast(StringType).as("price"),
+      col("pri").as("priority"), col("st").as("status"))
+    val nw = o.select(col("k"),
+      (col("cents") + when(col("k") % 11 === 1, 100L).otherwise(0L))
+        .cast(StringType).as("price"),
+      when(col("k") % 13 === 2, concat(col("pri"), lit("-X")))
+        .otherwise(col("pri")).as("priority"),
+      col("st").as("status"))
+    def melt(df: DataFrame, vName: String): DataFrame =
+      df.unpivot(Array(col("k")),
+        Array(col("price"), col("priority"), col("status")), "col", vName)
+    melt(old, "self_v").join(melt(nw, "other_v"), Seq("k", "col"))
+      .filter(!(col("self_v") <=> col("other_v")))
+      .orderBy("k", "col")
+  }
+
   // ---- T46: nested decorators — sparse[categorical[string]] ---------------
   /** Decorator COMPOSITION at the data level (reference types/sparse.py
     * wrapping types/categorical.py — `sparse[categorical[T]]`, the
@@ -1252,6 +1283,7 @@ object TypeQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t55_frame_compare" -> t55FrameCompare _,
     "t54_json_normalize" -> t54JsonNormalize _,
     "t53_resample_ohlc" -> t53ResampleOhlc _,
     "t52_rolling_median" -> t52RollingMedian _,
@@ -1411,6 +1443,30 @@ object TypeQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // t55: identical cents-string cells, identical plants, identical
+    // null-safe inequality
+    "t55_frame_compare" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |      AS cents,
+        |    o_orderpriority AS pri, o_orderstatus AS st FROM orders),
+        |old AS (SELECT k, CAST(cents AS VARCHAR) AS price,
+        |    pri AS priority, st AS status FROM o),
+        |nw AS (SELECT k,
+        |    CAST(cents + CASE WHEN k % 11 = 1 THEN 100 ELSE 0 END
+        |      AS VARCHAR) AS price,
+        |    CASE WHEN k % 13 = 2 THEN pri || '-X' ELSE pri END AS priority,
+        |    st AS status FROM o),
+        |mo AS (SELECT k, 'price' AS col, price AS self_v FROM old
+        |  UNION ALL SELECT k, 'priority', priority FROM old
+        |  UNION ALL SELECT k, 'status', status FROM old),
+        |mn AS (SELECT k, 'price' AS col, price AS other_v FROM nw
+        |  UNION ALL SELECT k, 'priority', priority FROM nw
+        |  UNION ALL SELECT k, 'status', status FROM nw)
+        |SELECT mo.k, mo.col, mo.self_v, mn.other_v
+        |FROM mo JOIN mn ON mo.k = mn.k AND mo.col = mn.col
+        |WHERE mo.self_v IS DISTINCT FROM mn.other_v
+        |ORDER BY mo.k, mo.col""".stripMargin,
     // t54: every flattened field recomputed arithmetically from the
     // source columns (the parse round-trip proof); pmod spelled as the
     // double-% idiom so negatives agree, floor before the cast so
