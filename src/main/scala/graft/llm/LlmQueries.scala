@@ -173,6 +173,41 @@ object LlmQueries {
     }.reduce(_.unionByName(_)).orderBy("nprobe")
   }
 
+  // ---- L78: quality-threshold yield curve -----------------------------------
+  /** The yield-vs-quality TRADE for x2's composite score — doc and
+    * TOKEN retention at cutoffs τ ∈ {0.3, 0.5, 0.7, 0.9}, the curve an
+    * operator reads before fixing a filter threshold (the x2-filter
+    * analog of d16/e10's index calibration: a cutoff that keeps 95% of
+    * docs but 99% of tokens is a very different knife than one keeping
+    * 95%/80%). ONE corpus scan: every τ's doc/token conditional sums
+    * ride a single aggregation row, exploded to the curve — no
+    * per-threshold re-scan; comparisons agree cross-engine because
+    * x2's score is an identical IEEE sequence on both (proven by x2's
+    * own hash match). */
+  def x30FilterTradeoff(s: SparkSession, dir: String): DataFrame = {
+    val taus = Seq(0.3, 0.5, 0.7, 0.9)
+    val q = t(s, dir, "documents")
+      .select(TextAnalysis.qualityColumns(col("text")): _*)
+      .select(col("n_tokens"), col("quality_score"))
+    val aggs = taus.zipWithIndex.flatMap { case (t0, i) => Seq(
+      sum(when(col("quality_score") >= t0, 1L).otherwise(0L)).as(s"k$i"),
+      sum(when(col("quality_score") >= t0, col("n_tokens")).otherwise(0L))
+        .as(s"tk$i"))
+    } ++ Seq(count(lit(1)).as("n"), sum(col("n_tokens")).as("tok"))
+    q.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(taus.zipWithIndex.map { case (t0, i) =>
+        struct(lit(t0).as("threshold"), col(s"k$i").as("n_kept"),
+          (col(s"k$i").cast("double") / col("n").cast("double"))
+            .as("keep_rate"),
+          col(s"tk$i").as("tok_kept"),
+          (col(s"tk$i").cast("double") / col("tok").cast("double"))
+            .as("tok_share"))
+      }: _*)).as("e"))
+      .select(col("e.threshold"), col("e.n_kept"), col("e.keep_rate"),
+        col("e.tok_kept"), col("e.tok_share"))
+      .orderBy("threshold")
+  }
+
   // ---- L77: stratified split (largest-remainder allocation) -----------------
   /** Proportional STRATIFIED sampling via the largest-remainder
     * (Hamilton) method — the eval/holdout-set constructor x7's plain
@@ -1414,6 +1449,7 @@ object LlmQueries {
     "x28_count_min" -> x28CountMin _,
     "e12_kmeans_ari" -> e12KmeansAri _,
     "x29_stratified_split" -> x29StratifiedSplit _,
+    "x30_filter_tradeoff" -> x30FilterTradeoff _,
     "d5_embed_dup" -> d5EmbedDup _,
     "d6_dup_clusters" -> d6DupClusters _,
     "s1_ann_brute" -> s1AnnBrute _,
@@ -2041,6 +2077,36 @@ object LlmQueries {
        |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8) t),
        |${(1 to 3).map(e3IterSql).mkString(",\n")}""".stripMargin
 
+  /** x30 oracle: x2's verbatim score/token-count fragments (the IEEE
+    * sequences x2's hash match proves identical), conditional-summed
+    * once per threshold and unioned into the curve. */
+  private def x30OracleSql: String = {
+    val toks =
+      "len(string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))"
+    val stop = "len(list_filter(string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '), " +
+      "t -> t IN ('the','and','of','to','in','is','you','that','it','for','a')))"
+    val score =
+      s"least($toks / 100.0, 1.0) * 0.4 " +
+        s"+ (length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / greatest(length(text), 1)) * 0.4 " +
+        s"+ least($stop / greatest($toks, 1) * 5.0, 1.0) * 0.2"
+    val taus = Seq("0.3", "0.5", "0.7", "0.9")
+    val sums = taus.zipWithIndex.map { case (t0, i) =>
+      s"SUM(CASE WHEN score >= CAST($t0 AS DOUBLE) THEN 1 ELSE 0 END) AS k$i, " +
+        s"SUM(CASE WHEN score >= CAST($t0 AS DOUBLE) THEN n_tokens ELSE 0 END) AS tk$i"
+    }.mkString(",\n    ")
+    val rows = taus.zipWithIndex.map { case (t0, i) =>
+      s"SELECT CAST($t0 AS DOUBLE) AS threshold, k$i AS n_kept, " +
+        s"CAST(k$i AS DOUBLE) / CAST(n AS DOUBLE) AS keep_rate, " +
+        s"tk$i AS tok_kept, CAST(tk$i AS DOUBLE) / CAST(tok AS DOUBLE) AS tok_share FROM a"
+    }.mkString(" UNION ALL ")
+    s"""WITH q AS (SELECT CAST($toks AS BIGINT) AS n_tokens,
+       |    $score AS score FROM documents),
+       |a AS (SELECT COUNT(*) AS n, SUM(n_tokens) AS tok,
+       |    $sums
+       |  FROM q)
+       |SELECT * FROM ($rows) ORDER BY threshold""".stripMargin
+  }
+
   /** e12 oracle helpers: the e3 iteration template with a NAME SUFFIX
     * so two full fit chains (init salts "" and "b") coexist in one
     * WITH, then the contingency/ARI arithmetic in exact integers. */
@@ -2428,6 +2494,10 @@ object LlmQueries {
     "e12_kmeans_ari" -> e12OracleSql,
     // x29: identical integer allocation (base // + mod-N remainder
     // ranking), md5-prefix selection, sorted-id fingerprints
+    // x30: x2's exact score/token fragments (proven IEEE-identical by
+    // x2's hash match) under the same conditional sums; thresholds
+    // CAST AS DOUBLE (a bare 0.3 parses as DECIMAL in DuckDB)
+    "x30_filter_tradeoff" -> x30OracleSql,
     "x29_stratified_split" ->
       """WITH d AS (SELECT doc_id, lang, source FROM documents),
         |st AS (SELECT lang, source, COUNT(*) AS n_docs FROM d GROUP BY 1, 2),

@@ -84,6 +84,19 @@ class RobustStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("x30: yield curve is monotone non-increasing in the threshold") {
+    val rows = llm.LlmQueries.x30FilterTradeoff(spark, sf)
+      .select("threshold", "n_kept", "tok_kept")
+      .as[(Double, Long, Long)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(0.3, 0.5, 0.7, 0.9))
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 <= a._2 && b._3 <= a._3,
+        s"tightening the cutoff must never keep more: $a -> $b")
+    }
+    // the curve must actually discriminate on this corpus
+    assert(rows.head._2 > rows.last._2)
+  }
+
   test("t50: planted outlier flagged, clean group clean, MAD=0 -> null z") {
     // 20 tight values + one wild one per the rule's own arithmetic
     val base = (1 to 20).map(i => ("a", 10.0 + (i % 5))) :+ (("a", 1000.0))
