@@ -273,4 +273,42 @@ object Graphs {
     und.unpersist()
     out
   }
+
+  /** ALL (descendant, ancestor) pairs of a parent FOREST via pointer
+    * DOUBLING: round k turns "all ancestors within 2^(k-1) hops" into
+    * "within 2^k hops" by composing the pair set with itself
+    * ((a,b) ⋈ (b,c) → (a,c)) — ⌈log₂ depth⌉ equi-join rounds instead
+    * of a depth-long chain, the device that makes a 30-deep hierarchy
+    * cost 5 shuffles, not 30. Output size is Σ depth(n) pairs
+    * (inherent to the closure — every node lists its ancestors), each
+    * round's result materialized via localCheckpoint so the next
+    * round joins a settled set, not a growing lineage. `edges` =
+    * (node, parent), roots omitted or self-looped out by the caller. */
+  def ancestorPairs(edges: DataFrame, rounds: Int): DataFrame = {
+    var p = edges.select(col("node").as("a"), col("parent").as("b"))
+      .filter(col("a") =!= col("b")).distinct().localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val grown = p.union(
+          p.as("x").join(p.as("y"), col("x.b") === col("y.a"))
+            .select(col("x.a").as("a"), col("y.b").as("b")))
+        .distinct().localCheckpoint(true)
+      p = grown
+    }
+    p
+  }
+
+  /** Hierarchical subtree ROLLUP over a parent forest: each node's
+    * aggregate includes every descendant's value — the category-tree /
+    * org-chart aggregation (SQL's recursive-CTE rollup) expressed as
+    * the ancestor closure + ONE groupBy: values join the (desc, anc)
+    * pairs (plus the self pair) on the descendant and sum per
+    * ancestor. `values`: (node, value). */
+  def subtreeRollup(edges: DataFrame, values: DataFrame,
+      rounds: Int): DataFrame = {
+    val pairs = ancestorPairs(edges, rounds)
+      .union(values.select(col("node").as("a"), col("node").as("b")))
+    pairs.join(values.withColumnRenamed("node", "a"), Seq("a"))
+      .groupBy(col("b").as("node"))
+      .agg(count(lit(1)).as("subtree_n"), sum(col("value")).as("subtree_val"))
+  }
 }

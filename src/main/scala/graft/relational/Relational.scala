@@ -1332,7 +1332,36 @@ object Relational {
       .orderBy("o_year")
   }
 
+  // ---- R70: hierarchical subtree rollup ------------------------------------
+  /** Parent-child HIERARCHY aggregation (category trees, org charts,
+    * account rollups — SQL's recursive-CTE rollup): every node's total
+    * includes all its descendants. The customer keys form a synthetic
+    * binary forest (parent = ⌊k/2⌋, root 1), each node valued at its
+    * exact DECIMAL order revenue (0 if orderless); the rollup is
+    * [[graft.operators.Graphs.subtreeRollup]] — the ancestor closure
+    * by pointer DOUBLING (5 equi-join rounds cover depth 32: each
+    * round composes the pair set with itself, so a 30-deep hierarchy
+    * costs log₂ shuffles, not 30 chained joins) + ONE value join +
+    * ONE ancestor groupBy. Pairs are Σdepth(n) rows — inherent to
+    * the closure, each round checkpoint-settled. */
+  def q70HierarchyRollup(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer").select(col("c_custkey").as("node"))
+    val edges = cust.select(col("node"),
+        (col("node") / lit(2)).cast(LongType).as("parent"))
+      .filter(col("parent") >= 1)
+    val rev = t(s, dir, "orders").groupBy(col("o_custkey").as("node"))
+      .agg(sum(dec(col("o_totalprice"))).as("r"))
+    val values = cust.join(rev, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("r"), lit(0).cast(DecimalType(22, 2))).as("value"))
+    graft.operators.Graphs.subtreeRollup(edges, values, rounds = 5)
+      .select(col("node"), col("subtree_n"),
+        col("subtree_val").cast(DoubleType).as("subtree_rev"))
+      .orderBy("node")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q70_hierarchy_rollup" -> q70HierarchyRollup _,
     "q69_bucketed_join" -> q69BucketedJoin _,
     "q68_session_cooccurrence" -> q68SessionCooccurrence _,
     "q67_event_transitions" -> q67EventTransitions _,
@@ -1438,6 +1467,23 @@ object Relational {
   }
 
   val oracles: Map[String, String] = Map(
+    // q70: the textbook recursive-CTE rollup — semantics truth for the
+    // pointer-doubling closure; same ⌊k/2⌋ forest, same exact decimals
+    "q70_hierarchy_rollup" ->
+      """WITH RECURSIVE
+        |n AS (SELECT c_custkey AS node FROM customer),
+        |e AS (SELECT node, node // 2 AS parent FROM n WHERE node // 2 >= 1),
+        |v AS (SELECT n.node, COALESCE(r.r, 0) AS value FROM n
+        |  LEFT JOIN (SELECT o_custkey AS node,
+        |      SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS r
+        |    FROM orders GROUP BY 1) r USING (node)),
+        |a AS (SELECT node AS d, node AS anc FROM n
+        |  UNION ALL
+        |  SELECT a.d, e.parent FROM a JOIN e ON a.anc = e.node)
+        |SELECT a.anc AS node, COUNT(*) AS subtree_n,
+        |  CAST(SUM(v.value) AS DOUBLE) AS subtree_rev
+        |FROM a JOIN v ON a.d = v.node
+        |GROUP BY a.anc ORDER BY node""".stripMargin,
     // q69: the PLAIN join — a hash match proves the bucketed read
     // changed the plan, not the result
     "q69_bucketed_join" ->

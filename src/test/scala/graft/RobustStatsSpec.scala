@@ -97,6 +97,25 @@ class RobustStatsSpec extends AnyFunSuite {
     assert(rows.head._2 > rows.last._2)
   }
 
+  test("q70 rollup: pointer doubling closes a 20-deep chain; exact totals") {
+    // a pure path 1←2←3←…←21 (every node's parent is node−1): subtree
+    // of node k = nodes k..21, so subtree_n = 22−k and subtree_val =
+    // Σ k..21 — a depth-20 chain only 5 doubling rounds can close
+    val n = 21
+    val edges = (2 to n).map(i => (i.toLong, (i - 1).toLong))
+      .toDF("node", "parent")
+    val values = (1 to n).map(i =>
+      (i.toLong, BigDecimal(i))).toDF("node", "value")
+    val got = operators.Graphs.subtreeRollup(edges, values, rounds = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDecimal(2).longValue())).sortBy(_._1)
+    assert(got.length == n)
+    got.foreach { case (k, cnt, tot) =>
+      assert(cnt == n - k + 1, s"node $k count $cnt")
+      assert(tot == (k to n).sum.toLong, s"node $k total $tot")
+    }
+  }
+
   test("t50: planted outlier flagged, clean group clean, MAD=0 -> null z") {
     // 20 tight values + one wild one per the rule's own arithmetic
     val base = (1 to 20).map(i => ("a", 10.0 + (i % 5))) :+ (("a", 1000.0))
