@@ -173,6 +173,51 @@ object LlmQueries {
     }.reduce(_.unionByName(_)).orderBy("nprobe")
   }
 
+  // ---- L79: per-language corpus datasheet ------------------------------------
+  /** The corpus DATASHEET — the per-language health report a curation
+    * run publishes (Gebru et al. 2021's "datasheets" idea at corpus
+    * level): doc and token counts, token share, mean quality, and
+    * exact-duplicate exposure, each column a proven fragment (x2's
+    * score, d1's digest dedup) composed into one read. Duplicates are
+    * planted in-corpus (doc k%7==3 takes its predecessor's text, lang
+    * kept) so the dup column has real catches in every slice. Mean
+    * quality uses the e9 device — per-doc score ROUNDED to 6 and
+    * summed as exact DECIMAL, so the mean is partition-order-free with
+    * ONE terminal IEEE division. One corpus pass + digest/lang
+    * aggregations; only digests and per-lang rows shuffle. */
+  def p4CorpusDatasheet(s: SparkSession, dir: String): DataFrame = {
+    val raw = t(s, dir, "documents").select("doc_id", "lang", "text")
+    val planted = raw.as("r")
+      .join(raw.select(col("doc_id").as("pid"), col("text").as("ptext")).as("p"),
+        col("r.doc_id") - 1 === col("pid"), "left")
+      .select(col("r.doc_id").as("doc_id"), col("r.lang").as("lang"),
+        when(col("r.doc_id") % 7 === 3 && col("ptext").isNotNull,
+          col("ptext")).otherwise(col("r.text")).as("text"))
+    val q = planted.select(Seq(col("doc_id"), col("lang"),
+        sha2(Dedup.normText(col("text")), 256).as("digest")) ++
+        TextAnalysis.qualityColumns(col("text")): _*)
+      .select(col("doc_id"), col("lang"), col("digest"), col("n_tokens"),
+        round(col("quality_score"), 6).cast("decimal(12,6)").as("q6"))
+      .persist()
+    val dup = q.groupBy("digest").agg(count(lit(1)).as("nc"))
+      .filter(col("nc") >= 2).select("digest")
+    val fl = q.join(dup, Seq("digest"), "left_semi")
+      .groupBy("lang").agg(count(lit(1)).as("n_dup_docs"))
+    val tt = q.agg(sum(col("n_tokens")).as("tok_all"))
+    q.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        (sum(col("q6")).cast("double") / count(lit(1)).cast("double"))
+          .as("mean_quality"))
+      .join(fl, Seq("lang"), "left")
+      .crossJoin(broadcast(tt))
+      .select(col("lang"), col("n_docs"), col("n_tokens"),
+        (col("n_tokens").cast("double") / col("tok_all").cast("double"))
+          .as("tok_share"),
+        col("mean_quality"),
+        coalesce(col("n_dup_docs"), lit(0L)).as("n_dup_docs"))
+      .orderBy("lang")
+  }
+
   // ---- L78: quality-threshold yield curve -----------------------------------
   /** The yield-vs-quality TRADE for x2's composite score — doc and
     * TOKEN retention at cutoffs τ ∈ {0.3, 0.5, 0.7, 0.9}, the curve an
@@ -1450,6 +1495,7 @@ object LlmQueries {
     "e12_kmeans_ari" -> e12KmeansAri _,
     "x29_stratified_split" -> x29StratifiedSplit _,
     "x30_filter_tradeoff" -> x30FilterTradeoff _,
+    "p4_corpus_datasheet" -> p4CorpusDatasheet _,
     "d5_embed_dup" -> d5EmbedDup _,
     "d6_dup_clusters" -> d6DupClusters _,
     "s1_ann_brute" -> s1AnnBrute _,
@@ -2080,15 +2126,22 @@ object LlmQueries {
   /** x30 oracle: x2's verbatim score/token-count fragments (the IEEE
     * sequences x2's hash match proves identical), conditional-summed
     * once per threshold and unioned into the curve. */
-  private def x30OracleSql: String = {
-    val toks =
-      "len(string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))"
-    val stop = "len(list_filter(string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '), " +
+  // x2's token-count and composite-score fragments (IEEE-identical to
+  // TextAnalysis.qualityColumns — proven by x2's hash match), shared by
+  // the x30 yield curve and the p4 datasheet oracles
+  private val qToksSql =
+    "len(string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))"
+  private val qStopSql =
+    "len(list_filter(string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '), " +
       "t -> t IN ('the','and','of','to','in','is','you','that','it','for','a')))"
-    val score =
-      s"least($toks / 100.0, 1.0) * 0.4 " +
-        s"+ (length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / greatest(length(text), 1)) * 0.4 " +
-        s"+ least($stop / greatest($toks, 1) * 5.0, 1.0) * 0.2"
+  private val qScoreSql =
+    s"least($qToksSql / 100.0, 1.0) * 0.4 " +
+      s"+ (length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / greatest(length(text), 1)) * 0.4 " +
+      s"+ least($qStopSql / greatest($qToksSql, 1) * 5.0, 1.0) * 0.2"
+
+  private def x30OracleSql: String = {
+    val toks = qToksSql
+    val score = qScoreSql
     val taus = Seq("0.3", "0.5", "0.7", "0.9")
     val sums = taus.zipWithIndex.map { case (t0, i) =>
       s"SUM(CASE WHEN score >= CAST($t0 AS DOUBLE) THEN 1 ELSE 0 END) AS k$i, " +
@@ -2498,6 +2551,33 @@ object LlmQueries {
     // x2's hash match) under the same conditional sums; thresholds
     // CAST AS DOUBLE (a bare 0.3 parses as DECIMAL in DuckDB)
     "x30_filter_tradeoff" -> x30OracleSql,
+    // p4: d1's digest + x2's score fragments over the same planted
+    // corpus; rounded-6 DECIMAL quality sums (e9 device), identical
+    // terminal divisions
+    "p4_corpus_datasheet" ->
+      s"""WITH raw AS (SELECT doc_id, lang, text FROM documents),
+         |pl AS (SELECT r.doc_id, r.lang,
+         |    CASE WHEN r.doc_id % 7 = 3 AND p.text IS NOT NULL
+         |         THEN p.text ELSE r.text END AS text
+         |  FROM raw r LEFT JOIN raw p ON p.doc_id = r.doc_id - 1),
+         |q AS (SELECT doc_id, lang, sha256($normSql) AS digest,
+         |    CAST($qToksSql AS BIGINT) AS n_tokens,
+         |    CAST(ROUND($qScoreSql, 6) AS DECIMAL(12,6)) AS q6
+         |  FROM pl),
+         |dup AS (SELECT digest FROM q GROUP BY digest HAVING COUNT(*) >= 2),
+         |fl AS (SELECT lang, COUNT(*) AS n_dup_docs FROM q
+         |  WHERE digest IN (SELECT digest FROM dup) GROUP BY lang),
+         |tt AS (SELECT SUM(n_tokens) AS tok_all FROM q),
+         |g AS (SELECT lang, COUNT(*) AS n_docs, SUM(n_tokens) AS n_tokens,
+         |    CAST(SUM(q6) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         |      AS mean_quality
+         |  FROM q GROUP BY lang)
+         |SELECT g.lang, g.n_docs, g.n_tokens,
+         |  CAST(g.n_tokens AS DOUBLE) / CAST(tt.tok_all AS DOUBLE)
+         |    AS tok_share,
+         |  g.mean_quality, COALESCE(fl.n_dup_docs, 0) AS n_dup_docs
+         |FROM g CROSS JOIN tt LEFT JOIN fl USING (lang)
+         |ORDER BY g.lang""".stripMargin,
     "x29_stratified_split" ->
       """WITH d AS (SELECT doc_id, lang, source FROM documents),
         |st AS (SELECT lang, source, COUNT(*) AS n_docs FROM d GROUP BY 1, 2),
