@@ -323,5 +323,19 @@ package object syntax {
       * [[graft.operators.TextAnalysis.htmlVisible]]). */
     def stripHtml(htmlCol: String, as: String = "visible"): DataFrame =
       df.withColumn(as, operators.TextAnalysis.htmlVisible(col(htmlCol)))
+
+    /** Hierarchical subtree rollup over this (node, parent) forest:
+      * each node's aggregate includes every descendant (pointer-
+      * doubling ancestor closure — see
+      * [[graft.operators.Graphs.subtreeRollup]]). */
+    def subtreeRollup(values: DataFrame, rounds: Int = 5): DataFrame =
+      operators.Graphs.subtreeRollup(df, values, rounds)
+
+    /** Count-Min point-frequency probe over this `tok` column (see
+      * [[graft.llm.LlmQueries.countMinProbe]]): fixed additive cells,
+      * conservative estimates for the corpus's heavy + sampled
+      * tokens. */
+    def countMinProbe(seeds: Int = 4, buckets: Int = 1024): DataFrame =
+      llm.LlmQueries.countMinProbe(df, seeds, buckets)
   }
 }

@@ -292,6 +292,21 @@ class VectorOpsExtraSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(vis == "a b")
   }
 
+  test("subtreeRollup / countMinProbe verbs delegate to their operators") {
+    import spark.implicits._
+    // 1←2, 1←3: subtree(1) = {1,2,3}
+    val edges = Seq((2L, 1L), (3L, 1L)).toDF("node", "parent")
+    val vals = Seq((1L, BigDecimal(1)), (2L, BigDecimal(2)),
+      (3L, BigDecimal(4))).toDF("node", "value")
+    val r = edges.subtreeRollup(vals).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getDecimal(2).longValue()))
+      .toMap
+    assert(r(1L) == ((3L, 7L)) && r(2L) == ((1L, 2L)))
+    val cms = Seq("a", "a", "b").toDF("tok").countMinProbe(seeds = 2,
+      buckets = 16).collect().map(x => x.getString(0) -> x.getLong(2)).toMap
+    assert(cms("a") >= 2L && cms("b") >= 1L)
+  }
+
   test("sketch and vector aggregates callable from SQL") {
     GraftExtensions.register(spark)
     spark.range(0, 5000).toDF("v").createOrReplaceTempView("nums")
