@@ -173,6 +173,34 @@ object LlmQueries {
     }.reduce(_.unionByName(_)).orderBy("nprobe")
   }
 
+  // ---- L80: mixed-language (code-switching) detection ------------------------
+  /** Language-CONSISTENCY check — x1's detector run on each document
+    * HALF: a doc whose halves disagree is mixed-language
+    * (code-switching, concatenated crawl fragments, template+content
+    * mixes) — a low-value doc for monolingual training that x1's
+    * whole-doc vote hides (the majority half wins and the minority
+    * half rides in). Mixed docs are planted by appending each doc's
+    * successor's text (cross-lang at the corpus's natural mixing
+    * rate), halves split on CHARACTERS (identical semantics both
+    * engines), each half classified by the same fused compiled kernel
+    * x1's hash match proves. One map pass + one id-shifted join. */
+  def x31LangConsistency(s: SparkSession, dir: String): DataFrame = {
+    val raw = t(s, dir, "documents").select("doc_id", "lang", "text")
+    val mixed = raw.as("r")
+      .join(raw.select(col("doc_id").as("nid"), col("text").as("ntext")).as("n"),
+        col("r.doc_id") + 1 === col("nid"), "left")
+      .select(col("r.doc_id").as("doc_id"), col("r.lang").as("lang"),
+        concat(col("r.text"), lit(" "),
+          coalesce(col("ntext"), col("r.text"))).as("mtext"))
+    mixed.select(col("doc_id"), col("lang"),
+        TextAnalysis.langId(
+          expr("substring(mtext, 1, length(mtext) div 2)")).as("lang_h1"),
+        TextAnalysis.langId(
+          expr("substring(mtext, length(mtext) div 2 + 1)")).as("lang_h2"))
+      .withColumn("consistent", col("lang_h1") === col("lang_h2"))
+      .orderBy("doc_id")
+  }
+
   // ---- L79: per-language corpus datasheet ------------------------------------
   /** The corpus DATASHEET — the per-language health report a curation
     * run publishes (Gebru et al. 2021's "datasheets" idea at corpus
@@ -1496,6 +1524,7 @@ object LlmQueries {
     "x29_stratified_split" -> x29StratifiedSplit _,
     "x30_filter_tradeoff" -> x30FilterTradeoff _,
     "p4_corpus_datasheet" -> p4CorpusDatasheet _,
+    "x31_lang_consistency" -> x31LangConsistency _,
     "d5_embed_dup" -> d5EmbedDup _,
     "d6_dup_clusters" -> d6DupClusters _,
     "s1_ann_brute" -> s1AnnBrute _,
@@ -2160,6 +2189,46 @@ object LlmQueries {
        |SELECT * FROM ($rows) ORDER BY threshold""".stripMargin
   }
 
+  /** x31 oracle: x1's scoring chain templated over a per-half text
+    * expression (the same stopword profiles, cjk ratio, and en>de>es>fr
+    * tie-break x1's hash match proves against the compiled kernel). */
+  private def langPredCtes(sfx: String, src: String): String =
+    s"""b$sfx AS (SELECT doc_id,
+       |    string_split(trim(regexp_replace(lower($src), '\\s+', ' ', 'g')), ' ') AS toks,
+       |    length(regexp_replace($src, '[^\\x{4e00}-\\x{9fff}]', '', 'g'))
+       |      / greatest(length($src), 1) AS cjk
+       |  FROM h),
+       |s$sfx AS (SELECT doc_id, cjk,
+       |    len(list_filter(toks, t -> t IN ('the','and','of','to','in','is','you','that','it','for','a'))) / greatest(len(toks),1) AS s_en,
+       |    len(list_filter(toks, t -> t IN ('der','die','und','das','ist','nicht','mit','ein','zu','von'))) / greatest(len(toks),1) AS s_de,
+       |    len(list_filter(toks, t -> t IN ('el','la','de','que','y','en','un','para','con','por'))) / greatest(len(toks),1) AS s_es,
+       |    len(list_filter(toks, t -> t IN ('le','la','de','et','les','des','une','pour','que','dans'))) / greatest(len(toks),1) AS s_fr
+       |  FROM b$sfx),
+       |p$sfx AS (SELECT doc_id,
+       |    CASE WHEN cjk > 0.3 THEN 'zh'
+       |         WHEN greatest(s_en, s_de, s_es, s_fr) > 0.0 THEN
+       |           CASE WHEN s_en >= greatest(s_de, s_es, s_fr) THEN 'en'
+       |                WHEN s_de >= greatest(s_es, s_fr) THEN 'de'
+       |                WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END
+       |         ELSE 'und' END AS pred$sfx
+       |  FROM s$sfx)""".stripMargin
+
+  private def x31OracleSql: String =
+    s"""WITH raw AS (SELECT doc_id, lang, text FROM documents),
+       |nx AS (SELECT r.doc_id, r.lang,
+       |    r.text || ' ' || COALESCE(n.text, r.text) AS mtext
+       |  FROM raw r LEFT JOIN raw n ON n.doc_id = r.doc_id + 1),
+       |h AS (SELECT doc_id, lang,
+       |    substr(mtext, 1, length(mtext) // 2) AS t1,
+       |    substr(mtext, length(mtext) // 2 + 1) AS t2
+       |  FROM nx),
+       |${langPredCtes("1", "t1")},
+       |${langPredCtes("2", "t2")}
+       |SELECT h.doc_id, h.lang, p1.pred1 AS lang_h1, p2.pred2 AS lang_h2,
+       |  p1.pred1 = p2.pred2 AS consistent
+       |FROM h JOIN p1 USING (doc_id) JOIN p2 USING (doc_id)
+       |ORDER BY h.doc_id""".stripMargin
+
   /** e12 oracle helpers: the e3 iteration template with a NAME SUFFIX
     * so two full fit chains (init salts "" and "b") coexist in one
     * WITH, then the contingency/ARI arithmetic in exact integers. */
@@ -2554,6 +2623,9 @@ object LlmQueries {
     // p4: d1's digest + x2's score fragments over the same planted
     // corpus; rounded-6 DECIMAL quality sums (e9 device), identical
     // terminal divisions
+    // x31: x1's chain templated per half (same profiles, tie-break,
+    // cjk), identical char-based halving
+    "x31_lang_consistency" -> x31OracleSql,
     "p4_corpus_datasheet" ->
       s"""WITH raw AS (SELECT doc_id, lang, text FROM documents),
          |pl AS (SELECT r.doc_id, r.lang,

@@ -116,6 +116,19 @@ class RobustStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("x31: cross-lang concatenations flagged; self-doubled doc consistent") {
+    val rows = llm.LlmQueries.x31LangConsistency(spark, sf)
+      .select("doc_id", "lang_h1", "lang_h2", "consistent")
+      .as[(Long, String, String, Boolean)].collect()
+    assert(rows.count(!_._4) > 0, "no mixed doc flagged — plants broken")
+    assert(rows.count(_._4) > rows.length / 2,
+      "majority should stay consistent on this corpus")
+    // the last doc has no successor: its text doubles, so both halves
+    // are (nearly) the same content and must classify identically
+    val last = rows.maxBy(_._1)
+    assert(last._4, s"self-doubled doc inconsistent: $last")
+  }
+
   test("t50: planted outlier flagged, clean group clean, MAD=0 -> null z") {
     // 20 tight values + one wild one per the rule's own arithmetic
     val base = (1 to 20).map(i => ("a", 10.0 + (i % 5))) :+ (("a", 1000.0))
