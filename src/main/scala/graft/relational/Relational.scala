@@ -1360,7 +1360,33 @@ object Relational {
       .orderBy("node")
   }
 
+  // ---- R71: partition-pruned read ------------------------------------------
+  /** q69's directory-layout sibling: events written as a HIVE-style
+    * partitioned layout (one directory per event_type,
+    * `sources.Bucketed.writePartitioned`), then a type-scoped
+    * aggregate whose predicate prunes to matching DIRECTORIES at
+    * planning time — the scan never opens the other partitions'
+    * files (plan-audited: PartitionFilters carries the predicate, and
+    * the same query over the unpartitioned source is the oracle). At
+    * 100 TB this is the date/source-sliced query reading only its
+    * slice of the corpus. */
+  def q71PartitionPruning(s: SparkSession, dir: String): DataFrame = {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_q71_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+    graft.sources.Bucketed.writePartitioned(
+      events(s, dir).select(col("event_id"), col("user_id"),
+        unix_timestamp(col("ts")).as("es"), col("value"), col("event_type")),
+      path, "event_type")
+    s.read.parquet(path)
+      .filter(col("event_type").isin("view", "purchase"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), countDistinct("user_id").as("n_users"),
+        dsum(dec(col("value"))).as("total_value"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q71_partition_pruning" -> q71PartitionPruning _,
     "q70_hierarchy_rollup" -> q70HierarchyRollup _,
     "q69_bucketed_join" -> q69BucketedJoin _,
     "q68_session_cooccurrence" -> q68SessionCooccurrence _,
@@ -1467,6 +1493,14 @@ object Relational {
   }
 
   val oracles: Map[String, String] = Map(
+    // q71: the same aggregate over the UNPARTITIONED source — the hash
+    // match proves the pruned layout changed file reads, not results
+    "q71_partition_pruning" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  COUNT(DISTINCT user_id) AS n_users,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM events WHERE event_type IN ('view', 'purchase')
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // q70: the textbook recursive-CTE rollup — semantics truth for the
     // pointer-doubling closure; same ⌊k/2⌋ forest, same exact decimals
     "q70_hierarchy_rollup" ->

@@ -351,6 +351,12 @@ class PlanAuditSpec extends AnyFunSuite {
       s"q69 expected exactly 1 hash shuffle (the aggregate), got $hashExchanges:\n$p")
   }
 
+  test("q71 partitioned read: the type predicate prunes at planning time") {
+    val p = plan("q71_partition_pruning")
+    assert(p.contains("PartitionFilters"), s"q71 lost partition pruning:\n$p")
+    assert(p.contains("event_type"), s"q71's predicate left the scan:\n$p")
+  }
+
   test("whole-stage codegen covers the scan-agg pipeline") {
     // AQE wraps everything in an unmaterialized AdaptiveSparkPlan (0
     // visible codegen subtrees pre-execution) — disable it for the
