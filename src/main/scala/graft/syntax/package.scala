@@ -331,6 +331,12 @@ package object syntax {
     def subtreeRollup(values: DataFrame, rounds: Int = 5): DataFrame =
       operators.Graphs.subtreeRollup(df, values, rounds)
 
+    /** pandas `df.query("...")`: filter by a predicate string in the
+      * pinned mini-language (see [[graft.types.PredicateParser]]) —
+      * compiles to ordinary codegen'd Columns. */
+    def queryWhere(predicate: String): DataFrame =
+      df.filter(types.PredicateParser.parse(predicate))
+
     /** Count-Min point-frequency probe over this `tok` column (see
       * [[graft.llm.LlmQueries.countMinProbe]]): fixed additive cells,
       * conservative estimates for the corpus's heavy + sampled

@@ -1,0 +1,134 @@
+package graft.types
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.{col, lit}
+
+/** The pandas `df.query()` predicate mini-language as a compiled
+  * Catalyst front-end — the expression-side sibling of
+  * [[TypeResolver]]'s type-spec language. A PINNED grammar (so every
+  * accepted string has exactly one meaning, and the oracle can be
+  * written against the same reading):
+  *
+  * {{{
+  *   expr    := or
+  *   or      := and ('or' and)*
+  *   and     := unary ('and' unary)*
+  *   unary   := 'not' unary | cmp
+  *   cmp     := operand (('==' | '!=' | '<=' | '>=' | '<' | '>') operand
+  *             | 'in' '(' literal (',' literal)* ')')?
+  *   operand := identifier | number | 'single-quoted string' | '(' expr ')'
+  * }}}
+  *
+  * Identifiers resolve to columns, numbers to double/long literals,
+  * strings to string literals. `and` binds tighter than `or`; `not`
+  * tighter than both (the pandas/Python precedence). Malformed input
+  * throws IllegalArgumentException with position context — parse
+  * errors are API errors, never silent misreads. */
+object PredicateParser {
+
+  private sealed trait Tok
+  private case class Ident(s: String) extends Tok
+  private case class Num(s: String) extends Tok
+  private case class Str(s: String) extends Tok
+  private case class Op(s: String) extends Tok
+
+  private def tokenize(in: String): List[Tok] = {
+    val out = scala.collection.mutable.ListBuffer.empty[Tok]
+    var i = 0
+    def fail(msg: String) =
+      throw new IllegalArgumentException(s"$msg at position $i in: $in")
+    while (i < in.length) {
+      val c = in(i)
+      if (c.isWhitespace) i += 1
+      else if (c.isLetter || c == '_') {
+        val j = in.indexWhere(ch => !(ch.isLetterOrDigit || ch == '_'), i)
+        val end = if (j < 0) in.length else j
+        out += Ident(in.substring(i, end)); i = end
+      } else if (c.isDigit ||
+        (c == '.' && i + 1 < in.length && in(i + 1).isDigit)) {
+        val j = in.indexWhere(ch => !(ch.isDigit || ch == '.'), i)
+        val end = if (j < 0) in.length else j
+        out += Num(in.substring(i, end)); i = end
+      } else if (c == '\'') {
+        val end = in.indexOf('\'', i + 1)
+        if (end < 0) fail("unterminated string")
+        out += Str(in.substring(i + 1, end)); i = end + 1
+      } else if (i + 1 < in.length &&
+        Set("==", "!=", "<=", ">=").contains(in.substring(i, i + 2))) {
+        out += Op(in.substring(i, i + 2)); i += 2
+      } else if ("<>(),".contains(c)) {
+        out += Op(c.toString); i += 1
+      } else fail(s"unexpected character '$c'")
+    }
+    out.toList
+  }
+
+  /** Parse a predicate string into a Catalyst boolean Column. */
+  def parse(in: String): Column = {
+    var toks = tokenize(in)
+    def fail(msg: String) = throw new IllegalArgumentException(
+      s"$msg (remaining: ${toks.take(3).mkString(" ")}) in: $in")
+    def peek: Option[Tok] = toks.headOption
+    def pop(): Tok = {
+      val t = toks.headOption.getOrElse(fail("unexpected end of input"))
+      toks = toks.tail; t
+    }
+    def expectOp(s: String): Unit = pop() match {
+      case Op(`s`) => ()
+      case other => fail(s"expected '$s', got $other")
+    }
+    def literal(): Column = pop() match {
+      case Num(s) =>
+        if (s.contains('.')) lit(s.toDouble) else lit(s.toLong)
+      case Str(s) => lit(s)
+      case other => fail(s"expected literal, got $other")
+    }
+    def operand(): Column = peek match {
+      case Some(Op("(")) => pop(); val e = orExpr(); expectOp(")"); e
+      case Some(Ident(s)) if s != "not" && s != "and" && s != "or" &&
+        s != "in" => pop(); col(s)
+      case Some(Num(_)) | Some(Str(_)) => literal()
+      case other => fail(s"expected operand, got $other")
+    }
+    def cmp(): Column = {
+      val l = operand()
+      peek match {
+        case Some(Op(o)) if Set("==", "!=", "<", "<=", ">", ">=")(o) =>
+          pop()
+          val r = operand()
+          o match {
+            case "==" => l === r
+            case "!=" => l =!= r
+            case "<" => l < r
+            case "<=" => l <= r
+            case ">" => l > r
+            case ">=" => l >= r
+          }
+        case Some(Ident("in")) =>
+          pop(); expectOp("(")
+          val xs = scala.collection.mutable.ListBuffer(literal())
+          while (peek.contains(Op(","))) { pop(); xs += literal() }
+          expectOp(")")
+          l.isin(xs.toSeq: _*)
+        case _ => l
+      }
+    }
+    def unary(): Column = peek match {
+      case Some(Ident("not")) => pop(); !unary()
+      case _ => cmp()
+    }
+    def andExpr(): Column = {
+      var e = unary()
+      while (peek.contains(Ident("and"))) { pop(); e = e && unary() }
+      e
+    }
+    def orExpr(): Column = {
+      var e = andExpr()
+      while (peek.contains(Ident("or"))) { pop(); e = e || andExpr() }
+      e
+    }
+    val e = orExpr()
+    if (toks.nonEmpty) fail("trailing tokens")
+    e
+  }
+}

@@ -1072,6 +1072,41 @@ object TypeQueries {
       .orderBy("k", "col")
   }
 
+  // ---- T57: df.query() predicate mini-language -----------------------------
+  /** pandas `df.query("...")` — a PINNED predicate grammar
+    * (comparisons, in-lists, and/or/not with Python precedence,
+    * parens, string/number literals) compiled to Catalyst Columns by
+    * [[graft.types.PredicateParser]], the expression-side sibling of
+    * t2's type-spec resolver: the same "user strings become plans"
+    * front-end discipline, with malformed input throwing (never a
+    * silent misread). All four grid predicates evaluate in ONE fused
+    * corpus scan (per-predicate conditional counts + exact DECIMAL
+    * sums on a single aggregation row, x30's device) — the parser
+    * produces ordinary codegen'd expressions, so the language costs
+    * nothing at runtime. Oracle = the hand-translated SQL WHEREs,
+    * certifying the parser's reading against independent semantics. */
+  def t57QueryPredicates(s: SparkSession, dir: String): DataFrame = {
+    import graft.types.PredicateParser
+    val preds = Seq(
+      "l_quantity > 45",
+      "l_returnflag == 'R' and l_quantity <= 10",
+      "not (l_linestatus == 'O') or l_discount >= 0.08",
+      "l_returnflag in ('A', 'N') and l_tax < 0.03")
+    val li = t(s, dir, "lineitem")
+    val aggs = preds.zipWithIndex.flatMap { case (p, i) =>
+      val c = PredicateParser.parse(p)
+      Seq(sum(when(c, 1L).otherwise(0L)).as(s"n$i"),
+        sum(when(c, dec(col("l_quantity")))).as(s"q$i"))
+    }
+    li.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(preds.zipWithIndex.map { case (p, i) =>
+        struct(lit(p).as("predicate"), col(s"n$i").as("n_rows"),
+          coalesce(col(s"q$i").cast("double"), lit(0.0)).as("qty_total"))
+      }: _*)).as("e"))
+      .select(col("e.predicate"), col("e.n_rows"), col("e.qty_total"))
+      .orderBy("predicate")
+  }
+
   // ---- T46: nested decorators — sparse[categorical[string]] ---------------
   /** Decorator COMPOSITION at the data level (reference types/sparse.py
     * wrapping types/categorical.py — `sparse[categorical[T]]`, the
@@ -1283,6 +1318,7 @@ object TypeQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t57_query_predicates" -> t57QueryPredicates _,
     "t55_frame_compare" -> t55FrameCompare _,
     "t54_json_normalize" -> t54JsonNormalize _,
     "t53_resample_ohlc" -> t53ResampleOhlc _,
@@ -1443,6 +1479,30 @@ object TypeQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // t57: hand-translated WHEREs — independent semantics for the
+    // parser's pinned reading; float literals CAST AS DOUBLE
+    "t57_query_predicates" -> {
+      val wheres = Seq(
+        "l_quantity > 45" -> "l_quantity > 45",
+        "l_returnflag == 'R' and l_quantity <= 10" ->
+          "l_returnflag = 'R' AND l_quantity <= 10",
+        "not (l_linestatus == 'O') or l_discount >= 0.08" ->
+          "NOT (l_linestatus = 'O') OR l_discount >= CAST(0.08 AS DOUBLE)",
+        "l_returnflag in ('A', 'N') and l_tax < 0.03" ->
+          "l_returnflag IN ('A', 'N') AND l_tax < CAST(0.03 AS DOUBLE)")
+      val rows = wheres.map { case (p, w) =>
+        val lbl = p.replace("'", "''")
+        s"""SELECT '$lbl' AS predicate,
+           |  SUM(CASE WHEN $w THEN 1 ELSE 0 END) AS n_rows,
+           |  COALESCE(CAST(SUM(CASE WHEN $w
+           |    THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE), 0.0)
+           |    AS qty_total
+           |FROM lineitem""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""SELECT * FROM (
+         |$rows
+         |) ORDER BY predicate""".stripMargin
+    },
     // t55: identical cents-string cells, identical plants, identical
     // null-safe inequality
     "t55_frame_compare" ->

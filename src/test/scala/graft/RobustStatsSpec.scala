@@ -129,6 +129,26 @@ class RobustStatsSpec extends AnyFunSuite {
     assert(last._4, s"self-doubled doc inconsistent: $last")
   }
 
+  test("t57 parser: precedence, parens, in-lists, not; malformed throws") {
+    import graft.types.PredicateParser.parse
+    val df = Seq((1, "a", 0.5), (2, "b", 0.9), (3, "a", 0.1), (10, "c", 0.5))
+      .toDF("x", "s", "d")
+    def ids(p: String): Set[Int] =
+      df.filter(parse(p)).select("x").as[Int].collect().toSet
+    // and binds tighter than or: this is (x==1) or (s=='b' and d>0.5)
+    assert(ids("x == 1 or s == 'b' and d > 0.5") == Set(1, 2))
+    // parens override
+    assert(ids("(x == 1 or s == 'b') and d > 0.5") == Set(2))
+    // not binds tighter than and
+    assert(ids("not s == 'a' and x < 5") == Set(2))
+    assert(ids("x in (1, 10)") == Set(1, 10))
+    assert(ids("not (x in (1, 10))") == Set(2, 3))
+    assert(ids("d >= 0.5 and x != 10") == Set(1, 2))
+    for (bad <- Seq("x ==", "x === 1", "(x == 1", "x in (1,)", "x @ 1",
+      "x == 'open", "1 2"))
+      assertThrows[IllegalArgumentException](parse(bad))
+  }
+
   test("t50: planted outlier flagged, clean group clean, MAD=0 -> null z") {
     // 20 tight values + one wild one per the rule's own arithmetic
     val base = (1 to 20).map(i => ("a", 10.0 + (i % 5))) :+ (("a", 1000.0))

@@ -305,6 +305,9 @@ class VectorOpsExtraSpec extends org.scalatest.funsuite.AnyFunSuite {
     val cms = Seq("a", "a", "b").toDF("tok").countMinProbe(seeds = 2,
       buckets = 16).collect().map(x => x.getString(0) -> x.getLong(2)).toMap
     assert(cms("a") >= 2L && cms("b") >= 1L)
+    val qw = Seq((1, "x"), (2, "y")).toDF("a", "b")
+      .queryWhere("a == 1 or b == 'z'").collect()
+    assert(qw.length == 1 && qw.head.getInt(0) == 1)
   }
 
   test("sketch and vector aggregates callable from SQL") {
