@@ -14,16 +14,21 @@ import org.apache.spark.sql.functions.{col, lit}
   *   or      := and ('or' and)*
   *   and     := unary ('and' unary)*
   *   unary   := 'not' unary | cmp
-  *   cmp     := operand (('==' | '!=' | '<=' | '>=' | '<' | '>') operand
+  *   cmp     := arith (('==' | '!=' | '<=' | '>=' | '<' | '>') arith
   *             | 'in' '(' literal (',' literal)* ')')?
-  *   operand := identifier | number | 'single-quoted string' | '(' expr ')'
+  *   arith   := mul (('+' | '-') mul)*
+  *   mul     := atom (('*' | '/') atom)*
+  *   atom    := '-' atom | identifier | number
+  *             | 'single-quoted string' | '(' expr ')'
   * }}}
   *
   * Identifiers resolve to columns, numbers to double/long literals,
-  * strings to string literals. `and` binds tighter than `or`; `not`
-  * tighter than both (the pandas/Python precedence). Malformed input
-  * throws IllegalArgumentException with position context — parse
-  * errors are API errors, never silent misreads. */
+  * strings to string literals. Python precedence throughout: `*`/`/`
+  * over `+`/`-` over comparisons over `not` over `and` over `or`;
+  * parens recurse to the top, so `(price / qty) > 9.5 and not (f ==
+  * 'R')` reads as written. Malformed input throws
+  * IllegalArgumentException with position context — parse errors are
+  * API errors, never silent misreads. */
 object PredicateParser {
 
   private sealed trait Tok
@@ -56,7 +61,7 @@ object PredicateParser {
       } else if (i + 1 < in.length &&
         Set("==", "!=", "<=", ">=").contains(in.substring(i, i + 2))) {
         out += Op(in.substring(i, i + 2)); i += 2
-      } else if ("<>(),".contains(c)) {
+      } else if ("<>(),+-*/".contains(c)) {
         out += Op(c.toString); i += 1
       } else fail(s"unexpected character '$c'")
     }
@@ -83,19 +88,40 @@ object PredicateParser {
       case Str(s) => lit(s)
       case other => fail(s"expected literal, got $other")
     }
-    def operand(): Column = peek match {
+    def atom(): Column = peek match {
+      case Some(Op("-")) => pop(); -atom()
       case Some(Op("(")) => pop(); val e = orExpr(); expectOp(")"); e
       case Some(Ident(s)) if s != "not" && s != "and" && s != "or" &&
         s != "in" => pop(); col(s)
       case Some(Num(_)) | Some(Str(_)) => literal()
       case other => fail(s"expected operand, got $other")
     }
+    def mulExpr(): Column = {
+      var e = atom()
+      while (peek.exists { case Op("*") | Op("/") => true; case _ => false }) {
+        pop() match {
+          case Op("*") => e = e * atom()
+          case _ => e = e / atom()
+        }
+      }
+      e
+    }
+    def arith(): Column = {
+      var e = mulExpr()
+      while (peek.exists { case Op("+") | Op("-") => true; case _ => false }) {
+        pop() match {
+          case Op("+") => e = e + mulExpr()
+          case _ => e = e - mulExpr()
+        }
+      }
+      e
+    }
     def cmp(): Column = {
-      val l = operand()
+      val l = arith()
       peek match {
         case Some(Op(o)) if Set("==", "!=", "<", "<=", ">", ">=")(o) =>
           pop()
-          val r = operand()
+          val r = arith()
           o match {
             case "==" => l === r
             case "!=" => l =!= r

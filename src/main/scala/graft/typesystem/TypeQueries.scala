@@ -1091,7 +1091,9 @@ object TypeQueries {
       "l_quantity > 45",
       "l_returnflag == 'R' and l_quantity <= 10",
       "not (l_linestatus == 'O') or l_discount >= 0.08",
-      "l_returnflag in ('A', 'N') and l_tax < 0.03")
+      "l_returnflag in ('A', 'N') and l_tax < 0.03",
+      "l_extendedprice / l_quantity > 1500 and l_quantity * 2 < 20",
+      "l_tax - l_discount > 0.05 or l_quantity + 5 >= 55")
     val li = t(s, dir, "lineitem")
     val aggs = preds.zipWithIndex.flatMap { case (p, i) =>
       val c = PredicateParser.parse(p)
@@ -1489,7 +1491,11 @@ object TypeQueries {
         "not (l_linestatus == 'O') or l_discount >= 0.08" ->
           "NOT (l_linestatus = 'O') OR l_discount >= CAST(0.08 AS DOUBLE)",
         "l_returnflag in ('A', 'N') and l_tax < 0.03" ->
-          "l_returnflag IN ('A', 'N') AND l_tax < CAST(0.03 AS DOUBLE)")
+          "l_returnflag IN ('A', 'N') AND l_tax < CAST(0.03 AS DOUBLE)",
+        "l_extendedprice / l_quantity > 1500 and l_quantity * 2 < 20" ->
+          "l_extendedprice / l_quantity > 1500 AND l_quantity * 2 < 20",
+        "l_tax - l_discount > 0.05 or l_quantity + 5 >= 55" ->
+          "l_tax - l_discount > CAST(0.05 AS DOUBLE) OR l_quantity + 5 >= 55")
       val rows = wheres.map { case (p, w) =>
         val lbl = p.replace("'", "''")
         s"""SELECT '$lbl' AS predicate,

@@ -144,8 +144,13 @@ class RobustStatsSpec extends AnyFunSuite {
     assert(ids("x in (1, 10)") == Set(1, 10))
     assert(ids("not (x in (1, 10))") == Set(2, 3))
     assert(ids("d >= 0.5 and x != 10") == Set(1, 2))
+    // arithmetic: * over +, parens, unary minus, division
+    assert(ids("x + 1 * 2 == 3") == Set(1))      // 1 + (1*2), not (1+1)*2
+    assert(ids("(x + 1) * 2 == 6") == Set(2))
+    assert(ids("-x == -10") == Set(10))
+    assert(ids("d / 0.5 >= 1.8") == Set(2))
     for (bad <- Seq("x ==", "x === 1", "(x == 1", "x in (1,)", "x @ 1",
-      "x == 'open", "1 2"))
+      "x == 'open", "1 2", "x + ", "* 3 == 1"))
       assertThrows[IllegalArgumentException](parse(bad))
   }
 
