@@ -173,6 +173,47 @@ object LlmQueries {
     }.reduce(_.unionByName(_)).orderBy("nprobe")
   }
 
+  // ---- L81: pairwise source-drift matrix -------------------------------------
+  /** The full SOURCE-DRIFT MATRIX — directed KL divergence between
+    * every pair of source slices under shared-vocab Laplace smoothing
+    * (x24 answers "has slice A drifted from the rest"; this answers
+    * "WHICH sources differ most from which" — the mixture-design read
+    * behind x10's temperature weights: near-duplicate sources waste
+    * quota, outlier sources need their own). One token pass builds the
+    * per-source count table; the vocabulary is dense-filled per source
+    * (Laplace needs every (tok, source) cell) and ALL pair math runs
+    * on that vocab×sources table — the corpus is never re-read per
+    * pair. KL terms use x24's proven device: round-9 + 0.0, summed as
+    * exact DECIMAL (order-free), one cast out. */
+  def x32SourceDriftMatrix(s: SparkSession, dir: String): DataFrame = {
+    val tok = t(s, dir, "documents")
+      .select(col("source"), explode(TextAnalysis.tokens(col("text")))
+        .as("tok"))
+      .filter(col("tok") =!= "")
+    val counts = tok.groupBy("source", "tok").agg(count(lit(1)).as("c"))
+      .persist()
+    val vocab = counts.select("tok").distinct()
+    val srcs = counts.select("source").distinct()
+    val dense = vocab.crossJoin(broadcast(srcs))
+      .join(counts, Seq("source", "tok"), "left")
+      .select(col("source"), col("tok"), coalesce(col("c"), lit(0L)).as("c"))
+    val totals = dense.groupBy("source").agg(sum("c").as("n"))
+    val vc = vocab.agg(count(lit(1)).as("v"))
+    val p = dense.join(broadcast(totals), Seq("source"))
+      .crossJoin(broadcast(vc))
+      .select(col("source"), col("tok"),
+        ((col("c") + 1).cast("double") /
+          (col("n") + col("v")).cast("double")).as("p"))
+    def term(a: Column, b: Column): Column =
+      (round(a * log(a / b), 9) + 0.0).cast("decimal(20,9)")
+    p.as("x").join(p.as("y"),
+        col("x.tok") === col("y.tok") && col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
+      .agg(sum(term(col("x.p"), col("y.p"))).cast("double").as("kl_ab"),
+        sum(term(col("y.p"), col("x.p"))).cast("double").as("kl_ba"))
+      .orderBy("src_a", "src_b")
+  }
+
   // ---- L80: mixed-language (code-switching) detection ------------------------
   /** Language-CONSISTENCY check — x1's detector run on each document
     * HALF: a doc whose halves disagree is mixed-language
@@ -1525,6 +1566,7 @@ object LlmQueries {
     "x30_filter_tradeoff" -> x30FilterTradeoff _,
     "p4_corpus_datasheet" -> p4CorpusDatasheet _,
     "x31_lang_consistency" -> x31LangConsistency _,
+    "x32_source_drift_matrix" -> x32SourceDriftMatrix _,
     "d5_embed_dup" -> d5EmbedDup _,
     "d6_dup_clusters" -> d6DupClusters _,
     "s1_ann_brute" -> s1AnnBrute _,
@@ -2626,6 +2668,31 @@ object LlmQueries {
     // x31: x1's chain templated per half (same profiles, tie-break,
     // cjk), identical char-based halving
     "x31_lang_consistency" -> x31OracleSql,
+    // x32: identical dense-filled Laplace table, identical pair terms
+    // (x24's round-9 + 0.0 device), exact decimal sums
+    "x32_source_drift_matrix" ->
+      """WITH tk AS (SELECT source, tok FROM (
+        |    SELECT source, unnest(string_split(
+        |      trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS tok
+        |    FROM documents) WHERE tok <> ''),
+        |c AS (SELECT source, tok, COUNT(*) AS c FROM tk GROUP BY 1, 2),
+        |vocab AS (SELECT DISTINCT tok FROM c),
+        |srcs AS (SELECT DISTINCT source FROM c),
+        |dense AS (SELECT s.source, v.tok, COALESCE(c.c, 0) AS c
+        |  FROM vocab v CROSS JOIN srcs s
+        |  LEFT JOIN c ON c.source = s.source AND c.tok = v.tok),
+        |tt AS (SELECT source, SUM(c) AS n FROM dense GROUP BY 1),
+        |vc AS (SELECT COUNT(*) AS v FROM vocab),
+        |p AS (SELECT d.source, d.tok,
+        |    CAST(d.c + 1 AS DOUBLE) / CAST(tt.n + vc.v AS DOUBLE) AS p
+        |  FROM dense d JOIN tt USING (source) CROSS JOIN vc)
+        |SELECT x.source AS src_a, y.source AS src_b,
+        |  CAST(SUM(CAST(ROUND(x.p * ln(x.p / y.p), 9) + 0.0
+        |    AS DECIMAL(20,9))) AS DOUBLE) AS kl_ab,
+        |  CAST(SUM(CAST(ROUND(y.p * ln(y.p / x.p), 9) + 0.0
+        |    AS DECIMAL(20,9))) AS DOUBLE) AS kl_ba
+        |FROM p x JOIN p y ON x.tok = y.tok AND x.source < y.source
+        |GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin,
     "p4_corpus_datasheet" ->
       s"""WITH raw AS (SELECT doc_id, lang, text FROM documents),
          |pl AS (SELECT r.doc_id, r.lang,

@@ -33,7 +33,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "q68_session_cooccurrence", // ONE broadcast row of the session total rides the pair table
       "e12_kmeans_ari", // 1-row stat crosses over the k²-sized contingency table
       "x29_stratified_split", // 1-row total/leftover crosses over the strata table
-      "p4_corpus_datasheet") // ONE broadcast row of the token total rides the per-lang table
+      "p4_corpus_datasheet", // ONE broadcast row of the token total rides the per-lang table
+      "x32_source_drift_matrix") // vocab × broadcast-sources dense fill + 1-row vocab-count cross
 
   test("no query plan contains a cartesian product") {
     SparkEntry.queries.keys.foreach { name =>
