@@ -1549,7 +1549,29 @@ object LlmQueries {
       .orderBy("source", "bin_id")
   }
 
+  // ---- L82: Heaps'-law vocabulary growth -----------------------------------
+  /** Vocabulary growth across the corpus in arrival order — is the
+    * crawl still discovering new tokens, or saturated? 20 equal-width
+    * doc-id buckets; exact integer counts throughout (see
+    * [[TextAnalysis.vocabGrowth]] for the first-occurrence trick that
+    * avoids per-prefix distinct passes). */
+  def x33VocabGrowth(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.vocabGrowth(t(s, dir, "documents"), "text", "doc_id", 20)
+      .orderBy("bucket")
+
+  // ---- L83: embedding diversity moments ------------------------------------
+  /** Mean pairwise squared distance per label slice and overall — the
+    * mode-collapse / duplication read over the embedded corpus,
+    * computed EXACTLY from first moments (no pairwise pass; see
+    * [[EmbedStats.diversityByLabel]]). */
+  def e13Diversity(s: SparkSession, dir: String): DataFrame =
+    EmbedStats.diversityByLabel(t(s, dir, "embeddings"), "label",
+        "embedding", dim = 64)
+      .orderBy("label")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x33_vocab_growth" -> x33VocabGrowth _,
+    "e13_diversity" -> e13Diversity _,
     "p1_curate" -> p1Curate _,
     "p2_curate_incremental" -> p2CurateIncremental _,
     "p3_build_shard" -> p3BuildShard _,
@@ -2453,7 +2475,68 @@ object LlmQueries {
        |    AS ids_md5
        |FROM rec GROUP BY source, bin_id ORDER BY source, bin_id""".stripMargin
 
+  /** x33 oracle: the first-occurrence trick replayed from first
+    * principles — per-token MIN(doc_id), re-bucketed with the same
+    * exact integer DIV, cumulative window over the 20 bucket rows.
+    * Every value is an exact integer on both engines. */
+  private def x33OracleSql: String =
+    s"""WITH base AS (SELECT doc_id, string_split($normSql, ' ') AS toks
+       |  FROM documents),
+       |b AS (SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM base),
+       |wb AS (SELECT doc_id, toks,
+       |    LEAST(19, ((doc_id - lo) * 20) // (hi - lo + 1)) AS bucket
+       |  FROM base, b),
+       |ds AS (SELECT bucket, COUNT(*) AS n_docs,
+       |    CAST(SUM(len(toks)) AS BIGINT) AS n_tokens
+       |  FROM wb GROUP BY bucket),
+       |fs AS (SELECT tok, MIN(doc_id) AS fd FROM
+       |    (SELECT doc_id, unnest(toks) AS tok FROM wb) GROUP BY tok),
+       |nt AS (SELECT LEAST(19, ((fd - lo) * 20) // (hi - lo + 1)) AS bucket,
+       |    COUNT(*) AS new_tokens FROM fs, b GROUP BY 1),
+       |j AS (SELECT ds.bucket, ds.n_docs, ds.n_tokens,
+       |    COALESCE(nt.new_tokens, 0) AS new_tokens
+       |  FROM ds LEFT JOIN nt ON ds.bucket = nt.bucket)
+       |SELECT bucket, n_docs, n_tokens, new_tokens,
+       |  SUM(n_docs) OVER w AS docs_cum,
+       |  SUM(n_tokens) OVER w AS tokens_cum,
+       |  SUM(new_tokens) OVER w AS vocab_cum
+       |FROM j WINDOW w AS (ORDER BY bucket
+       |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |ORDER BY bucket""".stripMargin
+
+  /** e13 oracle: the moment identity replayed on the same 1e-6 integer
+    * grid (e5's FLOOR quantization device) — per-label exact HUGEINT
+    * sums Σq_d, Σ‖q‖², then 2·(n·S2 − Σ_d(Σq_d)²)/(n(n−1))/10¹² with
+    * the identical terminal IEEE division sequence. */
+  private def e13OracleSql: String = {
+    val dim = 64
+    val qDefs = (0 until dim).map(i =>
+      s"CAST(FLOOR(CAST(embedding[${i + 1}] AS DOUBLE) * 1000000.0) " +
+        s"AS HUGEINT) AS q$i").mkString(",\n    ")
+    val sSums = (0 until dim).map(i => s"SUM(q$i) AS s$i").mkString(", ")
+    val s2Terms = (0 until dim).map(i => s"q$i * q$i").mkString(" + ")
+    val ssTerms = (0 until dim).map(i => s"s$i * s$i").mkString(" + ")
+    val sSumsAll = (0 until dim).map(i => s"SUM(s$i) AS s$i").mkString(", ")
+    s"""WITH q AS (SELECT CAST(label AS VARCHAR) AS label,
+       |    $qDefs
+       |  FROM embeddings),
+       |lab AS (SELECT label, CAST(COUNT(*) AS HUGEINT) AS n, $sSums,
+       |    SUM($s2Terms) AS ssq
+       |  FROM q GROUP BY label),
+       |alab AS (SELECT 'all' AS label, CAST(SUM(n) AS HUGEINT) AS n,
+       |    $sSumsAll, SUM(ssq) AS ssq FROM lab),
+       |u AS (SELECT * FROM lab UNION ALL SELECT * FROM alab)
+       |SELECT label, CAST(n AS BIGINT) AS n_vecs,
+       |  CASE WHEN n > 1 THEN
+       |    CAST((n * ssq - ($ssTerms)) * 2 AS DOUBLE) /
+       |      CAST(n * (n - 1) AS DOUBLE) / 1000000000000.0
+       |  END AS mean_sq_dist
+       |FROM u ORDER BY label""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "x33_vocab_growth" -> x33OracleSql,
+    "e13_diversity" -> e13OracleSql,
     "p3_build_shard" -> p3OracleSql,
     // m5: IFD-walk results recomputed arithmetically — header 8 +
     // IFD0 (2 + n0·12 + 4, n0 = 3 + bits-tag on id%3=0) + thumbnail

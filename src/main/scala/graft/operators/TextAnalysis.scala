@@ -405,4 +405,53 @@ object TextAnalysis {
         (round(col("p_b") * log(col("p_b") / col("p_a")), 9) + 0.0)
           .as("kl_ba_term"))
   }
+
+  /** Heaps'-law vocabulary growth curve: the corpus in arrival order
+    * (`idCol`) cut into `nBuckets` equal-width id ranges, and per
+    * bucket the cumulative doc count, token count, and DISTINCT-token
+    * vocabulary size — the V(n) ~ K·n^β read that says whether a crawl
+    * is still discovering new vocabulary or has saturated (a saturated
+    * slice is re-crawl/duplicate territory; reference capability:
+    * corpus-level string profiling, `bertrand/types/string.py`).
+    *
+    * The cumulative-distinct trick: vocab(≤b) needs no per-prefix
+    * distinct pass — each token contributes at exactly the bucket of
+    * its FIRST occurrence (min id), so one `groupBy(tok).min(id)`
+    * gives per-bucket "new token" counts whose running sum IS the
+    * growth curve. All outputs are exact integers.
+    *
+    * Scale shape: one token explode + one tok-keyed shuffle (the x24
+    * tokenCounts shape); the id bounds are a broadcast scalar; the
+    * final cumulative window runs over `nBuckets` rows (bucket
+    * cardinality, NOT corpus cardinality — the single-partition sort
+    * is bounded by construction). */
+  def vocabGrowth(df: org.apache.spark.sql.DataFrame, textCol: String,
+      idCol: String, nBuckets: Int = 20): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(idCol).as("gid"), tokens(col(textCol)).as("toks"))
+    val bounds = base.agg(min("gid").as("lo"), max("gid").as("hi"))
+    // exact integer bucketing (DIV, not float floor: a double quotient
+    // landing one ulp above an integer boundary would mis-bucket)
+    val bucketSql = s"least($nBuckets - 1, ((gid - lo) * $nBuckets)" +
+      " div (hi - lo + 1))"
+    val withB = base.crossJoin(broadcast(bounds))
+      .withColumn("bucket", expr(bucketSql))
+    val docSide = withB.groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(col("toks")).cast("long")).as("n_tokens"))
+    val firstSeen = withB.select(col("gid"), explode(col("toks")).as("tok"))
+      .groupBy("tok").agg(min("gid").as("gid"))
+      .crossJoin(broadcast(bounds))
+      .select(expr(bucketSql).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("new_tokens"))
+    val w = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docSide.join(firstSeen, Seq("bucket"), "left")
+      .na.fill(0L, Seq("new_tokens"))
+      .select(col("bucket"), col("n_docs"), col("n_tokens"),
+        col("new_tokens"),
+        sum("n_docs").over(w).as("docs_cum"),
+        sum("n_tokens").over(w).as("tokens_cum"),
+        sum("new_tokens").over(w).as("vocab_cum"))
+  }
 }

@@ -1,0 +1,61 @@
+package graft
+
+import graft.operators.{EmbedStats, TextAnalysis}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** x33 vocabulary growth + e13 diversity moments on planted inputs
+  * with hand-computed answers. */
+class VocabDiversitySpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("vocabGrowth: first-occurrence buckets reproduce the hand-counted curve") {
+    // ids 0..9, 5 buckets → bucket = id/2 exactly (equal-width DIV).
+    // Vocabulary arrival: b0 plants {a,b,c}, b1 plants {d}, b2 nothing
+    // new, b3 plants {e}, b4 nothing new.
+    val texts = Seq(
+      0L -> "a b", 1L -> "a c",       // bucket 0: new a,b,c
+      2L -> "b d", 3L -> "a a",       // bucket 1: new d
+      4L -> "c d", 5L -> "a b c",     // bucket 2: nothing new
+      6L -> "e",   7L -> "a e",       // bucket 3: new e
+      8L -> "b",   9L -> "d e a")     // bucket 4: nothing new
+    val out = TextAnalysis.vocabGrowth(
+        texts.toDF("doc_id", "text"), "text", "doc_id", nBuckets = 5)
+      .orderBy("bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(out.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L, 4L))
+    assert(out.map(_._4).toSeq == Seq(3L, 1L, 0L, 1L, 0L)) // new_tokens
+    assert(out.map(_._7).toSeq == Seq(3L, 4L, 4L, 5L, 5L)) // vocab_cum
+    assert(out.map(_._2).forall(_ == 2L))                  // n_docs per bucket
+    assert(out.map(_._5).toSeq == Seq(2L, 4L, 6L, 8L, 10L)) // docs_cum
+    // token counts: per-doc sizes 2,2 | 2,2 | 2,3 | 1,2 | 1,3
+    assert(out.map(_._6).toSeq == Seq(4L, 8L, 13L, 16L, 20L)) // tokens_cum
+  }
+
+  test("diversityByLabel: moment identity equals hand-computed pairwise mean") {
+    def v(xs: (Int, Float)*): Array[Float] = {
+      val a = Array.fill(64)(0.0f); xs.foreach { case (i, x) => a(i) = x }; a
+    }
+    // label 0: right triangle (0,0), (3,0), (0,4) → sq dists 9, 25, 16
+    // → mean 50/3; label 1: two identical vectors → mean 0
+    val rows = Seq(
+      (0L, 0, v()), (1L, 0, v(0 -> 3.0f)), (2L, 0, v(1 -> 4.0f)),
+      (3L, 1, v(2 -> 2.0f)), (4L, 1, v(2 -> 2.0f)))
+    val out = EmbedStats.diversityByLabel(
+        rows.toDF("vec_id", "label", "embedding"), "label", "embedding")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) Double.NaN else r.getDouble(2)))
+      .toMap
+    assert(out("0")._1 == 3L && out("1")._1 == 2L && out("all")._1 == 5L)
+    // replay the engine's pinned op sequence: exact integer numerator on
+    // the 1e-6 grid, then ÷n(n−1) ÷10¹² (differs from (50/3) by 1 ulp)
+    assert(out("0")._2 == 100.0e12 / 6.0 / 1.0e12)
+    assert(out("1")._2 == 0.0)
+    // all-row: Σ_{i<j}‖xi−xj‖² over the 10 cross pairs = 9+16+25 (within
+    // label 0) + 0 (within 1) + cross terms: (0,0)↔(0,0,2): 4 ... verify
+    // via the identity instead: n=5, S2 = 9+16+4+4 = 33, per-dim sums
+    // (3,4,4) → ss = 9+16+16 = 41; mean = 2(5·33−41)/(5·4) = 12.4
+    assert(out("all")._2 == 2.0 * (5.0 * 33.0 - 41.0) / 20.0)
+  }
+}
