@@ -207,7 +207,16 @@ object EmbedStats {
     * the label rows (label-cardinality input). No corpus pairwise
     * anything, no collect. */
   def diversityByLabel(df: DataFrame, labelCol: String, vecCol: String,
-      dim: Int = 64): DataFrame = {
+      dim: Int = 64): DataFrame =
+    diversityFromMoments(diversityMoments(df, labelCol, vecCol, dim), dim)
+
+  /** The mergeable half of [[diversityByLabel]]: per-label exact
+    * decimal moment rows (label, n, s0..s{dim-1}, ssq). A SEMIGROUP —
+    * two moment tables for the same labels fold by column-wise decimal
+    * addition with no error, which is exactly the streaming state
+    * update (S23). */
+  def diversityMoments(df: DataFrame, labelCol: String, vecCol: String,
+      dim: Int): DataFrame = {
     val xs = (0 until dim).map(i =>
       element_at(col(vecCol), i + 1).cast("double"))
     val q = df.select(col(labelCol).cast("string").as("label") +:
@@ -218,7 +227,22 @@ object EmbedStats {
         (0 until dim).map(i => sum(col(s"q$i")).as(s"s$i")) :+
         sum((0 until dim).map(i => col(s"q$i") * col(s"q$i"))
           .reduce(_ + _)).as("ssq")
-    val perLabel = q.groupBy("label").agg(aggs.head, aggs.tail: _*)
+    q.groupBy("label").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Column-wise decimal re-fold of two (or more) moment tables — the
+    * S23 state merge. Input must be in [[diversityMoments]] layout. */
+  def mergeMoments(moments: DataFrame, dim: Int): DataFrame = {
+    val aggs: Seq[Column] =
+      sum("n").as("n") +:
+        (0 until dim).map(i => sum(col(s"s$i")).as(s"s$i")) :+
+        sum("ssq").as("ssq")
+    moments.groupBy("label").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** The terminal half of [[diversityByLabel]]: per-label rows plus the
+    * "all" fold, one pinned IEEE division sequence per row. */
+  def diversityFromMoments(perLabel: DataFrame, dim: Int): DataFrame = {
     val allAggs: Seq[Column] =
       sum("n").as("n") +:
         (0 until dim).map(i => sum(col(s"s$i")).as(s"s$i")) :+

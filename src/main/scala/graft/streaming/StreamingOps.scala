@@ -723,6 +723,37 @@ object StreamingOps {
       .start()
   }
 
+  /** S23: streaming embedding diversity — the streaming twin of e13.
+    * State = the per-label EXACT decimal moment rows (n, Σq_d, Σ‖q‖²)
+    * of [[graft.operators.EmbedStats.diversityMoments]] — a true
+    * semigroup (column-wise decimal addition: no rounding error, no
+    * order sensitivity), so state stays label-cardinality sized and
+    * the emitted diversity equals batch e13 over everything seen
+    * EXACTLY, not approximately — the mode-collapse monitor a
+    * continuously-embedded corpus runs per ingest batch. */
+  def streamingDiversity(rows: DataFrame, labelCol: String, vecCol: String,
+      dim: Int = 64,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    var state: Option[DataFrame] = None
+    rows.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val cells = graft.operators.EmbedStats
+          .diversityMoments(b.toDF(), labelCol, vecCol, dim)
+        val next = state.map(st => graft.operators.EmbedStats
+            .mergeMoments(st.unionByName(cells), dim))
+          .getOrElse(cells).persist()
+        next.count()
+        state.foreach(_.unpersist())
+        state = Some(next)
+        sink(graft.operators.EmbedStats.diversityFromMoments(next, dim))
+        ()
+      }
+      .trigger(trigger)
+      .start()
+  }
+
   /** S9: streaming ingest curation — each arriving micro-batch runs
     * the full curation pipeline (dedup, decontamination, quality,
     * length) INCREMENTALLY against the corpus's precomputed digest

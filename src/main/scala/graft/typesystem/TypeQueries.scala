@@ -1319,7 +1319,56 @@ object TypeQueries {
       .orderBy("code")
   }
 
+  // ---- T56: Kleene three-valued boolean logic ------------------------------
+  /** pandas masked-boolean (`BooleanDtype`) Kleene logic — the
+    * reference's nullable-bool backend (`types/boolean.py` PandasBool,
+    * na_value = pd.NA): AND/OR follow the Kleene table (False ∧ NA =
+    * False, True ∨ NA = True, the rest propagate NA), XOR always
+    * propagates NA, and the reductions come in both flavors —
+    * `any/all(skipna=True)` drop NAs (all-NA ⇒ any=False, all=True),
+    * `skipna=False` yield NA whenever a hidden NA could flip the
+    * verdict. Spark's SQL ternary logic IS the Kleene table, so the
+    * whole grid is one fused scan + mergeable groupBy; the hash match
+    * certifies Spark's and DuckDB's three-valued engines agree cell by
+    * cell, and the spec pins all 9 cells of each operator against the
+    * pandas-documented table.
+    *
+    * Scale shape: one scan, one groupBy(flag) of conditional counts;
+    * strict any/all decide from (bool_or/bool_and, null-count) pairs
+    * inside the same aggregation — no second pass, no shuffle beyond
+    * the flag key. */
+  def t56KleeneBool(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val a = when(col("l_linenumber") % 3 === 0, lit(null).cast("boolean"))
+      .otherwise(col("l_quantity") > 30)
+    val b = when(col("l_partkey") % 5 === 0, lit(null).cast("boolean"))
+      .otherwise(col("l_discount") > 0.05)
+    val g = li.select(col("l_returnflag").as("flag"), a.as("a"), b.as("b"))
+      .select(col("flag"), col("a"), col("b"),
+        (col("a") && col("b")).as("andv"),
+        (col("a") || col("b")).as("orv"),
+        (col("a") =!= col("b")).as("xorv"))
+    def t3(c: Column, name: String): Seq[Column] = Seq(
+      count(when(c, 1)).as(s"${name}_t"),
+      count(when(!c, 1)).as(s"${name}_f"),
+      count(when(c.isNull, 1)).as(s"${name}_n"))
+    val aNull = count(when(col("a").isNull, 1))
+    val aggs: Seq[Column] = Seq(
+      count(lit(1)).as("n"), aNull.as("a_null"),
+      count(when(col("b").isNull, 1)).as("b_null")) ++
+      t3(col("andv"), "and") ++ t3(col("orv"), "or") ++
+      t3(col("xorv"), "xor") ++ Seq(
+        coalesce(bool_or(col("a")), lit(false)).as("any_skipna"),
+        coalesce(bool_and(col("a")), lit(true)).as("all_skipna"),
+        when(coalesce(bool_or(col("a")), lit(false)), "true")
+          .when(aNull > 0, "NA").otherwise("false").as("any_strict"),
+        when(!coalesce(bool_and(col("a")), lit(true)), "false")
+          .when(aNull > 0, "NA").otherwise("true").as("all_strict"))
+    g.groupBy("flag").agg(aggs.head, aggs.tail: _*).orderBy("flag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t56_kleene_bool" -> t56KleeneBool _,
     "t57_query_predicates" -> t57QueryPredicates _,
     "t55_frame_compare" -> t55FrameCompare _,
     "t54_json_normalize" -> t54JsonNormalize _,
@@ -1481,6 +1530,38 @@ object TypeQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // t56: the same Kleene grid in DuckDB's three-valued engine —
+    // the hash match is the cross-engine parity certificate
+    "t56_kleene_bool" ->
+      """WITH g0 AS (SELECT l_returnflag AS flag,
+        |    CASE WHEN l_linenumber % 3 = 0 THEN NULL
+        |      ELSE l_quantity > 30 END AS a,
+        |    CASE WHEN l_partkey % 5 = 0 THEN NULL
+        |      ELSE l_discount > CAST(0.05 AS DOUBLE) END AS b
+        |  FROM lineitem),
+        |g AS (SELECT flag, a, b, a AND b AS andv, a OR b AS orv,
+        |    a <> b AS xorv FROM g0)
+        |SELECT flag, COUNT(*) AS n,
+        |  COUNT(CASE WHEN a IS NULL THEN 1 END) AS a_null,
+        |  COUNT(CASE WHEN b IS NULL THEN 1 END) AS b_null,
+        |  COUNT(CASE WHEN andv THEN 1 END) AS and_t,
+        |  COUNT(CASE WHEN NOT andv THEN 1 END) AS and_f,
+        |  COUNT(CASE WHEN andv IS NULL THEN 1 END) AS and_n,
+        |  COUNT(CASE WHEN orv THEN 1 END) AS or_t,
+        |  COUNT(CASE WHEN NOT orv THEN 1 END) AS or_f,
+        |  COUNT(CASE WHEN orv IS NULL THEN 1 END) AS or_n,
+        |  COUNT(CASE WHEN xorv THEN 1 END) AS xor_t,
+        |  COUNT(CASE WHEN NOT xorv THEN 1 END) AS xor_f,
+        |  COUNT(CASE WHEN xorv IS NULL THEN 1 END) AS xor_n,
+        |  COALESCE(BOOL_OR(a), false) AS any_skipna,
+        |  COALESCE(BOOL_AND(a), true) AS all_skipna,
+        |  CASE WHEN COALESCE(BOOL_OR(a), false) THEN 'true'
+        |    WHEN COUNT(CASE WHEN a IS NULL THEN 1 END) > 0 THEN 'NA'
+        |    ELSE 'false' END AS any_strict,
+        |  CASE WHEN NOT COALESCE(BOOL_AND(a), true) THEN 'false'
+        |    WHEN COUNT(CASE WHEN a IS NULL THEN 1 END) > 0 THEN 'NA'
+        |    ELSE 'true' END AS all_strict
+        |FROM g GROUP BY flag ORDER BY flag""".stripMargin,
     // t57: hand-translated WHEREs — independent semantics for the
     // parser's pinned reading; float literals CAST AS DOUBLE
     "t57_query_predicates" -> {

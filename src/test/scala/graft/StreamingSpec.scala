@@ -603,6 +603,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(last.length < rows.length)
   }
 
+  test("S23: streaming diversity moments fold across triggers to match batch e13 exactly") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val rows = Tables.t(spark, sf, "embeddings")
+      .select(col("label"), col("embedding"))
+      .limit(300).as[(Int, Array[Float])].collect().toSeq
+    val (first, second) = rows.splitAt(rows.length / 2)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Int, Array[Float])]
+    @volatile var last: Array[(String, Long, Option[Double])] = Array.empty
+    val q = StreamingOps.streamingDiversity(
+        mem.toDF().toDF("label", "embedding"), "label", "embedding",
+        trigger = Trigger.ProcessingTime(0L)) { d =>
+      last = d.collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    }
+    mem.addData(first: _*)
+    q.processAllAvailable()
+    mem.addData(second: _*)
+    q.processAllAvailable()
+    q.stop()
+    val batch = graft.operators.EmbedStats.diversityByLabel(
+        rows.toDF("label", "embedding"), "label", "embedding")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    // exact decimal moments → the fold is EXACTLY the batch result,
+    // double-for-double, regardless of the split point
+    assert(last.nonEmpty && last.toSet == batch.toSet,
+      s"diversity state diverged (${last.length} vs ${batch.length})")
+  }
+
   test("S17: streaming top-k heap fold across triggers matches batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
