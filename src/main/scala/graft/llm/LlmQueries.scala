@@ -1569,7 +1569,17 @@ object LlmQueries {
         "embedding", dim = 64)
       .orderBy("label")
 
+  // ---- L84: PCA explained variance -----------------------------------------
+  /** The "was the projection worth it" spectrum read over e5's fit:
+    * λ1/λ2 shares against the covariance trace — zero extra passes
+    * (the trace is a byproduct of the same single moment aggregation;
+    * see [[EmbedStats.pcaExplainedVariance]]). */
+  def e14PcaVariance(s: SparkSession, dir: String): DataFrame =
+    EmbedStats.pcaExplainedVariance(t(s, dir, "embeddings"), "embedding")
+      .orderBy("component")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e14_pca_variance" -> e14PcaVariance _,
     "x33_vocab_growth" -> x33VocabGrowth _,
     "e13_diversity" -> e13Diversity _,
     "p1_curate" -> p1Curate _,
@@ -2113,7 +2123,11 @@ object LlmQueries {
     * grid → identical covariance doubles; then the same fixed-order
     * power iteration (list_inner_product ≡ the strict left-to-right
     * driver loops), 30 iterations per component, one deflation. */
-  private def e5OracleSql: String = {
+  /** Shared PCA power-iteration replay CTE chain (ve → mo → cv →
+    * a-chain → l1 → cv2 → b-chain → l2) — e5's proven fit replay,
+    * reused verbatim by e14 so the spectrum certifies against the SAME
+    * chain that e5's hash match proves. */
+  private def pcaChainCtes: String = {
     val d = 16; val iters = 30
     val prs = for { i <- 0 until d; j <- i until d } yield (i, j)
     val qdefs = (0 until d).map(i =>
@@ -2159,12 +2173,36 @@ object LlmQueries {
        |l2a AS (SELECT p.v AS v,
        |    [${(0 until d).map(i => s"list_inner_product(cv2.s$i, p.v)").mkString(", ")}] AS cvv
        |  FROM cv2, b$iters p),
-       |l2 AS (SELECT v AS v2, list_inner_product(v, cvv) AS lam2 FROM l2a)
+       |l2 AS (SELECT v AS v2, list_inner_product(v, cvv) AS lam2 FROM l2a)""".stripMargin
+  }
+
+  private def e5OracleSql: String =
+    s"""$pcaChainCtes
        |SELECT e.vec_id, e.label,
        |  list_inner_product(e.xv, l1.v1) AS p1,
        |  list_inner_product(e.xv, l2.v2) AS p2,
        |  l1.lam1 AS lam1, l2.lam2 AS lam2
        |FROM ve e, l1, l2 ORDER BY e.vec_id""".stripMargin
+
+  /** e14 oracle: trace read off the SAME cv rows (left-associated
+    * diagonal sum in index order — the engine's while-loop fold), then
+    * the three spectrum rows with pinned division sequences. */
+  private def e14OracleSql: String = {
+    val d = 16
+    val diag = (0 until d).map(i => s"cv.r$i[${i + 1}]").mkString(" + ")
+    s"""$pcaChainCtes,
+       |tr AS (SELECT $diag AS trace FROM cv)
+       |SELECT 'pc1' AS component, l1.lam1 AS lam,
+       |  l1.lam1 / tr.trace AS share, l1.lam1 / tr.trace AS cum_share
+       |FROM l1, tr
+       |UNION ALL
+       |SELECT 'pc2', l2.lam2, l2.lam2 / tr.trace,
+       |  (l1.lam1 + l2.lam2) / tr.trace FROM l1, l2, tr
+       |UNION ALL
+       |SELECT 'residual', tr.trace - l1.lam1 - l2.lam2,
+       |  (tr.trace - l1.lam1 - l2.lam2) / tr.trace, CAST(1.0 AS DOUBLE)
+       |FROM l1, l2, tr
+       |ORDER BY component""".stripMargin
   }
 
   private def e2OracleSql: String = {
@@ -2535,6 +2573,7 @@ object LlmQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "e14_pca_variance" -> e14OracleSql,
     "x33_vocab_growth" -> x33OracleSql,
     "e13_diversity" -> e13OracleSql,
     "p3_build_shard" -> p3OracleSql,

@@ -67,6 +67,21 @@ object EmbedStats {
   def pcaPowerProject(df: DataFrame, idCols: Seq[String], vecCol: String,
       dim: Int = 16, iters: Int = 30): DataFrame = {
     val xs = (0 until dim).map(i => element_at(col(vecCol), i + 1).cast("double"))
+    val (_, v1, lam1, v2, lam2) = pcaFit(df, vecCol, dim, iters)
+    val xv = array(xs: _*)
+    df.select(idCols.map(col) ++ Seq(
+      VectorOps.dot(xv, array(v1.map(lit(_)): _*)).as("p1"),
+      VectorOps.dot(xv, array(v2.map(lit(_)): _*)).as("p2"),
+      lit(lam1).as("lam1"), lit(lam2).as("lam2")): _*)
+  }
+
+  /** The fit half of [[pcaPowerProject]] (identical numeric sequence,
+    * extracted so e14 can read the covariance trace): returns
+    * (covariance, v1, λ1, v2, λ2). */
+  private[graft] def pcaFit(df: DataFrame, vecCol: String,
+      dim: Int, iters: Int): (Array[Array[Double]], Array[Double], Double,
+      Array[Double], Double) = {
+    val xs = (0 until dim).map(i => element_at(col(vecCol), i + 1).cast("double"))
     val qdf = df.select((0 until dim).map(i =>
       floor(xs(i) * 1000000.0).as(s"q$i")): _*)
     val aggCols: Seq[Column] =
@@ -107,11 +122,32 @@ object EmbedStats {
     val c2 = Array.tabulate(dim, dim)((i, j) =>
       c(i)(j) - lam1 * v1(i) * v1(j))
     val (v2, lam2) = topEig(c2)
-    val xv = array(xs: _*)
-    df.select(idCols.map(col) ++ Seq(
-      VectorOps.dot(xv, array(v1.map(lit(_)): _*)).as("p1"),
-      VectorOps.dot(xv, array(v2.map(lit(_)): _*)).as("p2"),
-      lit(lam1).as("lam1"), lit(lam2).as("lam2")): _*)
+    (c, v1, lam1, v2, lam2)
+  }
+
+  /** Explained-variance decomposition of the [[pcaFit]] spectrum: the
+    * "was the projection worth it" read — λ1/λ2 against the total
+    * variance (trace of the covariance, the free byproduct of the SAME
+    * single-pass exact moment aggregation e5 already runs; fitting
+    * twice would be the bug). Three rows: pc1, pc2, residual. All
+    * arithmetic is the pinned left-associated IEEE sequence the oracle
+    * replays (trace = Σ c_ii in index order; residual =
+    * trace − λ1 − λ2). Scale shape: identical to e5 — one wide
+    * aggregation, dim×dim driver model state, zero extra passes. */
+  def pcaExplainedVariance(df: DataFrame, vecCol: String,
+      dim: Int = 16, iters: Int = 30): DataFrame = {
+    val (c, _, lam1, _, lam2) = pcaFit(df, vecCol, dim, iters)
+    var trace = 0.0
+    var i = 0
+    while (i < dim) { trace += c(i)(i); i += 1 }
+    val resid = trace - lam1 - lam2
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq(
+      ("pc1", lam1, lam1 / trace, lam1 / trace),
+      ("pc2", lam2, lam2 / trace, (lam1 + lam2) / trace),
+      ("residual", resid, resid / trace, 1.0))
+      .toDF("component", "lam", "share", "cum_share")
   }
 
   /** Dimension-covariance matrix of an embedding corpus (whitening /

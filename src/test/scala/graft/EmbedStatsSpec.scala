@@ -63,4 +63,25 @@ class EmbedStatsSpec extends AnyFunSuite {
       .head().getDouble(4)
     assert(lam1 > 0.05 && lam1 > 100 * math.abs(lam2))
   }
+
+  test("pcaExplainedVariance: planted 1-D signal puts ~all variance in pc1") {
+    // same geometry as the projection test: one dominant direction in
+    // the (dim0, dim1) plane, dither elsewhere → pc1 share ≈ 1
+    val rows = (0 until 300).map { r =>
+      val t = (r % 100 - 50) / 100.0f
+      val dither = (d: Int) => if ((r + d) % 2 == 0) 0.001f else -0.001f
+      (r.toLong, Array(2.0f * t, t) ++ Array.tabulate(14)(d => dither(d)))
+    }
+    val out = EmbedStats.pcaExplainedVariance(
+        rows.toDF("vec_id", "embedding"), "embedding")
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(out.keySet == Set("pc1", "pc2", "residual"))
+    val (lam1, share1, cum1) = out("pc1")
+    assert(lam1 > 0.05 && share1 > 0.999 && cum1 == share1)
+    assert(out("pc2")._2 < 1e-3 && out("residual")._2 < 1e-3)
+    assert(out("residual")._3 == 1.0)
+    // shares decompose the trace: pc1 + pc2 + residual ≈ 1
+    assert(math.abs(share1 + out("pc2")._2 + out("residual")._2 - 1.0) < 1e-12)
+  }
 }
