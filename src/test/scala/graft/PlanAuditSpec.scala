@@ -34,7 +34,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "e12_kmeans_ari", // 1-row stat crosses over the k²-sized contingency table
       "x29_stratified_split", // 1-row total/leftover crosses over the strata table
       "p4_corpus_datasheet", // ONE broadcast row of the token total rides the per-lang table
-      "x32_source_drift_matrix") // vocab × broadcast-sources dense fill + 1-row vocab-count cross
+      "x32_source_drift_matrix", // vocab × broadcast-sources dense fill + 1-row vocab-count cross
+      "x33_vocab_growth") // ONE broadcast row of id bounds rides the scan (twice)
 
   test("no query plan contains a cartesian product") {
     SparkEntry.queries.keys.foreach { name =>
@@ -356,6 +357,27 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = plan("q71_partition_pruning")
     assert(p.contains("PartitionFilters"), s"q71 lost partition pruning:\n$p")
     assert(p.contains("event_type"), s"q71's predicate left the scan:\n$p")
+  }
+
+  test("e13 diversity: ONE corpus shuffle (the label moment groupBy), no explode") {
+    val p = plan("e13_diversity")
+    // corpus-side work = exactly one hashpartitioning Exchange for the
+    // label groupBy; the all-row fold runs on label-cardinality rows
+    // (SinglePartition) and must not add corpus shuffles. Any Generate
+    // means the wide-agg formulation regressed to a posexplode.
+    assert(!p.contains("Generate"), s"e13 grew an explode:\n$p")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges <= 2, // label groupBy ×(perLabel, allRow branches)
+      s"e13 expected ≤2 hash shuffles, got $hashExchanges:\n$p")
+  }
+
+  test("t56 kleene grid: one fused scan + one mergeable flag groupBy") {
+    val p = plan("t56_kleene_bool")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges == 1,
+      s"t56 expected exactly 1 hash shuffle, got $hashExchanges:\n$p")
+    assert(p.contains("partial"), s"t56 lost map-side partials:\n$p")
+    assert(!p.contains("Join"), s"t56 grew a join:\n$p")
   }
 
   test("whole-stage codegen covers the scan-agg pipeline") {
