@@ -1578,7 +1578,38 @@ object LlmQueries {
     EmbedStats.pcaExplainedVariance(t(s, dir, "embeddings"), "embedding")
       .orderBy("component")
 
+  // ---- L85: per-source n-gram novelty --------------------------------------
+  /** What does each source ADD? Per source: distinct word-3-gram count,
+    * the grams appearing in NO other source, and their ratio — the
+    * source-value read behind dedup/mixture decisions (a source whose
+    * novelty collapses is re-crawl of the others; d-family dedup asks
+    * "which DOCS repeat", this asks "which SOURCES contribute").
+    *
+    * Scale shape: gram hashes shuffle, text never does — grams ride as
+    * the proven 64-bit [[Dedup.shingleHashes]] (one compiled pass,
+    * sorted distinct per doc), then every stage is gram-keyed:
+    * (source, gram) distinct, gram-count aggregate, gram-keyed join
+    * back. The oracle recomputes from RAW STRING grams — so the hash
+    * match also certifies the hashed pipeline loses nothing (the
+    * d2/d15 modulo-md5-collisions precedent). */
+  def x34SourceNovelty(s: SparkSession, dir: String): DataFrame = {
+    val grams = t(s, dir, "documents")
+      .select(col("source"),
+        explode(Dedup.shingleHashes(col("text"), 3)).as("g"))
+      .distinct()
+    val gstats = grams.groupBy("g")
+      .agg(count(lit(1)).as("n_src"))
+    grams.join(gstats, Seq("g"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_grams"),
+        count(when(col("n_src") === 1, 1)).as("n_unique"))
+      .select(col("source"), col("n_grams"), col("n_unique"),
+        round(col("n_unique") / col("n_grams"), 6).as("novelty"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x34_source_novelty" -> x34SourceNovelty _,
     "e14_pca_variance" -> e14PcaVariance _,
     "x33_vocab_growth" -> x33VocabGrowth _,
     "e13_diversity" -> e13Diversity _,
@@ -2573,6 +2604,27 @@ object LlmQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // x34: raw-string-gram recompute (first principles vs the engine's
+    // hashed pipeline — agreement is the no-collision-loss certificate);
+    // short docs (< 3 tokens) contribute one partial shingle, matching
+    // WordShingleHashes
+    "x34_source_novelty" ->
+      s"""WITH base AS (SELECT source, string_split($normSql, ' ') AS toks
+        |  FROM documents),
+        |b2 AS (SELECT source, toks, len(toks) AS n FROM base),
+        |gr AS (SELECT source, unnest(CASE WHEN n >= 3 THEN
+        |      list_transform(range(1, CAST(n AS BIGINT) - 1),
+        |        i -> array_to_string(toks[CAST(i AS INT):CAST(i AS INT) + 2], ' '))
+        |    ELSE [array_to_string(toks, ' ')] END) AS gram
+        |  FROM b2),
+        |g AS (SELECT DISTINCT source, gram FROM gr),
+        |st AS (SELECT gram, COUNT(*) AS n_src FROM g GROUP BY gram)
+        |SELECT g.source, COUNT(*) AS n_grams,
+        |  COUNT(CASE WHEN st.n_src = 1 THEN 1 END) AS n_unique,
+        |  ROUND(COUNT(CASE WHEN st.n_src = 1 THEN 1 END) / COUNT(*), 6)
+        |    AS novelty
+        |FROM g JOIN st USING (gram) GROUP BY g.source
+        |ORDER BY g.source""".stripMargin,
     "e14_pca_variance" -> e14OracleSql,
     "x33_vocab_growth" -> x33OracleSql,
     "e13_diversity" -> e13OracleSql,

