@@ -343,5 +343,26 @@ package object syntax {
       * tokens. */
     def countMinProbe(seeds: Int = 4, buckets: Int = 1024): DataFrame =
       llm.LlmQueries.countMinProbe(df, seeds, buckets)
+
+    /** Heaps'-law vocabulary growth curve over this corpus in `idCol`
+      * order (see [[graft.operators.TextAnalysis.vocabGrowth]] —
+      * first-occurrence trick, exact integers). */
+    def vocabGrowth(textCol: String = "text", idCol: String = "doc_id",
+        nBuckets: Int = 20): DataFrame =
+      operators.TextAnalysis.vocabGrowth(df, textCol, idCol, nBuckets)
+
+    /** Exact mean pairwise squared distance per label slice + overall
+      * (mode-collapse read; see
+      * [[graft.operators.EmbedStats.diversityByLabel]] — moment
+      * identity, no pairwise pass). */
+    def embeddingDiversity(labelCol: String = "label",
+        vecCol: String = "embedding", dim: Int = 64): DataFrame =
+      operators.EmbedStats.diversityByLabel(df, labelCol, vecCol, dim)
+
+    /** PCA explained-variance spectrum (pc1/pc2/residual shares; see
+      * [[graft.operators.EmbedStats.pcaExplainedVariance]]). */
+    def pcaExplainedVariance(vecCol: String = "embedding",
+        dim: Int = 16, iters: Int = 30): DataFrame =
+      operators.EmbedStats.pcaExplainedVariance(df, vecCol, dim, iters)
   }
 }

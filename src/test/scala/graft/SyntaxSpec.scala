@@ -323,4 +323,23 @@ class VectorOpsExtraSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(math.abs(r.getSeq[Double](1)(0) - 2499.5) < 1e-6)
     assert(math.abs(r.getDouble(2) - 5000) / 5000 < 0.05)
   }
+
+  test("vocabGrowth / embeddingDiversity / pcaExplainedVariance verbs delegate") {
+    import spark.implicits._
+    val vg = Seq((0L, "a b"), (1L, "a c")).toDF("doc_id", "text")
+      .vocabGrowth(nBuckets = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(6)).toMap
+    assert(vg(0L) == 2L && vg(1L) == 3L) // {a,b} then +{c}
+    val dv = Seq((0, Array(0.0f, 0.0f)), (0, Array(2.0f, 0.0f)))
+      .toDF("label", "embedding")
+      .embeddingDiversity(dim = 2).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(dv("0") == 4.0 && dv("all") == 4.0)
+    val pv = Seq.tabulate(64)(i =>
+        Array.tabulate(16)(d => if (d == 0) (i - 32) / 10.0f else 0.0f))
+      .toDF("embedding")
+      .pcaExplainedVariance().collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(pv("pc1") > 0.999)
+  }
 }
