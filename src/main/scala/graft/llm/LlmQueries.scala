@@ -1608,7 +1608,15 @@ object LlmQueries {
       .orderBy("source")
   }
 
+  // ---- L86: Good-Turing unseen-mass estimate -------------------------------
+  /** Frequency-of-frequencies N_r for r ≤ 10 with mass shares and
+    * Good-Turing adjusted counts; row r=1's mass share = estimated
+    * unseen-token probability (see [[TextAnalysis.goodTuring]]). */
+  def x35GoodTuring(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.goodTuring(t(s, dir, "documents"), "text", maxR = 10)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x35_good_turing" -> x35GoodTuring _,
     "x34_source_novelty" -> x34SourceNovelty _,
     "e14_pca_variance" -> e14PcaVariance _,
     "x33_vocab_growth" -> x33VocabGrowth _,
@@ -2604,6 +2612,27 @@ object LlmQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // x35: freq-of-freq recompute over a dense 1..10 grid (missing r
+    // rows must read N_r = 0, and N_{r+1} comes from the GRID lead —
+    // a sparse lead would skip over absent counts)
+    "x35_good_turing" ->
+      s"""WITH tok AS (SELECT unnest(string_split($normSql, ' ')) AS tok
+        |  FROM documents),
+        |tc AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok),
+        |st AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM tc),
+        |ff AS (SELECT c AS r, COUNT(*) AS n_r FROM tc
+        |  WHERE c <= 10 GROUP BY c),
+        |grid AS (SELECT unnest(range(1, 11)) AS r),
+        |j AS (SELECT grid.r, COALESCE(ff.n_r, 0) AS n_r
+        |  FROM grid LEFT JOIN ff ON grid.r = ff.r),
+        |l AS (SELECT r, n_r,
+        |    COALESCE(LEAD(n_r, 1) OVER (ORDER BY r), 0) AS n_r1
+        |  FROM j)
+        |SELECT l.r, l.n_r,
+        |  ROUND(l.r * l.n_r / st.n, 6) AS mass_share,
+        |  CASE WHEN l.n_r > 0
+        |    THEN ROUND((l.r + 1) * l.n_r1 / l.n_r, 6) END AS r_star
+        |FROM l, st ORDER BY l.r""".stripMargin,
     // x34: raw-string-gram recompute (first principles vs the engine's
     // hashed pipeline — agreement is the no-collision-loss certificate);
     // short docs (< 3 tokens) contribute one partial shingle, matching

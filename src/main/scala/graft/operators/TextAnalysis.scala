@@ -425,6 +425,40 @@ object TextAnalysis {
     * final cumulative window runs over `nBuckets` rows (bucket
     * cardinality, NOT corpus cardinality — the single-partition sort
     * is bounded by construction). */
+  /** Good-Turing frequency-of-frequencies: N_r = token TYPES occurring
+    * exactly r times (r ≤ maxR), each row carrying its corpus mass
+    * share r·N_r/N and the classic Good-Turing adjusted count
+    * r* = (r+1)·N_{r+1}/N_r. Row r=1's mass share IS the Good-Turing
+    * estimate of UNSEEN-token probability mass (N_1/N) — the OOV-rate
+    * read for tokenizer/vocab planning: a corpus whose singleton mass
+    * stays high keeps surprising the model; one whose N_1/N collapsed
+    * is saturated (the x33 growth curve's probabilistic sibling).
+    *
+    * Scale shape: one token explode + one vocab-keyed count (the x24
+    * shape); the freq-of-freq table is ≤ maxR rows, so the dense grid
+    * join, total cross, and the N_{r+1} lead window all run on
+    * bounded-cardinality data. Counts exact; the two divisions per row
+    * are single IEEE ops the oracle replays. */
+  def goodTuring(df: org.apache.spark.sql.DataFrame, textCol: String,
+      maxR: Int = 10): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tc = df.select(explode(tokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val st = tc.agg(sum("c").cast("long").as("n"))
+    val ff = tc.filter(col("c") <= maxR)
+      .groupBy(col("c").as("r")).agg(count(lit(1)).as("n_r"))
+    val grid = df.sparkSession.range(1, maxR + 1).toDF("r")
+    val w = Window.orderBy("r")
+    grid.join(ff, Seq("r"), "left").na.fill(0L, Seq("n_r"))
+      .crossJoin(broadcast(st))
+      .withColumn("n_r1", coalesce(lead("n_r", 1).over(w), lit(0L)))
+      .select(col("r"), col("n_r"),
+        round(col("r") * col("n_r") / col("n"), 6).as("mass_share"),
+        when(col("n_r") > 0,
+          round((col("r") + 1) * col("n_r1") / col("n_r"), 6)).as("r_star"))
+      .orderBy("r")
+  }
+
   def vocabGrowth(df: org.apache.spark.sql.DataFrame, textCol: String,
       idCol: String, nBuckets: Int = 20): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window

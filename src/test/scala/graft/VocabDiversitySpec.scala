@@ -33,6 +33,23 @@ class VocabDiversitySpec extends AnyFunSuite {
     assert(out.map(_._6).toSeq == Seq(4L, 8L, 13L, 16L, 20L)) // tokens_cum
   }
 
+  test("goodTuring: planted frequency-of-frequencies with hand-computed r*") {
+    // tokens: a×1, b×1, c×2, d×3 → N=7, N_1=2, N_2=1, N_3=1
+    val docs = Seq("a b c", "c d d", "d").toDF("text")
+    val out = TextAnalysis.goodTuring(docs, "text", maxR = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2),
+          if (r.isNullAt(3)) Double.NaN else r.getDouble(3))).toMap
+    assert(out(1L)._1 == 2L && out(2L)._1 == 1L && out(3L)._1 == 1L &&
+      out(4L)._1 == 0L)
+    // unseen-mass estimate = N_1/N = 2/7
+    assert(math.abs(out(1L)._2 - 2.0 / 7.0) < 1e-6)
+    assert(out(1L)._3 == 1.0)  // r*=2·N_2/N_1 = 2·1/2
+    assert(out(2L)._3 == 3.0)  // r*=3·N_3/N_2 = 3·1/1
+    assert(out(3L)._3 == 0.0)  // N_4 = 0
+    assert(out(4L)._3.isNaN)   // N_4 = 0 ⇒ r* undefined (null)
+  }
+
   test("x34 novelty: planted shared/unique grams count per source, partial shingle for short docs") {
     val docs = Seq(
       ("srcA", "a b c d"), // grams {a b c, b c d}: "a b c" shared with B
