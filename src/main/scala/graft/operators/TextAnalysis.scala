@@ -440,14 +440,22 @@ object TextAnalysis {
     * bounded-cardinality data. Counts exact; the two divisions per row
     * are single IEEE ops the oracle replays. */
   def goodTuring(df: org.apache.spark.sql.DataFrame, textCol: String,
+      maxR: Int = 10): org.apache.spark.sql.DataFrame =
+    goodTuringFromCounts(
+      df.select(explode(tokens(col(textCol))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("c")), maxR)
+
+  /** The terminal half of [[goodTuring]], from a (tok, c) count table.
+    * The count table is a SEMIGROUP (counts fold by addition — the
+    * x24/S12 tokenCounts discipline), so the streaming form (S24)
+    * maintains it as state and calls this per trigger. */
+  def goodTuringFromCounts(tc: org.apache.spark.sql.DataFrame,
       maxR: Int = 10): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tc = df.select(explode(tokens(col(textCol))).as("tok"))
-      .groupBy("tok").agg(count(lit(1)).as("c"))
     val st = tc.agg(sum("c").cast("long").as("n"))
     val ff = tc.filter(col("c") <= maxR)
       .groupBy(col("c").as("r")).agg(count(lit(1)).as("n_r"))
-    val grid = df.sparkSession.range(1, maxR + 1).toDF("r")
+    val grid = tc.sparkSession.range(1, maxR + 1).toDF("r")
     val w = Window.orderBy("r")
     grid.join(ff, Seq("r"), "left").na.fill(0L, Seq("n_r"))
       .crossJoin(broadcast(st))

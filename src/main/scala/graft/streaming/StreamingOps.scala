@@ -754,6 +754,41 @@ object StreamingOps {
       .start()
   }
 
+  /** S24: streaming Good-Turing / OOV-mass monitor — the streaming
+    * twin of x35. State = the (tok, c) vocabulary count table (the
+    * S12 tokenCounts discipline: counts fold by ADDITION, vocab-sized
+    * whatever the stream length); per trigger the batch's token counts
+    * fold in and the emitted frequency-of-frequencies table — with
+    * row 1's N_1/N unseen-mass estimate — equals batch x35 over
+    * everything seen EXACTLY (integer counts + the same two divisions).
+    * The live read: a crawl whose singleton mass stops falling has
+    * stopped saturating — keep crawling; one whose N_1/N collapsed is
+    * re-crawling itself. */
+  def streamingGoodTuring(docs: DataFrame, textCol: String,
+      maxR: Int = 10,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    var state: Option[DataFrame] = None
+    docs.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val cells = b.toDF()
+          .select(explode(graft.operators.TextAnalysis
+            .tokens(col(textCol))).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("c"))
+        val next = state.map(st =>
+            st.union(cells).groupBy("tok").agg(sum("c").as("c")))
+          .getOrElse(cells).persist()
+        next.count()
+        state.foreach(_.unpersist())
+        state = Some(next)
+        sink(graft.operators.TextAnalysis.goodTuringFromCounts(next, maxR))
+        ()
+      }
+      .trigger(trigger)
+      .start()
+  }
+
   /** S9: streaming ingest curation — each arriving micro-batch runs
     * the full curation pipeline (dedup, decontamination, quality,
     * length) INCREMENTALLY against the corpus's precomputed digest

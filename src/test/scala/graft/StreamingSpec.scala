@@ -634,6 +634,35 @@ class StreamingSpec extends AnyFunSuite {
       s"diversity state diverged (${last.length} vs ${batch.length})")
   }
 
+  test("S24: streaming Good-Turing count fold across triggers matches batch x35 exactly") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val rows = Tables.t(spark, sf, "documents")
+      .select(col("text")).limit(200).as[String].collect().toSeq
+    val (first, second) = rows.splitAt(rows.length / 2)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[String]
+    @volatile var last: Array[(Long, Long, Double, Option[Double])] = Array.empty
+    val q = StreamingOps.streamingGoodTuring(
+        mem.toDF().toDF("text"), "text",
+        trigger = Trigger.ProcessingTime(0L)) { d =>
+      last = d.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    }
+    mem.addData(first: _*)
+    q.processAllAvailable()
+    mem.addData(second: _*)
+    q.processAllAvailable()
+    q.stop()
+    val batch = graft.operators.TextAnalysis.goodTuring(
+        rows.toDF("text"), "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    // integer count state + identical divisions → exact equality
+    assert(last.nonEmpty && last.toSet == batch.toSet,
+      s"good-turing state diverged (${last.length} vs ${batch.length})")
+  }
+
   test("S17: streaming top-k heap fold across triggers matches batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
