@@ -1067,6 +1067,29 @@ object LlmQueries {
       .toDF().orderBy("doc_id")
   }
 
+  // ---- L87: TAR block-sequential parsing -----------------------------------
+  /** ustar archive parse ([[graft.operators.Multimodal.TarCodec]]):
+    * spec-shaped archives planted from doc_id — 1–4 members with sizes
+    * crossing the 512-byte block boundary so the ⌈size/512⌉ seek math
+    * is exercised for real — walked BLOCK-SEQUENTIALLY (no index:
+    * header → octal size decode → seek past data blocks → next header,
+    * two zero blocks terminate), with per-header magic + POSIX
+    * checksum verification; the traversal shape none of m4–m7 have.
+    * One map pass, no shuffle; oracle recomputes every field
+    * arithmetically. */
+  def m8TarParse(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tars = t(s, dir, "documents").select("doc_id").as[Long]
+      .map { id =>
+        val n = (id % 4).toInt + 1
+        val sizes = (0 until n).map(i => (id % 1000).toInt + 300 * i + 37)
+        Multimodal.MediaRow(id, "tar",
+          Multimodal.TarCodec.buildTar(sizes, id))
+      }
+    tars.mapPartitions(it => it.map(Multimodal.TarCodec.decodeTar))
+      .toDF().orderBy("doc_id")
+  }
+
   // ---- L55: BPE corpus encode ----------------------------------------------
   /** Encode the corpus with the x20-fitted tokenizer
     * ([[graft.operators.BpeTrainer.encode]]): per-doc word + BPE token
@@ -1617,6 +1640,7 @@ object LlmQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x35_good_turing" -> x35GoodTuring _,
+    "m8_tar_parse" -> m8TarParse _,
     "x34_source_novelty" -> x34SourceNovelty _,
     "e14_pca_variance" -> e14PcaVariance _,
     "x33_vocab_growth" -> x33VocabGrowth _,
@@ -2612,6 +2636,22 @@ object LlmQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // m8: block-walk results recomputed arithmetically — member i has
+    // size (id%1000) + 300i + 37; n_bytes = headers + data blocks + the
+    // 1024-byte terminator, all in 512-byte units
+    "m8_tar_parse" ->
+      """WITH d AS (SELECT doc_id, doc_id % 4 + 1 AS n, doc_id % 1000 AS b
+        |  FROM documents),
+        |f AS (SELECT doc_id, n, b, unnest(range(0, n)) AS i FROM d),
+        |per AS (SELECT doc_id, b + 300 * i + 37 AS sz FROM f),
+        |ag AS (SELECT doc_id, COUNT(*) AS n_files,
+        |    CAST(SUM(sz) AS BIGINT) AS total_size,
+        |    CAST(SUM((sz + 511) // 512) AS BIGINT) AS data_blocks
+        |  FROM per GROUP BY doc_id)
+        |SELECT doc_id, 'tar' AS fmt,
+        |  (n_files + data_blocks) * 512 + 1024 AS n_bytes,
+        |  n_files, total_size, data_blocks
+        |FROM ag ORDER BY doc_id""".stripMargin,
     // x35: freq-of-freq recompute over a dense 1..10 grid (missing r
     // rows must read N_r = 0, and N_{r+1} comes from the GRID lead —
     // a sparse lead would skip over absent counts)

@@ -607,6 +607,112 @@ object Multimodal {
     }
   }
 
+  /** Parsed TAR archive metadata (see [[TarCodec]]). */
+  final case class TarFeatures(doc_id: Long, fmt: String, n_bytes: Long,
+      n_files: Int, total_size: Long, data_blocks: Long)
+
+  /** POSIX ustar TAR parsing — the BLOCK-SEQUENTIAL container
+    * dimension: no index anywhere (m7's ZIP reads a footer directory;
+    * m4/m5/m6 follow forward-chained markers/IFDs/boxes) — a tar
+    * reader must WALK, parsing each 512-byte header, decoding the
+    * OCTAL-ASCII size field, and seeking past ⌈size/512⌉ data blocks
+    * to the next header, until two zero blocks terminate. Every header
+    * is verified for real: the `ustar` magic at offset 257 and the
+    * POSIX checksum (byte sum with the checksum field read as spaces).
+    * Damage (truncation, bad magic, wrong checksum, non-octal size,
+    * single trailing zero block) fails clean to zeros. */
+  object TarCodec {
+    private def octal(v: Long, width: Int): Array[Byte] = {
+      val s = java.lang.Long.toOctalString(v)
+      val pad = "0" * (width - 1 - s.length) + s
+      (pad + " ").getBytes("US-ASCII")
+    }
+
+    private def parseOctal(b: Array[Byte], o: Int, w: Int): Long = {
+      var v = 0L
+      var k = o
+      while (k < o + w && b(k) != 0 && b(k) != ' ') {
+        val c = b(k) - '0'
+        if (c < 0 || c > 7) return -1L
+        v = v * 8 + c
+        k += 1
+      }
+      v
+    }
+
+    /** n regular members named member<i>.bin with the given sizes;
+      * content bytes derived from `seed` (deterministic). */
+    def buildTar(sizes: Seq[Int], seed: Long): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      sizes.zipWithIndex.foreach { case (sz, i) =>
+        val hdr = new Array[Byte](512)
+        val name = s"member$i.bin".getBytes("US-ASCII")
+        System.arraycopy(name, 0, hdr, 0, name.length)
+        System.arraycopy(octal(420, 8), 0, hdr, 100, 8) // mode 0644
+        System.arraycopy(octal(0, 8), 0, hdr, 108, 8)
+        System.arraycopy(octal(0, 8), 0, hdr, 116, 8)
+        System.arraycopy(octal(sz.toLong, 12), 0, hdr, 124, 12)
+        System.arraycopy(octal(seed % 1700000000L, 12), 0, hdr, 136, 12)
+        java.util.Arrays.fill(hdr, 148, 156, ' '.toByte)
+        hdr(156) = '0' // typeflag: regular file
+        System.arraycopy("ustar ".getBytes("US-ASCII"), 0, hdr, 257, 6)
+        System.arraycopy("00".getBytes("US-ASCII"), 0, hdr, 263, 2)
+        var sum = 0L
+        var k = 0
+        while (k < 512) { sum += hdr(k) & 0xff; k += 1 }
+        System.arraycopy(octal(sum, 7), 0, hdr, 148, 7) // 6 digits + NUL
+        hdr(155) = ' '
+        out.write(hdr)
+        out.write(Array.tabulate[Byte](sz)(j => ((seed + i + j) % 251).toByte))
+        out.write(new Array[Byte]((512 - sz % 512) % 512))
+      }
+      out.write(new Array[Byte](1024))
+      out.toByteArray
+    }
+
+    /** Block-sequential walk with per-header magic + checksum
+      * verification and octal size decoding. */
+    def decodeTar(r: MediaRow): TarFeatures = {
+      val p = r.payload
+      def fail = TarFeatures(r.doc_id, "unknown", p.length.toLong, 0, 0L, 0L)
+      def isZeroBlock(o: Int): Boolean = {
+        var k = o
+        while (k < o + 512) { if (p(k) != 0) return false; k += 1 }
+        true
+      }
+      var off = 0
+      var n = 0
+      var total = 0L
+      var blocks = 0L
+      while (true) {
+        if (off + 512 > p.length) return fail
+        if (isZeroBlock(off)) {
+          return if (off + 1024 <= p.length && isZeroBlock(off + 512))
+            TarFeatures(r.doc_id, "tar", p.length.toLong, n, total, blocks)
+          else fail
+        }
+        if (!(p(off + 257) == 'u' && p(off + 258) == 's' &&
+            p(off + 259) == 't' && p(off + 260) == 'a' &&
+            p(off + 261) == 'r')) return fail
+        var sum = 0L
+        var k = 0
+        while (k < 512) {
+          sum += (if (k >= 148 && k < 156) ' '.toInt else p(off + k) & 0xff)
+          k += 1
+        }
+        if (parseOctal(p, off + 148, 8) != sum) return fail
+        val sz = parseOctal(p, off + 124, 12)
+        if (sz < 0) return fail
+        val db = (sz + 511) / 512
+        n += 1
+        total += sz
+        blocks += db
+        off += 512 + db.toInt * 512
+      }
+      fail // unreachable
+    }
+  }
+
   object JpegCodec {
     private def be16(v: Int): Array[Byte] =
       Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)

@@ -662,6 +662,34 @@ class MultimodalSpec extends AnyFunSuite {
     assert(ZipCodec.decodeZip(MediaRow(4L, "zip", badLfh)).fmt == "unknown")
   }
 
+  test("tar block walk: octal sizes, block seeks, checksum, zero-block terminator") {
+    import Multimodal.{TarCodec, MediaRow}
+    // 600 bytes → 2 data blocks; 100 → 1; exercises the seek math
+    val p = TarCodec.buildTar(Seq(600, 100), seed = 9L)
+    val f = TarCodec.decodeTar(MediaRow(1L, "tar", p))
+    assert(f.fmt == "tar" && f.n_files == 2 && f.total_size == 700L, s"$f")
+    assert(f.data_blocks == 3L)
+    assert(f.n_bytes == (2 + 3) * 512L + 1024L && f.n_bytes == p.length)
+  }
+
+  test("tar parser rejects junk, bad magic, wrong checksum, truncation, single zero block") {
+    import Multimodal.{TarCodec, MediaRow}
+    assert(TarCodec.decodeTar(
+      MediaRow(1L, "tar", Array.fill[Byte](2048)(5))).fmt == "unknown")
+    val good = TarCodec.buildTar(Seq(300), seed = 3L)
+    val badMagic = good.clone(); badMagic(257) = 'x'
+    assert(TarCodec.decodeTar(MediaRow(2L, "tar", badMagic)).fmt == "unknown")
+    // flip a data-independent header byte (name) WITHOUT fixing the
+    // checksum — the verify must catch it
+    val badSum = good.clone(); badSum(0) = 'z'
+    assert(TarCodec.decodeTar(MediaRow(3L, "tar", badSum)).fmt == "unknown")
+    // drop one terminator block: the walk must refuse the half-close
+    val oneZero = TarCodec.decodeTar(MediaRow(4L, "tar", good.dropRight(512)))
+    assert(oneZero.fmt == "unknown" && oneZero.n_files == 0)
+    assert(TarCodec.decodeTar(
+      MediaRow(5L, "tar", good.dropRight(1300))).fmt == "unknown")
+  }
+
   test("edit-distance join catches insert, delete, substitute; rejects dist 2") {
     import TestSpark.spark.implicits._
     val rows = Seq(
