@@ -202,4 +202,50 @@ object TimeFns {
   /** Render a UTC instant as wall-clock time in `tz` (reference
     * timezone.py conversion; naive result, like tz_convert + tz-strip). */
   def toWallClock(tsCol: Column, tz: String): Column = from_utc_timestamp(tsCol, tz)
+
+  // ---- business-day calendar (pandas BDay / bdate_range surface) ----------
+
+  /** Monday-based weekday index 0=Mon..6=Sun, from the epoch ordinal —
+    * NOT from dayofweek(): engines disagree on week-start conventions
+    * (Spark 1=Sun, DuckDB dow 0=Sun, isodow 1=Mon); (ordinal + 3) mod 7
+    * is convention-free integer arithmetic (1970-01-01 was a Thursday,
+    * Mon-index 3). */
+  def weekdayIndex(d: Column): Column =
+    pmod(dateToOrdinal(d) + 3, lit(7)) // floor-mod: safe pre-1970 too
+
+  /** `d + n` business days with the pandas `BDay(n)` weekend
+    * convention for n ≥ 0: a weekend start acts as the PRECEDING
+    * Friday (Sat+1 = Sun+1 = Fri+1 = Monday). Closed form — effective
+    * start rolled back (Sat −1, Sun −2), then
+    * eff + n + 2·((wd_eff + n) div 5) calendar days: each completed
+    * business week past Friday costs one weekend. Pure integer
+    * arithmetic, no per-day iteration — a 10-year horizon costs the
+    * same three ops as tomorrow. */
+  def businessDayAdd(d: Column, n: Int): Column = {
+    require(n >= 0, s"businessDayAdd: n must be >= 0, got $n")
+    val wd = weekdayIndex(d)
+    val eff = ordinalToDate(dateToOrdinal(d) -
+      when(wd === 5, 1L).when(wd === 6, 2L).otherwise(0L))
+    val effWd = when(wd > 4, 4L).otherwise(wd)
+    ordinalToDate(dateToOrdinal(eff) + n +
+      lit(2L) * floor((effWd + n) / lit(5)).cast("long"))
+  }
+
+  /** Business days in [d1, d2) — the closed-form prefix count
+    * g(u) = 5·(u div 7) + W[u mod 7] differenced, where W is the
+    * weekday prefix table of the epoch week (1970-01-01 = Thursday).
+    * Exact for any span, any sign, no iteration. */
+  def businessDaysBetween(d1: Column, d2: Column): Column = {
+    // wd sequence for u mod 7 = 0..6: Thu Fri Sat Sun Mon Tue Wed →
+    // weekday flags 1,1,0,0,1,1,1 → prefix sums:
+    val w = array(Seq(0, 1, 2, 2, 2, 3, 4).map(x => lit(x.toLong)): _*)
+    def g(d: Column): Column = {
+      val u = dateToOrdinal(d)
+      // floor-mod: dates before 1970 have negative ordinals
+      val q = floor(u / lit(7.0)).cast("long")
+      val r = (u - q * 7).cast("int")
+      lit(5L) * q + element_at(w, r + 1)
+    }
+    g(d2) - g(d1)
+  }
 }

@@ -1319,6 +1319,31 @@ object TypeQueries {
       .orderBy("code")
   }
 
+  // ---- T58: business-day calendar arithmetic -------------------------------
+  /** pandas `BDay` / `bdate_range` surface (reference
+    * `types/datetime.py` calendar offsets): shift every order date by
+    * +1/+5/+20 business days and count business days in the next 30
+    * calendar days — settlement/SLA math. Both directions are CLOSED
+    * FORMS ([[graft.functions.TimeFns.businessDayAdd]] /
+    * `businessDaysBetween`): no per-day iteration, a 10-year shift
+    * costs the same three integer ops as tomorrow; the weekday index
+    * is derived from the epoch ordinal, NOT `dayofweek()` — engines
+    * disagree on week-start conventions, (ordinal+3) mod 7 is
+    * convention-free. Weekend starts act as the preceding Friday
+    * (Sat+1 = Mon, the pandas convention), pinned by the spec's
+    * hand-computed calendar grid. One map pass, no shuffle. */
+  def t58BusinessDays(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TimeFns
+    t(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate"),
+      TimeFns.weekdayIndex(col("o_orderdate")).as("wd"),
+      TimeFns.businessDayAdd(col("o_orderdate"), 1).as("bday1"),
+      TimeFns.businessDayAdd(col("o_orderdate"), 5).as("bday5"),
+      TimeFns.businessDayAdd(col("o_orderdate"), 20).as("bday20"),
+      TimeFns.businessDaysBetween(col("o_orderdate"),
+        date_add(col("o_orderdate"), 30)).as("bdays_30d"))
+      .orderBy("o_orderkey")
+  }
+
   // ---- T56: Kleene three-valued boolean logic ------------------------------
   /** pandas masked-boolean (`BooleanDtype`) Kleene logic — the
     * reference's nullable-bool backend (`types/boolean.py` PandasBool,
@@ -1369,6 +1394,7 @@ object TypeQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t56_kleene_bool" -> t56KleeneBool _,
+    "t58_business_days" -> t58BusinessDays _,
     "t57_query_predicates" -> t57QueryPredicates _,
     "t55_frame_compare" -> t55FrameCompare _,
     "t54_json_normalize" -> t54JsonNormalize _,
@@ -1530,6 +1556,27 @@ object TypeQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // t58: the same closed forms in DuckDB integer arithmetic — the
+    // weekday index from the epoch ordinal on both engines, never from
+    // each engine's own week-start convention
+    "t58_business_days" ->
+      """WITH b AS (SELECT o_orderkey, o_orderdate,
+        |    date_diff('day', DATE '1970-01-01', o_orderdate) AS u
+        |  FROM orders),
+        |c AS (SELECT *, (u + 3) % 7 AS wd FROM b),
+        |d AS (SELECT o_orderkey, o_orderdate, u, wd,
+        |    u - CASE WHEN wd = 5 THEN 1 WHEN wd = 6 THEN 2 ELSE 0 END AS eu,
+        |    CASE WHEN wd > 4 THEN 4 ELSE wd END AS ew FROM c)
+        |SELECT o_orderkey, o_orderdate, wd,
+        |  DATE '1970-01-01' + CAST(eu + 1 + 2 * ((ew + 1) // 5) AS INT)
+        |    AS bday1,
+        |  DATE '1970-01-01' + CAST(eu + 5 + 2 * ((ew + 5) // 5) AS INT)
+        |    AS bday5,
+        |  DATE '1970-01-01' + CAST(eu + 20 + 2 * ((ew + 20) // 5) AS INT)
+        |    AS bday20,
+        |  (5 * ((u + 30) // 7) + ([0,1,2,2,2,3,4])[(u + 30) % 7 + 1])
+        |    - (5 * (u // 7) + ([0,1,2,2,2,3,4])[u % 7 + 1]) AS bdays_30d
+        |FROM d ORDER BY o_orderkey""".stripMargin,
     // t56: the same Kleene grid in DuckDB's three-valued engine —
     // the hash match is the cross-engine parity certificate
     "t56_kleene_bool" ->

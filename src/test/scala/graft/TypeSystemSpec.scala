@@ -570,4 +570,31 @@ class CastIgnoreSpec extends AnyFunSuite {
     assert(Casts.castColumnOrKeep(withNull, "v", cast)
       .schema("v").dataType == LongType)
   }
+
+  test("business-day arithmetic: hand-computed calendar grid") {
+    import graft.functions.TimeFns
+    import org.apache.spark.sql.functions.{col, to_date, lit}
+    def add(d: String, n: Int): String =
+      spark.range(1).select(TimeFns.businessDayAdd(
+          to_date(lit(d)), n).cast("string")).head().getString(0)
+    // 2024-01-05 = Friday
+    assert(add("2024-01-05", 1) == "2024-01-08") // Fri+1 = Mon
+    assert(add("2024-01-06", 1) == "2024-01-08") // Sat+1 = Mon (pandas roll)
+    assert(add("2024-01-07", 2) == "2024-01-09") // Sun+2 = Tue
+    assert(add("2024-01-01", 5) == "2024-01-08") // Mon+5 = next Mon
+    assert(add("2024-01-01", 20) == "2024-01-29") // 4 business weeks
+    assert(add("2024-01-03", 0) == "2024-01-03") // Wed+0 = itself
+    assert(add("2024-01-04", 7) == "2024-01-15") // Thu+7 wraps 1 weekend... 2
+    def between(a: String, b: String): Long =
+      spark.range(1).select(TimeFns.businessDaysBetween(
+          to_date(lit(a)), to_date(lit(b)))).head().getLong(0)
+    assert(between("2024-01-01", "2024-02-01") == 23L) // Jan 2024 weekdays
+    assert(between("2024-01-06", "2024-01-08") == 0L)  // Sat,Sun only
+    assert(between("2024-01-05", "2024-01-06") == 1L)  // just Friday
+    assert(between("2024-01-01", "2024-01-01") == 0L)
+    // weekday index is Monday-based regardless of engine conventions
+    val wd = spark.range(1).select(
+      TimeFns.weekdayIndex(to_date(lit("2024-01-01")))).head().getLong(0)
+    assert(wd == 0L) // 2024-01-01 was a Monday
+  }
 }
