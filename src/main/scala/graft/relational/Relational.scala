@@ -1385,7 +1385,65 @@ object Relational {
       .orderBy("event_type")
   }
 
+  // ---- R72: schema-evolution read (mergeSchema) ----------------------------
+  /** Data-lake schema evolution: two parquet batches of one table
+    * written with DIFFERENT schemas — the later batch ADDS a column —
+    * read back through `mergeSchema`, so early rows surface the added
+    * column as null and one aggregate proves the evolved read equals
+    * the logical union (the oracle recomputes it from the source
+    * table). The append-only lake's most common migration exercised
+    * end to end: schema resolution at READ time — at 100 TB you never
+    * rewrite history to add a column. */
+  def q72SchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_q72_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+    val o = t(s, dir, "orders")
+    o.filter(year(col("o_orderdate")) <= 1995)
+      .select(col("o_orderkey"), dec(col("o_totalprice")).as("price"))
+      .write.mode("overwrite").parquet(path + "/b=1")
+    o.filter(year(col("o_orderdate")) > 1995)
+      .select(col("o_orderkey"), dec(col("o_totalprice")).as("price"),
+        concat(lit("ch"), col("o_orderkey") % 3).as("channel"))
+      .write.mode("overwrite").parquet(path + "/b=2")
+    s.read.option("mergeSchema", "true").parquet(path)
+      .groupBy(coalesce(col("channel"), lit("legacy")).as("channel"))
+      .agg(count(lit(1)).as("n"), dsum(col("price")).as("revenue"))
+      .orderBy("channel")
+  }
+
+  // ---- R73: corrupt-record ingestion (PERMISSIVE JSON) ---------------------
+  /** Malformed-input ingestion semantics: a JSONL batch with every 7th
+    * record truncated mid-object, read in PERMISSIVE mode — parsed
+    * fields null, the raw line preserved in `_corrupt_record` — then
+    * one aggregate splits good rows per lang from the corrupt bucket.
+    * The contract a 100 TB crawl ingest actually needs: bad records
+    * QUARANTINED with evidence, never dropped silently, never failing
+    * the job; the oracle recomputes the verdict per row from the
+    * corruption rule. */
+  def q73CorruptRecords(s: SparkSession, dir: String): DataFrame = {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_q73_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+    val js = t(s, dir, "documents")
+      .select(col("doc_id"),
+        to_json(struct(col("doc_id"), col("lang"), col("n_chars"))).as("j"))
+      .select(when(col("doc_id") % 7 === 0,
+          expr("substring(j, 1, length(j) - 1)")) // chop the closing brace
+        .otherwise(col("j")).as("value"))
+    js.write.mode("overwrite").text(path)
+    s.read
+      .schema("doc_id LONG, lang STRING, n_chars LONG, _corrupt_record STRING")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+      .groupBy(when(col("_corrupt_record").isNotNull, "_corrupt")
+        .otherwise(col("lang")).as("grp"))
+      .agg(count(lit(1)).as("n"), sum("n_chars").as("sum_chars"))
+      .orderBy("grp")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q72_schema_evolution" -> q72SchemaEvolution _,
+    "q73_corrupt_records" -> q73CorruptRecords _,
     "q71_partition_pruning" -> q71PartitionPruning _,
     "q70_hierarchy_rollup" -> q70HierarchyRollup _,
     "q69_bucketed_join" -> q69BucketedJoin _,
@@ -1493,6 +1551,22 @@ object Relational {
   }
 
   val oracles: Map[String, String] = Map(
+    // q72: the evolved read must equal the logical union recomputed
+    // straight from the source table
+    "q72_schema_evolution" ->
+      """SELECT CASE WHEN year(o_orderdate) <= 1995 THEN 'legacy'
+        |    ELSE 'ch' || CAST(o_orderkey % 3 AS VARCHAR) END AS channel,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        |FROM orders GROUP BY 1 ORDER BY channel""".stripMargin,
+    // q73: per-row quarantine verdict recomputed from the corruption
+    // rule (every 7th record truncated); corrupt rows sum to NULL
+    "q73_corrupt_records" ->
+      """SELECT CASE WHEN doc_id % 7 = 0 THEN '_corrupt' ELSE lang END AS grp,
+        |  COUNT(*) AS n,
+        |  SUM(CASE WHEN doc_id % 7 = 0 THEN NULL ELSE n_chars END)
+        |    AS sum_chars
+        |FROM documents GROUP BY 1 ORDER BY grp""".stripMargin,
     // q71: the same aggregate over the UNPARTITIONED source — the hash
     // match proves the pruned layout changed file reads, not results
     "q71_partition_pruning" ->

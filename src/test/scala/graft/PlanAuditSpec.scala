@@ -35,7 +35,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "x29_stratified_split", // 1-row total/leftover crosses over the strata table
       "p4_corpus_datasheet", // ONE broadcast row of the token total rides the per-lang table
       "x32_source_drift_matrix", // vocab × broadcast-sources dense fill + 1-row vocab-count cross
-      "x33_vocab_growth") // ONE broadcast row of id bounds rides the scan (twice)
+      "x33_vocab_growth", // ONE broadcast row of id bounds rides the scan (twice)
+      "x35_good_turing") // ONE broadcast row of the token total rides the ≤10-row grid
 
   test("no query plan contains a cartesian product") {
     SparkEntry.queries.keys.foreach { name =>

@@ -60,4 +60,34 @@ class SourcesSpec extends AnyFunSuite {
     assert(df.schema("o_orderkey").dataType == LongType)
     assert(df.schema("o_orderstatus").dataType == StringType)
   }
+
+  test("corrupt-record modes: PERMISSIVE quarantines, DROPMALFORMED drops, FAILFAST throws") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_json_modes")
+      .toString
+    Seq("""{"a": 1}""", """{"a": 2""", """{"a": 3}""")
+      .toDF("value").coalesce(1).write.mode("overwrite").text(dir)
+    val schema = "a LONG, _corrupt_record STRING"
+    // Spark disallows queries touching ONLY the corrupt column on raw
+    // files — cache the parsed batch first (the documented idiom)
+    val perm = spark.read.schema(schema).option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record").json(dir)
+      .cache()
+    assert(perm.count() == 3)
+    assert(perm.filter($"_corrupt_record".isNotNull).count() == 1)
+    // the quarantined row keeps the raw evidence
+    assert(perm.filter($"_corrupt_record".isNotNull)
+      .head().getString(1) == """{"a": 2""")
+    val dropped = spark.read.schema("a LONG")
+      .option("mode", "DROPMALFORMED").json(dir)
+    assert(dropped.count() == 2)
+    val ff = intercept[org.apache.spark.SparkException] {
+      spark.read.schema("a LONG").option("mode", "FAILFAST").json(dir)
+        .collect()
+    }
+    // the malformed-record cause sits under a FAILED_READ_FILE wrapper
+    val chain = Iterator.iterate(ff: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+    assert(chain.toLowerCase.contains("malformed"), chain)
+  }
 }
