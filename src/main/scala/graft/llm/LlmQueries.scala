@@ -1638,7 +1638,20 @@ object LlmQueries {
   def x35GoodTuring(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.goodTuring(t(s, dir, "documents"), "text", maxR = 10)
 
+  // ---- L88: content-defined chunking dedup ---------------------------------
+  /** CDC chunk-level dedup over the suffix-perturbed copy corpus — the
+    * rsync/FastCDC boundary idea: because boundaries are a function of
+    * content, a suffix edit re-chunks only its own neighborhood and
+    * every untouched chunk still dedups (see
+    * [[Dedup.cdcChunkStats]]; fixed-width chunking loses all
+    * alignment after one insertion). */
+  def d17CdcChunks(s: SparkSession, dir: String): DataFrame =
+    Dedup.cdcChunkStats(withCopies(t(s, dir, "documents"), perturb = true),
+        "doc_id", "text")
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d17_cdc_chunks" -> d17CdcChunks _,
     "x35_good_turing" -> x35GoodTuring _,
     "m8_tar_parse" -> m8TarParse _,
     "x34_source_novelty" -> x34SourceNovelty _,
@@ -2635,7 +2648,53 @@ object LlmQueries {
        |FROM u ORDER BY label""".stripMargin
   }
 
+  /** d17 oracle: the identical 8-term polynomial boundary rule (the
+    * constants interpolate from [[Dedup.CdcConst]] — one source of
+    * truth), chunks cut by LAG over the boundary list, digests
+    * re-derived from raw substrings. */
+  private def d17OracleSql: String = {
+    val P = graft.operators.Dedup.CdcConst.pows
+    val terms = (0 until 8).map(k =>
+      s"CAST(ascii(substr(t, CAST(i - ${7 - k} AS INT), 1)) AS BIGINT)" +
+        s" * ${P(k)}")
+      .mkString(" +\n        ")
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT doc_id + 1000000, text || ' zz qq' FROM documents),
+       |base AS (SELECT doc_id,
+       |    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+       |  FROM corpus),
+       |b2 AS (SELECT doc_id, t, len(t) AS ln FROM base),
+       |pos AS (SELECT doc_id, t, ln, unnest(range(8, ln + 1)) AS i
+       |  FROM b2 WHERE ln >= 8),
+       |bnd AS (SELECT doc_id, i FROM pos
+       |  WHERE ((
+       |        $terms) % ${graft.operators.Dedup.CdcConst.M}) % 64 = 0),
+       |bl AS (SELECT doc_id, list_sort(list(i)) AS bs FROM bnd
+       |  GROUP BY doc_id),
+       |wb AS (SELECT b2.doc_id, b2.t,
+       |    list_sort(list_distinct(
+       |      list_append(COALESCE(bl.bs, []), CAST(b2.ln AS BIGINT)))) AS bs2
+       |  FROM b2 LEFT JOIN bl ON b2.doc_id = bl.doc_id),
+       |ch0 AS (SELECT doc_id, t, unnest(bs2) AS b FROM wb),
+       |ch1 AS (SELECT doc_id, t, b,
+       |    COALESCE(LAG(b) OVER (PARTITION BY doc_id ORDER BY b), 0) + 1 AS s
+       |  FROM ch0),
+       |chunks AS (SELECT doc_id,
+       |    md5(substr(t, CAST(s AS INT), CAST(b - s + 1 AS INT))) AS digest
+       |  FROM ch1),
+       |occ AS (SELECT digest, COUNT(DISTINCT doc_id) AS n_docs
+       |  FROM chunks GROUP BY digest)
+       |SELECT c.doc_id, COUNT(*) AS n_chunks,
+       |  COUNT(CASE WHEN o.n_docs > 1 THEN 1 END) AS n_shared,
+       |  ROUND(COUNT(CASE WHEN o.n_docs > 1 THEN 1 END) / COUNT(*), 6)
+       |    AS shared_frac
+       |FROM chunks c JOIN occ o ON c.digest = o.digest
+       |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "d17_cdc_chunks" -> d17OracleSql,
     // m8: block-walk results recomputed arithmetically — member i has
     // size (id%1000) + 300i + 37; n_bytes = headers + data blocks + the
     // 1024-byte terminator, all in 512-byte units

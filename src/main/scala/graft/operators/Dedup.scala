@@ -959,4 +959,74 @@ object Dedup {
       .select(col("id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
         (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
   }
+
+  /** Shared CDC polynomial constants: P(k) = 257^k mod (10^9 + 7),
+    * oldest window char × P(0) … newest × P(7). Exposed so the oracle
+    * SQL interpolates the IDENTICAL values. */
+  object CdcConst {
+    val M: Long = 1000000007L
+    val B: Long = 257L
+    val pows: Array[Long] = {
+      val a = new Array[Long](8)
+      a(0) = 1L
+      for (k <- 1 until 8) a(k) = a(k - 1) * B % M
+      a
+    }
+  }
+
+  /** Content-defined chunking (CDC) dedup statistics — the rsync/
+    * FastCDC boundary idea as a corpus pass: chunk boundaries fall
+    * where an 8-char polynomial window hash ≡ 0 (mod 64), so
+    * boundaries are a function of CONTENT, not offsets — an edit near
+    * one end re-chunks only its own neighborhood, and every untouched
+    * chunk still dedups (fixed-width chunking loses ALL alignment
+    * after one insertion; the spec pins exactly this contrast on the
+    * suffix-perturbed copies). Per doc: chunk count, chunks shared
+    * with ≥1 other doc, shared fraction.
+    *
+    * The boundary hash is a FIXED 8-term polynomial (no iteration, no
+    * min/max chunk constraints) so both engines replay it exactly;
+    * chunks travel as md5 digests — the gram-hash posture: digests
+    * shuffle, text doesn't. The per-position explode is
+    * corpus-character-sized (the tokenize explode's constant factor);
+    * the documented 100 TB swap is the same recurrence as a fused
+    * byte-scan kernel emitting (id, boundary) pairs directly —
+    * IDENTICAL semantics, one pass, no explode. */
+  def cdcChunkStats(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val base = df.select(col(idCol).as("doc_id"),
+        normText(col(textCol)).as("t"))
+      .withColumn("len", length(col("t")))
+    val pos = base.select(col("doc_id"), col("t"),
+      explode(when(col("len") >= 8, sequence(lit(8), col("len")))
+        .otherwise(array().cast("array<int>"))).as("i"))
+    val hv = (0 until 8).map(k =>
+        ascii(col("t").substr(col("i") - lit(7 - k), lit(1))) *
+          lit(CdcConst.pows(k)))
+      .reduce(_ + _) % lit(CdcConst.M)
+    val bnd = pos.filter(hv % 64 === 0).select(col("doc_id"), col("i"))
+    val bl = bnd.groupBy("doc_id")
+      .agg(sort_array(collect_list(col("i"))).as("bs"))
+    val chunks = base.join(bl, Seq("doc_id"), "left")
+      .withColumn("bs2", array_distinct(concat(
+        coalesce(col("bs"), array().cast("array<int>")),
+        array(col("len")))))
+      .select(col("doc_id"), col("t"), col("bs2"),
+        posexplode(col("bs2")).as(Seq("k", "b")))
+      // previous boundary via 0-based get (null-safe at k=0, no ANSI
+      // index-0 hazard)
+      .withColumn("start",
+        coalesce(get(col("bs2"), col("k") - 1), lit(0)) + 1)
+      .select(col("doc_id"),
+        md5(col("t").substr(col("start"), col("b") - col("start") + 1)
+          .cast("binary")).as("digest"))
+    val occ = chunks.groupBy("digest")
+      .agg(countDistinct("doc_id").as("n_docs"))
+    chunks.join(occ, Seq("digest"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        count(when(col("n_docs") > 1, 1)).as("n_shared"))
+      .select(col("doc_id"), col("n_chunks"), col("n_shared"),
+        round(col("n_shared") / col("n_chunks"), 6).as("shared_frac"))
+  }
 }
