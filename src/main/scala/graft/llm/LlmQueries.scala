@@ -1650,7 +1650,18 @@ object LlmQueries {
         "doc_id", "text")
       .orderBy("doc_id")
 
+  // ---- L89: embedding drift between corpus halves --------------------------
+  /** x24's vector-space sibling: per label, squared L2 and cosine
+    * between the even-id and odd-id slice MEAN vectors (see
+    * [[EmbedStats.embedDrift]]) — the embedding-distribution-moved
+    * monitor between crawl snapshots. */
+  def e15EmbedDrift(s: SparkSession, dir: String): DataFrame =
+    EmbedStats.embedDrift(t(s, dir, "embeddings"), "label", "embedding",
+        col("vec_id") % 2 === 0)
+      .orderBy("label")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e15_embed_drift" -> e15EmbedDrift _,
     "d17_cdc_chunks" -> d17CdcChunks _,
     "x35_good_turing" -> x35GoodTuring _,
     "m8_tar_parse" -> m8TarParse _,
@@ -2693,7 +2704,45 @@ object LlmQueries {
        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin
   }
 
+  /** e15 oracle: exact HUGEINT slice sums on the same grid, then the
+    * identical left-to-right 64-term mean/L2/cosine chains. */
+  private def e15OracleSql: String = {
+    val dim = 64
+    val qDefs = (0 until dim).map(i =>
+      s"CAST(FLOOR(CAST(embedding[${i + 1}] AS DOUBLE) * 1000000.0) " +
+        s"AS HUGEINT) AS q$i").mkString(",\n    ")
+    val sSums = (0 until dim).map(i => s"SUM(q$i) AS s$i").mkString(", ")
+    def mean(p: Char, n: String, i: Int): String =
+      s"CAST($p$i AS DOUBLE) / CAST($n AS DOUBLE) / 1000000.0"
+    val l2 = (0 until dim).map(i =>
+      s"(${mean('a', "n_a", i)} - ${mean('b', "n_b", i)}) * " +
+        s"(${mean('a', "n_a", i)} - ${mean('b', "n_b", i)})")
+      .mkString(" +\n    ")
+    val dot = (0 until dim).map(i =>
+      s"${mean('a', "n_a", i)} * ${mean('b', "n_b", i)}").mkString(" + ")
+    val na2 = (0 until dim).map(i =>
+      s"${mean('a', "n_a", i)} * ${mean('a', "n_a", i)}").mkString(" + ")
+    val nb2 = (0 until dim).map(i =>
+      s"${mean('b', "n_b", i)} * ${mean('b', "n_b", i)}").mkString(" + ")
+    val aCols = (0 until dim).map(i => s"s$i AS a$i").mkString(", ")
+    val bCols = (0 until dim).map(i => s"s$i AS b$i").mkString(", ")
+    s"""WITH q AS (SELECT CAST(label AS VARCHAR) AS label,
+       |    vec_id % 2 = 0 AS in_a,
+       |    $qDefs
+       |  FROM embeddings),
+       |g AS (SELECT label, in_a, CAST(COUNT(*) AS HUGEINT) AS n, $sSums
+       |  FROM q GROUP BY label, in_a),
+       |a AS (SELECT label, n AS n_a, $aCols FROM g WHERE in_a),
+       |b AS (SELECT label, n AS n_b, $bCols FROM g WHERE NOT in_a)
+       |SELECT a.label, CAST(n_a AS BIGINT) AS n_a,
+       |  CAST(n_b AS BIGINT) AS n_b,
+       |  ROUND($l2, 6) + 0.0 AS l2_sq,
+       |  ROUND(($dot) / (sqrt($na2) * sqrt($nb2)), 6) + 0.0 AS cos_means
+       |FROM a JOIN b ON a.label = b.label ORDER BY a.label""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "e15_embed_drift" -> e15OracleSql,
     "d17_cdc_chunks" -> d17OracleSql,
     // m8: block-walk results recomputed arithmetically — member i has
     // size (id%1000) + 300i + 37; n_bytes = headers + data blocks + the

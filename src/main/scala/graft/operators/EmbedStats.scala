@@ -276,6 +276,53 @@ object EmbedStats {
     moments.groupBy("label").agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Embedding DRIFT between two corpus slices, per label — x24's
+    * vector-space sibling: did the embedding distribution move between
+    * crawl halves / snapshots? Per label: both slice sizes, the
+    * squared L2 distance between slice MEAN vectors, and their cosine.
+    * A label whose halves' means diverge is drifting content; cosine
+    * near 1 with nonzero L2 is pure magnitude shift.
+    *
+    * Determinism: per-slice per-dim sums are exact decimals on the
+    * 1e-6 grid (order-free); each mean is ONE division; the L2/cosine
+    * folds run left-to-right in dimension order — the identical IEEE
+    * sequence the oracle's generated 64-term chains replay; round-6
+    * + 0.0 washes the terminal ops.
+    *
+    * Scale shape: one wide groupBy(label, slice) aggregation (no
+    * explode), then all math on the label-cardinality join of the two
+    * slice tables. */
+  def embedDrift(df: DataFrame, labelCol: String, vecCol: String,
+      sliceA: Column, dim: Int = 64): DataFrame = {
+    val xs = (0 until dim).map(i =>
+      element_at(col(vecCol), i + 1).cast("double"))
+    val q = df.select(col(labelCol).cast("string").as("label") +:
+      sliceA.as("in_a") +:
+      (0 until dim).map(i =>
+        floor(xs(i) * 1000000.0).cast(DecimalType(38, 0)).as(s"q$i")): _*)
+    val aggs: Seq[Column] =
+      count(lit(1)).as("n") +:
+        (0 until dim).map(i => sum(col(s"q$i")).as(s"s$i"))
+    val g = q.groupBy("label", "in_a").agg(aggs.head, aggs.tail: _*)
+    val a = g.filter(col("in_a")).select(col("label") +:
+      col("n").as("n_a") +: (0 until dim).map(i => col(s"s$i").as(s"a$i")): _*)
+    val b = g.filter(!col("in_a")).select(col("label") +:
+      col("n").as("n_b") +: (0 until dim).map(i => col(s"s$i").as(s"b$i")): _*)
+    def mean(pfx: String, n: String, i: Int): Column =
+      col(s"$pfx$i").cast("double") / col(n).cast("double") / lit(1000000.0)
+    def fold(f: Int => Column): Column = (0 until dim).map(f).reduce(_ + _)
+    val l2 = fold(i => (mean("a", "n_a", i) - mean("b", "n_b", i)) *
+      (mean("a", "n_a", i) - mean("b", "n_b", i)))
+    val dot = fold(i => mean("a", "n_a", i) * mean("b", "n_b", i))
+    val na2 = fold(i => mean("a", "n_a", i) * mean("a", "n_a", i))
+    val nb2 = fold(i => mean("b", "n_b", i) * mean("b", "n_b", i))
+    a.join(b, Seq("label"))
+      .select(col("label"), col("n_a").cast("long").as("n_a"),
+        col("n_b").cast("long").as("n_b"),
+        (round(l2, 6) + 0.0).as("l2_sq"),
+        (round(dot / (sqrt(na2) * sqrt(nb2)), 6) + 0.0).as("cos_means"))
+  }
+
   /** The terminal half of [[diversityByLabel]]: per-label rows plus the
     * "all" fold, one pinned IEEE division sequence per row. */
   def diversityFromMoments(perLabel: DataFrame, dim: Int): DataFrame = {

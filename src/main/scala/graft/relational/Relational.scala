@@ -1441,7 +1441,34 @@ object Relational {
       .orderBy("grp")
   }
 
+  // ---- R74: conversion attribution (first/last touch) ----------------------
+  /** Marketing attribution: for every purchase, the FIRST and LAST
+    * preceding `view` by the same user, plus the prior-view count —
+    * first-touch / last-touch credit in ONE user-key window pass
+    * (IGNORE-NULLS conditional first/last over the strictly-preceding
+    * frame; no self-join, no per-purchase probe — at 100 TB the
+    * events shuffle once by user and every attribution rides that
+    * sort). The (es, event_id) compound ordering makes the frame
+    * deterministic under ties. */
+  def q74Attribution(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("es", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val viewId = when(col("event_type") === "view", col("event_id"))
+    events(s, dir)
+      .select(col("user_id"), unix_timestamp(col("ts")).as("es"),
+        col("event_id"), col("event_type"))
+      .withColumn("first_view_id", first(viewId, ignoreNulls = true).over(w))
+      .withColumn("last_view_id", last(viewId, ignoreNulls = true).over(w))
+      .withColumn("n_prior_views",
+        count(when(col("event_type") === "view", 1)).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("es"),
+        col("first_view_id"), col("last_view_id"), col("n_prior_views"))
+      .orderBy("user_id", "event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q74_attribution" -> q74Attribution _,
     "q72_schema_evolution" -> q72SchemaEvolution _,
     "q73_corrupt_records" -> q73CorruptRecords _,
     "q71_partition_pruning" -> q71PartitionPruning _,
@@ -1551,6 +1578,25 @@ object Relational {
   }
 
   val oracles: Map[String, String] = Map(
+    // q74: the same strictly-preceding IGNORE-NULLS window pass in
+    // DuckDB (epoch seconds derived identically; compound tiebreak)
+    "q74_attribution" ->
+      """WITH e AS (SELECT user_id,
+        |    CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS es,
+        |    event_id, event_type FROM events),
+        |wv AS (SELECT user_id, es, event_id, event_type,
+        |    FIRST_VALUE(CASE WHEN event_type = 'view' THEN event_id END
+        |      IGNORE NULLS) OVER w AS first_view_id,
+        |    LAST_VALUE(CASE WHEN event_type = 'view' THEN event_id END
+        |      IGNORE NULLS) OVER w AS last_view_id,
+        |    COUNT(CASE WHEN event_type = 'view' THEN 1 END)
+        |      OVER w AS n_prior_views
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT user_id, event_id, es, first_view_id, last_view_id,
+        |  n_prior_views
+        |FROM wv WHERE event_type = 'purchase'
+        |ORDER BY user_id, event_id""".stripMargin,
     // q72: the evolved read must equal the logical union recomputed
     // straight from the source table
     "q72_schema_evolution" ->

@@ -64,6 +64,23 @@ class EmbedStatsSpec extends AnyFunSuite {
     assert(lam1 > 0.05 && lam1 > 100 * math.abs(lam2))
   }
 
+  test("embedDrift: planted magnitude shift reads cos 1, l2 = shift²") {
+    import org.apache.spark.sql.functions.{col, lit}
+    def v(x: Float): Array[Float] = x +: Array.fill(63)(0.0f)
+    // label 0: slice A at 1·e1, slice B at 2·e1 → mean gap 1, cos 1
+    // label 1: identical slices → zero drift
+    val rows = Seq(
+      (0L, 0, v(1.0f)), (2L, 0, v(1.0f)), (1L, 0, v(2.0f)), (3L, 0, v(2.0f)),
+      (4L, 1, v(3.0f)), (6L, 1, v(3.0f)), (5L, 1, v(3.0f)), (7L, 1, v(3.0f)))
+    val out = EmbedStats.embedDrift(
+        rows.toDF("vec_id", "label", "embedding"), "label", "embedding",
+        col("vec_id") % 2 === 0)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(out("0") == ((2L, 2L, 1.0, 1.0)))
+    assert(out("1") == ((2L, 2L, 0.0, 1.0)))
+  }
+
   test("pcaExplainedVariance: planted 1-D signal puts ~all variance in pc1") {
     // same geometry as the projection test: one dominant direction in
     // the (dim0, dim1) plane, dither elsewhere → pc1 share ≈ 1
