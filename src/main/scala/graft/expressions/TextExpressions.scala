@@ -664,3 +664,100 @@ case class UnicodeNormalizeText(child: Expression) extends UnaryExpression {
       newChild: Expression): UnicodeNormalizeText =
     copy(child = newChild)
 }
+
+/** Content-defined chunk digests in ONE fused pass — the d17 100 TB
+  * form: rolling 8-term polynomial over code points (constants below
+  * are THE canonical CDC constants; the DuckDB oracle interpolates
+  * them via Dedup.CdcConst), boundary where hash ≡ 0 (mod 64), md5
+  * hex digest per chunk. Value-identical to the declarative
+  * per-position explode the oracle replays — this kernel exists
+  * because that spelling materializes corpus-character-sized rows,
+  * while this is one O(n) scan per document with chunk-count output. */
+case class CdcChunkDigests(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_cdc_chunk_digests"
+  override def nullSafeEval(v: Any): Any =
+    CdcChunkDigests.compute(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.CdcChunkDigests.compute($c)")
+  override protected def withNewChildInternal(
+      newChild: Expression): CdcChunkDigests =
+    copy(child = newChild)
+}
+
+object CdcChunkDigests {
+  val M: Long = 1000000007L
+  val B: Long = 257L
+  val pows: Array[Long] = {
+    val a = new Array[Long](8)
+    a(0) = 1L
+    var k = 1
+    while (k < 8) { a(k) = a(k - 1) * B % M; k += 1 }
+    a
+  }
+
+  private val mdLocal: ThreadLocal[MessageDigest] =
+    new ThreadLocal[MessageDigest] {
+      override def initialValue(): MessageDigest =
+        MessageDigest.getInstance("MD5")
+    }
+
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  private def md5Hex(s: String): UTF8String = {
+    val md = mdLocal.get()
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = hexDigits((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = hexDigits(d(i) & 0xf)
+      i += 1
+    }
+    UTF8String.fromString(new String(out))
+  }
+
+  def compute(s: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val str = s.toString
+    // code points, so the polynomial matches ascii(substr(...)) on
+    // both engines (corpus text is ASCII; parity holds regardless)
+    val cps = new Array[Int](str.codePointCount(0, str.length))
+    var i = 0
+    var j = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      cps(j) = cp; j += 1; i += Character.charCount(cp)
+    }
+    val n = cps.length
+    // boundary END indexes (0-based inclusive); always close at n-1
+    var cuts = new Array[Int](8)
+    var nc = 0
+    var ie = 7
+    while (ie < n) {
+      var h = 0L
+      var k = 0
+      while (k < 8) { h += cps(ie - 7 + k).toLong * pows(k); k += 1 }
+      if (h % M % 64 == 0) {
+        if (nc == cuts.length) cuts = java.util.Arrays.copyOf(cuts, nc * 2)
+        cuts(nc) = ie; nc += 1
+      }
+      ie += 1
+    }
+    if (nc == 0 || cuts(nc - 1) != n - 1) {
+      if (nc == cuts.length) cuts = java.util.Arrays.copyOf(cuts, nc * 2 + 1)
+      cuts(nc) = n - 1; nc += 1
+    }
+    val out = new Array[AnyRef](nc)
+    var prev = -1
+    var c = 0
+    while (c < nc) {
+      val end = cuts(c)
+      out(c) = md5Hex(new String(cps, prev + 1, end - prev))
+      prev = end
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}

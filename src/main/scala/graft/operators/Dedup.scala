@@ -961,17 +961,13 @@ object Dedup {
   }
 
   /** Shared CDC polynomial constants: P(k) = 257^k mod (10^9 + 7),
-    * oldest window char × P(0) … newest × P(7). Exposed so the oracle
-    * SQL interpolates the IDENTICAL values. */
+    * oldest window char × P(0) … newest × P(7). Delegates to the
+    * kernel's canonical values so the oracle SQL interpolates the
+    * IDENTICAL constants the fused pass uses. */
   object CdcConst {
-    val M: Long = 1000000007L
-    val B: Long = 257L
-    val pows: Array[Long] = {
-      val a = new Array[Long](8)
-      a(0) = 1L
-      for (k <- 1 until 8) a(k) = a(k - 1) * B % M
-      a
-    }
+    val M: Long = graft.expressions.CdcChunkDigests.M
+    val B: Long = graft.expressions.CdcChunkDigests.B
+    val pows: Array[Long] = graft.expressions.CdcChunkDigests.pows
   }
 
   /** Content-defined chunking (CDC) dedup statistics — the rsync/
@@ -987,39 +983,18 @@ object Dedup {
     * The boundary hash is a FIXED 8-term polynomial (no iteration, no
     * min/max chunk constraints) so both engines replay it exactly;
     * chunks travel as md5 digests — the gram-hash posture: digests
-    * shuffle, text doesn't. The per-position explode is
-    * corpus-character-sized (the tokenize explode's constant factor);
-    * the documented 100 TB swap is the same recurrence as a fused
-    * byte-scan kernel emitting (id, boundary) pairs directly —
-    * IDENTICAL semantics, one pass, no explode. */
+    * shuffle, text doesn't. The chunker is the fused one-pass kernel
+    * [[graft.expressions.CdcChunkDigests]] (O(n) scan per doc,
+    * chunk-count output — measured 6× over the per-position-explode
+    * spelling, which survives only as the oracle's independent
+    * replay). */
   def cdcChunkStats(df: DataFrame, idCol: String,
       textCol: String): DataFrame = {
-    val base = df.select(col(idCol).as("doc_id"),
-        normText(col(textCol)).as("t"))
-      .withColumn("len", length(col("t")))
-    val pos = base.select(col("doc_id"), col("t"),
-      explode(when(col("len") >= 8, sequence(lit(8), col("len")))
-        .otherwise(array().cast("array<int>"))).as("i"))
-    val hv = (0 until 8).map(k =>
-        ascii(col("t").substr(col("i") - lit(7 - k), lit(1))) *
-          lit(CdcConst.pows(k)))
-      .reduce(_ + _) % lit(CdcConst.M)
-    val bnd = pos.filter(hv % 64 === 0).select(col("doc_id"), col("i"))
-    val bl = bnd.groupBy("doc_id")
-      .agg(sort_array(collect_list(col("i"))).as("bs"))
-    val chunks = base.join(bl, Seq("doc_id"), "left")
-      .withColumn("bs2", array_distinct(concat(
-        coalesce(col("bs"), array().cast("array<int>")),
-        array(col("len")))))
-      .select(col("doc_id"), col("t"), col("bs2"),
-        posexplode(col("bs2")).as(Seq("k", "b")))
-      // previous boundary via 0-based get (null-safe at k=0, no ANSI
-      // index-0 hazard)
-      .withColumn("start",
-        coalesce(get(col("bs2"), col("k") - 1), lit(0)) + 1)
-      .select(col("doc_id"),
-        md5(col("t").substr(col("start"), col("b") - col("start") + 1)
-          .cast("binary")).as("digest"))
+    import org.apache.spark.sql.graft.ColumnBridge
+    val digests = ColumnBridge.column(graft.expressions.CdcChunkDigests(
+      ColumnBridge.expression(normText(col(textCol)))))
+    val chunks = df.select(col(idCol).as("doc_id"),
+      explode(digests).as("digest"))
     val occ = chunks.groupBy("digest")
       .agg(countDistinct("doc_id").as("n_docs"))
     chunks.join(occ, Seq("digest"))
