@@ -1660,7 +1660,35 @@ object LlmQueries {
         col("vec_id") % 2 === 0)
       .orderBy("label")
 
+  // ---- L90: tokenizer fertility per source ---------------------------------
+  /** BPE tokens per word and chars per token, per source — the
+    * tokenizer-budget read (a source whose fertility is high eats
+    * context window; one whose chars/token collapsed is boilerplate):
+    * x23's proven per-doc encode rolled up per source with exact
+    * integer sums and two terminal divisions. The vocab fit runs once
+    * per distinct word (x20's model-state posture); the doc pass is a
+    * word-keyed join + integer sums, so the rollup adds ONE tiny
+    * source-key aggregate over per-doc rows. */
+  def x36TokenizerFertility(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val enc = BpeTrainer.encode(docs, "doc_id", "text", nMerges = 5)
+      .withColumnRenamed("id", "doc_id")
+    docs.select(col("doc_id"), col("source"), col("n_chars"))
+      .join(enc, Seq("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_words").as("n_words"),
+        sum("n_bpe_tokens").as("n_tokens"),
+        sum("n_chars").as("n_chars"))
+      .select(col("source"), col("n_docs"), col("n_words"),
+        col("n_tokens"), col("n_chars"),
+        round(col("n_tokens") / col("n_words"), 6).as("fertility"),
+        round(col("n_chars") / col("n_tokens"), 6).as("chars_per_token"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x36_tokenizer_fertility" -> x36TokenizerFertility _,
     "e15_embed_drift" -> e15EmbedDrift _,
     "d17_cdc_chunks" -> d17CdcChunks _,
     "x35_good_turing" -> x35GoodTuring _,
@@ -2192,7 +2220,10 @@ object LlmQueries {
   /** x23 oracle: the x20 fit replay extended by the encode join —
     * per-word token counts from v5, corpus words joined back, integer
     * sums (order-free, exact). */
-  private def x23OracleSql: String = {
+  /** Shared BPE per-doc encode CTE chain (vocab fit replay → per-word
+    * token counts → per-doc sums) — x23's proven replay, reused by the
+    * x36 fertility rollup so it certifies against the SAME chain. */
+  private def bpeEncodeCtes: String = {
     val n = 5
     s"""${bpeVocabCtes(n)},
        |enc AS (SELECT word,
@@ -2200,11 +2231,31 @@ object LlmQueries {
        |      AS BIGINT) AS n_tokens
        |  FROM v$n),
        |w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
-       |  FROM documents)
-       |SELECT doc_id, COUNT(*) AS n_words, SUM(n_tokens) AS n_bpe_tokens
-       |FROM w JOIN enc USING (word) WHERE word <> ''
-       |GROUP BY 1 ORDER BY doc_id""".stripMargin
+       |  FROM documents),
+       |perdoc AS (SELECT doc_id, COUNT(*) AS n_words,
+       |    SUM(n_tokens) AS n_bpe_tokens
+       |  FROM w JOIN enc USING (word) WHERE word <> '' GROUP BY 1)""".stripMargin
   }
+
+  private def x23OracleSql: String =
+    s"""$bpeEncodeCtes
+       |SELECT doc_id, n_words, n_bpe_tokens FROM perdoc
+       |ORDER BY doc_id""".stripMargin
+
+  /** x36 oracle: x23's per-doc chain rolled up per source with the
+    * two fertility divisions. */
+  private def x36OracleSql: String =
+    s"""$bpeEncodeCtes
+       |SELECT d.source, COUNT(*) AS n_docs,
+       |  CAST(SUM(p.n_words) AS BIGINT) AS n_words,
+       |  CAST(SUM(p.n_bpe_tokens) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(d.n_chars) AS BIGINT) AS n_chars,
+       |  ROUND(CAST(SUM(p.n_bpe_tokens) AS BIGINT) /
+       |    CAST(SUM(p.n_words) AS BIGINT), 6) AS fertility,
+       |  ROUND(CAST(SUM(d.n_chars) AS BIGINT) /
+       |    CAST(SUM(p.n_bpe_tokens) AS BIGINT), 6) AS chars_per_token
+       |FROM perdoc p JOIN documents d USING (doc_id)
+       |GROUP BY d.source ORDER BY d.source""".stripMargin
 
   /** e5 oracle: full replay. Exact HUGEINT moment sums on the 1e-6
     * grid → identical covariance doubles; then the same fixed-order
@@ -2742,6 +2793,7 @@ object LlmQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "x36_tokenizer_fertility" -> x36OracleSql,
     "e15_embed_drift" -> e15OracleSql,
     "d17_cdc_chunks" -> d17OracleSql,
     // m8: block-walk results recomputed arithmetically — member i has
