@@ -988,13 +988,18 @@ object Dedup {
     * chunk-count output — measured 6× over the per-position-explode
     * spelling, which survives only as the oracle's independent
     * replay). */
-  def cdcChunkStats(df: DataFrame, idCol: String,
-      textCol: String): DataFrame = {
+  /** (doc_id, chunk digest) rows via the fused kernel — the shared
+    * front half of [[cdcChunkStats]] and the S25 streaming dedup. */
+  def cdcChunks(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     import org.apache.spark.sql.graft.ColumnBridge
     val digests = ColumnBridge.column(graft.expressions.CdcChunkDigests(
       ColumnBridge.expression(normText(col(textCol)))))
-    val chunks = df.select(col(idCol).as("doc_id"),
-      explode(digests).as("digest"))
+    df.select(col(idCol).as("doc_id"), explode(digests).as("digest"))
+  }
+
+  def cdcChunkStats(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val chunks = cdcChunks(df, idCol, textCol)
     val occ = chunks.groupBy("digest")
       .agg(countDistinct("doc_id").as("n_docs"))
     chunks.join(occ, Seq("digest"))

@@ -789,6 +789,53 @@ object StreamingOps {
       .start()
   }
 
+  /** S25: streaming incremental CDC-chunk dedup — d17's streaming
+    * half, in the S8 corpus-never-re-pairs posture: state = the seen
+    * chunk-DIGEST index (digests only — text never re-chunks, never
+    * re-shuffles); each arriving doc reports its chunk count and the
+    * fraction already known to the corpus-so-far (a high known_frac is
+    * a near-copy whose edits didn't disturb most content-defined
+    * chunks — exactly what CDC boundaries exist to surface), then its
+    * own digests fold into the index. State grows with DISTINCT corpus
+    * chunks (the S8/d9 index posture, documented), not with stream
+    * length times text size. */
+  def streamingCdcDedup(docs: DataFrame, idCol: String, textCol: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    var state: Option[DataFrame] = None
+    docs.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val chunks = graft.operators.Dedup
+          .cdcChunks(b.toDF(), idCol, textCol).persist()
+        chunks.count()
+        val known = state match {
+          case Some(idx) => chunks.join(idx, Seq("digest"), "left_semi")
+            .groupBy("doc_id").agg(count(lit(1)).as("n_known"))
+          case None => chunks.select(col("doc_id")).limit(0)
+            .withColumn("n_known", lit(0L))
+        }
+        val verdicts = chunks.groupBy("doc_id")
+          .agg(count(lit(1)).as("n_chunks"))
+          .join(known, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_chunks"),
+            coalesce(col("n_known"), lit(0L)).as("n_known"),
+            round(coalesce(col("n_known"), lit(0L)) / col("n_chunks"), 6)
+              .as("known_frac"))
+        sink(verdicts)
+        val next = state.map(idx => idx.union(
+            chunks.select("digest")).distinct())
+          .getOrElse(chunks.select("digest").distinct()).persist()
+        next.count()
+        state.foreach(_.unpersist())
+        state = Some(next)
+        chunks.unpersist()
+        ()
+      }
+      .trigger(trigger)
+      .start()
+  }
+
   /** S9: streaming ingest curation — each arriving micro-batch runs
     * the full curation pipeline (dedup, decontamination, quality,
     * length) INCREMENTALLY against the corpus's precomputed digest

@@ -337,6 +337,14 @@ package object syntax {
     def queryWhere(predicate: String): DataFrame =
       df.filter(types.PredicateParser.parse(predicate))
 
+    /** pandas `df.eval("c = a + b")`: append a computed column via the
+      * t57 expression grammar ([[graft.types.PredicateParser]] —
+      * boolean expressions assign too: `df.evalAssign("hot = x > 9")`). */
+    def evalAssign(assignment: String): DataFrame = {
+      val (name, e) = types.PredicateParser.parseAssign(assignment)
+      df.withColumn(name, e)
+    }
+
     /** Count-Min point-frequency probe over this `tok` column (see
       * [[graft.llm.LlmQueries.countMinProbe]]): fixed additive cells,
       * conservative estimates for the corpus's heavy + sampled

@@ -157,4 +157,28 @@ object PredicateParser {
     if (toks.nonEmpty) fail("trailing tokens")
     e
   }
+
+  /** pandas `df.eval("c = a + b")` assignment form: a target
+    * identifier, '=', then any expression of the grammar (a bare
+    * arithmetic expression is a valid parse — the comparison level
+    * falls through). The split point is the first '=' that is not
+    * part of ==/<=/>=/!=; malformed targets throw, never misread. */
+  def parseAssign(in: String): (String, Column) = {
+    var i = 0
+    var split = -1
+    while (i < in.length && split < 0) {
+      if (in(i) == '=' &&
+          (i + 1 >= in.length || in(i + 1) != '=') &&
+          (i == 0 || !"<>!=".contains(in(i - 1)))) split = i
+      i += 1
+    }
+    if (split < 0) throw new IllegalArgumentException(
+      s"expected 'name = expression' in: $in")
+    val name = in.substring(0, split).trim
+    if (name.isEmpty || !(name.head.isLetter || name.head == '_') ||
+        !name.forall(c => c.isLetterOrDigit || c == '_'))
+      throw new IllegalArgumentException(
+        s"invalid assignment target '$name' in: $in")
+    (name, parse(in.substring(split + 1)))
+  }
 }

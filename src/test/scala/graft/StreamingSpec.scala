@@ -663,6 +663,42 @@ class StreamingSpec extends AnyFunSuite {
       s"good-turing state diverged (${last.length} vs ${batch.length})")
   }
 
+  test("S25: streaming CDC-chunk dedup flags a later near-copy against the digest index") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val words = Vector("alpha", "bravo", "charlie", "delta", "echo",
+      "foxtrot", "golf", "hotel", "india", "juliet")
+    var x = 42L
+    val s = (0 until 120).map { _ =>
+      x = x * 6364136223846793005L + 1442695040888963407L
+      words(((x >>> 33) % words.length).toInt)
+    }.mkString(" ")
+    val fresh = words.reverse.mkString(" ") * 6
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    @volatile var batches = List.empty[Map[Long, (Long, Long, Double)]]
+    val q = StreamingOps.streamingCdcDedup(
+        mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        trigger = Trigger.ProcessingTime(0L)) { d =>
+      batches = batches :+ d.collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toMap
+    }
+    mem.addData(1L -> s)
+    q.processAllAvailable()
+    mem.addData(2L -> (s + " zz qq"), 3L -> fresh)
+    q.processAllAvailable()
+    q.stop()
+    assert(batches.length == 2)
+    // first sight of doc 1: nothing known yet
+    assert(batches(0)(1L)._2 == 0L)
+    val (n2, known2, frac2) = batches(1)(2L)
+    // the near-copy shares all but (at most) its tail chunk
+    assert(n2 >= 3 && known2 >= n2 - 1, s"near-copy missed: $known2/$n2")
+    assert(frac2 > 0.5)
+    assert(batches(1)(3L)._2 == 0L) // genuinely new content: nothing known
+  }
+
   test("S17: streaming top-k heap fold across triggers matches batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._

@@ -324,6 +324,18 @@ class VectorOpsExtraSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(math.abs(r.getDouble(2) - 5000) / 5000 < 0.05)
   }
 
+  test("evalAssign: arithmetic + boolean assignment; malformed input throws") {
+    import spark.implicits._
+    val df = Seq((1L, 2L), (3L, 4L)).toDF("a", "b")
+    val out = df.evalAssign("c = a + b * 2").evalAssign("hot = c > 8")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3)))
+    assert(out.toSet == Set((1L, 5L, false), (3L, 11L, true)))
+    // '=' inside == never splits; a bare comparison is not an assignment
+    intercept[IllegalArgumentException](df.evalAssign("a == 1"))
+    intercept[IllegalArgumentException](df.evalAssign("1x = a"))
+    intercept[IllegalArgumentException](df.evalAssign("c = a +"))
+  }
+
   test("vocabGrowth / embeddingDiversity / pcaExplainedVariance verbs delegate") {
     import spark.implicits._
     val vg = Seq((0L, "a b"), (1L, "a c")).toDF("doc_id", "text")
