@@ -52,7 +52,17 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // The stdout line gets truncated in round artifacts (2000-char
+    // tails lose most of the per-query map) — persist the full JSON to
+    // a file so every query's timing survives verbatim.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json")),
+      line + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -213,9 +213,13 @@ object TimeFns {
   def weekdayIndex(d: Column): Column =
     pmod(dateToOrdinal(d) + 3, lit(7)) // floor-mod: safe pre-1970 too
 
-  /** `d + n` business days with the pandas `BDay(n)` weekend
-    * convention for n ≥ 0: a weekend start acts as the PRECEDING
-    * Friday (Sat+1 = Sun+1 = Fri+1 = Monday). Closed form — effective
+  /** `d + n` business days, n ≥ 0: a weekend start acts as the
+    * PRECEDING Friday (Sat+1 = Sun+1 = Fri+1 = Monday — the pandas
+    * `BDay(n)` convention for n ≥ 1). Boundary pinned here: for n = 0
+    * a weekend start therefore resolves to that preceding Friday,
+    * diverging from pandas' BDay(0) roll-FORWARD to Monday — callers
+    * needing the pandas n=0 roll should add then subtract a day
+    * themselves. Closed form — effective
     * start rolled back (Sat −1, Sun −2), then
     * eff + n + 2·((wd_eff + n) div 5) calendar days: each completed
     * business week past Friday costs one weekend. Pure integer

@@ -2239,7 +2239,8 @@ object LlmQueries {
 
   private def x23OracleSql: String =
     s"""$bpeEncodeCtes
-       |SELECT doc_id, n_words, n_bpe_tokens FROM perdoc
+       |SELECT doc_id, n_words, CAST(n_bpe_tokens AS BIGINT) AS n_bpe_tokens
+       |FROM perdoc
        |ORDER BY doc_id""".stripMargin
 
   /** x36 oracle: x23's per-doc chain rolled up per source with the
@@ -2346,9 +2347,22 @@ object LlmQueries {
   private def e2OracleSql: String = {
     val planes = graft.operators.VectorOps.hyperplanes(8, 64, seed = 7L)
     val scale = math.sqrt(64.0)
-    def arr(p: Array[Double]) = p.mkString("[", ", ", "]")
+    // Two devices make this bit-exact under a FULL-precision compare
+    // (the .10g gate hid both): (1) plane constants carry an exponent
+    // (`...e0`) so DuckDB parses them directly as DOUBLE — a bare
+    // high-precision literal parses as DECIMAL first and the
+    // decimal→double hop is 1 ulp off the Java literal; (2) an explicit
+    // LEFT-ASSOCIATED v[1]*c1 + v[2]*c2 + ... chain replays
+    // ArrayDotProduct's strict left-to-right IEEE sequence exactly.
+    def dlit(c: Double): String = {
+      val s = c.toString
+      if (s.contains('E') || s.contains('e')) s else s + "e0"
+    }
     val cols = planes.zipWithIndex.map { case (p, i) =>
-      s"list_inner_product(v, ${arr(p)}) / $scale AS y${i + 1}"
+      val terms = p.zipWithIndex
+        .map { case (c, j) => s"v[${j + 1}] * ${dlit(c)}" }
+        .mkString(" + ")
+      s"($terms) / $scale AS y${i + 1}"
     }.mkString(",\n       |  ")
     s"""WITH ve AS (SELECT vec_id, label,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -2417,9 +2431,9 @@ object LlmQueries {
         s"SUM(CASE WHEN score >= CAST($t0 AS DOUBLE) THEN n_tokens ELSE 0 END) AS tk$i"
     }.mkString(",\n    ")
     val rows = taus.zipWithIndex.map { case (t0, i) =>
-      s"SELECT CAST($t0 AS DOUBLE) AS threshold, k$i AS n_kept, " +
+      s"SELECT CAST($t0 AS DOUBLE) AS threshold, CAST(k$i AS BIGINT) AS n_kept, " +
         s"CAST(k$i AS DOUBLE) / CAST(n AS DOUBLE) AS keep_rate, " +
-        s"tk$i AS tok_kept, CAST(tk$i AS DOUBLE) / CAST(tok AS DOUBLE) AS tok_share FROM a"
+        s"CAST(tk$i AS BIGINT) AS tok_kept, CAST(tk$i AS DOUBLE) / CAST(tok AS DOUBLE) AS tok_share FROM a"
     }.mkString(" UNION ALL ")
     s"""WITH q AS (SELECT CAST($toks AS BIGINT) AS n_tokens,
        |    $score AS score FROM documents),
@@ -2521,8 +2535,9 @@ object LlmQueries {
        |  FROM (SELECT SUM(n) AS t FROM cont GROUP BY ca)),
        |bagg AS (SELECT SUM(t * (t - 1) // 2) AS bc
        |  FROM (SELECT SUM(n) AS t FROM cont GROUP BY cb))
-       |SELECT nn AS n_points, k_a, k_b, s AS sum_comb, ac AS a_comb,
-       |  bc AS b_comb,
+       |SELECT CAST(nn AS BIGINT) AS n_points, k_a, k_b,
+       |  CAST(s AS BIGINT) AS sum_comb, CAST(ac AS BIGINT) AS a_comb,
+       |  CAST(bc AS BIGINT) AS b_comb,
        |  (CAST(s AS DOUBLE) - CAST(ac * bc AS DOUBLE)
        |      / CAST(nn * (nn - 1) // 2 AS DOUBLE))
        |  / (CAST(ac + bc AS DOUBLE) / 2.0 - CAST(ac * bc AS DOUBLE)
@@ -2646,7 +2661,8 @@ object LlmQueries {
        |      ELSE 0 END AS INT)
        |  FROM rec r JOIN sel b ON b.source = r.source AND b.rn = r.rn + 1)
        |SELECT source, bin_id, COUNT(*) AS n_docs,
-       |  SUM(n_tok) AS fill, GREATEST(512 - SUM(n_tok), 0) AS waste,
+       |  CAST(SUM(n_tok) AS BIGINT) AS fill,
+       |  CAST(GREATEST(512 - SUM(n_tok), 0) AS BIGINT) AS waste,
        |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY bin_pos))
        |    AS ids_md5
        |FROM rec GROUP BY source, bin_id ORDER BY source, bin_id""".stripMargin
@@ -2673,9 +2689,9 @@ object LlmQueries {
        |    COALESCE(nt.new_tokens, 0) AS new_tokens
        |  FROM ds LEFT JOIN nt ON ds.bucket = nt.bucket)
        |SELECT bucket, n_docs, n_tokens, new_tokens,
-       |  SUM(n_docs) OVER w AS docs_cum,
-       |  SUM(n_tokens) OVER w AS tokens_cum,
-       |  SUM(new_tokens) OVER w AS vocab_cum
+       |  CAST(SUM(n_docs) OVER w AS BIGINT) AS docs_cum,
+       |  CAST(SUM(n_tokens) OVER w AS BIGINT) AS tokens_cum,
+       |  CAST(SUM(new_tokens) OVER w AS BIGINT) AS vocab_cum
        |FROM j WINDOW w AS (ORDER BY bucket
        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
        |ORDER BY bucket""".stripMargin
@@ -3110,7 +3126,8 @@ object LlmQueries {
          |fl AS (SELECT lang, COUNT(*) AS n_dup_docs FROM q
          |  WHERE digest IN (SELECT digest FROM dup) GROUP BY lang),
          |tt AS (SELECT SUM(n_tokens) AS tok_all FROM q),
-         |g AS (SELECT lang, COUNT(*) AS n_docs, SUM(n_tokens) AS n_tokens,
+         |g AS (SELECT lang, COUNT(*) AS n_docs,
+         |    CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
          |    CAST(SUM(q6) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
          |      AS mean_quality
          |  FROM q GROUP BY lang)
@@ -3131,7 +3148,8 @@ object LlmQueries {
         |  FROM st, tt),
         |lo AS (SELECT 100 - SUM(base) AS lo FROM al),
         |a2 AS (SELECT lang, source, n_docs,
-        |    least(n_docs, base + CASE WHEN rk <= lo.lo THEN 1 ELSE 0 END)
+        |    CAST(least(n_docs, base
+        |      + CASE WHEN rk <= lo.lo THEN 1 ELSE 0 END) AS BIGINT)
         |      AS allocated
         |  FROM al, lo),
         |rn AS (SELECT d.*, ROW_NUMBER() OVER (PARTITION BY lang, source

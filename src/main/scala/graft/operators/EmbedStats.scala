@@ -324,7 +324,15 @@ object EmbedStats {
   }
 
   /** The terminal half of [[diversityByLabel]]: per-label rows plus the
-    * "all" fold, one pinned IEEE division sequence per row. */
+    * "all" fold, one pinned IEEE division sequence per row.
+    *
+    * "all" is a RESERVED label (the synthetic corpus-wide fold row):
+    * an input label with that exact string value would surface as a
+    * second, indistinguishable "all" row. Contract, not runtime check —
+    * an eager filter-scan here would re-trigger the whole upstream
+    * moments pass (corpus-sized at scale) just to police a label
+    * collision; callers with free-form string labels must exclude or
+    * rename "all" before calling. */
   def diversityFromMoments(perLabel: DataFrame, dim: Int): DataFrame = {
     val allAggs: Seq[Column] =
       sum("n").as("n") +:

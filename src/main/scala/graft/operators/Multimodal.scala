@@ -704,10 +704,16 @@ object Multimodal {
         val sz = parseOctal(p, off + 124, 12)
         if (sz < 0) return fail
         val db = (sz + 511) / 512
+        // Seek in Long space: a crafted 12-digit octal size (up to
+        // ~6.8e10) would overflow `db.toInt * 512` and drive off
+        // negative — fail clean on any size that seeks past the end
+        // instead of indexing out of bounds.
+        val nextOff = off.toLong + 512L + db * 512L
+        if (nextOff > p.length) return fail
         n += 1
         total += sz
         blocks += db
-        off += 512 + db.toInt * 512
+        off = nextOff.toInt
       }
       fail // unreachable
     }

@@ -1203,25 +1203,39 @@ object Relational {
     * weight by duration, not tick count — vs q1/q55's per-row means).
     * Weight = microseconds to the successor (lead); the last event has
     * no successor and carries zero weight (pinned rule — dropped from
-    * the average). Numerator Σ(value·w) accumulates as exact
-    * DECIMAL(12,2)×BIGINT products and denominator Σw as BIGINT —
-    * order-free at any partitioning, no IEEE window-sum ambiguity —
-    * and the single terminal division is one IEEE op both engines
-    * replay. ONE shuffle: the lead window and the user groupBy share
+    * the average). Numerator Σ(cents·w) accumulates as exact
+    * DECIMAL(38,0) integer-cent×µs products and denominator Σw as
+    * BIGINT — order-free at any partitioning, no IEEE window-sum
+    * ambiguity. The quotient is pinned to an exact 10⁻⁶-dollar grid:
+    * `twap_e6 = (num·10⁴) div held_us` is an exact integral division
+    * on both engines (Spark div = BigDecimal.divideToIntegralValue;
+    * DuckDB // on HUGEINT — all operands positive, so trunc ≡ floor),
+    * and `twap = twap_e6 / 10⁶` is ONE IEEE division of two
+    * exactly-representable operands — bit-identical everywhere, unlike
+    * the raw num/den double quotient (demonstrably 1 ulp apart between
+    * engines). ONE shuffle: the lead window and the user groupBy share
     * the user-key hash partitioning (PlanAuditSpec-guarded). */
   def q66Twap(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("us", "event_id")
     events(s, dir)
       .select(col("user_id"), unix_micros(col("ts")).as("us"),
-        col("event_id"), dec(col("value")).as("v"))
+        col("event_id"),
+        (dec(col("value")) * lit(100)).cast(LongType).as("v_cents"))
       .withColumn("nxt", lead("us", 1).over(w))
       .filter(col("nxt").isNotNull)
       .withColumn("wt", col("nxt") - col("us"))
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_held"),
         sum(col("wt")).as("held_us"),
-        (sum(col("v") * col("wt")).cast(DoubleType) /
-          sum(col("wt")).cast(DoubleType)).as("twap"))
+        // cents cast to DECIMAL(20,0) BEFORE the µs multiply: the
+        // per-row product can graze Long.Max at year-long gaps, and
+        // the corpus sum certainly overflows long at scale.
+        sum(col("v_cents").cast(DecimalType(20, 0)) * col("wt"))
+          .as("num_cents"))
+      .withColumn("twap_e6", expr("(num_cents * 10000) div held_us"))
+      .select(col("user_id"), col("n_held"), col("held_us"),
+        col("twap_e6"),
+        (col("twap_e6").cast(DoubleType) / lit(1000000.0)).as("twap"))
       .orderBy("user_id")
   }
 
@@ -1370,9 +1384,22 @@ object Relational {
     * the same query over the unpartitioned source is the oracle). At
     * 100 TB this is the date/source-sliced query reading only its
     * slice of the corpus. */
+  /** Scratch path for queries that must WRITE a layout before reading
+    * it back (q71/q72/q73) — keyed by the md5 of the full dataset dir
+    * (hashCode could collide two different dirs into one scratch,
+    * mixing batches mid-read). Deliberately stable per (tag, dir), not
+    * per-invocation: Spark reads the path lazily AFTER the builder
+    * returns, so the dir must outlive the call; reruns just overwrite
+    * with identical content. */
+  private def scratchDir(tag: String, dir: String): String = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_${tag}_$key").getAbsolutePath
+  }
+
   def q71PartitionPruning(s: SparkSession, dir: String): DataFrame = {
-    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft_q71_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+    val path = scratchDir("q71", dir)
     graft.sources.Bucketed.writePartitioned(
       events(s, dir).select(col("event_id"), col("user_id"),
         unix_timestamp(col("ts")).as("es"), col("value"), col("event_type")),
@@ -1395,8 +1422,7 @@ object Relational {
     * end to end: schema resolution at READ time — at 100 TB you never
     * rewrite history to add a column. */
   def q72SchemaEvolution(s: SparkSession, dir: String): DataFrame = {
-    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft_q72_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+    val path = scratchDir("q72", dir)
     val o = t(s, dir, "orders")
     o.filter(year(col("o_orderdate")) <= 1995)
       .select(col("o_orderkey"), dec(col("o_totalprice")).as("price"))
@@ -1421,8 +1447,7 @@ object Relational {
     * the job; the oracle recomputes the verdict per row from the
     * corruption rule. */
   def q73CorruptRecords(s: SparkSession, dir: String): DataFrame = {
-    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft_q73_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+    val path = scratchDir("q73", dir)
     val js = t(s, dir, "documents")
       .select(col("doc_id"),
         to_json(struct(col("doc_id"), col("lang"), col("n_chars"))).as("j"))
@@ -1610,8 +1635,8 @@ object Relational {
     "q73_corrupt_records" ->
       """SELECT CASE WHEN doc_id % 7 = 0 THEN '_corrupt' ELSE lang END AS grp,
         |  COUNT(*) AS n,
-        |  SUM(CASE WHEN doc_id % 7 = 0 THEN NULL ELSE n_chars END)
-        |    AS sum_chars
+        |  CAST(SUM(CASE WHEN doc_id % 7 = 0 THEN NULL ELSE n_chars END)
+        |    AS BIGINT) AS sum_chars
         |FROM documents GROUP BY 1 ORDER BY grp""".stripMargin,
     // q71: the same aggregate over the UNPARTITIONED source — the hash
     // match proves the pruned layout changed file reads, not results
@@ -1707,21 +1732,29 @@ object Relational {
         |  AND b.price <= a.price AND b.size >= a.size
         |  AND (b.price < a.price OR b.size > a.size))
         |ORDER BY p_brand, price, size""".stripMargin,
-    // q66: identical successor weights (lead), exact DECIMAL×BIGINT
-    // numerator + BIGINT denominator sums, one IEEE terminal division
+    // q66: identical successor weights (lead), exact integer-cent×µs
+    // HUGEINT numerator + BIGINT denominator sums, the identical
+    // integral division onto the 10⁻⁶-dollar grid (// ≡ Spark div for
+    // positive operands), one exactly-representable IEEE division
     "q66_twap" ->
       """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
-        |    event_id, CAST(value AS DECIMAL(12,2)) AS v FROM events),
-        |l AS (SELECT user_id, us, event_id, v,
+        |    event_id,
+        |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS v_cents
+        |  FROM events),
+        |l AS (SELECT user_id, us, event_id, v_cents,
         |    LEAD(us, 1) OVER (PARTITION BY user_id
         |      ORDER BY us, event_id) AS nxt
-        |  FROM e)
-        |SELECT user_id, COUNT(*) AS n_held,
-        |  SUM(nxt - us) AS held_us,
-        |  CAST(SUM(v * (nxt - us)) AS DOUBLE)
-        |    / CAST(SUM(nxt - us) AS DOUBLE) AS twap
-        |FROM l WHERE nxt IS NOT NULL
-        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+        |  FROM e),
+        |g AS (SELECT user_id, COUNT(*) AS n_held,
+        |    CAST(SUM(nxt - us) AS BIGINT) AS held_us,
+        |    SUM(CAST(v_cents AS HUGEINT) * (nxt - us)) AS num_cents
+        |  FROM l WHERE nxt IS NOT NULL GROUP BY user_id)
+        |SELECT user_id, n_held, held_us,
+        |  CAST((num_cents * 10000) // NULLIF(held_us, 0) AS BIGINT)
+        |    AS twap_e6,
+        |  CAST(CAST((num_cents * 10000) // NULLIF(held_us, 0) AS BIGINT)
+        |    AS DOUBLE) / 1000000.0 AS twap
+        |FROM g ORDER BY user_id""".stripMargin,
     // q64: identical pinned rule — exact DECIMAL running/total weights,
     // qualifier suffix read back as MIN(price)
     "q64_weighted_median" ->
@@ -1766,7 +1799,7 @@ object Relational {
         |    MAX(ee) AS m_end, COUNT(*) AS n_events
         |  FROM isl GROUP BY user_id, island)
         |SELECT user_id, COUNT(*) AS n_intervals,
-        |  SUM(m_end - m_start) AS covered_s,
+        |  CAST(SUM(m_end - m_start) AS BIGINT) AS covered_s,
         |  MAX(m_end - m_start) AS longest_s,
         |  MAX(n_events) AS max_merged
         |FROM mg GROUP BY user_id ORDER BY user_id""".stripMargin,

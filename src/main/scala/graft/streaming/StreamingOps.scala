@@ -798,7 +798,15 @@ object StreamingOps {
     * chunks — exactly what CDC boundaries exist to surface), then its
     * own digests fold into the index. State grows with DISTINCT corpus
     * chunks (the S8/d9 index posture, documented), not with stream
-    * length times text size. */
+    * length times text size.
+    *
+    * Intra-batch blindness, pinned: "corpus-so-far" means the index AS
+    * OF THE PREVIOUS trigger — docs in the SAME micro-batch never see
+    * each other's digests (verdicts are computed against `state`
+    * before the batch folds in), so an original and its near-copy
+    * arriving in one trigger both report known_frac 0 and the copy is
+    * flagged only from the NEXT batch on. Same-batch mutual dedup is
+    * d17's batch job, not this operator's contract. */
   def streamingCdcDedup(docs: DataFrame, idCol: String, textCol: String,
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.AvailableNow())(

@@ -1392,7 +1392,51 @@ object TypeQueries {
     g.groupBy("flag").agg(aggs.head, aggs.tail: _*).orderBy("flag")
   }
 
+  // ---- T59: user-registered cast kernel end-to-end --------------------------
+  /** The reference's arbitrary-callable conversion hook — `cast(...,
+    * call=fn)` (convert/arguments.py:1424) and the `@register` custom
+    * type tutorial (types/base docs) — exercised END TO END through the
+    * public path: [[TypeRegistry.register]] installs a user type
+    * (`t59_money`: dollars → integer cents) with a deliberately coarse
+    * first kernel (whole-dollar cents), [[TypeRegistry.overrideCast]]
+    * replaces it with the exact-cents kernel (most-recent registration
+    * wins — dispatch.py:2453 precedence), and a second registered spec
+    * (`t59_clamp50`) carries pure call-semantics a plain type cast
+    * can't express. Both columns flow through `Column.castTo`, which
+    * consults the registry BEFORE the builtin kernels; a builtin cast
+    * rides alongside to show the two paths compose in one projection.
+    *
+    * Kernels are Column→Column — they inline into the SAME
+    * whole-stage-codegen projection as the builtins (registration is a
+    * plan-build-time lookup, zero runtime dispatch), so the user hook
+    * costs nothing at 100 TB. Registration is idempotent per-JVM;
+    * specs are t59-prefixed so the global registry can't collide with
+    * other queries. */
+  def t59CustomCast(s: SparkSession, dir: String): DataFrame = {
+    import graft.syntax._
+    // @register: user money type, first with the coarse kernel ...
+    TypeRegistry.register(GCustom("t59_money", LongType, "integer"),
+      Seq("t59_money"),
+      Some(c => (c.cast(DecimalType(12, 0)) * 100).cast(LongType)))
+    // ... then cast(call=fn): the exact-cents kernel overrides it
+    // (most-recent wins; OverrideCastSpec pins the precedence order).
+    TypeRegistry.overrideCast("t59_money",
+      c => (c.cast(DecimalType(12, 2)) * 100).cast(LongType))
+    // a pure-callable spec: clamp to [0, 50] — not a physical cast
+    TypeRegistry.register(GCustom("t59_clamp50", LongType, "integer"),
+      Seq("t59_clamp50"),
+      Some(c => least(greatest(c, lit(0L)), lit(50L)).cast(LongType)))
+    t(s, dir, "orders").select(col("o_orderkey"),
+      col("o_totalprice").castTo("t59_money").as("cents"),
+      (col("o_orderkey") % 80).castTo("t59_clamp50").as("clamp50"),
+      col("o_totalprice").castTo("int32",
+        CastOptions(rounding = Some("half_even")),
+        from = DoubleType).as("dollars_i32"))
+      .orderBy("o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t59_custom_cast" -> t59CustomCast _,
     "t56_kleene_bool" -> t56KleeneBool _,
     "t58_business_days" -> t58BusinessDays _,
     "t57_query_predicates" -> t57QueryPredicates _,
@@ -1556,6 +1600,18 @@ object TypeQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // t59: the registered kernels replayed as plain SQL — the exact
+    // OVERRIDING cents kernel (proving the override, not the original
+    // coarse registration, is what castTo consulted), the clamp
+    // callable, and t4's proven half_even device for the builtin leg
+    "t59_custom_cast" ->
+      s"""SELECT o_orderkey,
+         |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+         |    AS cents,
+         |  CAST(LEAST(o_orderkey % 80, 50) AS BIGINT) AS clamp50,
+         |  CAST(${roundSql("o_totalprice", "half_even", 0)} AS INTEGER)
+         |    AS dollars_i32
+         |FROM orders ORDER BY o_orderkey""".stripMargin,
     // t58: the same closed forms in DuckDB integer arithmetic — the
     // weekday index from the epoch ordinal on both engines, never from
     // each engine's own week-start convention
@@ -1627,7 +1683,7 @@ object TypeQueries {
       val rows = wheres.map { case (p, w) =>
         val lbl = p.replace("'", "''")
         s"""SELECT '$lbl' AS predicate,
-           |  SUM(CASE WHEN $w THEN 1 ELSE 0 END) AS n_rows,
+           |  CAST(SUM(CASE WHEN $w THEN 1 ELSE 0 END) AS BIGINT) AS n_rows,
            |  COALESCE(CAST(SUM(CASE WHEN $w
            |    THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE), 0.0)
            |    AS qty_total
@@ -1971,8 +2027,9 @@ object TypeQueries {
         |m AS (SELECT priority, f, o, p, f + o + p AS rt FROM w
         |  UNION ALL
         |  SELECT 'All', SUM(f), SUM(o), SUM(p), SUM(f + o + p) FROM w)
-        |SELECT priority, f AS f_cnt, o AS o_cnt, p AS p_cnt,
-        |  rt AS row_total,
+        |SELECT priority, CAST(f AS BIGINT) AS f_cnt, CAST(o AS BIGINT) AS o_cnt,
+        |  CAST(p AS BIGINT) AS p_cnt,
+        |  CAST(rt AS BIGINT) AS row_total,
         |  ROUND(CAST(f AS DOUBLE) / rt, 6) AS f_share,
         |  ROUND(CAST(o AS DOUBLE) / rt, 6) AS o_share,
         |  ROUND(CAST(p AS DOUBLE) / rt, 6) AS p_share

@@ -38,6 +38,39 @@ class PlanAuditSpec extends AnyFunSuite {
       "x33_vocab_growth", // ONE broadcast row of id bounds rides the scan (twice)
       "x35_good_turing") // ONE broadcast row of the token total rides the ≤10-row grid
 
+  // Queries whose plans contain an UNPARTITIONED window — a global
+  // window funnels every row into ONE task, fatal at corpus scale, so
+  // each entry documents the bound that makes it safe (the input is a
+  // derived table whose size is fixed by construction, never
+  // corpus-proportional). This is the standing answer to the
+  // `WindowExec: No Partition Defined` warnings Verify logs: they are
+  // bounded by construction, enumerated and guarded here.
+  private val globalWindowOk: Map[String, String] = Map(
+    "q16_groupagg_topk" -> "rank over the 20-row TakeOrderedAndProject result",
+    "x33_vocab_growth" -> "cumulative sums over the fixed 20-bucket growth curve",
+    "x29_stratified_split" -> "remainder ranking over the lang×source strata table",
+    "x35_good_turing" -> "adjacent-count lookup over the r<=maxR count-of-counts grid",
+    "s6_hybrid_rrf" -> "fused-score rank over the per-query k-bounded candidate union",
+    "t51_factorize" -> "first-appearance codes over the event-type-cardinality dictionary",
+    "t16_sparse" -> "dictionary codes over the distinct-value table (categorical contract)",
+    "t26_sparse_compute" -> "dictionary codes over the distinct-value table (categorical contract)",
+    "t46_sparse_categorical" -> "dictionary codes over the distinct-value table (categorical contract)")
+
+  test("unpartitioned windows only over provably bounded inputs") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
+      SparkEntry.queries(name)(spark, sf).queryExecution.optimizedPlan
+        .collect { case w: LWindow if w.partitionSpec.isEmpty => w }
+        .nonEmpty
+    }.toSet
+    val undocumented = offenders -- globalWindowOk.keySet
+    val stale = globalWindowOk.keySet -- offenders
+    assert(undocumented.isEmpty,
+      s"undocumented global windows (add a bound justification): $undocumented")
+    assert(stale.isEmpty,
+      s"allowlist entries with no global window anymore: $stale")
+  }
+
   test("no query plan contains a cartesian product") {
     SparkEntry.queries.keys.foreach { name =>
       assert(!plan(name).contains("CartesianProduct"),

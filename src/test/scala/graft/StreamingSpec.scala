@@ -688,8 +688,16 @@ class StreamingSpec extends AnyFunSuite {
     q.processAllAvailable()
     mem.addData(2L -> (s + " zz qq"), 3L -> fresh)
     q.processAllAvailable()
+    // intra-batch blindness (pinned contract): an original and its
+    // exact copy arriving in the SAME trigger are judged against the
+    // index as of the PREVIOUS trigger — neither sees the other, so a
+    // never-seen text reports 0 for BOTH even though its twin sits in
+    // the same batch (same-batch mutual dedup is d17's batch job)
+    val unseen = words.map(_.toUpperCase).mkString(" ") * 6
+    mem.addData(4L -> unseen, 5L -> unseen)
+    q.processAllAvailable()
     q.stop()
-    assert(batches.length == 2)
+    assert(batches.length == 3)
     // first sight of doc 1: nothing known yet
     assert(batches(0)(1L)._2 == 0L)
     val (n2, known2, frac2) = batches(1)(2L)
@@ -697,6 +705,10 @@ class StreamingSpec extends AnyFunSuite {
     assert(n2 >= 3 && known2 >= n2 - 1, s"near-copy missed: $known2/$n2")
     assert(frac2 > 0.5)
     assert(batches(1)(3L)._2 == 0L) // genuinely new content: nothing known
+    // both copies of the never-seen text report 0 known chunks: the
+    // verdict is computed against the pre-batch index only
+    assert(batches(2)(4L)._2 == 0L && batches(2)(5L)._2 == 0L)
+    assert(batches(2)(4L)._3 == 0.0 && batches(2)(5L)._3 == 0.0)
   }
 
   test("S17: streaming top-k heap fold across triggers matches batch") {

@@ -57,18 +57,21 @@ class TimeSeriesSkylineSpec extends AnyFunSuite {
       else {
         val num = held.map { case (c, w) => c * w }.sum
         val den = held.map(_._2).sum
-        Some(uid -> ((BigDecimal(num) / 100).toDouble / den.toDouble,
-          den.toLong, held.size.toLong))
+        // the pinned 10⁻⁶-dollar grid: floor((Σcents·µs · 10⁴) / Σµs),
+        // then ONE IEEE division — must reproduce the query EXACTLY
+        val e6 = (num * 10000) / den
+        Some(uid -> ((e6, e6.toDouble / 1e6, den.toLong, held.size.toLong)))
       }
     }
     val got = relational.Relational.q66Twap(spark, sf)
-      .select("user_id", "twap", "held_us", "n_held")
-      .as[(Long, Double, Long, Long)].collect()
+      .select("user_id", "twap_e6", "twap", "held_us", "n_held")
+      .as[(Long, Long, Double, Long, Long)].collect()
     assert(got.length == expect.size)
-    got.foreach { case (uid, twap, heldUs, n) =>
-      val (etwap, eheld, en) = expect(uid)
+    got.foreach { case (uid, e6, twap, heldUs, n) =>
+      val (ee6, etwap, eheld, en) = expect(uid)
       assert(heldUs == eheld && n == en, s"user $uid weights")
-      assert(math.abs(twap - etwap) < 1e-9, s"user $uid twap $twap != $etwap")
+      assert(BigInt(e6) == ee6, s"user $uid twap_e6 $e6 != $ee6")
+      assert(twap == etwap, s"user $uid twap $twap != $etwap")
     }
   }
 

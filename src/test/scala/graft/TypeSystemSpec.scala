@@ -84,6 +84,29 @@ class TypeResolverSpec extends AnyFunSuite {
     // the builtin kernel is restored once the override is dropped
     assert(run() == before)
   }
+
+  test("t59 kernels: registration then override, end-to-end via castTo") {
+    // the t59_custom_cast device in miniature (distinct spec name so
+    // the registry never collides with the registered query)
+    import graft.syntax._
+    import TestSpark.spark.implicits._
+    val df = Seq(12.34, 0.05).toDF("p")
+    TypeRegistry.register(GCustom("t59s_money", LongType, "integer"),
+      Seq("t59s_money"),
+      Some(c => (c.cast(DecimalType(12, 0)) * 100).cast(LongType)))
+    try {
+      // the coarse registration kernel is what castTo consults first
+      val coarse = df.select($"p".castTo("t59s_money")).as[Long].collect()
+      assert(coarse.toSeq == Seq(1200L, 0L))
+      // cast(call=fn): the override replaces it, most-recent wins
+      TypeRegistry.overrideCast("t59s_money",
+        c => (c.cast(DecimalType(12, 2)) * 100).cast(LongType))
+      val exact = df.select($"p".castTo("t59s_money")).as[Long].collect()
+      assert(exact.toSeq == Seq(1234L, 5L))
+    } finally TypeRegistry.unregister("t59s_money")
+    // unregistered: the spec no longer resolves at all
+    intercept[IllegalArgumentException](TypeResolver.resolve("t59s_money"))
+  }
 }
 
 class RoundingSpec extends AnyFunSuite {

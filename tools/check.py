@@ -13,6 +13,10 @@ import pyarrow.parquet as pq
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 OUT = Path(sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify")
 RUN_SPARK = "--no-spark" not in sys.argv
+# --strict: compare floats at FULL precision (repr) instead of .10g —
+# catches sub-10-digit engine divergence (e.g. a 1-ulp terminal
+# division) that the default normalization hides.
+STRICT = "--strict" in sys.argv
 ONLY = None  # --only=q45_merge_upsert,q46_x : restrict spark run + compare
 for a in sys.argv:
     if a.startswith("--only="):
@@ -42,7 +46,7 @@ def norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        return f"{v:.10g}"
+        return repr(v) if STRICT else f"{v:.10g}"
     if isinstance(v, bytes):
         return v.hex()
     return str(v)
