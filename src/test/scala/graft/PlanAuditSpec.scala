@@ -38,6 +38,28 @@ class PlanAuditSpec extends AnyFunSuite {
       "x33_vocab_growth", // ONE broadcast row of id bounds rides the scan (twice)
       "x35_good_turing") // ONE broadcast row of the token total rides the ≤10-row grid
 
+  // The round-7 lesson, pinned as a standing guard: the driver's
+  // hash-compare only provably round-trips plain scalar types (the 11
+  // round-6 failures were all DuckDB HUGEINT at the oracle's output
+  // position). Both sides of the gate stay on this boundary — the
+  // oracle side is swept by tools (CAST AS BIGINT everywhere); this
+  // pins the SPARK side: no Decimal/Float/Array/Struct/Map ever
+  // reaches a registered query's output schema.
+  test("output schemas stay on the driver-comparable type boundary") {
+    import org.apache.spark.sql.types._
+    SparkEntry.queries.foreach { case (name, fn) =>
+      fn(spark, sf).schema.fields.foreach { f =>
+        val ok = f.dataType match {
+          case LongType | IntegerType | ShortType | ByteType | DoubleType |
+               StringType | BooleanType | DateType | TimestampType |
+               TimestampNTZType => true
+          case _ => false
+        }
+        assert(ok, s"$name.${f.name}: ${f.dataType} crosses the gate boundary")
+      }
+    }
+  }
+
   // Queries whose plans contain an UNPARTITIONED window — a global
   // window funnels every row into ONE task, fatal at corpus scale, so
   // each entry documents the bound that makes it safe (the input is a

@@ -72,9 +72,22 @@ for name in sorted((set(oracle) | names) if ONLY is None else ONLY):
         n_pass += ok; n_fail += not ok
         continue
     try:
-        cur = con.execute(oracle[name])
-        ocols = [d[0] for d in cur.description]
-        orows = cur.fetchall()
+        rel = con.sql(oracle[name])
+        ocols = list(rel.columns)
+        # Boundary guard (the round-6 lesson): HUGEINT/DECIMAL/FLOAT at
+        # an oracle's OUTPUT position round-trips differently through
+        # downstream fetch paths than through fetchall — the 11
+        # round-6 driver failures were exactly the queries with an
+        # uncast SUM(bigint) (→ HUGEINT) at output. Only plain types
+        # may cross the compare boundary.
+        bad = [f"{c}:{t}" for c, t in zip(ocols, rel.types)
+               if str(t) in ("HUGEINT", "UHUGEINT", "FLOAT")
+               or str(t).startswith("DECIMAL")]
+        if bad:
+            print(f"FAIL {name}: non-boundary oracle output types {bad}")
+            n_fail += 1
+            continue
+        orows = rel.fetchall()
     except Exception as e:
         print(f"FAIL {name}: oracle error {e}")
         n_fail += 1
