@@ -761,3 +761,76 @@ object CdcChunkDigests {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 }
+
+/** Σ round₉(p·ln p) over the code-point (order=1) or code-point-BIGRAM
+  * (order=2) distribution of a string, as an exact 10⁻⁹ integer
+  * ("nanos") — the Shannon-entropy kernel behind x37, fused into ONE
+  * compiled pass (histogram by sorted-run counting over a primitive
+  * key array; no per-position row explosion — the d17/CdcChunkDigests
+  * posture, so text never shuffles and the corpus is scanned once).
+  *
+  * Cross-engine exactness contract: each gram's term p·ln p is rounded
+  * HALF-UP (away from zero, the Spark `round`/DuckDB `ROUND` rule, via
+  * the same canonical-string decimal expansion Spark's Round uses)
+  * to 9 dp BEFORE accumulating, so summation order is irrelevant and
+  * the oracle's order-free decimal SUM over identically-rounded terms
+  * reproduces the long bit-for-bit (the x24/x32 round-9 device).
+  * Entropy in bits derives OUTSIDE as nanos / -10⁹ / ln2-literal — two
+  * IEEE ops on exactly-representable operands, replayed verbatim in
+  * SQL. Empty/too-short input → 0 (matches the oracle's empty gram
+  * set; a single repeated gram has p = 1, ln 1 = 0). */
+case class TextEntropyNanos(child: Expression, order: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_text_entropy_nanos"
+
+  override def nullSafeEval(v: Any): Any =
+    TextEntropyNanos.compute(v.asInstanceOf[UTF8String], order)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.TextEntropyNanos.compute($c, $order)")
+
+  override protected def withNewChildInternal(newChild: Expression): TextEntropyNanos =
+    copy(child = newChild)
+}
+
+object TextEntropyNanos {
+  def compute(s: UTF8String, order: Int): Long = {
+    val cps = s.toString.codePoints().toArray
+    val n = if (order == 1) cps.length else cps.length - 1
+    if (n <= 0) return 0L
+    // gram keys: the code point itself, or (cp1 << 21) | cp2 — both
+    // injective (code points fit 21 bits); sort + run-count beats a
+    // hash map (no boxing, deterministic, one primitive array)
+    val keys = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      keys(i) =
+        if (order == 1) cps(i).toLong
+        else (cps(i).toLong << 21) | cps(i + 1).toLong
+      i += 1
+    }
+    java.util.Arrays.sort(keys)
+    val nd = n.toDouble
+    var nanos = 0L
+    var start = 0
+    i = 1
+    while (i <= n) {
+      if (i == n || keys(i) != keys(start)) {
+        val p = (i - start).toDouble / nd
+        val term = p * Math.log(p)
+        // valueOf (canonical-string expansion) + HALF_UP 9dp: the same
+        // rounding Spark's round(col, 9) applies, which the strict
+        // drives prove coincides with DuckDB's ROUND on these terms
+        nanos += java.math.BigDecimal.valueOf(term)
+          .setScale(9, java.math.RoundingMode.HALF_UP)
+          .movePointRight(9).longValueExact()
+        start = i
+      }
+      i += 1
+    }
+    nanos
+  }
+}

@@ -4,6 +4,7 @@ import graft.Tables._
 import graft.operators._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 /** SURVEY §2 L1–L12: LLM-training-data pipeline operators over the
   * `documents` and `embeddings` tables. */
@@ -286,6 +287,65 @@ object LlmQueries {
         coalesce(col("n_dup_docs"), lit(0L)).as("n_dup_docs"))
       .orderBy("lang")
   }
+
+  // ---- L91: character-entropy quality signal -------------------------------
+  /** Per-document Shannon entropy of the character and character-BIGRAM
+    * distributions, in bits — the compression-style quality signal the
+    * x2/x18 ratio rules don't carry: keyboard mash, repeated
+    * boilerplate, and template spam all collapse character entropy
+    * (and bigram entropy separates "rich alphabet, repetitive
+    * sequence" from genuinely diverse text), while natural language
+    * sits in a stable band per script. `low_entropy` flags docs under
+    * a pinned 3.5-bit unigram threshold.
+    *
+    * Scale shape: the [[graft.expressions.TextEntropyNanos]] kernel
+    * computes each doc's term sum in ONE compiled pass over the text
+    * (primitive sort + run-count histogram — no per-character row
+    * explosion, text never shuffles; the d17 kernel posture). The
+    * cross-engine contract is exact: per-gram terms round to 9 dp
+    * before an order-free sum (x24's device), so the oracle's
+    * explode-and-aggregate replay matches the fused kernel
+    * bit-for-bit, and the bits conversion is two pinned IEEE ops. */
+  def x37Entropy(s: SparkSession, dir: String): DataFrame = {
+    val ln2 = 0.6931471805599453 // Math.log(2), pinned as a literal
+    t(s, dir, "documents")
+      .select(col("doc_id"), length(col("text")).as("n_chars_m"),
+        TextAnalysis.entropyNanos(col("text"), 1).as("uni_nanos"),
+        TextAnalysis.entropyNanos(col("text"), 2).as("bi_nanos"))
+      .withColumn("uni_bits",
+        col("uni_nanos").cast(DoubleType) / lit(-1.0e9) / lit(ln2))
+      .withColumn("bi_bits",
+        col("bi_nanos").cast(DoubleType) / lit(-1.0e9) / lit(ln2))
+      .withColumn("low_entropy", col("uni_bits") < lit(3.5))
+      .orderBy("doc_id")
+  }
+
+  // ---- P5: dataset mixing-plan solver --------------------------------------
+  /** The data-budget solver run BEFORE a pretraining mixture is fixed
+    * (the LLaMA/DoReMi-style mixing table): given per-source available
+    * tokens, integer target-weight units u_s (pinned: source ordinal
+    * mod 4, plus 1), and a hard epoch cap E=4, find the largest total
+    * budget T* every source can serve within its cap —
+    * T* = min_s ⌊avail_s·E·U / u_s⌋ (U = Σu) — then each source's
+    * allocation ⌊u_s·T* / U⌋, its implied epoch count on the 10⁻⁶ grid,
+    * and whether it BINDS the budget (its cap attains the min — the
+    * source more of which would let the whole mix grow).
+    *
+    * Entirely integer arithmetic (products staged through
+    * DECIMAL(38,0) so no scale overflows, integral division both
+    * engines replay exactly; epochs = one exactly-representable IEEE
+    * division). Scale shape: ONE corpus scan → source-cardinality
+    * aggregate; the two scalars (U, T*) ride 1-row broadcast crosses
+    * over the tiny source table — the corpus is never touched again. */
+  def p5MixingPlan(s: SparkSession, dir: String): DataFrame =
+    Sampling.mixingPlan(
+      t(s, dir, "documents")
+        .select(col("source"),
+          size(TextAnalysis.tokens(col("text"))).cast(LongType).as("n_tokens"))
+        .groupBy("source").agg(sum("n_tokens").as("avail"))
+        .withColumn("u",
+          regexp_extract(col("source"), "(\\d+)", 1).cast(LongType) % 4 + 1),
+      cap = 4L)
 
   // ---- L78: quality-threshold yield curve -----------------------------------
   /** The yield-vs-quality TRADE for x2's composite score — doc and
@@ -1700,6 +1760,8 @@ object LlmQueries {
     "p1_curate" -> p1Curate _,
     "p2_curate_incremental" -> p2CurateIncremental _,
     "p3_build_shard" -> p3BuildShard _,
+    "p5_mixing_plan" -> p5MixingPlan _,
+    "x37_entropy" -> x37Entropy _,
     "d1_exact_dedup" -> d1ExactDedup _,
     "d2_minhash_lsh" -> d2MinhashLsh _,
     "d3_simhash" -> d3Simhash _,
@@ -2871,7 +2933,77 @@ object LlmQueries {
         |FROM g JOIN st USING (gram) GROUP BY g.source
         |ORDER BY g.source""".stripMargin,
     "e14_pca_variance" -> e14OracleSql,
+    // p5: the identical integer solver — HUGEINT products, // floor
+    // division (≡ Spark div on positives), BIGINT outputs, one
+    // exactly-representable terminal IEEE division for epochs
+    "p5_mixing_plan" ->
+      s"""WITH d AS (SELECT source, CAST($qToksSql AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |av AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS avail
+         |  FROM d GROUP BY source),
+         |au AS (SELECT source, avail,
+         |    CAST(regexp_extract(source, '(\\d+)', 1) AS BIGINT) % 4 + 1 AS u
+         |  FROM av),
+         |tt AS (SELECT CAST(SUM(u) AS BIGINT) AS u_tot FROM au),
+         |tc AS (SELECT au.*, tt.u_tot,
+         |    CAST((CAST(avail AS HUGEINT) * 4 * u_tot) // u AS BIGINT)
+         |      AS t_cap
+         |  FROM au, tt),
+         |ts AS (SELECT MIN(t_cap) AS t_star FROM tc),
+         |fin AS (SELECT tc.*, ts.t_star,
+         |    CAST((CAST(u AS HUGEINT) * t_star) // u_tot AS BIGINT)
+         |      AS alloc_tokens
+         |  FROM tc, ts),
+         |f2 AS (SELECT *,
+         |    CAST((CAST(alloc_tokens AS HUGEINT) * 1000000) // avail
+         |      AS BIGINT) AS epochs_e6
+         |  FROM fin)
+         |SELECT source, u AS weight_units, avail AS avail_tokens,
+         |  alloc_tokens, epochs_e6,
+         |  CAST(epochs_e6 AS DOUBLE) / 1000000.0 AS epochs,
+         |  t_cap = t_star AS limiting
+         |FROM f2 ORDER BY source""".stripMargin,
     "x33_vocab_growth" -> x33OracleSql,
+    // x37: the kernel's term sum replayed declaratively — explode to
+    // (doc, gram) counts, identical round-9 terms (x24's decimal-sum
+    // device, order-free), nanos recovered exactly, the identical
+    // two-IEEE-op bits derivation with the SAME pinned ln2 literal
+    "x37_entropy" ->
+      """WITH ch AS (SELECT doc_id, string_split(text, '') AS cl
+        |  FROM documents),
+        |ug AS (SELECT doc_id, unnest(cl) AS g FROM ch),
+        |uc AS (SELECT doc_id, g, COUNT(*) AS c FROM ug GROUP BY 1, 2),
+        |un AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n
+        |  FROM uc GROUP BY 1),
+        |ue AS (SELECT uc.doc_id,
+        |    CAST(SUM(CAST(ROUND((c / n) * ln(c / n), 9) + 0.0
+        |      AS DECIMAL(20,9))) * 1000000000 AS BIGINT) AS uni_nanos
+        |  FROM uc JOIN un USING (doc_id) GROUP BY uc.doc_id),
+        |bi AS (SELECT doc_id, cl,
+        |    unnest(generate_series(1, len(cl) - 1)) AS i
+        |  FROM ch WHERE len(cl) >= 2),
+        |bg AS (SELECT doc_id,
+        |    cl[CAST(i AS INT)] || cl[CAST(i AS INT) + 1] AS g FROM bi),
+        |bc AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+        |bn AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n
+        |  FROM bc GROUP BY 1),
+        |be AS (SELECT bc.doc_id,
+        |    CAST(SUM(CAST(ROUND((c / n) * ln(c / n), 9) + 0.0
+        |      AS DECIMAL(20,9))) * 1000000000 AS BIGINT) AS bi_nanos
+        |  FROM bc JOIN bn USING (doc_id) GROUP BY bc.doc_id),
+        |j AS (SELECT d.doc_id, CAST(length(d.text) AS INT) AS n_chars_m,
+        |    COALESCE(ue.uni_nanos, 0) AS uni_nanos,
+        |    COALESCE(be.bi_nanos, 0) AS bi_nanos
+        |  FROM documents d LEFT JOIN ue USING (doc_id)
+        |  LEFT JOIN be USING (doc_id))
+        |SELECT doc_id, n_chars_m, uni_nanos, bi_nanos,
+        |  CAST(uni_nanos AS DOUBLE) / -1.0e9 / 0.6931471805599453e0
+        |    AS uni_bits,
+        |  CAST(bi_nanos AS DOUBLE) / -1.0e9 / 0.6931471805599453e0
+        |    AS bi_bits,
+        |  CAST(uni_nanos AS DOUBLE) / -1.0e9 / 0.6931471805599453e0 < 3.5
+        |    AS low_entropy
+        |FROM j ORDER BY doc_id""".stripMargin,
     "e13_diversity" -> e13OracleSql,
     "p3_build_shard" -> p3OracleSql,
     // m5: IFD-walk results recomputed arithmetically — header 8 +

@@ -190,4 +190,33 @@ object Sampling {
     ranked.filter(col("rn") <= k)
       .select(col(groupCol), col(idCol), col("w"), col("xi"))
   }
+
+  /** The mixing-plan SOLVER (p5's core, shared with streaming twin
+    * S26): given a per-source availability table `(source, avail, u)`
+    * — available tokens and integer target-weight units — and a hard
+    * epoch cap, compute the largest total budget T* every source can
+    * serve within its cap (min_s ⌊avail·cap·U / u⌋, U = Σu), each
+    * source's allocation ⌊u·T* / U⌋, its implied epoch count on the
+    * 10⁻⁶ grid, and the BINDING flag (its cap attains the min).
+    * All-integer arithmetic staged through DECIMAL(38,0) products +
+    * integral division; input is source-cardinality sized, so the two
+    * scalar crosses (U, T*) are 1-row broadcasts over a tiny table. */
+  def mixingPlan(avail: DataFrame, cap: Long = 4L): DataFrame = {
+    val tot = avail.agg(sum("u").as("u_tot"))
+    val base = avail.crossJoin(broadcast(tot))
+      .withColumn("t_cap",
+        expr(s"CAST(avail AS DECIMAL(38,0)) * $cap * u_tot div u"))
+    val tstar = base.agg(min("t_cap").as("t_star"))
+    base.crossJoin(broadcast(tstar))
+      .withColumn("alloc_tokens",
+        expr("CAST(u AS DECIMAL(38,0)) * t_star div u_tot"))
+      .withColumn("epochs_e6",
+        expr("CAST(alloc_tokens AS DECIMAL(38,0)) * 1000000 div avail"))
+      .select(col("source"), col("u").as("weight_units"),
+        col("avail").as("avail_tokens"), col("alloc_tokens"),
+        col("epochs_e6"),
+        (col("epochs_e6").cast("double") / lit(1000000.0)).as("epochs"),
+        (col("t_cap") === col("t_star")).as("limiting"))
+      .orderBy("source")
+  }
 }

@@ -229,6 +229,17 @@ object TextAnalysis {
       ColumnBridge.expression(Dedup.normText(text)), w))
   }
 
+  /** Character-distribution Shannon entropy term sum as exact 1e-9
+    * integer "nanos" — one fused compiled pass per doc (see
+    * [[graft.expressions.TextEntropyNanos]]); order 1 = code points,
+    * order 2 = code-point bigrams. Bits derive as
+    * nanos / -1e9 / ln2-literal (two pinned IEEE ops). */
+  def entropyNanos(text: Column, order: Int): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.expressions.TextEntropyNanos(
+      ColumnBridge.expression(text), order))
+  }
+
   /** Repetition-based quality signals, after the published Gopher
     * repetition rules (Rae et al. 2021, table A1) re-based on word
     * tokens: the fraction of token positions held by the single most

@@ -866,4 +866,43 @@ object StreamingOps {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
   }
+
+  /** S26: streaming mixing-plan monitor — p5's live half: as crawl
+    * batches arrive, per-source available-token totals fold into state
+    * (a semigroup sum — state is SOURCE-cardinality sized, never
+    * stream-length sized; text tokenizes once in its arrival batch and
+    * never re-shuffles) and each trigger re-derives the full
+    * [[graft.operators.Sampling.mixingPlan]] allocation table, so the
+    * mix operator watches T*, per-source epochs, and the BINDING
+    * source shift live as availability grows. After any prefix of
+    * batches the emitted table provably equals the batch solver over
+    * everything seen (the S24 fold-then-finish posture; spec-pinned). */
+  def streamingMixingPlan(docs: DataFrame, textCol: String,
+      sourceCol: String, cap: Long = 4L,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    var state: Option[DataFrame] = None
+    docs.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val counts = b.toDF()
+          .select(col(sourceCol).as("source"),
+            size(graft.operators.TextAnalysis.tokens(col(textCol)))
+              .cast("long").as("n_tokens"))
+          .groupBy("source").agg(sum("n_tokens").as("avail"))
+        val next = state.map(st => st.union(counts)
+            .groupBy("source").agg(sum("avail").as("avail")))
+          .getOrElse(counts).persist()
+        next.count()
+        state.foreach(_.unpersist())
+        state = Some(next)
+        sink(graft.operators.Sampling.mixingPlan(
+          next.withColumn("u",
+            regexp_extract(col("source"), "(\\d+)", 1).cast("long") % 4 + 1),
+          cap))
+        ()
+      }
+      .trigger(trigger)
+      .start()
+  }
 }

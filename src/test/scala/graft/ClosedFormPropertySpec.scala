@@ -112,4 +112,39 @@ class ClosedFormPropertySpec extends AnyFunSuite {
     assert(kernel("") == reference(""))   // empty → one empty chunk
     assert(kernel("ab") == reference("ab")) // below window
   }
+
+  test("TextEntropyNanos equals a map-based reference on 80 random strings") {
+    import graft.expressions.TextEntropyNanos
+    import org.apache.spark.unsafe.types.UTF8String
+    def reference(s: String, order: Int): Long = {
+      val cps = s.codePoints().toArray
+      val grams =
+        if (order == 1) cps.toSeq.map(_.toString)
+        else cps.toSeq.sliding(2).filter(_.size == 2).map(_.mkString(",")).toSeq
+      if (grams.isEmpty) 0L
+      else {
+        val n = grams.size.toDouble
+        grams.groupBy(identity).values.map { g =>
+          val p = g.size / n
+          java.math.BigDecimal.valueOf(p * Math.log(p))
+            .setScale(9, java.math.RoundingMode.HALF_UP)
+            .movePointRight(9).longValueExact()
+        }.sum
+      }
+    }
+    val alphabet = "aabbccdeefg 中文。!?\n" // skewed, multi-byte, whitespace
+    lcg(99L).take(80).zipWithIndex.foreach { case (x, i) =>
+      val len = math.floorMod(x >>> 7, 400L).toInt
+      val s = Iterator.iterate(x)(y => y * 6364136223846793005L + 1442695040888963407L)
+        .take(len).map(y => alphabet(math.floorMod(y >>> 33, alphabet.length.toLong).toInt))
+        .mkString
+      for (order <- Seq(1, 2))
+        assert(TextEntropyNanos.compute(UTF8String.fromString(s), order) ==
+          reference(s, order), s"order $order on case $i: '${s.take(40)}'")
+    }
+    // edges: empty (0), single char (p=1 → ln 1 = 0), len-1 bigram (no grams)
+    for (order <- Seq(1, 2); s <- Seq("", "x", "xx", "xy"))
+      assert(TextEntropyNanos.compute(UTF8String.fromString(s), order) ==
+        reference(s, order), s"edge '$s' order $order")
+  }
 }

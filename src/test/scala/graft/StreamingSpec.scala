@@ -1,7 +1,7 @@
 package graft
 
 import graft.streaming.StreamingOps
-import org.apache.spark.sql.functions.{coalesce, col, concat, date_trunc, datediff, explode, lit, max, pmod, posexplode, to_date, unix_micros, unix_timestamp, when}
+import org.apache.spark.sql.functions.{coalesce, col, concat, date_trunc, datediff, explode, lit, max, pmod, posexplode, regexp_extract, size, sum, to_date, unix_micros, unix_timestamp, when}
 import org.apache.spark.sql.streaming.Trigger
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -747,6 +747,44 @@ class StreamingSpec extends AnyFunSuite {
       .as[(Long, Long, Double, Int)].collect()
     assert(last.nonEmpty && last.toSet == batch.toSet,
       s"top-k state diverged (${last.length} vs ${batch.length})")
+  }
+
+  test("S26: streaming mixing-plan fold across triggers matches the batch solver") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val rows = Tables.t(spark, sf, "documents")
+      .select(col("source"), col("text")).limit(300)
+      .as[(String, String)].collect().toSeq
+    // split so several sources span BOTH triggers (their avail must fold)
+    val (first, second) = rows.zipWithIndex.partition(_._2 % 2 == 0)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+    type PlanRow = (String, Long, Long, Long, Long, Double, Boolean)
+    def read(d: org.apache.spark.sql.DataFrame): Array[PlanRow] =
+      d.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5), r.getBoolean(6)))
+    @volatile var last: Array[PlanRow] = Array.empty
+    val q = StreamingOps.streamingMixingPlan(
+        mem.toDF().toDF("source", "text"), "text", "source",
+        trigger = Trigger.ProcessingTime(0L)) { d => last = read(d) }
+    mem.addData(first.map(_._1): _*)
+    q.processAllAvailable()
+    mem.addData(second.map(_._1): _*)
+    q.processAllAvailable()
+    q.stop()
+    // batch twin: the same availability table over everything seen
+    val batch = read(graft.operators.Sampling.mixingPlan(
+      rows.toDF("source", "text")
+        .select(col("source"),
+          size(graft.operators.TextAnalysis.tokens(col("text")))
+            .cast("long").as("n_tokens"))
+        .groupBy("source").agg(sum("n_tokens").as("avail"))
+        .withColumn("u",
+          regexp_extract(col("source"), "(\\d+)", 1).cast("long") % 4 + 1)))
+    // integer fold state + integral-division solver → exact equality
+    assert(last.nonEmpty && last.toSet == batch.toSet,
+      s"mixing plan diverged (${last.length} vs ${batch.length})")
+    assert(last.exists(_._7), "no binding source flagged")
   }
 
   test("S2: streaming dedup emits each event_id once") {
