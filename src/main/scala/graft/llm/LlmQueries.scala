@@ -288,6 +288,113 @@ object LlmQueries {
       .orderBy("lang")
   }
 
+  // ---- L93: Zipf rank-frequency fit ----------------------------------------
+  /** Per-source Zipf power-law fit — the rank-frequency companion to
+    * x33's Heaps law: least-squares slope/intercept of ln(count) on
+    * ln(rank) over each source's top-200 tokens (rank by count desc,
+    * token asc — fully deterministic). A healthy natural-language
+    * source sits near slope −1; flatter = templated/boilerplate,
+    * steeper = degenerate repetition — a corpus-mix health read
+    * BEFORE training.
+    *
+    * Exactness device — the INTEGER-MICROS grid: ln(rank) and
+    * ln(count) (both of INTEGERS, identical inputs cross-engine)
+    * round to 6 dp and scale to integer micros through an exact
+    * decimal hop, so all four regression sums (Σx, Σy, Σxy, Σx²) are
+    * plain BIGINT arithmetic — order-free, and bounded INDEPENDENT of
+    * corpus size (rank ≤ 200 and ln count ≤ 28 cap Σxy at ~3·10¹⁶ —
+    * long-safe at 100 TB). The slope/intercept then derive through a
+    * PINNED sequence of double ops on int64→double casts (correctly
+    * rounded on every engine — unlike high-scale decimal→double,
+    * which DuckDB 1.0 rounds incorrectly at scale 18; measured). Scale
+    * shape: one corpus tokenize → (source, token) count shuffle →
+    * source-partitioned rank window → top-200 filter → per-source
+    * aggregate; everything after the count table is vocab-bounded.
+    * Fit core in [[graft.operators.TextAnalysis.zipfFromCounts]]
+    * (shared with the S27 streaming monitor — the count table is a
+    * semigroup, so the stream folds it as state). */
+  def x38Zipf(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.zipfFromCounts(
+      t(s, dir, "documents")
+        .select(col("source"),
+          explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy("source", "tok").agg(count(lit(1)).as("c")),
+      topR = 200)
+
+  // ---- L92: k-center coreset selection -------------------------------------
+  /** Greedy farthest-point (Gonzalez) k-center selection over the
+    * embedding corpus — diverse COVERAGE sampling, the complement of
+    * d10's redundancy removal and x10/x25's mass-weighted draws: 8
+    * centers that span the space, each with its covering radius at
+    * selection and the census of vectors it serves. See
+    * [[graft.operators.Clustering.kCenterCoreset]] for the scale
+    * argument (k map-only passes with the shared literal-centroid
+    * kernel + TakeOrdered(1); no vector shuffle, driver state = k
+    * centers). */
+  def e16KcenterCoreset(s: SparkSession, dir: String): DataFrame =
+    Clustering.kCenterCoreset(t(s, dir, "embeddings"), "vec_id",
+      "embedding", k = 8)
+
+  /** e16 oracle: the identical traversal as generated CTEs — seed =
+    * min id, then 7× (argmax of the running LEAST-folded min squared
+    * distance, ties to the smaller id), census by e3's (d asc, step
+    * asc) ROW_NUMBER device over the 8 selected centers. */
+  private def e16OracleSql: String = {
+    val k = 8
+    val steps = (1 until k).map { i =>
+      val prev = s"m$i"
+      val m = if (i == 1)
+        s"""m1 AS (SELECT e.vec_id, e.v,
+           |    list_inner_product(s.cv, s.cv)
+           |      - 2 * list_inner_product(e.v, s.cv)
+           |      + list_inner_product(e.v, e.v) AS dmin
+           |  FROM emb e, s0 s)""".stripMargin
+      else
+        s"""m$i AS (SELECT m.vec_id, m.v, LEAST(m.dmin,
+           |    list_inner_product(s.cv, s.cv)
+           |      - 2 * list_inner_product(m.v, s.cv)
+           |      + list_inner_product(m.v, m.v)) AS dmin
+           |  FROM m${i - 1} m, s${i - 1} s)""".stripMargin
+      s"""$m,
+         |s$i AS (SELECT $i AS step, vec_id AS cid, v AS cv, dmin AS d2
+         |  FROM $prev ORDER BY dmin DESC, vec_id LIMIT 1)""".stripMargin
+    }.mkString(",\n")
+    val union = (0 until k).map(i => s"SELECT * FROM s$i").mkString("\n  UNION ALL ")
+    s"""WITH emb AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |s0 AS (SELECT 0 AS step, vec_id AS cid, v AS cv,
+       |    CAST(NULL AS DOUBLE) AS d2
+       |  FROM emb ORDER BY vec_id LIMIT 1),
+       |$steps,
+       |allsel AS ($union),
+       |asg AS (SELECT e.vec_id, a.step,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+       |      list_inner_product(a.cv, a.cv)
+       |        - 2 * list_inner_product(e.v, a.cv) ASC, a.step ASC) AS rn
+       |  FROM emb e CROSS JOIN allsel a),
+       |cns AS (SELECT step, COUNT(*) AS n_assigned FROM asg
+       |  WHERE rn = 1 GROUP BY step)
+       |SELECT CAST(a.step AS BIGINT) AS step, a.cid AS center_id,
+       |  ROUND(SQRT(CASE WHEN a.d2 < 0.0 THEN 0.0 ELSE a.d2 END), 6) + 0.0
+       |    AS radius,
+       |  CAST(COALESCE(c.n_assigned, 0) AS BIGINT) AS n_assigned
+       |FROM allsel a LEFT JOIN cns c ON c.step = a.step
+       |ORDER BY step""".stripMargin
+  }
+
+  // ---- L94: moving-average type-token ratio --------------------------------
+  /** Window-stabilized lexical diversity per document
+    * ([[graft.operators.TextAnalysis.mattr]], MATTR — McCarthy &
+    * Jarvis 2010): mean distinct-token count over every 25-token
+    * sliding window, the quality signal that catches looped
+    * boilerplate x2's ratios and x8's run checks miss. Entirely
+    * within-row array HOFs — one scan, zero shuffle, zero explode;
+    * exact integer window sums, ONE terminal IEEE division. */
+  def x39Mattr(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.mattr(t(s, dir, "documents"), "doc_id", "text", w = 25)
+
   // ---- L91: character-entropy quality signal -------------------------------
   /** Per-document Shannon entropy of the character and character-BIGRAM
     * distributions, in bits — the compression-style quality signal the
@@ -1762,6 +1869,9 @@ object LlmQueries {
     "p3_build_shard" -> p3BuildShard _,
     "p5_mixing_plan" -> p5MixingPlan _,
     "x37_entropy" -> x37Entropy _,
+    "e16_kcenter_coreset" -> e16KcenterCoreset _,
+    "x38_zipf" -> x38Zipf _,
+    "x39_mattr" -> x39Mattr _,
     "d1_exact_dedup" -> d1ExactDedup _,
     "d2_minhash_lsh" -> d2MinhashLsh _,
     "d3_simhash" -> d3Simhash _,
@@ -3207,6 +3317,68 @@ object LlmQueries {
     // salts '' and 'b'), exact-integer contingency/pair-count sums,
     // identical IEEE ARI sequence
     "e12_kmeans_ari" -> e12OracleSql,
+    "e16_kcenter_coreset" -> e16OracleSql,
+    // x39: identical token filter, per-window list_distinct lengths
+    // (exact integers) summed, the identical single terminal division
+    // of two int64->double casts
+    "x39_mattr" ->
+      s"""WITH base AS (SELECT doc_id,
+         |    list_filter(string_split($normSql, ' '), t -> t <> '')
+         |      AS toks FROM documents),
+         |d AS (SELECT doc_id, toks, CAST(len(toks) AS INT) AS n
+         |  FROM base),
+         |p AS (SELECT doc_id, toks, n, LEAST(25, n) AS wl,
+         |    n - LEAST(25, n) + 1 AS nw FROM d),
+         |s AS (SELECT doc_id, n, wl, nw,
+         |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_types,
+         |    CAST(list_sum(list_transform(generate_series(1, nw),
+         |      i -> len(list_distinct(toks[i:i+wl-1])))) AS BIGINT)
+         |      AS swt
+         |  FROM p)
+         |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, n_types,
+         |  CAST(wl AS BIGINT) AS win_len, CAST(nw AS BIGINT)
+         |    AS n_windows, swt AS sum_win_types,
+         |  CASE WHEN n = 0 THEN NULL
+         |       ELSE CAST(swt AS DOUBLE) / CAST(nw * wl AS DOUBLE)
+         |  END AS mattr
+         |FROM s ORDER BY doc_id""".stripMargin,
+    // x38: identical rank window, identical round-6 integer-micros
+    // terms (all sums BIGINT-exact), the identical pinned double-op
+    // regression over int64->double casts (correctly rounded both
+    // engines — DuckDB 1.0's scale-18 decimal->double cast is NOT)
+    "x38_zipf" ->
+      s"""WITH tk AS (SELECT source, tok, COUNT(*) AS c FROM (
+         |    SELECT source, unnest(string_split($normSql, ' ')) AS tok
+         |    FROM documents) WHERE tok <> '' GROUP BY 1, 2),
+         |rk AS (SELECT source, c,
+         |    ROW_NUMBER() OVER (PARTITION BY source
+         |      ORDER BY c DESC, tok ASC) AS rk
+         |  FROM tk),
+         |tp AS (SELECT source,
+         |    CAST(CAST(ROUND(ln(rk), 6) AS DECIMAL(12,6)) * 1000000
+         |      AS BIGINT) AS x,
+         |    CAST(CAST(ROUND(ln(c), 6) AS DECIMAL(12,6)) * 1000000
+         |      AS BIGINT) AS y
+         |  FROM rk WHERE rk <= 200),
+         |ag AS (SELECT source, COUNT(DISTINCT tok) AS n_vocab
+         |  FROM tk GROUP BY source),
+         |sm AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS r_used,
+         |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+         |    CAST(SUM(x * x) AS BIGINT) AS sxx
+         |  FROM tp GROUP BY source),
+         |fin AS (SELECT sm.source, ag.n_vocab, sm.r_used,
+         |    CAST(r_used AS DOUBLE) * CAST(sxy AS DOUBLE)
+         |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+         |    CAST(r_used AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS den,
+         |    CAST(sy AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |      - CAST(sx AS DOUBLE) * CAST(sxy AS DOUBLE) AS num_b
+         |  FROM sm JOIN ag USING (source))
+         |SELECT source, n_vocab, r_used,
+         |  num / den AS zipf_slope,
+         |  num_b / den / 1000000.0 AS zipf_intercept
+         |FROM fin ORDER BY source""".stripMargin,
     // x29: identical integer allocation (base // + mod-N remainder
     // ranking), md5-prefix selection, sorted-id fingerprints
     // x30: x2's exact score/token fragments (proven IEEE-identical by

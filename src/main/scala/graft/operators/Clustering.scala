@@ -146,4 +146,57 @@ object Clustering {
     v.unpersist()
     out
   }
+
+  /** Greedy k-center coreset (Gonzalez 1985 farthest-point traversal)
+    * — DIVERSE subset selection over an embedding corpus: start from
+    * the smallest id (deterministic, layout-free), then k−1 times pick
+    * the vector FARTHEST from everything selected so far (squared
+    * euclidean; ties → smaller id). The classic 2-approximation to the
+    * k-center cover, and the coverage-sampling read of a data-curation
+    * pipeline (pick prompts/docs that SPAN the space rather than
+    * cluster-mass-weighted samples — the complement of d10's
+    * redundancy removal). Returns one row per selected center: its
+    * selection step, the covering radius at selection (= how far the
+    * farthest uncovered point was), and the final census of vectors
+    * nearest to it.
+    *
+    * Scale shape: each of the k steps is ONE map-only pass (the shared
+    * [[graft.expressions.NearestCentroidEuclid]] literal-centroid
+    * kernel — same Janino compile across steps) + a
+    * TakeOrderedAndProject(1) — no shuffle of vectors, no pairwise
+    * materialization; driver state = k centers (model state, the
+    * pageRank regime-precedent). The census is one more map pass + a
+    * k-group aggregate. O(n·k) distance evals per run (k small by
+    * contract; the incremental dmin column is the documented swap when
+    * k grows). */
+  def kCenterCoreset(df: DataFrame, idCol: String, vecCol: String,
+      k: Int = 8): DataFrame = {
+    val v = castVecs(df, idCol, vecCol).persist()
+    val seed = v.orderBy("id").limit(1).collect()(0)
+    var sel = Vector((0, seed.getLong(0), seed.getSeq[Double](1).toArray,
+      Option.empty[Double]))
+    while (sel.size < k) {
+      val cents = sel.map(s => (s._1, s._3)).toArray
+      val far = v.select(col("id"), col("v"),
+          (element_at(ranked(cents), 1) +
+            VectorOps.dot(col("v"), col("v"))).as("d2"))
+        .orderBy(desc("d2"), asc("id")).limit(1).collect()(0)
+      sel = sel :+ ((sel.size, far.getLong(0),
+        far.getSeq[Double](1).toArray, Some(far.getDouble(2))))
+    }
+    val cents = sel.map(s => (s._1, s._3)).toArray
+    val census = v
+      .select(element_at(ranked(cents), 2).cast("long").as("step"))
+      .groupBy("step").agg(count(lit(1)).as("n_assigned"))
+    val selDf = v.sparkSession
+      .createDataFrame(sel.map(s => (s._1.toLong, s._2,
+        s._4.map(d2 => math.sqrt(math.max(0.0, d2))))))
+      .toDF("step", "center_id", "radius_raw")
+    v.unpersist()
+    selDf.join(census, Seq("step"), "left")
+      .select(col("step"), col("center_id"),
+        (round(col("radius_raw"), 6) + lit(0.0)).as("radius"),
+        coalesce(col("n_assigned"), lit(0L)).as("n_assigned"))
+      .orderBy("step")
+  }
 }

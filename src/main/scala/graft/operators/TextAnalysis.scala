@@ -417,6 +417,109 @@ object TextAnalysis {
           .as("kl_ba_term"))
   }
 
+  /** Moving-average type-token ratio (MATTR, McCarthy & Jarvis 2010)
+    * — the window-stabilized lexical-diversity quality signal: plain
+    * TTR (types/tokens) collapses as documents grow (every corpus
+    * tends to its vocabulary), so the comparable form averages TTR
+    * over every length-`w` sliding window. Low MATTR at normal length
+    * = keyboard mash / template spam / looped boilerplate that x2's
+    * ratio rules and x8's longest-run checks can miss (a 3-phrase loop
+    * has healthy char ratios and short max runs but floor-level window
+    * diversity).
+    *
+    * Exactness: per-window distinct counts are INTEGERS summed
+    * exactly; `mattr = Σ|distinct(win_i)| / (n_windows · w)` is ONE
+    * terminal IEEE division of two exact int64→double casts — nothing
+    * order-sensitive anywhere. Docs shorter than `w` get one
+    * whole-doc window (wl = min(w, n), so their MATTR degrades to
+    * plain TTR — documented, not special-cased).
+    *
+    * Scale shape: ENTIRELY within-row — tokens, windows, distincts,
+    * and sums are array HOFs on each doc's own token array (one scan,
+    * zero shuffle, zero explode; the map-only x1/x16 kernel posture,
+    * here in declarative HOF form). Per-doc cost O(n·w) bounded by
+    * doc length, independent of corpus size. */
+  def mattr(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, w: Int = 25): org.apache.spark.sql.DataFrame = {
+    val toked = df.select(col(idCol).as("doc_id"),
+        filter(tokens(col(textCol)), t => t =!= lit("")).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .withColumn("wl", least(lit(w), col("n")))
+      .withColumn("nw", col("n") - col("wl") + lit(1))
+    toked
+      .withColumn("swt",
+        aggregate(
+          transform(sequence(lit(1), col("nw")),
+            i => size(array_distinct(slice(col("toks"), i, col("wl"))))),
+          lit(0L), (acc, x) => acc + x))
+      .select(col("doc_id"), col("n").cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_types"),
+        col("wl").cast("long").as("win_len"),
+        col("nw").cast("long").as("n_windows"),
+        col("swt").as("sum_win_types"),
+        when(col("n") > 0,
+          col("swt").cast("double") /
+            (col("nw") * col("wl")).cast("double")).as("mattr"))
+      .orderBy("doc_id")
+  }
+
+  /** Zipf rank-frequency power-law fit from a (source, tok, c) count
+    * table — the terminal half of x38 (`LlmQueries.x38Zipf`):
+    * least-squares slope/intercept of ln(count) on ln(rank) over each
+    * source's top-`topR` tokens (rank by count desc, tok asc — fully
+    * deterministic). Healthy natural language sits near slope −1;
+    * flatter = templated/boilerplate, steeper = degenerate repetition.
+    *
+    * Exactness device — the INTEGER-MICROS grid: ln(rank) and
+    * ln(count) (both logs OF INTEGERS, identical cross-engine) round
+    * to 6 dp and scale to integer micros through an exact decimal hop,
+    * so all four regression sums are plain BIGINT arithmetic —
+    * order-free, bounded INDEPENDENT of corpus size (rank ≤ topR and
+    * ln count ≤ 28 cap Σxy at ~3·10¹⁶). Slope/intercept then derive
+    * through a PINNED sequence of double ops on int64→double casts
+    * (correctly rounded on every engine — unlike high-scale
+    * decimal→double, which DuckDB 1.0 measurably is not).
+    *
+    * The count table is a SEMIGROUP (counts fold by addition — the
+    * x24/S12 tokenCounts discipline), so the streaming form (S27)
+    * maintains it as state and calls this per trigger. Everything
+    * after the count table is vocab-bounded; the per-source rank
+    * window shuffles (source, tok, c) rows only, never text. */
+  def zipfFromCounts(tk: org.apache.spark.sql.DataFrame,
+      topR: Int = 200): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+    val w = Window.partitionBy("source").orderBy(desc("c"), asc("tok"))
+    val ranked = tk.withColumn("rk", row_number().over(w))
+    // round6 → DECIMAL(12,6) → ×1e6 → long: the decimal hop makes the
+    // micros integer exact (round6 alone yields a double whose ×1e6
+    // can land a hair under the integer and truncate wrong)
+    def micros(c: Column) =
+      (round(log(c), 6).cast(DecimalType(12, 6)) * 1000000)
+        .cast(LongType)
+    val top = ranked.filter(col("rk") <= topR)
+      .select(col("source"), micros(col("rk")).as("x"),
+        micros(col("c")).as("y"))
+    val ag = tk.groupBy("source").agg(countDistinct("tok").as("n_vocab"))
+    val sums = top.groupBy("source").agg(
+      count(lit(1)).as("r_used"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"))
+    def D(c: Column) = c.cast(DoubleType)
+    sums.join(ag, Seq("source"))
+      .withColumn("num",
+        D(col("r_used")) * D(col("sxy")) - D(col("sx")) * D(col("sy")))
+      .withColumn("den",
+        D(col("r_used")) * D(col("sxx")) - D(col("sx")) * D(col("sx")))
+      .withColumn("num_b",
+        D(col("sy")) * D(col("sxx")) - D(col("sx")) * D(col("sxy")))
+      .select(col("source"), col("n_vocab"), col("r_used"),
+        (col("num") / col("den")).as("zipf_slope"),
+        (col("num_b") / col("den") / lit(1000000.0)).as("zipf_intercept"))
+      .orderBy("source")
+  }
+
   /** Heaps'-law vocabulary growth curve: the corpus in arrival order
     * (`idCol`) cut into `nBuckets` equal-width id ranges, and per
     * bucket the cumulative doc count, token count, and DISTINCT-token

@@ -867,6 +867,48 @@ object StreamingOps {
       .start()
   }
 
+  /** S27: streaming Zipf rank-frequency monitor — x38's live half:
+    * state = the (source, tok, c) count table (the S12/S24 tokenCounts
+    * discipline — counts fold by ADDITION, vocab-sized whatever the
+    * stream length; text tokenizes once in its arrival batch and never
+    * re-shuffles), and each trigger re-derives the per-source
+    * least-squares power-law fit via
+    * [[graft.operators.TextAnalysis.zipfFromCounts]] — everything
+    * after the fold is vocab-bounded (rank window + top-200 sums). The
+    * live read: a crawl source whose slope drifts toward 0 is going
+    * templated/boilerplate mid-crawl; one plunging far below −1 is
+    * re-crawling the same pages (degenerate repetition) — caught per
+    * ingest batch, not after the corpus is fixed. After any batch
+    * prefix the emitted table provably equals batch x38 over
+    * everything seen EXACTLY (integer count state + the identical
+    * integer-micros regression; spec-pinned). */
+  def streamingZipf(docs: DataFrame, textCol: String,
+      sourceCol: String, topR: Int = 200,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    var state: Option[DataFrame] = None
+    docs.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val counts = b.toDF()
+          .select(col(sourceCol).as("source"),
+            explode(graft.operators.TextAnalysis.tokens(col(textCol)))
+              .as("tok"))
+          .filter(col("tok") =!= "")
+          .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+        val next = state.map(st => st.union(counts)
+            .groupBy("source", "tok").agg(sum("c").as("c")))
+          .getOrElse(counts).persist()
+        next.count()
+        state.foreach(_.unpersist())
+        state = Some(next)
+        sink(graft.operators.TextAnalysis.zipfFromCounts(next, topR))
+        ()
+      }
+      .trigger(trigger)
+      .start()
+  }
+
   /** S26: streaming mixing-plan monitor — p5's live half: as crawl
     * batches arrive, per-source available-token totals fold into state
     * (a semigroup sum — state is SOURCE-cardinality sized, never

@@ -89,4 +89,29 @@ class KMeansSpec extends AnyFunSuite {
     assert(over.map(_._3).min < sil.map(_._3).min,
       "over-clustering should hurt the worst cluster's silhouette")
   }
+
+  test("kCenterCoreset picks the square's corners, never the clustered mass") {
+    // 4 corners of a 10×10 square + a 20-point cloud hugging corner 0:
+    // mass-weighted sampling would drown in the cloud; farthest-point
+    // traversal must walk the corners — seed 0 (min id), then the
+    // diagonal (id 2), then the 100-tied corners 1 before 3 (id
+    // tie-break), radii √200 → 10 → 10; the census sends the cloud to
+    // corner 0
+    val corners = Seq(
+      0L -> Array(0f, 0f), 1L -> Array(10f, 0f),
+      2L -> Array(10f, 10f), 3L -> Array(0f, 10f))
+    val cloud = (4 until 24).map(i =>
+      i.toLong -> Array(0.01f * (i % 5), 0.01f * (i % 7)))
+    val df = (corners ++ cloud).toDF("id", "vec")
+    val got = graft.operators.Clustering
+      .kCenterCoreset(df, "id", "vec", k = 4)
+      .as[(Long, Long, Option[Double], Long)].collect().toSeq
+    assert(got.map(_._2) == Seq(0L, 2L, 1L, 3L), s"selection order: $got")
+    assert(got.head._3.isEmpty, "seed has no radius")
+    assert(math.abs(got(1)._3.get - math.sqrt(200.0)) < 1e-6)
+    assert(math.abs(got(2)._3.get - 10.0) < 1e-6)
+    assert(math.abs(got(3)._3.get - 10.0) < 1e-6)
+    assert(got.find(_._2 == 0L).get._4 == 21L, // corner 0 + its cloud
+      s"census: $got")
+  }
 }

@@ -787,6 +787,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(last.exists(_._7), "no binding source flagged")
   }
 
+  test("S27: streaming Zipf count fold across triggers matches batch x38 exactly") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val rows = Tables.t(spark, sf, "documents")
+      .select(col("source"), col("text")).limit(300)
+      .as[(String, String)].collect().toSeq
+    // split so every source's counts span BOTH triggers (ranks must
+    // come from the FOLDED table, not either batch alone)
+    val (first, second) = rows.zipWithIndex.partition(_._2 % 2 == 0)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+    type FitRow = (String, Long, Long, Double, Double)
+    def read(d: org.apache.spark.sql.DataFrame): Array[FitRow] =
+      d.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    @volatile var last: Array[FitRow] = Array.empty
+    val q = StreamingOps.streamingZipf(
+        mem.toDF().toDF("source", "text"), "text", "source",
+        trigger = Trigger.ProcessingTime(0L)) { d => last = read(d) }
+    mem.addData(first.map(_._1): _*)
+    q.processAllAvailable()
+    mem.addData(second.map(_._1): _*)
+    q.processAllAvailable()
+    q.stop()
+    // batch twin: the x38 fit over everything seen
+    val batch = read(graft.operators.TextAnalysis.zipfFromCounts(
+      rows.toDF("source", "text")
+        .select(col("source"),
+          explode(graft.operators.TextAnalysis.tokens(col("text")))
+            .as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy("source", "tok")
+        .agg(org.apache.spark.sql.functions.count(lit(1)).as("c"))))
+    // integer count state + integer-micros regression → exact equality
+    assert(last.nonEmpty && last.toSet == batch.toSet,
+      s"zipf fit diverged (${last.length} vs ${batch.length})")
+    assert(batch.forall(r => r._4 < 0.0),
+      "every source's fitted slope should be negative")
+  }
+
   test("S2: streaming dedup emits each event_id once") {
     val stream = StreamingOps.readEventsStream(spark, sf)
     val q = StreamingOps.streamingDedup(stream)

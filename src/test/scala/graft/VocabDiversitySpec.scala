@@ -33,6 +33,45 @@ class VocabDiversitySpec extends AnyFunSuite {
     assert(out.map(_._6).toSeq == Seq(4L, 8L, 13L, 16L, 20L)) // tokens_cum
   }
 
+  test("mattr: brute-force sliding-window distincts on planted docs incl. short/loop/empty") {
+    // doc 1: a 3-word loop over 12 tokens (floor-level diversity at
+    //   w=4), doc 2: all-distinct (MATTR 1.0), doc 3: shorter than the
+    //   window (degrades to plain TTR — one whole-doc window),
+    //   doc 4: empty (no tokens, mattr NULL)
+    val docs = Seq(
+      1L -> Iterator.continually(Seq("x", "y", "z")).flatten.take(12).mkString(" "),
+      2L -> (1 to 10).map(i => s"w$i").mkString(" "),
+      3L -> "p q p",
+      4L -> "")
+    val w = 4
+    val got = TextAnalysis.mattr(docs.toDF("doc_id", "text"), "doc_id",
+        "text", w = w)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5),
+        if (r.isNullAt(6)) None else Some(r.getDouble(6)))).toMap
+    for ((id, text) <- docs) {
+      val toks = text.split("\\s+").filter(_.nonEmpty).toSeq
+      val n = toks.length
+      val wl = math.min(w, n)
+      val nw = n - wl + 1
+      val swt = (0 until math.max(nw, 1))
+        .map(i => toks.slice(i, i + wl).distinct.size.toLong).sum
+      val (gn, gty, gwl, gnw, gswt, gm) = got(id)
+      assert(gn == n && gty == toks.distinct.size && gwl == wl,
+        s"doc $id counts: ${got(id)}")
+      assert(gswt == swt, s"doc $id window sum: $gswt vs $swt")
+      if (n == 0) assert(gm.isEmpty)
+      else {
+        assert(gnw == nw)
+        assert(gm.contains(swt.toDouble / (nw.toLong * wl).toDouble),
+          s"doc $id mattr: $gm")
+      }
+    }
+    // the loop doc's MATTR pins at 3 distinct per 4-window = 0.75
+    assert(got(1L)._6.contains(0.75))
+    assert(got(2L)._6.contains(1.0))
+  }
+
   test("goodTuring: planted frequency-of-frequencies with hand-computed r*") {
     // tokens: a×1, b×1, c×2, d×3 → N=7, N_1=2, N_2=1, N_3=1
     val docs = Seq("a b c", "c d d", "d").toDF("text")
