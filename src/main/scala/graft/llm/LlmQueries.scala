@@ -1257,6 +1257,31 @@ object LlmQueries {
       .toDF().orderBy("doc_id")
   }
 
+  // ---- L96: GIF sub-block-chain parsing ------------------------------------
+  /** GIF87a/89a parse ([[graft.operators.Multimodal.GifCodec]]):
+    * spec-shaped images planted from doc_id — version split, global
+    * color tables of 4–32 entries, 1–3 frames whose pixel chains cross
+    * the 255-byte sub-block split, and an optional comment extension —
+    * walked through the LENGTH-PREFIXED SUB-BLOCK CHAINS no other
+    * m-codec has (no total length exists anywhere; the reader must
+    * follow 1-byte prefixes to each chain's 0x00 terminator, and the
+    * trailer must land exactly at end-of-payload). One map pass, no
+    * shuffle; oracle recomputes every field arithmetically. */
+  def m9GifParse(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val gifs = t(s, dir, "documents").select("doc_id").as[Long]
+      .map { id =>
+        val nf = (id % 3).toInt + 1
+        val frames = (0 until nf).map(f => (id % 200).toInt + 40 * f + 13)
+        Multimodal.MediaRow(id, "gif",
+          Multimodal.GifCodec.buildGif(id % 2 == 0,
+            (id % 320).toInt + 1, (id % 200).toInt + 1, (id % 4).toInt,
+            frames, id % 5 < 2, (id % 7).toInt + 1))
+      }
+    gifs.mapPartitions(it => it.map(Multimodal.GifCodec.decodeGif))
+      .toDF().orderBy("doc_id")
+  }
+
   // ---- L55: BPE corpus encode ----------------------------------------------
   /** Encode the corpus with the x20-fitted tokenizer
     * ([[graft.operators.BpeTrainer.encode]]): per-doc word + BPE token
@@ -1543,6 +1568,31 @@ object LlmQueries {
         k = 5, nCells = 16)
       .orderBy("id_a", "id_b")
 
+  // ---- L95: kNN hubness audit ----------------------------------------------
+  /** k-occurrence (in-degree) distribution of the directed top-5
+    * neighbor lists ([[graft.operators.Similarity.knnHubness]],
+    * Radovanović et al. 2010): histogram + pinned mean/sd/skew — the
+    * hub-pathology read that says whether e6/s2/s3 neighborhoods can
+    * be trusted (positive skew = a few vectors in everyone's lists;
+    * in-degree 0 = unreachable antihubs). Shares e6's directed top-k
+    * chain; the oracle certifies against the same proven lists. */
+  def e17Hubness(s: SparkSession, dir: String): DataFrame =
+    Similarity.knnHubness(t(s, dir, "embeddings"), "vec_id", "embedding",
+      k = 5, nCells = 16)
+
+  // ---- L98: TwoNN intrinsic dimension --------------------------------------
+  /** MLE intrinsic-dimension estimate from 2-NN distance ratios
+    * ([[graft.operators.Similarity.twoNnIntrinsicDim]], Facco et al.
+    * 2017) over the e6/e17 spherical-cell index — the manifold-width
+    * read paired with e17's hubness audit (hub pathology follows from
+    * high INTRINSIC dimension, not ambient width). Exclusions (dup
+    * twins, under-neighbored points) are counted, never silent; ln μ
+    * terms ride the x38 integer-micros grid so d̂ is two pinned IEEE
+    * divisions from one exact BIGINT sum. */
+  def e18IntrinsicDim(s: SparkSession, dir: String): DataFrame =
+    Similarity.twoNnIntrinsicDim(t(s, dir, "embeddings"), "vec_id",
+      "embedding", nCells = 16)
+
   // ---- L53: interpolated bigram LM perplexity ------------------------------
   /** Bigram-model quality scoring past x13's unigram filter
     * ([[graft.operators.TextAnalysis.bigramPerplexity]]); vocab cuts
@@ -1817,6 +1867,19 @@ object LlmQueries {
         "doc_id", "text")
       .orderBy("doc_id")
 
+  // ---- L97: Bloom-filter dedup audit ---------------------------------------
+  /** [[Dedup.bloomDedupAudit]] over the exact-copy corpus (8192 bits,
+    * 3 hashes): per-source false-positive accounting for a
+    * memory-BOUNDED bloom-gated incremental dedup — the fixed-budget
+    * alternative to d9's growing digest index, sized BEFORE trusting
+    * it at scale. Sequential filter semantics recovered order-free via
+    * the min-setter identity; flagged ⊇ true-dup structurally (exact
+    * copies share all k positions). */
+  def d18BloomDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.bloomDedupAudit(withCopies(t(s, dir, "documents"),
+        perturb = false),
+      "doc_id", "text", "source", mBits = 8192, kHash = 3)
+
   // ---- L89: embedding drift between corpus halves --------------------------
   /** x24's vector-space sibling: per label, squared L2 and cosine
     * between the even-id and odd-id slice MEAN vectors (see
@@ -1858,8 +1921,10 @@ object LlmQueries {
     "x36_tokenizer_fertility" -> x36TokenizerFertility _,
     "e15_embed_drift" -> e15EmbedDrift _,
     "d17_cdc_chunks" -> d17CdcChunks _,
+    "d18_bloom_dedup" -> d18BloomDedup _,
     "x35_good_turing" -> x35GoodTuring _,
     "m8_tar_parse" -> m8TarParse _,
+    "m9_gif_parse" -> m9GifParse _,
     "x34_source_novelty" -> x34SourceNovelty _,
     "e14_pca_variance" -> e14PcaVariance _,
     "x33_vocab_growth" -> x33VocabGrowth _,
@@ -1872,6 +1937,8 @@ object LlmQueries {
     "e16_kcenter_coreset" -> e16KcenterCoreset _,
     "x38_zipf" -> x38Zipf _,
     "x39_mattr" -> x39Mattr _,
+    "e17_hubness" -> e17Hubness _,
+    "e18_intrinsic_dim" -> e18IntrinsicDim _,
     "d1_exact_dedup" -> d1ExactDedup _,
     "d2_minhash_lsh" -> d2MinhashLsh _,
     "d3_simhash" -> d3Simhash _,
@@ -1947,6 +2014,41 @@ object LlmQueries {
     "m1_multimodal" -> m1Multimodal _,
     "m2_media_transform" -> m2MediaTransform _,
   )
+
+  /** Shared kNN CTE chain (emb0 → cent → b → assign → pair → directed
+    * → rk → topk): the e6 directed top-5 replay — spherical md5-order
+    * centroid pick, same-cell pairs, per-node rank — reused verbatim
+    * by the e17 hubness oracle so the in-degree audit certifies
+    * against the SAME proven neighbor lists. */
+  private val knnTopkCtes: String =
+    """emb0 AS (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |cent AS (SELECT vec_id AS cid, v AS cv,
+      |    sqrt(list_inner_product(v, v)) AS nc FROM emb0
+      |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+      |b AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nv
+      |  FROM emb0),
+      |assign AS (SELECT vec_id, v, nv, cid AS cell FROM (
+      |    SELECT b.vec_id, b.v, b.nv, c.cid,
+      |      ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY
+      |        CASE WHEN b.nv * c.nc = 0.0 THEN 0.0
+      |             ELSE -(list_inner_product(b.v, c.cv) / (b.nv * c.nc))
+      |        END ASC, c.cid ASC) AS rn
+      |    FROM b CROSS JOIN cent c) t WHERE rn = 1),
+      |pair AS (SELECT a.vec_id AS id_a, bb.vec_id AS id_b,
+      |    CASE WHEN a.nv * bb.nv = 0.0 THEN 0.0
+      |         ELSE list_inner_product(a.v, bb.v) / (a.nv * bb.nv)
+      |    END AS cos
+      |  FROM assign a JOIN assign bb
+      |    ON a.cell = bb.cell AND a.vec_id < bb.vec_id),
+      |directed AS (SELECT id_a AS qid, id_b AS id, cos FROM pair
+      |  UNION ALL SELECT id_b AS qid, id_a AS id, cos FROM pair),
+      |rk AS (SELECT qid, id, cos,
+      |    ROW_NUMBER() OVER (PARTITION BY qid
+      |      ORDER BY cos DESC, id ASC) AS rk
+      |  FROM directed),
+      |topk AS (SELECT * FROM rk WHERE rk <= 5)""".stripMargin
 
   /** x11 oracle: BM25 recomputed from scratch in SQL, generated from
     * the SAME term list. Arithmetic mirrors Retrieval.bm25 EXPRESSION
@@ -2984,6 +3086,46 @@ object LlmQueries {
     "x36_tokenizer_fertility" -> x36OracleSql,
     "e15_embed_drift" -> e15OracleSql,
     "d17_cdc_chunks" -> d17OracleSql,
+    // d18: the identical min-setter replay — bit state before doc d is
+    // "min id touching the position < d"; fill = bits/2^13 (EXACT
+    // power-of-two division), pred_fpr = ((f·f)·f) pinned left-assoc
+    "d18_bloom_dedup" ->
+      """WITH pool AS (SELECT doc_id, source, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, source, text FROM documents),
+        |d AS (SELECT doc_id AS id, source,
+        |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS digest
+        |  FROM pool),
+        |hj AS (SELECT unnest(range(0, 3)) AS j),
+        |pos AS (SELECT id,
+        |    CAST('0x' || substr(md5(CAST(j AS VARCHAR) || '|' || digest),
+        |      1, 15) AS BIGINT) % 8192 AS pos
+        |  FROM d, hj),
+        |setters AS (SELECT pos, MIN(id) AS first_id FROM pos GROUP BY pos),
+        |fl AS (SELECT p.id, MAX(s.first_id) < p.id AS flagged
+        |  FROM pos p JOIN setters s ON p.pos = s.pos GROUP BY p.id),
+        |fd AS (SELECT digest, MIN(id) AS first_dup FROM d GROUP BY digest),
+        |v AS (SELECT d.id, d.source, fd.first_dup < d.id AS is_dup,
+        |    fl.flagged
+        |  FROM d JOIN fd ON d.digest = fd.digest JOIN fl ON fl.id = d.id),
+        |ps AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(COUNT(CASE WHEN is_dup THEN 1 END) AS BIGINT)
+        |      AS n_true_dup,
+        |    CAST(COUNT(CASE WHEN flagged THEN 1 END) AS BIGINT)
+        |      AS n_flagged,
+        |    CAST(COUNT(CASE WHEN flagged AND NOT is_dup THEN 1 END)
+        |      AS BIGINT) AS n_false_pos
+        |  FROM v GROUP BY source),
+        |b AS (SELECT CAST(COUNT(*) AS BIGINT) AS bits_set FROM setters)
+        |SELECT source, n_docs, n_true_dup, n_flagged, n_false_pos,
+        |  CASE WHEN n_docs > n_true_dup THEN CAST(n_false_pos AS DOUBLE)
+        |    / CAST(n_docs - n_true_dup AS DOUBLE) END AS false_pos_rate,
+        |  bits_set,
+        |  CAST(bits_set AS DOUBLE) / 8192.0 AS fill_frac,
+        |  CAST(bits_set AS DOUBLE) / 8192.0
+        |    * (CAST(bits_set AS DOUBLE) / 8192.0)
+        |    * (CAST(bits_set AS DOUBLE) / 8192.0) AS pred_fpr
+        |FROM ps, b ORDER BY source""".stripMargin,
     // m8: block-walk results recomputed arithmetically — member i has
     // size (id%1000) + 300i + 37; n_bytes = headers + data blocks + the
     // 1024-byte terminator, all in 512-byte units
@@ -3000,6 +3142,37 @@ object LlmQueries {
         |  (n_files + data_blocks) * 512 + 1024 AS n_bytes,
         |  n_files, total_size, data_blocks
         |FROM ag ORDER BY doc_id""".stripMargin,
+    // m9: every field recomputed arithmetically from the planted
+    // geometry — 13 header+LSD + 3·2^(e+1) GCT + 8 GCE + optional
+    // (4+L) comment + per frame (12 + data + ceil(data/255) length
+    // prefixes) + 1 trailer
+    "m9_gif_parse" ->
+      """WITH d AS (SELECT doc_id, doc_id % 2 = 0 AS v89,
+        |    CAST(doc_id % 320 + 1 AS INT) AS w,
+        |    CAST(doc_id % 200 + 1 AS INT) AS h,
+        |    CAST(doc_id % 4 AS INT) AS e, doc_id % 3 + 1 AS nf,
+        |    doc_id % 5 < 2 AS wc, doc_id % 7 + 1 AS cl
+        |  FROM documents),
+        |f AS (SELECT doc_id, unnest(range(0, nf)) AS fi,
+        |    doc_id % 200 + 13 AS base FROM d),
+        |per AS (SELECT doc_id, base + 40 * fi AS df FROM f),
+        |ag AS (SELECT doc_id, CAST(COUNT(*) AS INT) AS n_frames,
+        |    CAST(SUM(df) AS BIGINT) AS data_bytes,
+        |    CAST(SUM((df + 254) // 255) AS BIGINT) AS n_subblocks,
+        |    CAST(SUM(12 + df + (df + 254) // 255) AS BIGINT)
+        |      AS frame_bytes
+        |  FROM per GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CASE WHEN v89 THEN 'gif89' ELSE 'gif87' END AS fmt,
+        |  CAST(13 + 3 * (1 << (e + 1)) + 8
+        |    + CASE WHEN wc THEN 4 + cl ELSE 0 END
+        |    + frame_bytes + 1 AS BIGINT) AS n_bytes,
+        |  w AS width, h AS height,
+        |  CAST(1 << (e + 1) AS INT) AS gct_entries, n_frames,
+        |  CAST(CASE WHEN wc THEN 2 ELSE 1 END AS INT) AS n_exts,
+        |  n_subblocks, data_bytes
+        |FROM d JOIN ag ON d.doc_id = ag.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     // x35: freq-of-freq recompute over a dense 1..10 grid (missing r
     // rows must read N_r = 0, and N_{r+1} comes from the GRID lead —
     // a sparse lead would skip over absent counts)
@@ -3187,38 +3360,75 @@ object LlmQueries {
     // assignment, within-cell pairs, per-node ROW_NUMBER top-5 (raw-cos
     // ordering, id tiebreak — bit-identical dots), mutual join
     "e6_knn_graph" ->
-      """WITH emb0 AS (SELECT vec_id,
-        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |  FROM embeddings),
-        |cent AS (SELECT vec_id AS cid, v AS cv,
-        |    sqrt(list_inner_product(v, v)) AS nc FROM emb0
-        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
-        |b AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nv
-        |  FROM emb0),
-        |assign AS (SELECT vec_id, v, nv, cid AS cell FROM (
-        |    SELECT b.vec_id, b.v, b.nv, c.cid,
-        |      ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY
-        |        CASE WHEN b.nv * c.nc = 0.0 THEN 0.0
-        |             ELSE -(list_inner_product(b.v, c.cv) / (b.nv * c.nc))
-        |        END ASC, c.cid ASC) AS rn
-        |    FROM b CROSS JOIN cent c) t WHERE rn = 1),
-        |pair AS (SELECT a.vec_id AS id_a, bb.vec_id AS id_b,
-        |    CASE WHEN a.nv * bb.nv = 0.0 THEN 0.0
-        |         ELSE list_inner_product(a.v, bb.v) / (a.nv * bb.nv)
-        |    END AS cos
-        |  FROM assign a JOIN assign bb
-        |    ON a.cell = bb.cell AND a.vec_id < bb.vec_id),
-        |directed AS (SELECT id_a AS qid, id_b AS id, cos FROM pair
-        |  UNION ALL SELECT id_b AS qid, id_a AS id, cos FROM pair),
-        |rk AS (SELECT qid, id, cos,
-        |    ROW_NUMBER() OVER (PARTITION BY qid
-        |      ORDER BY cos DESC, id ASC) AS rk
-        |  FROM directed),
-        |topk AS (SELECT * FROM rk WHERE rk <= 5)
-        |SELECT f.qid AS id_a, f.id AS id_b, ROUND(f.cos, 6) AS cos,
-        |  f.rk AS rk_ab, r.rk AS rk_ba
-        |FROM topk f JOIN topk r ON f.qid = r.id AND f.id = r.qid
-        |WHERE f.qid < f.id ORDER BY id_a, id_b""".stripMargin,
+      s"""WITH $knnTopkCtes
+         |SELECT f.qid AS id_a, f.id AS id_b, ROUND(f.cos, 6) AS cos,
+         |  f.rk AS rk_ab, r.rk AS rk_ba
+         |FROM topk f JOIN topk r ON f.qid = r.id AND f.id = r.qid
+         |WHERE f.qid < f.id ORDER BY id_a, id_b""".stripMargin,
+    // e17: the identical directed top-5 chain, in-degrees with the
+    // zero spine, exact integer moment sums surfaced as BIGINT, the
+    // identical pinned double-op sequence for mean/sd/skew (the x38
+    // device — int64->double casts + fixed IEEE op order only)
+    "e17_hubness" ->
+      s"""WITH $knnTopkCtes,
+         |deg AS (SELECT b.vec_id,
+         |    CAST(COALESCE(t.c, 0) AS BIGINT) AS d
+         |  FROM b LEFT JOIN (SELECT id, COUNT(*) AS c FROM topk
+         |    GROUP BY id) t ON b.vec_id = t.id),
+         |hist AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS n_vecs
+         |  FROM deg GROUP BY d),
+         |mom AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(d) AS BIGINT) AS s1,
+         |    CAST(SUM(d * d) AS BIGINT) AS s2,
+         |    CAST(SUM(d * d * d) AS BIGINT) AS s3 FROM deg),
+         |fin AS (SELECT hist.d, hist.n_vecs, n,
+         |    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean_deg,
+         |    CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS e2,
+         |    CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS e3
+         |  FROM hist, mom)
+         |SELECT d AS in_deg, n_vecs,
+         |  CAST(n_vecs AS DOUBLE) / CAST(n AS DOUBLE) AS share,
+         |  mean_deg,
+         |  CASE WHEN e2 - mean_deg * mean_deg > 0.0
+         |       THEN sqrt(e2 - mean_deg * mean_deg) END AS sd_deg,
+         |  CASE WHEN e2 - mean_deg * mean_deg > 0.0
+         |       THEN (e3 - 3.0 * mean_deg * e2
+         |             + 2.0 * mean_deg * mean_deg * mean_deg)
+         |         / (sqrt(e2 - mean_deg * mean_deg)
+         |            * (e2 - mean_deg * mean_deg)) END AS skew_deg
+         |FROM fin ORDER BY in_deg""".stripMargin,
+    // e18: the identical top-2 cut of the proven chain; exclusion
+    // census via the id spine; ln μ terms on the x38 integer-micros
+    // grid (round6 → DECIMAL(12,6) hop → ×1e6 BIGINT), d̂ from two
+    // pinned IEEE divisions
+    "e18_intrinsic_dim" ->
+      s"""WITH $knnTopkCtes,
+         |p AS (SELECT qid, MAX(CASE WHEN rk = 1 THEN cos END) AS cos1,
+         |    MAX(CASE WHEN rk = 2 THEN cos END) AS cos2,
+         |    COUNT(*) AS nn
+         |  FROM topk WHERE rk <= 2 GROUP BY qid),
+         |cls AS (SELECT b.vec_id AS qid,
+         |    CASE WHEN p.qid IS NULL OR nn < 2 THEN 'short'
+         |         WHEN 1.0 - cos1 <= 0.0 THEN 'dup'
+         |         ELSE 'used' END AS cls,
+         |    CASE WHEN p.qid IS NOT NULL AND nn = 2
+         |        AND 1.0 - cos1 > 0.0 THEN
+         |      CAST(CAST(ROUND(ln((1.0 - cos2) / (1.0 - cos1)), 6)
+         |        AS DECIMAL(12,6)) * 1000000 AS BIGINT)
+         |    ELSE 0 END AS t
+         |  FROM b LEFT JOIN p ON b.vec_id = p.qid),
+         |ag AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+         |    CAST(COUNT(CASE WHEN cls = 'used' THEN 1 END) AS BIGINT)
+         |      AS n_used,
+         |    CAST(COUNT(CASE WHEN cls = 'dup' THEN 1 END) AS BIGINT)
+         |      AS n_dup,
+         |    CAST(COUNT(CASE WHEN cls = 'short' THEN 1 END) AS BIGINT)
+         |      AS n_short,
+         |    CAST(SUM(t) AS BIGINT) AS sum_lnmu_e6 FROM cls)
+         |SELECT n_points, n_used, n_dup, n_short, sum_lnmu_e6,
+         |  CASE WHEN sum_lnmu_e6 > 0 THEN CAST(n_used AS DOUBLE)
+         |    / (CAST(sum_lnmu_e6 AS DOUBLE) / 1000000.0) END AS id_twonn
+         |FROM ag""".stripMargin,
     // x22: full bigram-model replay — same tokenization, same
     // (count desc, key) vocab cuts, same λ=0.75 interpolation and 0.5
     // OOV floor; per-bigram log-probs as 9-decimal DECIMALs so the sum

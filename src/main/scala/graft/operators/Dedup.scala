@@ -1009,4 +1009,71 @@ object Dedup {
       .select(col("doc_id"), col("n_chunks"), col("n_shared"),
         round(col("n_shared") / col("n_chunks"), 6).as("shared_frac"))
   }
+
+  /** Bloom-filter incremental-dedup audit — the MEMORY-BOUNDED answer
+    * to [[incrementalDedup]]'s growing digest index, with exact
+    * false-positive accounting: replay the corpus in id order through
+    * an `mBits`-bit Bloom filter (`kHash` md5-derived positions per
+    * normalized-text digest), flag each doc whose bits were ALL set by
+    * strictly-earlier docs, and score the flags against exact-dedup
+    * ground truth. At 100 TB the exact digest index is itself a
+    * multi-TB table; a Bloom filter is the fixed-budget alternative —
+    * this operator is the sizing audit a pipeline runs BEFORE trusting
+    * one (per-source false-positive rates = docs a bloom-gated dedup
+    * would WRONGLY drop, plus the global fill fraction and the
+    * (fill)^k predicted FPR to compare against the observed rate).
+    *
+    * Sequential-filter semantics WITHOUT a sequential pass: a bit's
+    * state before doc d is "min id over docs touching it < d" — an
+    * order-free min-aggregate identity (exact because a doc's own
+    * insert cannot flag itself: min == d means d set the bit first).
+    * Exact dups share the digest, hence the positions, so insert-all
+    * equals insert-if-new and false NEGATIVES are structurally
+    * impossible (the spec pins flagged ⊇ true-dup).
+    *
+    * Exactness: verdicts and counts are pure integer/boolean logic on
+    * md5 values both engines compute identically; the three terminal
+    * doubles derive through pinned int64→double casts and a fixed
+    * left-assoc IEEE op order (the x38 device).
+    *
+    * Scale shape: only (id, pos) pairs — 16 B rows, k per doc —
+    * shuffle (text never); one groupBy(pos) min with map-side
+    * partials, one key-partitioned join back, one groupBy(id) max, a
+    * digest min-aggregate for ground truth, a source-cardinality
+    * summary, and the single bits_set scalar riding a broadcast 1-row
+    * cross. */
+  def bloomDedupAudit(corpus: DataFrame, idCol: String, textCol: String,
+      srcCol: String, mBits: Int = 2048, kHash: Int = 3): DataFrame = {
+    val d = corpus.select(col(idCol).cast("long").as("id"),
+      col(srcCol).as("source"), md5(normText(col(textCol))).as("digest"))
+    val pos = d.select(col("id"), explode(array((0 until kHash).map(j =>
+        pmod(conv(substring(md5(concat(lit(j + "|"), col("digest"))),
+          1, 15), 16, 10).cast("long"), lit(mBits.toLong))): _*)).as("pos"))
+    val setters = pos.groupBy("pos").agg(min("id").as("first_id"))
+    val flagged = pos.join(setters, Seq("pos"))
+      .groupBy("id").agg(max("first_id").as("worst"))
+      .select(col("id"), (col("worst") < col("id")).as("flagged"))
+    val firstDg = d.groupBy("digest").agg(min("id").as("first_dup"))
+    val verdicts = d.join(firstDg, Seq("digest"))
+      .select(col("id"), col("source"),
+        (col("first_dup") < col("id")).as("is_dup"))
+      .join(flagged, Seq("id"))
+    val perSrc = verdicts.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      count(when(col("is_dup"), 1)).as("n_true_dup"),
+      count(when(col("flagged"), 1)).as("n_flagged"),
+      count(when(col("flagged") && !col("is_dup"), 1)).as("n_false_pos"))
+    val bits = setters.agg(count(lit(1)).as("bits_set"))
+    val fill = col("bits_set").cast("double") / lit(mBits.toDouble)
+    perSrc.crossJoin(broadcast(bits))
+      .select(col("source"), col("n_docs"), col("n_true_dup"),
+        col("n_flagged"), col("n_false_pos"),
+        when(col("n_docs") > col("n_true_dup"),
+          col("n_false_pos").cast("double") /
+            (col("n_docs") - col("n_true_dup")).cast("double"))
+          .as("false_pos_rate"),
+        col("bits_set"), fill.as("fill_frac"),
+        (1 until kHash).foldLeft(fill)((a, _) => a * fill).as("pred_fpr"))
+      .orderBy("source")
+  }
 }

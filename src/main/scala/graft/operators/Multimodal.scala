@@ -782,4 +782,124 @@ object Multimodal {
       else JpegFeatures(r.doc_id, "jpeg", p.length.toLong, w, h, nSeg)
     }
   }
+
+  /** Parsed GIF metadata (see [[GifCodec]]). */
+  final case class GifFeatures(doc_id: Long, fmt: String, n_bytes: Long,
+      width: Int, height: Int, gct_entries: Int, n_frames: Int,
+      n_exts: Int, n_subblocks: Long, data_bytes: Long)
+
+  /** GIF87a/89a parsing — the LENGTH-PREFIXED SUB-BLOCK CHAIN
+    * dimension none of m4–m8 exercise: ZIP reads a footer directory,
+    * TAR seeks fixed 512-byte blocks, MP4/TIFF/JPEG follow sized or
+    * forward-chained markers — a GIF reader must walk chains of
+    * 1-byte-length-prefixed data sub-blocks (pixel data and every
+    * extension payload) until a 0x00 terminator, with no total length
+    * recorded anywhere. Header + logical screen descriptor + global
+    * color table are verified/consumed for real; block dispatch is on
+    * the introducer byte (0x21 extension → label + chain, 0x2C image
+    * descriptor → 9-byte geometry + optional local table + LZW
+    * min-code byte + chain, 0x3B trailer terminates — and must land
+    * exactly at end-of-payload). Damage (truncation mid-chain, junk
+    * introducer, missing trailer, short screen descriptor) fails clean
+    * to zeros. */
+  object GifCodec {
+    private def le16(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    private def rdLe16(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+
+    /** `nFrames` images of sub-block-chained pseudo-pixel data (sizes
+      * from `frameBytes`), a graphic-control extension, optionally one
+      * comment extension of `commentLen` bytes, and a global color
+      * table of 2^(gctExp+1) entries. Deterministic bytes from the
+      * sizes only. */
+    def buildGif(v89: Boolean, width: Int, height: Int, gctExp: Int,
+        frameBytes: Seq[Int], withComment: Boolean,
+        commentLen: Int): Array[Byte] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+      out ++= (if (v89) "GIF89a" else "GIF87a").getBytes("US-ASCII")
+      out ++= le16(width); out ++= le16(height)
+      out += (0x80 | gctExp).toByte // GCT flag + size exponent
+      out += 0; out += 0            // background index, aspect
+      val entries = 1 << (gctExp + 1)
+      (0 until 3 * entries).foreach(i => out += (i % 251).toByte)
+      // graphic-control extension: label 0xF9, one 4-byte sub-block
+      out += 0x21; out += 0xf9.toByte; out += 4
+      out ++= Array[Byte](0, 0, 0, 0); out += 0
+      if (withComment) {
+        out += 0x21; out += 0xfe.toByte; out += commentLen.toByte
+        (0 until commentLen).foreach(i => out += ('a' + i % 26).toByte)
+        out += 0
+      }
+      frameBytes.zipWithIndex.foreach { case (df, f) =>
+        out += 0x2c
+        out ++= le16(f); out ++= le16(f)         // left, top
+        out ++= le16(width); out ++= le16(height)
+        out += 0                                  // no local color table
+        out += 8                                  // LZW min code size
+        var left = df
+        while (left > 0) {
+          val n = math.min(255, left)
+          out += n.toByte
+          (0 until n).foreach(i => out += ((df + i) % 253).toByte)
+          left -= n
+        }
+        out += 0 // chain terminator
+      }
+      out += 0x3b.toByte
+      out.toArray
+    }
+
+    def decodeGif(r: MediaRow): GifFeatures = {
+      val p = r.payload
+      def fail = GifFeatures(r.doc_id, "unknown", p.length.toLong,
+        0, 0, 0, 0, 0, 0L, 0L)
+      if (p.length < 14) return fail
+      val hdr = new String(p, 0, 6, "US-ASCII")
+      if (hdr != "GIF87a" && hdr != "GIF89a") return fail
+      val w = rdLe16(p, 6); val h = rdLe16(p, 8)
+      val packed = p(10) & 0xff
+      val entries = if ((packed & 0x80) != 0) 1 << ((packed & 0x07) + 1)
+        else 0
+      var i = 13 + 3 * entries
+      var frames = 0; var exts = 0; var subs = 0L; var data = 0L
+      // a sub-block chain: length-prefixed blocks to the 0 terminator;
+      // only image-data chains count toward subs/data
+      def chain(start: Int, tally: Boolean): Int = {
+        var j = start
+        while (j < p.length && p(j) != 0) {
+          val n = p(j) & 0xff
+          if (j + 1 + n > p.length) return -1
+          if (tally) { subs += 1; data += n }
+          j += 1 + n
+        }
+        if (j >= p.length) -1 else j + 1
+      }
+      while (i < p.length) {
+        (p(i) & 0xff) match {
+          case 0x21 =>
+            if (i + 2 >= p.length) return fail
+            exts += 1
+            i = chain(i + 2, tally = false)
+            if (i < 0) return fail
+          case 0x2c =>
+            if (i + 11 > p.length) return fail
+            val lctPacked = p(i + 9) & 0xff
+            val lct = if ((lctPacked & 0x80) != 0)
+              3 * (1 << ((lctPacked & 0x07) + 1)) else 0
+            frames += 1
+            i = chain(i + 10 + lct + 1, tally = true)
+            if (i < 0) return fail
+          case 0x3b =>
+            // trailer must be the LAST byte — trailing junk fails
+            return if (i == p.length - 1)
+              GifFeatures(r.doc_id, if (hdr == "GIF89a") "gif89" else "gif87",
+                p.length.toLong, w, h, entries, frames, exts, subs, data)
+            else fail
+          case _ => return fail
+        }
+      }
+      fail // ran off the end without a trailer
+    }
+  }
 }

@@ -305,6 +305,24 @@ object Similarity {
     * rank) triples. */
   def knnGraph(corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, nCells: Int = 16): DataFrame = {
+    val ranked = directedTopK(corpus, idCol, vecCol, k, nCells)
+    ranked.as("f")
+      .join(ranked.as("r"),
+        col("f.qid") === col("r.id") && col("f.id") === col("r.qid"))
+      .filter(col("f.qid") < col("f.id"))
+      .select(col("f.qid").as("id_a"), col("f.id").as("id_b"),
+        round(col("f.cos"), 6).as("cos"),
+        col("f.rk").as("rk_ab"), col("r.rk").as("rk_ba"))
+  }
+
+  /** The directed half of [[knnGraph]]: every node's top-`k` same-cell
+    * neighbors as (qid, id, cos, rk) — BEFORE mutual symmetrization.
+    * Materialized (localCheckpoint) at O(nodes × k) rows so the
+    * cell-pair generation runs exactly once however many consumers
+    * ([[knnGraph]]'s mutual join reads it twice; [[knnHubness]] folds
+    * it into in-degrees). */
+  def directedTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, nCells: Int = 16): DataFrame = {
     val c = corpus.select(col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<double>").as("v"))
       .withColumn("nv", VectorOps.norm(col("v")))
@@ -336,16 +354,120 @@ object Similarity {
         col("cos"))
       .union(half.select(col("id_b").as("qid"), col("id_a").as("id"),
         col("cos")))
-    val ranked = topK(directed, k)
-    val res = ranked.as("f")
-      .join(ranked.as("r"),
-        col("f.qid") === col("r.id") && col("f.id") === col("r.qid"))
-      .filter(col("f.qid") < col("f.id"))
-      .select(col("f.qid").as("id_a"), col("f.id").as("id_b"),
-        round(col("f.cos"), 6).as("cos"),
-        col("f.rk").as("rk_ab"), col("r.rk").as("rk_ba"))
-      .localCheckpoint(true)
+    val res = topK(directed, k).localCheckpoint(true)
     assign.unpersist()
     res
+  }
+
+  /** kNN hubness audit (Radovanović et al. 2010, JMLR): the
+    * k-occurrence distribution N_k(x) = how many nodes list x in THEIR
+    * directed top-k ([[directedTopK]] — pre-mutual, where hubness
+    * lives), as an in-degree histogram plus its corpus-wide moment
+    * summary. High positive skew = hub pathology (a few vectors appear
+    * in everyone's neighbor lists — the high-dimensional concentration
+    * symptom that silently corrupts kNN-based dedup/search quality);
+    * antihubs (in-degree 0) are the unreachable tail. The operational
+    * read BEFORE trusting s2/s3/e6 neighborhoods at scale.
+    *
+    * Output: one row per distinct in-degree (0 included — vectors
+    * nobody lists) with its node count and share, plus the moment
+    * summary (mean/sd/skew) repeated via a 1-row broadcast cross.
+    * Exactness: in-degrees are exact integers; moment sums Σd, Σd²,
+    * Σd³ stage through DECIMAL(38,0) (overflow-safe however large the
+    * graph) and surface as int64; mean/sd/skew derive through a PINNED
+    * sequence of int64→double casts and IEEE ops (the x38 device), so
+    * both engines replay bit-for-bit.
+    *
+    * Scale shape: one groupBy(id) count over the O(nodes × k) directed
+    * edge list, a left join against the id spine for the zeros, a
+    * degree-cardinality histogram, and a 4-sum moment aggregate —
+    * nothing beyond the edge list is ever corpus-quadratic. */
+  def knnHubness(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, nCells: Int = 16): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val ranked = directedTopK(corpus, idCol, vecCol, k, nCells)
+    val deg = corpus.select(col(idCol).cast("long").as("id"))
+      .join(ranked.groupBy(col("id")).agg(count(lit(1)).as("d0")),
+        Seq("id"), "left")
+      .select(coalesce(col("d0"), lit(0L)).as("d"))
+    val hist = deg.groupBy("d").agg(count(lit(1)).as("n_vecs"))
+    val dd = col("d").cast(DecimalType(13, 0))
+    val mom = deg.agg(count(lit(1)).as("n"),
+      sum(col("d")).as("s1"),
+      sum(dd * dd).cast(DecimalType(38, 0)).as("s2"),
+      sum(dd * dd * dd).cast(DecimalType(38, 0)).as("s3"))
+    def D(c: Column) = c.cast(DoubleType)
+    val withM = hist.crossJoin(broadcast(mom))
+      .withColumn("mean_deg", D(col("s1")) / D(col("n")))
+      .withColumn("e2", D(col("s2").cast("long")) / D(col("n")))
+      .withColumn("e3", D(col("s3").cast("long")) / D(col("n")))
+      .withColumn("vr",
+        col("e2") - col("mean_deg") * col("mean_deg"))
+      .withColumn("m3",
+        col("e3") - lit(3.0) * col("mean_deg") * col("e2")
+          + lit(2.0) * col("mean_deg") * col("mean_deg") * col("mean_deg"))
+    withM.select(col("d").as("in_deg"), col("n_vecs"),
+        (D(col("n_vecs")) / D(col("n"))).as("share"),
+        col("mean_deg"),
+        when(col("vr") > 0.0, sqrt(col("vr"))).as("sd_deg"),
+        when(col("vr") > 0.0,
+          col("m3") / (sqrt(col("vr")) * col("vr"))).as("skew_deg"))
+      .orderBy("in_deg")
+  }
+
+  /** TwoNN intrinsic-dimension estimate (Facco et al. 2017, Scientific
+    * Reports): the MLE d̂ = N / Σ ln μ over per-point ratios
+    * μ = d₂/d₁ of second- to first-nearest-neighbor distances — here
+    * cosine distances (1 − cos) from [[directedTopK]]'s within-cell
+    * top-2, the same replayable index e6/e17 certify. The
+    * embedding-geometry health read beside e13's diversity moments: an
+    * intrinsic dimension far below the ambient width means the
+    * embedder collapsed the corpus onto a thin manifold (curse-of-
+    * dimensionality symptoms like e17's hubness follow from HIGH
+    * intrinsic dimension, not ambient width — the two audits are read
+    * together).
+    *
+    * Points are excluded with an accounted reason, never silently:
+    * `n_dup` (d₁ ≤ 0 — an exact/near-identical twin makes μ
+    * undefined), `n_short` (fewer than 2 same-cell neighbors,
+    * including cell-isolated vectors). Per-point ln μ terms round to
+    * 6 dp and scale to exact integer micros through the decimal hop
+    * (the x38 device), so the corpus sum is one exact BIGINT and d̂
+    * derives through two pinned IEEE divisions both engines replay.
+    *
+    * Scale shape: the e6 edge-list posture (nodes × 2 rows shuffle,
+    * vectors only pair within cells), a spine left-join for the
+    * exclusion census, ONE global 5-sum aggregate with map-side
+    * partials; output is a single row. */
+  def twoNnIntrinsicDim(corpus: DataFrame, idCol: String, vecCol: String,
+      nCells: Int = 16): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+    val ranked = directedTopK(corpus, idCol, vecCol, k = 2, nCells)
+    val p = ranked.groupBy("qid").agg(
+      max(when(col("rk") === 1, col("cos"))).as("cos1"),
+      max(when(col("rk") === 2, col("cos"))).as("cos2"),
+      count(lit(1)).as("nn"))
+    val full = corpus.select(col(idCol).cast("long").as("qid"))
+      .join(p, Seq("qid"), "left")
+      .withColumn("cls",
+        when(col("nn").isNull || col("nn") < 2, "short")
+          .when(lit(1.0) - col("cos1") <= 0.0, "dup")
+          .otherwise("used"))
+    val micros = (round(log((lit(1.0) - col("cos2")) /
+        (lit(1.0) - col("cos1"))), 6)
+      .cast(DecimalType(12, 6)) * 1000000).cast(LongType)
+    val ag = full
+      .withColumn("t", when(col("cls") === "used", micros).otherwise(lit(0L)))
+      .agg(count(lit(1)).as("n_points"),
+        count(when(col("cls") === "used", 1)).as("n_used"),
+        count(when(col("cls") === "dup", 1)).as("n_dup"),
+        count(when(col("cls") === "short", 1)).as("n_short"),
+        sum(col("t")).as("sum_lnmu_e6"))
+    def D(c: Column) = c.cast(DoubleType)
+    ag.select(col("n_points"), col("n_used"), col("n_dup"),
+      col("n_short"), col("sum_lnmu_e6"),
+      when(col("sum_lnmu_e6") > 0L,
+        D(col("n_used")) / (D(col("sum_lnmu_e6")) / lit(1000000.0)))
+        .as("id_twonn"))
   }
 }

@@ -1016,8 +1016,7 @@ object Relational {
   // runs on the parquet originals, so a hash match proves the custom
   // source's decode path end to end.
   def q58CustomSource(s: SparkSession, dir: String): DataFrame = {
-    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graftbin_q58_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+    val tmp = scratchDir("q58", dir)
     graft.sources.GraftBinary.write(
       t(s, dir, "nation").select(
         col("n_nationkey").cast(LongType).as("n_nationkey"),

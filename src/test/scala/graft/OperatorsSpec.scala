@@ -130,6 +130,53 @@ class DedupSpec extends AnyFunSuite {
     assert(got(1L) == ((1L, 1L, true)))
     assert(got(2L) == ((2L, 0L, false)))
   }
+
+  test("bloom dedup audit == sequential filter simulation (forced collisions)") {
+    // 16 bits / 2 hashes over 40 docs (half exact dups) saturates the
+    // filter — false positives GUARANTEED, so the brute-force
+    // sequential replay exercises every verdict branch.
+    val m = 16; val k = 2
+    val corpus = (0 until 20).flatMap { i =>
+      val t = s"document number $i about topic ${i % 5}"
+      Seq((i.toLong, t, s"src${i % 2}"), (i + 100L, t, s"src${i % 2}"))
+    }.toDF("doc_id", "text", "source")
+    // driver-side sequential bloom: check-then-insert in id order
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    def positions(dg: String): Seq[Long] =
+      (0 until k).map(j =>
+        java.lang.Long.parseLong(md5hex(s"$j|$dg").take(15), 16) % m)
+    val rows = corpus.select("doc_id", "text", "source")
+      .as[(Long, String, String)].collect().sortBy(_._1)
+    val bits = scala.collection.mutable.Set.empty[Long]
+    val seen = scala.collection.mutable.Set.empty[String]
+    var exp = Map.empty[String, (Long, Long, Long, Long)]
+    rows.foreach { case (_, text, src) =>
+      val dg = md5hex(text.toLowerCase.trim.replaceAll("\\s+", " "))
+      val ps = positions(dg)
+      val fl = ps.forall(bits.contains)
+      val dup = seen.contains(dg)
+      val (a, b, c, d) = exp.getOrElse(src, (0L, 0L, 0L, 0L))
+      exp += src -> (a + 1, b + (if (dup) 1 else 0),
+        c + (if (fl) 1 else 0), d + (if (fl && !dup) 1 else 0))
+      bits ++= ps; seen += dg
+    }
+    val got = Dedup.bloomDedupAudit(corpus, "doc_id", "text", "source",
+      mBits = m, kHash = k).collect()
+    got.foreach { r =>
+      val (nd, ntd, nf, nfp) = exp(r.getAs[String]("source"))
+      assert(r.getAs[Long]("n_docs") == nd && r.getAs[Long]("n_true_dup") == ntd)
+      assert(r.getAs[Long]("n_flagged") == nf, s"flagged ${r}")
+      assert(r.getAs[Long]("n_false_pos") == nfp, s"fp ${r}")
+      // no false negatives, structurally: flagged covers every true dup
+      assert(r.getAs[Long]("n_flagged") >= r.getAs[Long]("n_true_dup"))
+      assert(r.getAs[Long]("bits_set") == bits.size.toLong)
+      assert(r.getAs[Double]("fill_frac") == bits.size.toDouble / m)
+    }
+    // the tiny filter really did saturate into false positives
+    assert(got.map(_.getAs[Long]("n_false_pos")).sum > 0)
+  }
 }
 
 class SamplingSpec extends AnyFunSuite {
@@ -266,6 +313,47 @@ class SimilaritySpec extends AnyFunSuite {
     // here (deterministic hyperplanes — pinned with margin)
     val recall = brute.intersect(lsh).size.toDouble / brute.size
     assert(recall >= 0.25, s"s2 recall regressed: $recall")
+  }
+
+  test("twoNN intrinsic dim == driver brute-force replay; dups accounted") {
+    // 24 points on a unit circle in 3D (distinct angles) + one exact
+    // duplicate pair; nCells = 1 → the cell top-2 IS the global top-2,
+    // so a driver-side all-pairs replay is a true differential oracle
+    val pts = (0 until 24).map { i =>
+      val th = 0.37 * i
+      (i.toLong, Array(math.cos(th).toFloat, math.sin(th).toFloat, 0.1f))
+    } ++ Seq( // exact-twin pair: axis vectors make cos == 1.0 exactly
+      (50L, Array(1.0f, 0.0f, 0.0f)), (100L, Array(1.0f, 0.0f, 0.0f)))
+    val df = pts.toDF("vec_id", "embedding")
+    val got = Similarity.twoNnIntrinsicDim(df, "vec_id", "embedding",
+      nCells = 1).collect().head
+    // driver replay: same cosine, same top-2 (cos desc, id asc), same
+    // round6→micros→exact-sum→pinned-division chain
+    val v = pts.map { case (id, a) => id -> a.map(_.toDouble) }.toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      val n = math.sqrt(na) * math.sqrt(nb)
+      if (n == 0.0) 0.0 else d / n
+    }
+    var nUsed = 0L; var nDup = 0L; var sum = 0L
+    v.keys.foreach { q =>
+      val top = v.keys.filter(_ != q).toSeq
+        .map(o => (cos(v(q), v(o)), o)).sortBy(t => (-t._1, t._2)).take(2)
+      val d1 = 1.0 - top(0)._1; val d2 = 1.0 - top(1)._1
+      if (d1 <= 0.0) nDup += 1
+      else {
+        nUsed += 1
+        sum += (BigDecimal(math.log(d2 / d1))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP) * 1000000).toLongExact
+      }
+    }
+    assert(got.getAs[Long]("n_points") == 26L)
+    assert(got.getAs[Long]("n_dup") == nDup && nDup == 2L) // both twins
+    assert(got.getAs[Long]("n_used") == nUsed)
+    assert(got.getAs[Long]("sum_lnmu_e6") == sum)
+    val expected = nUsed.toDouble / (sum.toDouble / 1000000.0)
+    assert(got.getAs[Double]("id_twonn") == expected)
   }
 }
 
@@ -634,6 +722,46 @@ class MultimodalSpec extends AnyFunSuite {
     val shell = Mp4Codec.box("ftyp", Array[Byte](0, 0, 0, 0)) ++ bomb
     // make isMp4 see ftyp first: shell starts with a real ftyp box
     assert(Mp4Codec.decodeMp4(MediaRow(4L, "mp4", shell)).fmt == "unknown")
+  }
+
+  test("gif sub-block chain walk: geometry, GCT, frames, extensions, byte census") {
+    import Multimodal.{GifCodec, MediaRow}
+    // 2 frames of 300 and 40 data bytes: the 300 splits 255+45 (two
+    // length prefixes), the 40 rides one sub-block
+    val p = GifCodec.buildGif(v89 = true, width = 33, height = 21,
+      gctExp = 2, frameBytes = Seq(300, 40), withComment = true,
+      commentLen = 5)
+    val f = GifCodec.decodeGif(MediaRow(1L, "gif", p))
+    assert(f.fmt == "gif89" && f.width == 33 && f.height == 21, s"$f")
+    assert(f.gct_entries == 8 && f.n_frames == 2 && f.n_exts == 2, s"$f")
+    assert(f.n_subblocks == 3L && f.data_bytes == 340L, s"$f")
+    // hand-summed: 13 hdr+LSD + 24 GCT + 8 GCE + 9 comment +
+    // (12+300+2) + (12+40+1) frames + 1 trailer
+    assert(f.n_bytes == 13L + 24 + 8 + 9 + 314 + 53 + 1)
+    assert(f.n_bytes == p.length.toLong)
+  }
+
+  test("gif parser rejects junk, truncation mid-chain, trailing junk, missing trailer") {
+    import Multimodal.{GifCodec, MediaRow}
+    assert(GifCodec.decodeGif(
+      MediaRow(1L, "gif", Array.fill[Byte](64)(9))).fmt == "unknown")
+    val good = GifCodec.buildGif(v89 = false, width = 10, height = 10,
+      gctExp = 0, frameBytes = Seq(100), withComment = false,
+      commentLen = 0)
+    assert(GifCodec.decodeGif(MediaRow(2L, "gif", good)).fmt == "gif87")
+    // cut inside the pixel chain: the 1-byte prefix walk must refuse
+    val cut = GifCodec.decodeGif(MediaRow(3L, "gif", good.dropRight(30)))
+    assert(cut.fmt == "unknown" && cut.n_frames == 0)
+    // trailer not last: trailing junk fails
+    assert(GifCodec.decodeGif(
+      MediaRow(4L, "gif", good ++ Array[Byte](7))).fmt == "unknown")
+    // no trailer at all: ran-off-the-end fails
+    assert(GifCodec.decodeGif(
+      MediaRow(5L, "gif", good.dropRight(1))).fmt == "unknown")
+    // junk introducer mid-stream
+    val bad = good.clone()
+    bad(13 + 6) = 0x55 // first byte after the 2-entry GCT (the GCE intro)
+    assert(GifCodec.decodeGif(MediaRow(6L, "gif", bad)).fmt == "unknown")
   }
 
   test("zip footer walk: EOCD scan, CD entries, LFH cross-check") {
