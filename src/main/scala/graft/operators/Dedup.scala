@@ -1042,13 +1042,24 @@ object Dedup {
     * digest min-aggregate for ground truth, a source-cardinality
     * summary, and the single bits_set scalar riding a broadcast 1-row
     * cross. */
-  def bloomDedupAudit(corpus: DataFrame, idCol: String, textCol: String,
-      srcCol: String, mBits: Int = 2048, kHash: Int = 3): DataFrame = {
+  /** The k md5-derived bit positions of a digest column — shared by
+    * the batch audit and the S28 streaming filter so both address the
+    * SAME bit array. */
+  private[graft] def bloomPositions(digest: Column, mBits: Int,
+      kHash: Int): Column =
+    array((0 until kHash).map(j =>
+      pmod(conv(substring(md5(concat(lit(j + "|"), digest)),
+        1, 15), 16, 10).cast("long"), lit(mBits.toLong))): _*)
+
+  /** Per-doc verdicts + the min-setter bit table, computed once and
+    * shared by [[bloomVerdicts]] and [[bloomDedupAudit]]. */
+  private def bloomCore(corpus: DataFrame, idCol: String,
+      textCol: String, srcCol: String, mBits: Int,
+      kHash: Int): (DataFrame, DataFrame) = {
     val d = corpus.select(col(idCol).cast("long").as("id"),
       col(srcCol).as("source"), md5(normText(col(textCol))).as("digest"))
-    val pos = d.select(col("id"), explode(array((0 until kHash).map(j =>
-        pmod(conv(substring(md5(concat(lit(j + "|"), col("digest"))),
-          1, 15), 16, 10).cast("long"), lit(mBits.toLong))): _*)).as("pos"))
+    val pos = d.select(col("id"),
+      explode(bloomPositions(col("digest"), mBits, kHash)).as("pos"))
     val setters = pos.groupBy("pos").agg(min("id").as("first_id"))
     val flagged = pos.join(setters, Seq("pos"))
       .groupBy("id").agg(max("first_id").as("worst"))
@@ -1058,6 +1069,22 @@ object Dedup {
       .select(col("id"), col("source"),
         (col("first_dup") < col("id")).as("is_dup"))
       .join(flagged, Seq("id"))
+    (verdicts, setters)
+  }
+
+  /** Per-doc half of [[bloomDedupAudit]]: (id, source, is_dup,
+    * flagged) — the id-order sequential filter verdicts via the
+    * min-setter identity, plus exact-dedup ground truth. Exposed so
+    * the S28 streaming twin can prove trigger-fold equality
+    * doc-for-doc, not just on the aggregate. */
+  def bloomVerdicts(corpus: DataFrame, idCol: String, textCol: String,
+      srcCol: String, mBits: Int, kHash: Int): DataFrame =
+    bloomCore(corpus, idCol, textCol, srcCol, mBits, kHash)._1
+
+  def bloomDedupAudit(corpus: DataFrame, idCol: String, textCol: String,
+      srcCol: String, mBits: Int = 2048, kHash: Int = 3): DataFrame = {
+    val (verdicts, setters) =
+      bloomCore(corpus, idCol, textCol, srcCol, mBits, kHash)
     val perSrc = verdicts.groupBy("source").agg(
       count(lit(1)).as("n_docs"),
       count(when(col("is_dup"), 1)).as("n_true_dup"),

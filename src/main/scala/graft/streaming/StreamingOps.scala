@@ -844,6 +844,66 @@ object StreamingOps {
       .start()
   }
 
+  /** S28: streaming Bloom-filter dedup — d18's operational streaming
+    * half, and the strongest bounded-state story in the family: state
+    * is the SET BIT POSITIONS of an `mBits`-bit Bloom filter (≤ mBits
+    * rows FOREVER — not corpus-sized, not vocab-sized; the d9/S8
+    * digest index grows with the corpus, this never does). Each
+    * arriving doc is flagged maybe-duplicate iff ALL its `kHash`
+    * positions were set by a strictly-earlier doc — earlier triggers
+    * via the folded bit set, earlier docs of the SAME trigger via the
+    * batch-local min-setter (so for monotone id-ordered arrival the
+    * verdicts equal [[graft.operators.Dedup.bloomVerdicts]]'s batch
+    * min-setter replay doc-for-doc — the S28 spec proves it over a
+    * 2-trigger split). Flags are maybe-dups with the filter's
+    * false-positive rate (audited by the batch d18 twin); misses are
+    * impossible (exact copies share every position).
+    *
+    * Per trigger: one explode to (id, pos), one pos-keyed min
+    * aggregate, one join against the bounded bit set, one groupBy(id)
+    * AND-fold. Text never shuffles; nothing in the trigger is
+    * corpus-sized. */
+  def streamingBloomDedup(docs: DataFrame, idCol: String,
+      textCol: String, mBits: Int = 2048, kHash: Int = 3,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    var state: Option[DataFrame] = None // distinct set positions, ≤ mBits rows
+    docs.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val d = b.toDF().select(col(idCol).cast("long").as("id"),
+          md5(graft.operators.Dedup.normText(col(textCol))).as("digest"))
+        val pos = d.select(col("id"),
+          explode(graft.operators.Dedup.bloomPositions(col("digest"),
+            mBits, kHash)).as("pos")).persist()
+        pos.count()
+        val batchMin = pos.groupBy("pos").agg(min("id").as("first_id"))
+        val withPrev = state match {
+          case Some(sb) => batchMin.join(
+            sb.withColumn("prev", lit(true)), Seq("pos"), "left")
+          case None => batchMin.withColumn("prev", lit(false))
+        }
+        // bit set before doc d ⟺ set in an earlier trigger OR the
+        // batch's min setter < d (the d18 identity, batch-local)
+        val verdicts = pos.join(withPrev, Seq("pos"))
+          .withColumn("setb", coalesce(col("prev"), lit(false)) ||
+            (col("first_id") < col("id")))
+          .groupBy("id")
+          .agg((min(col("setb").cast("int")) === 1).as("flagged"))
+        sink(verdicts)
+        val next = state.map(sb => sb.select("pos")
+            .union(pos.select("pos")).distinct())
+          .getOrElse(pos.select("pos").distinct()).persist()
+        next.count()
+        state.foreach(_.unpersist())
+        state = Some(next)
+        pos.unpersist()
+        ()
+      }
+      .trigger(trigger)
+      .start()
+  }
+
   /** S9: streaming ingest curation — each arriving micro-batch runs
     * the full curation pipeline (dedup, decontamination, quality,
     * length) INCREMENTALLY against the corpus's precomputed digest

@@ -711,6 +711,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(batches(2)(4L)._3 == 0.0 && batches(2)(5L)._3 == 0.0)
   }
 
+  test("S28: streaming bloom dedup over 2 triggers == batch min-setter verdicts") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    // 16 bits / 2 hashes saturate on 40 docs → false-positive flags
+    // guaranteed, so the fold equality is exercised on every branch;
+    // exact dups planted at id+100 land in the SECOND trigger
+    // (monotone id order — the documented equality regime)
+    val m = 16; val k = 2
+    val corpus = (0 until 20).flatMap { i =>
+      val t = s"streaming doc number $i about topic ${i % 4}"
+      Seq((i.toLong, t), (i + 100L, t))
+    }
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    @volatile var got = Map.empty[Long, Boolean]
+    val q = StreamingOps.streamingBloomDedup(
+        mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        mBits = m, kHash = k, trigger = Trigger.ProcessingTime(0L)) { d =>
+      got = got ++ d.collect().map(r => r.getLong(0) -> r.getBoolean(1))
+    }
+    val rows = corpus.sortBy(_._1)
+    val (first, second) = rows.splitAt(rows.length / 2)
+    mem.addData(first: _*)
+    q.processAllAvailable()
+    mem.addData(second: _*)
+    q.processAllAvailable()
+    q.stop()
+    val batch = graft.operators.Dedup.bloomVerdicts(
+        corpus.toDF("doc_id", "text").withColumn("source", lit("s")),
+        "doc_id", "text", "source", m, k)
+      .select("id", "flagged").as[(Long, Boolean)].collect().toMap
+    assert(got.size == 40)
+    assert(got == batch)
+    // every planted exact dup is flagged (no false negatives), and the
+    // tiny filter really produced at least one FALSE positive too
+    assert((100L until 120L).forall(got(_)))
+    assert(got.count { case (id, f) => f && id < 100L } > 0)
+  }
+
   test("S17: streaming top-k heap fold across triggers matches batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
