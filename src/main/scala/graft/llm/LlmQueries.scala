@@ -1456,6 +1456,15 @@ object LlmQueries {
     EmbedStats.dimCovariance(t(s, dir, "embeddings"), "embedding", dim = 64)
       .orderBy("dim_i", "dim_j")
 
+  // ---- L99: effective rank (participation ratio) ---------------------------
+  /** tr(C)²/tr(C²) over e4's covariance — the eigendecomposition-free
+    * capacity-usage scalar ([[EmbedStats.effectiveRank]]): how many
+    * dimensions the corpus actually spreads over; read beside e14's
+    * top-2 shares and e18's (manifold) intrinsic dimension. */
+  def e19EffectiveRank(s: SparkSession, dir: String): DataFrame =
+    EmbedStats.effectiveRank(t(s, dir, "embeddings"), "embedding",
+      dim = 64)
+
   // ---- L45: embedding dimension correlation matrix -------------------------
   /** Pearson correlation of every dimension pair — e4's covariance
     * normalized by the diagonal, SAME single aggregation pass (the
@@ -1939,6 +1948,7 @@ object LlmQueries {
     "x39_mattr" -> x39Mattr _,
     "e17_hubness" -> e17Hubness _,
     "e18_intrinsic_dim" -> e18IntrinsicDim _,
+    "e19_effective_rank" -> e19EffectiveRank _,
     "d1_exact_dedup" -> d1ExactDedup _,
     "d2_minhash_lsh" -> d2MinhashLsh _,
     "d3_simhash" -> d3Simhash _,
@@ -3894,6 +3904,35 @@ object LlmQueries {
         |SELECT i - 1 AS dim_i, j - 1 AS dim_j,
         |  ROUND(exy - ex * ey, 6) + 0.0 AS cov
         |FROM m ORDER BY dim_i, dim_j""".stripMargin,
+    // e19: e4's proven round-6 entries lifted to integer micros (x38
+    // decimal hop), BIGINT trace/Frobenius sums, pinned int64→double
+    // product + division; /64 is an exact power-of-two scaling
+    "e19_effective_rank" ->
+      """WITH e AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |d AS (SELECT CAST(unnest(range(1, 65)) AS INT) AS i),
+        |p AS (SELECT a.i AS i, b.i AS j FROM d a JOIN d b ON b.i >= a.i),
+        |m AS (SELECT p.i, p.j, AVG(v[p.i] * v[p.j]) AS exy,
+        |        AVG(v[p.i]) AS ex, AVG(v[p.j]) AS ey
+        |      FROM e CROSS JOIN p GROUP BY p.i, p.j),
+        |c AS (SELECT i, j,
+        |    CAST(CAST(ROUND(exy - ex * ey, 6) + 0.0 AS DECIMAL(18,6))
+        |      * 1000000 AS BIGINT) AS c6 FROM m),
+        |ag AS (SELECT
+        |    CAST(SUM(CASE WHEN i = j THEN c6 ELSE 0 END) AS BIGINT)
+        |      AS tr_e6,
+        |    CAST(SUM(c6 * c6 * CASE WHEN i = j THEN 1 ELSE 2 END)
+        |      AS BIGINT) AS fro2_e12
+        |  FROM c)
+        |SELECT 64 AS n_dims, tr_e6, fro2_e12,
+        |  CAST(tr_e6 AS DOUBLE) / 1000000.0 AS trace,
+        |  CASE WHEN fro2_e12 > 0 THEN CAST(tr_e6 AS DOUBLE)
+        |    * CAST(tr_e6 AS DOUBLE) / CAST(fro2_e12 AS DOUBLE)
+        |  END AS eff_rank,
+        |  CASE WHEN fro2_e12 > 0 THEN CAST(tr_e6 AS DOUBLE)
+        |    * CAST(tr_e6 AS DOUBLE) / CAST(fro2_e12 AS DOUBLE) / 64.0
+        |  END AS eff_rank_frac
+        |FROM ag""".stripMargin,
     // e8: e4's moment CTE normalized by the diagonal — corr(i,j) =
     // (E[xy] − ExEy) / sqrt(var_i · var_j), the identical IEEE
     // sequence as the Spark side (cov first, variance product under

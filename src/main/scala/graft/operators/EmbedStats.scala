@@ -181,6 +181,48 @@ object EmbedStats {
           element_at(col("mu"), col("dim_j") + 1), 6) + 0.0).as("cov"))
   }
 
+  /** Effective rank of the embedding space — the participation ratio
+    * tr(C)²/tr(C²) of the dimension covariance (the RankMe-style
+    * capacity-usage read): how many dimensions the corpus ACTUALLY
+    * spreads over, without an eigendecomposition (tr(C²) = ΣC_ij² is
+    * basis-free — ‖C‖²_F — so the full spectrum is never needed).
+    * eff_rank ≈ n_dims = isotropic use; eff_rank ≪ n_dims = the
+    * embedder collapsed onto few directions and every cosine-based
+    * operator (d5/d10/s1–s5) is discriminating in a thin subspace.
+    * Read beside e14 (top-2 shares), e13 (diversity), e18 (intrinsic
+    * dim — manifold, not linear-span, width).
+    *
+    * Exactness: built on [[dimCovariance]]'s proven round-6 entries,
+    * lifted to integer micros via the decimal hop (x38 device); the
+    * trace and Frobenius sums are plain BIGINT (bounded by dim² and
+    * the ±1-ish entry range — ~4·10¹⁶ at dim 64, corpus-size-
+    * independent); eff_rank = two int64→double casts, one product,
+    * one division, all pinned IEEE; the /n_dims share divides by a
+    * power of two at dim 64 (exact scaling).
+    *
+    * Scale shape: the identical ONE-pass moment aggregation as e4
+    * (raw vector + upper-tri outer product through the mergeable
+    * mean) followed by a 2080-row bounded aggregate; single-row
+    * output. */
+  def effectiveRank(df: DataFrame, vecCol: String, dim: Int): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+    val cov = dimCovariance(df, vecCol, dim)
+    val c6 = (col("cov").cast(DecimalType(18, 6)) * 1000000)
+      .cast(LongType)
+    val diag = col("dim_i") === col("dim_j")
+    val ag = cov.agg(
+      sum(when(diag, c6).otherwise(lit(0L))).as("tr_e6"),
+      sum(c6 * c6 * when(diag, lit(1L)).otherwise(lit(2L)))
+        .as("fro2_e12"))
+    def D(c: Column) = c.cast(DoubleType)
+    val er = D(col("tr_e6")) * D(col("tr_e6")) / D(col("fro2_e12"))
+    ag.select(lit(dim).as("n_dims"), col("tr_e6"), col("fro2_e12"),
+      (D(col("tr_e6")) / lit(1000000.0)).as("trace"),
+      when(col("fro2_e12") > 0L, er).as("eff_rank"),
+      when(col("fro2_e12") > 0L, er / lit(dim.toDouble))
+        .as("eff_rank_frac"))
+  }
+
   /** Pearson correlation matrix of the embedding dimensions (the
     * normalized [[dimCovariance]] — the standard redundant-dimension /
     * collinearity report): corr(i, j) = cov(i, j) / √(var_i · var_j)

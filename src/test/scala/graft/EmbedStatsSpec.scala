@@ -31,6 +31,38 @@ class EmbedStatsSpec extends AnyFunSuite {
     assert(cov((0, 3)) == 0.0 && cov((1, 3)) == 0.0 && cov((2, 3)) == 0.0)
   }
 
+  test("effective rank: closed forms on planted isotropic / collinear geometry") {
+    // two balanced orthogonal axes, mean 0: C = diag(.5,.5,0,0)
+    // → tr 1, ‖C‖²_F .5 → eff_rank EXACTLY 2
+    val two = (0 until 40).map { r =>
+      val v = Array(0.0f, 0.0f, 0.0f, 0.0f)
+      v(r % 2) = if ((r / 2) % 2 == 0) 1.0f else -1.0f
+      (r.toLong, v)
+    }
+    val g2 = EmbedStats.effectiveRank(two.toDF("id", "vec"), "vec", dim = 4)
+      .collect().head
+    assert(g2.getAs[Int]("n_dims") == 4)
+    assert(g2.getAs[Long]("tr_e6") == 1000000L)
+    assert(g2.getAs[Long]("fro2_e12") == 500000000000L)
+    assert(g2.getAs[Double]("eff_rank") == 2.0)
+    assert(g2.getAs[Double]("eff_rank_frac") == 0.5)
+    // everything on one axis: rank-1 spectrum → eff_rank EXACTLY 1;
+    // a correlated copy on another axis must NOT raise it (off-diag
+    // mass counts): dim1 = dim0 → C = [[1,1],[1,1],..] → er = 4/4 = 1
+    val one = (0 until 40).map { r =>
+      val s = if (r % 2 == 0) 1.0f else -1.0f
+      (r.toLong, Array(s, s, 0.0f, 0.0f))
+    }
+    val g1 = EmbedStats.effectiveRank(one.toDF("id", "vec"), "vec", dim = 4)
+      .collect().head
+    assert(g1.getAs[Double]("eff_rank") == 1.0)
+    // degenerate all-zero corpus: guarded NULL, not a division blowup
+    val zero = (0 until 8).map(r => (r.toLong, Array(0.0f, 0.0f, 0.0f, 0.0f)))
+    val gz = EmbedStats.effectiveRank(zero.toDF("id", "vec"), "vec", dim = 4)
+      .collect().head
+    assert(gz.isNullAt(gz.fieldIndex("eff_rank")))
+  }
+
   test("pcaPowerProject recovers a planted dominant direction") {
     // dim0 carries a large-variance signal t; dim1 = t/2 (same
     // direction); dims 2..15 carry a tiny ±0.001 dither. The top PC
