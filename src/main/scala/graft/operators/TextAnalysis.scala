@@ -463,6 +463,54 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Per-source integer MATTR partials of ONE batch — (source,
+    * n_docs, n_tokens, sum_win_types, sum_win_slots), every column a
+    * plain additive int64, so the table is a SEMIGROUP: the S29
+    * streaming monitor folds these across triggers as
+    * source-cardinality state and [[mattrMassFromPartials]] re-derives
+    * the corpus read per trigger. The window sums reuse [[mattr]]'s
+    * within-row HOF kernel (zero shuffle before the source groupBy;
+    * text never moves). */
+  def mattrPartials(df: org.apache.spark.sql.DataFrame, srcCol: String,
+      textCol: String, w: Int = 25): org.apache.spark.sql.DataFrame = {
+    val toked = df.select(col(srcCol).as("source"),
+        filter(tokens(col(textCol)), t => t =!= lit("")).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .withColumn("wl", least(lit(w), col("n")))
+      .withColumn("nw", col("n") - col("wl") + lit(1))
+      .withColumn("swt",
+        aggregate(
+          transform(sequence(lit(1), col("nw")),
+            i => size(array_distinct(slice(col("toks"), i, col("wl"))))),
+          lit(0L), (acc, x) => acc + x))
+    toked.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n").cast("long")).as("n_tokens"),
+      sum(col("swt")).as("sum_win_types"),
+      sum((col("nw") * col("wl")).cast("long")).as("sum_win_slots"))
+  }
+
+  /** Corpus lexical-diversity mass from folded [[mattrPartials]]
+    * state: per source, the token-WEIGHTED moving-window type ratio
+    * Σ|distinct(win)| / Σ window-slots — x39's corpus-level companion
+    * (x39 reports per-doc MATTR; this is the mix-level monitor a
+    * crawl watches live: the ratio collapsing for one source =
+    * boilerplate flooding in). ONE terminal IEEE division per source
+    * over exact int64 sums — fold-order-free by construction. */
+  def mattrMassFromPartials(
+      partials: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    partials.groupBy("source").agg(
+        sum(col("n_docs")).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("sum_win_types")).as("sum_win_types"),
+        sum(col("sum_win_slots")).as("sum_win_slots"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("sum_win_types"), col("sum_win_slots"),
+        when(col("sum_win_slots") > 0L,
+          col("sum_win_types").cast("double") /
+            col("sum_win_slots").cast("double")).as("mattr_mass"))
+      .orderBy("source")
+
   /** Zipf rank-frequency power-law fit from a (source, tok, c) count
     * table — the terminal half of x38 (`LlmQueries.x38Zipf`):
     * least-squares slope/intercept of ln(count) on ln(rank) over each

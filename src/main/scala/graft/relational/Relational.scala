@@ -1491,7 +1491,29 @@ object Relational {
       .orderBy("user_id", "event_id")
   }
 
+  // ---- R75: distribution-position window functions -------------------------
+  /** percent_rank / cume_dist / ntile per customer over the spend
+    * ordering — the distribution-position window family q7/q8/q37/q53
+    * don't cover (rank→relative-position, peer-inclusive cumulative
+    * share, equal-height tiling). The compound (price, orderkey)
+    * ordering makes every peer group a single row, so percent_rank =
+    * (rn−1)/(n−1) and cume_dist = rn/n are single pinned IEEE
+    * divisions of exact integers in both engines, and NTILE's
+    * first-(n mod k)-buckets-get-one-extra fill is deterministic.
+    * Key-partitioned window — no global sort, AQE-splittable. */
+  def q75WindowPercentiles(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy("o_totalprice", "o_orderkey")
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
+      .withColumn("tile4", ntile(4).over(w))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q75_window_percentiles" -> q75WindowPercentiles _,
     "q74_attribution" -> q74Attribution _,
     "q72_schema_evolution" -> q72SchemaEvolution _,
     "q73_corrupt_records" -> q73CorruptRecords _,
@@ -1602,6 +1624,18 @@ object Relational {
   }
 
   val oracles: Map[String, String] = Map(
+    // q75: identical single-row-peer window (compound ordering), so
+    // both engines derive the same exact-integer divisions; ntile cast
+    // to INT (DuckDB's is BIGINT)
+    "q75_window_percentiles" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume,
+        |  CAST(ntile(4) OVER w AS INT) AS tile4
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     // q74: the same strictly-preceding IGNORE-NULLS window pass in
     // DuckDB (epoch seconds derived identically; compound tiebreak)
     "q74_attribution" ->

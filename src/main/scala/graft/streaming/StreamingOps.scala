@@ -969,6 +969,47 @@ object StreamingOps {
       .start()
   }
 
+  /** S29: streaming lexical-diversity monitor — x39's live half: each
+    * arriving doc's moving-window distinct-type sums compute
+    * WITHIN-ROW in its arrival batch (the x39 HOF kernel — text never
+    * re-shuffles, never re-scans), fold into per-source integer
+    * partials ([[graft.operators.TextAnalysis.mattrPartials]] — 4
+    * additive int64 columns, SOURCE-cardinality state forever), and
+    * each trigger re-derives the token-weighted window type ratio
+    * Σ|distinct(win)| / Σ slots per source
+    * ([[graft.operators.TextAnalysis.mattrMassFromPartials]]). The
+    * live read: one source's ratio collapsing mid-crawl = boilerplate
+    * flooding in. The ratio is ONE terminal IEEE division over exact
+    * fold-order-free integer sums, so after any batch prefix the
+    * emitted table equals the batch computation over everything seen
+    * EXACTLY (spec-pinned, doubles included). */
+  def streamingMattr(docs: DataFrame, textCol: String,
+      sourceCol: String, w: Int = 25,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    var state: Option[DataFrame] = None
+    docs.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val partials = graft.operators.TextAnalysis
+          .mattrPartials(b.toDF(), sourceCol, textCol, w)
+        val next = state.map(st => st.union(partials)
+            .groupBy("source").agg(
+              sum("n_docs").as("n_docs"),
+              sum("n_tokens").as("n_tokens"),
+              sum("sum_win_types").as("sum_win_types"),
+              sum("sum_win_slots").as("sum_win_slots")))
+          .getOrElse(partials).persist()
+        next.count()
+        state.foreach(_.unpersist())
+        state = Some(next)
+        sink(graft.operators.TextAnalysis.mattrMassFromPartials(next))
+        ()
+      }
+      .trigger(trigger)
+      .start()
+  }
+
   /** S26: streaming mixing-plan monitor — p5's live half: as crawl
     * batches arrive, per-source available-token totals fold into state
     * (a semigroup sum — state is SOURCE-cardinality sized, never

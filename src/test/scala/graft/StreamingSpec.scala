@@ -826,6 +826,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(last.exists(_._7), "no binding source flagged")
   }
 
+  test("S29: streaming MATTR-mass fold across triggers matches batch exactly") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val rows = Tables.t(spark, sf, "documents")
+      .select(col("source"), col("text")).limit(300)
+      .as[(String, String)].collect().toSeq
+    // split so every source's windows span BOTH triggers — the ratio
+    // must come from the FOLDED integer partials, not either batch
+    val (first, second) = rows.zipWithIndex.partition(_._2 % 2 == 0)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+    type MRow = (String, Long, Long, Long, Long, Double)
+    def read(d: org.apache.spark.sql.DataFrame): Array[MRow] =
+      d.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    @volatile var last: Array[MRow] = Array.empty
+    val q = StreamingOps.streamingMattr(
+        mem.toDF().toDF("source", "text"), "text", "source",
+        trigger = Trigger.ProcessingTime(0L)) { d => last = read(d) }
+    mem.addData(first.map(_._1): _*)
+    q.processAllAvailable()
+    mem.addData(second.map(_._1): _*)
+    q.processAllAvailable()
+    q.stop()
+    val batch = read(graft.operators.TextAnalysis.mattrMassFromPartials(
+      graft.operators.TextAnalysis.mattrPartials(
+        rows.toDF("source", "text"), "source", "text")))
+    // additive int64 partials + one terminal division → exact equality
+    assert(last.nonEmpty && last.toSet == batch.toSet,
+      s"mattr mass diverged (${last.length} vs ${batch.length})")
+    assert(last.forall(r => r._6 > 0.0 && r._6 <= 1.0))
+  }
+
   test("S27: streaming Zipf count fold across triggers matches batch x38 exactly") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
