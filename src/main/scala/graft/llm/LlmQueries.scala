@@ -1465,6 +1465,14 @@ object LlmQueries {
     EmbedStats.effectiveRank(t(s, dir, "embeddings"), "embedding",
       dim = 64)
 
+  // ---- L100: embedding anisotropy (mean pairwise cosine) -------------------
+  /** Mean pairwise cosine of the unit-normalized corpus + mean L2 norm
+    * ([[EmbedStats.anisotropy]]) — the cosine-calibration scalar read
+    * before trusting any similarity threshold; ≈0 isotropic, high =
+    * every cosine carries a constant common-direction offset. */
+  def e20Anisotropy(s: SparkSession, dir: String): DataFrame =
+    EmbedStats.anisotropy(t(s, dir, "embeddings"), "embedding", dim = 64)
+
   // ---- L45: embedding dimension correlation matrix -------------------------
   /** Pearson correlation of every dimension pair — e4's covariance
     * normalized by the diagonal, SAME single aggregation pass (the
@@ -1949,6 +1957,7 @@ object LlmQueries {
     "e17_hubness" -> e17Hubness _,
     "e18_intrinsic_dim" -> e18IntrinsicDim _,
     "e19_effective_rank" -> e19EffectiveRank _,
+    "e20_anisotropy" -> e20Anisotropy _,
     "d1_exact_dedup" -> d1ExactDedup _,
     "d2_minhash_lsh" -> d2MinhashLsh _,
     "d3_simhash" -> d3Simhash _,
@@ -3092,9 +3101,48 @@ object LlmQueries {
        |FROM a JOIN b ON a.label = b.label ORDER BY a.label""".stripMargin
   }
 
+  /** e20: the identical grid pipeline — per-row left-assoc norm² fold
+    * of exact float×float products, one sqrt, ⌊û·10⁶⌋ longs, exact
+    * HUGEINT corpus sums, then the pinned terminal fold/divisions. */
+  private def e20OracleSql: String = {
+    val dim = 64
+    val xDefs = (0 until dim).map(i =>
+      s"CAST(embedding[${i + 1}] AS DOUBLE) AS x$i").mkString(",\n    ")
+    val norm2 = (0 until dim).map(i => s"x$i * x$i").mkString(" + ")
+    val uDefs = (0 until dim).map(i =>
+      s"CAST(FLOOR(x$i / SQRT(norm2) * 1000000.0) AS BIGINT) AS u$i")
+      .mkString(",\n    ")
+    val rowSS = (0 until dim).map(i => s"u$i * u$i").mkString(" + ")
+    val sSums = (0 until dim).map(i =>
+      s"SUM(CAST(u$i AS HUGEINT)) AS s$i").mkString(", ")
+    val fold = (0 until dim).map(i =>
+      s"(CAST(s$i AS DOUBLE) / 1000000.0) * (CAST(s$i AS DOUBLE) / 1000000.0)")
+      .mkString(" +\n    ")
+    s"""WITH e AS (SELECT
+       |    $xDefs
+       |  FROM embeddings),
+       |n2 AS (SELECT *, $norm2 AS norm2 FROM e),
+       |q AS (SELECT
+       |    CAST(FLOOR(SQRT(norm2) * 1000000.0) AS HUGEINT) AS qn,
+       |    $uDefs
+       |  FROM n2 WHERE norm2 > 0.0),
+       |g AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(qn) AS sn,
+       |    SUM(CAST($rowSS AS HUGEINT)) AS ssq, $sSums
+       |  FROM q)
+       |SELECT CAST(n AS BIGINT) AS n_used,
+       |  ROUND(CAST(sn AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0, 6) + 0.0
+       |    AS mean_norm,
+       |  ROUND(CASE WHEN n > 1 THEN ($fold
+       |    - CAST(ssq AS DOUBLE) / 1e12)
+       |    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) END, 6) + 0.0
+       |    AS mean_cos
+       |FROM g""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "x36_tokenizer_fertility" -> x36OracleSql,
     "e15_embed_drift" -> e15OracleSql,
+    "e20_anisotropy" -> e20OracleSql,
     "d17_cdc_chunks" -> d17OracleSql,
     // d18: the identical min-setter replay — bit state before doc d is
     // "min id touching the position < d"; fill = bits/2^13 (EXACT

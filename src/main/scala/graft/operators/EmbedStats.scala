@@ -318,6 +318,92 @@ object EmbedStats {
     moments.groupBy("label").agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Embedding ANISOTROPY — the mean pairwise cosine between
+    * unit-normalized vectors over the whole corpus (the Ethayarajh
+    * 2019 contextual-anisotropy baseline / Mu & Viswanath 2018
+    * common-direction bias): an isotropic embedder reads ≈ 0; a high
+    * mean cosine means every vector shares a dominant direction and
+    * cosine similarity loses discriminative range — the calibration
+    * read taken BEFORE trusting any threshold in d5/d10/s1–s5. Read
+    * beside e19 (linear span) and e18 (manifold width): those say how
+    * many directions are used, this says how much of every cosine is
+    * a constant offset. Also emits the mean original L2 norm (norm
+    * inflation is the usual confounder when anisotropy moves between
+    * snapshots).
+    *
+    * NO pairwise pass: with û_i the unit vectors,
+    * Σ_{i≠j} û_i·û_j = ‖Σû‖² − Σ‖û‖², so the whole statistic needs
+    * only the per-dimension sums and one sum of squared norms.
+    *
+    * Determinism contract: each row's norm² is the left-to-right IEEE
+    * fold of exact float×float products (single-precision inputs
+    * square exactly in double); sqrt is correctly rounded; each unit
+    * component then lands on the 1e-6 integer grid (⌊·10⁶⌋ — the
+    * diversityMoments device), so all corpus sums are EXACT decimals,
+    * order-free, and the terminal fold/divisions are one pinned IEEE
+    * sequence the oracle replays term for term. The statistic is thus
+    * defined ON the grid (quantization bias ≤ ~dim·10⁻⁶ — inside the
+    * 6-dp render); zero vectors are excluded (n_used counts the rest).
+    *
+    * Scale shape: one global aggregation of 2 + dim decimal sums
+    * (map-side partials, no explode, no join); single-row output.
+    * DECIMAL(38,0) sums hold to ~10²⁹ rows — never the constraint. */
+  def anisotropy(df: DataFrame, vecCol: String, dim: Int = 64): DataFrame =
+    anisotropyFromMoments(anisotropyMoments(df, vecCol, dim), dim)
+
+  /** The mergeable half of [[anisotropy]]: ONE exact decimal moment
+    * row (n, Σ⌊norm·10⁶⌋, per-dim Σ⌊û_d·10⁶⌋, Σ‖û‖²-on-the-grid). A
+    * semigroup under column-wise decimal addition — the S30 streaming
+    * state, dim+2 numbers forever regardless of stream length. */
+  def anisotropyMoments(df: DataFrame, vecCol: String, dim: Int): DataFrame = {
+    val xs = (0 until dim).map(i =>
+      element_at(col(vecCol), i + 1).cast("double"))
+    val norm2 = xs.map(x => x * x).reduce(_ + _)
+    val nrm = sqrt(norm2)
+    // unit components on the 1e-6 grid as LONG (|û|·10⁶ ≤ 10⁶, row
+    // sum-of-squares ≤ dim·10¹² — int64-safe per ROW); corpus sums
+    // go through DECIMAL(38,0) so no row count can overflow them
+    val q = df.filter(norm2 > 0.0).select(
+      floor(nrm * 1000000.0).cast(DecimalType(38, 0)).as("qn") +:
+        (0 until dim).map(i =>
+          floor(xs(i) / nrm * 1000000.0).cast("long").as(s"u$i")): _*)
+    val rowSS = (0 until dim).map(i => col(s"u$i") * col(s"u$i"))
+      .reduce(_ + _)
+    val aggs: Seq[Column] =
+      count(lit(1)).cast(DecimalType(38, 0)).as("n") +:
+        sum(col("qn")).as("sn") +:
+        (0 until dim).map(i =>
+          sum(col(s"u$i").cast(DecimalType(38, 0))).as(s"s$i")) :+
+        sum(rowSS.cast(DecimalType(38, 0))).as("ssq")
+    q.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Column-wise decimal re-fold of anisotropy moment rows — the S30
+    * state merge. Input must be in [[anisotropyMoments]] layout. */
+  def mergeAnisotropyMoments(moments: DataFrame, dim: Int): DataFrame = {
+    val aggs: Seq[Column] =
+      sum("n").as("n") +: sum("sn").as("sn") +:
+        (0 until dim).map(i => sum(col(s"s$i")).as(s"s$i")) :+
+        sum("ssq").as("ssq")
+    moments.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Terminal half of [[anisotropy]]: the pinned IEEE sequence
+    * (left-to-right per-dim fold, one subtraction, one division);
+    * mean_cos is NULL below two usable vectors. */
+  def anisotropyFromMoments(m: DataFrame, dim: Int): DataFrame = {
+    def D(c: Column) = c.cast("double")
+    val fold = (0 until dim).map(i =>
+      (D(col(s"s$i")) / lit(1000000.0)) *
+        (D(col(s"s$i")) / lit(1000000.0))).reduce(_ + _)
+    val nD = D(col("n"))
+    val meanCos = (fold - D(col("ssq")) / lit(1.0e12)) /
+      (nD * (nD - lit(1.0)))
+    m.select(col("n").cast("long").as("n_used"),
+      (round(D(col("sn")) / nD / lit(1000000.0), 6) + 0.0).as("mean_norm"),
+      (round(when(col("n") > 1, meanCos), 6) + 0.0).as("mean_cos"))
+  }
+
   /** Embedding DRIFT between two corpus slices, per label — x24's
     * vector-space sibling: did the embedding distribution move between
     * crawl halves / snapshots? Per label: both slice sizes, the

@@ -1010,6 +1010,40 @@ object StreamingOps {
       .start()
   }
 
+  /** S30: streaming anisotropy monitor — e20's live half and the
+    * hardest-bounded state in the embedding family: state is ONE
+    * exact decimal moment row of dim+2 numbers (n, Σ⌊norm·10⁶⌋,
+    * per-dim Σ⌊û_d·10⁶⌋, Σ‖û‖²-on-grid) that folds by column-wise
+    * addition — CONSTANT-size forever, independent of both stream
+    * length and corpus cardinality (even the digest-index twins grow;
+    * this never does). Each trigger re-derives mean pairwise cosine +
+    * mean norm over everything seen, EXACTLY equal to batch e20 (the
+    * grid sums are order-free integers), so a drifting embedder —
+    * anisotropy creeping up as a fine-tune collapses directions —
+    * pages before the next similarity job trusts its thresholds.
+    * Vectors quantize in their arrival batch; nothing re-shuffles. */
+  def streamingAnisotropy(rows: DataFrame, vecCol: String, dim: Int = 64,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    var state: Option[DataFrame] = None
+    rows.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val m = graft.operators.EmbedStats
+          .anisotropyMoments(b.toDF(), vecCol, dim)
+        val next = state.map(st => graft.operators.EmbedStats
+            .mergeAnisotropyMoments(st.unionByName(m), dim))
+          .getOrElse(m).persist()
+        next.count()
+        state.foreach(_.unpersist())
+        state = Some(next)
+        sink(graft.operators.EmbedStats.anisotropyFromMoments(next, dim))
+        ()
+      }
+      .trigger(trigger)
+      .start()
+  }
+
   /** S26: streaming mixing-plan monitor — p5's live half: as crawl
     * batches arrive, per-source available-token totals fold into state
     * (a semigroup sum — state is SOURCE-cardinality sized, never

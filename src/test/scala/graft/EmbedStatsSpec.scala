@@ -63,6 +63,54 @@ class EmbedStatsSpec extends AnyFunSuite {
     assert(gz.isNullAt(gz.fieldIndex("eff_rank")))
   }
 
+  test("anisotropy: closed forms on axis-vector geometry") {
+    // axis vectors have EXACT grid unit components (û = 10⁶·e_k), so
+    // every closed form below is exact, not approximate.
+    // (a) n copies of one axis → every pairwise cosine 1
+    val same = (0 until 6).map(r => (r.toLong, Array(3.0f, 0.0f, 0.0f, 0.0f)))
+    val a = EmbedStats.anisotropy(same.toDF("id", "vec"), "vec", dim = 4)
+      .collect().head
+    assert(a.getAs[Long]("n_used") == 6L)
+    assert(a.getAs[Double]("mean_norm") == 3.0)
+    assert(a.getAs[Double]("mean_cos") == 1.0)
+    // (b) two orthogonal axes → cosine 0
+    val orth = Seq((0L, Array(1.0f, 0f, 0f, 0f)), (1L, Array(0f, 2.0f, 0f, 0f)))
+    val b = EmbedStats.anisotropy(orth.toDF("id", "vec"), "vec", dim = 4)
+      .collect().head
+    assert(b.getAs[Double]("mean_cos") == 0.0)
+    assert(b.getAs[Double]("mean_norm") == 1.5)
+    // (c) opposite vectors → −1
+    val opp = Seq((0L, Array(1.0f, 0f, 0f, 0f)), (1L, Array(-1.0f, 0f, 0f, 0f)))
+    val c = EmbedStats.anisotropy(opp.toDF("id", "vec"), "vec", dim = 4)
+      .collect().head
+    assert(c.getAs[Double]("mean_cos") == -1.0)
+    // (d) e0, e0, e1: ordered pairs 6, two with cos 1 → mean 1/3
+    // (‖Σû‖² = 5e12, Σ‖û‖² = 3e12 → 2e12 / 6e12 exactly, rendered @6)
+    val mix = Seq((0L, Array(1.0f, 0f, 0f, 0f)), (1L, Array(1.0f, 0f, 0f, 0f)),
+      (2L, Array(0f, 1.0f, 0f, 0f)))
+    val d = EmbedStats.anisotropy(mix.toDF("id", "vec"), "vec", dim = 4)
+      .collect().head
+    assert(d.getAs[Double]("mean_cos") == 0.333333)
+    // (e) zero vectors are excluded, not poison; n=1 → NULL mean_cos
+    val zeros = Seq((0L, Array(1.0f, 0f, 0f, 0f)), (1L, Array(0f, 0f, 0f, 0f)))
+    val e = EmbedStats.anisotropy(zeros.toDF("id", "vec"), "vec", dim = 4)
+      .collect().head
+    assert(e.getAs[Long]("n_used") == 1L)
+    assert(e.isNullAt(e.fieldIndex("mean_cos")))
+    // (f) semigroup: a 2-way moment split folds to the batch answer
+    val all = same ++ orth.map { case (i, v) => (i + 100L, v) }
+    val m1 = EmbedStats.anisotropyMoments(
+      same.toDF("id", "vec"), "vec", dim = 4)
+    val m2 = EmbedStats.anisotropyMoments(
+      orth.map { case (i, v) => (i + 100L, v) }.toDF("id", "vec"), "vec", 4)
+    val folded = EmbedStats.anisotropyFromMoments(
+      EmbedStats.mergeAnisotropyMoments(m1.unionByName(m2), 4), 4)
+      .collect().head
+    val batch = EmbedStats.anisotropy(all.toDF("id", "vec"), "vec", dim = 4)
+      .collect().head
+    assert(folded.toSeq == batch.toSeq)
+  }
+
   test("pcaPowerProject recovers a planted dominant direction") {
     // dim0 carries a large-variance signal t; dim1 = t/2 (same
     // direction); dims 2..15 carry a tiny ±0.001 dither. The top PC

@@ -634,6 +634,41 @@ class StreamingSpec extends AnyFunSuite {
       s"diversity state diverged (${last.length} vs ${batch.length})")
   }
 
+  test("S30: streaming anisotropy moment fold across triggers matches batch e20 exactly") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val rows = Tables.t(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .limit(300).as[(Long, Array[Float])].collect().toSeq
+    val (first, second) = rows.splitAt(rows.length / 2)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Array[Float])]
+    @volatile var last: Array[(Long, Option[Double], Option[Double])] = Array.empty
+    def opt(r: org.apache.spark.sql.Row, i: Int): Option[Double] =
+      if (r.isNullAt(i)) None else Some(r.getDouble(i))
+    val q = StreamingOps.streamingAnisotropy(
+        mem.toDF().toDF("vec_id", "embedding"), "embedding",
+        trigger = Trigger.ProcessingTime(0L)) { d =>
+      last = d.collect().map(r => (r.getLong(0), opt(r, 1), opt(r, 2)))
+    }
+    mem.addData(first: _*)
+    q.processAllAvailable()
+    // after trigger 1 the emitted row must equal batch over the prefix
+    val prefix = graft.operators.EmbedStats.anisotropy(
+        first.toDF("vec_id", "embedding"), "embedding")
+      .collect().map(r => (r.getLong(0), opt(r, 1), opt(r, 2)))
+    assert(last.toSeq == prefix.toSeq)
+    mem.addData(second: _*)
+    q.processAllAvailable()
+    q.stop()
+    val batch = graft.operators.EmbedStats.anisotropy(
+        rows.toDF("vec_id", "embedding"), "embedding")
+      .collect().map(r => (r.getLong(0), opt(r, 1), opt(r, 2)))
+    // constant-size state (dim+2 decimals), yet the 2-trigger fold is
+    // EXACTLY the batch scalar — doubles included
+    assert(last.toSeq == batch.toSeq)
+  }
+
   test("S24: streaming Good-Turing count fold across triggers matches batch x35 exactly") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
