@@ -1622,6 +1622,18 @@ object LlmQueries {
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id")
 
+  // ---- L101: Kneser-Ney bigram perplexity ----------------------------------
+  /** The canonical n-gram smoothing
+    * ([[graft.operators.TextAnalysis.kneserNeyPerplexity]]):
+    * continuation-probability lower order + absolute discount 0.75,
+    * trained and scored on the corpus itself (self-perplexity quality
+    * ranking beside x13/x22 — KN's distinct-context statistics catch
+    * the boilerplate that raw-frequency backoff scores as fluent). */
+  def x40KneserNey(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.kneserNeyPerplexity(t(s, dir, "documents"), "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
   // ---- L52: canonical-URL dedup --------------------------------------------
   /** URLs planted deterministically from doc_id in spelling variants
     * (case, default port, trailing slash, tracking params, param
@@ -2023,6 +2035,7 @@ object LlmQueries {
     "x21_tfidf" -> x21Tfidf _,
     "d13_url_dedup" -> d13UrlDedup _,
     "x22_bigram_ppl" -> x22BigramPpl _,
+    "x40_kneser_ney" -> x40KneserNey _,
     "e6_knn_graph" -> e6KnnGraph _,
     "x23_bpe_encode" -> x23BpeEncode _,
     "m3_frame_sample" -> m3FrameSample _,
@@ -3517,6 +3530,37 @@ object LlmQueries {
         |  FROM big
         |  LEFT JOIN bvocab bv ON big.w1 = bv.w1 AND big.w2 = bv.w2
         |  LEFT JOIN uvocab uv ON big.w2 = uv.tok, tot)
+        |SELECT doc_id, COUNT(*) AS n_bi,
+        |  ROUND(exp(-(CAST(SUM(lp) AS DOUBLE) / COUNT(*))), 6) AS ppl
+        |FROM scored GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    // x40: full KN-model replay — same tokenization, same integer
+    // count/distinct-count/type-total statistics, the identical pinned
+    // P expression (c−D + D·n1v·(n1w/B)) / cv, 9-decimal DECIMAL
+    // log-prob sums (order-free), one terminal exp
+    "x40_kneser_ney" ->
+      s"""WITH base AS (SELECT doc_id, string_split($normSql, ' ') AS toks
+        |  FROM documents),
+        |docs2 AS (SELECT doc_id, toks FROM base WHERE len(toks) >= 2),
+        |pos AS (SELECT doc_id, toks,
+        |    unnest(generate_series(1, len(toks) - 1)) AS i FROM docs2),
+        |big AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2 FROM pos),
+        |bcnt AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cvw
+        |  FROM big GROUP BY 1, 2),
+        |ctx AS (SELECT w1, CAST(SUM(cvw) AS BIGINT) AS cv,
+        |    CAST(COUNT(*) AS BIGINT) AS n1v FROM bcnt GROUP BY 1),
+        |cont AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1w
+        |  FROM bcnt GROUP BY 1),
+        |btypes AS (SELECT CAST(COUNT(*) AS BIGINT) AS b FROM bcnt),
+        |scored AS (SELECT big.doc_id,
+        |    CAST(ROUND(ln(
+        |      (CAST(cvw AS DOUBLE) - 0.75 +
+        |        0.75 * CAST(n1v AS DOUBLE) *
+        |          (CAST(n1w AS DOUBLE) / CAST(b AS DOUBLE))) /
+        |      CAST(cv AS DOUBLE)), 9) AS DECIMAL(18,9)) AS lp
+        |  FROM big
+        |  JOIN bcnt ON big.w1 = bcnt.w1 AND big.w2 = bcnt.w2
+        |  JOIN ctx ON big.w1 = ctx.w1
+        |  JOIN cont ON big.w2 = cont.w2, btypes)
         |SELECT doc_id, COUNT(*) AS n_bi,
         |  ROUND(exp(-(CAST(SUM(lp) AS DOUBLE) / COUNT(*))), 6) AS ppl
         |FROM scored GROUP BY 1 ORDER BY doc_id""".stripMargin,

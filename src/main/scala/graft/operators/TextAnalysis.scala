@@ -347,6 +347,64 @@ object TextAnalysis {
         round(exp(-(col("slp").cast("double") / col("n_bi"))), 6).as("ppl"))
   }
 
+  /** Interpolated Kneser-Ney bigram perplexity (Kneser & Ney 1995;
+    * Chen & Goodman 1998) — the canonical n-gram smoothing, and the
+    * fidelity step past [[bigramPerplexity]]'s Jelinek-Mercer mix: the
+    * lower-order term is the CONTINUATION probability P_cont(w) =
+    * N₁₊(·,w)/B (how many distinct contexts w completes, over total
+    * bigram types), not raw frequency — "Francisco" is frequent but
+    * only ever follows "San", so KN correctly refuses to predict it in
+    * fresh contexts, the exact failure mode raw-frequency backoff has
+    * on boilerplate corpora. P(w|v) = (c(v,w) − D + D·N₁₊(v,·)·
+    * P_cont(w)) / c(v), absolute discount D = 0.75.
+    *
+    * Trained and scored on the SAME corpus (the self-perplexity
+    * quality read: low = templated/repetitive, high = unmodelable
+    * noise — ranked against siblings x13/x22), so every scored bigram
+    * exists in the model: c(v,w) ≥ 1 > D and no OOV path is needed.
+    *
+    * Determinism: every model quantity is an exact integer (counts,
+    * distinct-counts, type total); P is one pinned IEEE sequence of
+    * integer-cast doubles; per-bigram ln rounds to 9 decimals and sums
+    * as DECIMAL(18,9) — order-free — with one terminal exp (the x13/
+    * x22 device).
+    *
+    * Scale shape: one bigram explode feeds the (v,w) count (map-side
+    * combined); context stats N₁₊(v,·)/c(v) and continuation counts
+    * N₁₊(·,w) are groupBys OF THE COUNT TABLE (type-cardinality, not
+    * corpus-cardinality); scoring re-joins the doc bigrams to the
+    * model by equi-key — at 100 TB all joins shuffle type-sized model
+    * tables against the bigram stream, and the 1-row type total rides
+    * a broadcast cross (the x35 allowlisted shape). */
+  def kneserNeyPerplexity(df: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String,
+      discount: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    val toks = df.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= 2)
+    val big = toks.select(col("id"), explode(expr(
+        "zip_with(slice(toks, 1, size(toks)-1), slice(toks, 2, size(toks)-1), " +
+          "(a, b) -> struct(a AS w1, b AS w2))")).as("bg"))
+      .select(col("id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val bcnt = big.groupBy("w1", "w2").agg(count(lit(1)).as("cvw"))
+    val ctx = bcnt.groupBy("w1")
+      .agg(sum("cvw").cast("long").as("cv"), count(lit(1)).as("n1v"))
+    val cont = bcnt.groupBy("w2").agg(count(lit(1)).as("n1w"))
+    val btypes = bcnt.agg(count(lit(1)).as("b"))
+    val p = (col("cvw").cast("double") - lit(discount) +
+      lit(discount) * col("n1v").cast("double") *
+        (col("n1w").cast("double") / col("b").cast("double"))) /
+      col("cv").cast("double")
+    big.join(bcnt, Seq("w1", "w2"))
+      .join(ctx, Seq("w1"))
+      .join(cont, Seq("w2"))
+      .crossJoin(broadcast(btypes))
+      .withColumn("lp", round(log(p), 9).cast("decimal(18,9)"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_bi"), sum("lp").as("slp"))
+      .select(col("id"), col("n_bi"),
+        round(exp(-(col("slp").cast("double") / col("n_bi"))), 6).as("ppl"))
+  }
+
   def repetitionSignals(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.graft.ColumnBridge

@@ -502,6 +502,30 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(again == got.toSet)
   }
 
+  test("kneser-ney: hand-computed closed forms, distribution sums to 1, partition-stable") {
+    // corpus: "a b", "a b", "a c" → bigrams (a,b)×2, (a,c)×1
+    // model: c(a)=3, N₁₊(a,·)=2, N₁₊(·,b)=N₁₊(·,c)=1, B=2 types
+    // P(b|a) = (2−.75 + .75·2·(1/2)) / 3 = 2/3
+    // P(c|a) = (1−.75 + .75·2·(1/2)) / 3 = 1/3
+    // → the context distribution sums to EXACTLY 1 (KN's defining
+    //   property: the discount mass re-enters via continuation weight)
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c")).toDF("doc_id", "text")
+    def r(x: Double, s: Int) =
+      BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val e12 = r(math.exp(-r(math.log(2.0 / 3), 9)), 6) // 1.5
+    val e3 = r(math.exp(-r(math.log(1.0 / 3), 9)), 6)  // 3.0
+    val got = TextAnalysis.kneserNeyPerplexity(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(got.map(_._2).toSeq == Seq(1L, 1L, 1L))
+    assert(got(0)._3 == e12 && got(1)._3 == e12 && got(2)._3 == e3)
+    assert(e12 == 1.5 && e3 == 3.0) // the closed forms land exactly
+    // partition-stability: the 9-dp decimal sums are order-free
+    val again = TextAnalysis.kneserNeyPerplexity(docs.repartition(5),
+        "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(again == got.toSet)
+  }
+
   test("bm25: hand-computed score, non-matching docs dropped, deterministic top-k") {
     val docs = Seq(
       (1L, "hash join hash probe"),   // tf(hash)=2, tf(join)=1, dl=4

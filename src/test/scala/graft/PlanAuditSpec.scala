@@ -39,7 +39,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "x35_good_turing", // ONE broadcast row of the token total rides the ≤10-row grid
       "p5_mixing_plan", // U and T* scalars ride 1-row crosses over the source table
       "e17_hubness", // ONE broadcast row of moment sums rides the degree histogram
-      "d18_bloom_dedup") // ONE broadcast row of bits_set rides the per-source summary
+      "d18_bloom_dedup", // ONE broadcast row of bits_set rides the per-source summary
+      "x40_kneser_ney") // ONE broadcast row of the bigram-type total rides the scoring join
 
   // The round-7 lesson, pinned as a standing guard: the driver's
   // hash-compare only provably round-trips plain scalar types (the 11
