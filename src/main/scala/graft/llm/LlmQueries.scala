@@ -1282,6 +1282,30 @@ object LlmQueries {
       .toDF().orderBy("doc_id")
   }
 
+  // ---- L103: FLAC bit-packed-field parsing ---------------------------------
+  /** FLAC parse ([[graft.operators.Multimodal.FlacCodec]]): spec-shaped
+    * audio containers planted from doc_id — sample rates to 48 kHz
+    * (20-bit field), 1–8 channels (3-bit), 8–24 bits/sample (5-bit),
+    * 36-bit sample totals, optional VORBIS_COMMENT and PADDING blocks,
+    * opaque frame tails — walked through the last-block-flag metadata
+    * chain and the BIT-PACKED STREAMINFO fields (shift/mask across
+    * unaligned byte boundaries) no other m-codec exercises. One map
+    * pass, no shuffle; oracle recomputes every field arithmetically. */
+  def m10FlacParse(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rows = t(s, dir, "documents").select("doc_id").as[Long]
+      .map { id =>
+        Multimodal.MediaRow(id, "flac",
+          Multimodal.FlacCodec.buildFlac(
+            8000 + (id % 40001).toInt, (id % 8).toInt + 1,
+            (id % 17).toInt + 8, id % 100000 + 1000,
+            if (id % 2 == 0) (id % 20).toInt + 1 else 0,
+            id % 3 == 0, (id % 64).toInt, (id % 300).toInt))
+      }
+    rows.mapPartitions(it => it.map(Multimodal.FlacCodec.decodeFlac))
+      .toDF().orderBy("doc_id")
+  }
+
   // ---- L55: BPE corpus encode ----------------------------------------------
   /** Encode the corpus with the x20-fitted tokenizer
     * ([[graft.operators.BpeTrainer.encode]]): per-doc word + BPE token
@@ -1954,6 +1978,7 @@ object LlmQueries {
     "x35_good_turing" -> x35GoodTuring _,
     "m8_tar_parse" -> m8TarParse _,
     "m9_gif_parse" -> m9GifParse _,
+    "m10_flac_parse" -> m10FlacParse _,
     "x34_source_novelty" -> x34SourceNovelty _,
     "e14_pca_variance" -> e14PcaVariance _,
     "x33_vocab_growth" -> x33VocabGrowth _,
@@ -3244,6 +3269,32 @@ object LlmQueries {
         |  n_subblocks, data_bytes
         |FROM d JOIN ag ON d.doc_id = ag.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    // m10: every field recomputed arithmetically from the planted
+    // geometry — 4 magic + 38 STREAMINFO + optional (4 + 4+vl+4)
+    // vorbis + optional (4 + pl) padding + fl frame tail; duration is
+    // exact integral division of positive ints (Spark / == DuckDB //)
+    "m10_flac_parse" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(8000 + doc_id % 40001 AS INT) AS sr,
+        |    CAST(doc_id % 8 + 1 AS INT) AS ch,
+        |    CAST(doc_id % 17 + 8 AS INT) AS bps,
+        |    doc_id % 100000 + 1000 AS ts,
+        |    CASE WHEN doc_id % 2 = 0 THEN doc_id % 20 + 1 ELSE 0 END AS vl,
+        |    doc_id % 3 = 0 AS wp,
+        |    doc_id % 64 AS pl, doc_id % 300 AS fl
+        |  FROM documents)
+        |SELECT doc_id, 'flac' AS fmt,
+        |  CAST(4 + 38 + CASE WHEN vl > 0 THEN 4 + 4 + vl + 4 ELSE 0 END
+        |    + CASE WHEN wp THEN 4 + pl ELSE 0 END + fl AS BIGINT)
+        |    AS n_bytes,
+        |  sr AS sample_rate, ch AS channels, bps AS bits_per_sample,
+        |  CAST(ts AS BIGINT) AS total_samples,
+        |  CAST(ts * 1000 // sr AS BIGINT) AS duration_ms,
+        |  CAST(1 + CASE WHEN vl > 0 THEN 1 ELSE 0 END
+        |    + CASE WHEN wp THEN 1 ELSE 0 END AS INT) AS n_blocks,
+        |  CAST(CASE WHEN wp THEN pl ELSE 0 END AS BIGINT) AS padding_bytes,
+        |  CAST(fl AS BIGINT) AS frame_bytes
+        |FROM d ORDER BY doc_id""".stripMargin,
     // x35: freq-of-freq recompute over a dense 1..10 grid (missing r
     // rows must read N_r = 0, and N_{r+1} comes from the GRID lead —
     // a sparse lead would skip over absent counts)

@@ -902,4 +902,114 @@ object Multimodal {
       fail // ran off the end without a trailer
     }
   }
+
+  /** Parsed FLAC metadata (see [[FlacCodec]]). */
+  final case class FlacFeatures(doc_id: Long, fmt: String, n_bytes: Long,
+      sample_rate: Int, channels: Int, bits_per_sample: Int,
+      total_samples: Long, duration_ms: Long, n_blocks: Int,
+      padding_bytes: Long, frame_bytes: Long)
+
+  /** FLAC container parsing — the BIT-PACKED FIELD dimension none of
+    * m1–m9 exercise: every other codec reads byte-aligned integers
+    * (LE/BE 16/24/32), but STREAMINFO packs sample rate (20 bits),
+    * channels−1 (3 bits), bits-per-sample−1 (5 bits) and total
+    * samples (36 bits) across unaligned byte boundaries, so the
+    * reader must shift/mask through bytes that each carry parts of
+    * two fields. Block walk: "fLaC" magic, then metadata blocks of
+    * 1-byte header (bit 7 = last-block flag, bits 0–6 = type) +
+    * 24-bit BE length + payload — the FIRST block must be STREAMINFO
+    * (type 0, length 34, spec-mandated); the walk ends when the
+    * last-block flag fires (no trailer byte exists — the complement
+    * of GIF's land-exactly-on-trailer rule) and everything after is
+    * opaque audio frames. Damage (bad magic, wrong first block type,
+    * truncation mid-block, length overrunning the payload, a walk
+    * that never fires the last flag) fails clean to zeros. */
+  object FlacCodec {
+    private def be24(v: Int): Array[Byte] =
+      Array(((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        (v & 0xff).toByte)
+    private def rdBe24(b: Array[Byte], o: Int): Int =
+      ((b(o) & 0xff) << 16) | ((b(o + 1) & 0xff) << 8) | (b(o + 2) & 0xff)
+
+    /** STREAMINFO + optional VORBIS_COMMENT (vendor of `vendorLen`
+      * bytes) + optional PADDING (`padLen` bytes, 0 legal) + `frameLen`
+      * opaque frame bytes. Deterministic bytes from the sizes only. */
+    def buildFlac(sampleRate: Int, channels: Int, bitsPerSample: Int,
+        totalSamples: Long, vendorLen: Int, withPadding: Boolean,
+        padLen: Int, frameLen: Int): Array[Byte] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+      out ++= "fLaC".getBytes("US-ASCII")
+      val hasVc = vendorLen > 0
+      // STREAMINFO: last-block iff nothing follows but frames
+      out += (if (!hasVc && !withPadding) 0x80 else 0x00).toByte
+      out ++= be24(34)
+      out ++= Array(0x10, 0x00, 0x10, 0x00).map(_.toByte) // min/max blocksize 4096
+      out ++= be24(0); out ++= be24(0)                    // min/max framesize (unknown)
+      // 64 bit-packed bits: sr(20) | ch-1(3) | bps-1(5) | samples(36)
+      val ch = channels - 1; val bps = bitsPerSample - 1
+      out += ((sampleRate >> 12) & 0xff).toByte
+      out += ((sampleRate >> 4) & 0xff).toByte
+      out += (((sampleRate & 0xf) << 4) | (ch << 1) | (bps >> 4)).toByte
+      out += (((bps & 0xf) << 4) | ((totalSamples >> 32) & 0xf).toInt).toByte
+      out += ((totalSamples >> 24) & 0xff).toByte
+      out += ((totalSamples >> 16) & 0xff).toByte
+      out += ((totalSamples >> 8) & 0xff).toByte
+      out += (totalSamples & 0xff).toByte
+      (0 until 16).foreach(i => out += (i * 17 % 251).toByte) // fake md5
+      if (hasVc) {
+        out += (if (!withPadding) 0x84 else 0x04).toByte // type 4
+        out ++= be24(4 + vendorLen + 4)
+        // vendor_length is LITTLE-endian inside the vorbis payload
+        out += (vendorLen & 0xff).toByte
+        out += ((vendorLen >> 8) & 0xff).toByte; out += 0; out += 0
+        (0 until vendorLen).foreach(i => out += ('a' + i % 26).toByte)
+        out ++= Array[Byte](0, 0, 0, 0) // zero user comments
+      }
+      if (withPadding) {
+        out += 0x81.toByte // type 1, last
+        out ++= be24(padLen)
+        (0 until padLen).foreach(_ => out += 0)
+      }
+      (0 until frameLen).foreach(i => out += ((i * 7 + 1) % 251).toByte)
+      out.toArray
+    }
+
+    def decodeFlac(r: MediaRow): FlacFeatures = {
+      val p = r.payload
+      def fail = FlacFeatures(r.doc_id, "unknown", p.length.toLong,
+        0, 0, 0, 0L, 0L, 0, 0L, 0L)
+      if (p.length < 8) return fail
+      if (new String(p, 0, 4, "US-ASCII") != "fLaC") return fail
+      var off = 4
+      var last = false
+      var n = 0
+      var sr = 0; var ch = 0; var bps = 0; var ts = 0L; var pad = 0L
+      while (!last) {
+        if (off + 4 > p.length) return fail
+        val hdr = p(off) & 0xff
+        last = (hdr & 0x80) != 0
+        val typ = hdr & 0x7f
+        val len = rdBe24(p, off + 1)
+        if (off + 4 + len > p.length) return fail
+        if (n == 0) {
+          // spec: first block MUST be STREAMINFO, exactly 34 bytes
+          if (typ != 0 || len != 34) return fail
+          val b = off + 4
+          sr = ((p(b + 10) & 0xff) << 12) | ((p(b + 11) & 0xff) << 4) |
+            ((p(b + 12) & 0xff) >> 4)
+          ch = ((p(b + 12) >> 1) & 0x7) + 1
+          bps = (((p(b + 12) & 0x1) << 4) | ((p(b + 13) & 0xff) >> 4)) + 1
+          ts = ((p(b + 13) & 0xfL) << 32) | ((p(b + 14) & 0xffL) << 24) |
+            ((p(b + 15) & 0xffL) << 16) | ((p(b + 16) & 0xffL) << 8) |
+            (p(b + 17) & 0xffL)
+        } else if (typ == 0) return fail // duplicate STREAMINFO
+        else if (typ == 1) pad += len
+        n += 1
+        off += 4 + len
+      }
+      if (sr <= 0) return fail // spec: 0 sample rate is invalid
+      FlacFeatures(r.doc_id, "flac", p.length.toLong, sr, ch, bps, ts,
+        ts * 1000L / sr, n, pad, (p.length - off).toLong)
+    }
+  }
 }

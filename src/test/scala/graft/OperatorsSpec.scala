@@ -788,6 +788,60 @@ class MultimodalSpec extends AnyFunSuite {
     assert(GifCodec.decodeGif(MediaRow(6L, "gif", bad)).fmt == "unknown")
   }
 
+  test("flac bit-packed streaminfo: boundary values round-trip exactly") {
+    import Multimodal.{FlacCodec, MediaRow}
+    // max-field geometry: 48 kHz needs 16 of the 20 sr bits, 8
+    // channels saturates the 3-bit field, 24 bps the 5-bit field, and
+    // the sample total crosses the 32-bit line into the top nibble
+    val p = FlacCodec.buildFlac(48000, 8, 24, 0x5_1234_5678L,
+      vendorLen = 11, withPadding = true, padLen = 0, frameLen = 300)
+    val f = FlacCodec.decodeFlac(MediaRow(1L, "flac", p))
+    assert(f.fmt == "flac" && f.sample_rate == 48000, s"$f")
+    assert(f.channels == 8 && f.bits_per_sample == 24, s"$f")
+    assert(f.total_samples == 0x5_1234_5678L, s"$f")
+    assert(f.n_blocks == 3 && f.padding_bytes == 0L, s"$f") // 0-len pad legal
+    assert(f.frame_bytes == 300L && f.n_bytes == p.length.toLong, s"$f")
+    assert(f.duration_ms == 0x5_1234_5678L * 1000L / 48000L)
+    // hand-summed layout: 4 magic + 38 streaminfo + (4 + 19) vorbis +
+    // (4 + 0) padding + 300 frames
+    assert(p.length == 4 + 38 + 23 + 4 + 300)
+    // minimal file: streaminfo only, last-flag on the first block
+    val m = FlacCodec.decodeFlac(MediaRow(2L, "flac",
+      FlacCodec.buildFlac(8000, 1, 8, 1000L, 0, withPadding = false, 0, 0)))
+    assert(m.fmt == "flac" && m.n_blocks == 1 && m.frame_bytes == 0L, s"$m")
+  }
+
+  test("flac parser rejects bad magic, wrong first block, truncation, overrun length") {
+    import Multimodal.{FlacCodec, MediaRow}
+    val good = FlacCodec.buildFlac(16000, 2, 16, 5000L,
+      vendorLen = 5, withPadding = true, padLen = 10, frameLen = 50)
+    assert(FlacCodec.decodeFlac(MediaRow(1L, "flac", good)).fmt == "flac")
+    // bad magic
+    val bm = good.clone(); bm(0) = 'g'
+    assert(FlacCodec.decodeFlac(MediaRow(2L, "flac", bm)).fmt == "unknown")
+    // first block not STREAMINFO (type byte 0→4, flag preserved)
+    val wt = good.clone(); wt(4) = (wt(4) | 0x04).toByte
+    assert(FlacCodec.decodeFlac(MediaRow(3L, "flac", wt)).fmt == "unknown")
+    // truncation mid-metadata: cut inside the padding block (the walk
+    // must refuse, never index out of bounds)
+    val cutAt = 4 + 38 + 4 + 13 + 4 + 5 // into padding payload
+    assert(FlacCodec.decodeFlac(
+      MediaRow(4L, "flac", good.take(cutAt))).fmt == "unknown")
+    // length field overrunning the payload
+    val ov = good.clone(); ov(4 + 38 + 3) = 0x7f // vorbis len low byte huge
+    assert(FlacCodec.decodeFlac(MediaRow(5L, "flac", ov)).fmt == "unknown")
+    // last-block flag never fires: strip it from the padding header —
+    // the walk runs into the frame bytes and must fail on bounds or
+    // never-terminates, not loop forever
+    val nf = good.clone()
+    val padHdr = 4 + 38 + 4 + 13
+    nf(padHdr) = (nf(padHdr) & 0x7f).toByte
+    assert(FlacCodec.decodeFlac(MediaRow(6L, "flac", nf)).fmt == "unknown")
+    // zero sample rate is spec-invalid
+    val zs = FlacCodec.buildFlac(0, 1, 8, 10L, 0, withPadding = false, 0, 0)
+    assert(FlacCodec.decodeFlac(MediaRow(7L, "flac", zs)).fmt == "unknown")
+  }
+
   test("zip footer walk: EOCD scan, CD entries, LFH cross-check") {
     import Multimodal.{ZipCodec, MediaRow}
     val datas = Seq(Array.fill[Byte](10)(1), Array.fill[Byte](17)(2))
