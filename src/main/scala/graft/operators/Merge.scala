@@ -93,4 +93,36 @@ object Merge {
         col(c).as("v"))).getField("v").as(c))
     feed.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** pandas `a.combine_first(b)` — patch frame `a` with `b` cell-wise:
+    * the result carries the UNION of keys and the UNION of columns,
+    * and for every (key, column) cell `a`'s value wins unless it is
+    * null/absent, in which case `b`'s fills in. The two-frame special
+    * case of q57's survivorship merge (there: latest-non-null across a
+    * version FEED; here: positional priority across exactly two
+    * frames) and the cell-wise complement of q45's row-wise MERGE —
+    * q45 replaces whole rows, this repairs individual holes, the
+    * standard "overlay this correction file" verb.
+    *
+    * Columns present in only one side pass through (a missing column
+    * is an all-null column, per pandas); key columns must match by
+    * name. Scale shape: ONE full-outer equi-join on the keys — both
+    * sides shuffle once by key, every payload column rides that
+    * exchange, no windows, no second pass. */
+  def combineFirst(a: DataFrame, b: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    val aCols = a.columns.filterNot(keys.contains)
+    val bCols = b.columns.filterNot(keys.contains)
+    val an = aCols.foldLeft(a)((d, c) => d.withColumnRenamed(c, s"__a_$c"))
+    val bn = bCols.foldLeft(b)((d, c) => d.withColumnRenamed(c, s"__b_$c"))
+    // USING-style join coalesces the key columns across sides
+    val j = an.join(bn, keys, "full_outer")
+    val out = (aCols ++ bCols.filterNot(aCols.contains)).map { c =>
+      if (aCols.contains(c) && bCols.contains(c))
+        coalesce(col(s"__a_$c"), col(s"__b_$c")).as(c)
+      else if (aCols.contains(c)) col(s"__a_$c").as(c)
+      else col(s"__b_$c").as(c)
+    }
+    j.select(keys.map(col) ++ out: _*)
+  }
 }

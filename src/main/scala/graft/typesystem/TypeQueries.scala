@@ -1435,7 +1435,34 @@ object TypeQueries {
       .orderBy("o_orderkey")
   }
 
+  // ---- T60: combine_first (cell-wise patch overlay) -------------------------
+  /** pandas `a.combine_first(b)` ([[graft.operators.Merge.combineFirst]]):
+    * frame `a` (every 3rd order, with holes punched per column on
+    * independent key grids) patched by frame `b` (every 2nd order,
+    * values MARKED — custkey +10⁶, price ×2, 'B-' prefix — so the
+    * provenance of every filled cell is visible in the result), plus a
+    * b-only `status` column that must pass through (column-union
+    * semantics). Exercises all four cell regimes: a-wins (both
+    * non-null), b-fills (a null), a-only key, b-only key. One
+    * full-outer equi-join, every column rides the single exchange. */
+  def t60CombineFirst(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val a = o.filter(col("o_orderkey") % 3 === 0).select(
+      col("o_orderkey").as("k"),
+      when(col("o_orderkey") % 5 =!= 0, col("o_custkey")).as("custkey"),
+      when(col("o_orderkey") % 7 =!= 0, col("o_totalprice")).as("totalprice"),
+      when(col("o_orderkey") % 2 =!= 0, col("o_orderpriority")).as("priority"))
+    val b = o.filter(col("o_orderkey") % 2 === 0).select(
+      col("o_orderkey").as("k"),
+      (col("o_custkey") + 1000000L).as("custkey"),
+      (col("o_totalprice") * 2.0).as("totalprice"),
+      concat(lit("B-"), col("o_orderpriority")).as("priority"),
+      col("o_orderstatus").as("status"))
+    graft.operators.Merge.combineFirst(a, b, Seq("k")).orderBy("k")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t60_combine_first" -> t60CombineFirst _,
     "t59_custom_cast" -> t59CustomCast _,
     "t56_kleene_bool" -> t56KleeneBool _,
     "t58_business_days" -> t58BusinessDays _,
@@ -1600,6 +1627,28 @@ object TypeQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // t60: the same two frames + full-outer + per-column COALESCE;
+    // ×2.0 of a double and +10⁶ of a bigint are exact, values only
+    // pass through — no float arithmetic crosses the compare boundary
+    "t60_combine_first" ->
+      """WITH a AS (SELECT o_orderkey AS k,
+        |    CASE WHEN o_orderkey % 5 <> 0 THEN o_custkey END AS custkey,
+        |    CASE WHEN o_orderkey % 7 <> 0 THEN o_totalprice END AS totalprice,
+        |    CASE WHEN o_orderkey % 2 <> 0 THEN o_orderpriority END AS priority
+        |  FROM orders WHERE o_orderkey % 3 = 0),
+        |b AS (SELECT o_orderkey AS k,
+        |    CAST(o_custkey + 1000000 AS BIGINT) AS custkey,
+        |    o_totalprice * 2.0 AS totalprice,
+        |    'B-' || o_orderpriority AS priority,
+        |    o_orderstatus AS status
+        |  FROM orders WHERE o_orderkey % 2 = 0)
+        |SELECT COALESCE(a.k, b.k) AS k,
+        |  COALESCE(a.custkey, b.custkey) AS custkey,
+        |  COALESCE(a.totalprice, b.totalprice) AS totalprice,
+        |  COALESCE(a.priority, b.priority) AS priority,
+        |  b.status AS status
+        |FROM a FULL OUTER JOIN b ON a.k = b.k
+        |ORDER BY k""".stripMargin,
     // t59: the registered kernels replayed as plain SQL — the exact
     // OVERRIDING cents kernel (proving the override, not the original
     // coarse registration, is what castTo consulted), the clamp

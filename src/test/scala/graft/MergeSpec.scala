@@ -62,4 +62,30 @@ class MergeSpec extends AnyFunSuite {
       (2L, 1L, None, None),
       (3L, 2L, Some("bob"), None)))
   }
+
+  test("combineFirst: all four cell regimes + column union + null-b holes stay null") {
+    val a = Seq(
+      (1L, Some("a1"), Some(10L)), // both sides: a wins
+      (2L, None, Some(20L)),       // a-null cell: b fills v only
+      (3L, Some("a3"), None)       // a-only key: b's columns null
+    ).toDF("k", "v", "x")
+    val b = Seq(
+      (1L, Some("b1"), "s1"),      // loses to a1
+      (2L, Some("b2"), "s2"),      // fills the a-null
+      (4L, None, "s4")             // b-only key, with a b-null cell
+    ).toDF("k", "v", "s")
+    val out = Merge.combineFirst(a, b, Seq("k")).collect().map(r =>
+      (r.getLong(0),
+        Option(r.get(r.fieldIndex("v"))).map(_.toString),
+        if (r.isNullAt(r.fieldIndex("x"))) None else Some(r.getLong(r.fieldIndex("x"))),
+        Option(r.get(r.fieldIndex("s"))).map(_.toString))).toSet
+    assert(out == Set(
+      (1L, Some("a1"), Some(10L), Some("s1")), // a wins v; b-only s rides
+      (2L, Some("b2"), Some(20L), Some("s2")), // b patches the hole
+      (3L, Some("a3"), None, None),            // a-only row intact
+      (4L, None, None, Some("s4"))))           // b-only row; b's null stays
+    // column union and order: keys first, then a's cols, then b-only
+    assert(Merge.combineFirst(a, b, Seq("k")).columns.toSeq ==
+      Seq("k", "v", "x", "s"))
+  }
 }
