@@ -1512,7 +1512,48 @@ object Relational {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  // ---- R76: point-in-time (temporal) dimension join ------------------------
+  /** The warehouse companion of q47: facts joined to an SCD2 dimension
+    * AS OF a past instant — each order looks up the attribute version
+    * that was in force 30 days BEFORE its own date (early facts
+    * predate all history and read null). The key insight this query
+    * pins: because SCD2 validity intervals TILE per key (each
+    * valid_to = the next valid_from), interval-containment lookup
+    * `valid_from ≤ t < valid_to` is EXACTLY a backward as-of join on
+    * valid_from — no range join, no valid_to check needed; same-instant
+    * version stacks (two changes at one timestamp → a zero-length
+    * interval) resolve to the LAST version by the (ts, oid) feed order,
+    * carried through the as-of tie-break.
+    *
+    * Scale shape: [[graft.operators.AsOfJoin.asof]]'s union+window
+    * composition — dim and facts shuffle ONCE on the custkey, the fill
+    * rides that single Exchange+Sort; the oracle derives the match
+    * from first principles (containment argmax), certifying the
+    * SEMANTICS of the as-of reduction, not the plan. */
+  def q76TemporalDimJoin(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("k").orderBy("ts", "oid")
+    val feed = t(s, dir, "orders").select(col("o_custkey").as("k"),
+      unix_timestamp(col("o_orderdate")).as("ts"),
+      col("o_orderkey").as("oid"), col("o_orderpriority").as("attr"))
+    val dim = feed
+      .withColumn("prev", lag("attr", 1).over(w))
+      .filter(col("prev").isNull || col("attr") =!= col("prev"))
+      .select(col("k"), col("ts").as("valid_from"),
+        col("oid").as("ver_oid"), col("attr"))
+    val facts = t(s, dir, "orders").select(col("o_custkey").as("k"),
+      col("o_orderkey"),
+      (unix_timestamp(col("o_orderdate")) - lit(2592000L)).as("as_at"))
+    graft.operators.AsOfJoin.asof(facts, dim, Seq("k"), "as_at",
+        "valid_from", Seq("attr", "valid_from", "ver_oid"),
+        rightTieBreak = Some("ver_oid"))
+      .select(col("k"), col("o_orderkey"), col("as_at"),
+        col("r_attr").as("attr"), col("r_valid_from").as("attr_since"),
+        col("r_ver_oid").as("ver_oid"))
+      .orderBy("o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q76_temporal_dim_join" -> q76TemporalDimJoin _,
     "q75_window_percentiles" -> q75WindowPercentiles _,
     "q74_attribution" -> q74Attribution _,
     "q72_schema_evolution" -> q72SchemaEvolution _,
@@ -1624,6 +1665,31 @@ object Relational {
   }
 
   val oracles: Map[String, String] = Map(
+    // q76: the match derived from FIRST PRINCIPLES — containment
+    // argmax (latest valid_from <= as_at, ties to max ver_oid) over
+    // the same SCD2 dim — certifying the as-of reduction's semantics
+    "q76_temporal_dim_join" ->
+      """WITH feed AS (SELECT o_custkey AS k,
+        |    CAST(FLOOR(epoch(CAST(o_orderdate AS TIMESTAMP))) AS BIGINT)
+        |      AS ts,
+        |    o_orderkey AS oid, o_orderpriority AS attr FROM orders),
+        |dim AS (SELECT k, ts AS valid_from, oid AS ver_oid, attr FROM (
+        |    SELECT k, ts, oid, attr,
+        |      LAG(attr) OVER (PARTITION BY k ORDER BY ts, oid) AS prev
+        |    FROM feed) t
+        |  WHERE prev IS NULL OR attr <> prev),
+        |facts AS (SELECT o_custkey AS k, o_orderkey,
+        |    CAST(FLOOR(epoch(CAST(o_orderdate AS TIMESTAMP))) AS BIGINT)
+        |      - 2592000 AS as_at FROM orders),
+        |cand AS (SELECT f.o_orderkey, d.attr, d.valid_from, d.ver_oid,
+        |    ROW_NUMBER() OVER (PARTITION BY f.o_orderkey
+        |      ORDER BY d.valid_from DESC, d.ver_oid DESC) AS rn
+        |  FROM facts f JOIN dim d ON f.k = d.k AND d.valid_from <= f.as_at)
+        |SELECT f.k, f.o_orderkey, f.as_at, c.attr,
+        |  c.valid_from AS attr_since, c.ver_oid AS ver_oid
+        |FROM facts f LEFT JOIN (SELECT * FROM cand WHERE rn = 1) c
+        |  ON f.o_orderkey = c.o_orderkey
+        |ORDER BY f.o_orderkey""".stripMargin,
     // q75: identical single-row-peer window (compound ordering), so
     // both engines derive the same exact-integer divisions; ntile cast
     // to INT (DuckDB's is BIGINT)
