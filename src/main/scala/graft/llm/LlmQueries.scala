@@ -1598,6 +1598,23 @@ object LlmQueries {
 
   private val bm25Terms = Seq("hash", "join", "merge", "sort")
 
+  // ---- L104: nDCG retrieval evaluation --------------------------------------
+  /** The graded ranking-quality curve ([[Retrieval.ndcgCurve]],
+    * Järvelin & Kekäläinen 2002) over x11's BM25 ranking: relevance
+    * judges a SINGLE aspect (rel = min(3, tf_sort)) while the ranker
+    * optimizes all four terms — the realistic judge-vs-ranker mismatch
+    * that makes the curve non-degenerate (nDCG dips below 0.9 at
+    * sf0.01 and the ideal reordering is non-trivial at every SF);
+    * exponential gains, DCG/IDCG/nDCG at every cut depth to 20. The
+    * eval harness run before shipping any retrieval change (x11/s6). */
+  def x41Ndcg(s: SparkSession, dir: String): DataFrame = {
+    val scored = Retrieval.bm25(t(s, dir, "documents"), "doc_id", "text",
+      bm25Terms)
+    val pool = scored.select(col("id"), col("score"),
+      least(lit(3), col("tf_sort")).cast("int").as("rel"))
+    Retrieval.ndcgCurve(pool, "rel", k = 20).orderBy("rank")
+  }
+
   // ---- L54: mutual-kNN graph ------------------------------------------------
   /** Mutual-kNN edges over the embeddings corpus
     * ([[graft.operators.Similarity.knnGraph]]): spherical sample-
@@ -2061,6 +2078,7 @@ object LlmQueries {
     "d13_url_dedup" -> d13UrlDedup _,
     "x22_bigram_ppl" -> x22BigramPpl _,
     "x40_kneser_ney" -> x40KneserNey _,
+    "x41_ndcg" -> x41Ndcg _,
     "e6_knn_graph" -> e6KnnGraph _,
     "x23_bpe_encode" -> x23BpeEncode _,
     "m3_frame_sample" -> m3FrameSample _,
@@ -2144,6 +2162,48 @@ object LlmQueries {
   private def x11OracleSql: String =
     s"""WITH $bm25ScoredCtes
        |SELECT * FROM lexall ORDER BY doc_id""".stripMargin
+
+  /** x41 oracle: the proven lexall CTE graded by its own term hits,
+    * both top-20 cuts, 9-dp decimal term rounding, exact decimal
+    * running sums, 10⁻⁹-grid BIGINT DCG/IDCG, one pinned int64→double
+    * division — the identical pipeline as [[Retrieval.ndcgCurve]]. */
+  private def x41OracleSql: String =
+    s"""WITH $bm25ScoredCtes,
+       |pool AS (SELECT doc_id AS id, score,
+       |    CAST(LEAST(3, tf_sort) AS INT) AS rel
+       |  FROM lexall),
+       |rt AS (SELECT id, rel, rank FROM (
+       |    SELECT id, rel,
+       |      ROW_NUMBER() OVER (ORDER BY score DESC, id) AS rank
+       |    FROM pool) WHERE rank <= 20),
+       |it AS (SELECT id, rel, rank FROM (
+       |    SELECT id, rel,
+       |      ROW_NUMBER() OVER (ORDER BY rel DESC, id) AS rank
+       |    FROM pool) WHERE rank <= 20),
+       |rlp AS (SELECT rank, id, rel,
+       |    CAST(ROUND((CASE WHEN rel = 0 THEN 0.0 WHEN rel = 1 THEN 1.0
+       |        WHEN rel = 2 THEN 3.0 ELSE 7.0 END)
+       |      / ln(CAST(rank AS DOUBLE) + 1.0), 9) AS DECIMAL(18,9)) AS lp
+       |  FROM rt),
+       |ilp AS (SELECT rank,
+       |    CAST(ROUND((CASE WHEN rel = 0 THEN 0.0 WHEN rel = 1 THEN 1.0
+       |        WHEN rel = 2 THEN 3.0 ELSE 7.0 END)
+       |      / ln(CAST(rank AS DOUBLE) + 1.0), 9) AS DECIMAL(18,9)) AS lp
+       |  FROM it),
+       |rc AS (SELECT rank, id, rel, SUM(lp) OVER (ORDER BY rank
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dcg
+       |  FROM rlp),
+       |ic AS (SELECT rank, SUM(lp) OVER (ORDER BY rank
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dcg
+       |  FROM ilp)
+       |SELECT rc.rank, rc.id, rc.rel,
+       |  CAST(rc.dcg * 1000000000 AS BIGINT) AS dcg_e9,
+       |  CAST(ic.dcg * 1000000000 AS BIGINT) AS idcg_e9,
+       |  ROUND(CASE WHEN CAST(ic.dcg * 1000000000 AS BIGINT) > 0 THEN
+       |    CAST(CAST(rc.dcg * 1000000000 AS BIGINT) AS DOUBLE)
+       |    / CAST(CAST(ic.dcg * 1000000000 AS BIGINT) AS DOUBLE) END, 6)
+       |    + 0.0 AS ndcg
+       |FROM rc JOIN ic ON rc.rank = ic.rank ORDER BY rc.rank""".stripMargin
 
   /** s6 oracle: the proven lexical (x11) and dense (s1) replays as
     * CTEs, cut to top-20 ranks, full-outer-joined and RRF-folded with
@@ -3181,6 +3241,7 @@ object LlmQueries {
     "x36_tokenizer_fertility" -> x36OracleSql,
     "e15_embed_drift" -> e15OracleSql,
     "e20_anisotropy" -> e20OracleSql,
+    "x41_ndcg" -> x41OracleSql,
     "d17_cdc_chunks" -> d17OracleSql,
     // d18: the identical min-setter replay — bit state before doc d is
     // "min id touching the position < d"; fill = bits/2^13 (EXACT

@@ -131,4 +131,57 @@ object Retrieval {
           (log((col("n_docs").cast("double") + 1.0) /
             (col("df").cast("double") + 1.0)) + 1.0), 6).as("tfidf"))
   }
+
+  /** nDCG@k curve (Järvelin & Kekäläinen 2002) — the graded
+    * ranking-quality metric every retrieval stack reports: for each
+    * cut depth i ≤ k, DCG_i = Σ_{j≤i} gain(rel_j)/ln(j+1) over the
+    * retrieved ordering, IDCG_i the same over the IDEAL (relevance-
+    * sorted) ordering of the whole judged pool, nDCG_i their ratio.
+    * Gains are the standard exponential 2^rel − 1 (mapped explicitly —
+    * {0,1,3,7} — no pow() call to trust); the log base cancels in the
+    * ratio, so the natural-log discount is used on both engines (ln of
+    * small integers — the x38-proven cross-engine-identical class).
+    *
+    * Determinism: per-position terms round to 9 decimals and
+    * accumulate as exact DECIMAL running sums (order = rank order,
+    * well-defined); DCG/IDCG emit as exact 10⁻⁹-grid BIGINTs (never a
+    * decimal→double cast — the known-unreliable DuckDB 1.0 path) and
+    * nDCG is one pinned int64→double division.
+    *
+    * Scale shape: both top-k cuts are TakeOrdered (no global sort);
+    * the rank/cumulative windows run over the two ≤k-row cut results —
+    * bounded by construction (globalWindowOk-documented), and the
+    * curves join on the ≤k rank key. */
+  def ndcgCurve(pool: DataFrame, relCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val gain = when(col(relCol) === 0, 0.0).when(col(relCol) === 1, 1.0)
+      .when(col(relCol) === 2, 3.0).otherwise(7.0)
+    def curve(ordered: DataFrame): DataFrame = {
+      val ranked = ordered.limit(k)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("__o1"), col("id"))))
+      val lp = round(gain / log(col("rank").cast("double") + lit(1.0)), 9)
+        .cast(DecimalType(18, 9))
+      ranked.withColumn("lp", lp)
+        .withColumn("cum", sum(col("lp")).over(Window.orderBy("rank")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    }
+    val retrieved = curve(pool
+      .select(col("id"), col(relCol), (-col("score")).as("__o1"))
+      .orderBy(col("__o1"), col("id")))
+    val ideal = curve(pool
+      .select(col("id"), col(relCol), (-col(relCol)).cast("double").as("__o1"))
+      .orderBy(col("__o1"), col("id")))
+    def e9(c: Column): Column = (c * lit(1000000000L)).cast("long")
+    retrieved.select(col("rank"), col("id"), col(relCol),
+        e9(col("cum")).as("dcg_e9"))
+      .join(ideal.select(col("rank"), e9(col("cum")).as("idcg_e9")),
+        Seq("rank"))
+      .select(col("rank"), col("id"), col(relCol),
+        col("dcg_e9"), col("idcg_e9"),
+        (round(when(col("idcg_e9") > 0L,
+          col("dcg_e9").cast("double") / col("idcg_e9").cast("double")), 6)
+          + 0.0).as("ndcg"))
+  }
 }

@@ -40,7 +40,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "p5_mixing_plan", // U and T* scalars ride 1-row crosses over the source table
       "e17_hubness", // ONE broadcast row of moment sums rides the degree histogram
       "d18_bloom_dedup", // ONE broadcast row of bits_set rides the per-source summary
-      "x40_kneser_ney") // ONE broadcast row of the bigram-type total rides the scoring join
+      "x40_kneser_ney", // ONE broadcast row of the bigram-type total rides the scoring join
+      "x41_ndcg") // composes x11's stats-row cross; curves are ≤k-row TakeOrdered cuts
 
   // The round-7 lesson, pinned as a standing guard: the driver's
   // hash-compare only provably round-trips plain scalar types (the 11
@@ -80,7 +81,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "t51_factorize" -> "first-appearance codes over the event-type-cardinality dictionary",
     "t16_sparse" -> "dictionary codes over the distinct-value table (categorical contract)",
     "t26_sparse_compute" -> "dictionary codes over the distinct-value table (categorical contract)",
-    "t46_sparse_categorical" -> "dictionary codes over the distinct-value table (categorical contract)")
+    "t46_sparse_categorical" -> "dictionary codes over the distinct-value table (categorical contract)",
+    "x41_ndcg" -> "rank + cumulative-DCG windows over the two ≤20-row TakeOrdered cuts")
 
   test("unpartitioned windows only over provably bounded inputs") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
