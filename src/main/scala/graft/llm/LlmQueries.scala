@@ -80,6 +80,36 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  // ---- L105: quality survivorship over dup clusters -------------------------
+  /** Canonical-document selection — the policy layer over d6: when a
+    * near-dup cluster is found, keep the HIGHEST-QUALITY member
+    * (x2's score, ties to min id), not the arbitrary min-id d6
+    * defaults to. The real pipeline verb: a crawl's near-copies
+    * differ in boilerplate/truncation, and dropping by id throws away
+    * the clean variant whenever the dirty one came first. Composes
+    * three proven parts — d2's banded pairs, d6's hash-min CC, x2's
+    * quality kernel — into one pass: the argmax is q57's
+    * max-of-struct device on the cluster-cardinality table, so
+    * survivorship adds one tiny aggregate to d6's cost. */
+  def d19QualitySurvivor(s: SparkSession, dir: String): DataFrame = {
+    val corpus = withCopies(t(s, dir, "documents"), perturb = true)
+    val pairs = Dedup.minhashPairs(corpus, "doc_id", "text",
+      w = 3, h = 64, bands = 32, threshold = 0.5)
+    val clusters = Dedup.dupClusters(pairs, "id_a", "id_b")
+    val qual = corpus.select(col("doc_id").as("id"),
+      TextAnalysis.qualityColumns(col("text")).last.as("q"))
+    val j = clusters.join(qual, Seq("id"))
+    // argmax (q desc, id asc): max of (q, −id) — the q57 device
+    val surv = j.groupBy("cluster_id")
+      .agg(max(struct(col("q"), (-col("id")).as("ni"))).as("m"))
+      .select(col("cluster_id"), (-col("m.ni")).as("surv_id"))
+    j.join(surv, Seq("cluster_id"))
+      .select(col("id").as("doc_id"), col("cluster_id"),
+        col("cluster_size"), (round(col("q"), 6) + 0.0).as("quality"),
+        (col("id") === col("surv_id")).as("is_survivor"))
+      .orderBy("doc_id")
+  }
+
   /** embeddings ∪ perturbed copies (ids offset by 10^6): planted
     * near-duplicates at cos ≈ 0.987 against a random background whose
     * max pair cosine is ~0.5 — the dedup-grade regime the LSH-banded
@@ -1730,6 +1760,35 @@ object LlmQueries {
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id")
 
+  // ---- L106: CCNet perplexity bucketing -------------------------------------
+  /** CCNet's head/middle/tail corpus split (Wenzek et al. 2020) — the
+    * OUTPUT stage of the CCNet pipeline whose scoring stage is x13:
+    * per language, documents rank by LM perplexity ascending and cut
+    * into RANK terciles (head = cleanest third, the slice that
+    * actually ships as training data; tail = the noise slice). Rank
+    * terciles (rk·3 ≤ n / ≤ 2n — pure integer comparisons, no float
+    * percentile) are the standard reimplementation; production CCNet's
+    * fixed held-out cutoffs are the documented 100 TB swap (a tiny
+    * broadcast artifact replacing the per-lang rank window, which at
+    * corpus scale is a per-lang global sort). Ties break by doc_id —
+    * fully deterministic on both engines. */
+  def x42CcnetBuckets(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ppl = TextAnalysis.unigramPerplexity(
+        t(s, dir, "documents"), "doc_id", "text", vocabSize = 32)
+      .select(col("id").as("doc_id"), col("ppl"))
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+    val w = Window.partitionBy("lang").orderBy(col("ppl"), col("doc_id"))
+    docs.join(ppl, Seq("doc_id"))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("lang")))
+      .select(col("doc_id"), col("lang"), col("ppl"), col("rk"),
+        when(col("rk") * 3 <= col("n"), "head")
+          .when(col("rk") * 3 <= col("n") * 2, "middle")
+          .otherwise("tail").as("bucket"))
+      .orderBy("doc_id")
+  }
+
   // ---- L57: corpus-slice distribution drift --------------------------------
   /** Token-distribution drift, en slice vs the rest
     * ([[TextAnalysis.tokenDrift]]): per-token directed KL
@@ -2028,6 +2087,7 @@ object LlmQueries {
     "x32_source_drift_matrix" -> x32SourceDriftMatrix _,
     "d5_embed_dup" -> d5EmbedDup _,
     "d6_dup_clusters" -> d6DupClusters _,
+    "d19_quality_survivor" -> d19QualitySurvivor _,
     "s1_ann_brute" -> s1AnnBrute _,
     "s2_ann_lsh" -> s2AnnLsh _,
     "e7_ann_recall" -> e7AnnRecall _,
@@ -2072,6 +2132,7 @@ object LlmQueries {
     "x11_bm25" -> x11Bm25 _,
     "x12_pack" -> x12Pack _,
     "x13_unigram_ppl" -> x13UnigramPpl _,
+    "x42_ccnet_buckets" -> x42CcnetBuckets _,
     "x14_heavy_hitters" -> x14HeavyHitters _,
     "x24_kl_drift" -> x24KlDrift _,
     "x21_tfidf" -> x21Tfidf _,
@@ -4514,6 +4575,34 @@ object LlmQueries {
         |SELECT doc_id, COUNT(*) AS n_tok,
         |  ROUND(exp(-(CAST(SUM(lp) AS DOUBLE) / COUNT(*))), 6) AS ppl
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // x42: x13's proven ppl chain as a CTE + the identical per-lang
+    // rank window; terciles are pure integer comparisons (rk·3 vs n)
+    "x42_ccnet_buckets" ->
+      s"""WITH base AS (SELECT doc_id, string_split($normSql, ' ') AS toks
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(toks) AS tok FROM base),
+        |counts AS (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok),
+        |st AS (SELECT SUM(cnt) AS total FROM counts),
+        |vocab AS (SELECT tok, cnt FROM counts ORDER BY cnt DESC, tok LIMIT 32),
+        |sc AS (SELECT t.doc_id,
+        |    CAST(ROUND(ln(COALESCE(CAST(v.cnt AS DOUBLE), 0.5) / st.total), 9)
+        |      AS DECIMAL(18,9)) AS lp
+        |  FROM tok t LEFT JOIN vocab v ON t.tok = v.tok, st),
+        |p AS (SELECT doc_id,
+        |    ROUND(exp(-(CAST(SUM(lp) AS DOUBLE) / COUNT(*))), 6) AS ppl
+        |  FROM sc GROUP BY doc_id),
+        |pl AS (SELECT d.doc_id, d.lang, p.ppl
+        |  FROM documents d JOIN p ON d.doc_id = p.doc_id),
+        |rk AS (SELECT doc_id, lang, ppl,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY ppl, doc_id) AS INT) AS rk,
+        |    COUNT(*) OVER (PARTITION BY lang) AS n
+        |  FROM pl)
+        |SELECT doc_id, lang, ppl, rk,
+        |  CASE WHEN rk * 3 <= n THEN 'head'
+        |       WHEN rk * 3 <= n * 2 THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM rk ORDER BY doc_id""".stripMargin,
     // x24: identical Laplace smoothing over the shared vocabulary and
     // the identical IEEE sequence ROUND(p * ln(p/q), 9) (+0.0 kills
     // −0); counts cast to BIGINT (DuckDB SUM yields HUGEINT)
@@ -4591,6 +4680,29 @@ object LlmQueries {
         |SELECT cc.id AS doc_id, cc.cluster_id, csz.cluster_size,
         |  cc.id = cc.cluster_id AS keep
         |FROM cc JOIN csz USING (cluster_id) ORDER BY doc_id""".stripMargin,
+    // d19: d6's CC chain + x2's verbatim quality fragment on the same
+    // copies corpus, survivor = rn 1 over (q DESC, id ASC) per cluster
+    // — the first-principles argmax the Spark max-of-struct must equal
+    "d19_quality_survivor" ->
+      s"""$d2PairCtes,
+        |pairs AS (SELECT id_a, id_b FROM j WHERE common / (sz - common) >= 0.5),
+        |edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT s, s FROM edges
+        |  UNION
+        |  SELECT re.id, e.d FROM reach re JOIN edges e ON e.s = re.r),
+        |cc AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+        |csz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM cc
+        |  GROUP BY cluster_id),
+        |qv AS (SELECT doc_id, $qScoreSql AS q FROM all_docs),
+        |jn AS (SELECT cc.id, cc.cluster_id, csz.cluster_size, qv.q
+        |  FROM cc JOIN csz USING (cluster_id) JOIN qv ON qv.doc_id = cc.id),
+        |rk AS (SELECT jn.*, ROW_NUMBER() OVER (PARTITION BY cluster_id
+        |    ORDER BY q DESC, id ASC) AS rn FROM jn)
+        |SELECT id AS doc_id, cluster_id, cluster_size,
+        |  ROUND(q, 6) + 0.0 AS quality, rn = 1 AS is_survivor
+        |FROM rk ORDER BY doc_id""".stripMargin,
     // oracle = exact all-pairs over base ∪ planted copies; the Spark
     // side runs the LSH-banded plan — the compare is on OUTPUT, so this
     // doubles as a recall proof for the blocked path
