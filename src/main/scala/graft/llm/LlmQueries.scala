@@ -1789,6 +1789,16 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  // ---- L108: Flesch/Kincaid readability -------------------------------------
+  /** The classic readability pair ([[TextAnalysis.readability]]):
+    * reading ease + grade level from exact word/sentence/syllable
+    * counts — the sentence- and syllable-structure quality axis the
+    * other text scores don't touch. Map-only, within-row HOF folds. */
+  def x43Readability(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.readability(t(s, dir, "documents"), "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
   // ---- L57: corpus-slice distribution drift --------------------------------
   /** Token-distribution drift, en slice vs the rest
     * ([[TextAnalysis.tokenDrift]]): per-token directed KL
@@ -2133,6 +2143,7 @@ object LlmQueries {
     "x12_pack" -> x12Pack _,
     "x13_unigram_ppl" -> x13UnigramPpl _,
     "x42_ccnet_buckets" -> x42CcnetBuckets _,
+    "x43_readability" -> x43Readability _,
     "x14_heavy_hitters" -> x14HeavyHitters _,
     "x24_kl_drift" -> x24KlDrift _,
     "x21_tfidf" -> x21Tfidf _,
@@ -4575,6 +4586,34 @@ object LlmQueries {
         |SELECT doc_id, COUNT(*) AS n_tok,
         |  ROUND(exp(-(CAST(SUM(lp) AS DOUBLE) / COUNT(*))), 6) AS ppl
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // x43: identical counts (RE2 and java.util.regex agree on these
+    // plain character-class patterns), identical pinned expressions;
+    // the 3-dp constants are small-int/1000 — the same double on both
+    // engines by correctly-rounded division either way
+    "x43_readability" ->
+      s"""WITH d AS (SELECT doc_id, text, string_split($normSql, ' ') AS toks
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_words,
+        |    CAST(GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1)
+        |      AS BIGINT) AS n_sentences,
+        |    CAST(list_sum(list_transform(toks, w ->
+        |      GREATEST(len(regexp_extract_all(w, '[aeiouy]+')), 1)))
+        |      AS BIGINT) AS n_syllables
+        |  FROM d)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |  ROUND(CAST(206.835 AS DOUBLE)
+        |    - CAST(1.015 AS DOUBLE)
+        |      * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+        |    - CAST(84.6 AS DOUBLE)
+        |      * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)), 6)
+        |    + 0.0 AS reading_ease,
+        |  ROUND(CAST(0.39 AS DOUBLE)
+        |      * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+        |    + CAST(11.8 AS DOUBLE)
+        |      * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+        |    - CAST(15.59 AS DOUBLE), 6) + 0.0 AS fk_grade
+        |FROM c WHERE n_words > 0 ORDER BY doc_id""".stripMargin,
     // x42: x13's proven ppl chain as a CTE + the identical per-lang
     // rank window; terciles are pure integer comparisons (rk·3 vs n)
     "x42_ccnet_buckets" ->

@@ -347,6 +347,47 @@ object TextAnalysis {
         round(exp(-(col("slp").cast("double") / col("n_bi"))), 6).as("ppl"))
   }
 
+  /** Flesch reading ease + Flesch–Kincaid grade level (Flesch 1948;
+    * Kincaid et al. 1975) — the classic readability pair, and the
+    * quality axis x2/x18/x37 don't cover: sentence- and syllable-
+    * structure. Syllables via the standard vowel-group heuristic
+    * (non-overlapping `[aeiouy]+` runs per word, floor 1 — exact for
+    * the metric's own definition, which was fit to this heuristic);
+    * sentences = `[.!?]+` runs, floor 1.
+    *
+    * Determinism: all three counts are exact integers (the per-word
+    * syllable list sums in any order — integers); each score is ONE
+    * pinned IEEE expression of integer-cast doubles; the 3-dp
+    * constants parse to identical doubles on both engines (a small
+    * integer divided by 1000 — correctly-rounded either path).
+    *
+    * Scale shape: one map pass, zero shuffles, zero explodes (the
+    * per-word counts fold WITHIN the row via array HOFs — the x39
+    * device). */
+  def readability(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val toks = tokens(col(textCol))
+    val nWords = size(toks).cast("long")
+    val nSent = greatest(regexp_count(col(textCol), lit("[.!?]+")), lit(1))
+      .cast("long")
+    val syl = aggregate(
+      transform(toks, w =>
+        greatest(regexp_count(w, lit("[aeiouy]+")), lit(1)).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    def D(c: Column) = c.cast("double")
+    val wps = D(col("n_words")) / D(col("n_sentences"))
+    val spw = D(col("n_syllables")) / D(col("n_words"))
+    df.select(col(idCol).as("id"), nWords.as("n_words"),
+        nSent.as("n_sentences"), syl.as("n_syllables"))
+      .filter(col("n_words") > 0)
+      .select(col("id"), col("n_words"), col("n_sentences"),
+        col("n_syllables"),
+        (round(lit(206.835) - lit(1.015) * wps - lit(84.6) * spw, 6) + 0.0)
+          .as("reading_ease"),
+        (round(lit(0.39) * wps + lit(11.8) * spw - lit(15.59), 6) + 0.0)
+          .as("fk_grade"))
+  }
+
   /** Interpolated Kneser-Ney bigram perplexity (Kneser & Ney 1995;
     * Chen & Goodman 1998) — the canonical n-gram smoothing, and the
     * fidelity step past [[bigramPerplexity]]'s Jelinek-Mercer mix: the
