@@ -1336,6 +1336,28 @@ object LlmQueries {
       .toDF().orderBy("doc_id")
   }
 
+  // ---- L109: PDF classic-xref parsing ---------------------------------------
+  /** PDF parse ([[graft.operators.Multimodal.PdfCodec]]): spec-shaped
+    * classic-xref files planted from doc_id — 2–6 stream objects with
+    * planted /Length values — walked through the TEXT-ENCODED offset
+    * machinery no other codec exercises: backward `startxref` keyword
+    * scan, fixed-width 20-byte ASCII xref records, per-entry offset
+    * dereference + `N 0 obj` header cross-check, /Size-vs-count
+    * consistency, `%%EOF` anchor. One map pass, no shuffle; oracle
+    * recomputes every offset and byte count arithmetically (digit
+    * widths included). */
+  def m11PdfXref(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rows = t(s, dir, "documents").select("doc_id").as[Long]
+      .map { id =>
+        Multimodal.MediaRow(id, "pdf",
+          Multimodal.PdfCodec.buildPdf((id % 5).toInt + 2,
+            (id % 97).toInt + 10))
+      }
+    rows.mapPartitions(it => it.map(Multimodal.PdfCodec.decodePdf))
+      .toDF().orderBy("doc_id")
+  }
+
   // ---- L55: BPE corpus encode ----------------------------------------------
   /** Encode the corpus with the x20-fitted tokenizer
     * ([[graft.operators.BpeTrainer.encode]]): per-doc word + BPE token
@@ -2065,6 +2087,7 @@ object LlmQueries {
     "m8_tar_parse" -> m8TarParse _,
     "m9_gif_parse" -> m9GifParse _,
     "m10_flac_parse" -> m10FlacParse _,
+    "m11_pdf_xref" -> m11PdfXref _,
     "x34_source_novelty" -> x34SourceNovelty _,
     "e14_pca_variance" -> e14PcaVariance _,
     "x33_vocab_growth" -> x33VocabGrowth _,
@@ -3428,6 +3451,32 @@ object LlmQueries {
         |  CAST(CASE WHEN wp THEN pl ELSE 0 END AS BIGINT) AS padding_bytes,
         |  CAST(fl AS BIGINT) AS frame_bytes
         |FROM d ORDER BY doc_id""".stripMargin,
+    // m11: every offset/byte count recomputed arithmetically — body_i
+    // = digits(i) + digits(L_i) + L_i + 45 (the fixed framing), xref
+    // at 9 + Σbody, file = xref + 5 + (3 + digits(M)) + 20·M +
+    // (30 + digits(M)) + (11 + digits(xref)) + 5
+    "m11_pdf_xref" ->
+      """WITH d AS (SELECT doc_id, CAST(doc_id % 5 + 2 AS INT) AS n,
+        |    doc_id % 97 + 10 AS lb FROM documents),
+        |obj AS (SELECT doc_id, n, lb,
+        |    CAST(unnest(range(1, n + 1)) AS BIGINT) AS i FROM d),
+        |ob AS (SELECT doc_id, n, i, lb + i AS L,
+        |    length(CAST(i AS VARCHAR)) + length(CAST(lb + i AS VARCHAR))
+        |      + (lb + i) + 45 AS body
+        |  FROM obj),
+        |ag AS (SELECT doc_id, n, CAST(SUM(body) AS BIGINT) AS bodies,
+        |    CAST(SUM(L) AS BIGINT) AS stream_bytes
+        |  FROM ob GROUP BY doc_id, n)
+        |SELECT doc_id, 'pdf' AS fmt,
+        |  CAST(9 + bodies + 5 + 3 + length(CAST(n + 1 AS VARCHAR))
+        |    + 20 * (n + 1) + 30 + length(CAST(n + 1 AS VARCHAR))
+        |    + 11 + length(CAST(9 + bodies AS VARCHAR)) + 5 AS BIGINT)
+        |    AS n_bytes,
+        |  n AS n_objects,
+        |  CAST(9 + bodies AS BIGINT) AS xref_offset,
+        |  stream_bytes, n AS n_verified,
+        |  CAST(n + 1 AS INT) AS size_entry
+        |FROM ag ORDER BY doc_id""".stripMargin,
     // x35: freq-of-freq recompute over a dense 1..10 grid (missing r
     // rows must read N_r = 0, and N_{r+1} comes from the GRID lead —
     // a sparse lead would skip over absent counts)

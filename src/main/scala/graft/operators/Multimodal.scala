@@ -1012,4 +1012,122 @@ object Multimodal {
         ts * 1000L / sr, n, pad, (p.length - off).toLong)
     }
   }
+
+  /** Parsed PDF metadata (see [[PdfCodec]]). */
+  final case class PdfFeatures(doc_id: Long, fmt: String, n_bytes: Long,
+      n_objects: Int, xref_offset: Long, stream_bytes: Long,
+      n_verified: Int, size_entry: Int)
+
+  /** Classic-xref PDF parsing — the TEXT-ENCODED OFFSET TABLE
+    * dimension none of m1–m10 exercise: every other codec's offsets
+    * are binary integers, but a PDF xref is an ASCII table of
+    * fixed-width 20-byte records (10-digit zero-padded decimal offset,
+    * 5-digit generation, in-use flag) reached by scanning BACKWARD
+    * from end-of-file for the `startxref` keyword and parsing the
+    * decimal offset on the next line — ZIP's EOCD walk re-expressed in
+    * text. Each in-use entry's offset is then dereferenced and the
+    * object header (`N 0 obj`) cross-checked — the LFH-style
+    * verification, text-encoded — and each object's `/Length` value
+    * is parsed from its dictionary. The trailer's `/Size` must equal
+    * the subsection count and the payload must end at `%%EOF`.
+    * Damage (bad magic, corrupt startxref number, xref offset out of
+    * range, a flipped digit in an entry offset, truncation, /Size
+    * mismatch) fails clean to zeros. */
+  object PdfCodec {
+    /** `n` stream objects, object i carrying `lenBase + i` stream
+      * bytes; classic xref + trailer + startxref + %%EOF. */
+    def buildPdf(n: Int, lenBase: Int): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def w(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+      w("%PDF-1.4\n")
+      val offs = new Array[Long](n + 1)
+      for (i <- 1 to n) {
+        offs(i) = out.size().toLong
+        val L = lenBase + i
+        w(s"$i 0 obj\n<</Length $L>>\nstream\n")
+        val data = Array.tabulate[Byte](L)(j => (('a' + (i + j) % 26)).toByte)
+        out.write(data)
+        w("\nendstream\nendobj\n")
+      }
+      val xoff = out.size().toLong
+      w("xref\n")
+      w(s"0 ${n + 1}\n")
+      w("0000000000 65535 f\r\n")
+      for (i <- 1 to n) w(f"${offs(i)}%010d 00000 n\r\n")
+      w(s"trailer\n<</Size ${n + 1}/Root 1 0 R>>\n")
+      w(s"startxref\n$xoff\n%%EOF")
+      out.toByteArray
+    }
+
+    def decodePdf(r: MediaRow): PdfFeatures = {
+      val p = r.payload
+      def fail = PdfFeatures(r.doc_id, "unknown", p.length.toLong,
+        0, 0L, 0L, 0, 0)
+      def ascii(o: Int, n: Int): String =
+        if (o < 0 || o + n > p.length) "" else new String(p, o, n, "US-ASCII")
+      if (!ascii(0, 5).equals("%PDF-")) return fail
+      if (p.length < 20 || !ascii(p.length - 5, 5).equals("%%EOF")) return fail
+      // backward keyword scan (the EOCD analog, ASCII)
+      val key = "startxref".getBytes("US-ASCII")
+      var k = p.length - key.length
+      var found = -1
+      while (found < 0 && k >= 0) {
+        var j = 0
+        while (j < key.length && p(k + j) == key(j)) j += 1
+        if (j == key.length) found = k else k -= 1
+      }
+      if (found < 0) return fail
+      // decimal integer on the following line
+      def parseInt(from: Int): (Long, Int) = { // (value, posAfter); -1 on junk
+        var i = from
+        var v = 0L
+        var any = false
+        while (i < p.length && p(i) >= '0' && p(i) <= '9') {
+          v = v * 10 + (p(i) - '0'); i += 1; any = true
+        }
+        (if (any) v else -1L, i)
+      }
+      if (found + key.length >= p.length || p(found + key.length) != '\n')
+        return fail
+      val (xoff, _) = parseInt(found + key.length + 1)
+      if (xoff < 0 || xoff + 5 > p.length) return fail
+      if (!ascii(xoff.toInt, 5).equals("xref\n")) return fail
+      var pos = xoff.toInt + 5
+      if (pos + 2 > p.length || p(pos) != '0' || p(pos + 1) != ' ')
+        return fail
+      val (m, afterM) = parseInt(pos + 2)
+      if (m < 1 || afterM >= p.length || p(afterM) != '\n') return fail
+      pos = afterM + 1
+      if (pos + 20L * m > p.length) return fail
+      var verified = 0
+      var streams = 0L
+      var obj = 1
+      while (obj < m) { // entry 0 is the free head; objects are 1..m-1
+        val e = pos + 20 * obj
+        val (off, afterOff) = parseInt(e)
+        if (afterOff != e + 10 || p(e + 10) != ' ' || p(e + 16) != ' ')
+          return fail
+        if (p(e + 17) != 'n') return fail
+        val hdr = s"$obj 0 obj\n<</Length "
+        if (ascii(off.toInt, hdr.length).equals(hdr)) {
+          val (len, afterLen) = parseInt(off.toInt + hdr.length)
+          if (len >= 0 && ascii(afterLen, 2).equals(">>")) {
+            verified += 1
+            streams += len
+          } else return fail
+        } else return fail
+        obj += 1
+      }
+      pos += 20 * m.toInt
+      if (!ascii(pos, 7).equals("trailer")) return fail
+      // /Size inside the trailer dict
+      val tail = ascii(pos, math.min(128, p.length - pos))
+      val si = tail.indexOf("/Size ")
+      if (si < 0) return fail
+      val (size, _) = parseInt(pos + si + 6)
+      if (size != m) return fail // Size must equal the subsection count
+      PdfFeatures(r.doc_id, "pdf", p.length.toLong, (m - 1).toInt, xoff,
+        streams, verified, size.toInt)
+    }
+  }
 }

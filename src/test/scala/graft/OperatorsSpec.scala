@@ -842,6 +842,49 @@ class MultimodalSpec extends AnyFunSuite {
     assert(FlacCodec.decodeFlac(MediaRow(7L, "flac", zs)).fmt == "unknown")
   }
 
+  test("pdf xref walk: offsets verified, stream census, digit-width boundaries") {
+    import Multimodal.{PdfCodec, MediaRow}
+    // lenBase 95 + i crosses the 2→3 digit /Length boundary mid-file
+    // (L = 98..102), so the per-object digit-width arithmetic is live
+    val p = PdfCodec.buildPdf(n = 4, lenBase = 97)
+    val f = PdfCodec.decodePdf(MediaRow(1L, "pdf", p))
+    assert(f.fmt == "pdf" && f.n_objects == 4 && f.n_verified == 4, s"$f")
+    assert(f.size_entry == 5, s"$f")
+    assert(f.stream_bytes == (98 + 99 + 100 + 101).toLong, s"$f")
+    assert(f.n_bytes == p.length.toLong, s"$f")
+    // xref really sits where the decoder says
+    assert(new String(p, f.xref_offset.toInt, 5, "US-ASCII") == "xref\n")
+  }
+
+  test("pdf parser rejects bad magic, corrupt startxref, flipped entry digit, truncation, /Size lie") {
+    import Multimodal.{PdfCodec, MediaRow}
+    val good = PdfCodec.buildPdf(n = 3, lenBase = 20)
+    assert(PdfCodec.decodePdf(MediaRow(1L, "pdf", good)).fmt == "pdf")
+    // bad magic
+    val bm = good.clone(); bm(1) = 'X'
+    assert(PdfCodec.decodePdf(MediaRow(2L, "pdf", bm)).fmt == "unknown")
+    // corrupt the startxref number (first digit -> 9: offset lands in
+    // the middle of nowhere; "xref\n" check must refuse)
+    val sx = good.clone()
+    val sxPos = new String(good, "US-ASCII").lastIndexOf("startxref\n") + 10
+    sx(sxPos) = '9'
+    assert(PdfCodec.decodePdf(MediaRow(3L, "pdf", sx)).fmt == "unknown")
+    // flip a digit inside entry 1's 10-digit offset: the header
+    // cross-check at the dereferenced position must fail
+    val fe = good.clone()
+    val s = new String(good, "US-ASCII")
+    val entry1 = s.indexOf("xref\n") + 5 + s.substring(s.indexOf("xref\n") + 5).indexOf("\n") + 1 + 20
+    fe(entry1 + 5) = (if (fe(entry1 + 5) == '9') '8' else '9').toByte
+    assert(PdfCodec.decodePdf(MediaRow(4L, "pdf", fe)).fmt == "unknown")
+    // truncation kills the %%EOF anchor
+    assert(PdfCodec.decodePdf(MediaRow(5L, "pdf", good.dropRight(3))).fmt == "unknown")
+    // /Size lie: 4 -> 9 (count stays 4; consistency check must refuse)
+    val sl = good.clone()
+    val sizePos = s.indexOf("/Size ") + 6
+    sl(sizePos) = '9'
+    assert(PdfCodec.decodePdf(MediaRow(6L, "pdf", sl)).fmt == "unknown")
+  }
+
   test("zip footer walk: EOCD scan, CD entries, LFH cross-check") {
     import Multimodal.{ZipCodec, MediaRow}
     val datas = Seq(Array.fill[Byte](10)(1), Array.fill[Byte](17)(2))
