@@ -1044,6 +1044,46 @@ object StreamingOps {
       .start()
   }
 
+  /** S31: streaming cell-wise correction overlay — t60's live half
+    * and the CELL-granular sibling of S10's row-wise CDC merge: a
+    * stream of sparse correction records (each row fixes SOME columns
+    * of one entity, nulls elsewhere) folds onto a keyed snapshot so
+    * that every cell always holds its LATEST non-null value. Each
+    * trigger first collapses the batch per key (q57's goldenRecord
+    * argmax on `orderCol` — intra-batch corrections resolve by
+    * version, not arrival race), then overlays it on the state via
+    * `combineFirst(batch, state)` — batch cells win where non-null,
+    * holes keep the prior value, new keys insert. State = the patched
+    * snapshot: ENTITY-cardinality forever (the S10 posture), never
+    * stream-length; for batches arriving in version order the state
+    * provably equals batch q57 survivorship over everything seen
+    * (spec-pinned). The live read: a corrections feed (manual fixes,
+    * re-crawls, enrichment) kept continuously applied without ever
+    * re-reading history. */
+  def streamingCellOverlay(updates: DataFrame, keys: Seq[String],
+      orderCol: String, valueCols: Seq[String],
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    var state: Option[DataFrame] = None
+    updates.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val folded = graft.operators.Merge
+          .goldenRecord(b.toDF(), keys, orderCol, orderCol, valueCols)
+          .select((keys.map(col) ++ valueCols.map(col)): _*)
+        val next = state.map(st => graft.operators.Merge
+            .combineFirst(folded, st, keys))
+          .getOrElse(folded).persist()
+        next.count()
+        state.foreach(_.unpersist())
+        state = Some(next)
+        sink(next)
+        ()
+      }
+      .trigger(trigger)
+      .start()
+  }
+
   /** S26: streaming mixing-plan monitor — p5's live half: as crawl
     * batches arrive, per-source available-token totals fold into state
     * (a semigroup sum — state is SOURCE-cardinality sized, never

@@ -669,6 +669,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(last.toSeq == batch.toSeq)
   }
 
+  test("S31: streaming cell overlay equals batch q57 survivorship over the whole feed") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    // sparse correction feed: (key, version, name, phone) — each row
+    // fixes SOME cells; later versions must win cell-wise, holes must
+    // never erase earlier values
+    val feed = Seq(
+      (1L, 1L, Some("anne"), Some("111")),
+      (2L, 1L, Some("bob"), None),
+      (1L, 2L, None, Some("222")),       // fixes phone only
+      (3L, 2L, Some("carl"), None),      // new key mid-stream
+      (2L, 3L, Some("bobby"), Some("333")),
+      (1L, 3L, Some("anna"), None))      // fixes name only
+    val (b1, b2) = feed.partition(_._2 <= 1) // batches in version order
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Option[String], Option[String])]
+    @volatile var last: Array[(Long, Option[String], Option[String])] = Array.empty
+    val q = StreamingOps.streamingCellOverlay(
+        mem.toDF().toDF("k", "ver", "name", "phone"),
+        keys = Seq("k"), orderCol = "ver",
+        valueCols = Seq("name", "phone"),
+        trigger = Trigger.ProcessingTime(0L)) { d =>
+      last = d.collect().map(r => (r.getLong(0),
+        Option(r.getAs[String]("name")), Option(r.getAs[String]("phone"))))
+    }
+    mem.addData(b1: _*)
+    q.processAllAvailable()
+    mem.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    // batch truth: q57's latest-non-null-per-cell over the WHOLE feed
+    val batch = graft.operators.Merge.goldenRecord(
+        feed.toDF("k", "ver", "name", "phone"),
+        Seq("k"), "ver", "ver", Seq("name", "phone"))
+      .collect().map(r => (r.getLong(0),
+        Option(r.getAs[String]("name")), Option(r.getAs[String]("phone"))))
+    assert(last.toSet == batch.toSet,
+      s"overlay diverged: ${last.toSet} vs ${batch.toSet}")
+    // and the cells really interleave: k=1 ends (anna, 222) — name
+    // from batch 2, phone surviving from batch 2's OTHER row, base 111
+    // overwritten — k=2 ends (bobby, 333), k=3 (carl, None)
+    assert(last.toSet == Set((1L, Some("anna"), Some("222")),
+      (2L, Some("bobby"), Some("333")), (3L, Some("carl"), None)))
+  }
+
   test("S24: streaming Good-Turing count fold across triggers matches batch x35 exactly") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
