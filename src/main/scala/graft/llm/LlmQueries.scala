@@ -1821,6 +1821,31 @@ object LlmQueries {
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id")
 
+  // ---- L110: winnowing fingerprints -----------------------------------------
+  /** MOSS-style local fingerprints ([[TextAnalysis.winnow]]): the
+    * partial-overlap detection primitive x4's whole-doc prints can't
+    * give — any shared w+k−1-token run is guaranteed a common
+    * selected fingerprint. Output = the selected (pos, hash) set per
+    * doc; within-row HOF selection, output-sized explode only. */
+  def x44Winnowing(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.winnow(t(s, dir, "documents"), "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id", "pos")
+
+  // ---- L111: RAKE keyword extraction ---------------------------------------
+  /** RAKE keywords per doc ([[TextAnalysis.rake]]): top-3 candidate
+    * phrases by deg/freq co-occurrence score — the keyword/topic
+    * surface the corpus-statistics x-ops don't give. Word scores
+    * stage through 9-dp DECIMAL so phrase sums are exact. */
+  def x45Rake(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.rake(t(s, dir, "documents"), "doc_id", "text")
+      .select(col("doc_id"), col("rank"), col("phrase"),
+        // gate boundary: exact 1e-9 units as BIGINT (the integer-cents
+        // device) — DECIMAL never crosses the compare
+        (col("score") * lit(1000000000L)).cast("long").as("score_e9"),
+        col("n_occur"))
+      .orderBy("doc_id", "rank")
+
   // ---- L57: corpus-slice distribution drift --------------------------------
   /** Token-distribution drift, en slice vs the rest
     * ([[TextAnalysis.tokenDrift]]): per-token directed KL
@@ -2167,6 +2192,8 @@ object LlmQueries {
     "x13_unigram_ppl" -> x13UnigramPpl _,
     "x42_ccnet_buckets" -> x42CcnetBuckets _,
     "x43_readability" -> x43Readability _,
+    "x44_winnowing" -> x44Winnowing _,
+    "x45_rake" -> x45Rake _,
     "x14_heavy_hitters" -> x14HeavyHitters _,
     "x24_kl_drift" -> x24KlDrift _,
     "x21_tfidf" -> x21Tfidf _,
@@ -4635,6 +4662,78 @@ object LlmQueries {
         |SELECT doc_id, COUNT(*) AS n_tok,
         |  ROUND(exp(-(CAST(SUM(lp) AS DOUBLE) / COUNT(*))), 6) AS ppl
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // x44: identical gram/hash/argmin machinery — md5-prefix integers,
+    // rightmost-min per window recovered order-free as MAX(j) among
+    // positions achieving the window MIN, DISTINCT (pos, fp) pairs
+    "x44_winnowing" ->
+      s"""WITH d AS (SELECT doc_id, string_split($normSql, ' ') AS toks
+        |  FROM documents),
+        |g AS (SELECT doc_id,
+        |    list_transform(range(0, CAST(len(toks) - 3 AS BIGINT)),
+        |      i -> array_to_string(
+        |        toks[CAST(i AS INT) + 1:CAST(i AS INT) + 4], ' ')) AS grams
+        |  FROM d WHERE len(toks) >= 8),
+        |h AS (SELECT doc_id, list_transform(grams,
+        |    x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)) AS hs
+        |  FROM g),
+        |w AS (SELECT doc_id, hs,
+        |    CAST(unnest(range(0, CAST(len(hs) - 4 AS BIGINT))) AS BIGINT)
+        |      AS s
+        |  FROM h),
+        |wj AS (SELECT doc_id, hs, s,
+        |    CAST(unnest(range(0, 5)) AS BIGINT) AS o FROM w),
+        |e AS (SELECT doc_id, s, s + o AS j,
+        |    hs[CAST(s + o AS INT) + 1] AS hj FROM wj),
+        |mn AS (SELECT doc_id, s, MIN(hj) AS mh FROM e GROUP BY 1, 2),
+        |sel AS (SELECT e.doc_id, MAX(e.j) AS pos, mn.mh AS fp
+        |  FROM e JOIN mn ON e.doc_id = mn.doc_id AND e.s = mn.s
+        |    AND e.hj = mn.mh
+        |  GROUP BY e.doc_id, e.s, mn.mh),
+        |dd AS (SELECT DISTINCT doc_id, pos, fp FROM sel)
+        |SELECT doc_id, pos, fp FROM dd ORDER BY doc_id, pos""".stripMargin,
+    // x45: identical tokenization, delimiter rule (stoplist
+    // interpolated from TextAnalysis.rakeStopwords + non-[a-z0-9]
+    // regex), deg/freq division rounded to 9 dp into DECIMAL (the
+    // q59 device) so phrase sums are exact on both engines
+    "x45_rake" -> {
+      val stops = graft.operators.TextAnalysis.rakeStopwords
+        .map(s => s"'$s'").mkString(", ")
+      s"""WITH d AS (SELECT doc_id, string_split($normSql, ' ') AS toks
+        |  FROM documents),
+        |t AS (SELECT doc_id, toks,
+        |    CAST(unnest(range(0, CAST(len(toks) AS BIGINT))) AS BIGINT)
+        |      AS p FROM d),
+        |fl AS (SELECT doc_id, p, toks[CAST(p AS INT) + 1] AS tok,
+        |    (toks[CAST(p AS INT) + 1] IN ($stops)
+        |     OR regexp_matches(toks[CAST(p AS INT) + 1], '[^a-z0-9]')
+        |     OR toks[CAST(p AS INT) + 1] = '') AS delim FROM t),
+        |mem AS (SELECT doc_id, p, tok, grp FROM (
+        |    SELECT doc_id, p, tok, delim,
+        |      SUM(CASE WHEN delim THEN 1 ELSE 0 END)
+        |        OVER (PARTITION BY doc_id ORDER BY p) AS grp
+        |    FROM fl) WHERE NOT delim),
+        |ph AS (SELECT doc_id, grp,
+        |    string_agg(tok, ' ' ORDER BY p) AS phrase, COUNT(*) AS plen
+        |  FROM mem GROUP BY doc_id, grp),
+        |ws AS (SELECT m.doc_id, m.tok,
+        |    CAST(ROUND(CAST(SUM(pp.plen) AS DOUBLE) / COUNT(*), 9)
+        |      AS DECIMAL(18,9)) AS wscore
+        |  FROM mem m JOIN ph pp ON m.doc_id = pp.doc_id AND m.grp = pp.grp
+        |  GROUP BY m.doc_id, m.tok),
+        |psc AS (SELECT m.doc_id, m.grp, SUM(w.wscore) AS pscore
+        |  FROM mem m JOIN ws w ON m.doc_id = w.doc_id AND m.tok = w.tok
+        |  GROUP BY m.doc_id, m.grp),
+        |sc AS (SELECT pp.doc_id, pp.phrase, MAX(s.pscore) AS score,
+        |    COUNT(*) AS n_occur
+        |  FROM psc s JOIN ph pp ON s.doc_id = pp.doc_id AND s.grp = pp.grp
+        |  GROUP BY pp.doc_id, pp.phrase),
+        |rk AS (SELECT doc_id, phrase, score, n_occur,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, phrase) AS rank FROM sc)
+        |SELECT doc_id, CAST(rank AS INT) AS rank, phrase,
+        |  CAST(score * 1000000000 AS BIGINT) AS score_e9, n_occur
+        |FROM rk WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+    },
     // x43: identical counts (RE2 and java.util.regex agree on these
     // plain character-class patterns), identical pinned expressions;
     // the 3-dp constants are small-int/1000 — the same double on both

@@ -347,6 +347,133 @@ object TextAnalysis {
         round(exp(-(col("slp").cast("double") / col("n_bi"))), 6).as("ppl"))
   }
 
+  /** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
+    * SIGMOD 2003 — the MOSS algorithm): from each sliding window of
+    * `w` consecutive k-gram hashes select the RIGHTMOST minimal hash
+    * (the paper's robust-winnowing rule), then dedupe (pos, hash)
+    * pairs. The LOCAL fingerprinting x4 lacks: x4's whole-doc and
+    * min-shingle prints break under any partial overlap, while
+    * winnowing GUARANTEES any shared run of w+k−1 tokens contributes
+    * at least one common fingerprint (every window selects), at
+    * expected density 2/(w+1) — the partial-plagiarism /
+    * quote-detection primitive.
+    *
+    * Determinism: gram hashes are md5-prefix integers (engine-
+    * reproducible by construction); rightmost-on-ties falls out of
+    * struct ordering — each position carries `(hash, −pos)`, so the
+    * per-window `array_min` picks the smallest hash and, among ties,
+    * the LARGEST position; everything is integers. Docs shorter than
+    * k+w−1 tokens have no window and emit nothing (pinned).
+    *
+    * Scale shape: grams, hashes, and window selections all fold
+    * WITHIN the row via array HOFs (the x39 device) — the only
+    * corpus-sized materialization is the final selected-fingerprint
+    * explode, which IS the output. No shuffle before the sort. The
+    * `(hash, −pos)` array is bound ONCE per row as a lambda variable
+    * (`transform(array(e), v => …)[0]`): a plain column reference
+    * inside the window lambdas would let CollapseProject inline the
+    * whole md5-array build into every reference site — O(n·w) full
+    * rebuilds per row, the difference between seconds and 10 minutes
+    * at sf0.1. */
+  def winnow(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, k: Int = 4, w: Int = 5): org.apache.spark.sql.DataFrame = {
+    val base = df.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= k + w - 1)
+    // hp[i] = (hash of gram at i, −i): md5-prefix integer + negated
+    // position, so min-by-struct = smallest hash, ties → rightmost.
+    val hp = transform(
+      sequence(lit(0L), (size(col("toks")) - k).cast("long")),
+      i => struct(
+        conv(substring(md5(concat_ws(" ",
+          slice(col("toks"), (i + 1).cast("int"), lit(k)))), 1, 15),
+          16, 10).cast("long").as("h"),
+        (-i).as("negp")))
+    val sel = element_at(transform(array(hp), a =>
+      array_distinct(transform(
+        sequence(lit(0L), (size(a) - w).cast("long")),
+        s => array_min(slice(a, (s + 1).cast("int"), lit(w)))))), 1)
+    base.select(col("id"), explode(sel).as("s"))
+      .select(col("id"), (-col("s.negp")).as("pos"), col("s.h").as("fp"))
+      .orderBy("id", "pos")
+  }
+
+  /** Stoplist for RAKE phrase splitting — pinned here (and
+    * interpolated verbatim into the x45 oracle) so both engines split
+    * identically. Deliberately small: RAKE degrades gracefully with a
+    * thin stoplist (phrases get longer), and the operator's contract
+    * is the scoring machinery, not lexicography. */
+  val rakeStopwords: Seq[String] = Seq(
+    "the", "and", "of", "to", "in", "is", "are", "was", "were", "a",
+    "an", "that", "it", "for", "on", "with", "as", "this", "by", "at",
+    "from", "or", "be", "has", "have", "had", "not", "but", "they",
+    "their", "its", "we", "you", "he", "she", "his", "her", "will",
+    "would", "can", "could", "than", "then", "so", "if", "into",
+    "about", "over", "after", "all", "also", "been", "more", "no",
+    "which", "when", "who", "what", "one", "two", "there", "these",
+    "those", "such", "some", "any", "each", "other", "do", "does",
+    "did", "how", "why", "where", "most", "many", "much", "very")
+
+  /** RAKE keyword extraction (Rose, Engel, Cramer & Cowley 2010 —
+    * Rapid Automatic Keyword Extraction): candidate phrases are the
+    * maximal runs of non-delimiter tokens (delimiter ⇔ stoplist hit
+    * OR any non-`[a-z0-9]` character — RAKE's punctuation split,
+    * pinned as a token-level rule since [[tokens]] keeps punctuation
+    * attached); each word scores deg(w)/freq(w) over the DOCUMENT
+    * (freq = occurrences inside candidate phrases, deg = Σ length of
+    * the phrases containing each occurrence — co-occurrence degree
+    * including self), a phrase scores the sum of its member word
+    * scores, and the top `topK` DISTINCT phrases per doc survive
+    * (score desc, phrase asc — fully deterministic).
+    *
+    * Determinism: deg and freq are exact integers; each word score is
+    * ONE IEEE division rounded to 9 dp and staged through
+    * DECIMAL(18,9) (the q59 device), so phrase sums are EXACT decimal
+    * arithmetic — no float-summation-order ambiguity at any
+    * partitioning, and ranking compares decimals.
+    *
+    * Scale shape: one token explode (corpus-sized, the x-family
+    * posture), phrase/word stats are doc-keyed aggregates riding
+    * doc_id-partitioned shuffles; the ranking window runs on the
+    * doc×distinct-phrase table (bounded by text size, not corpus
+    * joins). Per-doc windows order by position — no global sort. */
+  def rake(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, topK: Int = 3): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = df.select(col(idCol).as("doc_id"),
+        posexplode(tokens(col(textCol))).as(Seq("p", "tok")))
+      .withColumn("delim", col("tok").isin(rakeStopwords.map(lit(_)): _*) ||
+        col("tok").rlike("[^a-z0-9]") || col("tok") === "")
+    val wDoc = Window.partitionBy("doc_id").orderBy("p")
+    val member = tok
+      .withColumn("grp", sum(col("delim").cast("long")).over(wDoc))
+      .filter(!col("delim"))
+    val phrases = member.groupBy("doc_id", "grp")
+      .agg(sort_array(collect_list(struct(col("p"), col("tok")))).as("pt"))
+      .select(col("doc_id"), col("grp"),
+        concat_ws(" ", transform(col("pt"), s => s.getField("tok"))).as("phrase"),
+        size(col("pt")).as("plen"))
+    val wordStats = member.join(phrases.select("doc_id", "grp", "plen"),
+        Seq("doc_id", "grp"))
+      .groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("freq"), sum("plen").as("deg"))
+      .select(col("doc_id"), col("tok"),
+        round(col("deg").cast("double") / col("freq"), 9)
+          .cast("decimal(18,9)").as("wscore"))
+    val scored = member.select("doc_id", "grp", "tok")
+      .join(wordStats, Seq("doc_id", "tok"))
+      .groupBy("doc_id", "grp").agg(sum("wscore").as("pscore"))
+      .join(phrases.select("doc_id", "grp", "phrase"), Seq("doc_id", "grp"))
+      .groupBy("doc_id", "phrase")
+      .agg(max("pscore").as("score"), count(lit(1)).as("n_occur"))
+    val wRank = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("phrase"))
+    scored.withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= topK)
+      .select(col("doc_id"), col("rank"), col("phrase"),
+        col("score").cast("decimal(28,9)").as("score"), col("n_occur"))
+      .orderBy("doc_id", "rank")
+  }
+
   /** Flesch reading ease + Flesch–Kincaid grade level (Flesch 1948;
     * Kincaid et al. 1975) — the classic readability pair, and the
     * quality axis x2/x18/x37 don't cover: sentence- and syllable-

@@ -904,6 +904,66 @@ object StreamingOps {
       .start()
   }
 
+  /** S32: streaming partial-overlap detection via winnowing
+    * fingerprints — x44's live half, and the GRANULARITY complement
+    * of the family's other dedup streams: S28's Bloom flags whole-doc
+    * exact copies, S25's CDC chunks catch shared kilobyte blocks,
+    * while winnowing fingerprints ([[graft.operators.TextAnalysis.winnow]])
+    * carry the SIGMOD'03 locality guarantee down to any shared
+    * w+k−1-token run — a lifted quote, a boilerplate paragraph, a
+    * partial plagiarism — robust to position shifts that break
+    * fixed-width chunking. Each arriving doc reports
+    * `n_known / n_fp`: the fraction of its selected fingerprints
+    * already present in the corpus-so-far index.
+    *
+    * State = the DISTINCT fingerprint set — corpus-fingerprint
+    * cardinality (expected density 2/(w+1) of corpus tokens, the
+    * S8/S25 index posture, documented), never stream length × text;
+    * history is never re-read and text never shuffles (fingerprints
+    * fold within the row, only (id, fp) pairs move).
+    *
+    * Intra-batch blindness, pinned (the S25 contract): verdicts are
+    * computed against the index AS OF THE PREVIOUS trigger, so an
+    * original and its quoting doc arriving in one batch both report
+    * known_frac 0. Docs below k+w−1 tokens select no fingerprints and
+    * emit no verdict row (x44's pinned empty case). */
+  def streamingWinnowOverlap(docs: DataFrame, idCol: String,
+      textCol: String, k: Int = 4, w: Int = 5,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    var state: Option[DataFrame] = None // distinct fps, corpus-fp-cardinality
+    docs.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val fps = graft.operators.TextAnalysis
+          .winnow(b.toDF(), idCol, textCol, k, w)
+          .select(col("id"), col("fp")).distinct().persist()
+        fps.count()
+        val known = state match {
+          case Some(idx) => fps.join(idx, Seq("fp"), "left_semi")
+            .groupBy("id").agg(count(lit(1)).as("n_known"))
+          case None => fps.select(col("id")).limit(0)
+            .withColumn("n_known", lit(0L))
+        }
+        val verdicts = fps.groupBy("id").agg(count(lit(1)).as("n_fp"))
+          .join(known, Seq("id"), "left")
+          .select(col("id").as("doc_id"), col("n_fp"),
+            coalesce(col("n_known"), lit(0L)).as("n_known"),
+            round(coalesce(col("n_known"), lit(0L)) / col("n_fp"), 6)
+              .as("known_frac"))
+        sink(verdicts)
+        val next = state.map(idx => idx.union(fps.select("fp")).distinct())
+          .getOrElse(fps.select("fp").distinct()).persist()
+        next.count()
+        state.foreach(_.unpersist())
+        state = Some(next)
+        fps.unpersist()
+        ()
+      }
+      .trigger(trigger)
+      .start()
+  }
+
   /** S9: streaming ingest curation — each arriving micro-batch runs
     * the full curation pipeline (dedup, decontamination, quality,
     * length) INCREMENTALLY against the corpus's precomputed digest

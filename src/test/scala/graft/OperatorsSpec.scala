@@ -502,6 +502,89 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(again == got.toSet)
   }
 
+  test("winnowing: differential vs brute force, rightmost ties, overlap under prefix shift") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    def brute(text: String, k: Int = 4, w: Int = 5): Set[(Long, Long)] = {
+      val toks = text.toLowerCase.trim.split("\\s+").toSeq
+      if (toks.size < k + w - 1) Set.empty
+      else {
+        val hs = (0 to toks.size - k).map(i => java.lang.Long.parseLong(
+          md5hex(toks.slice(i, i + k).mkString(" ")).take(15), 16))
+        (0 to hs.size - w).map { s =>
+          var bh = Long.MaxValue; var bp = -1L
+          for (j <- s until s + w) if (hs(j) <= bh) { bh = hs(j); bp = j }
+          (bp, bh) // rightmost minimal — the robust-winnowing rule
+        }.toSet
+      }
+    }
+    val texts = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog and then the quick brown fox naps",
+      2L -> "aa bb cc dd ee ff gg hh ii jj kk ll",
+      3L -> "too short here",
+      4L -> ("word " * 12).trim) // max-degenerate: all grams identical
+    val got = TextAnalysis.winnow(texts.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    texts.foreach { case (id, tx) =>
+      val exp = brute(tx)
+      assert(got.getOrElse(id, Set.empty) == exp, s"doc $id diverged")
+    }
+    assert(!got.contains(3L)) // below k+w−1 tokens: no window, no rows
+    // doc 4: every gram hash equal → rightmost rule selects the LAST
+    // position of each window → w+k−1-sliding selections, one hash
+    assert(got(4L).map(_._2).size == 1)
+    // locality guarantee: a 3-token prefix insertion shifts positions
+    // but the shared suffix grams keep their HASHES — overlap stays high
+    val a = texts.head._2
+    val shifted = "xx yy zz " + a
+    val fa = brute(a).map(_._2)
+    val fb = brute(shifted).map(_._2)
+    assert((fa intersect fb).size.toDouble >= 0.7 * fa.size,
+      s"local overlap broke: ${(fa intersect fb).size}/${fa.size}")
+  }
+
+  test("rake: differential vs brute-force reference, hand-checked scores, tie order") {
+    def brute(text: String, topK: Int = 3): Seq[(Int, String, BigDecimal, Long)] = {
+      val toks = text.toLowerCase.trim.split("\\s+").toSeq.filter(_.nonEmpty)
+      val delim = toks.map(t => TextAnalysis.rakeStopwords.contains(t) ||
+        !t.matches("[a-z0-9]+"))
+      // maximal non-delimiter runs
+      val phrases = scala.collection.mutable.ArrayBuffer[Seq[String]]()
+      var cur = scala.collection.mutable.ArrayBuffer[String]()
+      toks.indices.foreach { i =>
+        if (delim(i)) { if (cur.nonEmpty) { phrases += cur.toSeq; cur.clear() } }
+        else cur += toks(i)
+      }
+      if (cur.nonEmpty) phrases += cur.toSeq
+      val occ = phrases.flatMap(p => p.map(w => (w, p.size)))
+      val wscore = occ.groupBy(_._1).map { case (w, xs) =>
+        w -> BigDecimal(xs.map(_._2).sum.toDouble / xs.size)
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP) }
+      val scored = phrases.map(p => (p.mkString(" "), p.map(wscore).sum))
+        .groupBy(_._1).map { case (ph, xs) => (ph, xs.head._2, xs.size.toLong) }
+        .toSeq.sortBy { case (ph, sc, _) => (-sc, ph) }
+      scored.take(topK).zipWithIndex.map { case ((ph, sc, n), i) =>
+        (i + 1, ph, sc, n) }
+    }
+    val texts = Seq(
+      1L -> "deep learning models require large datasets. the large datasets and deep learning models matter!",
+      2L -> "alpha beta and alpha beta and alpha beta",
+      3L -> "the of and to in") // all stopwords: no phrases, no rows
+    val got = TextAnalysis.rake(texts.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), (r.getInt(1), r.getString(2),
+        BigDecimal(r.getDecimal(3)).setScale(9), r.getLong(4))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq.sortBy(_._1)).toMap
+    texts.foreach { case (id, tx) =>
+      assert(got.getOrElse(id, Seq.empty) == brute(tx), s"doc $id diverged:\n${got.getOrElse(id, Seq.empty)}\nvs\n${brute(tx)}")
+    }
+    assert(!got.contains(3L))
+    // hand check doc 2: phrases "alpha beta" ×3 — deg(alpha)=deg(beta)=6,
+    // freq=3 → wscore 2.0 each → phrase score 4.0, one distinct phrase
+    assert(got(2L) == Seq((1, "alpha beta", BigDecimal(4).setScale(9), 3L)))
+  }
+
   test("kneser-ney: hand-computed closed forms, distribution sums to 1, partition-stable") {
     // corpus: "a b", "a b", "a c" → bigrams (a,b)×2, (a,c)×1
     // model: c(a)=3, N₁₊(a,·)=2, N₁₊(·,b)=N₁₊(·,c)=1, B=2 types

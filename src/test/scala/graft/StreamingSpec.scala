@@ -714,6 +714,51 @@ class StreamingSpec extends AnyFunSuite {
       (2L, Some("bobby"), Some("333")), (3L, Some("carl"), None)))
   }
 
+  test("S32: streaming winnowing overlap equals batch fingerprint-intersection replay") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val corpus = Seq( // trigger 1: the corpus-so-far
+      (1L, "the quick brown fox jumps over the lazy dog while the band plays on"),
+      (2L, "colorless green ideas sleep furiously in the garden of forking paths tonight"))
+    val batch2 = Seq( // trigger 2: quote / fresh / below-window
+      (3L, "he said that the quick brown fox jumps over the lazy dog yesterday evening"),
+      (4L, "completely unrelated sentence about winter storms hitting the northern coast again"),
+      (5L, "too short to window"))
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    @volatile var last: Array[(Long, Long, Long)] = Array.empty
+    val q = StreamingOps.streamingWinnowOverlap(
+        mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        trigger = Trigger.ProcessingTime(0L)) { d =>
+      last = d.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    }
+    mem.addData(corpus: _*)
+    q.processAllAvailable()
+    val t1 = last
+    // trigger 1: empty index — every doc reports known 0
+    assert(t1.map(_._1).toSet == Set(1L, 2L) && t1.forall(_._3 == 0L))
+    mem.addData(batch2: _*)
+    q.processAllAvailable()
+    q.stop()
+    // batch truth: per-doc distinct fps intersected with the corpus fp set
+    def fpsOf(rows: Seq[(Long, String)]): Map[Long, Set[Long]] =
+      graft.operators.TextAnalysis
+        .winnow(rows.toDF("doc_id", "text"), "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(2)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val idx = fpsOf(corpus).values.flatten.toSet
+    val b2 = fpsOf(batch2)
+    val expected = b2.map { case (id, s) =>
+      (id, s.size.toLong, (s intersect idx).size.toLong) }.toSet
+    assert(last.toSet == expected, s"${last.toSet} vs $expected")
+    // the SIGMOD'03 guarantee bites: doc 3 shares a 10-token run with
+    // doc 1 (> w+k-1 = 8) so at least one fingerprint MUST be known
+    assert(last.find(_._1 == 3L).get._3 >= 1L)
+    // fresh doc: zero known; below-window doc: no verdict row at all
+    assert(last.find(_._1 == 4L).get._3 == 0L)
+    assert(!last.exists(_._1 == 5L))
+  }
+
   test("S24: streaming Good-Turing count fold across triggers matches batch x35 exactly") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
