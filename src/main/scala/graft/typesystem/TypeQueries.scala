@@ -1259,6 +1259,69 @@ object TypeQueries {
       .orderBy("user_id", "es", "event_id")
   }
 
+  // ---- T61: expanding skew/kurt --------------------------------------------
+  /** pandas `expanding().skew()/.kurt()` per key — the 3rd/4th-moment
+    * completion of t48's expanding count/sum/mean/max/std, same
+    * discipline: raw power sums Σc..Σc⁴ accumulate over exact integer
+    * CENTS (order-insensitive at any partitioning; c⁴ stages c²·c²
+    * through DECIMAL since 56021⁴ ≈ 9.9e18 overflows int64), the
+    * scale-free integer kernels M2 = nΣc²−(Σc)², M3 = n²Σc³−3nΣcΣc²
+    * +2(Σc)³, M4 = n³Σc⁴−4n²ΣcΣc³+6n(Σc)²Σc²−3(Σc)⁴ compute in
+    * DECIMAL(38,0) (exact while n·c⁴ holds under 38 digits — ~1e27
+    * here; the 100 TB swap is float central-moment accumulation,
+    * which is what pandas itself does), and the terminal expressions
+    * are pinned IEEE chains of the decimal→double casts:
+    * G1 = √(n(n−1))/(n−2) · M3/(M2·√M2) (m2^1.5 via multiply+sqrt —
+    * both correctly rounded ops; `pow(x,1.5)` is NOT correctly
+    * rounded and may differ 1 ulp across engines) and
+    * G2 = (n+1)(n−1)/((n−2)(n−3)) · M4/M2² − 3(n−1)²/((n−2)(n−3)).
+    * skew null below 3 obs, kurt below 4, both null at M2 = 0 — an
+    * EXACT integer test (the t49 lesson: a float zero-variance clamp
+    * is ulp-fragile), matching pandas NaN on constant prefixes.
+    * ONE partition-key Exchange+Sort serves every column. */
+  def t61ExpandingSkewKurt(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("es", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val d38 = DecimalType(38, 0)
+    val d19 = DecimalType(19, 0)
+    val base = events(s, dir)
+      .select(col("user_id"), unix_timestamp(col("ts")).as("es"),
+        col("event_id"),
+        (dec(col("value")) * lit(100)).cast(LongType).as("c"))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("s1", sum(col("c")).over(w).cast(d38))
+      .withColumn("s2", sum(col("c") * col("c")).over(w).cast(d38))
+      .withColumn("s3",
+        sum((col("c") * col("c") * col("c")).cast(d38)).over(w).cast(d38))
+      .withColumn("s4", sum((col("c") * col("c")).cast(d19) *
+        (col("c") * col("c")).cast(d19)).over(w).cast(d38))
+    val nD = col("n").cast(d38)
+    val m2i = nD * col("s2") - col("s1") * col("s1")
+    val m3i = nD * nD * col("s3") -
+      lit(3).cast(d38) * nD * col("s1") * col("s2") +
+      lit(2).cast(d38) * col("s1") * col("s1") * col("s1")
+    val m4i = nD * nD * nD * col("s4") -
+      lit(4).cast(d38) * nD * nD * col("s1") * col("s3") +
+      lit(6).cast(d38) * nD * col("s1") * col("s1") * col("s2") -
+      lit(3).cast(d38) * col("s1") * col("s1") * col("s1") * col("s1")
+    val nd = col("n").cast(DoubleType)
+    val m2d = col("m2i").cast(DoubleType)
+    val m3d = col("m3i").cast(DoubleType)
+    val m4d = col("m4i").cast(DoubleType)
+    base
+      .withColumn("m2i", m2i).withColumn("m3i", m3i).withColumn("m4i", m4i)
+      .select(col("user_id"), col("es"), col("event_id"), col("n"),
+        when(col("n") >= 3 && col("m2i") > 0,
+          (sqrt(nd * (nd - 1)) / (nd - 2)) *
+            (m3d / (m2d * sqrt(m2d)))).as("exp_skew"),
+        when(col("n") >= 4 && col("m2i") > 0,
+          ((nd + 1) * (nd - 1) / ((nd - 2) * (nd - 3))) *
+            (m4d / (m2d * m2d)) -
+            lit(3.0) * (nd - 1) * (nd - 1) / ((nd - 2) * (nd - 3)))
+          .as("exp_kurt"))
+      .orderBy("user_id", "es", "event_id")
+  }
+
   // ---- T50: robust outliers (median/MAD modified z-score) ----------------
   /** Robust per-group outlier detection — the Iglewicz–Hoaglin modified
     * z-score (0.6745·(x−med)/MAD, flag |z| > 3.5) a curation pipeline
@@ -1475,6 +1538,7 @@ object TypeQueries {
     "t50_mad_outliers" -> t50MadOutliers _,
     "t49_rolling_corr" -> t49RollingCorr _,
     "t48_expanding" -> t48Expanding _,
+    "t61_expanding_skew_kurt" -> t61ExpandingSkewKurt _,
     "t47_union_typecheck" -> t47UnionTypecheck _,
     "t46_sparse_categorical" -> t46SparseCategorical _,
     "t44_ewm" -> t44Ewm _,
@@ -1885,6 +1949,54 @@ object TypeQueries {
         |FROM l ORDER BY user_id, es, event_id""".stripMargin,
     // t48: identical integer-cents moments (exact at any accumulation
     // order) + the identical pinned division sequence; no rounding
+    // t61: identical cents power sums in HUGEINT (exact 128-bit — the
+    // internal-only type; only BIGINT/DOUBLE cross the boundary),
+    // identical integer kernels, identical pinned IEEE chains
+    // (m2^1.5 as m2*sqrt(m2) on BOTH engines — pow is not correctly
+    // rounded), identical exact M2=0 and n guards. The M-kernels
+    // reach double THROUGH VARCHAR: DuckDB's direct HUGEINT→DOUBLE
+    // cast truncates instead of rounding (measured 1 ulp low on a
+    // 65-bit M4), while its string→double parse is correctly rounded
+    // like Spark's BigDecimal.doubleValue
+    "t61_expanding_skew_kurt" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |    CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS es,
+        |    CAST(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |      AS HUGEINT) AS c
+        |  FROM events),
+        |w AS (SELECT user_id, es, event_id,
+        |    CAST(COUNT(*) OVER win AS HUGEINT) AS n,
+        |    SUM(c) OVER win AS s1,
+        |    SUM(c * c) OVER win AS s2,
+        |    SUM(c * c * c) OVER win AS s3,
+        |    SUM(c * c * c * c) OVER win AS s4
+        |  FROM e
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY es, event_id
+        |    ROWS UNBOUNDED PRECEDING)),
+        |m AS (SELECT user_id, es, event_id, n,
+        |    n * s2 - s1 * s1 AS m2i,
+        |    n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1 AS m3i,
+        |    n * n * n * s4 - 4 * n * n * s1 * s3
+        |      + 6 * n * s1 * s1 * s2 - 3 * s1 * s1 * s1 * s1 AS m4i
+        |  FROM w)
+        |SELECT user_id, es, event_id, CAST(n AS BIGINT) AS n,
+        |  CASE WHEN n >= 3 AND m2i > 0 THEN
+        |    (sqrt(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))
+        |      / (CAST(n AS DOUBLE) - 2)) *
+        |    (CAST(CAST(m3i AS VARCHAR) AS DOUBLE) /
+        |      (CAST(CAST(m2i AS VARCHAR) AS DOUBLE)
+        |        * sqrt(CAST(CAST(m2i AS VARCHAR) AS DOUBLE))))
+        |  END AS exp_skew,
+        |  CASE WHEN n >= 4 AND m2i > 0 THEN
+        |    ((CAST(n AS DOUBLE) + 1) * (CAST(n AS DOUBLE) - 1)
+        |      / ((CAST(n AS DOUBLE) - 2) * (CAST(n AS DOUBLE) - 3))) *
+        |    (CAST(CAST(m4i AS VARCHAR) AS DOUBLE) /
+        |      (CAST(CAST(m2i AS VARCHAR) AS DOUBLE)
+        |        * CAST(CAST(m2i AS VARCHAR) AS DOUBLE)))
+        |    - 3.0 * (CAST(n AS DOUBLE) - 1) * (CAST(n AS DOUBLE) - 1)
+        |      / ((CAST(n AS DOUBLE) - 2) * (CAST(n AS DOUBLE) - 3))
+        |  END AS exp_kurt
+        |FROM m ORDER BY user_id, es, event_id""".stripMargin,
     "t48_expanding" ->
       """WITH e AS (SELECT user_id, event_id,
         |    CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS es,

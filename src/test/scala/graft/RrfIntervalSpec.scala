@@ -81,6 +81,47 @@ class RrfIntervalSpec extends AnyFunSuite {
     }
   }
 
+  test("t61 expanding skew/kurt == brute-force exact kernels; pandas guards") {
+    val rows = Tables.events(spark, sf)
+      .select(col("user_id"), unix_timestamp(col("ts")).as("es"),
+        col("event_id"), col("value"))
+      .as[(Long, Long, Long, Double)].collect()
+    val byUser = rows.groupBy(_._1).map { case (u, evs) =>
+      u -> evs.sortBy(e => (e._2, e._3))
+    }
+    val got = typesystem.TypeQueries.t61ExpandingSkewKurt(spark, sf)
+      .select("user_id", "event_id", "n", "exp_skew", "exp_kurt")
+      .collect()
+    val gotByKey = got.map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    byUser.foreach { case (u, evs) =>
+      val cs = scala.collection.mutable.ArrayBuffer[BigInt]()
+      evs.foreach { e =>
+        cs += BigInt(BigDecimal(e._4)
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP).*(100).toLongExact)
+        val n = BigInt(cs.size)
+        val s1 = cs.sum; val s2 = cs.map(c => c * c).sum
+        val s3 = cs.map(c => c * c * c).sum; val s4 = cs.map(c => c.pow(4)).sum
+        val m2 = n * s2 - s1 * s1
+        val m3 = n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1
+        val m4 = n.pow(3) * s4 - 4 * n * n * s1 * s3 +
+          6 * n * s1 * s1 * s2 - 3 * s1.pow(4)
+        val r = gotByKey((u, e._3))
+        val nd = n.toDouble
+        if (n >= 3 && m2 > 0) {
+          val ref = (math.sqrt(nd * (nd - 1)) / (nd - 2)) *
+            (m3.toDouble / (m2.toDouble * math.sqrt(m2.toDouble)))
+          assert(r.getDouble(3) == ref, s"skew u=$u n=$n") // bit-exact
+        } else assert(r.isNullAt(3), s"skew null guard u=$u n=$n")
+        if (n >= 4 && m2 > 0) {
+          val ref = ((nd + 1) * (nd - 1) / ((nd - 2) * (nd - 3))) *
+            (m4.toDouble / (m2.toDouble * m2.toDouble)) -
+            3.0 * (nd - 1) * (nd - 1) / ((nd - 2) * (nd - 3))
+          assert(r.getDouble(4) == ref, s"kurt u=$u n=$n") // bit-exact
+        } else assert(r.isNullAt(4), s"kurt null guard u=$u n=$n")
+      }
+    }
+  }
+
   test("Intervals.merge is associative: fold of any split == batch merge") {
     // the S16 contract, exercised across seeded random splits of a
     // fixture rich in touching/overlapping/contained intervals
