@@ -964,6 +964,68 @@ object StreamingOps {
       .start()
   }
 
+  /** S33: streaming higher-moment monitor — t61's live half, and the
+    * tightest state bound after S30: per key ONE row of five exact
+    * integers (n, Σc, Σc², Σc³, Σc⁴ in cents — a semigroup under
+    * column-wise addition), CONSTANT size per key forever, and every
+    * trigger re-derives the corpus-so-far sample skewness G1 and
+    * excess kurtosis G2 through the SAME [[graft.operators.Moments]]
+    * kernels and pinned IEEE terminals as batch t61 — the fold is the
+    * batch answer by construction, doubles included (the S30 "exact
+    * decimal moment row" posture extended to 3rd/4th moments). The
+    * live read: distribution shape drifting — a fee schedule change
+    * skewing transaction values, a sensor saturating into negative
+    * kurtosis — pages without re-reading history.
+    *
+    * Per trigger: one map pass + one key aggregate on the BATCH only,
+    * a key-equi outer join against key-cardinality state. */
+  def streamingMoments(rows: DataFrame, keyCol: String, valueCol: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val d38 = DecimalType(38, 0)
+    val d19 = DecimalType(19, 0)
+    var state: Option[DataFrame] = None // key, n, s1..s4 — one row per key
+    rows.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val c = (b.toDF().select(col(keyCol).as("k"),
+            (col(valueCol).cast(DecimalType(12, 2)) * lit(100))
+              .cast(LongType).as("c")))
+        val batch = c.groupBy("k").agg(
+          count(lit(1)).as("n"),
+          sum(col("c")).cast(d38).as("s1"),
+          sum(col("c") * col("c")).cast(d38).as("s2"),
+          sum((col("c") * col("c") * col("c")).cast(d38)).cast(d38).as("s3"),
+          sum((col("c") * col("c")).cast(d19) *
+            (col("c") * col("c")).cast(d19)).cast(d38).as("s4"))
+        val folded = state match {
+          case Some(st) =>
+            batch.unionByName(st)
+              .groupBy("k").agg(sum("n").as("n"),
+                sum("s1").cast(d38).as("s1"), sum("s2").cast(d38).as("s2"),
+                sum("s3").cast(d38).as("s3"), sum("s4").cast(d38).as("s4"))
+          case None => batch
+        }
+        val next = folded.persist()
+        next.count()
+        val (m2i, m3i, m4i) = graft.operators.Moments.kernels(
+          col("n"), col("s1"), col("s2"), col("s3"), col("s4"))
+        sink(next
+          .withColumn("m2i", m2i).withColumn("m3i", m3i)
+          .withColumn("m4i", m4i)
+          .select(col("k"), col("n"),
+            graft.operators.Moments.g1(col("n"), col("m2i"), col("m3i"))
+              .as("skew"),
+            graft.operators.Moments.g2(col("n"), col("m2i"), col("m4i"))
+              .as("kurt")))
+        state.foreach(_.unpersist())
+        state = Some(next)
+        ()
+      }
+      .trigger(trigger)
+      .start()
+  }
+
   /** S9: streaming ingest curation — each arriving micro-batch runs
     * the full curation pipeline (dedup, decontamination, quality,
     * length) INCREMENTALLY against the corpus's precomputed digest

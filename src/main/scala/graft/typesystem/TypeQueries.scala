@@ -1295,29 +1295,14 @@ object TypeQueries {
         sum((col("c") * col("c") * col("c")).cast(d38)).over(w).cast(d38))
       .withColumn("s4", sum((col("c") * col("c")).cast(d19) *
         (col("c") * col("c")).cast(d19)).over(w).cast(d38))
-    val nD = col("n").cast(d38)
-    val m2i = nD * col("s2") - col("s1") * col("s1")
-    val m3i = nD * nD * col("s3") -
-      lit(3).cast(d38) * nD * col("s1") * col("s2") +
-      lit(2).cast(d38) * col("s1") * col("s1") * col("s1")
-    val m4i = nD * nD * nD * col("s4") -
-      lit(4).cast(d38) * nD * nD * col("s1") * col("s3") +
-      lit(6).cast(d38) * nD * col("s1") * col("s1") * col("s2") -
-      lit(3).cast(d38) * col("s1") * col("s1") * col("s1") * col("s1")
-    val nd = col("n").cast(DoubleType)
-    val m2d = col("m2i").cast(DoubleType)
-    val m3d = col("m3i").cast(DoubleType)
-    val m4d = col("m4i").cast(DoubleType)
+    val (m2i, m3i, m4i) = graft.operators.Moments.kernels(
+      col("n"), col("s1"), col("s2"), col("s3"), col("s4"))
     base
       .withColumn("m2i", m2i).withColumn("m3i", m3i).withColumn("m4i", m4i)
       .select(col("user_id"), col("es"), col("event_id"), col("n"),
-        when(col("n") >= 3 && col("m2i") > 0,
-          (sqrt(nd * (nd - 1)) / (nd - 2)) *
-            (m3d / (m2d * sqrt(m2d)))).as("exp_skew"),
-        when(col("n") >= 4 && col("m2i") > 0,
-          ((nd + 1) * (nd - 1) / ((nd - 2) * (nd - 3))) *
-            (m4d / (m2d * m2d)) -
-            lit(3.0) * (nd - 1) * (nd - 1) / ((nd - 2) * (nd - 3)))
+        graft.operators.Moments.g1(col("n"), col("m2i"), col("m3i"))
+          .as("exp_skew"),
+        graft.operators.Moments.g2(col("n"), col("m2i"), col("m4i"))
           .as("exp_kurt"))
       .orderBy("user_id", "es", "event_id")
   }

@@ -759,6 +759,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(!last.exists(_._1 == 5L))
   }
 
+  test("S33: streaming moment fold across triggers equals batch t61 terminal rows, doubles included") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val rows = Tables.events(spark, sf)
+      .select(col("user_id"), unix_timestamp(col("ts")).as("es"),
+        col("event_id"), col("value"))
+      .as[(Long, Long, Long, Double)].collect().toSeq
+      .sortBy(e => (e._2, e._3))
+    val (first, second) = rows.splitAt(rows.length / 2)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, Double)]
+    @volatile var last: Array[(Long, Long, Option[Double], Option[Double])] = Array.empty
+    val q = StreamingOps.streamingMoments(
+        mem.toDF().toDF("user_id", "es", "event_id", "value"),
+        "user_id", "value",
+        trigger = Trigger.ProcessingTime(0L)) { d =>
+      last = d.collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    }
+    mem.addData(first: _*)
+    q.processAllAvailable()
+    mem.addData(second: _*)
+    q.processAllAvailable()
+    q.stop()
+    // batch truth: t61's LAST row per user = the full-prefix G1/G2
+    val batch = typesystem.TypeQueries.t61ExpandingSkewKurt(spark, sf)
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+          .orderBy(col("es").desc, col("event_id").desc)))
+      .filter(col("rn") === 1)
+      .select("user_id", "n", "exp_skew", "exp_kurt")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSet
+    assert(last.toSet == batch, // bit-exact: shared Moments kernels
+      s"fold diverged; sample stream=${last.take(2).toSeq} batch=${batch.take(2)}")
+  }
+
   test("S24: streaming Good-Turing count fold across triggers matches batch x35 exactly") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
