@@ -284,6 +284,50 @@ object Graphs {
     * round's result materialized via localCheckpoint so the next
     * round joins a settled set, not a growing lineage. `edges` =
     * (node, parent), roots omitted or self-looped out by the caller. */
+  /** Whole-graph structural datasheet (the q77 kernel): one row of
+    * n_nodes, n_edges, n_wedges (Σ C(deg,2)), n_triangles, the global
+    * clustering coefficient C = 3T/W (transitivity) and the degree
+    * assortativity r (Newman 2002) — the Pearson correlation of
+    * endpoint degrees over the directed edge listing, from the
+    * scale-free integer kernels M·Σxy − (Σx)² and M·Σx² − (Σx)²
+    * staged in DECIMAL(38,0) (the t61 discipline) with ONE terminal
+    * IEEE division each. `edges` must be canonical (src < dst,
+    * distinct); it is persisted here and re-read by the degree,
+    * moment, and triangle passes. Degenerate guards: clustering null
+    * when W = 0, r null when the denominator is 0 (regular graphs —
+    * exact integer tests). */
+  def graphProfile(edgesIn: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val d38 = DecimalType(38, 0)
+    val edges = edgesIn.persist()
+    val deg = edges.select(col("src").as("v"))
+      .unionByName(edges.select(col("dst").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("dg"))
+    val degStats = deg.agg(count(lit(1)).as("n_nodes"),
+      sum(expr("dg * (dg - 1) div 2")).as("n_wedges"))
+    val ep = edges
+      .join(deg.select(col("v").as("src"), col("dg").as("du")), Seq("src"))
+      .join(deg.select(col("v").as("dst"), col("dg").as("dv")), Seq("dst"))
+    val mo = ep.agg(count(lit(1)).as("m"),
+      sum((col("du") + col("dv")).cast(d38)).as("sx"),
+      sum((col("du") * col("du") + col("dv") * col("dv")).cast(d38))
+        .as("sxx"),
+      sum((col("du") * col("dv") * 2).cast(d38)).as("sxy"))
+    val tri = triangleCounts(edges)
+      .agg(sum("n_tri").as("tri3")) // = 3·T (each triangle at 3 corners)
+    val m2 = (col("m") * 2).cast(d38) // directed listing size
+    val numer = m2 * col("sxy") - col("sx") * col("sx")
+    val denom = m2 * col("sxx") - col("sx") * col("sx")
+    degStats.crossJoin(mo).crossJoin(tri)
+      .withColumn("numer", numer).withColumn("denom", denom)
+      .select(col("n_nodes"), col("m").as("n_edges"), col("n_wedges"),
+        expr("tri3 div 3").as("n_triangles"),
+        when(col("n_wedges") > 0, col("tri3").cast(DoubleType) /
+          col("n_wedges").cast(DoubleType)).as("clustering"),
+        when(col("denom") > 0, col("numer").cast(DoubleType) /
+          col("denom").cast(DoubleType)).as("assortativity"))
+  }
+
   def ancestorPairs(edges: DataFrame, rounds: Int): DataFrame = {
     var p = edges.select(col("node").as("a"), col("parent").as("b"))
       .filter(col("a") =!= col("b")).distinct().localCheckpoint(true)

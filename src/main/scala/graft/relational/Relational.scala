@@ -1070,6 +1070,35 @@ object Relational {
       .orderBy("p_partkey")
   }
 
+  // ---- R77: graph profile (datasheet) --------------------------------------
+  /** Whole-graph structural datasheet over the part co-purchase graph
+    * — the graph-STATISTICS read q52/q59/q61/q70 (which compute per-
+    * node answers) don't give, and the graph sibling of p4's corpus
+    * datasheet: one row of `n_nodes`, `n_edges`, `n_wedges`
+    * (Σ C(deg,2)), `n_triangles`, the global clustering coefficient
+    * C = 3T/W (transitivity), and the degree assortativity r
+    * (Newman 2002) — the Pearson correlation of endpoint degrees over
+    * directed edge listings, computed from the scale-free integer
+    * kernels (M·Σxy − (Σx)², M·Σx² − (Σx)²) staged in DECIMAL(38,0)
+    * (the t61 discipline; exact while M·Σx² < 1e38) with ONE terminal
+    * IEEE division each for r and C.
+    *
+    * Scale shape: degrees from one explode-free union aggregate;
+    * moments ride two broadcast-size joins of the degree table onto
+    * edges; triangles reuse [[graft.operators.Graphs.triangleCounts]]
+    * (degree-ordered edge iterator, O(m^1.5) worst case, hub-safe);
+    * the three single-row aggregates cross-join at the end (1-row
+    * broadcast crosses). Edges materialize once and serve all three
+    * passes. */
+  def q77GraphProfile(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val edges = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("src"), col("b.pk").as("dst")).distinct()
+    graft.operators.Graphs.graphProfile(edges)
+  }
+
   // ---- R36: bloom-pruned semi-join ---------------------------------------
   // Manual runtime filtering (operators.BloomPrune): a bloom over the
   // urgent orders' keys prunes lineitem BEFORE its shuffle; the exact
@@ -1594,6 +1623,7 @@ object Relational {
     "q59_pagerank" -> q59PageRank _,
     "q60_sketch_quantiles" -> q60SketchQuantiles _,
     "q61_triangles" -> q61Triangles _,
+    "q77_graph_profile" -> q77GraphProfile _,
     "q35_mean_pool" -> q35MeanPool _,
     "q34_json_extract" -> q34JsonExtract _,
     "q33_theta_overlap" -> q33ThetaOverlap _,
@@ -1946,6 +1976,37 @@ object Relational {
         |SELECT node AS p_partkey, CAST(MIN(dist) AS BIGINT) AS dist
         |FROM r GROUP BY node ORDER BY p_partkey""".stripMargin,
     "q59_pagerank" -> q59OracleSql,
+    // q77: same edge/degree/triangle construction; assortativity
+    // kernels in HUGEINT reaching double THROUGH VARCHAR (DuckDB's
+    // direct HUGEINT→DOUBLE truncates — the t61 find); identical
+    // pinned terminal divisions
+    "q77_graph_profile" ->
+      """WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e AS (SELECT DISTINCT a.pk AS src, b.pk AS dst
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+        |deg AS (SELECT v, CAST(COUNT(*) AS HUGEINT) AS dg FROM (
+        |    SELECT src AS v FROM e UNION ALL SELECT dst FROM e)
+        |  GROUP BY v),
+        |ds AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+        |    CAST(SUM(dg * (dg - 1) // 2) AS BIGINT) AS n_wedges FROM deg),
+        |mo AS (SELECT CAST(COUNT(*) AS HUGEINT) AS m,
+        |    SUM(du.dg + dv.dg) AS sx,
+        |    SUM(du.dg * du.dg + dv.dg * dv.dg) AS sxx,
+        |    SUM(du.dg * dv.dg * 2) AS sxy
+        |  FROM e JOIN deg du ON e.src = du.v JOIN deg dv ON e.dst = dv.v),
+        |tri AS (SELECT CAST(COUNT(*) AS HUGEINT) * 3 AS tri3
+        |  FROM e e1 JOIN e e2 ON e2.src = e1.dst
+        |  JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst)
+        |SELECT n_nodes, CAST(m AS BIGINT) AS n_edges, n_wedges,
+        |  CAST(tri3 // 3 AS BIGINT) AS n_triangles,
+        |  CASE WHEN n_wedges > 0 THEN
+        |    CAST(CAST(tri3 AS VARCHAR) AS DOUBLE)
+        |      / CAST(CAST(n_wedges AS VARCHAR) AS DOUBLE) END AS clustering,
+        |  CASE WHEN (2 * m * sxx - sx * sx) > 0 THEN
+        |    CAST(CAST(2 * m * sxy - sx * sx AS VARCHAR) AS DOUBLE)
+        |      / CAST(CAST(2 * m * sxx - sx * sx AS VARCHAR) AS DOUBLE)
+        |  END AS assortativity
+        |FROM ds, mo, tri""".stripMargin,
     // q61: same triangle set under id-ordered orientation (a<b<c) —
     // orientation only fixes the canonical corner order, so matching
     // per-node counts prove the degree-ordered Spark plan exact

@@ -31,6 +31,24 @@ class GraphsSpec extends AnyFunSuite {
     assert(d(10L) == 1L && d(3L) == 2L && d(9L) == 0L)
   }
 
+  test("graphProfile: hand-computed triangle+pendant; regular-graph null guard") {
+    // K3 on {1,2,3} plus pendant edge (3,4): degrees 2,2,3,1
+    // W = 1+1+3+0 = 5, T = 1, C = 3/5
+    // directed moments: M=8, Σx=18, Σx²=44, Σxy=38
+    //   r = (8·38−18²)/(8·44−18²) = −20/28
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val r = Graphs.graphProfile(g).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((4L, 4L, 5L, 1L)))
+    assert(r.getDouble(4) == 3.0 / 5.0)
+    assert(r.getDouble(5) == -20.0 / 28.0)
+    // K3 alone: regular graph — assortativity denominator is exactly 0
+    // → null (the integer guard); clustering = 3·1/3 = 1
+    val k3 = Graphs.graphProfile(
+      Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")).collect().head
+    assert(k3.getDouble(4) == 1.0 && k3.isNullAt(5))
+  }
+
   test("pageRank ranks sum to ~1 and sinks hold the base rank") {
     val r = Graphs.pageRank(edges, iters = 3).as[(Long, Double)]
       .collect().toMap
