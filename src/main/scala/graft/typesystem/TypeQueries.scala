@@ -880,6 +880,47 @@ object TypeQueries {
       .orderBy("priority")
   }
 
+  // ---- T62: pivot_table with values + margins ------------------------------
+  /** pandas `pivot_table(index=returnflag, columns=linestatus,
+    * values=extendedprice, aggfunc=['sum','mean'], margins=True)` —
+    * the VALUES generalization of t39's count crosstab, completing
+    * the reshaping family: per cell an exact DECIMAL-cents sum
+    * (BIGINT at the boundary — the integer-cents device) and a mean
+    * derived by the pinned t48 division sequence (cents → /n → /100),
+    * plus BOTH margin axes (the `All` column per row, the `All` row
+    * per column, and the grand cell). ONE groupBy-pivot shuffle with
+    * EXPLICIT level lists (no discovery scan — the t15/t42 code
+    * contract); margins fold the already-tiny wide frame, so the
+    * fact table is read once. Empty cells: count 0, sum 0, mean null
+    * (pandas NaN). */
+  def t62PivotTable(s: SparkSession, dir: String): DataFrame = {
+    val wide = t(s, dir, "lineitem")
+      .select(col("l_returnflag").as("rf"), col("l_linestatus").as("ls"),
+        (dec(col("l_extendedprice")) * 100).cast(LongType).as("c"))
+      .groupBy("rf").pivot("ls", Seq("F", "O"))
+      .agg(sum("c").as("sc"), count(lit(1)).as("n"))
+      .na.fill(0L, Seq("F_sc", "F_n", "O_sc", "O_n"))
+    val withAll = wide.select(col("rf"), col("F_sc"), col("F_n"),
+      col("O_sc"), col("O_n"),
+      (col("F_sc") + col("O_sc")).as("all_sc"),
+      (col("F_n") + col("O_n")).as("all_n"))
+    val margin = withAll.agg(sum("F_sc").as("F_sc"), sum("F_n").as("F_n"),
+        sum("O_sc").as("O_sc"), sum("O_n").as("O_n"),
+        sum("all_sc").as("all_sc"), sum("all_n").as("all_n"))
+      .select(lit("All").as("rf"), col("F_sc"), col("F_n"), col("O_sc"),
+        col("O_n"), col("all_sc"), col("all_n"))
+    def mean(sc: Column, n: Column): Column =
+      when(n > 0, sc.cast(DoubleType) / n / lit(100.0))
+    withAll.union(margin)
+      .select(col("rf"), col("F_sc").as("f_sum_cents"), col("F_n").as("f_n"),
+        mean(col("F_sc"), col("F_n")).as("f_mean"),
+        col("O_sc").as("o_sum_cents"), col("O_n").as("o_n"),
+        mean(col("O_sc"), col("O_n")).as("o_mean"),
+        col("all_sc").as("all_sum_cents"), col("all_n").as("all_n"),
+        mean(col("all_sc"), col("all_n")).as("all_mean"))
+      .orderBy("rf")
+  }
+
   // ---- T44: exponentially weighted mean ------------------------------------
   /** pandas `ewm(alpha=0.3, adjust=False).mean()` per user in
     * event-time order: y₁ = x₁, yₜ = 0.7·yₜ₋₁ + 0.3·xₜ — a sequential
@@ -1524,6 +1565,7 @@ object TypeQueries {
     "t49_rolling_corr" -> t49RollingCorr _,
     "t48_expanding" -> t48Expanding _,
     "t61_expanding_skew_kurt" -> t61ExpandingSkewKurt _,
+    "t62_pivot_table" -> t62PivotTable _,
     "t47_union_typecheck" -> t47UnionTypecheck _,
     "t46_sparse_categorical" -> t46SparseCategorical _,
     "t44_ewm" -> t44Ewm _,
@@ -1934,6 +1976,40 @@ object TypeQueries {
         |FROM l ORDER BY user_id, es, event_id""".stripMargin,
     // t48: identical integer-cents moments (exact at any accumulation
     // order) + the identical pinned division sequence; no rounding
+    // t62: conditional-aggregation replay of the pivot — identical
+    // cents sums (BIGINT), identical pinned mean sequence
+    // (CAST(sc AS DOUBLE)/n/100.0), identical empty-cell null rule
+    "t62_pivot_table" ->
+      """WITH b AS (SELECT l_returnflag AS rf, l_linestatus AS ls,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |      AS c
+        |  FROM lineitem),
+        |cell AS (SELECT rf,
+        |    CAST(COALESCE(SUM(c) FILTER (WHERE ls = 'F'), 0) AS BIGINT)
+        |      AS f_sc,
+        |    COUNT(*) FILTER (WHERE ls = 'F') AS f_n,
+        |    CAST(COALESCE(SUM(c) FILTER (WHERE ls = 'O'), 0) AS BIGINT)
+        |      AS o_sc,
+        |    COUNT(*) FILTER (WHERE ls = 'O') AS o_n,
+        |    CAST(SUM(c) AS BIGINT) AS all_sc, COUNT(*) AS all_n
+        |  FROM b GROUP BY rf),
+        |m AS (SELECT 'All' AS rf, CAST(SUM(f_sc) AS BIGINT) AS f_sc,
+        |    CAST(SUM(f_n) AS BIGINT) AS f_n,
+        |    CAST(SUM(o_sc) AS BIGINT) AS o_sc,
+        |    CAST(SUM(o_n) AS BIGINT) AS o_n,
+        |    CAST(SUM(all_sc) AS BIGINT) AS all_sc,
+        |    CAST(SUM(all_n) AS BIGINT) AS all_n FROM cell),
+        |u AS (SELECT * FROM cell UNION ALL SELECT * FROM m)
+        |SELECT rf, f_sc AS f_sum_cents, f_n,
+        |  CASE WHEN f_n > 0 THEN CAST(f_sc AS DOUBLE) / f_n / 100.0 END
+        |    AS f_mean,
+        |  o_sc AS o_sum_cents, o_n,
+        |  CASE WHEN o_n > 0 THEN CAST(o_sc AS DOUBLE) / o_n / 100.0 END
+        |    AS o_mean,
+        |  all_sc AS all_sum_cents, all_n,
+        |  CASE WHEN all_n > 0 THEN CAST(all_sc AS DOUBLE) / all_n / 100.0
+        |    END AS all_mean
+        |FROM u ORDER BY rf""".stripMargin,
     // t61: identical cents power sums in HUGEINT (exact 128-bit — the
     // internal-only type; only BIGINT/DOUBLE cross the boundary),
     // identical integer kernels, identical pinned IEEE chains
