@@ -1923,6 +1923,51 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  // ---- P6: curation attrition funnel ---------------------------------------
+  /** The attrition table every pretraining data run reports — "how
+    * many documents did each gate eat": p1's staged verdicts (exact
+    * dup → contamination → quality → length, the pinned precedence)
+    * extended with an English-only language gate (x1's fused langId,
+    * the C4/CCNet posture) as stage 5, then folded into per-stage
+    * (n_in, n_drop, n_out) with n_in(k) = n_out(k−1) by construction.
+    * Every stage's arithmetic is the already-oracled d1/d7/x2/x1
+    * form, so the funnel certifies the COMPOSITION; the counts are
+    * all exact integers. The stage fold runs on the 5-row stage table
+    * (a tiny-table global window — bounded by construction); the
+    * corpus is read by p1's one verdict pass plus one langId map. */
+  def p6CurationFunnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+    val corpus = withCopies(docs, perturb = false)
+    val v = Curation.curate(corpus, docs.filter(col("doc_id") < 20),
+      "doc_id", "text")
+    val lang = corpus.select(col("doc_id").cast("long").as("id"),
+      TextAnalysis.langId(col("text")).as("pred"))
+    val staged = v.join(lang, Seq("id")).select(col("id"),
+      when(col("drop_reason") === "dup", 1)
+        .when(col("drop_reason") === "contaminated", 2)
+        .when(col("drop_reason") === "low_quality", 3)
+        .when(col("drop_reason") === "length", 4)
+        .when(col("pred") =!= "en", 5)
+        .otherwise(99).as("fs"))
+    val drops = staged.filter(col("fs") <= 5)
+      .groupBy("fs").agg(count(lit(1)).as("n"))
+    val stages = Seq((1, "exact_dup"), (2, "contaminated"),
+      (3, "low_quality"), (4, "length"), (5, "non_english"))
+      .toDF("stage", "stage_name")
+    val tot = staged.agg(count(lit(1)).as("t"))
+    val wCum = org.apache.spark.sql.expressions.Window.orderBy("stage")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    stages.join(drops.withColumnRenamed("fs", "stage"), Seq("stage"), "left")
+      .na.fill(0L, Seq("n"))
+      .crossJoin(tot)
+      .withColumn("cumb", coalesce(sum("n").over(wCum), lit(0L)))
+      .select(col("stage"), col("stage_name"),
+        (col("t") - col("cumb")).as("n_in"), col("n").as("n_drop"),
+        (col("t") - col("cumb") - col("n")).as("n_out"))
+      .orderBy("stage")
+  }
+
   // ---- P2: incremental curation (batch vs stored digest index) -------------
   /** The continuous-crawl form of p1: the corpus contributes only its
     * precomputed digest index; every copy must verdict exactly as it
@@ -2118,6 +2163,7 @@ object LlmQueries {
     "x33_vocab_growth" -> x33VocabGrowth _,
     "e13_diversity" -> e13Diversity _,
     "p1_curate" -> p1Curate _,
+    "p6_curation_funnel" -> p6CurationFunnel _,
     "p2_curate_incremental" -> p2CurateIncremental _,
     "p3_build_shard" -> p3BuildShard _,
     "p5_mixing_plan" -> p5MixingPlan _,
@@ -4391,6 +4437,66 @@ object LlmQueries {
     // pieces — d1's md5 keep-min dup verdict, d7's 13-gram eval
     // overlap, x2's token count + quality score (verbatim fragments),
     // with the same drop-reason precedence CASE as the Spark side.
+    // p6: p1's proven verdict replay nested as a CTE (the p3 device) +
+    // x1's langId fragment on the base docs (copies share text, so the
+    // prediction joins through the base id), then the exact-integer
+    // funnel fold on the 5-row stage table
+    "p6_curation_funnel" ->
+      s"""WITH verd AS (
+        |$p1OracleSql
+        |),
+        |lb AS (
+        |  SELECT doc_id,
+        |    string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks,
+        |    length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g'))
+        |      / greatest(length(text), 1) AS cjk
+        |  FROM documents),
+        |ls AS (
+        |  SELECT doc_id, cjk,
+        |    len(list_filter(toks, t -> t IN ('the','and','of','to','in','is','you','that','it','for','a'))) / greatest(len(toks),1) AS s_en,
+        |    len(list_filter(toks, t -> t IN ('der','die','und','das','ist','nicht','mit','ein','zu','von'))) / greatest(len(toks),1) AS s_de,
+        |    len(list_filter(toks, t -> t IN ('el','la','de','que','y','en','un','para','con','por'))) / greatest(len(toks),1) AS s_es,
+        |    len(list_filter(toks, t -> t IN ('le','la','de','et','les','des','une','pour','que','dans'))) / greatest(len(toks),1) AS s_fr
+        |  FROM lb),
+        |lp AS (
+        |  SELECT doc_id,
+        |    CASE WHEN cjk > 0.3 THEN 'zh'
+        |         WHEN greatest(s_en, s_de, s_es, s_fr) > 0.0 THEN
+        |           CASE WHEN s_en >= greatest(s_de, s_es, s_fr) THEN 'en'
+        |                WHEN s_de >= greatest(s_es, s_fr) THEN 'de'
+        |                WHEN s_es >= s_fr THEN 'es'
+        |                ELSE 'fr' END
+        |         ELSE 'und' END AS pred
+        |  FROM ls),
+        |staged AS (
+        |  SELECT v.doc_id,
+        |    CASE WHEN v.drop_reason = 'dup' THEN 1
+        |         WHEN v.drop_reason = 'contaminated' THEN 2
+        |         WHEN v.drop_reason = 'low_quality' THEN 3
+        |         WHEN v.drop_reason = 'length' THEN 4
+        |         WHEN l.pred <> 'en' THEN 5
+        |         ELSE 99 END AS fs
+        |  FROM verd v JOIN lp l
+        |    ON l.doc_id = CASE WHEN v.doc_id >= 1000000
+        |                       THEN v.doc_id - 1000000 ELSE v.doc_id END),
+        |drops AS (SELECT fs AS stage, COUNT(*) AS n FROM staged
+        |  WHERE fs <= 5 GROUP BY fs),
+        |stages(stage, stage_name) AS (VALUES
+        |  (1, 'exact_dup'), (2, 'contaminated'), (3, 'low_quality'),
+        |  (4, 'length'), (5, 'non_english')),
+        |tot AS (SELECT COUNT(*) AS t FROM staged),
+        |f AS (SELECT s.stage, s.stage_name,
+        |    CAST(COALESCE(d.n, 0) AS BIGINT) AS n FROM stages s
+        |  LEFT JOIN drops d ON d.stage = s.stage)
+        |SELECT stage, stage_name,
+        |  CAST(t - COALESCE(SUM(n) OVER (ORDER BY stage
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) AS n_in,
+        |  n AS n_drop,
+        |  CAST(t - COALESCE(SUM(n) OVER (ORDER BY stage
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) - n
+        |    AS BIGINT) AS n_out
+        |FROM f CROSS JOIN tot ORDER BY stage""".stripMargin,
     "p1_curate" -> p1OracleSql,
     // p2: incremental ≡ full-run restricted to the batch — the oracle
     // IS p1's with the batch-id filter (equivalence also spec-asserted
