@@ -1550,7 +1550,96 @@ object TypeQueries {
     graft.operators.Merge.combineFirst(a, b, Seq("k")).orderBy("k")
   }
 
+  // ---- T63: pandas groupby.idxmax / idxmin --------------------------------
+  /** pandas `df.groupby('o_custkey')['o_totalprice'].idxmax()` and
+    * `['o_orderdate'].idxmin()` — the index LABEL of the extreme row
+    * per group, ties resolved to the FIRST occurrence in frame order
+    * (pandas semantics; frame order here = `o_orderkey` order, so a
+    * tie resolves to the smallest key — pinned, engine-independent).
+    * Reference surface: the accessor pairs the type system promises to
+    * keep total (`bertrand/types/base/meta.py` comparison protocol —
+    * every graft type is totally ordered, so argmin/argmax is always
+    * well-defined).
+    *
+    * Device: ONE groupBy with lexicographic struct min/max — `max` of
+    * `(value, -key)` yields max value then (on value ties) max(-key) =
+    * MIN key; `min` of `(value, key)` yields min value then min key.
+    * Struct min/max is a declarative aggregate: partial (map-side)
+    * combine applies, one shuffle on the group key, per-group constant
+    * state — no window, no sort of the fact table, no row_number
+    * funnel. Scale: the same plan at any SF; date ties are common
+    * (orders shares order dates heavily) so the tie-break is exercised
+    * on real data, not just in the spec. */
+  def t63GroupbyIdxmax(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    o.groupBy(col("o_custkey"))
+      .agg(
+        max(struct(col("o_totalprice").as("v"),
+          (-col("o_orderkey")).as("nk"))).as("mx"),
+        min(struct(col("o_orderdate").as("v"),
+          col("o_orderkey").as("k"))).as("mn"),
+        count(lit(1)).as("n_orders"))
+      .select(col("o_custkey").as("custkey"),
+        (-col("mx.nk")).as("idxmax_price"),
+        col("mx.v").as("max_price"),
+        col("mn.k").as("idxmin_date"),
+        col("mn.v").as("min_date"),
+        col("n_orders"))
+      .orderBy("custkey")
+  }
+
+  // ---- T64: the pandas .dt accessor datasheet ------------------------------
+  /** The pandas `.dt` accessor surface in one pass — year / quarter /
+    * month / day / dayofweek / dayofyear / ISO week & ISO year /
+    * days_in_month / is_leap_year / is_month_end / is_quarter_end —
+    * the reference's PandasTimestamp component getters
+    * (`bertrand/types/datetime.pyx` epoch/calendar utilities).
+    *
+    * Determinism engineering: the two cross-engine hazards are the
+    * week-start convention (Spark `dayofweek` 1=Sun, DuckDB `dow`
+    * 0=Sun, pandas 0=Mon) and ISO-week edge years (Jan 1 can be week
+    * 52/53 of the PREVIOUS iso year). Both are eliminated by deriving
+    * everything from the epoch ordinal: dow_mon = (ord+3) mod 7 (pure
+    * integer, convention-free — 1970-01-01 was a Thursday), and the
+    * ISO pair via the THURSDAY rule (ISO 8601: a date's ISO week/year
+    * are those of its week's Thursday, so iso_year = year(thursday),
+    * iso_week = (doy(thursday)-1) div 7 + 1) — only `year`, `doy`,
+    * and date±days cross engines, all standard. Leap/month-end are
+    * integer closed forms ([[TimeFns.isLeapYear]]/`daysInMonth`).
+    * Map-only: no shuffle, no join, every getter codegen'd. */
+  def t64DtAccessor(s: SparkSession, dir: String): DataFrame =
+    dtAccessorColumns(t(s, dir, "orders")
+      .select(col("o_orderkey").as("orderkey"),
+        col("o_orderdate").cast(DateType).as("d")))
+
+  /** The getter chain on any (orderkey, d: date) frame — factored so
+    * the spec can drive pinned edge dates through the SAME columns. */
+  private[graft] def dtAccessorColumns(o: DataFrame): DataFrame = {
+    import graft.functions.TimeFns
+    val ord = TimeFns.dateToOrdinal(col("d"))
+    val dowMon = pmod(ord + 3, lit(7)) // 0=Mon..6=Sun, convention-free
+    val thursday = TimeFns.ordinalToDate(ord + (lit(3) - dowMon))
+    o.select(col("orderkey"), col("d"),
+        year(col("d")).cast(IntegerType).as("y"),
+        quarter(col("d")).cast(IntegerType).as("q"),
+        month(col("d")).cast(IntegerType).as("m"),
+        dayofmonth(col("d")).cast(IntegerType).as("dom"),
+        dowMon.cast(IntegerType).as("dow_mon"),
+        dayofyear(col("d")).cast(IntegerType).as("doy"),
+        year(thursday).cast(IntegerType).as("iso_year"),
+        (floor((dayofyear(thursday) - 1) / 7) + 1)
+          .cast(IntegerType).as("iso_week"),
+        dayofmonth(last_day(col("d"))).cast(IntegerType).as("days_in_month"),
+        TimeFns.isLeapYear(year(col("d"))).as("is_leap_year"),
+        (col("d") === last_day(col("d"))).as("is_month_end"),
+        (col("d") === last_day(col("d")) &&
+          month(col("d")).isin(3, 6, 9, 12)).as("is_quarter_end"))
+      .orderBy("orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t64_dt_accessor" -> t64DtAccessor _,
+    "t63_groupby_idxmax" -> t63GroupbyIdxmax _,
     "t60_combine_first" -> t60CombineFirst _,
     "t59_custom_cast" -> t59CustomCast _,
     "t56_kleene_bool" -> t56KleeneBool _,
@@ -1718,6 +1807,49 @@ object TypeQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // t64: identical ordinal arithmetic — DuckDB date-date is integer
+    // days, so dow_mon/thursday replay the exact pmod/(+3-wd) chain;
+    // only year()/dayofyear()/last_day()/date+days cross engines
+    "t64_dt_accessor" ->
+      """WITH b AS (SELECT o_orderkey AS orderkey,
+        |    CAST(o_orderdate AS DATE) AS d,
+        |    ((CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+        |      + 3) % 7 + 7) % 7 AS dow_mon
+        |  FROM orders),
+        |c AS (SELECT *, d + CAST(3 - dow_mon AS INTEGER) AS thursday FROM b)
+        |SELECT orderkey, d,
+        |  CAST(year(d) AS INTEGER) AS y,
+        |  CAST(quarter(d) AS INTEGER) AS q,
+        |  CAST(month(d) AS INTEGER) AS m,
+        |  CAST(day(d) AS INTEGER) AS dom,
+        |  CAST(dow_mon AS INTEGER) AS dow_mon,
+        |  CAST(dayofyear(d) AS INTEGER) AS doy,
+        |  CAST(year(thursday) AS INTEGER) AS iso_year,
+        |  CAST((dayofyear(thursday) - 1) // 7 + 1 AS INTEGER) AS iso_week,
+        |  CAST(day(last_day(d)) AS INTEGER) AS days_in_month,
+        |  (year(d) % 4 = 0 AND year(d) % 100 <> 0) OR year(d) % 400 = 0
+        |    AS is_leap_year,
+        |  d = last_day(d) AS is_month_end,
+        |  d = last_day(d) AND month(d) IN (3, 6, 9, 12) AS is_quarter_end
+        |FROM c ORDER BY orderkey""".stripMargin,
+    // t63: the SAME lexicographic struct min/max device replayed in
+    // DuckDB (struct_pack compares field-by-field exactly like Spark's
+    // named_struct ordering) — deterministic by total-order
+    // construction on BOTH engines, no reliance on either engine's
+    // arg_min/first tie behavior; values pass through untouched
+    "t63_groupby_idxmax" ->
+      """WITH g AS (SELECT o_custkey,
+        |    MAX(struct_pack(v := o_totalprice, nk := -o_orderkey)) AS mx,
+        |    MIN(struct_pack(v := o_orderdate, k := o_orderkey)) AS mn,
+        |    COUNT(*) AS n
+        |  FROM orders GROUP BY 1)
+        |SELECT o_custkey AS custkey,
+        |  CAST(-(mx.nk) AS BIGINT) AS idxmax_price,
+        |  mx.v AS max_price,
+        |  CAST(mn.k AS BIGINT) AS idxmin_date,
+        |  mn.v AS min_date,
+        |  CAST(n AS BIGINT) AS n_orders
+        |FROM g ORDER BY custkey""".stripMargin,
     // t60: the same two frames + full-outer + per-column COALESCE;
     // ×2.0 of a double and +10⁶ of a bigint are exact, values only
     // pass through — no float arithmetic crosses the compare boundary
