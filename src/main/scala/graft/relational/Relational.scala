@@ -1359,7 +1359,10 @@ object Relational {
     * equals the plain join (the oracle), so correctness certifies the
     * semantics while the audit certifies the plan. */
   def q69BucketedJoin(s: SparkSession, dir: String): DataFrame = {
-    val sfx = Integer.toHexString(dir.hashCode)
+    // md5 of the dataset dir, not hashCode: same collision concern as
+    // the q71-q73 scratchDir — two dirs must never share bucket tables
+    val sfx = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(12)
     graft.sources.Bucketed.write(
       t(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate")),
       s"graft_q69_orders_$sfx", "o_orderkey", 8)
