@@ -1968,6 +1968,80 @@ object LlmQueries {
       .orderBy("stage")
   }
 
+  // ---- P7: leakage-free held-out split --------------------------------------
+  /** Train/held-out split with a NEAR-DUP QUARANTINE between the
+    * sides — the train-test-leakage guard every eval pipeline needs
+    * (a held-out doc whose near-copy stays in train silently inflates
+    * eval scores; decontamination (d7) guards against EXTERNAL
+    * benchmarks, this guards the corpus's own split boundary).
+    * Composition of proven parts: x29's Hamilton largest-remainder
+    * allocation (here at k = N div 10, a 10% hold-out, all-integer
+    * arithmetic) picks the test prefix per (lang, source) stratum in
+    * md5 order; d2's banded MinHash pairs (w=3, h=64, 32×2 bands,
+    * τ=0.5 — the band config whose 100%-recall-vs-brute-force claim
+    * d2's own oracle certifies) supply the near-dup relation; any
+    * train doc paired across the boundary with a test doc is
+    * quarantined (dropped from train, NOT promoted to test — promotion
+    * would re-couple the sides). Per-stratum report: n_docs, n_test,
+    * n_train, n_quarantined, n_kept, md5 fingerprint of the sorted
+    * quarantined ids. Scale shape: allocation runs on the
+    * strata-cardinality table (tiny window, bounded by construction);
+    * the corpus sees one (lang, source) window shuffle + d2's
+    * band-key shuffle — signatures travel, text does not; the
+    * boundary check is an equi-join of the pair list against the
+    * test-id set. */
+  def p7LeakageFreeSplit(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val corpus = withCopies(t(s, dir, "documents"), perturb = true)
+      .select("doc_id", "text", "lang", "source")
+    val strata = corpus.groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"))
+    val tot = strata.agg(sum("n_docs").as("nn"))
+      .withColumn("k", expr("nn div 10"))
+    val al = strata.crossJoin(broadcast(tot))
+      .withColumn("base", expr("(n_docs * k) div nn"))
+      .withColumn("rem", expr("(n_docs * k) % nn"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("rem").desc, col("lang"), col("source"))))
+    val lo = al.agg((max("k") - sum("base")).as("lo"))
+    val alloc = al.crossJoin(broadcast(lo))
+      .withColumn("allocated", least(col("n_docs"),
+        col("base") + when(col("rk") <= col("lo"), 1L).otherwise(0L)))
+      .select("lang", "source", "n_docs", "allocated")
+    val sides = corpus
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("lang", "source")
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))
+      .join(broadcast(alloc.select("lang", "source", "allocated")),
+        Seq("lang", "source"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        (col("rn") <= col("allocated")).as("is_test"))
+    val pairs = Dedup.minhashPairs(corpus, "doc_id", "text",
+      w = 3, h = 64, bands = 32, threshold = 0.5)
+    val testIds = sides.filter(col("is_test"))
+      .select(col("doc_id").as("tid"))
+    val touched = pairs.select(col("id_a").as("tid"), col("id_b").as("oid"))
+      .union(pairs.select(col("id_b").as("tid"), col("id_a").as("oid")))
+      .join(testIds, Seq("tid"))
+      .select(col("oid").as("doc_id")).distinct()
+    val quarantined = touched.join(
+      sides.filter(!col("is_test")).select("doc_id", "lang", "source"),
+      Seq("doc_id"))
+    val qAgg = quarantined.groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_quarantined"),
+        md5(concat_ws(",", transform(array_sort(collect_list(col("doc_id"))),
+          v => v.cast("string")))).as("quarantine_md5"))
+    alloc.join(qAgg, Seq("lang", "source"), "left")
+      .select(col("lang"), col("source"), col("n_docs"),
+        col("allocated").as("n_test"),
+        (col("n_docs") - col("allocated")).as("n_train"),
+        coalesce(col("n_quarantined"), lit(0L)).as("n_quarantined"),
+        (col("n_docs") - col("allocated") -
+          coalesce(col("n_quarantined"), lit(0L))).as("n_kept"),
+        coalesce(col("quarantine_md5"), md5(lit(""))).as("quarantine_md5"))
+      .orderBy("lang", "source")
+  }
+
   // ---- P2: incremental curation (batch vs stored digest index) -------------
   /** The continuous-crawl form of p1: the corpus contributes only its
     * precomputed digest index; every copy must verdict exactly as it
@@ -2164,6 +2238,7 @@ object LlmQueries {
     "e13_diversity" -> e13Diversity _,
     "p1_curate" -> p1Curate _,
     "p6_curation_funnel" -> p6CurationFunnel _,
+    "p7_leakage_free_split" -> p7LeakageFreeSplit _,
     "p2_curate_incremental" -> p2CurateIncremental _,
     "p3_build_shard" -> p3BuildShard _,
     "p5_mixing_plan" -> p5MixingPlan _,
@@ -4497,6 +4572,65 @@ object LlmQueries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) - n
         |    AS BIGINT) AS n_out
         |FROM f CROSS JOIN tot ORDER BY stage""".stripMargin,
+    // p7: full replay — d2's brute-force all-pairs Jaccard CTE (the
+    // same ground-truth device whose 100%-recall match d2's own row
+    // certifies) + x29's Hamilton allocation at k = N div 10 + the
+    // boundary quarantine; every count crosses the gate as BIGINT
+    "p7_leakage_free_split" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text, lang, source FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text || ' zz qq', lang, source
+        |  FROM documents),
+        |b AS (SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      range(1, CAST(greatest(len(string_split(nt, ' ')) - 2, 1) AS BIGINT) + 1),
+        |      i -> array_to_string((string_split(nt, ' '))[CAST(i AS INT):CAST(i AS INT)+2], ' '))) AS sh
+        |  FROM (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+        |        FROM all_docs)),
+        |j AS (
+        |  SELECT a.doc_id AS id_a, bb.doc_id AS id_b,
+        |    CAST(len(list_intersect(a.sh, bb.sh)) AS DOUBLE) AS common,
+        |    CAST(len(a.sh) + len(bb.sh) AS DOUBLE) AS sz
+        |  FROM b a JOIN b bb ON a.doc_id < bb.doc_id
+        |    AND len(a.sh) * 2 >= len(bb.sh) AND len(bb.sh) * 2 >= len(a.sh)),
+        |pr AS (SELECT id_a, id_b FROM j WHERE common / (sz - common) >= 0.5),
+        |st AS (SELECT lang, source, COUNT(*) AS n_docs FROM all_docs GROUP BY 1, 2),
+        |tt AS (SELECT SUM(n_docs) AS nn, SUM(n_docs) // 10 AS k FROM st),
+        |al AS (SELECT lang, source, n_docs, k,
+        |    (n_docs * k) // nn AS base, (n_docs * k) % nn AS rem,
+        |    ROW_NUMBER() OVER (ORDER BY (n_docs * k) % nn DESC, lang, source) AS rk
+        |  FROM st, tt),
+        |lo AS (SELECT MAX(k) - SUM(base) AS lo FROM al),
+        |a2 AS (SELECT lang, source, n_docs,
+        |    least(n_docs, base + CASE WHEN rk <= lo.lo THEN 1 ELSE 0 END)
+        |      AS allocated
+        |  FROM al, lo),
+        |rn AS (SELECT doc_id, lang, source,
+        |    ROW_NUMBER() OVER (PARTITION BY lang, source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM all_docs),
+        |sides AS (SELECT r.doc_id, r.lang, r.source,
+        |    r.rn <= a2.allocated AS is_test
+        |  FROM rn r JOIN a2 USING (lang, source)),
+        |tst AS (SELECT doc_id FROM sides WHERE is_test),
+        |touched AS (
+        |  SELECT DISTINCT u.oid AS doc_id FROM (
+        |    SELECT id_a AS tid, id_b AS oid FROM pr
+        |    UNION ALL SELECT id_b, id_a FROM pr) u
+        |  JOIN tst ON u.tid = tst.doc_id),
+        |quar AS (SELECT s.lang, s.source, s.doc_id
+        |  FROM touched t JOIN sides s ON s.doc_id = t.doc_id AND NOT s.is_test),
+        |qa AS (SELECT lang, source, COUNT(*) AS n_q,
+        |    md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS qmd5
+        |  FROM quar GROUP BY 1, 2)
+        |SELECT a2.lang, a2.source, CAST(a2.n_docs AS BIGINT) AS n_docs,
+        |  CAST(a2.allocated AS BIGINT) AS n_test,
+        |  CAST(a2.n_docs - a2.allocated AS BIGINT) AS n_train,
+        |  CAST(COALESCE(qa.n_q, 0) AS BIGINT) AS n_quarantined,
+        |  CAST(a2.n_docs - a2.allocated - COALESCE(qa.n_q, 0) AS BIGINT) AS n_kept,
+        |  COALESCE(qa.qmd5, md5('')) AS quarantine_md5
+        |FROM a2 LEFT JOIN qa USING (lang, source)
+        |ORDER BY lang, source""".stripMargin,
     "p1_curate" -> p1OracleSql,
     // p2: incremental ≡ full-run restricted to the batch — the oracle
     // IS p1's with the batch-id filter (equivalence also spec-asserted

@@ -33,6 +33,10 @@ class PlanAuditSpec extends AnyFunSuite {
       "q68_session_cooccurrence", // ONE broadcast row of the session total rides the pair table
       "e12_kmeans_ari", // 1-row stat crosses over the k²-sized contingency table
       "x29_stratified_split", // 1-row total/leftover crosses over the strata table
+      "p7_leakage_free_split", // x29's 1-row total/leftover crosses over the strata table
+      "p6_curation_funnel", // ONE broadcast row of the corpus total rides the 5-row stage table
+      "q77_graph_profile", // three 1-row aggregates (counts/moments/triangles) cross into one datasheet row
+      "x42_ccnet_buckets", // composes x13's stats-row cross (the perplexity scoring stage)
       "p4_corpus_datasheet", // ONE broadcast row of the token total rides the per-lang table
       "x32_source_drift_matrix", // vocab × broadcast-sources dense fill + 1-row vocab-count cross
       "x33_vocab_growth", // ONE broadcast row of id bounds rides the scan (twice)
@@ -76,6 +80,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q16_groupagg_topk" -> "rank over the 20-row TakeOrderedAndProject result",
     "x33_vocab_growth" -> "cumulative sums over the fixed 20-bucket growth curve",
     "x29_stratified_split" -> "remainder ranking over the lang×source strata table",
+    "p7_leakage_free_split" -> "x29's remainder ranking over the lang×source strata table",
+    "p6_curation_funnel" -> "cumulative drop fold over the 5-row stage table",
     "x35_good_turing" -> "adjacent-count lookup over the r<=maxR count-of-counts grid",
     "s6_hybrid_rrf" -> "fused-score rank over the per-query k-bounded candidate union",
     "t51_factorize" -> "first-appearance codes over the event-type-cardinality dictionary",
