@@ -282,6 +282,62 @@ object Dedup {
         col("dup_of"), col("jaccard"))
   }
 
+  /** Cross-boundary near-dup verdicts against a FIXED held-out pool —
+    * the quarantine relation of p7 and the per-trigger kernel of
+    * streaming S34: each batch (train-candidate) doc is flagged iff
+    * some HELD-OUT doc has shingle-Jaccard >= `threshold`. No in-batch
+    * pairing — train docs never quarantine each other (the leakage
+    * relation is train×test only), which is what makes this the one
+    * index-matching kernel with NO intra-batch-blindness caveat: the
+    * pool is closed at deployment.
+    *
+    * Returns (id, is_leak, leak_of, jaccard) for every batch row;
+    * `leak_of` is the smallest matching held-out id (deterministic),
+    * `jaccard` that pair's score.
+    *
+    * Scale shape: [[incrementalDedup]]'s — the batch explodes only its
+    * own bands into a key-partitioned equi-join against the stored
+    * index; exact verification touches surviving candidates only. The
+    * held-out index is test-set-sized and CONSTANT — at a 10% hold-out
+    * it is the small side by construction and broadcast-eligible. */
+  def leakageVerdicts(heldOut: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String,
+      w: Int = 3, h: Int = 64, bands: Int = 32,
+      threshold: Double = 0.5): DataFrame = {
+    def indexed(df: DataFrame): DataFrame =
+      df.select(col(idCol).cast("long").as("id"),
+          shingleHashes(col(textCol), w).as("sh"))
+        .withColumn("bands", bandKeys(minhashSignature(col("sh"), h), h, bands))
+    val poolIdx = indexed(heldOut).persist()
+    val batchIdx = indexed(batch).persist()
+    def bandRows(idx: DataFrame): DataFrame =
+      idx.select(col("id"), posexplode(col("bands")).as(Seq("band", "key")))
+    val cand = bandRows(batchIdx)
+      .join(bandRows(poolIdx)
+        .select(col("id").as("pid"), col("band"), col("key")),
+        Seq("band", "key"))
+      .select(col("id"), col("pid")).distinct()
+    val verified = cand
+      .join(batchIdx.select(col("id"), col("sh")), Seq("id"))
+      .join(poolIdx.select(col("id").as("pid"), col("sh").as("psh")), Seq("pid"))
+      .withColumn("common", {
+        import org.apache.spark.sql.graft.ColumnBridge
+        ColumnBridge.column(graft.expressions.SortedLongArrayIntersectCount(
+          ColumnBridge.expression(col("sh")),
+          ColumnBridge.expression(col("psh")))).cast("double")
+      })
+      .withColumn("jaccard",
+        col("common") / (size(col("sh")) + size(col("psh")) - col("common")))
+      .filter(col("jaccard") >= threshold)
+    val best = verified.groupBy("id")
+      .agg(min(struct(col("pid"), col("jaccard"))).as("m"))
+      .select(col("id"), col("m.pid").as("leak_of"), col("m.jaccard").as("jaccard"))
+    batchIdx.select(col("id"))
+      .join(best, Seq("id"), "left")
+      .select(col("id"), col("leak_of").isNotNull.as("is_leak"),
+        col("leak_of"), col("jaccard"))
+  }
+
   /** Semantic dedup over an embedding column (SemDeDup, Abbas et al.
     * 2023, arXiv:2303.09540): a coarse quantizer clusters the corpus
     * into `nCells` cells, cosine comparisons run only WITHIN a cell,

@@ -228,6 +228,36 @@ object StreamingOps {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** S34: streaming leakage guard — p7's live half. The held-out
+    * (eval) set is FIXED at deployment; its LSH band index + shingle
+    * sets are the only state — test-set-sized and CONSTANT forever,
+    * the one index-matching twin whose state never grows even
+    * logically (S8/S25/S32's indexes fold each batch in; this pool is
+    * closed by definition, so there is nothing to fold). Every
+    * arriving train-candidate doc is flagged BEFORE it enters the
+    * training corpus if any held-out doc sits within Jaccard τ
+    * ([[graft.operators.Dedup.leakageVerdicts]] per micro-batch) —
+    * the live read: a re-crawl of a benchmark page, a paraphrased
+    * eval question, flagged at ingest instead of surfacing as an
+    * inflated eval score three weeks after the training run. No
+    * intra-batch caveat: the leakage relation is train×test only, so
+    * same-trigger train docs are correctly invisible to each other.
+    * Per trigger: the batch explodes its own bands into one equi-join
+    * against the fixed index + the exact verify on survivors —
+    * batch-proportional work, never corpus-proportional. */
+  def streamingLeakageGuard(docs: DataFrame, heldOut: DataFrame,
+      idCol: String, textCol: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        sink(graft.operators.Dedup.leakageVerdicts(
+          heldOut, b.toDF(), idCol, textCol))
+      }
+      .trigger(trigger)
+      .start()
+
   /** S10: streaming CDC merge — a change feed applied to a maintained
     * snapshot, one [[graft.operators.Merge.applyCdc]] per micro-batch
     * (foreachBatch: the merge is a multi-join job, not a row-wise

@@ -759,6 +759,56 @@ class StreamingSpec extends AnyFunSuite {
     assert(!last.exists(_._1 == 5L))
   }
 
+  test("S34: streaming leakage guard verdicts equal the batch cross-boundary relation") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    // held-out = originals with doc_id % 3 == 0 (fixed pool); the
+    // "crawl" = EVERY original re-ID'd +5e6 with the near-dup suffix,
+    // split over two triggers — twins of held-out docs must flag,
+    // twins of train-only docs must not (unless naturally near a
+    // held-out doc, which the batch twin decides)
+    val docs = Tables.t(spark, sf, "documents").select("doc_id", "text")
+      .as[(Long, String)].collect().toSeq
+    val heldOut = docs.filter(_._1 % 3 == 0).toDF("doc_id", "text")
+    val crawl = docs.map { case (id, t) => (id + 5000000L, t + " zz qq") }
+    val (first, second) = crawl.partition(_._1 % 2 == 0)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Boolean, Option[Long], Option[Double])]
+    val q = StreamingOps.streamingLeakageGuard(
+        mem.toDF().toDF("doc_id", "text"), heldOut, "doc_id", "text",
+        trigger = Trigger.ProcessingTime(0L)) { d =>
+      got.synchronized {
+        got ++= d.collect().map(r => (r.getLong(0), r.getBoolean(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+      }
+    }
+    mem.addData(first: _*)
+    q.processAllAvailable()
+    mem.addData(second: _*)
+    q.processAllAvailable()
+    q.stop()
+    // batch twin: the whole crawl at once — equal because the pool is
+    // CLOSED (no fold between triggers, nothing arrival-dependent)
+    val expect = operators.Dedup.leakageVerdicts(
+        heldOut, crawl.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSet
+    assert(got.size == crawl.size && got.toSet == expect,
+      s"stream verdicts diverged (${got.size} rows vs ${expect.size})")
+    // planted truth: every held-out twin leaks, attributed to a
+    // held-out id (possibly a smaller natural near-dup of it)
+    val flagged = got.collect { case (id, true, of, _) => id -> of }.toMap
+    docs.map(_._1).filter(_ % 3 == 0).foreach { id =>
+      assert(flagged.contains(id + 5000000L), s"held-out twin $id missed")
+      assert(flagged(id + 5000000L).exists(_ % 3 == 0))
+    }
+    assert(got.exists(!_._2), "expected at least one clean train doc")
+  }
+
   test("S33: streaming moment fold across triggers equals batch t61 terminal rows, doubles included") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
