@@ -1637,7 +1637,68 @@ object TypeQueries {
       .orderBy("orderkey")
   }
 
+  // ---- T65: pandas Series.autocorr (lagged self-correlation) --------------
+  /** pandas `s.autocorr(lag)` per key: Pearson correlation of the
+    * per-user DAILY-TOTAL series with itself shifted by 1 and by 7
+    * positions — "does yesterday (last week) predict today", the
+    * seasonality read run before fitting any forecast. pandas
+    * semantics exactly: shift is POSITIONAL over the observed series
+    * (`s.corr(s.shift(k))` — calendar gaps do not re-align), pairs
+    * with a null lag drop out, and the mean is taken over the ALIGNED
+    * pairs (plain Pearson on (x_t, x_{t−k})).
+    *
+    * Exactness discipline (the t61/t49 lineage): daily totals are
+    * exact integer cents, the five Pearson sums accumulate as
+    * DECIMAL(38,0) over the aligned pairs (order-free at any
+    * partitioning), the kernels NUM = nΣxy−ΣxΣy, DX = nΣx²−(Σx)²,
+    * DY = nΣy²−(Σy)² stay exact integers, and r is the pinned IEEE
+    * chain NUM_d / (√DX_d · √DY_d) of their decimal→double casts
+    * (sqrt and multiply correctly rounded; the DuckDB side routes the
+    * casts through VARCHAR — the t61 HUGEINT→DOUBLE finding). Null
+    * when n < 2 or either variance is EXACTLY integer zero (the t49
+    * ulp lesson — matches pandas NaN on constant series).
+    *
+    * Scale shape: one (user, day) groupBy, then ONE user-key
+    * Exchange+Sort serves both lag columns, then a key-partitioned
+    * aggregate — no global window, state per user is the five sums. */
+  def t65Autocorr(s: SparkSession, dir: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val daily = events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        (dec(col("value")) * lit(100)).cast(LongType).as("c"))
+      .groupBy("user_id", "day").agg(sum(col("c")).as("x"))
+    val w = Window.partitionBy("user_id").orderBy("day")
+    val lagged = daily
+      .withColumn("y1", lag("x", 1).over(w))
+      .withColumn("y7", lag("x", 7).over(w))
+    def sums(y: Column, p: String) = Seq(
+      count(y).as(s"n$p"),
+      sum(when(y.isNotNull, col("x")).cast(d38)).as(s"sx$p"),
+      sum(y.cast(d38)).as(s"sy$p"),
+      sum(col("x").cast(d38) * y.cast(d38)).as(s"sxy$p"),
+      sum(when(y.isNotNull, col("x").cast(d38) * col("x").cast(d38)))
+        .as(s"sxx$p"),
+      sum(y.cast(d38) * y.cast(d38)).as(s"syy$p"))
+    val aggs = Seq(count(lit(1)).as("n_days")) ++
+      sums(col("y1"), "1") ++ sums(col("y7"), "7")
+    val g = lagged.groupBy("user_id").agg(aggs.head, aggs.tail: _*)
+    def corr(p: String): Column = {
+      val n = col(s"n$p").cast(d38)
+      val num = n * col(s"sxy$p") - col(s"sx$p") * col(s"sy$p")
+      val dx = n * col(s"sxx$p") - col(s"sx$p") * col(s"sx$p")
+      val dy = n * col(s"syy$p") - col(s"sy$p") * col(s"sy$p")
+      when(col(s"n$p") >= 2 && dx > 0 && dy > 0,
+        num.cast(DoubleType) /
+          (sqrt(dx.cast(DoubleType)) * sqrt(dy.cast(DoubleType))))
+    }
+    g.select(col("user_id"), col("n_days"),
+        col("n1").as("n_lag1"), corr("1").as("autocorr_1"),
+        col("n7").as("n_lag7"), corr("7").as("autocorr_7"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t65_autocorr" -> t65Autocorr _,
     "t64_dt_accessor" -> t64DtAccessor _,
     "t63_groupby_idxmax" -> t63GroupbyIdxmax _,
     "t60_combine_first" -> t60CombineFirst _,
@@ -1807,6 +1868,51 @@ object TypeQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // t65: identical HUGEINT Pearson kernels over the lagged daily
+    // series; decimal→double through VARCHAR (the t61 device), same
+    // exact-zero variance guards
+    "t65_autocorr" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |    CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+        |      AS HUGEINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |l AS (SELECT user_id, x,
+        |    LAG(x, 1) OVER win AS y1,
+        |    LAG(x, 7) OVER win AS y7
+        |  FROM daily WINDOW win AS (PARTITION BY user_id ORDER BY day)),
+        |g AS (SELECT user_id, COUNT(*) AS n_days,
+        |    COUNT(y1) AS n1, SUM(CASE WHEN y1 IS NOT NULL THEN x END) AS sx1,
+        |    SUM(y1) AS sy1, SUM(x * y1) AS sxy1,
+        |    SUM(CASE WHEN y1 IS NOT NULL THEN x * x END) AS sxx1,
+        |    SUM(y1 * y1) AS syy1,
+        |    COUNT(y7) AS n7, SUM(CASE WHEN y7 IS NOT NULL THEN x END) AS sx7,
+        |    SUM(y7) AS sy7, SUM(x * y7) AS sxy7,
+        |    SUM(CASE WHEN y7 IS NOT NULL THEN x * x END) AS sxx7,
+        |    SUM(y7 * y7) AS syy7
+        |  FROM l GROUP BY 1),
+        |k AS (SELECT user_id, n_days, n1, n7,
+        |    CAST(n1 AS HUGEINT) * sxy1 - sx1 * sy1 AS num1,
+        |    CAST(n1 AS HUGEINT) * sxx1 - sx1 * sx1 AS dx1,
+        |    CAST(n1 AS HUGEINT) * syy1 - sy1 * sy1 AS dy1,
+        |    CAST(n7 AS HUGEINT) * sxy7 - sx7 * sy7 AS num7,
+        |    CAST(n7 AS HUGEINT) * sxx7 - sx7 * sx7 AS dx7,
+        |    CAST(n7 AS HUGEINT) * syy7 - sy7 * sy7 AS dy7
+        |  FROM g)
+        |SELECT user_id, CAST(n_days AS BIGINT) AS n_days,
+        |  CAST(n1 AS BIGINT) AS n_lag1,
+        |  CASE WHEN n1 >= 2 AND dx1 > 0 AND dy1 > 0 THEN
+        |    CAST(CAST(num1 AS VARCHAR) AS DOUBLE) /
+        |      (sqrt(CAST(CAST(dx1 AS VARCHAR) AS DOUBLE))
+        |        * sqrt(CAST(CAST(dy1 AS VARCHAR) AS DOUBLE)))
+        |  END AS autocorr_1,
+        |  CAST(n7 AS BIGINT) AS n_lag7,
+        |  CASE WHEN n7 >= 2 AND dx7 > 0 AND dy7 > 0 THEN
+        |    CAST(CAST(num7 AS VARCHAR) AS DOUBLE) /
+        |      (sqrt(CAST(CAST(dx7 AS VARCHAR) AS DOUBLE))
+        |        * sqrt(CAST(CAST(dy7 AS VARCHAR) AS DOUBLE)))
+        |  END AS autocorr_7
+        |FROM k ORDER BY user_id""".stripMargin,
     // t64: identical ordinal arithmetic — DuckDB date-date is integer
     // days, so dow_mon/thursday replay the exact pmod/(+3-wd) chain;
     // only year()/dayofyear()/last_day()/date+days cross engines
