@@ -258,6 +258,105 @@ object StreamingOps {
       .trigger(trigger)
       .start()
 
+  /** S35: streaming autocorrelation monitor — t65's live half. State
+    * per user is the five exact Pearson sums per lag (DECIMAL(38,0),
+    * additive) plus the last SEVEN (day, x) observations — the
+    * boundary buffer that lets a new day pair with its lag-1/lag-7
+    * partners across the trigger seam — so state is CONSTANT per key
+    * forever (≤ 7 tail rows + 1 sums row), independent of stream
+    * length. Each trigger: the batch's events collapse to daily
+    * totals, the union tail∪batch computes lag pairs ONLY for rows
+    * the batch contributed (old-tail pairs were counted when THEY
+    * were new), the pair-sum increments fold into state by column
+    * addition, and the corpus-so-far lag-1/lag-7 autocorrelation
+    * re-derives through the SAME [[graft.operators.SeriesStats]]
+    * kernel as batch t65 — so the fold equals the batch answer by
+    * construction, doubles included. Arrival contract (the daily-
+    * ingest shape): triggers are DAY-CLOSED and day-monotone per user
+    * — a calendar day never spans two triggers; within a trigger any
+    * order is fine (the daily groupBy is order-free). The live read:
+    * a user's lag-1 autocorrelation collapsing mid-stream means the
+    * daily pattern broke — a bot burst, a fee change, an
+    * instrumentation bug — paged without re-reading history. */
+  def streamingAutocorr(rows: DataFrame,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{DecimalType, LongType}
+    val d38 = DecimalType(38, 0)
+    val sumCols = Seq("n1", "sx1", "sy1", "sxy1", "sxx1", "syy1",
+      "n7", "sx7", "sy7", "sxy7", "sxx7", "syy7")
+    var tails: DataFrame = null
+    var sums: DataFrame = null
+    rows.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val daily = b.toDF()
+          .select(col("user_id"), to_date(col("ts")).as("day"),
+            (col("value").cast(DecimalType(12, 2)) * lit(100))
+              .cast(LongType).as("c"))
+          .groupBy("user_id", "day").agg(sum(col("c")).as("x"))
+        val u = (if (tails == null) daily.withColumn("is_new", lit(true))
+          else tails.withColumn("is_new", lit(false))
+            .unionByName(daily.withColumn("is_new", lit(true))))
+          .persist()
+        val w = Window.partitionBy("user_id").orderBy("day")
+        def incSums(y: Column, p: String) = Seq(
+          count(y).cast(LongType).as(s"n$p"),
+          coalesce(sum(when(y.isNotNull, col("x")).cast(d38)),
+            lit(0).cast(d38)).as(s"sx$p"),
+          coalesce(sum(y.cast(d38)), lit(0).cast(d38)).as(s"sy$p"),
+          coalesce(sum(col("x").cast(d38) * y.cast(d38)),
+            lit(0).cast(d38)).as(s"sxy$p"),
+          coalesce(sum(when(y.isNotNull,
+            col("x").cast(d38) * col("x").cast(d38))),
+            lit(0).cast(d38)).as(s"sxx$p"),
+          coalesce(sum(y.cast(d38) * y.cast(d38)),
+            lit(0).cast(d38)).as(s"syy$p"))
+        val aggs = Seq(count(lit(1)).cast(LongType).as("n_days")) ++
+          incSums(col("y1"), "1") ++ incSums(col("y7"), "7")
+        val inc = u
+          .withColumn("y1", lag("x", 1).over(w))
+          .withColumn("y7", lag("x", 7).over(w))
+          .filter(col("is_new"))
+          .groupBy("user_id").agg(aggs.head, aggs.tail: _*)
+        val folded = (if (sums == null) inc else {
+          val old = sums
+          old.as("a").join(inc.as("b"), Seq("user_id"), "full_outer")
+            .select(col("user_id") +:
+              (("n_days" +: sumCols).map { c =>
+                (coalesce(col(s"a.$c"), lit(0).cast(d38)) +
+                  coalesce(col(s"b.$c"), lit(0).cast(d38)))
+                  .cast(if (c.startsWith("n")) LongType else d38).as(c)
+              }): _*)
+        }).persist()
+        folded.count() // settle before releasing the parent state
+        val newTails = u
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("user_id").orderBy(col("day").desc)))
+          .filter(col("rn") <= 7)
+          .select("user_id", "day", "x")
+          .persist()
+        newTails.count()
+        if (sums != null) sums.unpersist()
+        if (tails != null) tails.unpersist()
+        u.unpersist()
+        sums = folded
+        tails = newTails
+        sink(sums.select(col("user_id"), col("n_days"),
+          col("n1").as("n_lag1"),
+          graft.operators.SeriesStats.pearson(col("n1"), col("sx1"),
+            col("sy1"), col("sxy1"), col("sxx1"), col("syy1"))
+            .as("autocorr_1"),
+          col("n7").as("n_lag7"),
+          graft.operators.SeriesStats.pearson(col("n7"), col("sx7"),
+            col("sy7"), col("sxy7"), col("sxx7"), col("syy7"))
+            .as("autocorr_7")))
+      }
+      .trigger(trigger)
+      .start()
+  }
+
   /** S10: streaming CDC merge — a change feed applied to a maintained
     * snapshot, one [[graft.operators.Merge.applyCdc]] per micro-batch
     * (foreachBatch: the merge is a multi-join job, not a row-wise

@@ -1682,15 +1682,9 @@ object TypeQueries {
     val aggs = Seq(count(lit(1)).as("n_days")) ++
       sums(col("y1"), "1") ++ sums(col("y7"), "7")
     val g = lagged.groupBy("user_id").agg(aggs.head, aggs.tail: _*)
-    def corr(p: String): Column = {
-      val n = col(s"n$p").cast(d38)
-      val num = n * col(s"sxy$p") - col(s"sx$p") * col(s"sy$p")
-      val dx = n * col(s"sxx$p") - col(s"sx$p") * col(s"sx$p")
-      val dy = n * col(s"syy$p") - col(s"sy$p") * col(s"sy$p")
-      when(col(s"n$p") >= 2 && dx > 0 && dy > 0,
-        num.cast(DoubleType) /
-          (sqrt(dx.cast(DoubleType)) * sqrt(dy.cast(DoubleType))))
-    }
+    def corr(p: String): Column = graft.operators.SeriesStats.pearson(
+      col(s"n$p"), col(s"sx$p"), col(s"sy$p"), col(s"sxy$p"),
+      col(s"sxx$p"), col(s"syy$p"))
     g.select(col("user_id"), col("n_days"),
         col("n1").as("n_lag1"), corr("1").as("autocorr_1"),
         col("n7").as("n_lag7"), corr("7").as("autocorr_7"))

@@ -809,6 +809,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.exists(!_._2), "expected at least one clean train doc")
   }
 
+  test("S35: streaming autocorr fold across day-closed triggers equals batch t65, doubles included") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val rows = Tables.events(spark, sf)
+      .select(col("user_id"), unix_timestamp(col("ts")).as("es"),
+        col("value"))
+      .as[(Long, Long, Double)].collect().toSeq
+    // day-closed split: all events of a calendar day land in one
+    // trigger (the arrival contract), first half of the day range
+    // first — day-monotone per user by construction
+    val days = rows.map(r => Math.floorDiv(r._2, 86400L)).distinct.sorted
+    val cut = days(days.length / 2)
+    val (first, second) = rows.partition(r => Math.floorDiv(r._2, 86400L) < cut)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Double)]
+    @volatile var last: Array[(Long, Long, Long, Option[Double], Long, Option[Double])] = Array.empty
+    var nTriggers = 0
+    val q = StreamingOps.streamingAutocorr(
+        mem.toDF().toDF("user_id", "es", "value")
+          .withColumn("ts", col("es").cast("timestamp")),
+        trigger = Trigger.ProcessingTime(0L)) { d =>
+      nTriggers += 1
+      last = d.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)), r.getLong(4),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5))))
+    }
+    mem.addData(first: _*)
+    q.processAllAvailable()
+    mem.addData(second: _*)
+    q.processAllAvailable()
+    q.stop()
+    assert(nTriggers >= 2, s"expected 2+ triggers, got $nTriggers")
+    val batch = typesystem.TypeQueries.t65Autocorr(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)), r.getLong(4),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5)))).toSet
+    assert(last.nonEmpty && last.toSet == batch, // shared SeriesStats kernel
+      s"autocorr fold diverged (${last.length} vs ${batch.size})")
+    assert(last.exists(_._4.isDefined) && last.exists(_._6.isDefined))
+  }
+
   test("S33: streaming moment fold across triggers equals batch t61 terminal rows, doubles included") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
