@@ -300,9 +300,13 @@ object Graphs {
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
     val d38 = DecimalType(38, 0)
     val edges = edgesIn.persist()
+    // node-cardinality table with THREE consumers (the wedge aggregate
+    // and both endpoint-degree joins) — persist so the union+groupBy
+    // over the edge list runs once, not three times
     val deg = edges.select(col("src").as("v"))
       .unionByName(edges.select(col("dst").as("v")))
       .groupBy("v").agg(count(lit(1)).as("dg"))
+      .persist()
     val degStats = deg.agg(count(lit(1)).as("n_nodes"),
       sum(expr("dg * (dg - 1) div 2")).as("n_wedges"))
     val ep = edges
