@@ -1691,7 +1691,53 @@ object TypeQueries {
       .orderBy("user_id")
   }
 
+  // ---- T66: pandas merge(validate=...) relationship contract ---------------
+  /** pandas `merge(..., validate='1:1'|'1:m'|'m:1'|'m:m')` as a
+    * REPORT instead of a raise: for two real join pairs
+    * (customer→orders on custkey — genuinely 1:m; orders→lineitem on
+    * orderkey — genuinely 1:m) every mode's verdict plus the evidence
+    * (how many join keys are duplicated on each side). pandas
+    * semantics: a mode constrains KEY UNIQUENESS per frame — 1:1
+    * needs both sides unique, 1:m the left, m:1 the right, m:m
+    * nothing — independent of whether keys actually match across.
+    * The contract check a pipeline runs BEFORE a merge whose
+    * fan-out would silently duplicate rows.
+    *
+    * All counts exact integers; per pair ONE groupBy per side on the
+    * join key collapsed to a 1-row dup summary (map-side combinable),
+    * then the four mode rows explode from a literal array — the x30
+    * device: the frames are scanned once per side, the mode grid
+    * costs nothing. */
+  def t66MergeValidate(s: SparkSession, dir: String): DataFrame = {
+    def dupKeys(df: DataFrame, key: String): DataFrame =
+      df.groupBy(col(key)).agg(count(lit(1)).as("c"))
+        .agg(coalesce(sum(when(col("c") > 1, 1L)), lit(0L)).as("dups"))
+    def pair(name: String, left: DataFrame, lk: String,
+        right: DataFrame, rk: String): DataFrame =
+      dupKeys(left, lk).crossJoin(
+          dupKeys(right, rk).withColumnRenamed("dups", "rdups"))
+        .select(explode(array(
+          struct(lit("1:1").as("mode"),
+            (col("dups") === 0 && col("rdups") === 0).as("ok")),
+          struct(lit("1:m").as("mode"), (col("dups") === 0).as("ok")),
+          struct(lit("m:1").as("mode"), (col("rdups") === 0).as("ok")),
+          struct(lit("m:m").as("mode"), lit(true).as("ok")))).as("e"),
+          col("dups"), col("rdups"))
+        .select(lit(name).as("pair"), col("e.mode").as("mode"),
+          col("e.ok").as("is_valid"),
+          col("dups").as("n_dup_left_keys"),
+          col("rdups").as("n_dup_right_keys"))
+    pair("customer_orders",
+        t(s, dir, "customer").select("c_custkey"), "c_custkey",
+        t(s, dir, "orders").select("o_custkey"), "o_custkey")
+      .unionByName(pair("orders_lineitem",
+        t(s, dir, "orders").select("o_orderkey"), "o_orderkey",
+        t(s, dir, "lineitem").select("l_orderkey"), "l_orderkey"))
+      .orderBy("pair", "mode")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t66_merge_validate" -> t66MergeValidate _,
     "t65_autocorr" -> t65Autocorr _,
     "t64_dt_accessor" -> t64DtAccessor _,
     "t63_groupby_idxmax" -> t63GroupbyIdxmax _,
@@ -1862,6 +1908,34 @@ object TypeQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // t66: dup-key summaries per side + the same literal mode grid
+    "t66_merge_validate" ->
+      """WITH co_l AS (SELECT CAST(COALESCE(SUM(CASE WHEN c > 1 THEN 1 END), 0)
+        |    AS BIGINT) AS dups
+        |  FROM (SELECT c_custkey, COUNT(*) AS c FROM customer GROUP BY 1)),
+        |co_r AS (SELECT CAST(COALESCE(SUM(CASE WHEN c > 1 THEN 1 END), 0)
+        |    AS BIGINT) AS dups
+        |  FROM (SELECT o_custkey, COUNT(*) AS c FROM orders GROUP BY 1)),
+        |ol_l AS (SELECT CAST(COALESCE(SUM(CASE WHEN c > 1 THEN 1 END), 0)
+        |    AS BIGINT) AS dups
+        |  FROM (SELECT o_orderkey, COUNT(*) AS c FROM orders GROUP BY 1)),
+        |ol_r AS (SELECT CAST(COALESCE(SUM(CASE WHEN c > 1 THEN 1 END), 0)
+        |    AS BIGINT) AS dups
+        |  FROM (SELECT l_orderkey, COUNT(*) AS c FROM lineitem GROUP BY 1)),
+        |pairs AS (
+        |  SELECT 'customer_orders' AS pair, co_l.dups AS ld, co_r.dups AS rd
+        |  FROM co_l, co_r
+        |  UNION ALL
+        |  SELECT 'orders_lineitem', ol_l.dups, ol_r.dups FROM ol_l, ol_r),
+        |modes(mode) AS (VALUES ('1:1'), ('1:m'), ('m:1'), ('m:m'))
+        |SELECT pair, mode,
+        |  CASE mode WHEN '1:1' THEN ld = 0 AND rd = 0
+        |            WHEN '1:m' THEN ld = 0
+        |            WHEN 'm:1' THEN rd = 0
+        |            ELSE TRUE END AS is_valid,
+        |  ld AS n_dup_left_keys, rd AS n_dup_right_keys
+        |FROM pairs CROSS JOIN modes
+        |ORDER BY pair, mode""".stripMargin,
     // t65: identical HUGEINT Pearson kernels over the lagged daily
     // series; decimal→double through VARCHAR (the t61 device), same
     // exact-zero variance guards
