@@ -28,7 +28,15 @@ object Bench {
     val only = args.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty).toSet
     val picked = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only(n) }
-    val results = picked.map { case (name, fn) =>
+    // min-of-N protocol: the host swings ~1.4x run-to-run with
+    // per-query spikes that MIGRATE between runs (r7: a 30 s
+    // q57_golden_record that re-measures at 0.9 s) — a single pass is
+    // not an interpretable artifact. Run the registry twice and report
+    // the per-query MIN (the plan's honest cost); both raw passes are
+    // persisted so the noise itself stays visible.
+    val passes = sys.env.get("SPARK_GRAFT_BENCH_PASSES")
+      .map(_.toInt).getOrElse(2)
+    def runPass(): Seq[(String, Double)] = picked.map { case (name, fn) =>
       // drop predecessors' persisted blocks (the dedup pipelines cache
       // multi-consumer relations); a forced per-query System.gc() is
       // opt-in only (SPARK_GRAFT_BENCH_GC=1) — measured at sf0.1 it
@@ -49,19 +57,33 @@ object Bench {
       catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    val raw = (1 to passes).map(_ => runPass())
+    val names = picked.map(_._1)
+    val results = names.map { n =>
+      n -> raw.map(_.toMap.apply(n)).min
+    }
+    def jmap(m: Seq[(String, Double)]): String =
+      m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val rawTotals = raw.map(_.map(_._2).sum)
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results)},"sf":"$sfDir","passes":$passes,"raw_totals":[${rawTotals.mkString(",")}]}"""
     println(line)
     // The stdout line gets truncated in round artifacts (2000-char
-    // tails lose most of the per-query map) — persist the full JSON to
-    // a file so every query's timing survives verbatim.
+    // tails lose most of the per-query map) — persist the full JSON
+    // (per-query min + every raw pass) to a file so every timing
+    // survives verbatim. Dev --only runs write to /tmp so they can
+    // never clobber a committed full-registry artifact (the r7
+    // BENCH_full.json lesson).
+    val defaultOut =
+      if (only.isEmpty) "BENCH_full.json" else "/tmp/graft_bench_only.json"
+    val full = line.dropRight(1) +
+      raw.zipWithIndex.map { case (p, i) => s""","pass${i + 1}":${jmap(p)}""" }
+        .mkString + "}"
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json")),
-      line + "\n")
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)),
+      full + "\n")
     catch { case _: Throwable => () }
     spark.stop()
   }

@@ -211,37 +211,108 @@ object LlmQueries {
     * "WHICH sources differ most from which" — the mixture-design read
     * behind x10's temperature weights: near-duplicate sources waste
     * quota, outlier sources need their own). One token pass builds the
-    * per-source count table; the vocabulary is dense-filled per source
-    * (Laplace needs every (tok, source) cell) and ALL pair math runs
-    * on that vocab×sources table — the corpus is never re-read per
-    * pair. KL terms use x24's proven device: round-9 + 0.0, summed as
-    * exact DECIMAL (order-free), one cast out. */
+    * per-source count table; KL terms use x24's proven device:
+    * round-9 + 0.0, summed as exact DECIMAL (order-free), one cast
+    * out.
+    *
+    * SPARSE formulation (the 100 TB shape — the earlier dense
+    * vocab×sources crossJoin materialized V·S rows just so Laplace
+    * could see the zero cells; at web-scale vocab that grid IS the
+    * bottleneck): only OBSERVED (source, tok) pairs ever materialize.
+    * Because every per-token term is individually rounded to
+    * DECIMAL(20,9) before the exact sum, the directed KL splits by
+    * presence class with NO precision seam — bit-identical to the
+    * dense sum (the oracle still replays the dense semantics,
+    * certifying the rewrite):
+    *   A∩B  terms from one sparse self-join on tok;
+    *   A\B  = (Σ over ALL of A's tokens against B's absent-prob
+    *          q_B = 1/(n_B+V)) − (the A∩B portion of the same sum);
+    *   B\A  mirrored;
+    *   absent-in-both: every such token contributes the SAME rounded
+    *          constant r9(q_A·ln(q_A/q_B)), so the class sum is
+    *          exactly (V − |T_A| − |T_B| + |A∩B|) × constant.
+    * Work: |observed|·(S−1) rows in the per-source sweeps plus the
+    * ∩ join — never V·S; the pair assembly runs on S²-row tables. */
   def x32SourceDriftMatrix(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
     val tok = t(s, dir, "documents")
       .select(col("source"), explode(TextAnalysis.tokens(col("text")))
         .as("tok"))
       .filter(col("tok") =!= "")
     val counts = tok.groupBy("source", "tok").agg(count(lit(1)).as("c"))
       .persist()
-    val vocab = counts.select("tok").distinct()
-    val srcs = counts.select("source").distinct()
-    val dense = vocab.crossJoin(broadcast(srcs))
-      .join(counts, Seq("source", "tok"), "left")
-      .select(col("source"), col("tok"), coalesce(col("c"), lit(0L)).as("c"))
-    val totals = dense.groupBy("source").agg(sum("c").as("n"))
-    val vc = vocab.agg(count(lit(1)).as("v"))
-    val p = dense.join(broadcast(totals), Seq("source"))
+    val vc = counts.select("tok").distinct().agg(count(lit(1)).as("v"))
+    // S-row per-source profile: token total n, distinct-token count nt
+    val prof = counts.groupBy("source")
+      .agg(sum("c").as("n"), count(lit(1)).as("nt"))
+    // sparse Laplace probabilities — p identical bit-for-bit to the
+    // dense cell for observed tokens; n/v ride along for the absent
+    // constants q = 1.0/(n+v)
+    val p = counts.join(broadcast(prof.select("source", "n")), Seq("source"))
       .crossJoin(broadcast(vc))
       .select(col("source"), col("tok"),
         ((col("c") + 1).cast("double") /
-          (col("n") + col("v")).cast("double")).as("p"))
+          (col("n") + col("v")).cast("double")).as("p"),
+        col("n"), col("v"))
     def term(a: Column, b: Column): Column =
       (round(a * log(a / b), 9) + 0.0).cast("decimal(20,9)")
-    p.as("x").join(p.as("y"),
-        col("x.tok") === col("y.tok") && col("x.source") < col("y.source"))
-      .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
-      .agg(sum(term(col("x.p"), col("y.p"))).cast("double").as("kl_ab"),
-        sum(term(col("y.p"), col("x.p"))).cast("double").as("kl_ba"))
+    def absentP(n: Column, v: Column): Column =
+      lit(1.0) / (n + v).cast("double")
+    // directed ∩ aggregates per (a, b): the both-present terms plus
+    // the ∩ portions of the two one-sided sweeps (to subtract)
+    val inter = p.as("x").join(p.as("y"),
+        col("x.tok") === col("y.tok") && col("x.source") =!= col("y.source"))
+      .groupBy(col("x.source").as("a"), col("y.source").as("b"))
+      .agg(
+        sum(term(col("x.p"), col("y.p"))).as("i_both"),
+        sum(term(col("x.p"), absentP(col("y.n"), col("x.v")))).as("i_aside"),
+        sum(term(absentP(col("x.n"), col("x.v")), col("y.p"))).as("i_bside"),
+        count(lit(1)).as("n_common"))
+    // directed one-sided sweeps per (a, b): a's FULL token list scored
+    // against b's absent-prob — |observed|·(S−1) rows, never V·S
+    val sweep = p.as("x").join(
+        broadcast(prof.select(col("source").as("b"), col("n").as("nb"))),
+        col("x.source") =!= col("b"))
+      .groupBy(col("x.source").as("a"), col("b"))
+      .agg(
+        // tok ∈ a, scored in direction a→b (a present, b absent)
+        sum(term(col("x.p"), absentP(col("nb"), col("x.v")))).as("f_ab"),
+        // tok ∈ a, scored in direction b→a (b absent side is the P)
+        sum(term(absentP(col("nb"), col("x.v")), col("x.p"))).as("g_ab"))
+    // assemble directed KL on the S²-row grid
+    val pairs = prof.select(col("source").as("a"), col("n").as("na"),
+        col("nt").as("nta"))
+      .join(prof.select(col("source").as("b"), col("n").as("nb"),
+        col("nt").as("ntb")), col("a") =!= col("b"))
+      .crossJoin(broadcast(vc))
+    val d20 = DecimalType(20, 9)
+    val dir0 = pairs
+      .join(sweep, Seq("a", "b"), "left")
+      .join(sweep.select(col("a").as("b"), col("b").as("a"),
+        col("g_ab").as("g_ba")), Seq("a", "b"), "left")
+      .join(inter, Seq("a", "b"), "left")
+      .select(col("a"), col("b"),
+        (coalesce(col("i_both"), lit(0).cast(d20)) +
+          (coalesce(col("f_ab"), lit(0).cast(d20)) -
+            coalesce(col("i_aside"), lit(0).cast(d20))) +
+          (coalesce(col("g_ba"), lit(0).cast(d20)) -
+            coalesce(col("i_bside"), lit(0).cast(d20))) +
+          // count × rounded-constant: DECIMAL(10,0)×DECIMAL(20,9) →
+          // DECIMAL(31,9), exact (a (20,0) operand would push past
+          // precision 38 and silently shed sub-9dp scale)
+          (col("v") - col("nta") - col("ntb") +
+            coalesce(col("n_common"), lit(0L))).cast(DecimalType(10, 0)) *
+            term(absentP(col("na"), col("v")), absentP(col("nb"), col("v"))))
+          .as("kl"))
+    // fold the directed S(S−1) rows to unordered pairs in ONE pass
+    // (a dir0⋈dir0 self-join would re-execute the sweep lineage twice)
+    dir0.select(least(col("a"), col("b")).as("src_a"),
+        greatest(col("a"), col("b")).as("src_b"),
+        when(col("a") < col("b"), col("kl")).as("k_fwd"),
+        when(col("a") > col("b"), col("kl")).as("k_rev"))
+      .groupBy("src_a", "src_b")
+      .agg(max(col("k_fwd")).cast("double").as("kl_ab"),
+        max(col("k_rev")).cast("double").as("kl_ba"))
       .orderBy("src_a", "src_b")
   }
 

@@ -322,7 +322,7 @@ object Graphs {
     val m2 = (col("m") * 2).cast(d38) // directed listing size
     val numer = m2 * col("sxy") - col("sx") * col("sx")
     val denom = m2 * col("sxx") - col("sx") * col("sx")
-    degStats.crossJoin(mo).crossJoin(tri)
+    val row = degStats.crossJoin(mo).crossJoin(tri)
       .withColumn("numer", numer).withColumn("denom", denom)
       .select(col("n_nodes"), col("m").as("n_edges"), col("n_wedges"),
         expr("tri3 div 3").as("n_triangles"),
@@ -330,6 +330,13 @@ object Graphs {
           col("n_wedges").cast(DoubleType)).as("clustering"),
         when(col("denom") > 0, col("numer").cast(DoubleType) /
           col("denom").cast(DoubleType)).as("assortativity"))
+    // the datasheet is ONE row — settle it eagerly so the edge/degree
+    // caches release before return (the pqTopK convention; repeated
+    // profile calls must not accumulate cached edge tables)
+    val out = row.localCheckpoint(true)
+    deg.unpersist()
+    edges.unpersist()
+    out
   }
 
   def ancestorPairs(edges: DataFrame, rounds: Int): DataFrame = {

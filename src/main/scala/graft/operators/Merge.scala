@@ -106,13 +106,24 @@ object Merge {
     *
     * Columns present in only one side pass through (a missing column
     * is an all-null column, per pandas); key columns must match by
-    * name. Scale shape: ONE full-outer equi-join on the keys — both
-    * sides shuffle once by key, every payload column rides that
+    * name. Column ORDER diverges from pandas on purpose: pandas
+    * sorts the column union lexicographically, this keeps a's columns
+    * in a's order followed by b-only columns (the spec pins this
+    * order — stable, and the overlay reads in the base frame's
+    * layout). Scale shape: ONE full-outer equi-join on the keys —
+    * both sides shuffle once by key, every payload column rides that
     * exchange, no windows, no second pass. */
   def combineFirst(a: DataFrame, b: DataFrame,
       keys: Seq[String]): DataFrame = {
     val aCols = a.columns.filterNot(keys.contains)
     val bCols = b.columns.filterNot(keys.contains)
+    // the disambiguation prefixes must not collide with real columns —
+    // an input already carrying a literal __a_x/__b_x would silently
+    // corrupt the overlay, so refuse loudly instead
+    val clash = (a.columns ++ b.columns)
+      .filter(c => c.startsWith("__a_") || c.startsWith("__b_"))
+    require(clash.isEmpty,
+      s"combineFirst: reserved __a_/__b_ column prefix in input: ${clash.mkString(", ")}")
     val an = aCols.foldLeft(a)((d, c) => d.withColumnRenamed(c, s"__a_$c"))
     val bn = bCols.foldLeft(b)((d, c) => d.withColumnRenamed(c, s"__b_$c"))
     // USING-style join coalesces the key columns across sides

@@ -249,14 +249,24 @@ object StreamingOps {
       idCol: String, textCol: String,
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.AvailableNow())(
-      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    // the closed-at-deployment index, shingled and cached ONCE for the
+    // stream's lifetime — every trigger probes this same cache (the
+    // docstring's "constant index" made literal; it was previously
+    // rebuilt per micro-batch)
+    val poolIdx = graft.operators.Dedup
+      .leakageIndex(heldOut, idCol, textCol).persist()
     docs.writeStream
       .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        sink(graft.operators.Dedup.leakageVerdicts(
-          heldOut, b.toDF(), idCol, textCol))
+        val batchIdx = graft.operators.Dedup
+          .leakageIndex(b.toDF(), idCol, textCol).persist()
+        try sink(graft.operators.Dedup
+          .leakageVerdictsIndexed(poolIdx, batchIdx))
+        finally batchIdx.unpersist() // trigger-scoped, like S32/S33/S35
       }
       .trigger(trigger)
       .start()
+  }
 
   /** S35: streaming autocorrelation monitor — t65's live half. State
     * per user is the five exact Pearson sums per lag (DECIMAL(38,0),
@@ -1329,6 +1339,57 @@ object StreamingOps {
         state.foreach(_.unpersist())
         state = Some(next)
         sink(next)
+        ()
+      }
+      .trigger(trigger)
+      .start()
+  }
+
+  /** S36: streaming snapshot diff — q43's live half and the LABEL
+    * companion of S10's CDC merge / S31's cell overlay: a CDC stream
+    * of (key, digest, op, seq) records folds onto a deployment
+    * BASELINE snapshot, and every trigger re-emits the current
+    * added/removed/changed labels vs that baseline — the "what has
+    * drifted since the release snapshot" read, maintained live
+    * instead of recomputed by a full q43 pass over two stored
+    * snapshots. State = one row per key ever seen: (key, baseline
+    * digest, current digest) — ENTITY-cardinality forever (the S10
+    * posture), never stream-length — and the label is a pure
+    * projection of that pair (base null → added, cur null → removed,
+    * differing → changed), so transitions compose for free: a key
+    * added then deleted nets to NO label, a change reverted to the
+    * baseline digest nets to NO label — exactly q43's semantics
+    * against the final state (spec-pinned). Each trigger: the batch
+    * collapses per key to its LAST op by `seq` (the S31 argmax — no
+    * arrival races), then ONE full-outer join folds it into state.
+    * `baseline`/`cdc` columns: k, dg (+ op ∈ {U, D}, seq on cdc). */
+  def streamingSnapshotDiff(cdc: DataFrame, baseline: DataFrame,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    var state: Option[DataFrame] = None
+    val init = baseline.select(col("k"), col("dg").as("dg_base"),
+      col("dg").as("dg_cur"))
+    cdc.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val last = b.toDF().groupBy("k")
+          .agg(max(struct(col("seq"), col("op"), col("dg"))).as("m"))
+          .select(col("k"), col("m.op").as("op"), col("m.dg").as("dg_new"))
+        val next = state.getOrElse(init)
+          .join(last, Seq("k"), "full_outer")
+          .select(col("k"), col("dg_base"),
+            when(col("op").isNull, col("dg_cur"))
+              .when(col("op") === "D", lit(null))
+              .otherwise(col("dg_new")).as("dg_cur"))
+          .persist()
+        next.count()
+        state.foreach(_.unpersist()) // init is never persisted; no-op there
+        state = Some(next)
+        sink(next.select(col("k"),
+            when(col("dg_base").isNull && col("dg_cur").isNotNull, "added")
+              .when(col("dg_base").isNotNull && col("dg_cur").isNull, "removed")
+              .when(col("dg_base") =!= col("dg_cur"), "changed").as("change"))
+          .filter(col("change").isNotNull))
         ()
       }
       .trigger(trigger)

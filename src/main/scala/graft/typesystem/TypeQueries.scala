@@ -1736,7 +1736,86 @@ object TypeQueries {
       .orderBy("pair", "mode")
   }
 
+  // ---- T67: stack / unstack multi-level reshape round trip -----------------
+  /** pandas `stack()`/`unstack()` — the MULTI-LEVEL reshape pair t32's
+    * melt (single-level wide→long) and t62's pivot_table (aggregate
+    * pivot) don't exercise: a two-level index (priority, status) ×
+    * quarter frame is UNSTACKED (quarter level → q1..q4 columns,
+    * absent cells null per pandas NaN) and then STACKED back
+    * (columns → inner index level, null cells DROPPED — pandas
+    * dropna=True default), and the query's output IS the stacked-back
+    * long frame — so the hash match against the directly-computed
+    * long aggregate proves unstack∘stack = identity including the
+    * NaN-drop rule. Absent cells are PLANTED (status P × quarters
+    * 2/3 filtered out) so nulls exist to drop at every SF. Plan: ONE
+    * groupBy-pivot shuffle with explicit level lists (the t15/t42
+    * code contract — no discovery scan); the stack is Spark's native
+    * `unpivot` — a generate, zero extra shuffles. Exact integer
+    * cents. */
+  def t67StackUnstack(s: SparkSession, dir: String): DataFrame = {
+    val qs = Seq("q1", "q2", "q3", "q4")
+    val base = t(s, dir, "orders")
+      .select(col("o_orderpriority").as("priority"),
+        col("o_orderstatus").as("status"),
+        concat(lit("q"), quarter(col("o_orderdate"))).as("quarter"),
+        (dec(col("o_totalprice")) * 100).cast(LongType).as("c"))
+      .filter(!(col("status") === "P" && col("quarter").isin("q2", "q3")))
+    val unstacked = base.groupBy("priority", "status")
+      .pivot("quarter", qs).agg(sum("c"))
+    unstacked
+      .unpivot(Array(col("priority"), col("status")),
+        qs.map(col).toArray, "quarter", "sum_cents")
+      .filter(col("sum_cents").isNotNull) // pandas stack dropna=True
+      .orderBy("priority", "status", "quarter")
+  }
+
+  // ---- T68: rolling quantile (linear interpolation) -------------------------
+  /** pandas `rolling(4, min_periods=4).quantile(q)` for q ∈ {0.25,
+    * 0.5, 0.75}, interpolation='linear' — extending t52's
+    * selection-network device from the 3-median to full 4-element
+    * ORDER STATISTICS: the 5-comparator min/max network (no sort, no
+    * arithmetic) yields x0≤x1≤x2≤x3 bit-for-bit equal to the inputs,
+    * then each quantile is pandas' idx = q·(n−1) linear blend —
+    * x_⌊idx⌋ + frac·(x_⌊idx⌋₊₁ − x_⌊idx⌋) — ONE pinned IEEE
+    * multiply-add per output (q25: x0+0.75·(x1−x0); q50:
+    * x1+0.5·(x2−x1); q75: x2+0.25·(x3−x2)). The t45 lag-pinned
+    * discipline: explicit lags fix the frame, warm-up rows are null
+    * exactly like pandas NaN, and ONE partition-key Exchange+Sort
+    * serves all three lags and every quantile. The mergeable q60
+    * histogram sketch is the documented 100 TB swap for long windows;
+    * this is the exact short-window form. */
+  def t68RollingQuantile(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("es", "event_id")
+    // 4-element sorting network on (v, l1, l2, l3)
+    val a = least(col("value"), col("l1"))
+    val b = greatest(col("value"), col("l1"))
+    val c = least(col("l2"), col("l3"))
+    val d = greatest(col("l2"), col("l3"))
+    val x0 = least(a, c)
+    val x3 = greatest(b, d)
+    val m1 = greatest(a, c)
+    val m2 = least(b, d)
+    val x1 = least(m1, m2)
+    val x2 = greatest(m1, m2)
+    val warm = col("l1").isNull || col("l2").isNull || col("l3").isNull
+    def q(lo: Column, hi: Column, frac: Double): Column =
+      when(warm, lit(null)).otherwise(lo + lit(frac) * (hi - lo))
+    events(s, dir)
+      .select(col("user_id"), unix_timestamp(col("ts")).as("es"),
+        col("event_id"), col("value"))
+      .withColumn("l1", lag("value", 1).over(w))
+      .withColumn("l2", lag("value", 2).over(w))
+      .withColumn("l3", lag("value", 3).over(w))
+      .select(col("user_id"), col("es"), col("event_id"), col("value"),
+        q(x0, x1, 0.75).as("roll_q25"),
+        q(x1, x2, 0.5).as("roll_q50"),
+        q(x2, x3, 0.25).as("roll_q75"))
+      .orderBy("user_id", "es", "event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t67_stack_unstack" -> t67StackUnstack _,
+    "t68_rolling_quantile" -> t68RollingQuantile _,
     "t66_merge_validate" -> t66MergeValidate _,
     "t65_autocorr" -> t65Autocorr _,
     "t64_dt_accessor" -> t64DtAccessor _,
@@ -1908,6 +1987,50 @@ object TypeQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // t67: the directly-computed long aggregate — semantic truth for
+    // the pivot→unpivot round trip (a broken unstack/stack could not
+    // reproduce it); same planted absences, exact integer cents
+    "t67_stack_unstack" ->
+      """SELECT o_orderpriority AS priority, o_orderstatus AS status,
+        |  'q' || CAST(quarter(o_orderdate) AS VARCHAR) AS quarter,
+        |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+        |    AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM orders
+        |WHERE NOT (o_orderstatus = 'P'
+        |  AND quarter(o_orderdate) IN (2, 3))
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    // t68: identical lag frame, identical least/greatest selection
+    // network, identical pinned multiply-add blends
+    "t68_rolling_quantile" ->
+      """WITH e AS (SELECT user_id,
+        |    CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS es,
+        |    event_id, value FROM events),
+        |l AS (SELECT user_id, es, event_id, value,
+        |    lag(value, 1) OVER (PARTITION BY user_id
+        |      ORDER BY es, event_id) AS l1,
+        |    lag(value, 2) OVER (PARTITION BY user_id
+        |      ORDER BY es, event_id) AS l2,
+        |    lag(value, 3) OVER (PARTITION BY user_id
+        |      ORDER BY es, event_id) AS l3
+        |  FROM e),
+        |n AS (SELECT user_id, es, event_id, value,
+        |    LEAST(value, l1) AS a, GREATEST(value, l1) AS b,
+        |    LEAST(l2, l3) AS c, GREATEST(l2, l3) AS d,
+        |    l1 IS NULL OR l2 IS NULL OR l3 IS NULL AS warm
+        |  FROM l),
+        |x AS (SELECT user_id, es, event_id, value, warm,
+        |    LEAST(a, c) AS x0, LEAST(GREATEST(a, c), LEAST(b, d)) AS x1,
+        |    GREATEST(GREATEST(a, c), LEAST(b, d)) AS x2,
+        |    GREATEST(b, d) AS x3
+        |  FROM n)
+        |SELECT user_id, es, event_id, value,
+        |  CASE WHEN warm THEN NULL ELSE x0 + 0.75 * (x1 - x0) END
+        |    AS roll_q25,
+        |  CASE WHEN warm THEN NULL ELSE x1 + 0.5 * (x2 - x1) END
+        |    AS roll_q50,
+        |  CASE WHEN warm THEN NULL ELSE x2 + 0.25 * (x3 - x2) END
+        |    AS roll_q75
+        |FROM x ORDER BY user_id, es, event_id""".stripMargin,
     // t66: dup-key summaries per side + the same literal mode grid
     "t66_merge_validate" ->
       """WITH co_l AS (SELECT CAST(COALESCE(SUM(CASE WHEN c > 1 THEN 1 END), 0)

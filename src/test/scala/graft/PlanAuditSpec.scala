@@ -38,14 +38,15 @@ class PlanAuditSpec extends AnyFunSuite {
       "q77_graph_profile", // three 1-row aggregates (counts/moments/triangles) cross into one datasheet row
       "x42_ccnet_buckets", // composes x13's stats-row cross (the perplexity scoring stage)
       "p4_corpus_datasheet", // ONE broadcast row of the token total rides the per-lang table
-      "x32_source_drift_matrix", // vocab × broadcast-sources dense fill + 1-row vocab-count cross
+      "x32_source_drift_matrix", // sparse sweeps ride a broadcast S-row profile (source ≠ source NLJ) + 1-row vocab-count crosses — the dense vocab×sources grid is gone
       "x33_vocab_growth", // ONE broadcast row of id bounds rides the scan (twice)
       "x35_good_turing", // ONE broadcast row of the token total rides the ≤10-row grid
       "p5_mixing_plan", // U and T* scalars ride 1-row crosses over the source table
       "e17_hubness", // ONE broadcast row of moment sums rides the degree histogram
       "d18_bloom_dedup", // ONE broadcast row of bits_set rides the per-source summary
       "x40_kneser_ney", // ONE broadcast row of the bigram-type total rides the scoring join
-      "x41_ndcg") // composes x11's stats-row cross; curves are ≤k-row TakeOrdered cuts
+      "x41_ndcg", // composes x11's stats-row cross; curves are ≤k-row TakeOrdered cuts
+      "t66_merge_validate") // two 1-row dup-summary aggregates cross per pair — the x30 device
 
   // The round-7 lesson, pinned as a standing guard: the driver's
   // hash-compare only provably round-trips plain scalar types (the 11

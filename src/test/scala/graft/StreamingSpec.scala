@@ -714,6 +714,54 @@ class StreamingSpec extends AnyFunSuite {
       (2L, Some("bobby"), Some("333")), (3L, Some("carl"), None)))
   }
 
+  test("S36: streaming snapshot diff equals the batch full-outer diff against the baseline") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    // baseline snapshot at deployment: keys 1..4
+    val baseline = Seq((1L, "a1"), (2L, "b1"), (3L, "c1"), (4L, "d1"))
+    // CDC feed exercising every transition INCLUDING the nets-to-none
+    // cases: k2 changed; k3 deleted; k5 added; k6 added then deleted
+    // (net none); k1 changed then reverted to baseline (net none);
+    // k4 untouched
+    val t1 = Seq((2L, "b2", "U", 1L), (5L, "e1", "U", 2L),
+      (6L, "f1", "U", 3L), (1L, "a2", "U", 4L))
+    val t2 = Seq((3L, "", "D", 5L), (6L, "", "D", 6L),
+      (1L, "a1", "U", 7L)) // revert k1 to its baseline digest
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String, Long)]
+    @volatile var last: Array[(Long, String)] = Array.empty
+    val q = StreamingOps.streamingSnapshotDiff(
+        mem.toDF().toDF("k", "dg", "op", "seq"),
+        baseline.toDF("k", "dg"),
+        trigger = Trigger.ProcessingTime(0L)) { d =>
+      last = d.collect().map(r => (r.getLong(0), r.getString(1)))
+    }
+    mem.addData(t1: _*)
+    q.processAllAvailable()
+    // mid-stream read: k1 still shows changed (revert hasn't arrived)
+    assert(last.toSet == Set((1L, "changed"), (2L, "changed"),
+      (5L, "added"), (6L, "added")))
+    mem.addData(t2: _*)
+    q.processAllAvailable()
+    q.stop()
+    // batch truth: q43's full-outer digest diff between the baseline
+    // and the final applied state
+    val finalState = Seq((1L, "a1"), (2L, "b2"), (4L, "d1"), (5L, "e1"))
+    val expected = baseline.toDF("k", "dg")
+      .join(finalState.toDF("k", "dg_new"), Seq("k"), "full_outer")
+      .select(col("k"),
+        when(col("dg").isNull, "added")
+          .when(col("dg_new").isNull, "removed")
+          .when(col("dg") =!= col("dg_new"), "changed").as("change"))
+      .filter(col("change").isNotNull)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(last.toSet == expected, s"${last.toSet} vs $expected")
+    // the nets-to-none transitions really vanished
+    assert(!last.exists(r => r._1 == 1L || r._1 == 6L))
+    assert(last.toSet == Set((2L, "changed"), (3L, "removed"),
+      (5L, "added")))
+  }
+
   test("S32: streaming winnowing overlap equals batch fingerprint-intersection replay") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
