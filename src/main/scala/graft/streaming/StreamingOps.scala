@@ -1396,6 +1396,65 @@ object StreamingOps {
       .start()
   }
 
+  /** S37: streaming rolling quantile — t68's live half with S35's
+    * boundary-buffer state design: per user the state is the last
+    * THREE (es, event_id, value) observations — the buffer that lets
+    * a new event see its three predecessors across the trigger seam —
+    * so state is CONSTANT per key forever (≤ 3 tail rows),
+    * independent of stream length. Each trigger: the union tail∪batch
+    * runs ONE lag window per user, quantiles evaluate ONLY for rows
+    * the batch contributed (old-tail rows were emitted when THEY were
+    * new; a trailing frame over preceding rows means no event's
+    * output is ever revised), and the new tail is the last 3 rows of
+    * the union. The blends ride the SAME
+    * [[graft.operators.SeriesStats.rollingQuantiles]] kernel as batch
+    * t68, so the fold equals the batch pass by construction —
+    * selection network, pinned IEEE blends, warm-up nulls included.
+    * Arrival contract (S35's): triggers are event-time-monotone per
+    * user; within a trigger any order is fine (the window sorts). The
+    * live read: a user's rolling p50/p25 spread widening mid-stream
+    * is a volatility page — without re-reading history. */
+  def streamingRollingQuantile(rows: DataFrame,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.expressions.Window
+    var tails: DataFrame = null
+    rows.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val batch = b.toDF()
+          .select(col("user_id"), unix_timestamp(col("ts")).as("es"),
+            col("event_id"), col("value"))
+        val u = (if (tails == null) batch.withColumn("is_new", lit(true))
+          else tails.withColumn("is_new", lit(false))
+            .unionByName(batch.withColumn("is_new", lit(true))))
+          .persist()
+        val w = Window.partitionBy("user_id").orderBy("es", "event_id")
+        val (q25, q50, q75) = graft.operators.SeriesStats.rollingQuantiles(
+          col("value"), col("l1"), col("l2"), col("l3"))
+        sink(u
+          .withColumn("l1", lag("value", 1).over(w))
+          .withColumn("l2", lag("value", 2).over(w))
+          .withColumn("l3", lag("value", 3).over(w))
+          .filter(col("is_new"))
+          .select(col("user_id"), col("es"), col("event_id"), col("value"),
+            q25.as("roll_q25"), q50.as("roll_q50"), q75.as("roll_q75")))
+        val newTails = u
+          .withColumn("rn", row_number().over(Window.partitionBy("user_id")
+            .orderBy(col("es").desc, col("event_id").desc)))
+          .filter(col("rn") <= 3)
+          .select("user_id", "es", "event_id", "value")
+          .persist()
+        newTails.count() // settle before releasing the parent state
+        if (tails != null) tails.unpersist()
+        u.unpersist()
+        tails = newTails
+        ()
+      }
+      .trigger(trigger)
+      .start()
+  }
+
   /** S26: streaming mixing-plan monitor — p5's live half: as crawl
     * batches arrive, per-source available-token totals fold into state
     * (a semigroup sum — state is SOURCE-cardinality sized, never

@@ -1783,23 +1783,13 @@ object TypeQueries {
     * exactly like pandas NaN, and ONE partition-key Exchange+Sort
     * serves all three lags and every quantile. The mergeable q60
     * histogram sketch is the documented 100 TB swap for long windows;
-    * this is the exact short-window form. */
+    * this is the exact short-window form. Kernel shared with
+    * streaming S37 via [[graft.operators.SeriesStats.rollingQuantiles]]
+    * so the live fold equals this batch pass by construction. */
   def t68RollingQuantile(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("es", "event_id")
-    // 4-element sorting network on (v, l1, l2, l3)
-    val a = least(col("value"), col("l1"))
-    val b = greatest(col("value"), col("l1"))
-    val c = least(col("l2"), col("l3"))
-    val d = greatest(col("l2"), col("l3"))
-    val x0 = least(a, c)
-    val x3 = greatest(b, d)
-    val m1 = greatest(a, c)
-    val m2 = least(b, d)
-    val x1 = least(m1, m2)
-    val x2 = greatest(m1, m2)
-    val warm = col("l1").isNull || col("l2").isNull || col("l3").isNull
-    def q(lo: Column, hi: Column, frac: Double): Column =
-      when(warm, lit(null)).otherwise(lo + lit(frac) * (hi - lo))
+    val (q25, q50, q75) = graft.operators.SeriesStats.rollingQuantiles(
+      col("value"), col("l1"), col("l2"), col("l3"))
     events(s, dir)
       .select(col("user_id"), unix_timestamp(col("ts")).as("es"),
         col("event_id"), col("value"))
@@ -1807,9 +1797,7 @@ object TypeQueries {
       .withColumn("l2", lag("value", 2).over(w))
       .withColumn("l3", lag("value", 3).over(w))
       .select(col("user_id"), col("es"), col("event_id"), col("value"),
-        q(x0, x1, 0.75).as("roll_q25"),
-        q(x1, x2, 0.5).as("roll_q50"),
-        q(x2, x3, 0.25).as("roll_q75"))
+        q25.as("roll_q25"), q50.as("roll_q50"), q75.as("roll_q75"))
       .orderBy("user_id", "es", "event_id")
   }
 

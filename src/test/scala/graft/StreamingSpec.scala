@@ -857,6 +857,56 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.exists(!_._2), "expected at least one clean train doc")
   }
 
+  test("S37: streaming rolling quantile across time-split triggers equals batch t68, seam rows included") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val rows = Tables.events(spark, sf)
+      .select(col("user_id"), unix_timestamp(col("ts")).as("es"),
+        col("event_id"), col("value"))
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // event-time split (the arrival contract): trigger 2's rows all
+    // at-or-after trigger 1's — per-user monotone by construction;
+    // trigger 2's first rows per user need lags from trigger 1's tail
+    val cut = rows.map(_._2).sorted.apply(rows.length / 2)
+    val (first, second) = rows.partition(_._2 < cut)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, Double)]
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Double, Option[Double], Option[Double], Option[Double])]
+    val q = StreamingOps.streamingRollingQuantile(
+        mem.toDF().toDF("user_id", "es", "event_id", "value")
+          .withColumn("ts", col("es").cast("timestamp")),
+        trigger = Trigger.ProcessingTime(0L)) { d =>
+      got ++= d.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5)),
+        if (r.isNullAt(6)) None else Some(r.getDouble(6))))
+    }
+    mem.addData(first: _*)
+    q.processAllAvailable()
+    val n1 = got.length
+    mem.addData(second: _*)
+    q.processAllAvailable()
+    q.stop()
+    assert(n1 > 0 && got.length > n1, "both triggers must emit")
+    // batch truth: t68 over the same table — shared rollingQuantiles
+    // kernel, so any divergence is a SEAM bug (tail buffer / lag
+    // alignment), not a kernel one
+    val batch = typesystem.TypeQueries.t68RollingQuantile(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5)),
+        if (r.isNullAt(6)) None else Some(r.getDouble(6)))).toSet
+    assert(got.toSet == batch,
+      s"rolling-quantile fold diverged (${got.length} vs ${batch.size})")
+    // the seam really exercised: some trigger-2 row has non-null
+    // quantiles that needed trigger-1 lag values
+    val t2NonNull = got.drop(n1).filter(_._5.isDefined)
+    assert(t2NonNull.nonEmpty, "no warm seam row in trigger 2")
+  }
+
   test("S35: streaming autocorr fold across day-closed triggers equals batch t65, doubles included") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
