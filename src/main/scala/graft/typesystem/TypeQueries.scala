@@ -1801,7 +1801,43 @@ object TypeQueries {
       .orderBy("user_id", "es", "event_id")
   }
 
+  // ---- T69: merge_ordered with group-wise forward fill -----------------------
+  /** pandas `merge_ordered(left, right, on='ts', left_by='user_id',
+    * fill_method='ffill')` — the ORDERED two-frame merge verb (align
+    * two per-key time series onto the union of their timestamps,
+    * forward-filling each frame's columns over the other's rows) that
+    * q46's grid resample and t30's interpolate don't express: here
+    * the grid is the OTHER SERIES' event times, not a calendar. Left
+    * = view events, right = purchase events per user; output = every
+    * event instant of either series with both series' last-known
+    * values. Tie rule pinned: same-instant rows order left-before-
+    * right then by event id (pandas keeps left frame first on key
+    * ties). Plan: tagged unionByName (no join — the merge IS a union
+    * + fill) and BOTH ffill windows ride ONE user-key Exchange+Sort;
+    * unmatched leading rows stay null exactly like pandas NaN. */
+  def t69MergeOrdered(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+      .select(col("user_id"), unix_timestamp(col("ts")).as("es"),
+        col("event_id"), col("event_type"), col("value"))
+    val left = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("es"), col("event_id"),
+        lit(0).as("src"), col("value").as("v_view"),
+        lit(null).cast(DoubleType).as("v_buy"))
+    val right = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("es"), col("event_id"),
+        lit(1).as("src"), lit(null).cast(DoubleType).as("v_view"),
+        col("value").as("v_buy"))
+    val w = Window.partitionBy("user_id").orderBy("es", "src", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    left.unionByName(right)
+      .select(col("user_id"), col("es"), col("event_id"), col("src"),
+        last(col("v_view"), ignoreNulls = true).over(w).as("v_view"),
+        last(col("v_buy"), ignoreNulls = true).over(w).as("v_buy"))
+      .orderBy("user_id", "es", "src", "event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t69_merge_ordered" -> t69MergeOrdered _,
     "t67_stack_unstack" -> t67StackUnstack _,
     "t68_rolling_quantile" -> t68RollingQuantile _,
     "t66_merge_validate" -> t66MergeValidate _,
@@ -1975,6 +2011,28 @@ object TypeQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // t69: identical tagged union + IGNORE NULLS fill windows,
+    // identical (es, src, event_id) tie pinning
+    "t69_merge_ordered" ->
+      """WITH e AS (SELECT user_id,
+        |    CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS es,
+        |    event_id, event_type, value FROM events),
+        |u AS (
+        |  SELECT user_id, es, event_id, 0 AS src,
+        |    value AS v_view, CAST(NULL AS DOUBLE) AS v_buy
+        |  FROM e WHERE event_type = 'view'
+        |  UNION ALL
+        |  SELECT user_id, es, event_id, 1 AS src,
+        |    CAST(NULL AS DOUBLE) AS v_view, value AS v_buy
+        |  FROM e WHERE event_type = 'purchase')
+        |SELECT user_id, es, event_id, CAST(src AS INT) AS src,
+        |  last_value(v_view IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY es, src, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_view,
+        |  last_value(v_buy IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY es, src, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_buy
+        |FROM u ORDER BY user_id, es, src, event_id""".stripMargin,
     // t67: the directly-computed long aggregate — semantic truth for
     // the pivot→unpivot round trip (a broken unstack/stack could not
     // reproduce it); same planted absences, exact integer cents
