@@ -1,0 +1,42 @@
+#!/usr/bin/env python3
+"""Per-query DuckDB oracle drive with timeouts (dev-only): re-runs the
+compare side of check.py one query at a time against an existing
+graft.Verify output dir, so one pathologically slow ORACLE replay
+(DuckDB-side cost, not engine cost) can't stall the whole drive.
+Usage: drive_oracle.py <sfDir> <verifyOut> [--strict] [--timeout=N]"""
+import json, subprocess, sys, time
+from pathlib import Path
+
+SF = sys.argv[1]
+OUT = Path(sys.argv[2])
+STRICT = ["--strict"] if "--strict" in sys.argv else []
+TIMEOUT = 180
+for a in sys.argv:
+    if a.startswith("--timeout="):
+        TIMEOUT = int(a.split("=")[1])
+
+names = sorted(json.loads((OUT / "oracle_sql.json").read_text()).keys())
+results = {}
+for n in names:
+    t0 = time.time()
+    try:
+        r = subprocess.run(
+            [sys.executable, "tools/check.py", SF, str(OUT), "--no-spark",
+             f"--only={n}"] + STRICT,
+            capture_output=True, text=True, timeout=TIMEOUT,
+            cwd="/root/repo")
+        dt = time.time() - t0
+        ok = "0 fail" in r.stdout and "1 pass" in r.stdout
+        results[n] = {"status": "pass" if ok else "fail", "sec": round(dt, 1)}
+        if not ok:
+            results[n]["detail"] = r.stdout[-500:]
+    except subprocess.TimeoutExpired:
+        results[n] = {"status": "oracle_timeout", "sec": TIMEOUT}
+    print(f"{results[n]['status']:>14s} {results[n]['sec']:7.1f}s {n}",
+          flush=True)
+
+npass = sum(1 for v in results.values() if v["status"] == "pass")
+nto = sum(1 for v in results.values() if v["status"] == "oracle_timeout")
+print(f"\n{npass} pass, {nto} oracle-timeout, "
+      f"{len(results) - npass - nto} fail of {len(results)}")
+Path("/tmp/drive_oracle_results.json").write_text(json.dumps(results, indent=1))
