@@ -34,9 +34,11 @@ object Bench {
     // not an interpretable artifact. Run the registry twice and report
     // the per-query MIN (the plan's honest cost); both raw passes are
     // persisted so the noise itself stays visible.
-    val passes = sys.env.get("SPARK_GRAFT_BENCH_PASSES")
-      .map(_.toInt).getOrElse(2)
-    def runPass(): Seq[(String, Double)] = picked.map { case (name, fn) =>
+    // clamp to >= 1 and survive non-numeric values (an empty raw pass
+    // list would .min-throw after the warm-up already ran)
+    val passes = math.max(1, sys.env.get("SPARK_GRAFT_BENCH_PASSES")
+      .flatMap(_.toIntOption).getOrElse(2))
+    def runPass(): Seq[(String, (Double, Boolean))] = picked.map { case (name, fn) =>
       // drop predecessors' persisted blocks (the dedup pipelines cache
       // multi-consumer relations); a forced per-query System.gc() is
       // opt-in only (SPARK_GRAFT_BENCH_GC=1) — measured at sf0.1 it
@@ -53,21 +55,39 @@ object Bench {
         .foreach(_.unpersist(blocking = false))
       if (sys.env.get("SPARK_GRAFT_BENCH_GC").contains("1")) System.gc()
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      // a pass that throws is recorded as FAILED, not silently timed:
+      // under min-of-N a fast crash would otherwise masquerade as the
+      // query's honest cost in a committed artifact
+      val ok =
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          true
+        } catch { case _: Throwable => false }
+      name -> ((System.nanoTime() - t0) / 1e9, ok)
     }
     val raw = (1 to passes).map(_ => runPass())
     val names = picked.map(_._1)
+    // per-query min over SUCCESSFUL passes only; a query with zero
+    // successful passes keeps its fastest (failing) time but is named
+    // in a visible "failed" field so the artifact can't read as green
     val results = names.map { n =>
-      n -> raw.map(_.toMap.apply(n)).min
+      val rs = raw.map(_.toMap.apply(n))
+      val good = rs.filter(_._2).map(_._1)
+      n -> (if (good.nonEmpty) good.min else rs.map(_._1).min)
     }
+    val failed = names.filter(n => raw.exists(p => !p.toMap.apply(n)._2))
+    val allFailed = names.filter(n => raw.forall(p => !p.toMap.apply(n)._2))
     def jmap(m: Seq[(String, Double)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    def jarr(xs: Seq[String]): String =
+      xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    val rawTotals = raw.map(_.map(_._2).sum)
+    val rawTotals = raw.map(_.map(_._2._1).sum)
+    val failField =
+      if (failed.isEmpty) ""
+      else s""","failed_any_pass":${jarr(failed)},"failed_all_passes":${jarr(allFailed)}"""
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results)},"sf":"$sfDir","passes":$passes,"raw_totals":[${rawTotals.mkString(",")}]}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results)},"sf":"$sfDir","passes":$passes,"raw_totals":[${rawTotals.mkString(",")}]$failField}"""
     println(line)
     // The stdout line gets truncated in round artifacts (2000-char
     // tails lose most of the per-query map) — persist the full JSON
@@ -78,8 +98,9 @@ object Bench {
     val defaultOut =
       if (only.isEmpty) "BENCH_full.json" else "/tmp/graft_bench_only.json"
     val full = line.dropRight(1) +
-      raw.zipWithIndex.map { case (p, i) => s""","pass${i + 1}":${jmap(p)}""" }
-        .mkString + "}"
+      raw.zipWithIndex.map { case (p, i) =>
+        s""","pass${i + 1}":${jmap(p.map { case (k, (v, _)) => k -> v })}"""
+      }.mkString + "}"
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)),

@@ -297,12 +297,18 @@ object LlmQueries {
             coalesce(col("i_aside"), lit(0).cast(d20))) +
           (coalesce(col("g_ba"), lit(0).cast(d20)) -
             coalesce(col("i_bside"), lit(0).cast(d20))) +
-          // count × rounded-constant: DECIMAL(10,0)×DECIMAL(20,9) →
-          // DECIMAL(31,9), exact (a (20,0) operand would push past
-          // precision 38 and silently shed sub-9dp scale)
-          (col("v") - col("nta") - col("ntb") +
-            coalesce(col("n_common"), lit(0L))).cast(DecimalType(10, 0)) *
+          // count × rounded-constant: DECIMAL(17,0)×DECIMAL(20,9) →
+          // DECIMAL(38,9), exact with headroom to 10^17 tokens (a
+          // (10,0) count overflows-to-null past 10^10 with ANSI off,
+          // silently nulling the KL cell). The product is then cast
+          // back to (31,9) — lossless until ~10^22 integer digits —
+          // because leaving it at precision 38 makes the FOLLOWING
+          // addition overflow the 38 cap and shed the 9th decimal
+          // (scale 9 → 8, observed as a last-digit gate mismatch).
+          ((col("v") - col("nta") - col("ntb") +
+            coalesce(col("n_common"), lit(0L))).cast(DecimalType(17, 0)) *
             term(absentP(col("na"), col("v")), absentP(col("nb"), col("v"))))
+            .cast(DecimalType(31, 9)))
           .as("kl"))
     // fold the directed S(S−1) rows to unordered pairs in ONE pass
     // (a dir0⋈dir0 self-join would re-execute the sweep lineage twice)
@@ -2860,6 +2866,16 @@ object LlmQueries {
        |FROM ($unions) ORDER BY bands""".stripMargin
   }
 
+  /** Shared d2/d6/d19 pair CTE chain: exact pairwise Jaccard over
+    * distinct 3-gram shingle STRINGS. Pair enumeration is an inverted
+    * gram index (unnest → equi-join on gram → COUNT(*) = |A∩B| exactly,
+    * since `sh` is distinct) rather than an all-pairs self-join:
+    * lossless at any threshold > 0 because J(A,B) > 0 requires at
+    * least one shared gram, so every qualifying pair appears in the
+    * join. Cost is Σ_g df(g)² (~12M rows at sf0.1, seconds in DuckDB)
+    * vs the quadratic all-pairs form that exceeded a 40-minute budget
+    * at sf0.1 (10k docs). Bit-identical output verified against the
+    * all-pairs form at sf0.01/sf0.001. */
   private val d2PairCtes: String =
     """WITH RECURSIVE all_docs AS (
       |  SELECT doc_id, text FROM documents
@@ -2870,12 +2886,13 @@ object LlmQueries {
       |      i -> array_to_string((string_split(nt, ' '))[CAST(i AS INT):CAST(i AS INT)+2], ' '))) AS sh
       |  FROM (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
       |        FROM all_docs)),
+      |dg AS (SELECT doc_id, len(sh) AS sz1, unnest(sh) AS g FROM b),
       |j AS (
       |  SELECT a.doc_id AS id_a, bb.doc_id AS id_b,
-      |    CAST(len(list_intersect(a.sh, bb.sh)) AS DOUBLE) AS common,
-      |    CAST(len(a.sh) + len(bb.sh) AS DOUBLE) AS sz
-      |  FROM b a JOIN b bb ON a.doc_id < bb.doc_id
-      |    AND len(a.sh) * 2 >= len(bb.sh) AND len(bb.sh) * 2 >= len(a.sh))""".stripMargin
+      |    CAST(COUNT(*) AS DOUBLE) AS common,
+      |    CAST(ANY_VALUE(a.sz1) + ANY_VALUE(bb.sz1) AS DOUBLE) AS sz
+      |  FROM dg a JOIN dg bb ON a.g = bb.g AND a.doc_id < bb.doc_id
+      |  GROUP BY a.doc_id, bb.doc_id)""".stripMargin
 
   /** e2 oracle: the 8 seeded planes embedded as literal arrays
     * (Double.toString round-trips), each output dim one
@@ -4271,8 +4288,14 @@ object LlmQueries {
         |        ELSE common / lb END, 6) AS containment
         |FROM j WHERE greatest(common / la, common / lb) >= 0.8
         |ORDER BY contained_id, container_id""".stripMargin,
-    // d11: ALL-pairs hamming ground truth — the blocked join must find
-    // every qualifying pair (pigeonhole recall proof)
+    // d11: hamming ground truth via an INDEPENDENT pigeonhole blocking
+    // — blocks 1-6/7-11/12-16 (ham <= 2 over 3 blocks leaves >= 1 block
+    // untouched, so candidate generation is provably complete; a
+    // theorem, not an implementation echo), deliberately different
+    // boundaries than the engine's floor(i*16/3) slices (5/5/6 at
+    // Dedup.fuzzyHammingJoin). Replaces the N×N cross join that
+    // exceeded the oracle budget at sf0.1 (15k×15k pairs); verified
+    // bit-identical to the all-pairs form at sf0.01/sf0.001.
     // d14: all-pairs levenshtein ground truth — the blocked join's
     // recall proof; the corrupted copy replays the identical string
     // surgery (1-based substr on both engines)
@@ -4304,10 +4327,23 @@ object LlmQueries {
         |      THEN substr(n1, 1, p2 - 1) || 'Y' || substr(n1, p2 + 1)
         |      ELSE n1 END AS b_name
         |  FROM n1),
+        |ak AS (SELECT a_id, a_name,
+        |    unnest([struct_pack(i := 1, s := substr(a_name, 1, 6)),
+        |            struct_pack(i := 2, s := substr(a_name, 7, 5)),
+        |            struct_pack(i := 3, s := substr(a_name, 12, 5))]) AS k
+        |  FROM a),
+        |bk AS (SELECT b_id, b_name,
+        |    unnest([struct_pack(i := 1, s := substr(b_name, 1, 6)),
+        |            struct_pack(i := 2, s := substr(b_name, 7, 5)),
+        |            struct_pack(i := 3, s := substr(b_name, 12, 5))]) AS k
+        |  FROM b),
+        |cand AS (SELECT DISTINCT a_id, a_name, b_id, b_name
+        |  FROM ak JOIN bk ON ak.k = bk.k
+        |    AND length(a_name) = length(b_name)),
         |h AS (SELECT a_id, b_id,
         |    len(list_filter(generate_series(1, length(a_name)),
         |      i -> substr(a_name, i, 1) <> substr(b_name, i, 1))) AS ham
-        |  FROM a, b WHERE length(a_name) = length(b_name))
+        |  FROM cand)
         |SELECT a_id, b_id, CAST(ham AS INT) AS dist
         |FROM h WHERE ham <= 2 ORDER BY a_id, b_id""".stripMargin,
     // x19: full model replay — same md5 buckets, same smoothing, the
@@ -4564,12 +4600,12 @@ object LlmQueries {
          |SELECT sha256($normSql) AS digest, MIN(doc_id) AS keep_id,
          |  COUNT(*) AS n_copies
          |FROM all_docs GROUP BY 1 ORDER BY keep_id""".stripMargin,
-    // minhash LSH vs exact brute force: jaccard on hashed shingle sets
-    // == jaccard on the shingle STRINGS (hash-independent set sizes), so
-    // the oracle enumerates all pairs and verifies >= 0.5 directly. The
-    // size-ratio prefilter is lossless at this threshold: j >= 0.5
-    // implies 2*min(|a|,|b|) >= max(|a|,|b|). The Spark side runs the
-    // banded-LSH plan, so a hash-match is also a 100%-recall proof.
+    // minhash LSH vs exact ground truth: jaccard on hashed shingle sets
+    // == jaccard on the shingle STRINGS (hash-independent set sizes).
+    // The oracle enumerates every pair sharing >= 1 gram via an
+    // inverted gram index (lossless for J >= 0.5 — see d2PairCtes) and
+    // verifies the exact Jaccard. The Spark side runs the banded-LSH
+    // plan, so a hash-match is also a 100%-recall proof.
     // (shared WITH chain: d2PairCtes below the map)
     "d2_minhash_lsh" ->
       s"""$d2PairCtes
@@ -4643,10 +4679,11 @@ object LlmQueries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) - n
         |    AS BIGINT) AS n_out
         |FROM f CROSS JOIN tot ORDER BY stage""".stripMargin,
-    // p7: full replay — d2's brute-force all-pairs Jaccard CTE (the
-    // same ground-truth device whose 100%-recall match d2's own row
-    // certifies) + x29's Hamilton allocation at k = N div 10 + the
-    // boundary quarantine; every count crosses the gate as BIGINT
+    // p7: full replay — d2's exact pairwise-Jaccard ground truth (the
+    // same inverted-gram-index device d2PairCtes documents: lossless
+    // for J >= 0.5 since any qualifying pair shares a gram) + x29's
+    // Hamilton allocation at k = N div 10 + the boundary quarantine;
+    // every count crosses the gate as BIGINT
     "p7_leakage_free_split" ->
       """WITH all_docs AS (
         |  SELECT doc_id, text, lang, source FROM documents
@@ -4658,12 +4695,13 @@ object LlmQueries {
         |      i -> array_to_string((string_split(nt, ' '))[CAST(i AS INT):CAST(i AS INT)+2], ' '))) AS sh
         |  FROM (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
         |        FROM all_docs)),
+        |dg AS (SELECT doc_id, len(sh) AS sz1, unnest(sh) AS g FROM b),
         |j AS (
         |  SELECT a.doc_id AS id_a, bb.doc_id AS id_b,
-        |    CAST(len(list_intersect(a.sh, bb.sh)) AS DOUBLE) AS common,
-        |    CAST(len(a.sh) + len(bb.sh) AS DOUBLE) AS sz
-        |  FROM b a JOIN b bb ON a.doc_id < bb.doc_id
-        |    AND len(a.sh) * 2 >= len(bb.sh) AND len(bb.sh) * 2 >= len(a.sh)),
+        |    CAST(COUNT(*) AS DOUBLE) AS common,
+        |    CAST(ANY_VALUE(a.sz1) + ANY_VALUE(bb.sz1) AS DOUBLE) AS sz
+        |  FROM dg a JOIN dg bb ON a.g = bb.g AND a.doc_id < bb.doc_id
+        |  GROUP BY a.doc_id, bb.doc_id),
         |pr AS (SELECT id_a, id_b FROM j WHERE common / (sz - common) >= 0.5),
         |st AS (SELECT lang, source, COUNT(*) AS n_docs FROM all_docs GROUP BY 1, 2),
         |tt AS (SELECT SUM(n_docs) AS nn, SUM(n_docs) // 10 AS k FROM st),

@@ -303,11 +303,20 @@ object Dedup {
   def leakageVerdicts(heldOut: DataFrame, batch: DataFrame,
       idCol: String, textCol: String,
       w: Int = 3, h: Int = 64, bands: Int = 32,
-      threshold: Double = 0.5): DataFrame =
-    leakageVerdictsIndexed(
-      leakageIndex(heldOut, idCol, textCol, w, h, bands).persist(),
-      leakageIndex(batch, idCol, textCol, w, h, bands).persist(),
-      threshold)
+      threshold: Double = 0.5): DataFrame = {
+    // leakageIndex's contract says the CALLER owns the cache lifetime
+    // — this batch convenience wrapper therefore settles the verdicts
+    // eagerly (localCheckpoint severs lineage; the result is
+    // batch-row-sized) and releases both index caches before
+    // returning, so repeated invocations can't accumulate blocks.
+    val poolIdx = leakageIndex(heldOut, idCol, textCol, w, h, bands).persist()
+    val batchIdx = leakageIndex(batch, idCol, textCol, w, h, bands).persist()
+    val out = leakageVerdictsIndexed(poolIdx, batchIdx, threshold)
+      .localCheckpoint(true)
+    poolIdx.unpersist(false)
+    batchIdx.unpersist(false)
+    out
+  }
 
   /** The (id, shingle-set, band-keys) index [[leakageVerdictsIndexed]]
     * matches against — built ONCE over the closed held-out pool at

@@ -138,6 +138,11 @@ object Sampling {
       targetTotal: Long, alpha: Double = 0.0): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // Driver-state invariant (the dsirWeights/IVF discipline): this
+    // collect is one row PER MIXTURE GROUP (source/lang), bounded by
+    // the mixture's component count — tens of sources in any real
+    // corpus recipe, never data-sized. The rows themselves stay
+    // distributed; only the per-group rates are broadcast back.
     val counts: Seq[(String, Long)] = df
       .groupBy(col(groupCol).cast("string").as("g")).count()
       .as[(String, Long)].collect().toSeq.sortBy(_._1)

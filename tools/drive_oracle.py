@@ -15,7 +15,17 @@ for a in sys.argv:
     if a.startswith("--timeout="):
         TIMEOUT = int(a.split("=")[1])
 
-names = sorted(json.loads((OUT / "oracle_sql.json").read_text()).keys())
+# Drive the UNION of oracle-keyed queries and every result dir the
+# verify run dumped: a query without an oracle entry still gets its
+# rows-only check run (check.py handles it), so the final summary is a
+# full-registry count rather than silently understating coverage.
+oracle_names = set(json.loads((OUT / "oracle_sql.json").read_text()).keys())
+dumped = {p.name for p in OUT.iterdir() if p.is_dir()}
+names = sorted(oracle_names | dumped)
+rows_only = sorted(dumped - oracle_names)
+if rows_only:
+    print(f"note: {len(rows_only)} rows-only queries (no oracle SQL): "
+          + ", ".join(rows_only))
 results = {}
 for n in names:
     t0 = time.time()
