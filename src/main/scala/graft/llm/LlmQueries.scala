@@ -1507,6 +1507,26 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** d20: TRUE variable-length exact substring dedup (Lee et al. 2022
+    * ExactSubstr) on d8's exact planted corpus — full copies of docs
+    * < 20 must surface as whole-document spans, the 5-token-prefixed
+    * copies of 20–40 as interior spans, and d8's fixed-13-gram shared
+    * counts are strictly subsumed (every df>1 gram lies inside some
+    * span; spec-asserted in DedupSpec). Sort keys (id_a, id_b, start_a,
+    * start_b) are unique: two islands of one pair sharing start_a lie
+    * on different diagonals, hence different start_b. */
+  def d20ExactSubstrings(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val corpus = docs.select("doc_id", "text")
+      .union(docs.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      .union(docs.filter(col("doc_id") >= 20 && col("doc_id") < 40)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(lit("qq ww ee rr tt "), col("text")).as("text")))
+    Dedup.exactSubstringSpans(corpus, "doc_id", "text", minLen = 13)
+      .orderBy("id_a", "id_b", "start_a", "start_b")
+  }
+
   // ---- L29: incremental (continuous-crawl) dedup ---------------------------
   /** Corpus = documents; batch = 15 exact re-crawls (docs 0–14), 15
     * near re-crawls with a 2-token suffix (15–29), 15 novel docs built
@@ -2361,6 +2381,7 @@ object LlmQueries {
     "x8_repetition" -> x8Repetition _,
     "d7_decontaminate" -> d7Decontaminate _,
     "d8_dup_spans" -> d8DupSpans _,
+    "d20_exact_substrings" -> d20ExactSubstrings _,
     "d9_incremental_dedup" -> d9IncrementalDedup _,
     "e1_embed_outliers" -> e1EmbedOutliers _,
     "e2_random_projection" -> e2RandomProjection _,
@@ -4794,6 +4815,41 @@ object LlmQueries {
         |  ROUND(COALESCE(s.n_shared, 0) / CAST(len(c.sh) AS DOUBLE), 6) AS shared_frac
         |FROM cg c LEFT JOIN shr s USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    // d20: the suffix-array semantics replayed on gram STRINGS (no
+    // hashes — an engine-side xxhash64 collision would surface as a
+    // mismatch here): positional 13-gram equality join, diagonal
+    // islands via the pos - row_number device, island size + 12 =
+    // maximal span length. Same planted corpus as d8.
+    "d20_exact_substrings" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents
+        |  WHERE doc_id < 20
+        |  UNION ALL SELECT doc_id + 2000000, 'qq ww ee rr tt ' || text
+        |  FROM documents WHERE doc_id >= 20 AND doc_id < 40),
+        |tk AS (SELECT doc_id,
+        |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ts
+        |  FROM corpus),
+        |g0 AS (SELECT doc_id, ts,
+        |    unnest(generate_series(1, len(ts) - 12)) AS i
+        |  FROM tk WHERE len(ts) >= 13),
+        |g AS (SELECT doc_id, i - 1 AS pos,
+        |    array_to_string(ts[CAST(i AS INT):CAST(i AS INT) + 12], ' ') AS gs
+        |  FROM g0),
+        |p AS (SELECT a.doc_id AS id_a, a.pos AS pos_a,
+        |    b.doc_id AS id_b, b.pos AS pos_b
+        |  FROM g a JOIN g b ON a.gs = b.gs
+        |    AND (a.doc_id < b.doc_id
+        |      OR (a.doc_id = b.doc_id AND a.pos < b.pos))),
+        |isl AS (SELECT id_a, id_b, pos_a, pos_b, pos_a - pos_b AS diag,
+        |    pos_a - ROW_NUMBER() OVER (PARTITION BY id_a, id_b, pos_a - pos_b
+        |      ORDER BY pos_a) AS island
+        |  FROM p)
+        |SELECT id_a, id_b, CAST(MIN(pos_a) AS BIGINT) AS start_a,
+        |  CAST(MIN(pos_b) AS BIGINT) AS start_b,
+        |  CAST(COUNT(*) + 12 AS BIGINT) AS span_tokens
+        |FROM isl GROUP BY id_a, id_b, diag, island
+        |ORDER BY id_a, id_b, start_a, start_b""".stripMargin,
     // incremental dedup replayed as the all-pairs ground truth: every
     // batch doc against every pool doc with a smaller id (corpus ids
     // all precede batch ids here, so in_corpus OR pid < id reduces to

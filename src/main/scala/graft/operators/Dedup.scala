@@ -920,6 +920,71 @@ object Dedup {
           .as("shared_frac"))
   }
 
+  /** d20: TRUE variable-length exact duplicated-substring spans — the
+    * Lee et al. 2022 §4.1 ExactSubstr semantics ([[dupSpans]] is the
+    * fixed-w-gram simplification this strictly subsumes): every MAXIMAL
+    * token span of length >= `minLen` that occurs at two positions in
+    * the corpus (cross-doc or within-doc), with both positions.
+    *
+    * Formulation: gram-chain merge over the diagonal, the distributed
+    * equivalent of the suffix-array scan — (1) every token position
+    * emits its forward `minLen`-gram hash; (2) equal hashes join into
+    * occurrence pairs; (3) within one (id_a, id_b, pos_a − pos_b)
+    * DIAGONAL, consecutive pos_a values are windows of ONE common
+    * substring, so maximal islands (the classic pos − row_number
+    * grouping) ARE the maximal duplicated substrings: a common span of
+    * T tokens yields exactly its T − minLen + 1 consecutive windows on
+    * that diagonal, and conversely an island cannot extend past the
+    * point where the texts differ. Returns (id_a, id_b, start_a,
+    * start_b, span_tokens) with span_tokens = island + minLen − 1;
+    * ordered pairs (id_a < id_b, or pos_a < pos_b within a doc) so each
+    * span is reported once.
+    *
+    * Scale shape: digests shuffle, text does NOT — the joined relation
+    * is (id, pos, gramHash) rows of ~20 B regardless of document size.
+    * Join cost is Σ_g df(g)² over positional grams (LSH-candidate
+    * shape); the per-diagonal window sorts only matched pairs, a
+    * partitioned window keyed by (id_a, id_b, diag). A corpus-wide
+    * boilerplate gram (df in the thousands) inflates df² exactly as it
+    * inflates a suffix array's match enumeration — mass-identical
+    * content should fall to [[exactGroups]] first, and a df cap is a
+    * recall-LOSSY option deliberately not taken here (exactness is the
+    * contract). Degenerate within-doc periodicity (period < minLen)
+    * self-matches quadratically, same as the suffix-array ground truth.
+    *
+    * Hashing: xxhash64 over the gram string — a collision could fuse
+    * two unrelated windows (the d2 "modulo hash collisions" discipline;
+    * the oracle joins gram STRINGS, so a collision would surface as a
+    * gate mismatch rather than hide). */
+  def exactSubstringSpans(corpus: DataFrame, idCol: String,
+      textCol: String, minLen: Int = 13): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = corpus
+      .select(col(idCol).cast("long").as("id"),
+        split(normText(col(textCol)), " ").as("ts"))
+      .filter(size(col("ts")) >= minLen)
+      .select(col("id"), posexplode(expr(
+        s"""transform(sequence(0, size(ts) - $minLen),
+           |  i -> xxhash64(concat_ws(' ', slice(ts, i + 1, $minLen))))"""
+          .stripMargin)).as(Seq("pos", "gh")))
+    val lhs = grams.select(col("gh"), col("id").as("id_a"),
+      col("pos").as("pos_a"))
+    val rhs = grams.select(col("gh"), col("id").as("id_b"),
+      col("pos").as("pos_b"))
+    val pairs = lhs.join(rhs, Seq("gh"))
+      .filter(col("id_a") < col("id_b") ||
+        (col("id_a") === col("id_b") && col("pos_a") < col("pos_b")))
+      .select("id_a", "pos_a", "id_b", "pos_b")
+    val diag = pairs.withColumn("diag", col("pos_a") - col("pos_b"))
+    val w = Window.partitionBy("id_a", "id_b", "diag").orderBy("pos_a")
+    diag.withColumn("island", col("pos_a") - row_number().over(w))
+      .groupBy("id_a", "id_b", "diag", "island")
+      .agg(min("pos_a").cast("long").as("start_a"),
+        min("pos_b").cast("long").as("start_b"),
+        (count(lit(1)) + (minLen - 1)).as("span_tokens"))
+      .select("id_a", "id_b", "start_a", "start_b", "span_tokens")
+  }
+
   /** C4-style corpus-level exact line dedup (Raffel et al. 2020 dedup
     * "all but one of any three-sentence span"; here the caller chooses
     * the line/span segmentation): every distinct line survives only at

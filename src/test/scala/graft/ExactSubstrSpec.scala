@@ -1,0 +1,142 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** d20 exactSubstringSpans (Lee et al. 2022 ExactSubstr semantics):
+  * planted maximal-span cases plus the subsumption proof over d8's
+  * fixed-gram dupSpans — per doc, the distinct 13-grams covered by d20
+  * spans must EQUAL the distinct 13-grams with corpus df > 1 (the set
+  * d8 counts), because every df>1 gram occurrence pairs with another
+  * occurrence (→ lies in a span) and every span window matches another
+  * position (→ its gram has df > 1). */
+class ExactSubstrSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private val L = 13
+
+  // disjoint vocabulary per seed so distinct seeds share zero grams
+  private def words(seed: Int, n: Int): Seq[String] =
+    (0 until n).map(i => s"w${seed}x$i")
+
+  private def spans(corpus: Seq[(Long, String)]): Seq[(Long, Long, Long, Long, Long)] =
+    Dedup.exactSubstringSpans(corpus.toDF("doc_id", "text"), "doc_id", "text", L)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq.sorted
+
+  test("planted spans: full copy, interior span, maximality, multi-island, self-repeat") {
+    val base = words(1, 40)
+    val other = words(2, 40)
+    val seg = words(3, 20) // the shared 20-token segment
+    val segB = words(4, 15) // second shared segment, same doc pair
+    val corpus = Seq(
+      1L -> base.mkString(" "),
+      2L -> base.mkString(" "), // exact copy of 1
+      3L -> (words(5, 5) ++ base).mkString(" "), // prefixed copy of 1
+      // 10/11 share seg at different offsets, flanked by disjoint vocab
+      10L -> (words(6, 7) ++ seg ++ words(7, 9)).mkString(" "),
+      11L -> (words(8, 3) ++ seg ++ words(9, 4) ++ segB).mkString(" "),
+      // 12 carries segB so the (11,12) pair exists; (10,11) has ONE island
+      12L -> (other ++ segB).mkString(" "),
+      // 20 repeats a 15-token block within itself, separated by filler
+      20L -> (words(10, 15) ++ words(11, 6) ++ words(10, 15)).mkString(" ")
+    )
+    val out = spans(corpus)
+    // full copy: one maximal span covering all 40 tokens
+    assert(out.filter(s => s._1 == 1L && s._2 == 2L) ==
+      Seq((1L, 2L, 0L, 0L, 40L)))
+    // prefixed copy: base aligned at offset 5 in doc 3, still 40 tokens
+    assert(out.filter(s => s._1 == 1L && s._2 == 3L) ==
+      Seq((1L, 3L, 0L, 5L, 40L)))
+    // copies of the same base also pair with each other
+    assert(out.filter(s => s._1 == 2L && s._2 == 3L) ==
+      Seq((2L, 3L, 0L, 5L, 40L)))
+    // shared segment: exactly the 20 tokens, MAXIMAL (not extended into
+    // the disjoint flanks), at the planted offsets
+    assert(out.filter(s => s._1 == 10L && s._2 == 11L) ==
+      Seq((10L, 11L, 7L, 3L, 20L)))
+    // segB between 11 and 12: second island, independent of seg
+    assert(out.filter(s => s._1 == 11L && s._2 == 12L) ==
+      Seq((11L, 12L, 27L, 40L, 15L)))
+    // within-doc repeat: self-pair with pos_a < pos_b
+    assert(out.filter(s => s._1 == 20L && s._2 == 20L) ==
+      Seq((20L, 20L, 0L, 21L, 15L)))
+    // nothing else — disjoint vocab seeds share no 13-grams
+    assert(out.size == 6)
+  }
+
+  test("two shared segments between ONE pair yield two islands, not a bridge") {
+    val s1 = words(21, 14)
+    val s2 = words(22, 16)
+    val corpus = Seq(
+      1L -> (s1 ++ words(23, 5) ++ s2).mkString(" "),
+      2L -> (s2 ++ words(24, 8) ++ s1).mkString(" ")
+    )
+    val out = spans(corpus)
+    assert(out == Seq(
+      (1L, 2L, 0L, 24L, 14L), // s1: doc1 @0, doc2 @16+8=24
+      (1L, 2L, 19L, 0L, 16L) // s2: doc1 @14+5=19, doc2 @0
+    ).sorted)
+  }
+
+  test("docs shorter than minLen and sub-threshold overlaps produce no spans") {
+    val shared12 = words(31, 12) // one token short of L
+    val corpus = Seq(
+      1L -> words(30, 12).mkString(" "),
+      2L -> words(30, 12).mkString(" "), // exact copies but < L tokens
+      3L -> (shared12 ++ words(32, 10)).mkString(" "),
+      4L -> (words(33, 10) ++ shared12).mkString(" ")
+    )
+    assert(spans(corpus).isEmpty)
+  }
+
+  test("subsumes d8 dupSpans: span-covered grams == df>1 grams, per doc") {
+    // d8's exact planted corpus shape in miniature: base docs, exact
+    // copies, prefixed copies, plus a cross-doc shared segment
+    val docs = (0 until 8).map(i => i.toLong -> words(40 + i, 30).mkString(" "))
+    val seg = words(60, 18)
+    val corpus = docs ++ Seq(
+      100L -> docs(2)._2, // exact copy of 2
+      101L -> (words(61, 5) ++ words(40 + 4, 30).map(identity)).mkString(" "),
+      102L -> (words(62, 4) ++ seg ++ words(63, 6)).mkString(" "),
+      103L -> (seg ++ words(64, 11)).mkString(" ")
+    )
+    val out = spans(corpus)
+
+    // positional 13-grams per doc, computed independently driver-side
+    val grams: Map[Long, Vector[(Int, String)]] = corpus.map { case (id, tx) =>
+      val ts = tx.trim.toLowerCase.split("\\s+").toVector
+      id -> (if (ts.size < L) Vector.empty
+             else (0 to ts.size - L).map(i => i -> ts.slice(i, i + L).mkString(" ")).toVector)
+    }.toMap
+    // d8's duplicated vocabulary: per-doc DISTINCT grams with df > 1
+    val df = grams.toSeq.flatMap { case (id, gs) => gs.map(_._2).distinct.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.size).toMap
+    val d8Shared: Map[Long, Set[String]] = grams.map { case (id, gs) =>
+      id -> gs.map(_._2).distinct.filter(g => df(g) > 1).toSet
+    }
+    // grams covered by d20 spans (window positions [start, start+len-L])
+    val covered: Map[Long, Set[String]] = {
+      val perDoc = out.flatMap { case (a, b, sa, sb, len) =>
+        Seq(a -> (sa, len), b -> (sb, len))
+      }
+      corpus.map(_._1).map { id =>
+        val cov = perDoc.filter(_._1 == id).flatMap { case (_, (st, len)) =>
+          (st to st + len - L).map(p => grams(id)(p.toInt)._2)
+        }.toSet
+        id -> cov
+      }.toMap
+    }
+    corpus.map(_._1).foreach { id =>
+      assert(covered(id) == d8Shared(id),
+        s"doc $id: covered=${covered(id).size} d8=${d8Shared(id).size}")
+    }
+    // and the aggregate counts match d8's engine output itself
+    val d8out = Dedup.dupSpans(corpus.toDF("doc_id", "text"), "doc_id", "text", L)
+      .select(col("id"), col("n_shared")).as[(Long, Long)].collect().toMap
+    corpus.map(_._1).foreach { id =>
+      assert(d8out(id) == d8Shared(id).size.toLong)
+    }
+  }
+}
