@@ -484,28 +484,67 @@ object StreamingOps {
     * is key-cardinality, never history-sized, and each trigger costs
     * one map-side-combined aggregation + a key-sized fold. The folded
     * view goes to `sink` every trigger (equals the batch aggregate
-    * over everything seen — the spec's assertion). */
+    * over everything seen — the spec's assertion).
+    *
+    * `stateDir` + `checkpointDir` make the query KILLABLE: offsets
+    * checkpoint through Spark's mechanism, the fold state snapshots
+    * per trigger, and a restarted query resumes exactly where the
+    * killed one stopped — StreamingRecoverySpec proves
+    * resume-from-checkpoint equals the uninterrupted run. */
   def streamingIncrementalMv(rows: DataFrame, keyCols: Seq[String],
       valCol: Column,
       trigger: org.apache.spark.sql.streaming.Trigger =
-        org.apache.spark.sql.streaming.Trigger.AvailableNow())(
+        org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      stateDir: Option[String] = None,
+      checkpointDir: Option[String] = None)(
       sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
     var state: Option[DataFrame] = None
-    rows.writeStream
-      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+    val writer = rows.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val bs = b.sparkSession
+        // Checkpoint RECOVERY: the fold state normally lives in this
+        // driver var; with `stateDir` each trigger also snapshots it
+        // durably, keyed by batchId, and a restarted query restores
+        // the newest snapshot with id < batchId. `< batchId` (not <=)
+        // is what makes the replayed trigger idempotent: after a
+        // crash, Structured Streaming re-runs the last uncommitted
+        // batch with the SAME id and data (checkpointed offsets), and
+        // the fold re-derives from snapshot id−1 + that batch,
+        // overwriting snapshot id with identical content. A partial
+        // snapshot from a crash mid-write is never read, because the
+        // snapshot write happens BEFORE the trigger's offset commit —
+        // an incomplete snapshot id implies offset id never committed,
+        // so the restart replays id and overwrites it.
+        if (state.isEmpty) stateDir.foreach { dir =>
+          val p = new org.apache.hadoop.fs.Path(dir)
+          val fs = p.getFileSystem(bs.sparkContext.hadoopConfiguration)
+          val committed =
+            if (!fs.exists(p)) Array.empty[Long]
+            else fs.listStatus(p).map(_.getPath.getName)
+              .filter(_.startsWith("state_batch="))
+              .map(_.stripPrefix("state_batch=").toLong)
+              .filter(_ < batchId)
+          if (committed.nonEmpty)
+            state = Some(
+              bs.read.parquet(s"$dir/state_batch=${committed.max}"))
+        }
         val partials = graft.operators.Merge
           .aggPartials(b.toDF(), keyCols, valCol)
         val next = state.map(st => graft.operators.Merge
             .mergeAggState(st, partials, keyCols))
           .getOrElse(partials).persist()
         next.count()
+        stateDir.foreach { dir =>
+          next.write.mode("overwrite").parquet(s"$dir/state_batch=$batchId")
+        }
         state.foreach(_.unpersist())
         state = Some(next)
         sink(next)
         ()
       }
       .trigger(trigger)
-      .start()
+    checkpointDir.foreach(d => writer.option("checkpointLocation", d))
+    writer.start()
   }
 
   /** S14: streaming histogram quantiles — the streaming form of q60.
