@@ -24,12 +24,33 @@ import org.apache.spark.sql.functions._
   * - nation/region stay as-is (dimensions stay small at scale — the
   *   realistic shape) and FK columns into them are untouched.
   *
-  * Usage: runMain graft.ScaleGen <srcDir> <outDir> <k>
+  * HUB MODE (4th arg `hub`): the SKEW axis the volume shards
+  * deliberately exclude — hub mass grows WITH volume (the
+  * preferential-attachment shape) while everything else stays the
+  * disjoint-shard construction:
+  * - lineitem: 10% of rows (deterministic xxhash64 pick) redirect
+  *   l_partkey to a GLOBAL 32-part hot set that is NOT sharded — the
+  *   co-purchase graph (q61/q77/q52/q59) grows 32 hub nodes whose
+  *   degree scales linearly with k while the tail stays k-sharded;
+  *   at k=10 each hub part sits in ~19k orders (vs tail ~30).
+  * - events: an 80/20 hot-user factor — 20% of events reassign
+  *   user_id to a global 16-user hot set (session/window partitions
+  *   q24/q49/q51/q53 grow 16 straggler keys with k).
+  * - documents: 10% of docs swap their text for a GLOBAL 40-token
+  *   template prefix (not shard-suffixed) + their own last-20 tokens
+  *   — shingle overlap ≈ 0.49 Jaccard: BELOW the 0.5 dedup threshold
+  *   (true-pair sets stay ~fixed) but band-collision-hot, so the
+  *   d2/d6/d19/p7 LSH band buckets and the verify join grow
+  *   quadratically-candidate hot buckets with k — the exact stress
+  *   Dedup.saltBuckets caps.
+  *
+  * Usage: runMain graft.ScaleGen <srcDir> <outDir> <k> [hub]
   * (sf0.3 = k 3 from sf0.1, sf1 = k 10). */
 object ScaleGen {
   def main(args: Array[String]): Unit = {
     val Array(src, out, kStr) = args.take(3)
     val k = kStr.toInt
+    val hub = args.length > 3 && args(3) == "hub"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -74,22 +95,57 @@ object ScaleGen {
     wr(rep(rd("orders")).select(shift("o_orderkey", oO),
       shift("o_custkey", oC), col("o_orderstatus"), col("o_totalprice"),
       col("o_orderdate"), col("o_orderpriority")), "orders")
+    // hub mode: AFTER the shard shift, 10% of lineitem rows redirect
+    // their partkey to the global hot-32 set (ids 1..32 live in every
+    // shard-0 copy of part, so FKs stay valid); hub degree grows with
+    // total volume, the preferential-attachment shape
+    val liPk =
+      if (!hub) shift("l_partkey", oP)
+      else when(
+        pmod(xxhash64(col("l_orderkey"), col("l_linenumber"),
+          col("shard")), lit(10L)) === 0L,
+        pmod(xxhash64(col("l_partkey"), col("shard")), lit(32L)) + 1L)
+        .otherwise(col("l_partkey") + col("shard") * oP).as("l_partkey")
     wr(rep(rd("lineitem")).select(shift("l_orderkey", oO),
-      shift("l_partkey", oP), shift("l_suppkey", oS), col("l_linenumber"),
+      liPk, shift("l_suppkey", oS), col("l_linenumber"),
       col("l_quantity"), col("l_extendedprice"), col("l_discount"),
       col("l_tax"), col("l_returnflag"), col("l_linestatus"),
       col("l_shipdate")), "lineitem")
     // events via Tables.events: normalizes the generator's NANOS
     // timestamps to TimestampType so the scaled copy reads anywhere
+    // hub mode: 80/20 hot users — 20% of events land on a global
+    // 16-user hot set, so per-user window/session partitions
+    // (q24/q49/q51/q53) grow 16 straggler keys with volume
+    val evUid =
+      if (!hub) shift("user_id", oU)
+      else when(
+        pmod(xxhash64(col("event_id"), col("shard")), lit(5L)) === 0L,
+        pmod(xxhash64(col("user_id"), col("shard")), lit(16L)) + 1L)
+        .otherwise(col("user_id") + col("shard") * oU).as("user_id")
     wr(rep(Tables.events(spark, src)).select(shift("event_id", oE),
-      col("ts"), shift("user_id", oU), col("event_type"), col("value"),
+      col("ts"), evUid, col("event_type"), col("value"),
       col("props")), "events")
     // shard 0 keeps the original text verbatim; shard i>0 suffixes
     // every token, growing the vocab and severing cross-shard shingles
+    val shardedText = when(col("shard") === 0, col("text")).otherwise(
+      regexp_replace(col("text"), lit("(\\S+)"),
+        concat(lit("$1·"), col("shard").cast("string"))))
+    // hub mode: 10% of docs swap to a GLOBAL 30-token template prefix
+    // + their own last-24 tokens — pairwise Jaccard ≈ 28/76 ≈ 0.37,
+    // safely under the 0.5 threshold (no quadratic true-pair output),
+    // but band-collision-hot: the LSH bucket for template-dominated
+    // bands grows linearly with k, the saltBuckets stress. Docs
+    // shorter than 24 tokens stay untouched (a shorter own-suffix
+    // would push J over threshold).
+    val tmpl = (0 until 30).map(i => s"hubtok$i").mkString(" ")
+    val docText = if (!hub) shardedText else {
+      val ts = split(trim(regexp_replace(lower(shardedText), "\\s+", " ")), " ")
+      when(pmod(col("doc_id"), lit(10L)) === 7L && size(ts) >= 24,
+        concat(lit(tmpl + " "), array_join(slice(ts, -24, 24), " ")))
+        .otherwise(shardedText)
+    }
     wr(rep(rd("documents")).select(shift("doc_id", oD),
-      when(col("shard") === 0, col("text")).otherwise(
-        regexp_replace(col("text"), lit("(\\S+)"),
-          concat(lit("$1·"), col("shard").cast("string")))).as("text"),
+      docText.as("text"),
       col("lang"), col("source"), col("n_chars")), "documents")
     wr(rep(rd("embeddings")).select(shift("vec_id", oV),
       expr("concat(slice(embedding, cast(shard % size(embedding) as int) + 1, " +
