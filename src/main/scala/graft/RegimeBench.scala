@@ -81,12 +81,29 @@ object RegimeBench {
     val emb = Tables.t(spark, sfDir, "embeddings")
     val queries = emb.filter(col("vec_id") < 5)
     for (nc <- Seq(16, 256, 1024)) {
-      results(s"ivf_cells_$nc") = timeMin2(() =>
+      // force the LITERAL assignment at every size (the codegen-cost
+      // curve)...
+      results(s"ivf_cells_${nc}_literal") = timeMin2(() =>
         settle(graft.operators.Similarity.ivfTopK(
-          emb, queries, k = 10, nCells = nc, nProbe = math.max(4, nc / 4))))
+          emb, queries, k = 10, nCells = nc, nProbe = math.max(4, nc / 4),
+          literalAssignCells = Int.MaxValue)))
+      // ...and the broadcast-TABLE assignment (the >256-cell regime)
+      results(s"ivf_cells_${nc}_table") = timeMin2(() =>
+        settle(graft.operators.Similarity.ivfTopK(
+          emb, queries, k = 10, nCells = nc, nProbe = math.max(4, nc / 4),
+          literalAssignCells = 0)))
     }
     checks("ivf_1024_rows") = graft.operators.Similarity.ivfTopK(
       emb, queries, k = 10, nCells = 1024, nProbe = 256).count() == 50L
+    checks("ivf_1024_regimes_identical") = {
+      val a = graft.operators.Similarity.ivfTopK(emb, queries, k = 10,
+        nCells = 1024, nProbe = 256, literalAssignCells = Int.MaxValue)
+        .collect().toSeq
+      val b = graft.operators.Similarity.ivfTopK(emb, queries, k = 10,
+        nCells = 1024, nProbe = 256, literalAssignCells = 0)
+        .collect().toSeq
+      a == b
+    }
 
     // ---- k-means large k -------------------------------------------------
     for (k <- Seq(8, 256)) {

@@ -78,8 +78,10 @@ object Similarity {
     *    the right trade when the index is built once and reused. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nCells: Int = 16, nProbe: Int = 4,
-      quantizer: String = "sample"): DataFrame = quantizer match {
-    case "sample" => ivfTopKSampled(corpus, queries, k, nCells, nProbe)
+      quantizer: String = "sample",
+      literalAssignCells: Int = 256): DataFrame = quantizer match {
+    case "sample" =>
+      ivfTopKSampled(corpus, queries, k, nCells, nProbe, literalAssignCells)
     case "kmeans" => ivfTopKKMeans(corpus, queries, k, nCells, nProbe)
     case other => throw new IllegalArgumentException(
       s"ivfTopK quantizer must be 'sample' or 'kmeans', got '$other'")
@@ -94,7 +96,8 @@ object Similarity {
     * pure map-side projections — zero extra shuffles beyond topK's
     * one aggregate exchange. */
   private def ivfTopKSampled(corpus: DataFrame, queries: DataFrame,
-      k: Int, nCells: Int, nProbe: Int): DataFrame = {
+      k: Int, nCells: Int, nProbe: Int,
+      literalAssignCells: Int = 256): DataFrame = {
     val c = withNorm(corpus, "id", "v", "nv")
     val centroids: Array[(Long, Array[Double])] =
       c.select(col("id").cast("long"), col("v"))
@@ -114,9 +117,41 @@ object Similarity {
         lit(cid).as("cid"))
     }: _*)
     // struct ordering is lexicographic (d asc, cid asc) — ties go to
-    // the smaller centroid id, deterministically
-    val cells = c.withColumn("cell",
-      array_min(cellRank(col("v"))).getField("cid"))
+    // the smaller centroid id, deterministically.
+    //
+    // Corpus assignment has two regimes sharing ONE arithmetic: the
+    // literal path embeds the centroids in generated code (zero extra
+    // shuffles, SQL-replayable — right for the reference's 16 cells),
+    // but its per-row cost is nCells × dim in the generated argmin,
+    // which RegimeBench measured dominant at 1024 cells. Above
+    // `literalAssignCells` the centroids become a broadcast TABLE:
+    // one broadcast nested-loop fan-out (corpus × nCells rows), a
+    // map-side-combined min(struct(d, cid)) per id, and an id-keyed
+    // join back — two extra shuffles, but assignment arithmetic runs
+    // on COLUMNS (same ArrayDotProduct, same ipcc computed driver-side
+    // in the same IEEE order, same lexicographic struct min), so the
+    // two regimes are bit-identical (QuantIvfSpec forces both and
+    // compares). Query-probe ranking always stays literal — the query
+    // side is small by contract.
+    def assignTable(): DataFrame = {
+      val spark = c.sparkSession
+      val cents = spark.createDataFrame(
+        centroids.toSeq.map { case (cid, cv) =>
+          (cid, cv.toSeq, VectorOps.selfDot(cv)) })
+        .toDF("cid", "cv", "ipcc")
+      val asg = c.select(col("id"), col("v"))
+        .join(broadcast(cents))
+        .select(col("id"), struct(
+          (col("ipcc") - VectorOps.dot(col("v"), col("cv")) * 2.0).as("d"),
+          col("cid").as("cid")).as("s"))
+        .groupBy("id").agg(min(col("s")).as("m"))
+        .select(col("id"), col("m.cid").as("cell"))
+      c.join(asg, Seq("id"))
+    }
+    val cells =
+      if (centroids.length <= literalAssignCells)
+        c.withColumn("cell", array_min(cellRank(col("v"))).getField("cid"))
+      else assignTable()
     val q = withNorm(queries, "qid", "qv", "nqv")
     val probes = q.withColumn("cell",
         explode(transform(slice(array_sort(cellRank(col("qv"))), 1, nProbe),

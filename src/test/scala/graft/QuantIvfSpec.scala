@@ -58,6 +58,21 @@ class IvfSpec extends AnyFunSuite {
     }
   }
 
+  test("table-based cell assignment (large-nCells regime) is bit-identical to the literal path") {
+    // literalAssignCells = 0 forces the broadcast-table argmin for the
+    // SAME 16 centroids the literal path embeds in codegen; identical
+    // IEEE arithmetic + lexicographic struct min → identical cells →
+    // identical top-k, bit for bit
+    val emb = Tables.t(spark, sf, "embeddings")
+    val q = emb.filter($"vec_id" < 5)
+    val lit = Similarity.ivfTopK(emb, q, 10, nCells = 16, nProbe = 4)
+      .collect().toSeq
+    val tab = Similarity.ivfTopK(emb, q, 10, nCells = 16, nProbe = 4,
+        literalAssignCells = 0)
+      .collect().toSeq
+    assert(lit.nonEmpty && lit == tab)
+  }
+
   test("sampled-centroid assignment ties break to the smaller cell id") {
     // two identical centroids-by-construction can't occur from distinct
     // corpus vectors, but equal relative distances can: verify the
