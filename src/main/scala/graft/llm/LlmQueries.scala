@@ -1527,6 +1527,25 @@ object LlmQueries {
       .orderBy("id_a", "id_b", "start_a", "start_b")
   }
 
+  /** d21: the removal ACTION over d20's span report (Lee et al. 2022
+    * rewrites the corpus) — same planted corpus; exact copies must
+    * come back EMPTY (their canonical survives untouched), prefixed
+    * copies keep exactly their 5 planted prefix tokens, and kept_text
+    * crosses the gate verbatim so the compare certifies every
+    * surviving token, not just counts. */
+  def d21SubstringRemoval(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val corpus = docs.select("doc_id", "text")
+      .union(docs.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      .union(docs.filter(col("doc_id") >= 20 && col("doc_id") < 40)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(lit("qq ww ee rr tt "), col("text")).as("text")))
+    Dedup.removeDuplicateSpans(corpus, "doc_id", "text", minLen = 13)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
   // ---- L29: incremental (continuous-crawl) dedup ---------------------------
   /** Corpus = documents; batch = 15 exact re-crawls (docs 0–14), 15
     * near re-crawls with a 2-token suffix (15–29), 15 novel docs built
@@ -2382,6 +2401,7 @@ object LlmQueries {
     "d7_decontaminate" -> d7Decontaminate _,
     "d8_dup_spans" -> d8DupSpans _,
     "d20_exact_substrings" -> d20ExactSubstrings _,
+    "d21_substring_removal" -> d21SubstringRemoval _,
     "d9_incremental_dedup" -> d9IncrementalDedup _,
     "e1_embed_outliers" -> e1EmbedOutliers _,
     "e2_random_projection" -> e2RandomProjection _,
@@ -2914,6 +2934,37 @@ object LlmQueries {
       |    CAST(ANY_VALUE(a.sz1) + ANY_VALUE(bb.sz1) AS DOUBLE) AS sz
       |  FROM dg a JOIN dg bb ON a.g = bb.g AND a.doc_id < bb.doc_id
       |  GROUP BY a.doc_id, bb.doc_id)""".stripMargin
+
+  /** Shared d20/d21 span CTE chain: the Lee et al. ExactSubstr ground
+    * truth on gram STRINGS — positional 13-grams over the planted d8
+    * corpus, equality join into occurrence pairs, diagonal islands via
+    * pos − row_number. Ends at `isl` (one row per matched window);
+    * `tk` (doc_id, ts) stays visible for d21's removal replay. */
+  private val d20SpanCtes: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 1000000, text FROM documents
+      |  WHERE doc_id < 20
+      |  UNION ALL SELECT doc_id + 2000000, 'qq ww ee rr tt ' || text
+      |  FROM documents WHERE doc_id >= 20 AND doc_id < 40),
+      |tk AS (SELECT doc_id,
+      |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ts
+      |  FROM corpus),
+      |g0 AS (SELECT doc_id, ts,
+      |    unnest(generate_series(1, len(ts) - 12)) AS i
+      |  FROM tk WHERE len(ts) >= 13),
+      |g AS (SELECT doc_id, i - 1 AS pos,
+      |    array_to_string(ts[CAST(i AS INT):CAST(i AS INT) + 12], ' ') AS gs
+      |  FROM g0),
+      |p AS (SELECT a.doc_id AS id_a, a.pos AS pos_a,
+      |    b.doc_id AS id_b, b.pos AS pos_b
+      |  FROM g a JOIN g b ON a.gs = b.gs
+      |    AND (a.doc_id < b.doc_id
+      |      OR (a.doc_id = b.doc_id AND a.pos < b.pos))),
+      |isl AS (SELECT id_a, id_b, pos_a, pos_b, pos_a - pos_b AS diag,
+      |    pos_a - ROW_NUMBER() OVER (PARTITION BY id_a, id_b, pos_a - pos_b
+      |      ORDER BY pos_a) AS island
+      |  FROM p)""".stripMargin
 
   /** e2 oracle: the 8 seeded planes embedded as literal arrays
     * (Double.toString round-trips), each output dim one
@@ -4820,36 +4871,51 @@ object LlmQueries {
     // mismatch here): positional 13-gram equality join, diagonal
     // islands via the pos - row_number device, island size + 12 =
     // maximal span length. Same planted corpus as d8.
+    // (shared WITH chain: d20SpanCtes below the map)
     "d20_exact_substrings" ->
-      """WITH corpus AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL SELECT doc_id + 1000000, text FROM documents
-        |  WHERE doc_id < 20
-        |  UNION ALL SELECT doc_id + 2000000, 'qq ww ee rr tt ' || text
-        |  FROM documents WHERE doc_id >= 20 AND doc_id < 40),
-        |tk AS (SELECT doc_id,
-        |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ts
-        |  FROM corpus),
-        |g0 AS (SELECT doc_id, ts,
-        |    unnest(generate_series(1, len(ts) - 12)) AS i
-        |  FROM tk WHERE len(ts) >= 13),
-        |g AS (SELECT doc_id, i - 1 AS pos,
-        |    array_to_string(ts[CAST(i AS INT):CAST(i AS INT) + 12], ' ') AS gs
-        |  FROM g0),
-        |p AS (SELECT a.doc_id AS id_a, a.pos AS pos_a,
-        |    b.doc_id AS id_b, b.pos AS pos_b
-        |  FROM g a JOIN g b ON a.gs = b.gs
-        |    AND (a.doc_id < b.doc_id
-        |      OR (a.doc_id = b.doc_id AND a.pos < b.pos))),
-        |isl AS (SELECT id_a, id_b, pos_a, pos_b, pos_a - pos_b AS diag,
-        |    pos_a - ROW_NUMBER() OVER (PARTITION BY id_a, id_b, pos_a - pos_b
-        |      ORDER BY pos_a) AS island
-        |  FROM p)
+      s"""$d20SpanCtes
         |SELECT id_a, id_b, CAST(MIN(pos_a) AS BIGINT) AS start_a,
         |  CAST(MIN(pos_b) AS BIGINT) AS start_b,
         |  CAST(COUNT(*) + 12 AS BIGINT) AS span_tokens
         |FROM isl GROUP BY id_a, id_b, diag, island
         |ORDER BY id_a, id_b, start_a, start_b""".stripMargin,
+    // d21: d20's span chain + the removal replay — later (b-side)
+    // occurrences cut, per-doc interval UNION via the same
+    // max-over-preceding island device the Spark side's
+    // Intervals.merge uses (ordered by (s, e) on both engines), kept
+    // tokens re-assembled in position order and compared VERBATIM
+    "d21_substring_removal" ->
+      s"""$d20SpanCtes,
+        |spans AS (SELECT id_b AS id, MIN(pos_b) AS s,
+        |    MIN(pos_b) + COUNT(*) + 12 AS e
+        |  FROM isl GROUP BY id_a, id_b, diag, island),
+        |o1 AS (SELECT id, s, e,
+        |    MAX(e) OVER (PARTITION BY id ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+        |  FROM spans),
+        |o2 AS (SELECT id, s, e,
+        |    CASE WHEN pe IS NULL OR s > pe THEN 1 ELSE 0 END AS op FROM o1),
+        |o3 AS (SELECT id, s, e,
+        |    SUM(op) OVER (PARTITION BY id ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        |  FROM o2),
+        |miv AS (SELECT id, MIN(s) AS ms, MAX(e) AS me FROM o3
+        |  GROUP BY id, grp),
+        |ivl AS (SELECT id, list(struct_pack(s := ms, e := me)) AS ivs
+        |  FROM miv GROUP BY id),
+        |outt AS (SELECT b.doc_id AS id, len(b.ts) AS n_tokens,
+        |    CASE WHEN ivl.ivs IS NULL THEN b.ts
+        |    ELSE list_filter(list_transform(generate_series(1, len(b.ts)),
+        |      i -> CASE WHEN len(list_filter(ivl.ivs,
+        |          iv -> i - 1 >= iv.s AND i - 1 < iv.e)) = 0
+        |        THEN b.ts[CAST(i AS INT)] ELSE NULL END), x -> x IS NOT NULL)
+        |    END AS kept
+        |  FROM tk b LEFT JOIN ivl ON b.doc_id = ivl.id)
+        |SELECT id AS doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(len(kept) AS BIGINT) AS n_kept,
+        |  CAST(n_tokens - len(kept) AS BIGINT) AS n_removed,
+        |  COALESCE(array_to_string(kept, ' '), '') AS kept_text
+        |FROM outt ORDER BY doc_id""".stripMargin,
     // incremental dedup replayed as the all-pairs ground truth: every
     // batch doc against every pool doc with a smaller id (corpus ids
     // all precede batch ids here, so in_corpus OR pid < id reduces to

@@ -985,6 +985,54 @@ object Dedup {
       .select("id_a", "id_b", "start_a", "start_b", "span_tokens")
   }
 
+  /** d21: duplicate-span REMOVAL — the pipeline ACTION over
+    * [[exactSubstringSpans]]'s report (Lee et al. 2022 §4.1 actually
+    * rewrites the corpus, keeping one occurrence of each duplicated
+    * substring): for every reported span the LATER occurrence (the
+    * pair's b side — spans are emitted ordered, id_a < id_b or
+    * pos_a < pos_b within a doc) is cut, so the canonical (first)
+    * occurrence survives and chained copies (doc3 = doc2 = doc1)
+    * collapse onto the earliest. Per doc, the cut intervals union
+    * through [[Intervals.merge]] (q63's associative operator — spans
+    * from different partners overlap freely), and the kept text is one
+    * array-HOF filter over the token array: positions covered by no
+    * merged interval survive, in order.
+    *
+    * Returns (id, n_tokens, n_kept, n_removed, kept_text) over the
+    * NORMALIZED text (the span coordinate system).
+    *
+    * Scale shape: spans + merged intervals shuffle (id-keyed, interval
+    * counts bounded by doc length); the text joins ONCE against the
+    * per-doc interval array and the filter runs inside the row — no
+    * per-position explode. The quadratic-output caveat on
+    * [[exactSubstringSpans]] applies to the REPORT; the removal side
+    * only ever materializes per-doc interval sets, which are
+    * doc-length-bounded regardless of how many partners share a span. */
+  def removeDuplicateSpans(corpus: DataFrame, idCol: String,
+      textCol: String, minLen: Int = 13): DataFrame = {
+    val spans = exactSubstringSpans(corpus, idCol, textCol, minLen)
+    val ivs = graft.operators.Intervals.merge(
+        spans.select(col("id_b").as("id"), col("start_b").as("ss"),
+          (col("start_b") + col("span_tokens")).as("ee"), lit(1L).as("n")),
+        keyCol = "id")
+      .groupBy("id")
+      .agg(collect_list(struct(col("m_start").as("s"), col("m_end").as("e")))
+        .as("ivs"))
+    corpus
+      .select(col(idCol).cast("long").as("id"),
+        split(normText(col(textCol)), " ").as("ts"))
+      .join(ivs, Seq("id"), "left")
+      .select(col("id"), size(col("ts")).cast("long").as("n_tokens"),
+        when(col("ivs").isNull, col("ts")).otherwise(expr(
+          """filter(ts, (t, i) ->
+            |  !exists(ivs, iv -> i >= iv.s AND i < iv.e))""".stripMargin))
+          .as("kept"))
+      .select(col("id"), col("n_tokens"),
+        size(col("kept")).cast("long").as("n_kept"),
+        (col("n_tokens") - size(col("kept"))).as("n_removed"),
+        array_join(col("kept"), " ").as("kept_text"))
+  }
+
   /** C4-style corpus-level exact line dedup (Raffel et al. 2020 dedup
     * "all but one of any three-sentence span"; here the caller chooses
     * the line/span segmentation): every distinct line survives only at

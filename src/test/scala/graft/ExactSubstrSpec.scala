@@ -91,6 +91,64 @@ class ExactSubstrSpec extends AnyFunSuite {
     assert(spans(corpus).isEmpty)
   }
 
+  test("removal: canonical survives, copies empty, prefixes kept, chains collapse") {
+    val base = words(70, 40)
+    val pre = words(71, 5)
+    val corpus = Seq(
+      1L -> base.mkString(" "),
+      2L -> base.mkString(" "), // exact copy
+      3L -> base.mkString(" "), // chained third copy
+      4L -> (pre ++ base).mkString(" ") // prefixed copy
+    )
+    val out = Dedup.removeDuplicateSpans(
+        corpus.toDF("doc_id", "text"), "doc_id", "text", L)
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    // doc 1 is the earliest occurrence everywhere: fully intact
+    assert(out(1L) == ((1L, 40L, 40L, 0L, base.mkString(" "))))
+    // copies collapse onto the canonical — both become empty, not just
+    // the second (chains don't protect later copies)
+    assert(out(2L) == ((2L, 40L, 0L, 40L, "")))
+    assert(out(3L) == ((3L, 40L, 0L, 40L, "")))
+    // prefixed copy keeps exactly its 5 planted prefix tokens
+    assert(out(4L) == ((4L, 45L, 5L, 40L, pre.mkString(" "))))
+  }
+
+  test("removal: overlapping spans from different partners union before cutting") {
+    // doc 10's tokens [0,20) match doc 1, and [14,30) match doc 2 —
+    // the two cut intervals overlap in [14,20) and must union to
+    // [0,30), never double-count
+    val segA = words(80, 20)
+    val segB = words(81, 16)
+    val tail10 = words(82, 8)
+    val corpus = Seq(
+      1L -> (segA ++ words(83, 4)).mkString(" "),
+      2L -> (words(84, 6) ++ segA.drop(14) ++ segB.take(10)).mkString(" "),
+      10L -> (segA ++ segB.take(10) ++ tail10).mkString(" ")
+    )
+    val out = Dedup.removeDuplicateSpans(
+        corpus.toDF("doc_id", "text"), "doc_id", "text", L)
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    // doc 10: [0,20) cut vs doc 1; [6,30) cut vs doc 2 (segA.drop(14)
+    // ++ segB.take(10) = 16 tokens at doc10 offset 14... matched run
+    // is doc2's tokens [6,22) against doc10 [14,30) = 16 >= 13) —
+    // union [0,30), keeping only tail10
+    assert(out(10L)._5 == tail10.mkString(" "),
+      s"doc10 kept '${out(10L)._5}'")
+    assert(out(10L)._3 == 8L && out(10L)._4 == 30L)
+  }
+
+  test("removal: within-doc repeat drops the later occurrence only") {
+    val block = words(90, 15)
+    val mid = words(91, 6)
+    val corpus = Seq(20L -> (block ++ mid ++ block).mkString(" "))
+    val out = Dedup.removeDuplicateSpans(
+        corpus.toDF("doc_id", "text"), "doc_id", "text", L)
+      .as[(Long, Long, Long, Long, String)].collect().head
+    assert(out == ((20L, 36L, 21L, 15L, (block ++ mid).mkString(" "))))
+  }
+
   test("subsumes d8 dupSpans: span-covered grams == df>1 grams, per doc") {
     // d8's exact planted corpus shape in miniature: base docs, exact
     // copies, prefixed copies, plus a cross-doc shared segment
