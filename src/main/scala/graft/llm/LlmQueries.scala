@@ -3093,14 +3093,14 @@ object LlmQueries {
        |mo AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd,
        |    ${sums.mkString(",\n    ")}
        |  FROM ve),
-       |cv AS (SELECT ${rowdefs.mkString(",\n    ")} FROM mo),
+       |cv AS MATERIALIZED (SELECT ${rowdefs.mkString(",\n    ")} FROM mo),
        |a0 AS (SELECT $v0 AS v),
        |${chain("a", "cv", i => s"r$i")},
        |l1a AS (SELECT p.v AS v,
        |    [${(0 until d).map(i => s"list_inner_product(cv.r$i, p.v)").mkString(", ")}] AS cvv
        |  FROM cv, a$iters p),
        |l1 AS (SELECT v AS v1, list_inner_product(v, cvv) AS lam1 FROM l1a),
-       |cv2 AS (SELECT ${defl.mkString(",\n    ")} FROM cv, l1),
+       |cv2 AS MATERIALIZED (SELECT ${defl.mkString(",\n    ")} FROM cv, l1),
        |b0 AS (SELECT $v0 AS v),
        |${chain("b", "cv2", i => s"s$i")},
        |l2a AS (SELECT p.v AS v,
