@@ -1117,24 +1117,47 @@ object Dedup {
     * bounded, never pair enumeration); candidate id pairs are
     * distinct'd BEFORE the one levenshtein verify per pair (which
     * removes the false positives where different deletions collide at
-    * distance 2); hot variant blocks split under AQE like d2's bands. */
+    * distance 2); hot variant blocks split through [[saltBuckets]]
+    * (minhashPairs' device) so a mass-identical string set never lands
+    * its quadratic pair enumeration on one task. */
   def editDistancePairs(df: DataFrame, idCol: String,
-      strCol: String): DataFrame = {
+      strCol: String,
+      capBucket: Int = 4096, maxSalt: Int = 64): DataFrame = {
     val variants = expr(
       s"""array_union(
          |  array($strCol),
          |  transform(sequence(1, length($strCol)), i ->
          |    concat(substring($strCol, 1, i - 1),
          |      substring($strCol, i + 1, length($strCol)))))""".stripMargin)
-    val keyed = df.select(col(idCol).as("id"), col(strCol).as("name"),
-      explode(variants).as("vk"))
-    val xa = keyed.select(col("vk"), col("id").as("id_a"),
-      col("name").as("name_a"))
-    val xb = keyed.select(col("vk"), col("id").as("id_b"),
-      col("name").as("name_b"))
-    xa.join(xb, Seq("vk"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "name_a", "name_b").distinct()
+    // Block-local candidate generation through the SAME salted-bucket
+    // device as minhashPairs: a mass-identical string set (10k equal
+    // names → one variant bucket of 10k ids → 50M pairs on ONE task
+    // under the former self-join) now splits into bounded sub-group
+    // tasks. The bucket key is xxhash64(vk) — a collision can only ADD
+    // a candidate, which the levenshtein verify rejects, so recall is
+    // untouched (the pigeonhole completeness argument lives on the
+    // variant construction, not the key representation).
+    val keyed = df.select(col(idCol).cast("long").as("id"),
+        explode(variants).as("vk"))
+      .select(col("id"), lit(0).as("band"), xxhash64(col("vk")).as("key"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cand = saltBuckets(keyed, capBucket, maxSalt)
+      .select("id", "sub", "band", "key", "gi", "gj")
+      .as[(Long, Int, Int, Long, Int, Int)]
+      .groupByKey(t => (t._3, t._4, t._5, t._6))
+      .flatMapGroups { (key, it) =>
+        groupPairs(it.map(t => (t._1, t._2)).toArray, key._3, key._4)
+      }
+      .toDF("id_a", "id_b")
+      .distinct()
+    val names = df.select(col(idCol).cast("long").as("id"),
+      col(strCol).as("name"))
+    cand
+      .join(names.withColumnRenamed("id", "id_a")
+        .withColumnRenamed("name", "name_a"), "id_a")
+      .join(names.withColumnRenamed("id", "id_b")
+        .withColumnRenamed("name", "name_b"), "id_b")
       .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
       .filter(col("dist") <= 1)
       .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))

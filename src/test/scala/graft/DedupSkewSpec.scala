@@ -50,6 +50,32 @@ class DedupSkewSpec extends AnyFunSuite {
     assert(sizes.max <= 3000, s"largest salted group ${sizes.max}")
   }
 
+  test("edit-distance salted pairs equal unsalted on a mass-identical name set") {
+    // 150 identical names + 30 distinct near-variants: the identical
+    // set is ONE variant bucket (the d14 straggler shape); salted and
+    // unsalted must agree exactly, and every ham<=1 pair must be found
+    val docs = ((0L until 150L).map(i => (i, "supplier#000000042")) ++
+      Seq((200L, "supplier#000000043"), (201L, "supplier#00000004"),
+        (202L, "supplier#0000000421"), (203L, "zupplier#000000042")))
+      .toDF("id", "nm")
+    val salted = Dedup.editDistancePairs(docs, "id", "nm",
+        capBucket = 16, maxSalt = 8)
+      .select("id_a", "id_b", "dist").as[(Long, Long, Long)].collect().toSet
+    val unsalted = Dedup.editDistancePairs(docs, "id", "nm",
+        capBucket = Int.MaxValue, maxSalt = 1)
+      .select("id_a", "id_b", "dist").as[(Long, Long, Long)].collect().toSet
+    assert(salted == unsalted)
+    // the clique: C(150,2) dist-0 pairs, plus each variant pairs with
+    // all 150 originals at dist 1 (substitute / delete / insert), plus
+    // variant-variant pairs where applicable
+    val clique = salted.filter { case (a, b, d) => a < 150 && b < 150 && d == 0 }
+    assert(clique.size == 150 * 149 / 2)
+    Seq(200L, 201L, 202L, 203L).foreach { v =>
+      assert(salted.count { case (a, b, _) => b == v && a < 150 } == 150,
+        s"variant $v must pair with every original")
+    }
+  }
+
   test("healthy buckets pay zero replication (nsalt = 1)") {
     val exploded = (0L until 50L).map(i => (i, 0, i % 10)).toDF("id", "band", "key")
     val out = Dedup.saltBuckets(exploded, cap = 100, maxSalt = 8)
