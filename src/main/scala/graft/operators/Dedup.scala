@@ -958,15 +958,7 @@ object Dedup {
     * gate mismatch rather than hide). */
   def exactSubstringSpans(corpus: DataFrame, idCol: String,
       textCol: String, minLen: Int = 13): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val grams = corpus
-      .select(col(idCol).cast("long").as("id"),
-        split(normText(col(textCol)), " ").as("ts"))
-      .filter(size(col("ts")) >= minLen)
-      .select(col("id"), posexplode(expr(
-        s"""transform(sequence(0, size(ts) - $minLen),
-           |  i -> xxhash64(concat_ws(' ', slice(ts, i + 1, $minLen))))"""
-          .stripMargin)).as(Seq("pos", "gh")))
+    val grams = positionalGrams(corpus, idCol, textCol, minLen)
     val lhs = grams.select(col("gh"), col("id").as("id_a"),
       col("pos").as("pos_a"))
     val rhs = grams.select(col("gh"), col("id").as("id_b"),
@@ -975,6 +967,30 @@ object Dedup {
       .filter(col("id_a") < col("id_b") ||
         (col("id_a") === col("id_b") && col("pos_a") < col("pos_b")))
       .select("id_a", "pos_a", "id_b", "pos_b")
+    diagonalSpans(pairs, minLen)
+  }
+
+  /** The (id, pos, gramHash) positional index [[exactSubstringSpans]]
+    * and [[crossSubstringSpans]] join on — one row per `minLen`-token
+    * forward window of the normalized text, ~20 B regardless of doc
+    * size. Build ONCE over a closed pool at deployment (the
+    * leakageIndex discipline) and per trigger over arriving batches. */
+  def positionalGrams(corpus: DataFrame, idCol: String,
+      textCol: String, minLen: Int = 13): DataFrame =
+    corpus
+      .select(col(idCol).cast("long").as("id"),
+        split(normText(col(textCol)), " ").as("ts"))
+      .filter(size(col("ts")) >= minLen)
+      .select(col("id"), posexplode(expr(
+        s"""transform(sequence(0, size(ts) - $minLen),
+           |  i -> xxhash64(concat_ws(' ', slice(ts, i + 1, $minLen))))"""
+          .stripMargin)).as(Seq("pos", "gh")))
+
+  /** Maximal-island fold shared by the span operators: matched window
+    * pairs (id_a, pos_a, id_b, pos_b) → maximal spans per diagonal
+    * (see [[exactSubstringSpans]]'s correctness argument). */
+  private def diagonalSpans(pairs: DataFrame, minLen: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val diag = pairs.withColumn("diag", col("pos_a") - col("pos_b"))
     val w = Window.partitionBy("id_a", "id_b", "diag").orderBy("pos_a")
     diag.withColumn("island", col("pos_a") - row_number().over(w))
@@ -983,6 +999,25 @@ object Dedup {
         min("pos_b").cast("long").as("start_b"),
         (count(lit(1)) + (minLen - 1)).as("span_tokens"))
       .select("id_a", "id_b", "start_a", "start_b", "span_tokens")
+  }
+
+  /** CROSS-corpus exact-substring spans over PRE-BUILT positional
+    * indexes ([[positionalGrams]]) — the d20 report restricted to
+    * (pool doc, batch doc) pairs, the kernel streaming S40 drives:
+    * every maximal token span ≥ minLen that a batch doc shares with
+    * some pool doc, with both offsets. Id spaces must be disjoint by
+    * contract (pool closed at deployment; batch ids fresh) — no
+    * ordered-pair filter is applied, a (pool, batch) pair is reported
+    * once as (id_a = pool, id_b = batch). */
+  def crossSubstringSpans(poolIdx: DataFrame, batchIdx: DataFrame,
+      minLen: Int = 13): DataFrame = {
+    val pairs = poolIdx
+      .select(col("gh"), col("id").as("id_a"), col("pos").as("pos_a"))
+      .join(batchIdx
+        .select(col("gh"), col("id").as("id_b"), col("pos").as("pos_b")),
+        Seq("gh"))
+      .select("id_a", "pos_a", "id_b", "pos_b")
+    diagonalSpans(pairs, minLen)
   }
 
   /** d21: duplicate-span REMOVAL — the pipeline ACTION over

@@ -268,6 +268,64 @@ object StreamingOps {
       .start()
   }
 
+  /** S40: streaming exact-substring guard — d20's live half and S34's
+    * positional sibling: each arriving doc is checked for MAXIMAL
+    * exact token overlaps ≥ `minLen` against a FIXED reference pool
+    * (the deployment corpus / eval set), via
+    * [[graft.operators.Dedup.crossSubstringSpans]] over the pool's
+    * positional-gram index, built and cached ONCE for the stream's
+    * lifetime. Where S34 answers "is this doc a near-dup of the pool"
+    * (set similarity), S40 answers "WHICH exact spans does it copy
+    * and from where" — the contamination-span / quotation read.
+    *
+    * Emits one verdict row per batch doc per trigger: (id, n_spans,
+    * max_span, n_copied_tokens) with zeros for clean docs —
+    * n_copied_tokens is the UNION of the doc's span intervals
+    * ([[graft.operators.Intervals.merge]], d21's device), so
+    * overlapping matches from different pool partners never
+    * double-count. Stateless across triggers (the pool is closed;
+    * batches judge independently), so recovery is trivial — replayed
+    * triggers recompute identical verdicts. */
+  def streamingSubstringGuard(docs: DataFrame, pool: DataFrame,
+      idCol: String, textCol: String, minLen: Int = 13,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val poolIdx = graft.operators.Dedup
+      .positionalGrams(pool, idCol, textCol, minLen).persist()
+    docs.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val batch = b.toDF()
+        val batchIdx = graft.operators.Dedup
+          .positionalGrams(batch, idCol, textCol, minLen).persist()
+        try {
+          val spans = graft.operators.Dedup
+            .crossSubstringSpans(poolIdx, batchIdx, minLen)
+          val merged = graft.operators.Intervals.merge(
+            spans.select(col("id_b").as("id"), col("start_b").as("ss"),
+              (col("start_b") + col("span_tokens")).as("ee"),
+              lit(1L).as("n")),
+            keyCol = "id")
+          val perDoc = spans.groupBy(col("id_b").as("id"))
+            .agg(count(lit(1)).as("n_spans"),
+              max(col("span_tokens")).as("max_span"))
+            .join(merged.groupBy("id")
+              .agg(sum(col("m_end") - col("m_start"))
+                .as("n_copied_tokens")), Seq("id"))
+          sink(batch
+            .select(col(idCol).cast("long").as("id"))
+            .join(perDoc, Seq("id"), "left")
+            .select(col("id"),
+              coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+              coalesce(col("max_span"), lit(0L)).as("max_span"),
+              coalesce(col("n_copied_tokens"), lit(0L))
+                .as("n_copied_tokens")))
+        } finally batchIdx.unpersist() // trigger-scoped, like S34
+      }
+      .trigger(trigger)
+      .start()
+  }
+
   /** S35: streaming autocorrelation monitor — t65's live half. State
     * per user is the five exact Pearson sums per lag (DECIMAL(38,0),
     * additive) plus the last SEVEN (day, x) observations — the

@@ -807,6 +807,89 @@ class StreamingSpec extends AnyFunSuite {
     assert(!last.exists(_._1 == 5L))
   }
 
+  test("S40: streaming substring guard equals the batch cross-span relation and d20's restriction") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    // pool = docs with doc_id % 3 == 0; the crawl: exact copies of
+    // pool docs (full-doc span expected), 5-token-prefixed copies of
+    // non-pool docs (span only if naturally shared with a pool doc),
+    // and reversed-word novels (clean), over two triggers
+    val docs = Tables.t(spark, sf, "documents").select("doc_id", "text")
+      .as[(Long, String)].collect().toSeq
+    val pool = docs.filter(_._1 % 3 == 0).toDF("doc_id", "text")
+    val crawl = docs.filter(_._1 % 3 == 0).take(20)
+        .map { case (id, t) => (id + 5000000L, t) } ++
+      docs.filter(_._1 % 3 == 1).take(20)
+        .map { case (id, t) => (id + 6000000L, "qq ww ee rr tt " + t) } ++
+      docs.filter(_._1 % 3 == 2).take(20).map { case (id, t) =>
+        (id + 7000000L,
+          t.trim.toLowerCase.split("\\s+").reverse.mkString(" ")) }
+    val (first, second) = crawl.partition(_._1 % 2 == 0)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long)]
+    val q = StreamingOps.streamingSubstringGuard(
+        mem.toDF().toDF("doc_id", "text"), pool, "doc_id", "text",
+        trigger = Trigger.ProcessingTime(0L)) { d =>
+      got.synchronized {
+        got ++= d.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      }
+    }
+    mem.addData(first: _*)
+    q.processAllAvailable()
+    mem.addData(second: _*)
+    q.processAllAvailable()
+    q.stop()
+    // batch twin: the whole crawl at once (pool CLOSED → per-trigger
+    // independence); built from the same public kernels
+    val poolIdx = operators.Dedup.positionalGrams(pool, "doc_id", "text")
+    val crawlIdx = operators.Dedup.positionalGrams(
+      crawl.toDF("doc_id", "text"), "doc_id", "text")
+    val spans = operators.Dedup.crossSubstringSpans(poolIdx, crawlIdx)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val bySpanDoc = spans.groupBy(_._2)
+    val expect = crawl.map { case (id, _) =>
+      bySpanDoc.get(id) match {
+        case None => (id, 0L, 0L, 0L)
+        case Some(ss) =>
+          // interval union for copied-token count (the operator's
+          // contract), recomputed independently here
+          val ivs = ss.map(s => (s._4, s._4 + s._5)).sortBy(identity)
+          val merged = ivs.foldLeft(List.empty[(Long, Long)]) {
+            case (acc, (s, e)) => acc match {
+              case (ps, pe) :: t if s <= pe =>
+                (ps, math.max(pe, e)) :: t
+              case _ => (s, e) :: acc
+            }
+          }
+          (id, ss.size.toLong, ss.map(_._5).max,
+            merged.map { case (s, e) => e - s }.sum)
+      }
+    }.toSet
+    assert(got.size == crawl.size && got.toSet == expect,
+      s"stream guard diverged (${got.size} rows vs ${expect.size})")
+    // planted truth: every exact pool copy is fully covered
+    val byId = got.map(r => r._1 -> r).toMap
+    docs.filter(_._1 % 3 == 0).take(20).foreach { case (id, t) =>
+      val n = t.trim.toLowerCase.split("\\s+").length
+      if (n >= 13) {
+        val v = byId(id + 5000000L)
+        assert(v._3 >= n && v._4 >= n, s"pool copy $id under-covered: $v")
+      }
+    }
+    // and d20 consistency: crossSubstringSpans == exactSubstringSpans
+    // over pool ∪ crawl restricted to (pool, crawl) pairs
+    val full = operators.Dedup.exactSubstringSpans(
+        pool.union(crawl.toDF("doc_id", "text")), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+      .filter(s => s._1 < 5000000L && s._2 >= 5000000L).toSet
+    assert(spans.toSet == full, "cross spans diverge from d20's restriction")
+  }
+
   test("S34: streaming leakage guard verdicts equal the batch cross-boundary relation") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
