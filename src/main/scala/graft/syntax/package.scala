@@ -188,6 +188,19 @@ package object syntax {
     def dedupLines(idCol: String, linesCol: String): DataFrame =
       operators.Dedup.dedupLines(df, idCol, linesCol)
 
+    /** Maximal exact duplicated-substring spans ≥ `minLen` tokens
+      * (Lee et al. 2022 ExactSubstr report — d20). */
+    def dupSubstrings(idCol: String, textCol: String,
+        minLen: Int = 13): DataFrame =
+      operators.Dedup.exactSubstringSpans(df, idCol, textCol, minLen)
+
+    /** Corpus rewrite removing every duplicated substring's later
+      * occurrence (Lee et al. 2022 ExactSubstr removal — d21); returns
+      * (id, n_tokens, n_kept, n_removed, kept_text). */
+    def dedupSubstrings(idCol: String, textCol: String,
+        minLen: Int = 13): DataFrame =
+      operators.Dedup.removeDuplicateSpans(df, idCol, textCol, minLen)
+
     /** Gopher quality rule-set signals + verdicts appended per row
       * (`textCol` must be the framed multi-line text). */
     def gopherQuality(textCol: String): DataFrame = {

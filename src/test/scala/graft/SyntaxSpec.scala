@@ -354,4 +354,18 @@ class VectorOpsExtraSpec extends org.scalatest.funsuite.AnyFunSuite {
       .map(r => r.getString(0) -> r.getDouble(2)).toMap
     assert(pv("pc1") > 0.999)
   }
+
+  test("dupSubstrings / dedupSubstrings verbs delegate to the d20/d21 kernels") {
+    import spark.implicits._
+    val base = (0 until 20).map(i => s"w$i").mkString(" ")
+    val docs = Seq(1L -> base, 2L -> base, 3L -> ("zz " + base))
+      .toDF("doc_id", "text")
+    val spans = docs.dupSubstrings("doc_id", "text")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(spans.contains((1L, 2L, 0L, 0L, 20L)))
+    assert(spans.contains((1L, 3L, 0L, 1L, 20L)))
+    val kept = docs.dedupSubstrings("doc_id", "text")
+      .select("doc_id", "kept_text").as[(Long, String)].collect().toMap
+    assert(kept(1L) == base && kept(2L) == "" && kept(3L) == "zz")
+  }
 }
