@@ -365,7 +365,7 @@ class VectorOpsExtraSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(spans.contains((1L, 2L, 0L, 0L, 20L)))
     assert(spans.contains((1L, 3L, 0L, 1L, 20L)))
     val kept = docs.dedupSubstrings("doc_id", "text")
-      .select("doc_id", "kept_text").as[(Long, String)].collect().toMap
+      .select("id", "kept_text").as[(Long, String)].collect().toMap
     assert(kept(1L) == base && kept(2L) == "" && kept(3L) == "zz")
   }
 }
