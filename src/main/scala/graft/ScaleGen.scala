@@ -36,9 +36,9 @@ import org.apache.spark.sql.functions._
   * - events: an 80/20 hot-user factor — 20% of events reassign
   *   user_id to a global 16-user hot set (session/window partitions
   *   q24/q49/q51/q53 grow 16 straggler keys with k).
-  * - documents: 10% of docs swap their text for a GLOBAL 40-token
-  *   template prefix (not shard-suffixed) + their own last-20 tokens
-  *   — shingle overlap ≈ 0.49 Jaccard: BELOW the 0.5 dedup threshold
+  * - documents: 10% of docs swap their text for a GLOBAL 30-token
+  *   template prefix (not shard-suffixed) + their own last-24 tokens
+  *   — shingle overlap ≈ 28/76 ≈ 0.37 Jaccard: BELOW the 0.5 threshold
   *   (true-pair sets stay ~fixed) but band-collision-hot, so the
   *   d2/d6/d19/p7 LSH band buckets and the verify join grow
   *   quadratically-candidate hot buckets with k — the exact stress

@@ -1546,6 +1546,50 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** d22: d20's report with the exactGroups pre-collapse fused in
+    * ([[graft.operators.Dedup.exactSubstringSpansGrouped]]) — the
+    * 100 TB form when duplicate mass is BIT-IDENTICAL: identical docs
+    * collapse to min-id representatives before the gram join and each
+    * span row carries its expanded-pair multiplicity arithmetically.
+    * Corpus = d20's planted corpus plus a THIRD copy of docs < 10
+    * (groups of size 3), so every multiplicity rule — |A|·|B| cross,
+    * G + C(G,2) within, C(G,2) mirror and full-doc — is exercised
+    * with G ∈ {1, 2, 3}; ExactSubstrSpec proves the expansion equals
+    * d20 row-for-row. */
+  def d22SubstringsGrouped(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val corpus = docs.select("doc_id", "text")
+      .union(docs.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      .union(docs.filter(col("doc_id") >= 20 && col("doc_id") < 40)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(lit("qq ww ee rr tt "), col("text")).as("text")))
+      .union(docs.filter(col("doc_id") < 10)
+        .select((col("doc_id") + 3000000L).as("doc_id"), col("text")))
+    Dedup.exactSubstringSpansGrouped(corpus, "doc_id", "text", minLen = 13)
+      .orderBy("id_a", "id_b", "start_a", "start_b")
+  }
+
+  /** d23: d21's corpus rewrite WITHOUT pair enumeration
+    * ([[graft.operators.Dedup.removeDuplicateSpansOwned]]) — a window
+    * is cut iff it is not its gram's lexicographically-first
+    * occurrence, one linear ownership pass where the pair form is
+    * quadratic in gram df. Same planted corpus as d21 and the SAME
+    * oracle SQL: the DuckDB gate itself certifies the two forms
+    * produce identical rewrites. */
+  def d23SubstringRemovalOwned(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val corpus = docs.select("doc_id", "text")
+      .union(docs.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      .union(docs.filter(col("doc_id") >= 20 && col("doc_id") < 40)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(lit("qq ww ee rr tt "), col("text")).as("text")))
+    Dedup.removeDuplicateSpansOwned(corpus, "doc_id", "text", minLen = 13)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
   // ---- L29: incremental (continuous-crawl) dedup ---------------------------
   /** Corpus = documents; batch = 15 exact re-crawls (docs 0–14), 15
     * near re-crawls with a 2-token suffix (15–29), 15 novel docs built
@@ -2402,6 +2446,8 @@ object LlmQueries {
     "d8_dup_spans" -> d8DupSpans _,
     "d20_exact_substrings" -> d20ExactSubstrings _,
     "d21_substring_removal" -> d21SubstringRemoval _,
+    "d22_substrings_grouped" -> d22SubstringsGrouped _,
+    "d23_substring_removal_owned" -> d23SubstringRemovalOwned _,
     "d9_incremental_dedup" -> d9IncrementalDedup _,
     "e1_embed_outliers" -> e1EmbedOutliers _,
     "e2_random_projection" -> e2RandomProjection _,
@@ -2965,6 +3011,88 @@ object LlmQueries {
       |    pos_a - ROW_NUMBER() OVER (PARTITION BY id_a, id_b, pos_a - pos_b
       |      ORDER BY pos_a) AS island
       |  FROM p)""".stripMargin
+
+  /** d21/d23 removal replay: d20's span chain + later (b-side)
+    * occurrences cut, per-doc interval UNION via the same
+    * max-over-preceding island device the Spark side's Intervals.merge
+    * uses, kept tokens re-assembled in position order and compared
+    * VERBATIM. d23 (the pair-free OWNED form) shares this string
+    * byte-for-byte: its contract is exactly "identical rewrite". */
+  private val d21RemovalSql: String =
+    s"""$d20SpanCtes,
+      |spans AS (SELECT id_b AS id, MIN(pos_b) AS s,
+      |    MIN(pos_b) + COUNT(*) + 12 AS e
+      |  FROM isl GROUP BY id_a, id_b, diag, island),
+      |o1 AS (SELECT id, s, e,
+      |    MAX(e) OVER (PARTITION BY id ORDER BY s, e
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+      |  FROM spans),
+      |o2 AS (SELECT id, s, e,
+      |    CASE WHEN pe IS NULL OR s > pe THEN 1 ELSE 0 END AS op FROM o1),
+      |o3 AS (SELECT id, s, e,
+      |    SUM(op) OVER (PARTITION BY id ORDER BY s, e
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+      |  FROM o2),
+      |miv AS (SELECT id, MIN(s) AS ms, MAX(e) AS me FROM o3
+      |  GROUP BY id, grp),
+      |ivl AS (SELECT id, list(struct_pack(s := ms, e := me)) AS ivs
+      |  FROM miv GROUP BY id),
+      |outt AS (SELECT b.doc_id AS id, len(b.ts) AS n_tokens,
+      |    CASE WHEN ivl.ivs IS NULL THEN b.ts
+      |    ELSE list_filter(list_transform(generate_series(1, len(b.ts)),
+      |      i -> CASE WHEN len(list_filter(ivl.ivs,
+      |          iv -> i - 1 >= iv.s AND i - 1 < iv.e)) = 0
+      |        THEN b.ts[CAST(i AS INT)] ELSE NULL END), x -> x IS NOT NULL)
+      |    END AS kept
+      |  FROM tk b LEFT JOIN ivl ON b.doc_id = ivl.id)
+      |SELECT id AS doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+      |  CAST(len(kept) AS BIGINT) AS n_kept,
+      |  CAST(n_tokens - len(kept) AS BIGINT) AS n_removed,
+      |  COALESCE(array_to_string(kept, ' '), '') AS kept_text
+      |FROM outt ORDER BY doc_id""".stripMargin
+
+  private val d23RemovalSql: String = d21RemovalSql
+
+  /** d22 CTE chain: d20's gram/island device over the GROUPED corpus —
+    * identity groups on the normalized text (rep = min id), grams and
+    * islands over representatives only; `sz`/`tk` feed the
+    * multiplicity arithmetic. Corpus = d20's + a third copy of
+    * docs < 10. */
+  private val d22GroupedCtes: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 1000000, text FROM documents
+      |  WHERE doc_id < 20
+      |  UNION ALL SELECT doc_id + 2000000, 'qq ww ee rr tt ' || text
+      |  FROM documents WHERE doc_id >= 20 AND doc_id < 40
+      |  UNION ALL SELECT doc_id + 3000000, text FROM documents
+      |  WHERE doc_id < 10),
+      |nrm AS (SELECT doc_id,
+      |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+      |  FROM corpus),
+      |grp AS (SELECT nt, MIN(doc_id) AS rep, COUNT(*) AS gsz
+      |  FROM nrm GROUP BY nt),
+      |sz AS (SELECT rep, gsz FROM grp),
+      |tk AS (SELECT rep AS doc_id, gsz, string_split(nt, ' ') AS ts
+      |  FROM grp),
+      |g0 AS (SELECT doc_id, ts,
+      |    unnest(generate_series(1, len(ts) - 12)) AS i
+      |  FROM tk WHERE len(ts) >= 13),
+      |g AS (SELECT doc_id, i - 1 AS pos,
+      |    array_to_string(ts[CAST(i AS INT):CAST(i AS INT) + 12], ' ') AS gs
+      |  FROM g0),
+      |p AS (SELECT a.doc_id AS id_a, a.pos AS pos_a,
+      |    b.doc_id AS id_b, b.pos AS pos_b
+      |  FROM g a JOIN g b ON a.gs = b.gs
+      |    AND (a.doc_id < b.doc_id
+      |      OR (a.doc_id = b.doc_id AND a.pos < b.pos))),
+      |isl AS (SELECT id_a, id_b, pos_a, pos_b, pos_a - pos_b AS diag,
+      |    pos_a - ROW_NUMBER() OVER (PARTITION BY id_a, id_b, pos_a - pos_b
+      |      ORDER BY pos_a) AS island
+      |  FROM p),
+      |spans AS (SELECT id_a, id_b, MIN(pos_a) AS start_a,
+      |    MIN(pos_b) AS start_b, COUNT(*) + 12 AS span_tokens
+      |  FROM isl GROUP BY id_a, id_b, diag, island)""".stripMargin
 
   /** e2 oracle: the 8 seeded planes embedded as literal arrays
     * (Double.toString round-trips), each output dim one
@@ -4884,38 +5012,44 @@ object LlmQueries {
     // max-over-preceding island device the Spark side's
     // Intervals.merge uses (ordered by (s, e) on both engines), kept
     // tokens re-assembled in position order and compared VERBATIM
-    "d21_substring_removal" ->
-      s"""$d20SpanCtes,
-        |spans AS (SELECT id_b AS id, MIN(pos_b) AS s,
-        |    MIN(pos_b) + COUNT(*) + 12 AS e
-        |  FROM isl GROUP BY id_a, id_b, diag, island),
-        |o1 AS (SELECT id, s, e,
-        |    MAX(e) OVER (PARTITION BY id ORDER BY s, e
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
-        |  FROM spans),
-        |o2 AS (SELECT id, s, e,
-        |    CASE WHEN pe IS NULL OR s > pe THEN 1 ELSE 0 END AS op FROM o1),
-        |o3 AS (SELECT id, s, e,
-        |    SUM(op) OVER (PARTITION BY id ORDER BY s, e
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
-        |  FROM o2),
-        |miv AS (SELECT id, MIN(s) AS ms, MAX(e) AS me FROM o3
-        |  GROUP BY id, grp),
-        |ivl AS (SELECT id, list(struct_pack(s := ms, e := me)) AS ivs
-        |  FROM miv GROUP BY id),
-        |outt AS (SELECT b.doc_id AS id, len(b.ts) AS n_tokens,
-        |    CASE WHEN ivl.ivs IS NULL THEN b.ts
-        |    ELSE list_filter(list_transform(generate_series(1, len(b.ts)),
-        |      i -> CASE WHEN len(list_filter(ivl.ivs,
-        |          iv -> i - 1 >= iv.s AND i - 1 < iv.e)) = 0
-        |        THEN b.ts[CAST(i AS INT)] ELSE NULL END), x -> x IS NOT NULL)
-        |    END AS kept
-        |  FROM tk b LEFT JOIN ivl ON b.doc_id = ivl.id)
-        |SELECT id AS doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
-        |  CAST(len(kept) AS BIGINT) AS n_kept,
-        |  CAST(n_tokens - len(kept) AS BIGINT) AS n_removed,
-        |  COALESCE(array_to_string(kept, ' '), '') AS kept_text
-        |FROM outt ORDER BY doc_id""".stripMargin,
+    "d21_substring_removal" -> d21RemovalSql,
+    // d23: the OWNED (pair-free) removal must produce the identical
+    // rewrite — same corpus, same oracle, verbatim (the equality is
+    // also spec-proven in ExactSubstrSpec; here the DuckDB gate
+    // certifies it against the independent pair-form replay)
+    "d23_substring_removal_owned" -> d23RemovalSql,
+    // d22: grouped d20 — identity groups over normalized text, the
+    // SAME positional-gram/island chain over REPRESENTATIVES only,
+    // then the four multiplicity rules (cross |A|·|B|; within
+    // G + C(G,2); mirror C(G,2); diagonal-0 full-document C(G,2))
+    // as a UNION ALL, replayed on gram STRINGS like d20
+    "d22_substrings_grouped" ->
+      s"""$d22GroupedCtes
+        |SELECT id_a, id_b, CAST(start_a AS BIGINT) AS start_a,
+        |  CAST(start_b AS BIGINT) AS start_b,
+        |  CAST(span_tokens AS BIGINT) AS span_tokens,
+        |  CAST(n_pairs AS BIGINT) AS n_pairs
+        |FROM (
+        |  SELECT s.id_a, s.id_b, s.start_a, s.start_b, s.span_tokens,
+        |    sa.gsz * sb.gsz AS n_pairs
+        |  FROM spans s JOIN sz sa ON s.id_a = sa.rep
+        |    JOIN sz sb ON s.id_b = sb.rep
+        |  WHERE s.id_a <> s.id_b
+        |  UNION ALL
+        |  SELECT s.id_a, s.id_b, s.start_a, s.start_b, s.span_tokens,
+        |    z.gsz + z.gsz * (z.gsz - 1) // 2
+        |  FROM spans s JOIN sz z ON s.id_a = z.rep WHERE s.id_a = s.id_b
+        |  UNION ALL
+        |  SELECT s.id_a, s.id_b, s.start_b, s.start_a, s.span_tokens,
+        |    z.gsz * (z.gsz - 1) // 2
+        |  FROM spans s JOIN sz z ON s.id_a = z.rep
+        |  WHERE s.id_a = s.id_b AND z.gsz >= 2
+        |  UNION ALL
+        |  SELECT t.doc_id, t.doc_id, 0, 0, len(t.ts),
+        |    t.gsz * (t.gsz - 1) // 2
+        |  FROM tk t WHERE t.gsz >= 2 AND len(t.ts) >= 13
+        |)
+        |ORDER BY id_a, id_b, start_a, start_b""".stripMargin,
     // incremental dedup replayed as the all-pairs ground truth: every
     // batch doc against every pool doc with a smaller id (corpus ids
     // all precede batch ids here, so in_corpus OR pid < id reduces to

@@ -970,6 +970,89 @@ object Dedup {
     diagonalSpans(pairs, minLen)
   }
 
+  /** d22: [[exactSubstringSpans]] with the exactGroups pre-collapse
+    * FUSED IN — the documented "mass-identical content falls to
+    * exactGroups first" posture as code, not prose. Bit-identical
+    * documents (same normalized text) collapse to their min-id
+    * REPRESENTATIVE before the positional-gram join, the diagonal scan
+    * runs over representatives only, and each surviving span carries
+    * its pair MULTIPLICITY arithmetically instead of enumerating
+    * member pairs: a group of G identical docs contributes G·(G−1)/2
+    * expanded pairs per cross row without a single extra joined row.
+    *
+    * Returns (id_a, id_b, start_a, start_b, span_tokens, n_pairs) with
+    * id_a/id_b GROUP REPRESENTATIVES; n_pairs counts the d20 rows the
+    * row stands for. Expansion rules (ExactSubstrSpec proves the
+    * expanded multiset equals [[exactSubstringSpans]] exactly):
+    *
+    *  - cross-group row (id_a ≠ id_b): every (x ∈ A, y ∈ B) member
+    *    pair shares the span — n_pairs = |A|·|B|. The expanded pair
+    *    orients by member ids: when min(x,y) sits in B the starts
+    *    swap sides (spans between identical texts are symmetric).
+    *  - within-group, start_a < start_b: the representative's
+    *    within-doc span. Every member has it (G copies), and every
+    *    distinct member pair ALSO shares it cross-doc in this
+    *    orientation — n_pairs = G + G·(G−1)/2.
+    *  - within-group, start_a > start_b (emitted only when G ≥ 2):
+    *    the MIRROR — between two identical member docs the match set
+    *    is the text's full self-match relation, so each within-doc
+    *    island also appears with sides swapped — n_pairs = G·(G−1)/2.
+    *  - within-group, start_a = start_b = 0 (G ≥ 2, doc ≥ minLen
+    *    tokens): the diagonal-0 FULL-DOCUMENT span (span_tokens =
+    *    doc length) every distinct member pair shares — n_pairs =
+    *    G·(G−1)/2.
+    *
+    * Scale shape: the gram join's Σ df² runs over DISTINCT-text df, so
+    * a million bit-identical boilerplate docs cost ONE doc's grams +
+    * one hash aggregate — the quadratic blowup moves into the n_pairs
+    * integer. Content that is near-identical but not bit-identical
+    * (shared prefixes/templates with unique tails) does NOT collapse —
+    * its pair output is genuinely quadratic and this report stays
+    * output-bound there; the REWRITE escape hatch for that regime is
+    * [[removeDuplicateSpansOwned]], which never enumerates pairs at
+    * all. */
+  def exactSubstringSpansGrouped(corpus: DataFrame, idCol: String,
+      textCol: String, minLen: Int = 13): DataFrame = {
+    val norm = corpus.select(col(idCol).cast("long").as("id"),
+      normText(col(textCol)).as("nt"))
+    val withDg = norm.withColumn("dg", sha2(col("nt"), 256))
+    // identity groups: only (digest, id) pairs shuffle, never text
+    val groups = withDg.groupBy("dg")
+      .agg(min("id").as("rep"), count(lit(1)).as("gsz"))
+    val reps = withDg.join(groups, Seq("dg"))
+      .filter(col("id") === col("rep"))
+      .select(col("id"), col("nt"), col("gsz"),
+        size(split(col("nt"), " ")).cast("long").as("n_toks"))
+      .persist()
+    val sz = reps.select(col("id"), col("gsz"))
+    // the d20 diagonal scan, representatives only (normText is
+    // idempotent, so re-normalizing nt inside is a no-op)
+    val repSpans = exactSubstringSpans(reps, "id", "nt", minLen)
+    val half = expr("gsz * (gsz - 1) DIV 2")
+    val cross = repSpans.filter(col("id_a") =!= col("id_b"))
+      .join(sz.toDF("id_a", "gsz_a"), "id_a")
+      .join(sz.toDF("id_b", "gsz_b"), "id_b")
+      .select(col("id_a"), col("id_b"), col("start_a"), col("start_b"),
+        col("span_tokens"), (col("gsz_a") * col("gsz_b")).as("n_pairs"))
+    val within = repSpans.filter(col("id_a") === col("id_b"))
+      .join(sz.toDF("id_a", "gsz"), "id_a")
+      .persist()
+    val withinRows = within.select(col("id_a"),
+      col("id_a").as("id_b"), col("start_a"), col("start_b"),
+      col("span_tokens"), (col("gsz") + half).as("n_pairs"))
+    val mirrorRows = within.filter(col("gsz") >= 2)
+      .select(col("id_a"), col("id_a").as("id_b"),
+        col("start_b").as("start_a"), col("start_a").as("start_b"),
+        col("span_tokens"), half.as("n_pairs"))
+    val fullRows = reps.filter(col("gsz") >= 2 && col("n_toks") >= minLen)
+      .select(col("id").as("id_a"), col("id").as("id_b"),
+        lit(0L).as("start_a"), lit(0L).as("start_b"),
+        col("n_toks").as("span_tokens"),
+        expr("gsz * (gsz - 1) DIV 2").as("n_pairs"))
+    cross.unionByName(withinRows).unionByName(mirrorRows)
+      .unionByName(fullRows)
+  }
+
   /** The (id, pos, gramHash) positional index [[exactSubstringSpans]]
     * and [[crossSubstringSpans]] join on — one row per `minLen`-token
     * forward window of the normalized text, ~20 B regardless of doc
@@ -1046,10 +1129,63 @@ object Dedup {
   def removeDuplicateSpans(corpus: DataFrame, idCol: String,
       textCol: String, minLen: Int = 13): DataFrame = {
     val spans = exactSubstringSpans(corpus, idCol, textCol, minLen)
-    val ivs = graft.operators.Intervals.merge(
-        spans.select(col("id_b").as("id"), col("start_b").as("ss"),
-          (col("start_b") + col("span_tokens")).as("ee"), lit(1L).as("n")),
-        keyCol = "id")
+    rewriteCutIntervals(corpus, idCol, textCol,
+      spans.select(col("id_b").as("id"), col("start_b").as("ss"),
+        (col("start_b") + col("span_tokens")).as("ee"), lit(1L).as("n")))
+  }
+
+  /** d23: [[removeDuplicateSpans]] WITHOUT the pair enumeration — the
+    * 100 TB production form of the corpus rewrite. The key identity: a
+    * token window at (id, pos) lands inside some cut interval iff its
+    * gram has an occurrence at a lexicographically EARLIER (id', pos')
+    * — i.e. iff (id, pos) is not its gram's FIRST occurrence.
+    *
+    * Proof of output equality with the pair form (spec-pinned in
+    * ExactSubstrSpec, oracle-pinned by sharing d21's DuckDB replay):
+    * (⊆) a non-owner window (id, pos) pairs with its gram's owner
+    * (id', pos'), which passes d20's orientation filter (id' < id, or
+    * id' = id ∧ pos' < pos), so the window sits on some island whose
+    * b-side interval [start_b, start_b + span) ⊇ [pos, pos + minLen).
+    * (⊇) an island's b-side positions are CONSECUTIVE (same diagonal,
+    * consecutive pos_a), each matched against a lex-earlier partner,
+    * so its interval [start_b, start_b + span) = the union of its
+    * windows' [pos, pos + minLen) — every one a non-owner window.
+    * The per-doc interval UNIONS therefore coincide exactly, and the
+    * rewrite — a function of that union — is identical.
+    *
+    * Scale shape: LINEAR where the pair form is quadratic in df — one
+    * groupBy(gh) min with map-side partials (the ownership table), one
+    * key-partitioned join back (one row per OCCURRENCE, never per
+    * occurrence PAIR — a corpus-wide boilerplate gram with df = 100k
+    * costs 100k join rows here vs 10^10 pair rows in the report), then
+    * d21's interval merge + in-row filter. This is the form a pipeline
+    * RUNS; [[exactSubstringSpans]] stays the forensic report whose
+    * output is the pair list itself. */
+  def removeDuplicateSpansOwned(corpus: DataFrame, idCol: String,
+      textCol: String, minLen: Int = 13): DataFrame = {
+    val grams = positionalGrams(corpus, idCol, textCol, minLen)
+    // gram ownership: the lexicographic-min (id, pos) occurrence; df=1
+    // grams drop before the join (their only occurrence is the owner)
+    val owners = grams.groupBy("gh")
+      .agg(min(struct(col("id"), col("pos"))).as("own"),
+        count(lit(1)).as("occ"))
+      .filter(col("occ") > 1)
+      .select(col("gh"), col("own"))
+    val cuts = grams.join(owners, Seq("gh"))
+      .filter(col("own.id") =!= col("id") || col("own.pos") =!= col("pos"))
+      .select(col("id"), col("pos").as("ss"),
+        (col("pos") + minLen).as("ee"), lit(1L).as("n"))
+    rewriteCutIntervals(corpus, idCol, textCol, cuts)
+  }
+
+  /** Shared rewrite tail of [[removeDuplicateSpans]] and
+    * [[removeDuplicateSpansOwned]]: per-doc cut intervals union through
+    * q63's associative [[Intervals.merge]], then one in-row array
+    * filter keeps the uncovered tokens in order. `cuts` needs columns
+    * (id, ss, ee, n). */
+  private def rewriteCutIntervals(corpus: DataFrame, idCol: String,
+      textCol: String, cuts: DataFrame): DataFrame = {
+    val ivs = graft.operators.Intervals.merge(cuts, keyCol = "id")
       .groupBy("id")
       .agg(collect_list(struct(col("m_start").as("s"), col("m_end").as("e")))
         .as("ivs"))

@@ -13,6 +13,45 @@ import org.apache.spark.sql.types._
   * horizon. Both survive arbitrarily long streams. */
 object StreamingOps {
 
+  /** Release stream-lifetime caches when THIS query terminates: the
+    * guard operators (S34/S40) persist a fixed pool index for the
+    * stream's lifetime — without a termination hook the blocks outlive
+    * `query.stop()` for the whole session, so repeated guard starts
+    * accumulate pool caches. A self-removing StreamingQueryListener
+    * keyed on the query's runId unpersists exactly once; the
+    * registered-before-start / runId-learned-after-start seam is
+    * closed by re-checking a terminated-id set under the listener's
+    * lock (unpersist is idempotent, so the worst race is a no-op). */
+  private def unpersistOnTermination(spark: SparkSession,
+      cached: Seq[DataFrame])(start: => org.apache.spark.sql.streaming.StreamingQuery)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    val listener = new StreamingQueryListener {
+      @volatile private var target: Option[java.util.UUID] = None
+      private val terminated = new java.util.HashSet[java.util.UUID]()
+      def arm(runId: java.util.UUID): Unit = synchronized {
+        if (terminated.contains(runId)) release() else target = Some(runId)
+      }
+      private def release(): Unit = {
+        cached.foreach(_.unpersist(false))
+        spark.streams.removeListener(this)
+      }
+      override def onQueryStarted(
+          e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: StreamingQueryListener.QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(
+          e: StreamingQueryListener.QueryTerminatedEvent): Unit = synchronized {
+        terminated.add(e.runId)
+        if (target.contains(e.runId)) release()
+      }
+    }
+    spark.streams.addListener(listener)
+    val q = start
+    listener.arm(q.runId)
+    q
+  }
+
   /** The events parquet schema as written by the generator (nanosecond
     * timestamps are read as raw longs — see Tables.events). */
   val eventsRawSchema: StructType = StructType(Seq(
@@ -256,16 +295,20 @@ object StreamingOps {
     // rebuilt per micro-batch)
     val poolIdx = graft.operators.Dedup
       .leakageIndex(heldOut, idCol, textCol).persist()
-    docs.writeStream
-      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val batchIdx = graft.operators.Dedup
-          .leakageIndex(b.toDF(), idCol, textCol).persist()
-        try sink(graft.operators.Dedup
-          .leakageVerdictsIndexed(poolIdx, batchIdx))
-        finally batchIdx.unpersist() // trigger-scoped, like S32/S33/S35
-      }
-      .trigger(trigger)
-      .start()
+    // pool cache released when the query terminates (the batchIdx
+    // trigger-scoped cleanup's stream-lifetime counterpart)
+    unpersistOnTermination(docs.sparkSession, Seq(poolIdx)) {
+      docs.writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val batchIdx = graft.operators.Dedup
+            .leakageIndex(b.toDF(), idCol, textCol).persist()
+          try sink(graft.operators.Dedup
+            .leakageVerdictsIndexed(poolIdx, batchIdx))
+          finally batchIdx.unpersist() // trigger-scoped, like S32/S33/S35
+        }
+        .trigger(trigger)
+        .start()
+    }
   }
 
   /** S40: streaming exact-substring guard — d20's live half and S34's
@@ -293,6 +336,8 @@ object StreamingOps {
       sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
     val poolIdx = graft.operators.Dedup
       .positionalGrams(pool, idCol, textCol, minLen).persist()
+    // pool cache released when the query terminates (mirrors S34)
+    unpersistOnTermination(docs.sparkSession, Seq(poolIdx)) {
     docs.writeStream
       .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         val batch = b.toDF()
@@ -324,6 +369,7 @@ object StreamingOps {
       }
       .trigger(trigger)
       .start()
+    }
   }
 
   /** S35: streaming autocorrelation monitor — t65's live half. State
@@ -594,6 +640,17 @@ object StreamingOps {
         next.count()
         stateDir.foreach { dir =>
           next.write.mode("overwrite").parquet(s"$dir/state_batch=$batchId")
+          // prune: recovery reads the newest snapshot < the replayed
+          // batch id, so after snapshot `batchId` lands only
+          // `batchId - 1` is ever read again (the crash-replay anchor)
+          // — anything older is unreachable and would otherwise grow
+          // the state dir without bound on a long-running query
+          val p = new org.apache.hadoop.fs.Path(dir)
+          val fs = p.getFileSystem(bs.sparkContext.hadoopConfiguration)
+          fs.listStatus(p).map(_.getPath)
+            .filter(_.getName.startsWith("state_batch="))
+            .filter(_.getName.stripPrefix("state_batch=").toLong < batchId - 1)
+            .foreach(fs.delete(_, true))
         }
         state.foreach(_.unpersist())
         state = Some(next)

@@ -201,6 +201,21 @@ package object syntax {
         minLen: Int = 13): DataFrame =
       operators.Dedup.removeDuplicateSpans(df, idCol, textCol, minLen)
 
+    /** d20's report with identical docs pre-collapsed and span rows
+      * carrying pair multiplicity arithmetically (d22) — the report
+      * form for bit-identical duplicate mass. */
+    def dupSubstringsGrouped(idCol: String, textCol: String,
+        minLen: Int = 13): DataFrame =
+      operators.Dedup.exactSubstringSpansGrouped(df, idCol, textCol, minLen)
+
+    /** [[dedupSubstrings]] without pair enumeration (d23) — identical
+      * rewrite via the gram-ownership identity, linear where the pair
+      * form is quadratic in gram document frequency. The form to run
+      * at corpus scale. */
+    def dedupSubstringsOwned(idCol: String, textCol: String,
+        minLen: Int = 13): DataFrame =
+      operators.Dedup.removeDuplicateSpansOwned(df, idCol, textCol, minLen)
+
     /** Gopher quality rule-set signals + verdicts appended per row
       * (`textCol` must be the framed multi-line text). */
     def gopherQuality(textCol: String): DataFrame = {

@@ -149,6 +149,118 @@ class ExactSubstrSpec extends AnyFunSuite {
     assert(out == ((20L, 36L, 21L, 15L, (block ++ mid).mkString(" "))))
   }
 
+  // ---- d22 grouped form: expansion equality ------------------------------
+
+  /** Expand exactSubstringSpansGrouped's output by its documented
+    * rules (membership from the normalized-text groups) back to the
+    * full d20 pair multiset. */
+  private def expandGrouped(corpus: Seq[(Long, String)],
+      grouped: Seq[(Long, Long, Long, Long, Long, Long)])
+      : Seq[(Long, Long, Long, Long, Long)] = {
+    val members: Map[Long, Seq[Long]] = corpus
+      .groupBy(_._2.trim.toLowerCase.replaceAll("\\s+", " "))
+      .map { case (_, ds) => val ids = ds.map(_._1).sorted; ids.head -> ids }
+    val out = grouped.flatMap { case (ra, rb, sa, sb, len, nPairs) =>
+      val rows: Seq[(Long, Long, Long, Long, Long)] =
+        if (ra != rb) {
+          // cross-group: orient by member ids, swapping starts when
+          // the smaller member sits on the b side
+          for (x <- members(ra); y <- members(rb)) yield
+            if (x < y) (x, y, sa, sb, len) else (y, x, sb, sa, len)
+        } else {
+          val g = members(ra)
+          val pairRows = for {
+            i <- g.indices; j <- (i + 1) until g.size
+          } yield (g(i), g(j), sa, sb, len)
+          if (sa < sb) // within-doc span: every member + every pair
+            g.map(x => (x, x, sa, sb, len)) ++ pairRows
+          else // mirror (sa > sb) or full-doc (sa == sb == 0): pairs only
+            pairRows
+        }
+      assert(rows.size.toLong == nPairs,
+        s"row ($ra,$rb,$sa,$sb,$len) n_pairs=$nPairs expands to ${rows.size}")
+      rows
+    }
+    out.sorted
+  }
+
+  test("grouped form: arithmetic expansion equals the full d20 pair multiset") {
+    val block = words(110, 15)
+    val mid = words(111, 6)
+    // doc with a within-doc repeat — exercises within + mirror + full rows
+    val docA = (block ++ mid ++ block).mkString(" ")
+    val seg = words(112, 16)
+    val docB = (seg ++ words(113, 9)).mkString(" ") // shares seg with docD
+    val docD = (words(114, 4) ++ seg).mkString(" ")
+    val corpus = Seq(
+      // group A: three identical copies (interleaved ids vs group B so
+      // the cross-orientation swap is exercised both ways)
+      1L -> docA, 2L -> docA, 6L -> docA,
+      // group B: two identical copies, rep id 0 < rep A — and docB
+      // shares seg with singleton docD
+      0L -> docB, 5L -> docB,
+      // singleton sharing a segment with group B
+      9L -> docD,
+      // a short identical pair (< minLen tokens): contributes nothing
+      20L -> words(115, 8).mkString(" "),
+      21L -> words(115, 8).mkString(" "),
+      // singleton with a partial copy of docA's block (cross vs group A)
+      30L -> (words(116, 3) ++ block).mkString(" ")
+    )
+    val full = spans(corpus)
+    val grouped = Dedup.exactSubstringSpansGrouped(
+        corpus.toDF("doc_id", "text"), "doc_id", "text", L)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(expandGrouped(corpus, grouped) == full)
+    // the fold is real: group A alone is C(3,2)=3 member pairs +
+    // 3 within-doc rows per island, yet the grouped report carries
+    // ONE within + ONE mirror + ONE full row for it
+    assert(grouped.count(r => r._1 == 1L && r._2 == 1L) == 3)
+  }
+
+  test("grouped form: all-singleton corpus reduces to d20 with n_pairs = 1") {
+    val seg = words(120, 14)
+    val corpus = Seq(
+      1L -> (seg ++ words(121, 5)).mkString(" "),
+      2L -> (words(122, 7) ++ seg).mkString(" "),
+      3L -> words(123, 20).mkString(" "))
+    val grouped = Dedup.exactSubstringSpansGrouped(
+        corpus.toDF("doc_id", "text"), "doc_id", "text", L)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(grouped.map(_._6).forall(_ == 1L))
+    assert(grouped.map(r => (r._1, r._2, r._3, r._4, r._5)).sorted == spans(corpus))
+  }
+
+  // ---- d23 owned removal: equality with the pair form ---------------------
+
+  test("owned removal equals pair-form removal on every planted corpus") {
+    val base = words(70, 40)
+    val pre = words(71, 5)
+    val segA = words(80, 20)
+    val segB = words(81, 16)
+    val block = words(90, 15)
+    val corpora: Seq[Seq[(Long, String)]] = Seq(
+      // chains + prefixed copy (the d21 spec corpus)
+      Seq(1L -> base.mkString(" "), 2L -> base.mkString(" "),
+        3L -> base.mkString(" "), 4L -> (pre ++ base).mkString(" ")),
+      // overlapping cut intervals from different partners
+      Seq(1L -> (segA ++ words(83, 4)).mkString(" "),
+        2L -> (words(84, 6) ++ segA.drop(14) ++ segB.take(10)).mkString(" "),
+        10L -> (segA ++ segB.take(10) ++ words(82, 8)).mkString(" ")),
+      // within-doc repeat + an exact copy of the repeating doc
+      Seq(20L -> (block ++ words(91, 6) ++ block).mkString(" "),
+        21L -> (block ++ words(91, 6) ++ block).mkString(" ")))
+    corpora.foreach { corpus =>
+      val pair = Dedup.removeDuplicateSpans(
+          corpus.toDF("doc_id", "text"), "doc_id", "text", L)
+        .as[(Long, Long, Long, Long, String)].collect().toSeq.sorted
+      val owned = Dedup.removeDuplicateSpansOwned(
+          corpus.toDF("doc_id", "text"), "doc_id", "text", L)
+        .as[(Long, Long, Long, Long, String)].collect().toSeq.sorted
+      assert(owned == pair, s"corpus ${corpus.map(_._1)}")
+    }
+  }
+
   test("subsumes d8 dupSpans: span-covered grams == df>1 grams, per doc") {
     // d8's exact planted corpus shape in miniature: base docs, exact
     // copies, prefixed copies, plus a cross-doc shared segment

@@ -254,6 +254,88 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.forall { case (_, _, seen, firstId) => seen && firstId < 50 })
   }
 
+  test("S41: events older than the watermark are deterministically dropped " +
+      "while on-time folds still equal batch (windowed + session twins)") {
+    // S18 proves close-ON-watermark; this is its missing half: feed an
+    // event 47 HOURS older than the established watermark (at 100 TB
+    // ingest, late data is the common case) and prove (a) it is
+    // excluded from the emitted fold, (b) everything on-time still
+    // equals the batch twin over the on-time subset, and (c) the test
+    // is non-vacuous — the late event WOULD have changed the window.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    def ts(h: Double) = new java.sql.Timestamp(base + (h * 3600000L).toLong)
+
+    // ---- windowed-aggregate twin (S1's operator, APPEND mode) ----
+    val memW = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val qw = StreamingOps.windowedCounts(
+        memW.toDF().toDF("ts", "event_type", "value"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("s41_win").start()
+    // trigger 1: three events in window [0h,1h) + one at 50h — after
+    // this batch the watermark stands at 48h and window [0h,1h)'s
+    // state is closed and evicted
+    memW.addData((ts(0.1), "view", 1.0), (ts(0.3), "view", 2.0),
+      (ts(0.6), "click", 1.5), (ts(50.2), "view", 1.0))
+    qw.processAllAvailable()
+    // trigger 2: a LATE view inside [0h,1h) — 47h older than the
+    // watermark — plus an on-time click at 51h
+    memW.addData((ts(0.5), "view", 9.0), (ts(51.4), "click", 2.0))
+    qw.processAllAvailable()
+    // trigger 3: flush — moves the watermark to 58h, past every
+    // window under test (the flush window itself stays open)
+    memW.addData((ts(60.0), "view", 0.5))
+    qw.processAllAvailable()
+    qw.stop()
+    val got = spark.table("s41_win")
+      .select("win_start", "event_type", "n", "total_value").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    // the late (0.5h, view, 9.0) row must be absent EVERYWHERE: the
+    // [0,1) view count is trigger-1's fold, not the 3-event total
+    assert(got.contains((ts(0.0), "view", 2L, 3.0)),
+      s"window [0,1) view fold wrong: $got")
+    assert(!got.exists { case (w, t, n, v) =>
+      w == ts(0.0) && t == "view" && (n == 3L || v == 12.0) })
+    // and the whole emitted set equals the batch twin over the
+    // ON-TIME subset, restricted to watermark-closed windows
+    val onTime = Seq((ts(0.1), "view", 1.0), (ts(0.3), "view", 2.0),
+      (ts(0.6), "click", 1.5), (ts(50.2), "view", 1.0),
+      (ts(51.4), "click", 2.0)).toDF("ts", "event_type", "value")
+    val want = StreamingOps.windowedCountsBatch(onTime).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+
+    // ---- native session_window twin (S18's operator) ----
+    val memS = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val qs = StreamingOps.sessionWindowStream(
+        memS.toDF().toDF("user_id", "ts", "value"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("s41_sess").start()
+    // trigger 1: user 7's two-event session at [0h, 0.2h+gap); user 9
+    // at 50h pushes the watermark to 48h
+    memS.addData((7L, ts(0.0), 1.0), (7L, ts(0.2), 2.0), (9L, ts(50.0), 1.0))
+    qs.processAllAvailable()
+    // trigger 2: a LATE user-7 event INSIDE the closed session (would
+    // raise n_events to 3) + an on-time user-9 event extending 50h
+    memS.addData((7L, ts(0.1), 5.0), (9L, ts(50.1), 2.0))
+    qs.processAllAvailable()
+    // trigger 3: flush to 58h — closes both test sessions
+    memS.addData((9L, ts(60.0), 0.5))
+    qs.processAllAvailable()
+    qs.stop()
+    val gotS = spark.table("s41_sess")
+      .select("user_id", "n_events", "total_value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // user 7's session emits the ON-TIME fold (2 events, 3.0) — the
+    // late in-session event is dropped, not merged and not re-emitted
+    assert(gotS == Set((7L, 2L, 3.0), (9L, 2L, 3.0)),
+      s"sessions: $gotS")
+  }
+
   test("S12: streaming drift monitor folds counts across triggers to match batch x24") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._

@@ -368,4 +368,21 @@ class VectorOpsExtraSpec extends org.scalatest.funsuite.AnyFunSuite {
       .select("id", "kept_text").as[(Long, String)].collect().toMap
     assert(kept(1L) == base && kept(2L) == "" && kept(3L) == "zz")
   }
+
+  test("grouped / owned substring verbs delegate to the d22/d23 kernels") {
+    import spark.implicits._
+    val base = (0 until 20).map(i => s"w$i").mkString(" ")
+    val docs = Seq(1L -> base, 2L -> base, 3L -> ("zz " + base))
+      .toDF("doc_id", "text")
+    // docs 1/2 collapse to rep 1 (gsz 2): full-doc row with C(2,2)=1
+    // pair + a cross row against singleton 3 with multiplicity 2
+    val grouped = docs.dupSubstringsGrouped("doc_id", "text")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(grouped == Set(
+      (1L, 1L, 0L, 0L, 20L, 1L), // full-document span of the identical pair
+      (1L, 3L, 0L, 1L, 20L, 2L))) // rep 1 vs 3, carried for both members
+    val kept = docs.dedupSubstringsOwned("doc_id", "text")
+      .select("id", "kept_text").as[(Long, String)].collect().toMap
+    assert(kept(1L) == base && kept(2L) == "" && kept(3L) == "zz")
+  }
 }

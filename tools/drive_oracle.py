@@ -20,7 +20,10 @@ for a in sys.argv:
 # rows-only check run (check.py handles it), so the final summary is a
 # full-registry count rather than silently understating coverage.
 oracle_names = set(json.loads((OUT / "oracle_sql.json").read_text()).keys())
-dumped = {p.name for p in OUT.iterdir() if p.is_dir()}
+# only result dirs that actually hold parquet: a stray state/tmp dir
+# in the dump dir must not be driven through check.py as a "query"
+dumped = {p.name for p in OUT.iterdir()
+          if p.is_dir() and any(p.glob("*.parquet"))}
 names = sorted(oracle_names | dumped)
 rows_only = sorted(dumped - oracle_names)
 if rows_only:
