@@ -44,13 +44,28 @@ import org.apache.spark.sql.functions._
   *   quadratically-candidate hot buckets with k — the exact stress
   *   Dedup.saltBuckets caps.
   *
-  * Usage: runMain graft.ScaleGen <srcDir> <outDir> <k> [hub]
+  * DUP MODE (4th arg `dup`): the BIT-IDENTICAL-MASS axis — the regime
+  * d22's identity pre-collapse exists for, deliberately absent from
+  * both other modes (volume severs cross-shard duplicates; hub's
+  * template docs keep unique tails, so they are near- but never
+  * bit-identical). 10% of docs swap their text for ONE global
+  * 54-token template verbatim (no shard suffix, no own tail), so the
+  * identical-group size grows k× (500 → 5000 at k10 from sf0.1) and
+  * the d20 pair report grows C(G,2)-quadratic (125k → 12.5M pairs)
+  * while d22 folds the whole group to a single representative + an
+  * n_pairs integer. Everything else stays the volume construction.
+  *
+  * Usage: runMain graft.ScaleGen <srcDir> <outDir> <k> [hub|dup]
   * (sf0.3 = k 3 from sf0.1, sf1 = k 10). */
 object ScaleGen {
   def main(args: Array[String]): Unit = {
     val Array(src, out, kStr) = args.take(3)
     val k = kStr.toInt
-    val hub = args.length > 3 && args(3) == "hub"
+    val mode = if (args.length > 3) args(3) else ""
+    require(mode.isEmpty || mode == "hub" || mode == "dup",
+      s"unknown mode '$mode' (expected 'hub' or 'dup')")
+    val hub = mode == "hub"
+    val dup = mode == "dup"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -138,12 +153,20 @@ object ScaleGen {
     // shorter than 24 tokens stay untouched (a shorter own-suffix
     // would push J over threshold).
     val tmpl = (0 until 30).map(i => s"hubtok$i").mkString(" ")
-    val docText = if (!hub) shardedText else {
-      val ts = split(trim(regexp_replace(lower(shardedText), "\\s+", " ")), " ")
-      when(pmod(col("doc_id"), lit(10L)) === 7L && size(ts) >= 24,
-        concat(lit(tmpl + " "), array_join(slice(ts, -24, 24), " ")))
-        .otherwise(shardedText)
-    }
+    // dup mode: the same 10% of docs become ONE bit-identical global
+    // template (54 distinct tokens — no internal periodicity, so the
+    // group's only self-match is the diagonal-0 full-document span)
+    val dupTmpl = (0 until 54).map(i => s"duptok$i").mkString(" ")
+    val docText =
+      if (hub) {
+        val ts = split(trim(regexp_replace(lower(shardedText), "\\s+", " ")), " ")
+        when(pmod(col("doc_id"), lit(10L)) === 7L && size(ts) >= 24,
+          concat(lit(tmpl + " "), array_join(slice(ts, -24, 24), " ")))
+          .otherwise(shardedText)
+      } else if (dup)
+        when(pmod(col("doc_id"), lit(10L)) === 7L, lit(dupTmpl))
+          .otherwise(shardedText)
+      else shardedText
     wr(rep(rd("documents")).select(shift("doc_id", oD),
       docText.as("text"),
       col("lang"), col("source"), col("n_chars")), "documents")

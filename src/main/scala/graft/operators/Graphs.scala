@@ -295,8 +295,19 @@ object Graphs {
     * distinct); it is persisted here and re-read by the degree,
     * moment, and triangle passes. Degenerate guards: clustering null
     * when W = 0, r null when the denominator is 0 (regular graphs —
-    * exact integer tests). */
-  def graphProfile(edgesIn: DataFrame): DataFrame = {
+    * exact integer tests).
+    *
+    * `triCounts`: a precomputed [[triangleCounts]] result over the SAME
+    * canonical edge set. The triangle close is the profile's dominant
+    * term (the O(m^1.5) edge-iterator pass), so a caller that already
+    * ran it — q61 before q77, or vice versa — passes the per-node
+    * counts here and the profile reduces to the degree/moment scans
+    * plus one node-cardinality sum. The profile only consumes
+    * Σ n_tri = 3T, so any frame with an `n_tri` column over the same
+    * edges is a valid carrier; equality with the self-computed form is
+    * GraphsSpec-pinned. */
+  def graphProfile(edgesIn: DataFrame,
+      triCounts: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
     val d38 = DecimalType(38, 0)
     val edges = edgesIn.persist()
@@ -317,7 +328,7 @@ object Graphs {
       sum((col("du") * col("du") + col("dv") * col("dv")).cast(d38))
         .as("sxx"),
       sum((col("du") * col("dv") * 2).cast(d38)).as("sxy"))
-    val tri = triangleCounts(edges)
+    val tri = triCounts.getOrElse(triangleCounts(edges))
       .agg(sum("n_tri").as("tri3")) // = 3·T (each triangle at 3 corners)
     val m2 = (col("m") * 2).cast(d38) // directed listing size
     val numer = m2 * col("sxy") - col("sx") * col("sx")

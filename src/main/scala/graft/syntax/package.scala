@@ -361,15 +361,20 @@ package object syntax {
 
     /** pandas `df.query("...")`: filter by a predicate string in the
       * pinned mini-language (see [[graft.types.PredicateParser]]) —
-      * compiles to ordinary codegen'd Columns. */
-    def queryWhere(predicate: String): DataFrame =
-      df.filter(types.PredicateParser.parse(predicate))
+      * compiles to ordinary codegen'd Columns. `env` binds `@name`
+      * references (pandas' local-scope resolution):
+      * `df.queryWhere("qty > @cut", Map("cut" -> 45))`. */
+    def queryWhere(predicate: String,
+        env: Map[String, Any] = Map.empty): DataFrame =
+      df.filter(types.PredicateParser.parse(predicate, env))
 
     /** pandas `df.eval("c = a + b")`: append a computed column via the
       * t57 expression grammar ([[graft.types.PredicateParser]] —
-      * boolean expressions assign too: `df.evalAssign("hot = x > 9")`). */
-    def evalAssign(assignment: String): DataFrame = {
-      val (name, e) = types.PredicateParser.parseAssign(assignment)
+      * boolean expressions assign too: `df.evalAssign("hot = x > 9")`);
+      * `env` binds `@name` references as in [[queryWhere]]. */
+    def evalAssign(assignment: String,
+        env: Map[String, Any] = Map.empty): DataFrame = {
+      val (name, e) = types.PredicateParser.parseAssign(assignment, env)
       df.withColumn(name, e)
     }
 

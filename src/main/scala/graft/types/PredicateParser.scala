@@ -11,14 +11,15 @@ import org.apache.spark.sql.functions.{col, lit}
   *
   * {{{
   *   expr    := or
-  *   or      := and ('or' and)*
-  *   and     := unary ('and' unary)*
-  *   unary   := 'not' unary | cmp
-  *   cmp     := arith (('==' | '!=' | '<=' | '>=' | '<' | '>') arith
-  *             | 'in' '(' literal (',' literal)* ')')?
+  *   or      := and (('or' | '|') and)*
+  *   and     := unary (('and' | '&') unary)*
+  *   unary   := ('not' | '~') unary | cmp
+  *   cmp     := arith ( (('==' | '!=' | '<=' | '>=' | '<' | '>') arith)+
+  *             | ['not'] 'in'
+  *               ('(' literal (',' literal)* ')' | '@' identifier) )?
   *   arith   := mul (('+' | '-') mul)*
   *   mul     := atom (('*' | '/') atom)*
-  *   atom    := '-' atom | identifier | number
+  *   atom    := '-' atom | identifier | '@' identifier | number
   *             | 'single-quoted string' | '(' expr ')'
   * }}}
   *
@@ -26,9 +27,33 @@ import org.apache.spark.sql.functions.{col, lit}
   * strings to string literals. Python precedence throughout: `*`/`/`
   * over `+`/`-` over comparisons over `not` over `and` over `or`;
   * parens recurse to the top, so `(price / qty) > 9.5 and not (f ==
-  * 'R')` reads as written. Malformed input throws
-  * IllegalArgumentException with position context — parse errors are
-  * API errors, never silent misreads. */
+  * 'R')` reads as written. Both comparison sides are full arithmetic
+  * expressions, so column-vs-column reads (`a + b > c`) are
+  * first-class; CHAINED comparisons take Python's conjunction reading
+  * (`1 <= x < 5` ≡ `1 <= x and x < 5`, the middle operand evaluated
+  * once), and `x not in (...)` / `x not in @vals` is the negated
+  * membership test.
+  *
+  * `~`, `&`, `|` are accepted as pandas.query's spellings of
+  * not/and/or AT THOSE SAME precedence levels — a deliberate,
+  * documented deviation from Python's bitwise precedence (where `&`
+  * binds above comparisons and `a > 1 & b` misreads): pandas' own
+  * docs direct users to parenthesize comparisons under `&`/`|`/`~`
+  * precisely because the bitwise reading is never the intent; this
+  * grammar gives the intended boolean reading and stays pinned.
+  *
+  * `@name` is pandas df.query's ENVIRONMENT reference, resolved from
+  * the `env` map at PARSE time (the Scala binding of Python's local
+  * scope): scalars (numbers, strings, booleans, dates/timestamps,
+  * decimals) become literals, a Column splices in as-is, and an
+  * Iterable is legal only as `x in @vals` (an in-list). An unbound or
+  * unsupported reference throws — like the rest of the grammar,
+  * env errors are API errors, never silent misreads. Because
+  * resolution happens at parse time, the compiled plan is identical to
+  * writing the value inline: codegen'd literals, no closure capture.
+  *
+  * Malformed input throws IllegalArgumentException with position
+  * context — parse errors are API errors, never silent misreads. */
 object PredicateParser {
 
   private sealed trait Tok
@@ -36,6 +61,9 @@ object PredicateParser {
   private case class Num(s: String) extends Tok
   private case class Str(s: String) extends Tok
   private case class Op(s: String) extends Tok
+  private case class Ref(s: String) extends Tok
+
+  private val relops = Set("==", "!=", "<", "<=", ">", ">=")
 
   private def tokenize(in: String): List[Tok] = {
     val out = scala.collection.mutable.ListBuffer.empty[Tok]
@@ -58,18 +86,30 @@ object PredicateParser {
         val end = in.indexOf('\'', i + 1)
         if (end < 0) fail("unterminated string")
         out += Str(in.substring(i + 1, end)); i = end + 1
+      } else if (c == '@') {
+        if (i + 1 >= in.length ||
+            !(in(i + 1).isLetter || in(i + 1) == '_'))
+          fail("expected identifier after '@'")
+        val j = in.indexWhere(ch => !(ch.isLetterOrDigit || ch == '_'), i + 1)
+        val end = if (j < 0) in.length else j
+        out += Ref(in.substring(i + 1, end)); i = end
       } else if (i + 1 < in.length &&
         Set("==", "!=", "<=", ">=").contains(in.substring(i, i + 2))) {
         out += Op(in.substring(i, i + 2)); i += 2
-      } else if ("<>(),+-*/".contains(c)) {
+      } else if ("<>(),+-*/&|~".contains(c)) {
         out += Op(c.toString); i += 1
       } else fail(s"unexpected character '$c'")
     }
     out.toList
   }
 
-  /** Parse a predicate string into a Catalyst boolean Column. */
-  def parse(in: String): Column = {
+  /** Parse a predicate string into a Catalyst boolean Column.
+    * `env` binds `@name` references (pandas df.query's local-scope
+    * resolution); the no-env overload keeps every pre-existing call
+    * site compiled against the one-arg shape. */
+  def parse(in: String): Column = parse(in, Map.empty[String, Any])
+
+  def parse(in: String, env: Map[String, Any]): Column = {
     var toks = tokenize(in)
     def fail(msg: String) = throw new IllegalArgumentException(
       s"$msg (remaining: ${toks.take(3).mkString(" ")}) in: $in")
@@ -88,11 +128,32 @@ object PredicateParser {
       case Str(s) => lit(s)
       case other => fail(s"expected literal, got $other")
     }
+    def envValue(name: String): Any = env.getOrElse(name,
+      fail(s"unbound reference '@$name' (env has: " +
+        s"${env.keys.toSeq.sorted.mkString(", ")})"))
+    def envScalar(name: String): Column = envValue(name) match {
+      case c: Column => c
+      case v @ (_: Int | _: Long | _: Short | _: Byte | _: Double |
+          _: Float | _: Boolean | _: String | _: BigDecimal |
+          _: java.math.BigDecimal | _: java.sql.Date |
+          _: java.sql.Timestamp | _: java.time.LocalDate |
+          _: java.time.Instant) => lit(v)
+      case _: Iterable[_] | _: Array[_] =>
+        fail(s"'@$name' is a collection — only legal as \"x in @$name\"")
+      case other => fail(s"unsupported env value for '@$name': " +
+        s"${other.getClass.getName}")
+    }
+    def envList(name: String): Seq[Any] = envValue(name) match {
+      case it: Iterable[_] => it.toSeq
+      case a: Array[_] => a.toSeq
+      case _ => fail(s"'in @$name' needs a collection env value")
+    }
     def atom(): Column = peek match {
       case Some(Op("-")) => pop(); -atom()
       case Some(Op("(")) => pop(); val e = orExpr(); expectOp(")"); e
       case Some(Ident(s)) if s != "not" && s != "and" && s != "or" &&
         s != "in" => pop(); col(s)
+      case Some(Ref(s)) => pop(); envScalar(s)
       case Some(Num(_)) | Some(Str(_)) => literal()
       case other => fail(s"expected operand, got $other")
     }
@@ -116,41 +177,62 @@ object PredicateParser {
       }
       e
     }
+    def relop(o: String, l: Column, r: Column): Column = o match {
+      case "==" => l === r
+      case "!=" => l =!= r
+      case "<" => l < r
+      case "<=" => l <= r
+      case ">" => l > r
+      case ">=" => l >= r
+    }
+    def inList(l: Column): Column = peek match {
+      case Some(Ref(name)) => pop(); l.isin(envList(name): _*)
+      case _ =>
+        expectOp("(")
+        val xs = scala.collection.mutable.ListBuffer(literal())
+        while (peek.contains(Op(","))) { pop(); xs += literal() }
+        expectOp(")")
+        l.isin(xs.toSeq: _*)
+    }
     def cmp(): Column = {
       val l = arith()
       peek match {
-        case Some(Op(o)) if Set("==", "!=", "<", "<=", ">", ">=")(o) =>
+        case Some(Op(o)) if relops(o) =>
+          // chained comparisons take Python's conjunction reading:
+          // a < b < c  ≡  a < b and b < c (each operand parsed once)
           pop()
-          val r = arith()
-          o match {
-            case "==" => l === r
-            case "!=" => l =!= r
-            case "<" => l < r
-            case "<=" => l <= r
-            case ">" => l > r
-            case ">=" => l >= r
+          var prev = arith()
+          var acc = relop(o, l, prev)
+          while (peek.exists { case Op(o2) => relops(o2); case _ => false }) {
+            val Op(o2) = pop(): @unchecked
+            val nxt = arith()
+            acc = acc && relop(o2, prev, nxt)
+            prev = nxt
           }
-        case Some(Ident("in")) =>
-          pop(); expectOp("(")
-          val xs = scala.collection.mutable.ListBuffer(literal())
-          while (peek.contains(Op(","))) { pop(); xs += literal() }
-          expectOp(")")
-          l.isin(xs.toSeq: _*)
+          acc
+        case Some(Ident("in")) => pop(); inList(l)
+        case Some(Ident("not")) if toks.drop(1).headOption
+            .contains(Ident("in")) =>
+          pop(); pop(); !inList(l)
         case _ => l
       }
     }
     def unary(): Column = peek match {
-      case Some(Ident("not")) => pop(); !unary()
+      case Some(Ident("not")) | Some(Op("~")) => pop(); !unary()
       case _ => cmp()
     }
     def andExpr(): Column = {
       var e = unary()
-      while (peek.contains(Ident("and"))) { pop(); e = e && unary() }
+      while (peek.contains(Ident("and")) || peek.contains(Op("&"))) {
+        pop(); e = e && unary()
+      }
       e
     }
     def orExpr(): Column = {
       var e = andExpr()
-      while (peek.contains(Ident("or"))) { pop(); e = e || andExpr() }
+      while (peek.contains(Ident("or")) || peek.contains(Op("|"))) {
+        pop(); e = e || andExpr()
+      }
       e
     }
     val e = orExpr()
@@ -163,7 +245,10 @@ object PredicateParser {
     * arithmetic expression is a valid parse — the comparison level
     * falls through). The split point is the first '=' that is not
     * part of ==/<=/>=/!=; malformed targets throw, never misread. */
-  def parseAssign(in: String): (String, Column) = {
+  def parseAssign(in: String): (String, Column) =
+    parseAssign(in, Map.empty[String, Any])
+
+  def parseAssign(in: String, env: Map[String, Any]): (String, Column) = {
     var i = 0
     var split = -1
     while (i < in.length && split < 0) {
@@ -179,6 +264,6 @@ object PredicateParser {
         !name.forall(c => c.isLetterOrDigit || c == '_'))
       throw new IllegalArgumentException(
         s"invalid assignment target '$name' in: $in")
-    (name, parse(in.substring(split + 1)))
+    (name, parse(in.substring(split + 1), env))
   }
 }

@@ -1115,8 +1115,12 @@ object TypeQueries {
 
   // ---- T57: df.query() predicate mini-language -----------------------------
   /** pandas `df.query("...")` — a PINNED predicate grammar
-    * (comparisons, in-lists, and/or/not with Python precedence,
-    * parens, string/number literals) compiled to Catalyst Columns by
+    * (comparisons incl. Python-reading CHAINS `1 <= x < 5`, in/not-in
+    * lists, and/or/not with Python precedence plus pandas' `&`/`|`/`~`
+    * spellings at those levels, parens, string/number literals,
+    * `@name` environment references resolved at parse time, and full
+    * arithmetic on BOTH comparison sides so column-vs-column reads
+    * are first-class) compiled to Catalyst Columns by
     * [[graft.types.PredicateParser]], the expression-side sibling of
     * t2's type-spec resolver: the same "user strings become plans"
     * front-end discipline, with malformed input throwing (never a
@@ -1128,16 +1132,30 @@ object TypeQueries {
     * certifying the parser's reading against independent semantics. */
   def t57QueryPredicates(s: SparkSession, dir: String): DataFrame = {
     import graft.types.PredicateParser
+    // @refs resolve from this env at parse time (pandas' local-scope
+    // binding); the oracle hand-inlines the same constants, so the
+    // gate certifies the resolution, not just the grammar
+    val env = Map[String, Any]("minqty" -> 45L, "flag" -> "R",
+      "flags" -> Seq("A", "N"))
     val preds = Seq(
       "l_quantity > 45",
       "l_returnflag == 'R' and l_quantity <= 10",
       "not (l_linestatus == 'O') or l_discount >= 0.08",
       "l_returnflag in ('A', 'N') and l_tax < 0.03",
       "l_extendedprice / l_quantity > 1500 and l_quantity * 2 < 20",
-      "l_tax - l_discount > 0.05 or l_quantity + 5 >= 55")
+      "l_tax - l_discount > 0.05 or l_quantity + 5 >= 55",
+      // env references: scalar comparisons + an in-list from scope
+      "l_quantity >= @minqty and l_returnflag == @flag",
+      "l_returnflag in @flags and l_quantity < 8",
+      // column-vs-column: full arithmetic on BOTH comparison sides
+      "l_discount + l_tax > l_quantity / 400",
+      // chained comparison (Python's conjunction reading) and the
+      // pandas ~/&/not-in spellings
+      "5 <= l_quantity < 10",
+      "l_returnflag not in ('A', 'N') & ~(l_linestatus == 'F')")
     val li = t(s, dir, "lineitem")
     val aggs = preds.zipWithIndex.flatMap { case (p, i) =>
-      val c = PredicateParser.parse(p)
+      val c = PredicateParser.parse(p, env)
       Seq(sum(when(c, 1L).otherwise(0L)).as(s"n$i"),
         sum(when(c, dec(col("l_quantity")))).as(s"q$i"))
     }
@@ -2294,7 +2312,19 @@ object TypeQueries {
         "l_extendedprice / l_quantity > 1500 and l_quantity * 2 < 20" ->
           "l_extendedprice / l_quantity > 1500 AND l_quantity * 2 < 20",
         "l_tax - l_discount > 0.05 or l_quantity + 5 >= 55" ->
-          "l_tax - l_discount > CAST(0.05 AS DOUBLE) OR l_quantity + 5 >= 55")
+          "l_tax - l_discount > CAST(0.05 AS DOUBLE) OR l_quantity + 5 >= 55",
+        // @refs: the oracle inlines the env constants the parser
+        // resolved (minqty=45, flag='R', flags=('A','N'))
+        "l_quantity >= @minqty and l_returnflag == @flag" ->
+          "l_quantity >= 45 AND l_returnflag = 'R'",
+        "l_returnflag in @flags and l_quantity < 8" ->
+          "l_returnflag IN ('A', 'N') AND l_quantity < 8",
+        "l_discount + l_tax > l_quantity / 400" ->
+          "l_discount + l_tax > l_quantity / 400",
+        "5 <= l_quantity < 10" ->
+          "5 <= l_quantity AND l_quantity < 10",
+        "l_returnflag not in ('A', 'N') & ~(l_linestatus == 'F')" ->
+          "l_returnflag NOT IN ('A', 'N') AND NOT (l_linestatus = 'F')")
       val rows = wheres.map { case (p, w) =>
         val lbl = p.replace("'", "''")
         s"""SELECT '$lbl' AS predicate,

@@ -49,6 +49,22 @@ class GraphsSpec extends AnyFunSuite {
     assert(k3.getDouble(4) == 1.0 && k3.isNullAt(5))
   }
 
+  test("graphProfile reusing a precomputed triangleCounts equals self-computed") {
+    // triangle + pendant + a second triangle sharing node 3, plus the
+    // island edge — enough structure that a wrong 3T would shift both
+    // n_triangles and clustering
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (3L, 5L),
+      (4L, 5L), (9L, 10L)).toDF("src", "dst")
+    val tri = Graphs.triangleCounts(g)
+    val reused = Graphs.graphProfile(g, Some(tri)).collect().head
+    val self = Graphs.graphProfile(g).collect().head
+    assert(reused == self)
+    // and the counts the caller already holds are the q61 answer —
+    // the shared pass serves both registry entries from one close
+    assert(tri.as[(Long, Long)].collect().toMap ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 1L))
+  }
+
   test("pageRank ranks sum to ~1 and sinks hold the base rank") {
     val r = Graphs.pageRank(edges, iters = 3).as[(Long, Double)]
       .collect().toMap

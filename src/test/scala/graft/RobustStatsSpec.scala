@@ -154,6 +154,64 @@ class RobustStatsSpec extends AnyFunSuite {
       assertThrows[IllegalArgumentException](parse(bad))
   }
 
+  test("t57 parser: @env references, in @list, column-vs-column sides") {
+    import graft.types.PredicateParser.parse
+    val df = Seq((1, 2, "a", 0.5), (2, 1, "b", 0.9), (3, 9, "a", 0.1),
+      (10, 1, "c", 0.5)).toDF("x", "y", "s", "d")
+    val env = Map[String, Any]("lo" -> 2, "tag" -> "a",
+      "tags" -> Seq("a", "c"), "half" -> 0.5, "cut" -> col("d") * 10)
+    def ids(p: String): Set[Int] =
+      df.filter(parse(p, env)).select("x").as[Int].collect().toSet
+    // scalar refs on either side, in arithmetic, and as strings
+    assert(ids("x >= @lo") == Set(2, 3, 10))
+    assert(ids("@lo <= x and s == @tag") == Set(3))
+    assert(ids("x + @lo == 4") == Set(2))
+    assert(ids("d == @half") == Set(1, 10))
+    // a Column env value splices in as-is (pandas' @series analogue)
+    assert(ids("x < @cut") == Set(1, 2))
+    // in-list from the environment, and its negation
+    assert(ids("s in @tags") == Set(1, 3, 10))
+    assert(ids("not (s in @tags)") == Set(2))
+    // column-vs-column with arithmetic on both sides
+    assert(ids("x + y > 6") == Set(3, 10))
+    assert(ids("x * 2 < y + 9") == Set(1, 2, 3))
+    assert(ids("x > y") == Set(2, 10))
+    // unbound / misused refs throw; '@' without an identifier throws
+    assertThrows[IllegalArgumentException](parse("x > @nope", env))
+    assertThrows[IllegalArgumentException](parse("x > @tags", env))
+    assertThrows[IllegalArgumentException](parse("x in @lo", env))
+    assertThrows[IllegalArgumentException](parse("x > @", env))
+    // env is parse-time: no env means @refs are errors, as before
+    assertThrows[IllegalArgumentException](parse("x > @lo"))
+  }
+
+  test("t57 parser: chained comparisons, not in, ~ & | spellings") {
+    import graft.types.PredicateParser.parse
+    val df = Seq((1, "a", 0.5), (2, "b", 0.9), (3, "a", 0.1), (10, "c", 0.5))
+      .toDF("x", "s", "d")
+    val env = Map[String, Any]("tags" -> Seq("a", "c"))
+    def ids(p: String): Set[Int] =
+      df.filter(parse(p, env)).select("x").as[Int].collect().toSet
+    // chained comparison = Python's conjunction reading
+    assert(ids("1 < x < 10") == Set(2, 3))
+    assert(ids("1 <= x <= 3") == Set(1, 2, 3))
+    assert(ids("0.1 < d < 0.9 and x < 5") == Set(1))
+    // middle operand is a full arithmetic expression, evaluated once
+    assert(ids("0 < x - 1 < 2") == Set(2))
+    // not in: literal list and env list
+    assert(ids("x not in (1, 10)") == Set(2, 3))
+    assert(ids("s not in @tags") == Set(2))
+    // pandas' ~ & | spellings at not/and/or precedence
+    assert(ids("~(s == 'a') & x < 5") == Set(2))
+    assert(ids("x == 1 | s == 'b' & d > 0.5") == Set(1, 2))
+    assert(ids("(x == 1 | s == 'b') & d > 0.5") == Set(2))
+    assert(ids("~(x in (1, 10))") == Set(2, 3))
+    // malformed chains/memberships still throw
+    for (bad <- Seq("x not (1)", "x not in", "1 < x <", "x & 1 == 1 &",
+      "~", "x not in @nope"))
+      assertThrows[IllegalArgumentException](parse(bad, env))
+  }
+
   test("t50: planted outlier flagged, clean group clean, MAD=0 -> null z") {
     // 20 tight values + one wild one per the rule's own arithmetic
     val base = (1 to 20).map(i => ("a", 10.0 + (i % 5))) :+ (("a", 1000.0))

@@ -3,7 +3,9 @@
 compare side of check.py one query at a time against an existing
 graft.Verify output dir, so one pathologically slow ORACLE replay
 (DuckDB-side cost, not engine cost) can't stall the whole drive.
-Usage: drive_oracle.py <sfDir> <verifyOut> [--strict] [--timeout=N]"""
+Usage: drive_oracle.py <sfDir> <verifyOut> [--strict] [--timeout=N]
+       [--only=a,b,c]   (restrict to named queries — subset drives
+                         against a subset Verify dump)"""
 import json, subprocess, sys, time
 from pathlib import Path
 
@@ -11,9 +13,12 @@ SF = sys.argv[1]
 OUT = Path(sys.argv[2])
 STRICT = ["--strict"] if "--strict" in sys.argv else []
 TIMEOUT = 180
+ONLY = None
 for a in sys.argv:
     if a.startswith("--timeout="):
         TIMEOUT = int(a.split("=")[1])
+    if a.startswith("--only="):
+        ONLY = {n.strip() for n in a.split("=", 1)[1].split(",") if n.strip()}
 
 # Drive the UNION of oracle-keyed queries and every result dir the
 # verify run dumped: a query without an oracle entry still gets its
@@ -25,7 +30,12 @@ oracle_names = set(json.loads((OUT / "oracle_sql.json").read_text()).keys())
 dumped = {p.name for p in OUT.iterdir()
           if p.is_dir() and any(p.glob("*.parquet"))}
 names = sorted(oracle_names | dumped)
-rows_only = sorted(dumped - oracle_names)
+if ONLY is not None:
+    missing = ONLY - set(names)
+    if missing:
+        sys.exit(f"--only names not in oracle or dump: {sorted(missing)}")
+    names = sorted(ONLY)
+rows_only = sorted(set(names) & (dumped - oracle_names))
 if rows_only:
     print(f"note: {len(rows_only)} rows-only queries (no oracle SQL): "
           + ", ".join(rows_only))

@@ -1,0 +1,23 @@
+#!/bin/bash
+# Dev launcher for graft mains (Bench/Verify/ScaleGen/RegimeBench)
+# without sbt's per-invocation JVM+load overhead: the compiled classes
+# plus the Spark distribution jars, with the JDK17 --add-opens set
+# that spark-submit would inject (mirrors build.sbt's javaOptions).
+# Usage: tools/graftrun.sh <mainClass> [args...]
+#   env: SPARK_DRIVER_MEM (default 8g), SPARK_GRAFT_* passed through.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+CP="target/scala-2.13/classes:/opt/spark/jars/*"
+OPENS=""
+for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
+         java.nio java.util java.util.concurrent \
+         java.util.concurrent.atomic; do
+  OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
+  OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+exec java $OPENS \
+  -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  -Xmx"${SPARK_DRIVER_MEM:-8g}" \
+  -cp "$CP" "$@"
