@@ -38,7 +38,12 @@ if RUN_SPARK:
 con = duckdb.connect()
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    # driver testdata is one file per table; ScaleGen writes Spark-style
+    # directories of part files — glob those
+    p = f"{SF_DIR}/{t}.parquet"
+    if Path(p).is_dir():
+        p = f"{p}/*.parquet"
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
 oracle = json.loads((OUT / "oracle_sql.json").read_text())
 
