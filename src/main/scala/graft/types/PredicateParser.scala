@@ -19,12 +19,17 @@ import org.apache.spark.sql.functions.{col, lit}
   *               ('(' literal (',' literal)* ')' | '@' identifier) )?
   *   arith   := mul (('+' | '-') mul)*
   *   mul     := atom (('*' | '/') atom)*
-  *   atom    := '-' atom | identifier | '@' identifier | number
+  *   atom    := '-' atom | identifier | '`'backtick column'`'
+  *             | '@' identifier | number | 'True' | 'False'
   *             | 'single-quoted string' | '(' expr ')'
   * }}}
   *
   * Identifiers resolve to columns, numbers to double/long literals,
-  * strings to string literals. Python precedence throughout: `*`/`/`
+  * strings to string literals; `True`/`False` are the Python boolean
+  * keywords (so a column literally named True needs backticks), and
+  * pandas' BACKTICK quoting addresses columns whose names aren't
+  * identifiers (`` `net price` > 10 ``) — any character except a
+  * backtick, whitespace and case preserved. Python precedence throughout: `*`/`/`
   * over `+`/`-` over comparisons over `not` over `and` over `or`;
   * parens recurse to the top, so `(price / qty) > 9.5 and not (f ==
   * 'R')` reads as written. Both comparison sides are full arithmetic
@@ -62,6 +67,8 @@ object PredicateParser {
   private case class Str(s: String) extends Tok
   private case class Op(s: String) extends Tok
   private case class Ref(s: String) extends Tok
+  // backtick-quoted column name: always a column, never a keyword
+  private case class BCol(s: String) extends Tok
 
   private val relops = Set("==", "!=", "<", "<=", ">", ">=")
 
@@ -86,6 +93,11 @@ object PredicateParser {
         val end = in.indexOf('\'', i + 1)
         if (end < 0) fail("unterminated string")
         out += Str(in.substring(i + 1, end)); i = end + 1
+      } else if (c == '`') {
+        val end = in.indexOf('`', i + 1)
+        if (end < 0) fail("unterminated backtick")
+        if (end == i + 1) fail("empty backtick column name")
+        out += BCol(in.substring(i + 1, end)); i = end + 1
       } else if (c == '@') {
         if (i + 1 >= in.length ||
             !(in(i + 1).isLetter || in(i + 1) == '_'))
@@ -125,6 +137,13 @@ object PredicateParser {
     def literal(): Column = pop() match {
       case Num(s) =>
         if (s.contains('.')) lit(s.toDouble) else lit(s.toLong)
+      // negative literals in in-lists: `x in (-1, 2)` (property-test
+      // find — the arith path handled unary minus, the list path not)
+      case Op("-") => pop() match {
+        case Num(s) =>
+          if (s.contains('.')) lit(-s.toDouble) else lit(-s.toLong)
+        case other => fail(s"expected number after '-', got $other")
+      }
       case Str(s) => lit(s)
       case other => fail(s"expected literal, got $other")
     }
@@ -151,8 +170,13 @@ object PredicateParser {
     def atom(): Column = peek match {
       case Some(Op("-")) => pop(); -atom()
       case Some(Op("(")) => pop(); val e = orExpr(); expectOp(")"); e
+      case Some(Ident("True")) => pop(); lit(true)
+      case Some(Ident("False")) => pop(); lit(false)
       case Some(Ident(s)) if s != "not" && s != "and" && s != "or" &&
         s != "in" => pop(); col(s)
+      // re-quote so a dotted name stays a literal column, not a
+      // struct-field path (col("a.b") would traverse)
+      case Some(BCol(s)) => pop(); col("`" + s + "`")
       case Some(Ref(s)) => pop(); envScalar(s)
       case Some(Num(_)) | Some(Str(_)) => literal()
       case other => fail(s"expected operand, got $other")

@@ -212,6 +212,25 @@ class RobustStatsSpec extends AnyFunSuite {
       assertThrows[IllegalArgumentException](parse(bad, env))
   }
 
+  test("t57 parser: backtick columns, True/False keywords") {
+    import graft.types.PredicateParser.parse
+    val df = Seq((1, 10.0, true), (2, 3.5, false), (3, 8.0, true))
+      .toDF("x", "net price", "is.hot")
+    def ids(p: String): Set[Int] =
+      df.filter(parse(p)).select("x").as[Int].collect().toSet
+    // spaces and dots stay literal column names under backticks
+    assert(ids("`net price` > 5") == Set(1, 3))
+    assert(ids("`is.hot` == True") == Set(1, 3))
+    assert(ids("`is.hot` != False and `net price` < 9") == Set(3))
+    assert(ids("~`is.hot`") == Set(2))
+    // backticked keyword is a column, bare keyword is the boolean
+    val kw = Seq((1, true), (2, false)).toDF("x", "True")
+    assert(kw.filter(parse("`True` == False")).select("x")
+      .as[Int].collect().toSet == Set(2))
+    for (bad <- Seq("`x", "`` > 1"))
+      assertThrows[IllegalArgumentException](parse(bad))
+  }
+
   test("t50: planted outlier flagged, clean group clean, MAD=0 -> null z") {
     // 20 tight values + one wild one per the rule's own arithmetic
     val base = (1 to 20).map(i => ("a", 10.0 + (i % 5))) :+ (("a", 1000.0))
