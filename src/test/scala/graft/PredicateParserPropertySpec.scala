@@ -32,6 +32,7 @@ class PredicateParserPropertySpec extends AnyFunSuite {
   private case class ACol(n: String) extends Ar
   private case class ALong(v: Long) extends Ar
   private case class ADbl(v: Double) extends Ar
+  private case class ARef(n: String) extends Ar // @env scalar
   private case class ANeg(a: Ar) extends Ar
   private case class ABin(op: String, l: Ar, r: Ar) extends Ar
 
@@ -40,9 +41,16 @@ class PredicateParserPropertySpec extends AnyFunSuite {
   private case class BStrCmp(op: String, v: String) extends Bo // s vs literal
   private case class BChain(l: Ar, ops: List[(String, Ar)]) extends Bo
   private case class BIn(neg: Boolean, vals: Seq[Long]) extends Bo // x in (...)
+  private case class BInRef(neg: Boolean) extends Bo // x in @ids
+  private case class BBool(v: Boolean) extends Bo // bare True/False
   private case class BNot(b: Bo) extends Bo
   private case class BAnd(l: Bo, r: Bo) extends Bo
   private case class BOr(l: Bo, r: Bo) extends Bo
+
+  // the @ref environment the render/parse/direct paths all share
+  private val env = Map[String, Any](
+    "lo" -> 2L, "half" -> 0.5, "ids" -> Seq(0L, 3L, 5L))
+  private val envIds = Seq(0L, 3L, 5L)
 
   // ---- generation (pinned seed) ------------------------------------------
   private val rng = new Random(20260816L)
@@ -51,10 +59,11 @@ class PredicateParserPropertySpec extends AnyFunSuite {
   private val strs = Vector("a", "b", "zz")
 
   private def genAr(depth: Int): Ar =
-    if (depth <= 0) rng.nextInt(4) match {
+    if (depth <= 0) rng.nextInt(5) match {
       case 0 => ACol(Vector("x", "y")(rng.nextInt(2)))
       case 1 => ACol("d")
       case 2 => ALong(rng.nextInt(13) - 4L)
+      case 3 => ARef(Vector("lo", "half")(rng.nextInt(2)))
       case _ => ADbl(dbls(rng.nextInt(dbls.length)))
     }
     else rng.nextInt(6) match {
@@ -70,7 +79,7 @@ class PredicateParserPropertySpec extends AnyFunSuite {
     }
 
   private def genBo(depth: Int): Bo =
-    if (depth <= 0) rng.nextInt(4) match {
+    if (depth <= 0) rng.nextInt(6) match {
       case 0 => BStrCmp(Vector("==", "!=")(rng.nextInt(2)),
         strs(rng.nextInt(strs.length)))
       case 1 => BIn(rng.nextBoolean(),
@@ -78,6 +87,8 @@ class PredicateParserPropertySpec extends AnyFunSuite {
       case 2 => BChain(genAr(1),
         List.fill(1 + rng.nextInt(2))(
           (relops(rng.nextInt(6)), genAr(1))))
+      case 3 => BInRef(rng.nextBoolean())
+      case 4 => BBool(rng.nextBoolean())
       case _ => BCmp(relops(rng.nextInt(6)), genAr(1), genAr(1))
     }
     else rng.nextInt(4) match {
@@ -92,6 +103,7 @@ class PredicateParserPropertySpec extends AnyFunSuite {
     case ACol(n) => col(n)
     case ALong(v) => lit(v)
     case ADbl(v) => lit(v)
+    case ARef(n) => lit(env(n))
     case ANeg(x) => -colAr(x)
     case ABin("+", l, r) => colAr(l) + colAr(r)
     case ABin("-", l, r) => colAr(l) - colAr(r)
@@ -111,6 +123,9 @@ class PredicateParserPropertySpec extends AnyFunSuite {
     case BStrCmp(op, v) => rel(op, col("s"), lit(v))
     case BIn(neg, vals) =>
       val in = col("x").isin(vals: _*); if (neg) !in else in
+    case BInRef(neg) =>
+      val in = col("x").isin(envIds: _*); if (neg) !in else in
+    case BBool(v) => lit(v)
     case BChain(l, ops) =>
       // Python's conjunction reading, middle operands evaluated once
       val (acc, _) = ops.foldLeft(
@@ -135,7 +150,9 @@ class PredicateParserPropertySpec extends AnyFunSuite {
   private def sp: String = if (rng.nextBoolean()) " " else "  "
   private def renderAr(a: Ar, ctx: Int): String = {
     val s = a match {
-      case ACol(n) => n
+      // 1-in-4: backtick an ordinary name — `x` must read as x
+      case ACol(n) => if (rng.nextInt(4) == 0) s"`$n`" else n
+      case ARef(n) => s"@$n"
       case ALong(v) => if (v < 0) s"-${-v}" else v.toString
       case ADbl(v) =>
         val t = if (v < 0) s"-${-v}" else v.toString
@@ -167,6 +184,9 @@ class PredicateParserPropertySpec extends AnyFunSuite {
       case BIn(neg, vals) =>
         "x" + (if (neg) " not in " else " in ") +
           vals.mkString("(", ", ", ")")
+      case BInRef(neg) =>
+        "x" + (if (neg) " not in " else " in ") + "@ids"
+      case BBool(v) => if (v) "True" else "False"
       case BChain(l, ops) =>
         renderAr(l, 0) + ops.map { case (op, r) =>
           sp + op + sp + renderAr(r, 0)
@@ -199,7 +219,7 @@ class PredicateParserPropertySpec extends AnyFunSuite {
       .map(ast => (ast, renderBo(ast, 0)))
     val cols = cases.zipWithIndex.flatMap { case ((ast, rendered), i) =>
       val parsed =
-        try PredicateParser.parse(rendered)
+        try PredicateParser.parse(rendered, env)
         catch {
           case e: IllegalArgumentException =>
             fail(s"case $i failed to parse: <$rendered>\n$e")
