@@ -363,20 +363,31 @@ package object syntax {
       * pinned mini-language (see [[graft.types.PredicateParser]]) —
       * compiles to ordinary codegen'd Columns. `env` binds `@name`
       * references (pandas' local-scope resolution):
-      * `df.queryWhere("qty > @cut", Map("cut" -> 45))`. */
+      * `df.queryWhere("qty > @cut", Map("cut" -> 45))`.
+      *
+      * One documented deviation from real pandas strings: `&`/`|`/`~`
+      * are accepted at the BOOLEAN (and/or/not) precedence levels, not
+      * Python's bitwise levels — `x == 1 | s == 'b'` reads as the
+      * disjunction of the comparisons here, where actual pandas would
+      * raise and direct you to parenthesize. Strings that real pandas
+      * accepts mean the same thing; this grammar also accepts the
+      * unparenthesized spellings with the intended reading. */
     def queryWhere(predicate: String,
         env: Map[String, Any] = Map.empty): DataFrame =
       df.filter(types.PredicateParser.parse(predicate, env))
 
-    /** pandas `df.eval("c = a + b")`: append a computed column via the
-      * t57 expression grammar ([[graft.types.PredicateParser]] —
+    /** pandas `df.eval("c = a + b")`: append computed column(s) via
+      * the t57 expression grammar ([[graft.types.PredicateParser]] —
       * boolean expressions assign too: `df.evalAssign("hot = x > 9")`);
-      * `env` binds `@name` references as in [[queryWhere]]. */
+      * `env` binds `@name` references as in [[queryWhere]]. Accepts
+      * pandas' MULTI-STATEMENT form — newline-separated assignments,
+      * later statements referencing earlier targets — by folding
+      * `withColumn` in source order:
+      * `df.evalAssign("c = a + b\nd = c * 2")`. */
     def evalAssign(assignment: String,
-        env: Map[String, Any] = Map.empty): DataFrame = {
-      val (name, e) = types.PredicateParser.parseAssign(assignment, env)
-      df.withColumn(name, e)
-    }
+        env: Map[String, Any] = Map.empty): DataFrame =
+      types.PredicateParser.parseProgram(assignment, env)
+        .foldLeft(df) { case (acc, (name, e)) => acc.withColumn(name, e) }
 
     /** Count-Min point-frequency probe over this `tok` column (see
       * [[graft.llm.LlmQueries.countMinProbe]]): fixed additive cells,

@@ -1,7 +1,7 @@
 package graft.types
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{col, lit, pmod, pow}
 
 /** The pandas `df.query()` predicate mini-language as a compiled
   * Catalyst front-end — the expression-side sibling of
@@ -18,8 +18,10 @@ import org.apache.spark.sql.functions.{col, lit}
   *             | ['not'] 'in'
   *               ('(' literal (',' literal)* ')' | '@' identifier) )?
   *   arith   := mul (('+' | '-') mul)*
-  *   mul     := atom (('*' | '/') atom)*
-  *   atom    := '-' atom | identifier | '`'backtick column'`'
+  *   mul     := unaryA (('*' | '/' | '%') unaryA)*
+  *   unaryA  := '-' unaryA | power
+  *   power   := atom ['**' unaryA]
+  *   atom    := identifier | '`'backtick column'`'
   *             | '@' identifier | number | 'True' | 'False'
   *             | 'single-quoted string' | '(' expr ')'
   * }}}
@@ -32,11 +34,23 @@ import org.apache.spark.sql.functions.{col, lit}
   * backtick, whitespace and case preserved. Python precedence throughout: `*`/`/`
   * over `+`/`-` over comparisons over `not` over `and` over `or`;
   * parens recurse to the top, so `(price / qty) > 9.5 and not (f ==
-  * 'R')` reads as written. Both comparison sides are full arithmetic
+  * 'R')` reads as written. `%` is PYTHON's modulo (result takes the
+  * divisor's sign — compiled to `pmod`, i.e. `((a % b) + b) % b` —
+  * not C/SQL remainder) at the `*`/`/` level; `**` is Python's power:
+  * RIGHT-associative, binding tighter than unary minus on its left
+  * and admitting a signed right operand (`-2**2` = -4, `2**-1` = 0.5,
+  * `2**3**2` = 2**(3**2)), always evaluated in double (a documented
+  * deviation from Python's int**int — Spark's `pow` is the double
+  * kind). Both comparison sides are full arithmetic
   * expressions, so column-vs-column reads (`a + b > c`) are
   * first-class; CHAINED comparisons take Python's conjunction reading
-  * (`1 <= x < 5` ≡ `1 <= x and x < 5`, the middle operand evaluated
-  * once), and `x not in (...)` / `x not in @vals` is the negated
+  * (`1 <= x < 5` ≡ `1 <= x and x < 5` — the middle operand is parsed
+  * once but the Column is SPLICED into both conjuncts, so it is
+  * re-evaluated per conjunct: pointwise identical to Python for
+  * deterministic expressions, which is every expression this grammar
+  * can build except a nondeterministic `@env` Column splice, where
+  * the two conjuncts would see independent draws), and
+  * `x not in (...)` / `x not in @vals` is the negated
   * membership test.
   *
   * `~`, `&`, `|` are accepted as pandas.query's spellings of
@@ -88,7 +102,11 @@ object PredicateParser {
         (c == '.' && i + 1 < in.length && in(i + 1).isDigit)) {
         val j = in.indexWhere(ch => !(ch.isDigit || ch == '.'), i)
         val end = if (j < 0) in.length else j
-        out += Num(in.substring(i, end)); i = end
+        val s = in.substring(i, end)
+        // at most one '.': fail "1.2.3" here with position context
+        // rather than as a bare NumberFormatException from toDouble
+        if (s.count(_ == '.') > 1) fail(s"malformed number '$s'")
+        out += Num(s); i = end
       } else if (c == '\'') {
         val end = in.indexOf('\'', i + 1)
         if (end < 0) fail("unterminated string")
@@ -106,9 +124,9 @@ object PredicateParser {
         val end = if (j < 0) in.length else j
         out += Ref(in.substring(i + 1, end)); i = end
       } else if (i + 1 < in.length &&
-        Set("==", "!=", "<=", ">=").contains(in.substring(i, i + 2))) {
+        Set("==", "!=", "<=", ">=", "**").contains(in.substring(i, i + 2))) {
         out += Op(in.substring(i, i + 2)); i += 2
-      } else if ("<>(),+-*/&|~".contains(c)) {
+      } else if ("<>(),+-*/%&|~".contains(c)) {
         out += Op(c.toString); i += 1
       } else fail(s"unexpected character '$c'")
     }
@@ -168,7 +186,6 @@ object PredicateParser {
       case _ => fail(s"'in @$name' needs a collection env value")
     }
     def atom(): Column = peek match {
-      case Some(Op("-")) => pop(); -atom()
       case Some(Op("(")) => pop(); val e = orExpr(); expectOp(")"); e
       case Some(Ident("True")) => pop(); lit(true)
       case Some(Ident("False")) => pop(); lit(false)
@@ -181,12 +198,29 @@ object PredicateParser {
       case Some(Num(_)) | Some(Str(_)) => literal()
       case other => fail(s"expected operand, got $other")
     }
+    // Python's power/unary tower: '**' binds tighter than unary '-'
+    // on its left (-2**2 = -4) and right-associates through a signed
+    // right operand (2**-1, 2**3**2 = 2**(3**2)).
+    def powExpr(): Column = {
+      val base = atom()
+      if (peek.contains(Op("**"))) { pop(); pow(base, unaryArith()) }
+      else base
+    }
+    def unaryArith(): Column = peek match {
+      case Some(Op("-")) => pop(); -unaryArith()
+      case _ => powExpr()
+    }
     def mulExpr(): Column = {
-      var e = atom()
-      while (peek.exists { case Op("*") | Op("/") => true; case _ => false }) {
+      var e = unaryArith()
+      while (peek.exists {
+        case Op("*") | Op("/") | Op("%") => true; case _ => false
+      }) {
         pop() match {
-          case Op("*") => e = e * atom()
-          case _ => e = e / atom()
+          case Op("*") => e = e * unaryArith()
+          case Op("/") => e = e / unaryArith()
+          // Python modulo: result takes the divisor's sign (pmod),
+          // not SQL/C remainder — pinned in the scaladoc and oracle
+          case _ => e = pmod(e, unaryArith())
         }
       }
       e
@@ -289,5 +323,20 @@ object PredicateParser {
       throw new IllegalArgumentException(
         s"invalid assignment target '$name' in: $in")
     (name, parse(in.substring(split + 1), env))
+  }
+
+  /** pandas MULTI-STATEMENT `df.eval`: newline-separated assignment
+    * statements (blank lines and pure-whitespace lines ignored), each
+    * in [[parseAssign]]'s `name = expression` form, returned in
+    * source order. The parser is name-agnostic — a later statement's
+    * reference to an earlier target is just `col(name)` — so the
+    * caller materializes the pandas sequencing by folding
+    * `withColumn` in order (what `df.evalAssign` does). */
+  def parseProgram(in: String,
+      env: Map[String, Any] = Map.empty): Seq[(String, Column)] = {
+    val stmts = in.split('\n').map(_.trim).filter(_.nonEmpty).toSeq
+    if (stmts.isEmpty) throw new IllegalArgumentException(
+      s"empty eval program: $in")
+    stmts.map(parseAssign(_, env))
   }
 }

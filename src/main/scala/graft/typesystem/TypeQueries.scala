@@ -1118,13 +1118,14 @@ object TypeQueries {
     * (comparisons incl. Python-reading CHAINS `1 <= x < 5`, in/not-in
     * lists, and/or/not with Python precedence plus pandas' `&`/`|`/`~`
     * spellings at those levels, parens, string/number literals,
-    * `@name` environment references resolved at parse time, and full
+    * `@name` environment references resolved at parse time, Python's
+    * divisor-sign `%` and right-associative `**` power, and full
     * arithmetic on BOTH comparison sides so column-vs-column reads
     * are first-class) compiled to Catalyst Columns by
     * [[graft.types.PredicateParser]], the expression-side sibling of
     * t2's type-spec resolver: the same "user strings become plans"
     * front-end discipline, with malformed input throwing (never a
-    * silent misread). All four grid predicates evaluate in ONE fused
+    * silent misread). All grid predicates evaluate in ONE fused
     * corpus scan (per-predicate conditional counts + exact DECIMAL
     * sums on a single aggregation row, x30's device) — the parser
     * produces ordinary codegen'd expressions, so the language costs
@@ -1152,7 +1153,13 @@ object TypeQueries {
       // chained comparison (Python's conjunction reading) and the
       // pandas ~/&/not-in spellings
       "5 <= l_quantity < 10",
-      "l_returnflag not in ('A', 'N') & ~(l_linestatus == 'F')")
+      "l_returnflag not in ('A', 'N') & ~(l_linestatus == 'F')",
+      // Python modulo (divisor-sign result) on a SIGNED dividend, and
+      // the power tower: right-assoc '**' binding over unary minus —
+      // the constant conjuncts pin the reading against the oracle
+      "(l_quantity - 30) % 7 == 3",
+      "l_discount ** 2 > 0.006 and l_quantity < 25",
+      "2 ** 3 ** 2 == 512 and -2 ** 2 == -4 and l_returnflag == 'R'")
     val li = t(s, dir, "lineitem")
     val aggs = preds.zipWithIndex.flatMap { case (p, i) =>
       val c = PredicateParser.parse(p, env)
@@ -1166,6 +1173,36 @@ object TypeQueries {
       }: _*)).as("e"))
       .select(col("e.predicate"), col("e.n_rows"), col("e.qty_total"))
       .orderBy("predicate")
+  }
+
+  // ---- T70: df.eval multi-statement program --------------------------------
+  /** pandas MULTI-LINE `df.eval` as a gated query: a four-statement
+    * program whose later statements reference earlier targets (the
+    * sequential-withColumn fold of `evalAssign`), exercising the
+    * round-11 grammar extensions end-to-end — Python's divisor-sign
+    * `%` and the `**` power — against an independent SQL replay.
+    * Engine-stability by construction: `bucket` is an integral double
+    * (pmod of whole-number quantities), `boost` = 2**bucket is an
+    * exact power of two, so `score` = margin × boost is an EXACT
+    * binary scaling of the per-row IEEE product — every aggregate is
+    * a count, a threshold count (same doubles compared both engines),
+    * or an exact decimal sum; no double ever crosses an ordering- or
+    * rounding-sensitive path. The program compiles to ordinary
+    * codegen'd projections — one corpus scan, one groupBy on a
+    * 7-value key. */
+  def t70EvalProgram(s: SparkSession, dir: String): DataFrame = {
+    import graft.syntax._
+    val prog =
+      """bucket = l_quantity % 7
+        |boost = 2 ** bucket
+        |margin = l_extendedprice * (1 - l_discount)
+        |score = margin * boost""".stripMargin
+    t(s, dir, "lineitem").evalAssign(prog)
+      .groupBy(col("bucket").cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("score") > 200000, 1L).otherwise(0L)).as("n_hi"),
+        dsum(dec(col("l_quantity"))).as("sum_qty"))
+      .orderBy("bucket")
   }
 
   // ---- T46: nested decorators — sparse[categorical[string]] ---------------
@@ -1867,6 +1904,7 @@ object TypeQueries {
     "t56_kleene_bool" -> t56KleeneBool _,
     "t58_business_days" -> t58BusinessDays _,
     "t57_query_predicates" -> t57QueryPredicates _,
+    "t70_eval_program" -> t70EvalProgram _,
     "t55_frame_compare" -> t55FrameCompare _,
     "t54_json_normalize" -> t54JsonNormalize _,
     "t53_resample_ohlc" -> t53ResampleOhlc _,
@@ -2324,7 +2362,17 @@ object TypeQueries {
         "5 <= l_quantity < 10" ->
           "5 <= l_quantity AND l_quantity < 10",
         "l_returnflag not in ('A', 'N') & ~(l_linestatus == 'F')" ->
-          "l_returnflag NOT IN ('A', 'N') AND NOT (l_linestatus = 'F')")
+          "l_returnflag NOT IN ('A', 'N') AND NOT (l_linestatus = 'F')",
+        // Python modulo = ((a fmod b) + b) fmod b; '**' = double POWER
+        // with the power tower hand-parenthesized to the Python
+        // reading (right-assoc, tighter than unary minus)
+        "(l_quantity - 30) % 7 == 3" ->
+          "fmod(fmod(l_quantity - 30, 7) + 7, 7) = 3",
+        "l_discount ** 2 > 0.006 and l_quantity < 25" ->
+          "POWER(l_discount, 2) > CAST(0.006 AS DOUBLE) AND l_quantity < 25",
+        "2 ** 3 ** 2 == 512 and -2 ** 2 == -4 and l_returnflag == 'R'" ->
+          ("POWER(2, POWER(3, 2)) = 512 AND -POWER(2, 2) = -4 " +
+            "AND l_returnflag = 'R'"))
       val rows = wheres.map { case (p, w) =>
         val lbl = p.replace("'", "''")
         s"""SELECT '$lbl' AS predicate,
@@ -2338,6 +2386,24 @@ object TypeQueries {
          |$rows
          |) ORDER BY predicate""".stripMargin
     },
+    // t70: independent replay of the eval program — CTEs for the
+    // statement sequencing, fmod composition for Python's %, POWER
+    // for ** (exact on the 2^0..2^6 grid); thresholds compare the
+    // SAME per-row IEEE doubles, sums are counts or exact decimals
+    "t70_eval_program" ->
+      """WITH e AS (
+        |  SELECT l_quantity,
+        |    fmod(fmod(l_quantity, 7) + 7, 7) AS bucket,
+        |    POWER(2, fmod(fmod(l_quantity, 7) + 7, 7)) AS boost,
+        |    l_extendedprice * (1 - l_discount) AS margin
+        |  FROM lineitem),
+        |e2 AS (SELECT *, margin * boost AS score FROM e)
+        |SELECT CAST(bucket AS BIGINT) AS bucket,
+        |  COUNT(*) AS n_rows,
+        |  CAST(SUM(CASE WHEN score > 200000 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_hi,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        |FROM e2 GROUP BY 1 ORDER BY 1""".stripMargin,
     // t55: identical cents-string cells, identical plants, identical
     // null-safe inequality
     "t55_frame_compare" ->

@@ -21,8 +21,11 @@ import scala.util.Random
   * precedence boundary (mul over add over cmp over not over and over
   * or), left-associativity (the renderer only parenthesizes
   * same-level RIGHT children — "a - b - c" must parse left-nested),
-  * chain conjunction semantics, and the &/|/~ spellings binding at
-  * the boolean levels exactly as their keyword twins. */
+  * the '**' tower (RIGHT-assoc, binding over unary minus on its left
+  * but admitting a signed right operand — "(a**b) ** c" needs the
+  * parens, "a ** -b ** c" doesn't), chain conjunction semantics, and
+  * the &/|/~ spellings binding at the boolean levels exactly as
+  * their keyword twins. */
 class PredicateParserPropertySpec extends AnyFunSuite {
   import TestSpark._
   import spark.implicits._
@@ -66,15 +69,18 @@ class PredicateParserPropertySpec extends AnyFunSuite {
       case 3 => ARef(Vector("lo", "half")(rng.nextInt(2)))
       case _ => ADbl(dbls(rng.nextInt(dbls.length)))
     }
-    else rng.nextInt(6) match {
+    else rng.nextInt(7) match {
       case 0 => ANeg(genAr(depth - 1))
-      // '/' excluded: under ANSI mode a random tree can always build a
-      // zero divisor somewhere on the grid and the JOB (not the
-      // comparison) would throw — division is pinned by the example
-      // grids and the t57 oracle instead
+      // '/' and '%' excluded: under ANSI mode a random tree can
+      // always build a zero divisor somewhere on the grid and the JOB
+      // (not the comparison) would throw — division and modulo are
+      // pinned by the example grids and the t57 oracle instead
       case n if n <= 4 =>
         ABin(Vector("+", "-", "*")(rng.nextInt(3)),
           genAr(depth - 1), genAr(depth - 1))
+      // '**' is total in double (Inf/NaN are deterministic values, so
+      // pointwise agreement still holds) — random-generable
+      case 5 => ABin("**", genAr(depth - 1), genAr(depth - 1))
       case _ => genAr(0)
     }
 
@@ -108,6 +114,7 @@ class PredicateParserPropertySpec extends AnyFunSuite {
     case ABin("+", l, r) => colAr(l) + colAr(r)
     case ABin("-", l, r) => colAr(l) - colAr(r)
     case ABin("*", l, r) => colAr(l) * colAr(r)
+    case ABin("**", l, r) => pow(colAr(l), colAr(r))
     case ABin(_, l, r) => colAr(l) / colAr(r)
   }
   private def rel(op: String, l: Column, r: Column): Column = op match {
@@ -139,13 +146,16 @@ class PredicateParserPropertySpec extends AnyFunSuite {
   }
 
   // ---- rendering: minimal parens per the pinned precedence ----------------
-  // arith levels: add 0 < mul 1 < neg 2 < atom 3; left-assoc, so the
-  // RIGHT child of a binary op needs strictly higher level
+  // arith levels: add 0 < mul 1 < neg 2 < pow 3 < atom 4. +|-|* are
+  // left-assoc (RIGHT child needs strictly higher level); '**' is
+  // RIGHT-assoc binding over unary minus on its left, so its LEFT
+  // child must be atom-level and its right child is a unary (level 2)
   private def arLevel(a: Ar): Int = a match {
     case ABin("+" | "-", _, _) => 0
+    case ABin("**", _, _) => 3
     case ABin(_, _, _) => 1
     case ANeg(_) => 2
-    case _ => 3
+    case _ => 4
   }
   private def sp: String = if (rng.nextBoolean()) " " else "  "
   private def renderAr(a: Ar, ctx: Int): String = {
@@ -157,7 +167,9 @@ class PredicateParserPropertySpec extends AnyFunSuite {
       case ADbl(v) =>
         val t = if (v < 0) s"-${-v}" else v.toString
         if (t.contains('.')) t else t + ".0"
-      case ANeg(x) => "-" + renderAr(x, 3)
+      case ANeg(x) => "-" + renderAr(x, 2)
+      case ABin("**", l, r) =>
+        renderAr(l, 4) + sp + "**" + sp + renderAr(r, 2)
       case ABin(op, l, r) =>
         renderAr(l, arLevel(a)) + sp + op + sp + renderAr(r, arLevel(a) + 1)
     }

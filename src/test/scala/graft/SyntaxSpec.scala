@@ -336,6 +336,37 @@ class VectorOpsExtraSpec extends org.scalatest.funsuite.AnyFunSuite {
     intercept[IllegalArgumentException](df.evalAssign("c = a +"))
   }
 
+  test("evalAssign multi-statement: later statements see earlier targets") {
+    import spark.implicits._
+    val df = Seq((1L, 2L), (3L, 4L)).toDF("a", "b")
+    // pandas multi-line eval: newline-separated, blank lines ignored
+    val out = df.evalAssign("c = a + b\n\n  d = c * 2\nhot = d >= 12")
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    assert(out.toSet == Set((1L, 3L, 6L, false), (3L, 7L, 14L, true)))
+    intercept[IllegalArgumentException](df.evalAssign("   \n  "))
+    // one malformed statement fails the whole program
+    intercept[IllegalArgumentException](df.evalAssign("c = a\nd ="))
+  }
+
+  test("query grammar: Python %, right-assoc **, malformed numbers") {
+    import spark.implicits._
+    val df = Seq(-7L, -1L, 0L, 3L, 7L).toDF("x")
+    // Python modulo: result takes the divisor's sign (-7 % 3 == 2)
+    val m = df.queryWhere("x % 3 == 2").collect().map(_.getLong(0)).toSet
+    assert(m == Set(-7L, -1L))
+    // '**' over unary minus and right-assoc: -2**2 = -4, 2**3**2 = 512
+    val p = df.evalAssign("y = -2 ** 2\nz = 2 ** 3 ** 2\nw = x ** 2")
+      .filter($"x" === 3L).head()
+    assert(p.getDouble(1) == -4.0 && p.getDouble(2) == 512.0 &&
+      p.getDouble(3) == 9.0)
+    // multi-dot numbers fail in the tokenizer with position context,
+    // not as a bare NumberFormatException from toDouble
+    val e = intercept[IllegalArgumentException](df.queryWhere("x > 1.2.3"))
+    assert(e.getMessage.contains("malformed number") &&
+      e.getMessage.contains("position"))
+  }
+
   test("vocabGrowth / embeddingDiversity / pcaExplainedVariance verbs delegate") {
     import spark.implicits._
     val vg = Seq((0L, "a b"), (1L, "a c")).toDF("doc_id", "text")
