@@ -16,23 +16,31 @@ object Bench {
     * (failing) time in the per-query map — visible, never hidden — but
     * is EXCLUDED from the headline `total` (a crash timing is not a
     * cost; blending it in would let the aggregate read as green) and
-    * named in `failedAll`. */
+    * named in `failedAll`. `spread` is max − min over the SAME passes
+    * the min was taken from — the noise made self-documenting, so a
+    * per-query regression can be read against that query's own
+    * run-to-run swing instead of burning a round chasing host noise
+    * (the r9→r10 s6/p6/t46 watchlist lesson). */
   private[graft] case class Folded(results: Seq[(String, Double)],
-      total: Double, failedAny: Seq[String], failedAll: Seq[String])
+      total: Double, failedAny: Seq[String], failedAll: Seq[String],
+      spread: Seq[(String, Double)])
 
   private[graft] def fold(names: Seq[String],
       raw: Seq[Seq[(String, (Double, Boolean))]]): Folded = {
-    val results = names.map { n =>
+    val perQuery = names.map { n =>
       val rs = raw.map(_.toMap.apply(n))
       val good = rs.filter(_._2).map(_._1)
-      n -> (if (good.nonEmpty) good.min else rs.map(_._1).min)
+      val used = if (good.nonEmpty) good else rs.map(_._1)
+      (n, used.min, used.max - used.min)
     }
+    val results = perQuery.map { case (n, mn, _) => n -> mn }
     val failedAny = names.filter(n => raw.exists(p => !p.toMap.apply(n)._2))
     val failedAll = names.filter(n => raw.forall(p => !p.toMap.apply(n)._2))
     val dead = failedAll.toSet
     Folded(results,
       results.collect { case (n, v) if !dead(n) => v }.sum,
-      failedAny, failedAll)
+      failedAny, failedAll,
+      perQuery.map { case (n, _, sp) => n -> sp })
   }
 
   def main(args: Array[String]): Unit = {
@@ -58,13 +66,15 @@ object Bench {
     // min-of-N protocol: the host swings ~1.4x run-to-run with
     // per-query spikes that MIGRATE between runs (r7: a 30 s
     // q57_golden_record that re-measures at 0.9 s) — a single pass is
-    // not an interpretable artifact. Run the registry twice and report
-    // the per-query MIN (the plan's honest cost); both raw passes are
-    // persisted so the noise itself stays visible.
+    // not an interpretable artifact. Default min-of-THREE (raised
+    // from 2 in r11: two rounds of watchlist chasing dissolved as
+    // noise; a third pass plus the per-query spread field makes the
+    // noise self-documenting); all raw passes are persisted so the
+    // noise itself stays visible.
     // clamp to >= 1 and survive non-numeric values (an empty raw pass
     // list would .min-throw after the warm-up already ran)
     val passes = math.max(1, sys.env.get("SPARK_GRAFT_BENCH_PASSES")
-      .flatMap(_.toIntOption).getOrElse(2))
+      .flatMap(_.toIntOption).getOrElse(3))
     def runPass(): Seq[(String, (Double, Boolean))] = picked.map { case (name, fn) =>
       // drop predecessors' persisted blocks (the dedup pipelines cache
       // multi-consumer relations); a forced per-query System.gc() is
@@ -116,6 +126,7 @@ object Bench {
     val defaultOut =
       if (only.isEmpty) "BENCH_full.json" else "/tmp/graft_bench_only.json"
     val full = line.dropRight(1) +
+      s""","spread":${jmap(folded.spread)}""" +
       raw.zipWithIndex.map { case (p, i) =>
         s""","pass${i + 1}":${jmap(p.map { case (k, (v, _)) => k -> v })}"""
       }.mkString + "}"

@@ -18,6 +18,8 @@ class BenchFoldSpec extends AnyFunSuite {
     assert(f.results.toMap === Map("qa" -> 2.0, "qb" -> 4.0, "qc" -> 1.0))
     assert(f.total === 7.0)
     assert(f.failedAny.isEmpty && f.failedAll.isEmpty)
+    // spread = max - min over the same passes the min came from
+    assert(f.spread.toMap === Map("qa" -> 1.0, "qb" -> 1.0, "qc" -> 8.0))
   }
 
   test("one failing pass: min over SUCCESSFUL passes only, named in failedAny") {
@@ -31,6 +33,10 @@ class BenchFoldSpec extends AnyFunSuite {
     assert(f.total === 2.0 + 6.0 + 1.0)
     assert(f.failedAny === Seq("qb"))
     assert(f.failedAll.isEmpty)
+    // qb's crash pass is excluded from the spread window too: one
+    // successful pass -> spread 0, never (6.0 - 0.1)
+    assert(f.spread.toMap.apply("qb") === 0.0)
+    assert(f.spread.toMap.apply("qa") === 1.0)
   }
 
   test("all passes failed: visible in map, EXCLUDED from total, named in failedAll") {
@@ -44,6 +50,9 @@ class BenchFoldSpec extends AnyFunSuite {
     assert(f.total === 2.0 + 1.0)
     assert(f.failedAny === Seq("qb"))
     assert(f.failedAll === Seq("qb"))
+    // zero successful passes: spread falls back to the failing times
+    // (visible like the min itself)
+    assert(math.abs(f.spread.toMap.apply("qb") - 0.1) < 1e-12)
   }
 
   test("single pass, single query, failed: total is zero, not the crash time") {
