@@ -391,10 +391,20 @@ object StreamingOps {
     * order is fine (the daily groupBy is order-free). The live read:
     * a user's lag-1 autocorrelation collapsing mid-stream means the
     * daily pattern broke — a bot burst, a fee change, an
-    * instrumentation bug — paged without re-reading history. */
+    * instrumentation bug — paged without re-reading history.
+    *
+    * `stateDir` + `checkpointDir` make the query KILLABLE exactly as
+    * [[streamingIncrementalMv]]'s: both state relations (tails AND
+    * sums) snapshot per trigger under one `state_batch=` dir, restore
+    * picks the newest id < the replayed batch, stale snapshots prune
+    * — StreamingRecoverySpec kills this query mid-feed with seam rows
+    * crossing the kill point and proves the resumed fold equals the
+    * uninterrupted batch answer. */
   def streamingAutocorr(rows: DataFrame,
       trigger: org.apache.spark.sql.streaming.Trigger =
-        org.apache.spark.sql.streaming.Trigger.AvailableNow())(
+        org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      stateDir: Option[String] = None,
+      checkpointDir: Option[String] = None)(
       sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.{DecimalType, LongType}
@@ -403,8 +413,32 @@ object StreamingOps {
       "n7", "sx7", "sy7", "sxy7", "sxx7", "syy7")
     var tails: DataFrame = null
     var sums: DataFrame = null
-    rows.writeStream
-      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+    val writer = rows.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val bs = b.sparkSession
+        // Checkpoint RECOVERY for the TWO-relation state shape (the
+        // ≤7-rows/user boundary buffer + the per-user sums row) —
+        // streamingIncrementalMv's protocol, one snapshot dir holding
+        // both relations: restore the newest snapshot with id <
+        // batchId (so the crash-replayed trigger re-derives from
+        // id−1 and overwrites id idempotently); a partial snapshot is
+        // never read because the write lands BEFORE the trigger's
+        // offset commit.
+        if (tails == null && sums == null) stateDir.foreach { dir =>
+          val p = new org.apache.hadoop.fs.Path(dir)
+          val fs = p.getFileSystem(bs.sparkContext.hadoopConfiguration)
+          val committed =
+            if (!fs.exists(p)) Array.empty[Long]
+            else fs.listStatus(p).map(_.getPath.getName)
+              .filter(_.startsWith("state_batch="))
+              .map(_.stripPrefix("state_batch=").toLong)
+              .filter(_ < batchId)
+          if (committed.nonEmpty) {
+            val base = s"$dir/state_batch=${committed.max}"
+            tails = bs.read.parquet(s"$base/tails")
+            sums = bs.read.parquet(s"$base/sums")
+          }
+        }
         val daily = b.toDF()
           .select(col("user_id"), to_date(col("ts")).as("day"),
             (col("value").cast(DecimalType(12, 2)) * lit(100))
@@ -452,6 +486,19 @@ object StreamingOps {
           .select("user_id", "day", "x")
           .persist()
         newTails.count()
+        stateDir.foreach { dir =>
+          val base = s"$dir/state_batch=$batchId"
+          folded.write.mode("overwrite").parquet(s"$base/sums")
+          newTails.write.mode("overwrite").parquet(s"$base/tails")
+          // prune: only batchId-1 is ever read again (the crash-replay
+          // anchor) — older snapshots are unreachable
+          val p = new org.apache.hadoop.fs.Path(dir)
+          val fs = p.getFileSystem(bs.sparkContext.hadoopConfiguration)
+          fs.listStatus(p).map(_.getPath)
+            .filter(_.getName.startsWith("state_batch="))
+            .filter(_.getName.stripPrefix("state_batch=").toLong < batchId - 1)
+            .foreach(fs.delete(_, true))
+        }
         if (sums != null) sums.unpersist()
         if (tails != null) tails.unpersist()
         u.unpersist()
@@ -468,7 +515,8 @@ object StreamingOps {
             .as("autocorr_7")))
       }
       .trigger(trigger)
-      .start()
+    checkpointDir.foreach(d => writer.option("checkpointLocation", d))
+    writer.start()
   }
 
   /** S10: streaming CDC merge — a change feed applied to a maintained

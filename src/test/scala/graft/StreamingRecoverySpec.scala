@@ -1,16 +1,16 @@
 package graft
 
 import graft.streaming.StreamingOps
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, unix_timestamp}
 import org.apache.spark.sql.streaming.Trigger
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Checkpoint-RECOVERY proofs — the 37 streaming specs show
+/** Checkpoint-RECOVERY proofs — the streaming specs show
   * fold-equals-batch for uninterrupted queries; these kill a stateful
   * query mid-feed and restart it from its checkpoint, asserting the
   * resumed run converges to the same answer as the uninterrupted one.
   *
-  * Two state regimes are covered:
+  * Three state regimes are covered:
   *  - S38: OPERATOR-managed fold state (S13's MV quartet) — durable
   *    per-trigger snapshots + Spark offset checkpointing; the restart
   *    must restore the snapshot AND skip already-committed input (a
@@ -20,7 +20,16 @@ import org.scalatest.funsuite.AnyFunSuite
   *  - S39: SPARK-managed state (stateful streaming aggregation in the
   *    state store) — the same kill/restart protocol over a native
   *    groupBy count, proving the harness's checkpoint usage recovers
-  *    engine-held state too. */
+  *    engine-held state too.
+  *  - S42: BOUNDARY-BUFFER state (S35's autocorr: a ≤7-rows/user day
+  *    tail AND a sums row) — the kill lands with seam lag-pairs still
+  *    unpriced, so recovery must restore BOTH relations for the
+  *    resumed fold to equal batch t65.
+  *
+  * S38 and S42 also assert the snapshot PRUNE: after 3+ triggers at
+  * most two `state_batch=` dirs survive (the newest and its
+  * crash-replay anchor) — unbounded state-dir growth is a slow leak a
+  * long-running production query would otherwise hit. */
 class StreamingRecoverySpec extends AnyFunSuite {
   import TestSpark._
 
@@ -66,12 +75,26 @@ class StreamingRecoverySpec extends AnyFunSuite {
     assert(atKill.nonEmpty)
 
     // phase 2: more data arrives while the query is down; a NEW query
-    // (fresh driver state) restarts from the same checkpoint/stateDir
-    mem.addData(second: _*)
+    // (fresh driver state) restarts from the same checkpoint/stateDir.
+    // Two feed rounds so the snapshot ids reach >= 2 and the prune
+    // path actually deletes (batchId-2 and older become unreachable)
+    val (secondA, secondB) = second.splitAt(second.length / 2)
+    mem.addData(secondA: _*)
     last = Array.empty
     val q2 = run(mem, ckpt, st, last = _)
     q2.processAllAvailable()
+    mem.addData(secondB: _*)
+    q2.processAllAvailable()
     q2.stop()
+
+    // the snapshot PRUNE: recovery only ever reads the newest id and
+    // its crash-replay anchor (id-1) — after 3+ triggers the stale
+    // `state_batch=` dirs must actually be gone, not merely unread
+    val snaps = new java.io.File(st).listFiles()
+      .filter(_.getName.startsWith("state_batch="))
+      .map(_.getName.stripPrefix("state_batch=").toLong).sorted
+    assert(snaps.length <= 2 && snaps.max >= 2,
+      s"expected <=2 surviving snapshots after 3+ triggers, got ${snaps.toSeq}")
 
     // ground truth: the uninterrupted batch aggregate over everything
     val batch = graft.operators.Merge.aggPartials(
@@ -130,5 +153,80 @@ class StreamingRecoverySpec extends AnyFunSuite {
       .mapValues(vs => (vs.size.toLong, vs.map(_._2).sum)).toMap
     assert(last == want,
       s"state-store aggregation did not recover: $last vs $want")
+  }
+
+  test("S42: autocorr boundary buffers killed mid-feed resume and equal batch t65") {
+    // The riskiest state shape: TWO relations — the ≤7-rows/user day
+    // tail (which prices the lag pairs CROSSING the kill seam) and the
+    // per-user sum-of-products row. A restore failure is visible both
+    // ways: lost sums under-count the first half, a lost tail breaks
+    // exactly the seam pairs (day d before the kill, day d+lag after),
+    // so final equality against batch t65 certifies both relations.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val rows = Tables.events(spark, sf)
+      .select(col("user_id"), unix_timestamp(col("ts")).as("es"),
+        col("value"))
+      .as[(Long, Long, Double)].collect().toSeq
+    // day-closed, day-monotone feed (the op's arrival contract), cut
+    // into thirds: kill after the first, restart across the last two
+    // so the snapshot ids reach >= 2 and the prune path deletes
+    val days = rows.map(r => Math.floorDiv(r._2, 86400L)).distinct.sorted
+    val (cut1, cut2) = (days(days.length / 3), days(2 * days.length / 3))
+    def day(r: (Long, Long, Double)) = Math.floorDiv(r._2, 86400L)
+    val first = rows.filter(day(_) < cut1)
+    val mid = rows.filter(r => day(r) >= cut1 && day(r) < cut2)
+    val tail = rows.filter(day(_) >= cut2)
+    // seam rows must actually cross the kill point, or the tail
+    // restore would be untested
+    val firstUsers = first.map(_._1).toSet
+    assert(mid.exists(r => firstUsers(r._1)), "no users cross the kill seam")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    type Out = Array[(Long, Long, Long, Option[Double], Long, Option[Double])]
+    def run(mem: MemoryStream[(Long, Long, Double)], ckpt: String,
+        st: String, out: Out => Unit) =
+      StreamingOps.streamingAutocorr(
+          mem.toDF().toDF("user_id", "es", "value")
+            .withColumn("ts", col("es").cast("timestamp")),
+          trigger = Trigger.ProcessingTime(0L),
+          stateDir = Some(st), checkpointDir = Some(ckpt)) { d =>
+        out(d.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)), r.getLong(4),
+          if (r.isNullAt(5)) None else Some(r.getDouble(5)))))
+      }
+
+    val (ckpt, st) = (tmpDir("ckpt_ac"), tmpDir("state_ac"))
+    val mem = MemoryStream[(Long, Long, Double)]
+    @volatile var last: Out = Array.empty
+
+    val q1 = run(mem, ckpt, st, last = _)
+    mem.addData(first: _*)
+    q1.processAllAvailable()
+    q1.stop() // KILL with seam pairs still unpriced
+    val atKill = last.toSet
+    assert(atKill.nonEmpty)
+
+    mem.addData(mid: _*)
+    last = Array.empty
+    val q2 = run(mem, ckpt, st, last = _)
+    q2.processAllAvailable()
+    mem.addData(tail: _*)
+    q2.processAllAvailable()
+    q2.stop()
+
+    val batch = typesystem.TypeQueries.t65Autocorr(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)), r.getLong(4),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5)))).toSet
+    assert(last.nonEmpty && last.toSet == batch,
+      s"resumed autocorr diverged from batch t65 (${last.length} vs ${batch.size})")
+    assert(last.toSet != atKill, "restart processed no new data")
+    // prune held here too: ids reached >= 2, older snapshots deleted
+    val snaps = new java.io.File(st).listFiles()
+      .filter(_.getName.startsWith("state_batch="))
+      .map(_.getName.stripPrefix("state_batch=").toLong).sorted
+    assert(snaps.length <= 2 && snaps.max >= 2,
+      s"expected <=2 surviving snapshots, got ${snaps.toSeq}")
   }
 }
