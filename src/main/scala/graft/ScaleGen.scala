@@ -167,9 +167,16 @@ object ScaleGen {
         when(pmod(col("doc_id"), lit(10L)) === 7L, lit(dupTmpl))
           .otherwise(shardedText)
       else shardedText
+    // n_chars = length(text) in the source corpus; recompute it on
+    // the FINAL text so the metadata stays consistent with what the
+    // shard actually holds (token suffixing, hub templates and dup
+    // templates all change the length — carrying the original value
+    // through would feed metadata-dependent queries contradictory
+    // columns)
     wr(rep(rd("documents")).select(shift("doc_id", oD),
       docText.as("text"),
-      col("lang"), col("source"), col("n_chars")), "documents")
+      col("lang"), col("source"),
+      length(docText).cast("long").as("n_chars")), "documents")
     wr(rep(rd("embeddings")).select(shift("vec_id", oV),
       expr("concat(slice(embedding, cast(shard % size(embedding) as int) + 1, " +
         "size(embedding)), slice(embedding, 1, cast(shard % size(embedding) as int)))")
