@@ -1,7 +1,7 @@
 package graft.types
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.functions.{col, lit, pmod, pow}
+import org.apache.spark.sql.functions.{col, floor, lit, pmod, pow}
 
 /** The pandas `df.query()` predicate mini-language as a compiled
   * Catalyst front-end — the expression-side sibling of
@@ -18,7 +18,7 @@ import org.apache.spark.sql.functions.{col, lit, pmod, pow}
   *             | ['not'] 'in'
   *               ('(' literal (',' literal)* ')' | '@' identifier) )?
   *   arith   := mul (('+' | '-') mul)*
-  *   mul     := unaryA (('*' | '/' | '%') unaryA)*
+  *   mul     := unaryA (('*' | '/' | '//' | '%') unaryA)*
   *   unaryA  := '-' unaryA | power
   *   power   := atom ['**' unaryA]
   *   atom    := identifier | '`'backtick column'`'
@@ -36,7 +36,11 @@ import org.apache.spark.sql.functions.{col, lit, pmod, pow}
   * parens recurse to the top, so `(price / qty) > 9.5 and not (f ==
   * 'R')` reads as written. `%` is PYTHON's modulo (result takes the
   * divisor's sign — compiled to `pmod`, i.e. `((a % b) + b) % b` —
-  * not C/SQL remainder) at the `*`/`/` level; `**` is Python's power:
+  * not C/SQL remainder) at the `*`/`/` level; `//` is Python's FLOOR
+  * division (`-20 // 7` = -3, compiled to `floor(a / b)` — matching
+  * Python's value for every nonzero divisor, though the result is
+  * integer-typed where Python's float `//` float stays float, a
+  * documented deviation); `**` is Python's power:
   * RIGHT-associative, binding tighter than unary minus on its left
   * and admitting a signed right operand (`-2**2` = -4, `2**-1` = 0.5,
   * `2**3**2` = 2**(3**2)), always evaluated in double (a documented
@@ -124,7 +128,8 @@ object PredicateParser {
         val end = if (j < 0) in.length else j
         out += Ref(in.substring(i + 1, end)); i = end
       } else if (i + 1 < in.length &&
-        Set("==", "!=", "<=", ">=", "**").contains(in.substring(i, i + 2))) {
+        Set("==", "!=", "<=", ">=", "**", "//")
+          .contains(in.substring(i, i + 2))) {
         out += Op(in.substring(i, i + 2)); i += 2
       } else if ("<>(),+-*/%&|~".contains(c)) {
         out += Op(c.toString); i += 1
@@ -213,11 +218,15 @@ object PredicateParser {
     def mulExpr(): Column = {
       var e = unaryArith()
       while (peek.exists {
-        case Op("*") | Op("/") | Op("%") => true; case _ => false
+        case Op("*") | Op("/") | Op("//") | Op("%") => true
+        case _ => false
       }) {
         pop() match {
           case Op("*") => e = e * unaryArith()
           case Op("/") => e = e / unaryArith()
+          // Python floor division: floor(a / b) — value-identical to
+          // Python's // for every nonzero divisor, integer-typed
+          case Op("//") => e = floor(e / unaryArith())
           // Python modulo: result takes the divisor's sign (pmod),
           // not SQL/C remainder — pinned in the scaladoc and oracle
           case _ => e = pmod(e, unaryArith())

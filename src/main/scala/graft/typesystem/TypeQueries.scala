@@ -1119,7 +1119,8 @@ object TypeQueries {
     * lists, and/or/not with Python precedence plus pandas' `&`/`|`/`~`
     * spellings at those levels, parens, string/number literals,
     * `@name` environment references resolved at parse time, Python's
-    * divisor-sign `%` and right-associative `**` power, and full
+    * divisor-sign `%`, floor-division `//` and right-associative `**`
+    * power, and full
     * arithmetic on BOTH comparison sides so column-vs-column reads
     * are first-class) compiled to Catalyst Columns by
     * [[graft.types.PredicateParser]], the expression-side sibling of
@@ -1158,6 +1159,7 @@ object TypeQueries {
       // the power tower: right-assoc '**' binding over unary minus —
       // the constant conjuncts pin the reading against the oracle
       "(l_quantity - 30) % 7 == 3",
+      "(l_quantity - 30) // 7 == -2",
       "l_discount ** 2 > 0.006 and l_quantity < 25",
       "2 ** 3 ** 2 == 512 and -2 ** 2 == -4 and l_returnflag == 'R'")
     val li = t(s, dir, "lineitem")
@@ -2368,6 +2370,9 @@ object TypeQueries {
         // reading (right-assoc, tighter than unary minus)
         "(l_quantity - 30) % 7 == 3" ->
           "fmod(fmod(l_quantity - 30, 7) + 7, 7) = 3",
+        // Python floor division on a signed dividend: floor(a / b)
+        "(l_quantity - 30) // 7 == -2" ->
+          "CAST(FLOOR((l_quantity - 30) / 7) AS BIGINT) = -2",
         "l_discount ** 2 > 0.006 and l_quantity < 25" ->
           "POWER(l_discount, 2) > CAST(0.006 AS DOUBLE) AND l_quantity < 25",
         "2 ** 3 ** 2 == 512 and -2 ** 2 == -4 and l_returnflag == 'R'" ->

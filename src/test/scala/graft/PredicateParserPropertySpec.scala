@@ -71,9 +71,9 @@ class PredicateParserPropertySpec extends AnyFunSuite {
     }
     else rng.nextInt(7) match {
       case 0 => ANeg(genAr(depth - 1))
-      // '/' and '%' excluded: under ANSI mode a random tree can
+      // '/', '//' and '%' excluded: under ANSI mode a random tree can
       // always build a zero divisor somewhere on the grid and the JOB
-      // (not the comparison) would throw — division and modulo are
+      // (not the comparison) would throw — the division family is
       // pinned by the example grids and the t57 oracle instead
       case n if n <= 4 =>
         ABin(Vector("+", "-", "*")(rng.nextInt(3)),

@@ -349,12 +349,15 @@ class VectorOpsExtraSpec extends org.scalatest.funsuite.AnyFunSuite {
     intercept[IllegalArgumentException](df.evalAssign("c = a\nd ="))
   }
 
-  test("query grammar: Python %, right-assoc **, malformed numbers") {
+  test("query grammar: Python %, //, right-assoc **, malformed numbers") {
     import spark.implicits._
     val df = Seq(-7L, -1L, 0L, 3L, 7L).toDF("x")
     // Python modulo: result takes the divisor's sign (-7 % 3 == 2)
     val m = df.queryWhere("x % 3 == 2").collect().map(_.getLong(0)).toSet
     assert(m == Set(-7L, -1L))
+    // Python floor division: -7 // 2 == -4 (floor, not truncation)
+    val fd = df.queryWhere("x // 2 == -4").collect().map(_.getLong(0)).toSet
+    assert(fd == Set(-7L))
     // '**' over unary minus and right-assoc: -2**2 = -4, 2**3**2 = 512
     val p = df.evalAssign("y = -2 ** 2\nz = 2 ** 3 ** 2\nw = x ** 2")
       .filter($"x" === 3L).head()
