@@ -5,8 +5,15 @@ graft.Verify output dir, so one pathologically slow ORACLE replay
 (DuckDB-side cost, not engine cost) can't stall the whole drive.
 Usage: drive_oracle.py <sfDir> <verifyOut> [--strict] [--timeout=N]
        [--only=a,b,c]   (restrict to named queries — subset drives
-                         against a subset Verify dump)"""
+                         against a subset Verify dump)
+       [--jobs=N]       (run N check.py replays concurrently — each
+                         replay is an independent DuckDB process, so
+                         this cuts a big-SF drive's wall time roughly
+                         N-fold; results print as they finish, the
+                         summary and the results file are identical
+                         to a sequential drive)"""
 import json, subprocess, sys, time
+from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
 
 SF = sys.argv[1]
@@ -14,11 +21,14 @@ OUT = Path(sys.argv[2])
 STRICT = ["--strict"] if "--strict" in sys.argv else []
 TIMEOUT = 180
 ONLY = None
+JOBS = 1
 for a in sys.argv:
     if a.startswith("--timeout="):
         TIMEOUT = int(a.split("=")[1])
     if a.startswith("--only="):
         ONLY = {n.strip() for n in a.split("=", 1)[1].split(",") if n.strip()}
+    if a.startswith("--jobs="):
+        JOBS = max(1, int(a.split("=")[1]))
 
 # Drive the UNION of oracle-keyed queries and every result dir the
 # verify run dumped: a query without an oracle entry still gets its
@@ -39,8 +49,7 @@ rows_only = sorted(set(names) & (dumped - oracle_names))
 if rows_only:
     print(f"note: {len(rows_only)} rows-only queries (no oracle SQL): "
           + ", ".join(rows_only))
-results = {}
-for n in names:
+def drive_one(n):
     t0 = time.time()
     try:
         r = subprocess.run(
@@ -50,13 +59,19 @@ for n in names:
             cwd="/root/repo")
         dt = time.time() - t0
         ok = "0 fail" in r.stdout and "1 pass" in r.stdout
-        results[n] = {"status": "pass" if ok else "fail", "sec": round(dt, 1)}
+        res = {"status": "pass" if ok else "fail", "sec": round(dt, 1)}
         if not ok:
-            results[n]["detail"] = r.stdout[-500:]
+            res["detail"] = r.stdout[-500:]
     except subprocess.TimeoutExpired:
-        results[n] = {"status": "oracle_timeout", "sec": TIMEOUT}
-    print(f"{results[n]['status']:>14s} {results[n]['sec']:7.1f}s {n}",
-          flush=True)
+        res = {"status": "oracle_timeout", "sec": TIMEOUT}
+    print(f"{res['status']:>14s} {res['sec']:7.1f}s {n}", flush=True)
+    return n, res
+
+if JOBS == 1:
+    results = dict(map(drive_one, names))
+else:
+    with ThreadPoolExecutor(max_workers=JOBS) as ex:
+        results = dict(ex.map(drive_one, names))
 
 npass = sum(1 for v in results.values() if v["status"] == "pass")
 nto = sum(1 for v in results.values() if v["status"] == "oracle_timeout")
