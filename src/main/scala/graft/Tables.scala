@@ -53,7 +53,19 @@ object Tables {
   val revenueSql: String =
     "CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(18,4))"
 
-  /** DuckDB fragment: exact decimal sum of a 2-decimal double, as DOUBLE. */
+  /** DuckDB fragment: decimal-to-double at an oracle OUTPUT boundary,
+    * routed through VARCHAR. DuckDB's direct DECIMAL→DOUBLE cast
+    * divides two separately-rounded doubles (int128 value, 10^scale)
+    * and can land 1 ulp off the correctly-rounded conversion; Spark's
+    * (BigDecimal.doubleValue) is correctly rounded. Printing the
+    * exact digits and re-parsing (DuckDB's strtod is correctly
+    * rounded) matches Spark bit-for-bit — the r11 full-registry sf1
+    * strict drive caught q1's sum_charge off by exactly this ulp. */
+  def decToDoubleSql(expr: String): String =
+    s"CAST(CAST($expr AS VARCHAR) AS DOUBLE)"
+
+  /** DuckDB fragment: exact decimal sum of a 2-decimal double, as
+    * DOUBLE (correctly-rounded conversion — see [[decToDoubleSql]]). */
   def dsumSql(col: String): String =
-    s"CAST(SUM(CAST($col AS DECIMAL(12,2))) AS DOUBLE)"
+    decToDoubleSql(s"SUM(CAST($col AS DECIMAL(12,2)))")
 }

@@ -2321,11 +2321,11 @@ object Relational {
       s"""SELECT l_returnflag, l_linestatus,
          |  ${dsumSql("l_quantity")} AS sum_qty,
          |  ${dsumSql("l_extendedprice")} AS sum_base_price,
-         |  CAST(SUM($rev) AS DOUBLE) AS sum_disc_price,
-         |  CAST(SUM($rev * (1 + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
-         |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
-         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
-         |  CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+         |  ${decToDoubleSql(s"SUM($rev)")} AS sum_disc_price,
+         |  ${decToDoubleSql(s"SUM($rev * (1 + CAST(l_tax AS DECIMAL(12,2))))")} AS sum_charge,
+         |  ${dsumSql("l_quantity")} / COUNT(*) AS avg_qty,
+         |  ${dsumSql("l_extendedprice")} / COUNT(*) AS avg_price,
+         |  ${dsumSql("l_discount")} / COUNT(*) AS avg_disc,
          |  COUNT(*) AS count_order
          |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
          |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
