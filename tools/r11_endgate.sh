@@ -14,5 +14,5 @@ done
 SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=48g \
   tools/graftrun.sh graft.Verify /root/testdata/sf0.1 /tmp/endgate_sf0.1
 python3 tools/drive_oracle.py /root/testdata/sf0.1 /tmp/endgate_sf0.1 \
-  --strict --timeout=600 | tail -3
+  --strict --timeout=600 --jobs=4 | tail -3
 echo "=== endgate done at $HEAD $(date +%H:%M:%S)"
