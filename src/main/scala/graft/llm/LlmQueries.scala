@@ -1494,17 +1494,23 @@ object LlmQueries {
     * (shared_frac = 1), prefixed copies share only interior grams
     * (fractional shared_frac on BOTH the copy and its original), and
     * the untouched majority stays at 0. */
-  def d8DupSpans(s: SparkSession, dir: String): DataFrame = {
+  def d8DupSpans(s: SparkSession, dir: String): DataFrame =
+    Dedup.dupSpans(d20Corpus(s, dir), "doc_id", "text", w = 13)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
+  /** d8/d20/d21/d23's exact planted corpus: base docs + verbatim
+    * copies of docs < 20 + 5-token-prefixed copies of 20–40. Public
+    * so [[graft.CertifyDup]] can rebuild the IDENTICAL corpus for the
+    * at-scale expansion-equality certificate. */
+  def d20Corpus(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val corpus = docs.select("doc_id", "text")
+    docs.select("doc_id", "text")
       .union(docs.filter(col("doc_id") < 20)
         .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
       .union(docs.filter(col("doc_id") >= 20 && col("doc_id") < 40)
         .select((col("doc_id") + 2000000L).as("doc_id"),
           concat(lit("qq ww ee rr tt "), col("text")).as("text")))
-    Dedup.dupSpans(corpus, "doc_id", "text", w = 13)
-      .withColumnRenamed("id", "doc_id")
-      .orderBy("doc_id")
   }
 
   /** d20: TRUE variable-length exact substring dedup (Lee et al. 2022
@@ -1515,17 +1521,10 @@ object LlmQueries {
     * span; spec-asserted in DedupSpec). Sort keys (id_a, id_b, start_a,
     * start_b) are unique: two islands of one pair sharing start_a lie
     * on different diagonals, hence different start_b. */
-  def d20ExactSubstrings(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-    val corpus = docs.select("doc_id", "text")
-      .union(docs.filter(col("doc_id") < 20)
-        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
-      .union(docs.filter(col("doc_id") >= 20 && col("doc_id") < 40)
-        .select((col("doc_id") + 2000000L).as("doc_id"),
-          concat(lit("qq ww ee rr tt "), col("text")).as("text")))
-    Dedup.exactSubstringSpans(corpus, "doc_id", "text", minLen = 13)
+  def d20ExactSubstrings(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactSubstringSpans(d20Corpus(s, dir), "doc_id", "text",
+        minLen = 13)
       .orderBy("id_a", "id_b", "start_a", "start_b")
-  }
 
   /** d21: the removal ACTION over d20's span report (Lee et al. 2022
     * rewrites the corpus) — same planted corpus; exact copies must
@@ -1533,18 +1532,11 @@ object LlmQueries {
     * copies keep exactly their 5 planted prefix tokens, and kept_text
     * crosses the gate verbatim so the compare certifies every
     * surviving token, not just counts. */
-  def d21SubstringRemoval(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-    val corpus = docs.select("doc_id", "text")
-      .union(docs.filter(col("doc_id") < 20)
-        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
-      .union(docs.filter(col("doc_id") >= 20 && col("doc_id") < 40)
-        .select((col("doc_id") + 2000000L).as("doc_id"),
-          concat(lit("qq ww ee rr tt "), col("text")).as("text")))
-    Dedup.removeDuplicateSpans(corpus, "doc_id", "text", minLen = 13)
+  def d21SubstringRemoval(s: SparkSession, dir: String): DataFrame =
+    Dedup.removeDuplicateSpans(d20Corpus(s, dir), "doc_id", "text",
+        minLen = 13)
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id")
-  }
 
   /** d22: d20's report with the exactGroups pre-collapse fused in
     * ([[graft.operators.Dedup.exactSubstringSpansGrouped]]) — the
@@ -1558,12 +1550,7 @@ object LlmQueries {
     * d20 row-for-row. */
   def d22SubstringsGrouped(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val corpus = docs.select("doc_id", "text")
-      .union(docs.filter(col("doc_id") < 20)
-        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
-      .union(docs.filter(col("doc_id") >= 20 && col("doc_id") < 40)
-        .select((col("doc_id") + 2000000L).as("doc_id"),
-          concat(lit("qq ww ee rr tt "), col("text")).as("text")))
+    val corpus = d20Corpus(s, dir)
       .union(docs.filter(col("doc_id") < 10)
         .select((col("doc_id") + 3000000L).as("doc_id"), col("text")))
     Dedup.exactSubstringSpansGrouped(corpus, "doc_id", "text", minLen = 13)
@@ -1577,18 +1564,11 @@ object LlmQueries {
     * quadratic in gram df. Same planted corpus as d21 and the SAME
     * oracle SQL: the DuckDB gate itself certifies the two forms
     * produce identical rewrites. */
-  def d23SubstringRemovalOwned(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-    val corpus = docs.select("doc_id", "text")
-      .union(docs.filter(col("doc_id") < 20)
-        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
-      .union(docs.filter(col("doc_id") >= 20 && col("doc_id") < 40)
-        .select((col("doc_id") + 2000000L).as("doc_id"),
-          concat(lit("qq ww ee rr tt "), col("text")).as("text")))
-    Dedup.removeDuplicateSpansOwned(corpus, "doc_id", "text", minLen = 13)
+  def d23SubstringRemovalOwned(s: SparkSession, dir: String): DataFrame =
+    Dedup.removeDuplicateSpansOwned(d20Corpus(s, dir), "doc_id", "text",
+        minLen = 13)
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id")
-  }
 
   // ---- L29: incremental (continuous-crawl) dedup ---------------------------
   /** Corpus = documents; batch = 15 exact re-crawls (docs 0–14), 15
@@ -5453,25 +5433,62 @@ object LlmQueries {
         |  (top_tok_frac > 0.2 OR top_bigram_frac > 0.18 OR dup_5gram_frac > 0.3)
         |    AS repetitive
         |FROM f ORDER BY doc_id""".stripMargin,
-    // transitive closure of the d2 pair graph as a recursive CTE:
-    // reach(v, u) = u reachable from v; cluster id = MIN reachable.
-    // Component sizes are small (near-dup cliques), so the closure is
-    // Σ|C|² rows — fine at oracle SF. The Spark side runs log-round
-    // pointer-jump CC; the hash-match proves the fixpoint labels.
+    // transitive closure of the d2 pair graph as a recursive CTE —
+    // with an IDENTITY PRE-COLLAPSE so the replay stays feasible on
+    // bit-identical duplication mass (the dup axis: a 5000-member
+    // identical group makes the doc-level closure Σ|C|² ≈ 10⁸ rows and
+    // the r11 dup_k10 replay timed out at 3600 s; this form runs it in
+    // 45 s). Lossless: docs with equal normalized text have EQUAL
+    // shingle sets, hence identical Jaccard against every third doc
+    // and J = 1 ≥ 0.5 with each other — so (a) the pair graph restricted
+    // to representatives plus a self-edge for groups of size ≥ 2 has
+    // exactly the same components as the doc-level graph expanded by
+    // group membership, (b) the component's min doc id equals the min
+    // rep (reps are group-min ids), and (c) cluster_size = Σ gsz.
+    // Proven BIT-IDENTICAL to the direct doc-level closure at
+    // sf0.001, sf0.01 and dup_k1 before the swap (r12; the r9 d19
+    // blocked-rewrite protocol). Cluster id = MIN reachable. The
+    // Spark side runs log-round pointer-jump CC over ALL docs; the
+    // hash-match proves the fixpoint labels.
     "d6_dup_clusters" ->
-      s"""$d2PairCtes,
-        |pairs AS (SELECT id_a, id_b FROM j WHERE common / (sz - common) >= 0.5),
-        |edges AS (SELECT id_a AS s, id_b AS d FROM pairs
-        |          UNION SELECT id_b, id_a FROM pairs),
+      """WITH RECURSIVE all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text || ' zz qq' FROM documents),
+        |nrm AS (SELECT doc_id,
+        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+        |  FROM all_docs),
+        |grp AS (SELECT nt, MIN(doc_id) AS rep, COUNT(*) AS gsz
+        |  FROM nrm GROUP BY nt),
+        |b AS (SELECT rep AS doc_id,
+        |    list_distinct(list_transform(
+        |      range(1, CAST(greatest(len(string_split(nt, ' ')) - 2, 1) AS BIGINT) + 1),
+        |      i -> array_to_string((string_split(nt, ' '))[CAST(i AS INT):CAST(i AS INT)+2], ' '))) AS sh
+        |  FROM grp),
+        |dg AS (SELECT doc_id, len(sh) AS sz1, unnest(sh) AS g FROM b),
+        |j AS (
+        |  SELECT a.doc_id AS id_a, bb.doc_id AS id_b,
+        |    CAST(COUNT(*) AS DOUBLE) AS common,
+        |    CAST(ANY_VALUE(a.sz1) + ANY_VALUE(bb.sz1) AS DOUBLE) AS sz
+        |  FROM dg a JOIN dg bb ON a.g = bb.g AND a.doc_id < bb.doc_id
+        |  GROUP BY a.doc_id, bb.doc_id),
+        |rpairs AS (SELECT id_a, id_b FROM j WHERE common / (sz - common) >= 0.5),
+        |redges AS (SELECT id_a AS s, id_b AS d FROM rpairs
+        |           UNION SELECT id_b, id_a FROM rpairs
+        |           UNION SELECT rep, rep FROM grp WHERE gsz >= 2),
         |reach(id, r) AS (
-        |  SELECT s, s FROM edges
+        |  SELECT s, s FROM redges
         |  UNION
-        |  SELECT re.id, e.d FROM reach re JOIN edges e ON e.s = re.r),
-        |cc AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
-        |csz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM cc GROUP BY cluster_id)
-        |SELECT cc.id AS doc_id, cc.cluster_id, csz.cluster_size,
-        |  cc.id = cc.cluster_id AS keep
-        |FROM cc JOIN csz USING (cluster_id) ORDER BY doc_id""".stripMargin,
+        |  SELECT re.id, e.d FROM reach re JOIN redges e ON e.s = re.r),
+        |rcc AS (SELECT id AS rep, MIN(r) AS cluster_rep FROM reach GROUP BY id),
+        |csz AS (SELECT c.cluster_rep,
+        |    CAST(SUM(g.gsz) AS BIGINT) AS cluster_size
+        |  FROM rcc c JOIN grp g ON g.rep = c.rep GROUP BY c.cluster_rep),
+        |mem AS (SELECT n.doc_id, g.rep FROM nrm n JOIN grp g ON n.nt = g.nt)
+        |SELECT m.doc_id, c.cluster_rep AS cluster_id, s.cluster_size,
+        |  m.doc_id = c.cluster_rep AS keep
+        |FROM mem m JOIN rcc c ON m.rep = c.rep
+        |  JOIN csz s ON c.cluster_rep = s.cluster_rep
+        |ORDER BY doc_id""".stripMargin,
     // d19: d6's CC chain + x2's verbatim quality fragment on the same
     // copies corpus, survivor = rn 1 over (q DESC, id ASC) per cluster
     // — the first-principles argmax the Spark max-of-struct must equal
@@ -5689,6 +5706,15 @@ object LlmQueries {
         |FROM pb p JOIN cells c ON p.seed = c.seed AND p.bucket = c.bucket
         |GROUP BY p.tok, p.exact_n
         |ORDER BY p.exact_n DESC, p.tok""".stripMargin,
+    // d15/d4 replays count per-pair gram intersections via the
+    // inverted gram index WITHIN each (source, length-bucket) block
+    // (COUNT(*) over the gram equi-join = |A∩B| exactly, the d2
+    // device) instead of a per-pair list_intersect over all ~9M
+    // within-block pairs — lossless, since a pair sharing zero grams
+    // has J = 0 < threshold on both forms, and 12×/5× faster at the
+    // sf1 gate (d4 27 min → 131 s, d15 39 min → 452 s). Proven
+    // BIT-IDENTICAL to the all-pairs forms at sf0.001/sf0.01/sf0.1
+    // before the swap (r12; the r9 d19 blocked-rewrite protocol).
     "d15_kmv_calibration" ->
       """WITH b AS (
         |  SELECT doc_id AS id, source, CAST(floor(n_chars / 100.0) AS INT) AS lb,
@@ -5699,21 +5725,24 @@ object LlmQueries {
         |          trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
         |        FROM documents)),
         |kk AS (
-        |  SELECT id, source, lb, g,
+        |  SELECT id,
         |    list_sort(list_distinct(list_transform(g,
         |      s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT))))[1:64] AS kv
         |  FROM b),
-        |j AS (
+        |e AS (SELECT id, source, lb, len(g) AS sz1, unnest(g) AS gram FROM b),
+        |jc AS (
         |  SELECT a.id AS id_a, bb.id AS id_b,
-        |    CAST(len(list_intersect(a.g, bb.g)) AS DOUBLE) AS common,
-        |    CAST(len(a.g) + len(bb.g) AS DOUBLE) AS sz,
-        |    a.kv AS ka, bb.kv AS kb
-        |  FROM kk a JOIN kk bb
-        |    ON a.source = bb.source AND a.lb = bb.lb AND a.id < bb.id),
+        |    CAST(COUNT(*) AS DOUBLE) AS common,
+        |    CAST(ANY_VALUE(a.sz1) + ANY_VALUE(bb.sz1) AS DOUBLE) AS sz
+        |  FROM e a JOIN e bb ON a.gram = bb.gram
+        |    AND a.source = bb.source AND a.lb = bb.lb AND a.id < bb.id
+        |  GROUP BY a.id, bb.id),
         |f AS (
         |  SELECT id_a, id_b, common / (sz - common) AS j_exact,
-        |    list_sort(list_distinct(ka || kb))[1:64] AS su, ka, kb
-        |  FROM j WHERE common / (sz - common) >= 0.2)
+        |    list_sort(list_distinct(ka.kv || kb.kv))[1:64] AS su,
+        |    ka.kv AS ka, kb.kv AS kb
+        |  FROM jc JOIN kk ka ON ka.id = jc.id_a JOIN kk kb ON kb.id = jc.id_b
+        |  WHERE common / (sz - common) >= 0.2)
         |SELECT id_a, id_b, j_exact,
         |  CAST(len(list_filter(su, x -> list_contains(ka, x)
         |      AND list_contains(kb, x))) AS DOUBLE) / len(su) AS j_kmv
@@ -5727,12 +5756,14 @@ object LlmQueries {
         |  FROM (SELECT doc_id, source, n_chars,
         |          trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
         |        FROM documents)),
+        |e AS (SELECT id, source, lb, len(g) AS sz1, unnest(g) AS gram FROM b),
         |j AS (
         |  SELECT a.id AS id_a, bb.id AS id_b,
-        |    CAST(len(list_intersect(a.g, bb.g)) AS DOUBLE) AS common,
-        |    CAST(len(a.g) + len(bb.g) AS DOUBLE) AS sz
-        |  FROM b a JOIN b bb
-        |    ON a.source = bb.source AND a.lb = bb.lb AND a.id < bb.id)
+        |    CAST(COUNT(*) AS DOUBLE) AS common,
+        |    CAST(ANY_VALUE(a.sz1) + ANY_VALUE(bb.sz1) AS DOUBLE) AS sz
+        |  FROM e a JOIN e bb ON a.gram = bb.gram
+        |    AND a.source = bb.source AND a.lb = bb.lb AND a.id < bb.id
+        |  GROUP BY a.id, bb.id)
         |SELECT id_a, id_b, ROUND(common / (sz - common), 6) AS jaccard
         |FROM j WHERE common / (sz - common) >= 0.6
         |ORDER BY id_a, id_b""".stripMargin,

@@ -1,7 +1,7 @@
 package graft.types
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.functions.{col, floor, lit, pmod, pow}
+import org.apache.spark.sql.functions.{col, floor, lit, pow}
 
 /** The pandas `df.query()` predicate mini-language as a compiled
   * Catalyst front-end — the expression-side sibling of
@@ -26,7 +26,9 @@ import org.apache.spark.sql.functions.{col, floor, lit, pmod, pow}
   *             | 'single-quoted string' | '(' expr ')'
   * }}}
   *
-  * Identifiers resolve to columns, numbers to double/long literals,
+  * Identifiers resolve to columns, numbers to double/long literals
+  * (Python typing: a '.' OR an exponent makes a float, so `1e-5` and
+  * `2.5E3` are double literals; a malformed exponent like `1e` throws),
   * strings to string literals; `True`/`False` are the Python boolean
   * keywords (so a column literally named True needs backticks), and
   * pandas' BACKTICK quoting addresses columns whose names aren't
@@ -35,12 +37,17 @@ import org.apache.spark.sql.functions.{col, floor, lit, pmod, pow}
   * over `+`/`-` over comparisons over `not` over `and` over `or`;
   * parens recurse to the top, so `(price / qty) > 9.5 and not (f ==
   * 'R')` reads as written. `%` is PYTHON's modulo (result takes the
-  * divisor's sign — compiled to `pmod`, i.e. `((a % b) + b) % b` —
+  * divisor's sign for BOTH divisor signs — compiled literally as
+  * `((a % b) + b) % b` over Spark's C-style remainder, so
+  * `7 % -3` = -2 like Python, where `pmod` would give 1 —
   * not C/SQL remainder) at the `*`/`/` level; `//` is Python's FLOOR
-  * division (`-20 // 7` = -3, compiled to `floor(a / b)` — matching
-  * Python's value for every nonzero divisor, though the result is
-  * integer-typed where Python's float `//` float stays float, a
-  * documented deviation); `**` is Python's power:
+  * division (`-20 // 7` = -3, compiled to `floor(a / b)` in DOUBLE —
+  * matching Python's value wherever a, b and a/b are exactly
+  * double-representable; for |operand| > 2^53, or when the double
+  * quotient rounds across an integer boundary, Python's exact
+  * integer floor division can differ — a documented deviation, as is
+  * the integer typing where Python's float `//` float stays float);
+  * `**` is Python's power:
   * RIGHT-associative, binding tighter than unary minus on its left
   * and admitting a signed right operand (`-2**2` = -4, `2**-1` = 0.5,
   * `2**3**2` = 2**(3**2)), always evaluated in double (a documented
@@ -105,12 +112,25 @@ object PredicateParser {
       } else if (c.isDigit ||
         (c == '.' && i + 1 < in.length && in(i + 1).isDigit)) {
         val j = in.indexWhere(ch => !(ch.isDigit || ch == '.'), i)
-        val end = if (j < 0) in.length else j
-        val s = in.substring(i, end)
+        var end = if (j < 0) in.length else j
         // at most one '.': fail "1.2.3" here with position context
         // rather than as a bare NumberFormatException from toDouble
-        if (s.count(_ == '.') > 1) fail(s"malformed number '$s'")
-        out += Num(s); i = end
+        if (in.substring(i, end).count(_ == '.') > 1)
+          fail(s"malformed number '${in.substring(i, end)}'")
+        // scientific notation (Python float literals: 1e-5, 2.5E3):
+        // an exponent is 'e'/'E' + optional sign + >= 1 digit; an 'e'
+        // NOT followed by digits is malformed (Python rejects `1e`
+        // and `1everything` too — a column name can never legally
+        // abut a number, so failing loudly beats a silent misread)
+        if (end < in.length && (in(end) == 'e' || in(end) == 'E')) {
+          var k = end + 1
+          if (k < in.length && (in(k) == '+' || in(k) == '-')) k += 1
+          if (k >= in.length || !in(k).isDigit)
+            fail(s"malformed number '${in.substring(i, math.min(k + 1, in.length))}'")
+          while (k < in.length && in(k).isDigit) k += 1
+          end = k
+        }
+        out += Num(in.substring(i, end)); i = end
       } else if (c == '\'') {
         val end = in.indexOf('\'', i + 1)
         if (end < 0) fail("unterminated string")
@@ -157,14 +177,18 @@ object PredicateParser {
       case Op(`s`) => ()
       case other => fail(s"expected '$s', got $other")
     }
+    // Python typing: a '.' or an exponent makes a float (1e5 is a
+    // float even without a dot), otherwise an int
+    def isFloatLit(s: String): Boolean =
+      s.exists(c => c == '.' || c == 'e' || c == 'E')
     def literal(): Column = pop() match {
       case Num(s) =>
-        if (s.contains('.')) lit(s.toDouble) else lit(s.toLong)
+        if (isFloatLit(s)) lit(s.toDouble) else lit(s.toLong)
       // negative literals in in-lists: `x in (-1, 2)` (property-test
       // find — the arith path handled unary minus, the list path not)
       case Op("-") => pop() match {
         case Num(s) =>
-          if (s.contains('.')) lit(-s.toDouble) else lit(-s.toLong)
+          if (isFloatLit(s)) lit(-s.toDouble) else lit(-s.toLong)
         case other => fail(s"expected number after '-', got $other")
       }
       case Str(s) => lit(s)
@@ -224,12 +248,16 @@ object PredicateParser {
         pop() match {
           case Op("*") => e = e * unaryArith()
           case Op("/") => e = e / unaryArith()
-          // Python floor division: floor(a / b) — value-identical to
-          // Python's // for every nonzero divisor, integer-typed
+          // Python floor division: floor(a / b) in double — matches
+          // Python wherever a/b is double-representable (see the
+          // scaladoc caveat for |a| > 2^53), integer-typed
           case Op("//") => e = floor(e / unaryArith())
-          // Python modulo: result takes the divisor's sign (pmod),
-          // not SQL/C remainder — pinned in the scaladoc and oracle
-          case _ => e = pmod(e, unaryArith())
+          // Python modulo: result takes the DIVISOR's sign — compiled
+          // literally as ((a % b) + b) % b over Spark's C-style
+          // remainder, which matches Python for BOTH divisor signs
+          // (pmod would diverge on negative divisors: pmod(7,-3) = 1
+          // where Python gives -2)
+          case _ => val r = unaryArith(); e = ((e % r) + r) % r
         }
       }
       e

@@ -1161,7 +1161,14 @@ object TypeQueries {
       "(l_quantity - 30) % 7 == 3",
       "(l_quantity - 30) // 7 == -2",
       "l_discount ** 2 > 0.006 and l_quantity < 25",
-      "2 ** 3 ** 2 == 512 and -2 ** 2 == -4 and l_returnflag == 'R'")
+      "2 ** 3 ** 2 == 512 and -2 ** 2 == -4 and l_returnflag == 'R'",
+      // NEGATIVE divisor modulo: Python's % takes the divisor's sign
+      // both ways ((a % b) + b) % b — the arm pmod would get wrong
+      "(l_quantity - 30) % -7 == -4",
+      // scientific-notation float literals (Python: 5e-2 and 1.5E3
+      // are floats; the tokenizer's exponent extension)
+      "l_discount > 5e-2",
+      "l_extendedprice >= 1.5E3 and l_quantity < 3")
     val li = t(s, dir, "lineitem")
     val aggs = preds.zipWithIndex.flatMap { case (p, i) =>
       val c = PredicateParser.parse(p, env)
@@ -2377,7 +2384,17 @@ object TypeQueries {
           "POWER(l_discount, 2) > CAST(0.006 AS DOUBLE) AND l_quantity < 25",
         "2 ** 3 ** 2 == 512 and -2 ** 2 == -4 and l_returnflag == 'R'" ->
           ("POWER(2, POWER(3, 2)) = 512 AND -POWER(2, 2) = -4 " +
-            "AND l_returnflag = 'R'"))
+            "AND l_returnflag = 'R'"),
+        // negative-divisor %: the same fmod composition, b = -7 —
+        // DuckDB's fmod is C remainder, so ((a fmod b) + b) fmod b
+        // follows Python's divisor-sign result for b < 0 too
+        "(l_quantity - 30) % -7 == -4" ->
+          "fmod(fmod(l_quantity - 30, -7) + -7, -7) = -4",
+        // scientific-notation literals parse as DOUBLE on both engines
+        "l_discount > 5e-2" ->
+          "l_discount > CAST(5e-2 AS DOUBLE)",
+        "l_extendedprice >= 1.5E3 and l_quantity < 3" ->
+          "l_extendedprice >= CAST(1.5E3 AS DOUBLE) AND l_quantity < 3")
       val rows = wheres.map { case (p, w) =>
         val lbl = p.replace("'", "''")
         s"""SELECT '$lbl' AS predicate,

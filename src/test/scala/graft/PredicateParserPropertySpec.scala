@@ -165,8 +165,16 @@ class PredicateParserPropertySpec extends AnyFunSuite {
       case ARef(n) => s"@$n"
       case ALong(v) => if (v < 0) s"-${-v}" else v.toString
       case ADbl(v) =>
-        val t = if (v < 0) s"-${-v}" else v.toString
-        if (t.contains('.')) t else t + ".0"
+        // 1-in-3: a scientific-notation spelling from the pinned pool
+        // (each is the exact same double after parse — decimal→binary
+        // conversion is value-based, so 5e-1 == 0.5 bit-for-bit)
+        val sci = Map(0.0 -> "0e0", 0.5 -> "5e-1", -1.5 -> "-15E-1",
+          2.25 -> "225e-2", 10.0 -> "1E1")
+        if (rng.nextInt(3) == 0 && sci.contains(v)) sci(v)
+        else {
+          val t = if (v < 0) s"-${-v}" else v.toString
+          if (t.contains('.')) t else t + ".0"
+        }
       case ANeg(x) => "-" + renderAr(x, 2)
       case ABin("**", l, r) =>
         renderAr(l, 4) + sp + "**" + sp + renderAr(r, 2)

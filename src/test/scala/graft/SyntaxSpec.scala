@@ -368,6 +368,26 @@ class VectorOpsExtraSpec extends org.scalatest.funsuite.AnyFunSuite {
     val e = intercept[IllegalArgumentException](df.queryWhere("x > 1.2.3"))
     assert(e.getMessage.contains("malformed number") &&
       e.getMessage.contains("position"))
+    // NEGATIVE divisors: % keeps Python's divisor-sign result both
+    // ways — 7 % -3 = -2, -7 % -3 = -1 (pmod would give 1 and 2);
+    // Math.floorMod pins the same semantics independently
+    val nd = df.queryWhere("x % -3 == -2").collect().map(_.getLong(0)).toSet
+    assert(nd == Set(-7L, -1L, 0L, 3L, 7L)
+      .filter(v => Math.floorMod(v, -3L) == -2L))
+    assert(df.queryWhere("7 % -3 == -2 and -7 % -3 == -1 and " +
+      "7.5 % -2 == -0.5 and -7.5 % 2 == 0.5").count() == df.count())
+    // scientific-notation literals are Python floats: 1e1 = 10.0,
+    // 5E-1 = 0.5, 2.5e0 = 2.5 — and a bare exponent is malformed
+    assert(df.queryWhere("x > 1e0").collect().map(_.getLong(0)).toSet ==
+      Set(3L, 7L))
+    assert(df.queryWhere("x * 5E-1 >= 3.5").collect()
+      .map(_.getLong(0)).toSet == Set(7L))
+    val e2 = intercept[IllegalArgumentException](df.queryWhere("x > 1e"))
+    assert(e2.getMessage.contains("malformed number"))
+    val e3 = intercept[IllegalArgumentException](df.queryWhere("x > 2.5e+"))
+    assert(e3.getMessage.contains("malformed number"))
+    val e4 = intercept[IllegalArgumentException](df.queryWhere("x > 1everything"))
+    assert(e4.getMessage.contains("malformed number"))
   }
 
   test("vocabGrowth / embeddingDiversity / pcaExplainedVariance verbs delegate") {
