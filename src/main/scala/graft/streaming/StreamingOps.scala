@@ -486,24 +486,40 @@ object StreamingOps {
           .select("user_id", "day", "x")
           .persist()
         newTails.count()
-        stateDir.foreach { dir =>
-          val base = s"$dir/state_batch=$batchId"
-          folded.write.mode("overwrite").parquet(s"$base/sums")
-          newTails.write.mode("overwrite").parquet(s"$base/tails")
-          // prune: only batchId-1 is ever read again (the crash-replay
-          // anchor) — older snapshots are unreachable
-          val p = new org.apache.hadoop.fs.Path(dir)
-          val fs = p.getFileSystem(bs.sparkContext.hadoopConfiguration)
-          fs.listStatus(p).map(_.getPath)
-            .filter(_.getName.startsWith("state_batch="))
-            .filter(_.getName.stripPrefix("state_batch=").toLong < batchId - 1)
-            .foreach(fs.delete(_, true))
+        val (nextSums, nextTails) = stateDir match {
+          case Some(dir) =>
+            val base = s"$dir/state_batch=$batchId"
+            folded.write.mode("overwrite").parquet(s"$base/sums")
+            newTails.write.mode("overwrite").parquet(s"$base/tails")
+            // prune: only batchId-1 is ever read again (the crash-
+            // replay anchor) — older snapshots are unreachable
+            val p = new org.apache.hadoop.fs.Path(dir)
+            val fs = p.getFileSystem(bs.sparkContext.hadoopConfiguration)
+            fs.listStatus(p).map(_.getPath)
+              .filter(_.getName.startsWith("state_batch="))
+              .filter(_.getName.stripPrefix("state_batch=").toLong < batchId - 1)
+              .foreach(fs.delete(_, true))
+            // RE-ROOT on the snapshot just written: after a restore,
+            // folded/newTails carry lineage into the RESTORED
+            // state_batch= dir, which a later trigger's prune deletes
+            // — if a persisted block were then lost (executor death,
+            // cache eviction past the disk tier), recomputation would
+            // read a deleted path and throw. The fresh read's lineage
+            // roots at the current snapshot, which the prune never
+            // touches while it is newest-or-anchor.
+            val rs = bs.read.parquet(s"$base/sums").persist()
+            val rt = bs.read.parquet(s"$base/tails").persist()
+            rs.count(); rt.count()
+            folded.unpersist()
+            newTails.unpersist()
+            (rs, rt)
+          case None => (folded, newTails)
         }
         if (sums != null) sums.unpersist()
         if (tails != null) tails.unpersist()
         u.unpersist()
-        sums = folded
-        tails = newTails
+        sums = nextSums
+        tails = nextTails
         sink(sums.select(col("user_id"), col("n_days"),
           col("n1").as("n_lag1"),
           graft.operators.SeriesStats.pearson(col("n1"), col("sx1"),
@@ -682,23 +698,35 @@ object StreamingOps {
         }
         val partials = graft.operators.Merge
           .aggPartials(b.toDF(), keyCols, valCol)
-        val next = state.map(st => graft.operators.Merge
+        val folded = state.map(st => graft.operators.Merge
             .mergeAggState(st, partials, keyCols))
           .getOrElse(partials).persist()
-        next.count()
-        stateDir.foreach { dir =>
-          next.write.mode("overwrite").parquet(s"$dir/state_batch=$batchId")
-          // prune: recovery reads the newest snapshot < the replayed
-          // batch id, so after snapshot `batchId` lands only
-          // `batchId - 1` is ever read again (the crash-replay anchor)
-          // — anything older is unreachable and would otherwise grow
-          // the state dir without bound on a long-running query
-          val p = new org.apache.hadoop.fs.Path(dir)
-          val fs = p.getFileSystem(bs.sparkContext.hadoopConfiguration)
-          fs.listStatus(p).map(_.getPath)
-            .filter(_.getName.startsWith("state_batch="))
-            .filter(_.getName.stripPrefix("state_batch=").toLong < batchId - 1)
-            .foreach(fs.delete(_, true))
+        folded.count()
+        val next = stateDir match {
+          case Some(dir) =>
+            folded.write.mode("overwrite").parquet(s"$dir/state_batch=$batchId")
+            // prune: recovery reads the newest snapshot < the replayed
+            // batch id, so after snapshot `batchId` lands only
+            // `batchId - 1` is ever read again (the crash-replay anchor)
+            // — anything older is unreachable and would otherwise grow
+            // the state dir without bound on a long-running query
+            val p = new org.apache.hadoop.fs.Path(dir)
+            val fs = p.getFileSystem(bs.sparkContext.hadoopConfiguration)
+            fs.listStatus(p).map(_.getPath)
+              .filter(_.getName.startsWith("state_batch="))
+              .filter(_.getName.stripPrefix("state_batch=").toLong < batchId - 1)
+              .foreach(fs.delete(_, true))
+            // RE-ROOT on the snapshot just written: after a restore,
+            // `folded` carries lineage into the RESTORED state_batch=
+            // dir, which a later trigger's prune deletes — if a
+            // persisted block were then lost, recomputation would read
+            // a deleted path and throw. The fresh read roots at the
+            // current snapshot, never pruned while newest-or-anchor.
+            val re = bs.read.parquet(s"$dir/state_batch=$batchId").persist()
+            re.count()
+            folded.unpersist()
+            re
+          case None => folded
         }
         state.foreach(_.unpersist())
         state = Some(next)

@@ -10,7 +10,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * query mid-feed and restart it from its checkpoint, asserting the
   * resumed run converges to the same answer as the uninterrupted one.
   *
-  * Three state regimes are covered:
+  * Four state regimes are covered:
   *  - S38: OPERATOR-managed fold state (S13's MV quartet) — durable
   *    per-trigger snapshots + Spark offset checkpointing; the restart
   *    must restore the snapshot AND skip already-committed input (a
@@ -25,6 +25,10 @@ import org.scalatest.funsuite.AnyFunSuite
   *    tail AND a sums row) — the kill lands with seam lag-pairs still
   *    unpriced, so recovery must restore BOTH relations for the
   *    resumed fold to equal batch t65.
+  *  - S43: native session_window MERGE state (S18's operator) — the
+  *    kill lands with open sessions spanning the seam, so the restored
+  *    state must merge pre- and post-kill events into ONE session for
+  *    the emitted set to equal batch q51.
   *
   * S38 and S42 also assert the snapshot PRUNE: after 3+ triggers at
   * most two `state_batch=` dirs survive (the newest and its
@@ -153,6 +157,87 @@ class StreamingRecoverySpec extends AnyFunSuite {
       .mapValues(vs => (vs.size.toLong, vs.map(_._2).sum)).toMap
     assert(last == want,
       s"state-store aggregation did not recover: $last vs $want")
+  }
+
+  test("S43: native session_window state killed mid-feed resumes and equals batch q51") {
+    // The remaining Spark-managed state shape after S39's groupBy
+    // count: session_window MERGE state — per-OPEN-session rows that
+    // the engine must restore for a session SPANNING the kill to emit
+    // as one merged row (a lost open session would emit two split
+    // sessions or drop the pre-kill events entirely; a groupBy count
+    // recovery proof says nothing about the merge path).
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val rows = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("value"))
+      .orderBy("ts")
+      .as[(Long, java.sql.Timestamp, Double)].collect().toSeq
+    // kill INSIDE a session: find a same-user consecutive event pair
+    // within the 30-min gap nearest the median time and cut between
+    // them, so that session's open state must survive the restart
+    val gapMs = 30L * 60000L
+    val median = rows(rows.length / 2)._2.getTime
+    val intra = rows.groupBy(_._1).values.flatMap { es =>
+      es.map(_._2.getTime).sorted.sliding(2).collect {
+        case Seq(a, b) if b - a <= gapMs && b > a => (a, b)
+      }
+    }.toSeq
+    assert(intra.nonEmpty, "no multi-event session in the corpus")
+    val (seamA, seamB) = intra.minBy(p => math.abs(p._1 - median))
+    val cut = seamB // first keeps seamA, second starts at seamB
+    val first = rows.filter(_._2.getTime < cut)
+    val second = rows.filter(_._2.getTime >= cut)
+    // non-vacuous: some user's session spans the kill (an event
+    // within the gap on each side) — otherwise the merge-state
+    // restore would be untested
+    val lastBefore = first.groupBy(_._1).view
+      .mapValues(_.map(_._2.getTime).max).toMap
+    assert(second.exists(r => lastBefore.get(r._1)
+        .exists(t => r._2.getTime - t <= gapMs && r._2.getTime > t)),
+      "no session spans the kill seam")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val ckpt = tmpDir("ckpt_sw")
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    // append mode emits each watermark-closed session exactly once
+    // across both query incarnations (exactly-once via the
+    // checkpoint); a Set absorbs an at-least-once foreachBatch retry
+    @volatile var got = Set.empty[(Long, Long, Long, Long, Double)]
+    def start() = StreamingOps.sessionWindowStream(
+        mem.toDF().toDF("user_id", "ts", "value"))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        got = got ++ b.collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getLong(2), r.getLong(3), r.getDouble(4)))
+        ()
+      }
+      .trigger(Trigger.ProcessingTime(0L))
+      .start()
+
+    val q1 = start()
+    mem.addData(first: _*)
+    q1.processAllAvailable()
+    q1.stop() // KILL with every seam session still open in state
+
+    mem.addData(second: _*)
+    val q2 = start()
+    q2.processAllAvailable()
+    // sentinel far past the horizon: advances the watermark so every
+    // real session closes and emits (its own session stays open)
+    val sentinelTs = new java.sql.Timestamp(
+      rows.map(_._2.getTime).max + 100L * 86400000L)
+    mem.addData((999999999L, sentinelTs, 0.0))
+    q2.processAllAvailable()
+    q2.stop()
+
+    val want = relational.Relational.q51SessionWindow(spark, sf)
+      .select("user_id", "start_s", "end_s", "n_events", "total_value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    assert(got.nonEmpty && got == want,
+      s"resumed session_window diverged from batch q51: " +
+        s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
   }
 
   test("S42: autocorr boundary buffers killed mid-feed resume and equal batch t65") {

@@ -9,9 +9,16 @@ Usage: drive_oracle.py <sfDir> <verifyOut> [--strict] [--timeout=N]
        [--jobs=N]       (run N check.py replays concurrently — each
                          replay is an independent DuckDB process, so
                          this cuts a big-SF drive's wall time roughly
-                         N-fold; results print as they finish, the
-                         summary and the results file are identical
-                         to a sequential drive)"""
+                         N-fold; results print as they finish, and the
+                         summary and pass/fail verdicts are identical
+                         to a sequential drive. Per-query `sec` values
+                         are NOT: under concurrency they include
+                         DuckDB process contention, so timings in a
+                         --jobs results file are wall-clock-of-the-run
+                         evidence only, not comparable to sequential
+                         timings — and timeouts fire on the same
+                         contended clock, so a near-limit replay may
+                         time out under --jobs that passes alone)"""
 import json, subprocess, sys, time
 from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
