@@ -1570,6 +1570,38 @@ object LlmQueries {
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id")
 
+  /** d24: CROSS-corpus exact-substring spans
+    * ([[graft.operators.Dedup.crossSubstringSpans]] — the
+    * decontamination REPORT over pre-built positional indexes, S40's
+    * streaming kernel as a batch query): pool = the corpus, batch =
+    * an arriving eval set (d9's shape: 15 verbatim re-crawls →
+    * whole-document spans, 15 five-token-prefixed copies → interior
+    * spans at offset 5, 15 word-reversed novels → no 13-gram survives
+    * reversal, zero spans), reporting every maximal shared token span
+    * ≥ 13 with both offsets. Unlike d7's gram-count decontamination
+    * verdict, this is the SPAN-level evidence (which pool doc, where,
+    * how long) an eval-leak audit actually reads. The pool index
+    * builds once (the leakageIndex discipline); only (gram-hash, id,
+    * pos) rows join — text never shuffles. */
+  def d24CrossSubstrings(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val nt = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+    val rev = array_join(reverse(split(nt, " ")), " ")
+    val batch = docs.filter(col("doc_id") < 15)
+      .select((col("doc_id") + 5000000L).as("doc_id"), col("text"))
+      .union(docs.filter(col("doc_id") >= 15 && col("doc_id") < 30)
+        .select((col("doc_id") + 5000000L).as("doc_id"),
+          concat(lit("qq ww ee rr tt "), col("text")).as("text")))
+      .union(docs.filter(col("doc_id") >= 30 && col("doc_id") < 45)
+        .select((col("doc_id") + 5000000L).as("doc_id"), rev.as("text")))
+    val poolIdx = Dedup.positionalGrams(
+      docs.select("doc_id", "text"), "doc_id", "text", minLen = 13)
+    val batchIdx = Dedup.positionalGrams(batch, "doc_id", "text",
+      minLen = 13)
+    Dedup.crossSubstringSpans(poolIdx, batchIdx, minLen = 13)
+      .orderBy("id_a", "id_b", "start_a", "start_b")
+  }
+
   // ---- L29: incremental (continuous-crawl) dedup ---------------------------
   /** Corpus = documents; batch = 15 exact re-crawls (docs 0–14), 15
     * near re-crawls with a 2-token suffix (15–29), 15 novel docs built
@@ -2428,6 +2460,7 @@ object LlmQueries {
     "d21_substring_removal" -> d21SubstringRemoval _,
     "d22_substrings_grouped" -> d22SubstringsGrouped _,
     "d23_substring_removal_owned" -> d23SubstringRemovalOwned _,
+    "d24_cross_substrings" -> d24CrossSubstrings _,
     "d9_incremental_dedup" -> d9IncrementalDedup _,
     "e1_embed_outliers" -> e1EmbedOutliers _,
     "e2_random_projection" -> e2RandomProjection _,
@@ -4998,6 +5031,48 @@ object LlmQueries {
     // also spec-proven in ExactSubstrSpec; here the DuckDB gate
     // certifies it against the independent pair-form replay)
     "d23_substring_removal_owned" -> d23RemovalSql,
+    // d24: the d20 island chain restricted to POOL × BATCH occurrence
+    // pairs (no ordered-pair filter — id spaces are disjoint by
+    // construction), replayed on gram STRINGS like d20; the reversal
+    // arm re-derives the batch text with the same list_reverse the d9
+    // oracle uses
+    "d24_cross_substrings" ->
+      """WITH tkp AS (SELECT doc_id,
+        |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ts
+        |  FROM documents),
+        |batch AS (
+        |  SELECT doc_id + 5000000 AS doc_id, text FROM documents WHERE doc_id < 15
+        |  UNION ALL SELECT doc_id + 5000000, 'qq ww ee rr tt ' || text
+        |  FROM documents WHERE doc_id >= 15 AND doc_id < 30
+        |  UNION ALL SELECT doc_id + 5000000,
+        |    array_to_string(list_reverse(string_split(
+        |      trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')), ' ')
+        |  FROM documents WHERE doc_id >= 30 AND doc_id < 45),
+        |tkb AS (SELECT doc_id,
+        |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ts
+        |  FROM batch),
+        |gp0 AS (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 12)) AS i
+        |  FROM tkp WHERE len(ts) >= 13),
+        |gp AS (SELECT doc_id, i - 1 AS pos,
+        |    array_to_string(ts[CAST(i AS INT):CAST(i AS INT) + 12], ' ') AS gs
+        |  FROM gp0),
+        |gb0 AS (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 12)) AS i
+        |  FROM tkb WHERE len(ts) >= 13),
+        |gb AS (SELECT doc_id, i - 1 AS pos,
+        |    array_to_string(ts[CAST(i AS INT):CAST(i AS INT) + 12], ' ') AS gs
+        |  FROM gb0),
+        |p AS (SELECT a.doc_id AS id_a, a.pos AS pos_a,
+        |    b.doc_id AS id_b, b.pos AS pos_b
+        |  FROM gp a JOIN gb b ON a.gs = b.gs),
+        |isl AS (SELECT id_a, id_b, pos_a, pos_b, pos_a - pos_b AS diag,
+        |    pos_a - ROW_NUMBER() OVER (PARTITION BY id_a, id_b, pos_a - pos_b
+        |      ORDER BY pos_a) AS island
+        |  FROM p)
+        |SELECT id_a, id_b, CAST(MIN(pos_a) AS BIGINT) AS start_a,
+        |  CAST(MIN(pos_b) AS BIGINT) AS start_b,
+        |  CAST(COUNT(*) + 12 AS BIGINT) AS span_tokens
+        |FROM isl GROUP BY id_a, id_b, diag, island
+        |ORDER BY id_a, id_b, start_a, start_b""".stripMargin,
     // d22: grouped d20 — identity groups over normalized text, the
     // SAME positional-gram/island chain over REPRESENTATIVES only,
     // then the four multiplicity rules (cross |A|·|B|; within

@@ -149,6 +149,30 @@ class ExactSubstrSpec extends AnyFunSuite {
     assert(out == ((20L, 36L, 21L, 15L, (block ++ mid).mkString(" "))))
   }
 
+  // ---- d24 cross-corpus form: pool × batch spans ---------------------------
+
+  test("cross-corpus spans: pool×batch pairs only, verbatim/prefixed/novel arms") {
+    val base = words(130, 40)
+    val other = words(131, 30)
+    val pool = Seq(1L -> base.mkString(" "), 2L -> other.mkString(" "))
+    val batch = Seq(
+      100L -> base.mkString(" "), // verbatim re-crawl of pool doc 1
+      101L -> (words(132, 5) ++ other).mkString(" "), // prefixed copy of 2
+      102L -> base.reverse.mkString(" "), // reversal: no shared 13-gram
+      // in-BATCH copy of 100: must NOT pair (pool×batch only)
+      103L -> base.mkString(" "))
+    val out = Dedup.crossSubstringSpans(
+        Dedup.positionalGrams(pool.toDF("doc_id", "text"), "doc_id", "text", L),
+        Dedup.positionalGrams(batch.toDF("doc_id", "text"), "doc_id", "text", L),
+        L)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq.sorted
+    assert(out == Seq(
+      (1L, 100L, 0L, 0L, 40L), // whole-document span
+      (1L, 103L, 0L, 0L, 40L), // second verbatim batch copy, same span
+      (2L, 101L, 0L, 5L, 30L) // interior span at the planted offset
+    ).sorted)
+  }
+
   // ---- d22 grouped form: expansion equality ------------------------------
 
   /** Expand exactSubstringSpansGrouped's output by its documented
