@@ -55,17 +55,37 @@ import org.apache.spark.sql.functions._
   * while d22 folds the whole group to a single representative + an
   * n_pairs integer. Everything else stays the volume construction.
   *
-  * Usage: runMain graft.ScaleGen <srcDir> <outDir> <k> [hub|dup]
+  * LEN MODE (4th arg `len`): the DOCUMENT-LENGTH axis — per-doc token
+  * count grows k× while every row count stays the source's (volume
+  * constant, so the axis isolates per-row kernel cost from data
+  * volume). Each doc's text becomes the original followed by k−1
+  * token-suffixed copies of itself (`tok` → `tok·b` for block b) —
+  * the same suffix device the volume shards use, so:
+  * - the doc's token DISTRIBUTION is preserved (lang-id, quality,
+  *   Zipf/entropy stats stay realistic at k× length);
+  * - blocks never share tokens with each other, the original, or any
+  *   other doc's blocks — no new cross-doc shingle/gram/minhash
+  *   relations appear, and near-dup topology (planted copies pair
+  *   with planted copies) scales faithfully;
+  * - within-doc repeat structure replicates per block — exactly how
+  *   long real documents carry proportionally more internal repeats.
+  * Stresses the per-token explode/HOF family (d20-family gram
+  * indexes, winnowing, BPE, perplexity, chunking, CDC, MATTR) at k×
+  * tokens per ROW — the regime where a per-doc collect or quadratic
+  * window would blow up first.
+  *
+  * Usage: runMain graft.ScaleGen <srcDir> <outDir> <k> [hub|dup|len]
   * (sf0.3 = k 3 from sf0.1, sf1 = k 10). */
 object ScaleGen {
   def main(args: Array[String]): Unit = {
     val Array(src, out, kStr) = args.take(3)
     val k = kStr.toInt
     val mode = if (args.length > 3) args(3) else ""
-    require(mode.isEmpty || mode == "hub" || mode == "dup",
-      s"unknown mode '$mode' (expected 'hub' or 'dup')")
+    require(mode.isEmpty || mode == "hub" || mode == "dup" || mode == "len",
+      s"unknown mode '$mode' (expected 'hub', 'dup' or 'len')")
     val hub = mode == "hub"
     val dup = mode == "dup"
+    val len = mode == "len"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -83,8 +103,9 @@ object ScaleGen {
     def off(name: String, key: String): Long =
       rd(name).agg(max(col(key))).head().getLong(0) + 1L
 
-    // one row per shard id, crossed into each table (tiny broadcast)
-    val shards = spark.range(k).select(col("id").as("shard"))
+    // one row per shard id, crossed into each table (tiny broadcast);
+    // len mode keeps ONE shard — volume constant, only text grows
+    val shards = spark.range(if (len) 1 else k).select(col("id").as("shard"))
     def rep(df: DataFrame): DataFrame = df.crossJoin(broadcast(shards))
 
     val (oC, oO, oP, oS) = (off("customer", "c_custkey"),
@@ -158,7 +179,14 @@ object ScaleGen {
     // group's only self-match is the diagonal-0 full-document span)
     val dupTmpl = (0 until 54).map(i => s"duptok$i").mkString(" ")
     val docText =
-      if (hub) {
+      if (len)
+        // original + (k−1) block-suffixed copies of itself: k× tokens,
+        // preserved distribution, zero new cross-block/cross-doc grams
+        // (blank docs stay verbatim — concat_ws would inject spaces)
+        when(trim(col("text")) === "", col("text")).otherwise(
+          concat_ws(" ", (col("text") +: (1 until k).map(b =>
+            regexp_replace(col("text"), "(\\S+)", s"$$1·$b"))): _*))
+      else if (hub) {
         val ts = split(trim(regexp_replace(lower(shardedText), "\\s+", " ")), " ")
         when(pmod(col("doc_id"), lit(10L)) === 7L && size(ts) >= 24,
           concat(lit(tmpl + " "), array_join(slice(ts, -24, 24), " ")))

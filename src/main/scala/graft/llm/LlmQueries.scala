@@ -147,6 +147,20 @@ object LlmQueries {
       .orderBy("qid", "rk")
   }
 
+  // ---- L117: graph-based ANN (beam search over the e6 kNN index) ----------
+  /** The NSW/HNSW-family search pattern as bounded relational hops
+    * ([[Similarity.graphTopK]]): entry at the 16 md5-sampled nodes,
+    * 2 hops of beam-4 expansion over the proven directed top-5 graph,
+    * exact scoring of every visited candidate, final top-10 excluding
+    * self — same output contract as s1/s2/s3/s5. */
+  def s7GraphAnn(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.graphTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
+      .withColumn("cos", round(col("cos"), 6))
+      .select("qid", "id", "cos", "rk")
+      .orderBy("qid", "rk")
+  }
+
   // ---- L60: ANN recall evaluation ------------------------------------------
   /** The index-quality harness every ANN deployment needs: per-query
     * recall@10 of the LSH index (s2) against brute-force ground truth
@@ -2018,6 +2032,28 @@ object LlmQueries {
         col("n_occur"))
       .orderBy("doc_id", "rank")
 
+  // ---- L118: hashed linear quality classifier -------------------------------
+  /** FastText-style hashed unigram+bigram linear scorer
+    * ([[graft.operators.HashClassifier]]) — the quality-filter shape
+    * CCNet/fastText pipelines run, with a deterministic integer weight
+    * table so every step is exact and SQL-replayable. One pure map
+    * pass: feature hashing and the weight fold live inside the row's
+    * HOF lambda; `score_norm` is one IEEE division of exact ints. */
+  def x46HashClassifier(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.HashClassifier
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        split(Dedup.normText(col("text")), " ").as("toks"))
+      .select(col("doc_id"),
+        (size(col("toks")).cast("long") * 2L - 1L).as("n_feats"),
+        HashClassifier.scoreRaw(col("toks")).as("score_raw"))
+      .withColumn("score_norm",
+        col("score_raw").cast("double") /
+          (col("n_feats").cast("double") * lit(HashClassifier.WShift.toDouble)))
+      .withColumn("keep", col("score_raw") > 0L)
+      .orderBy("doc_id")
+  }
+
   // ---- L57: corpus-slice distribution drift --------------------------------
   /** Token-distribution drift, en slice vs the rest
     * ([[TextAnalysis.tokenDrift]]): per-token directed KL
@@ -2446,6 +2482,7 @@ object LlmQueries {
     "s3_ann_ivf" -> s3AnnIvf _,
     "s4_quant_cosine" -> s4QuantCosine _,
     "s5_ann_pq" -> s5AnnPq _,
+    "s7_graph_ann" -> s7GraphAnn _,
     "x1_lang_id" -> x1LangId _,
     "x2_quality" -> x2Quality _,
     "x3_token_count" -> x3TokenCount _,
@@ -2492,6 +2529,7 @@ object LlmQueries {
     "x43_readability" -> x43Readability _,
     "x44_winnowing" -> x44Winnowing _,
     "x45_rake" -> x45Rake _,
+    "x46_hash_classifier" -> x46HashClassifier _,
     "x14_heavy_hitters" -> x14HeavyHitters _,
     "x24_kl_drift" -> x24KlDrift _,
     "x21_tfidf" -> x21Tfidf _,
@@ -2544,6 +2582,81 @@ object LlmQueries {
       |      ORDER BY cos DESC, id ASC) AS rk
       |  FROM directed),
       |topk AS (SELECT * FROM rk WHERE rk <= 5)""".stripMargin
+
+  /** s7 oracle: the beam search UNROLLED — the proven e6 chain gives
+    * the graph (`topk`) and entry points (`cent`); each hop is a
+    * candidate-set UNION (SQL UNION = the engine's distinct), a
+    * ROW_NUMBER beam cut on unrounded cos (desc, id asc — the TopKAgg
+    * order), and an edge join; self is excluded only at the final
+    * top-10, exactly the [[Similarity.graphTopK]] contract. */
+  private def s7OracleSql: String = {
+    def score(set: String, out: String): String =
+      s"""$out AS (SELECT s.qid, s.id,
+         |    CASE WHEN bb.nv * q.nqv = 0.0 THEN 0.0
+         |         ELSE list_inner_product(bb.v, q.qv) / (bb.nv * q.nqv)
+         |    END AS cos
+         |  FROM $set s JOIN b bb ON s.id = bb.vec_id
+         |    JOIN q ON s.qid = q.qid)"""
+    def beamCut(src: String, out: String, n: Int): String =
+      s"""$out AS (SELECT qid, id FROM (SELECT qid, id,
+         |    ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY cos DESC, id ASC) AS rn FROM $src) t
+         |  WHERE rn <= $n)"""
+    s"""WITH $knnTopkCtes,
+       |q AS (SELECT vec_id AS qid, v AS qv, nv AS nqv FROM b
+       |  WHERE vec_id < 5),
+       |s0 AS (SELECT q.qid, c.cid AS id FROM q CROSS JOIN cent c),
+       |${score("s0", "v0")},
+       |${beamCut("v0", "b0", 4)},
+       |n1 AS (SELECT DISTINCT b0.qid, t.id AS id FROM b0
+       |  JOIN topk t ON b0.id = t.qid),
+       |s1 AS (SELECT qid, id FROM s0 UNION SELECT qid, id FROM n1),
+       |${score("s1", "v1")},
+       |${beamCut("v1", "b1", 4)},
+       |n2 AS (SELECT DISTINCT b1.qid, t.id AS id FROM b1
+       |  JOIN topk t ON b1.id = t.qid),
+       |s2 AS (SELECT qid, id FROM s1 UNION SELECT qid, id FROM n2),
+       |${score("s2", "v2")},
+       |fin AS (SELECT qid, id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY qid
+       |      ORDER BY cos DESC, id ASC) AS rk
+       |  FROM v2 WHERE id <> qid)
+       |SELECT qid, id, ROUND(cos, 6) AS cos, rk FROM fin
+       |WHERE rk <= 10 ORDER BY qid, rk""".stripMargin
+  }
+
+  /** x46 oracle: the identical hashed-classifier arithmetic — same
+    * base-131/8-char polynomial (constants interpolated from
+    * [[graft.operators.HashClassifier]] — one source of truth), same
+    * mod-chain weights, exact BIGINT sums, one IEEE division. */
+  private def x46OracleSql: String = {
+    import graft.operators.HashClassifier._
+    val poly = (0 until 8).map(k =>
+      s"CAST(ascii(substr(rpad(f, 8, ' '), ${k + 1}, 1)) % 256 AS BIGINT)" +
+        s" * ${CharPows(k)}")
+      .mkString(" +\n      ")
+    s"""WITH base AS (SELECT doc_id, string_split($normSql, ' ') AS toks
+       |  FROM documents),
+       |idx AS (SELECT doc_id, toks, len(toks) AS n,
+       |    unnest(range(1, len(toks) + 1)) AS i FROM base),
+       |feats AS (
+       |  SELECT doc_id, toks[i] AS f FROM idx
+       |  UNION ALL
+       |  SELECT doc_id, toks[i] || '_' || toks[i + 1] AS f FROM idx
+       |  WHERE i < n),
+       |w AS (SELECT doc_id,
+       |    ((((($poly)
+       |      + CAST(len(f) AS BIGINT) * $LenMix) % $NumBuckets)
+       |      * $WMul + $WAdd) % $WRange) - $WShift AS w
+       |  FROM feats),
+       |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+       |    CAST(SUM(w) AS BIGINT) AS score_raw FROM w GROUP BY doc_id)
+       |SELECT doc_id, n_feats, score_raw,
+       |  CAST(score_raw AS DOUBLE) /
+       |    (CAST(n_feats AS DOUBLE) * $WShift.0) AS score_norm,
+       |  score_raw > 0 AS keep
+       |FROM agg ORDER BY doc_id""".stripMargin
+  }
 
   /** x11 oracle: BM25 recomputed from scratch in SQL, generated from
     * the SAME term list. Arithmetic mirrors Retrieval.bm25 EXPRESSION
@@ -4305,6 +4418,11 @@ object LlmQueries {
         |FROM tfx JOIN vocab USING (tok), n
         |ORDER BY doc_id, tok""".stripMargin,
     "s2_ann_lsh" -> s2OracleSql,
+    // s7: the unrolled beam search over the proven e6 graph replay
+    "s7_graph_ann" -> s7OracleSql,
+    // x46: full hashed-classifier replay — same polynomial/mod-chain
+    // constants interpolated from HashClassifier, exact BIGINT sums
+    "x46_hash_classifier" -> x46OracleSql,
     "e2_random_projection" -> e2OracleSql,
     "e3_kmeans" -> e3OracleSql,
     // e12: BOTH Lloyd chains replayed (e3's proven template, suffixed,

@@ -394,6 +394,70 @@ object Similarity {
     res
   }
 
+  /** Graph-based ANN: fixed-horizon beam search over the [[knnGraph]]
+    * family's directed kNN index — the NSW/HNSW search pattern
+    * (Malkov & Yashunin 2016) that dominates production vector search,
+    * expressed as bounded relational hops instead of a pointer-chasing
+    * walk. The index is [[directedTopK]]'s proven edge list (each node
+    * → its `graphK` same-cell nearest neighbors); entry points are the
+    * same md5-order deterministic sample as the IVF/PQ quantizers; each
+    * hop scores the candidate set exactly, keeps the top-`beam` nodes
+    * per query, and expands their out-edges. `hops` is FIXED (not
+    * converge-until-done), so the whole search is `hops` joins — fully
+    * plannable, and replayable as unrolled SQL (which is what lets the
+    * oracle hash-verify s7).
+    *
+    * Contract details the oracle mirrors: candidate sets are DISTINCT
+    * (qid, id) pairs (a node reached twice scores once); beams may
+    * contain the query itself when it is reachable (self-similarity 1.0
+    * legitimately steers the walk); only the FINAL top-k excludes
+    * id == qid (the s1/s2/s3 contract); all beam comparisons run on
+    * unrounded doubles (cos desc, id asc), identical IEEE sequences in
+    * both engines.
+    *
+    * Scale shape (100 TB): the index is O(n·graphK) (id, id) longs —
+    * built once, reused across query batches; per hop the beam is
+    * |queries|·beam rows BROADCAST against the edge list and the
+    * candidate set is |queries|·(nCells + hops·beam·graphK) ids
+    * broadcast against the corpus scan, so corpus vectors are touched
+    * only for candidate ids and the full-corpus cost is the index
+    * build, never the search. */
+  def graphTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      graphK: Int = 5, nCells: Int = 16, beam: Int = 4,
+      hops: Int = 2): DataFrame = {
+    val c = withNorm(corpus, "id", "v", "nv").persist()
+    // entry points: the deterministic md5-order sample (the s3/s5
+    // quantizer pick) — real corpus ids, so they are graph nodes
+    val seeds: Array[Long] =
+      c.select(col("id").cast("long"))
+        .orderBy(md5(col("id").cast("string")), col("id"))
+        .limit(nCells).collect().map(_.getLong(0))
+    val graph = directedTopK(corpus, "vec_id", "embedding", graphK, nCells)
+      .select(col("qid").as("node"), col("id").as("nbr"))
+    val q = withNorm(queries, "qid", "qv", "nqv")
+    // exact cosine of a (qid, id) candidate set — candidates broadcast,
+    // corpus streams
+    def score(cand: DataFrame): DataFrame =
+      c.join(broadcast(cand), Seq("id"))
+        .join(broadcast(q), Seq("qid"))
+        .select(col("qid"), col("id"), cosOf("v", "qv", "nv", "nqv").as("cos"))
+    var cand = q.select(col("qid"))
+      .withColumn("id", explode(array(seeds.map(lit(_)): _*)))
+    var h = 0
+    while (h < hops) {
+      val bm = topK(score(cand), beam).select(col("qid"), col("id"))
+      val next = graph
+        .join(broadcast(bm.withColumnRenamed("id", "node")), Seq("node"))
+        .select(col("qid"), col("nbr").as("id"))
+      cand = cand.union(next).distinct()
+      h += 1
+    }
+    val res = topK(score(cand).filter(col("id") =!= col("qid")), k)
+      .localCheckpoint(true)
+    c.unpersist()
+    res
+  }
+
   /** kNN hubness audit (Radovanović et al. 2010, JMLR): the
     * k-occurrence distribution N_k(x) = how many nodes list x in THEIR
     * directed top-k ([[directedTopK]] — pre-mutual, where hubness
