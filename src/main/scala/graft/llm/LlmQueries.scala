@@ -218,6 +218,37 @@ object LlmQueries {
     }.reduce(_.unionByName(_)).orderBy("nprobe")
   }
 
+  // ---- L119: graph-ANN hop-sweep recall curve --------------------------------
+  /** The graph-ANN twin of e10's probe sweep: recall@10 of s7's beam
+    * search at hops ∈ {0, 1, 2, 3} against the s1 brute ground truth —
+    * the horizon-vs-cost curve an operator reads before fixing `hops`
+    * (each hop adds beam·graphK candidate scorings per query). All
+    * four sweeps share ONE index build (the production posture —
+    * [[Similarity.graphTopK]]'s `index` hook), so the curve isolates
+    * the search horizon; hops=0 is the entry-points-only floor.
+    * Monotone by construction: candidate sets only grow with hops. */
+  def e21GraphRecallSweep(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val qs = emb.filter(col("vec_id") < 5)
+    val brute = Similarity.bruteTopK(emb, qs, k = 10).select("qid", "id")
+    val index = Similarity.directedTopK(emb, "vec_id", "embedding", 5, 16)
+      .select(col("qid").as("node"), col("id").as("nbr"))
+    Seq(0, 1, 2, 3).map { h =>
+      val g = Similarity.graphTopK(emb, qs, k = 10, hops = h,
+          index = Some(index))
+        .select("qid", "id")
+      val ov = brute.join(g, Seq("qid", "id"), "left_semi")
+        .agg(count(lit(1)).as("n_overlap"))
+      brute.agg(count(lit(1)).as("n_brute"))
+        .crossJoin(g.agg(count(lit(1)).as("n_graph")))
+        .crossJoin(ov)
+        .select(lit(h).as("hops"), col("n_brute"), col("n_graph"),
+          col("n_overlap"),
+          (col("n_overlap").cast("double") / col("n_brute").cast("double"))
+            .as("recall"))
+    }.reduce(_.unionByName(_)).orderBy("hops")
+  }
+
   // ---- L81: pairwise source-drift matrix -------------------------------------
   /** The full SOURCE-DRIFT MATRIX — directed KL divergence between
     * every pair of source slices under shared-vocab Laplace smoothing
@@ -803,11 +834,14 @@ object LlmQueries {
     val docs = base.union(base.select((col("id") + lit(1000000L)).as("id"),
       concat(col("text"), lit(" zz qq")).as("text")))
     val sh = docs
-      .withColumn("nt", trim(regexp_replace(lower(col("text")), "\\s+", " ")))
-      .withColumn("words", split(col("nt"), " "))
-      .withColumn("sh", array_distinct(transform(
-        sequence(lit(1), greatest(size(col("words")) - 2, lit(1))),
-        i => array_join(slice(col("words"), i, lit(3)), " "))))
+      // the same bind-once device as tenWordSegs: a plain `words`
+      // attribute inside the per-shingle lambda would inline the
+      // split+regexp per element (O(tokens²) per doc)
+      .withColumn("sh", expr(
+        "transform(array(split(trim(regexp_replace(lower(text), " +
+          "'\\\\s+', ' ')), ' ')), ws -> array_distinct(transform(" +
+          "sequence(1, greatest(size(ws) - 2, 1)), " +
+          "i -> array_join(slice(ws, i, 3), ' '))))[0]"))
       .select("id", "sh")
       .persist()
     // signature + truth hashes via ONE shingle explode and codegen'd
@@ -1002,6 +1036,21 @@ object LlmQueries {
         md5(col("chunk")).as("chunk_md5"))
       .orderBy("doc_id", "chunk_id")
 
+  /** 10-word segment array with the token array bound ONCE per row
+    * (the x44 winnow bind-once device): a plain `words` ATTRIBUTE
+    * inside the per-segment lambda gets CollapseProject-inlined as
+    * `split(text)` PER ELEMENT — O(tokens²/10) per doc, measured
+    * α≈1.6 on the r12 length axis (x17 at len_k10) and visible in the
+    * optimized plan as `slice(split(text…))` inside the
+    * lambdafunction; the `transform(array(split…), ws -> …)[0]`
+    * binding evaluates the split exactly once per row because a
+    * lambda VARIABLE can never be inlined. Same segments, same
+    * oracles — plan shape only. */
+  private def tenWordSegs: Column = expr(
+    "transform(array(split(text, ' ')), ws -> " +
+      "transform(sequence(0, cast(ceil(size(ws)/10.0) as int) - 1), " +
+      "i -> array_join(slice(ws, i*10+1, 10), ' ')))[0]")
+
   // ---- L38: C4-style corpus line-level dedup ------------------------------
   /** Line-level exact dedup across the corpus (C4's "all but one of any
     * repeated span", Raffel et al. 2020): the synthetic docs are
@@ -1012,10 +1061,7 @@ object LlmQueries {
     * survival stats + md5 of the reconstructed (kept-lines) text. */
   def x17LineDedup(s: SparkSession, dir: String): DataFrame = {
     val docs = withCopies(t(s, dir, "documents"), perturb = false)
-      .withColumn("words", split(col("text"), " "))
-      .withColumn("lines", expr(
-        "transform(sequence(0, cast(ceil(size(words)/10.0) as int) - 1), " +
-          "i -> array_join(slice(words, i*10+1, 10), ' '))"))
+      .withColumn("lines", tenWordSegs)
     Dedup.dedupLines(docs, "doc_id", "lines")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_lines"),
@@ -1037,10 +1083,7 @@ object LlmQueries {
     * fail the word-count rule naturally). One map pass, no shuffle. */
   def x18GopherRules(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
-      .withColumn("words", split(col("text"), " "))
-      .withColumn("segs", expr(
-        "transform(sequence(0, cast(ceil(size(words)/10.0) as int) - 1), " +
-          "i -> array_join(slice(words, i*10+1, 10), ' '))"))
+      .withColumn("segs", tenWordSegs)
       .withColumn("segs", when(col("doc_id") % 17 === 0,
         expr("transform(segs, l -> concat('- ', l))")).otherwise(col("segs")))
       .withColumn("segs", when(col("doc_id") % 19 === 0,
@@ -1069,10 +1112,7 @@ object LlmQueries {
     * functions. One map pass, zero shuffles, zero UDFs. */
   def x26C4Filters(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
-      .withColumn("words", split(col("text"), " "))
-      .withColumn("segs", expr(
-        "transform(sequence(0, cast(ceil(size(words)/10.0) as int) - 1), " +
-          "i -> array_join(slice(words, i*10+1, 10), ' '))"))
+      .withColumn("segs", tenWordSegs)
       .withColumn("segs", expr(
         "transform(segs, l -> IF(length(l) % 2 = 0, concat(l, '.'), l))"))
       .withColumn("segs", when(col("doc_id") % 13 === 0,
@@ -1984,13 +2024,15 @@ object LlmQueries {
     import org.apache.spark.sql.expressions.Window
     val ppl = TextAnalysis.unigramPerplexity(
         t(s, dir, "documents"), "doc_id", "text", vocabSize = 32)
-      .select(col("id").as("doc_id"), col("ppl"))
+      .select(col("id").as("doc_id"), col("ln_ppl"))
     val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"))
-    val w = Window.partitionBy("lang").orderBy(col("ppl"), col("doc_id"))
+    // rank on the EMITTED 6-dp ln_ppl (pinned cross-engine), doc_id
+    // tiebreak — ln is monotone, so the terciles are CCNet's
+    val w = Window.partitionBy("lang").orderBy(col("ln_ppl"), col("doc_id"))
     docs.join(ppl, Seq("doc_id"))
       .withColumn("rk", row_number().over(w))
       .withColumn("n", count(lit(1)).over(Window.partitionBy("lang")))
-      .select(col("doc_id"), col("lang"), col("ppl"), col("rk"),
+      .select(col("doc_id"), col("lang"), col("ln_ppl"), col("rk"),
         when(col("rk") * 3 <= col("n"), "head")
           .when(col("rk") * 3 <= col("n") * 2, "middle")
           .otherwise("tail").as("bucket"))
@@ -2483,6 +2525,7 @@ object LlmQueries {
     "s4_quant_cosine" -> s4QuantCosine _,
     "s5_ann_pq" -> s5AnnPq _,
     "s7_graph_ann" -> s7GraphAnn _,
+    "e21_graph_recall_sweep" -> e21GraphRecallSweep _,
     "x1_lang_id" -> x1LangId _,
     "x2_quality" -> x2Quality _,
     "x3_token_count" -> x3TokenCount _,
@@ -2589,40 +2632,82 @@ object LlmQueries {
     * ROW_NUMBER beam cut on unrounded cos (desc, id asc — the TopKAgg
     * order), and an edge join; self is excluded only at the final
     * top-10, exactly the [[Similarity.graphTopK]] contract. */
-  private def s7OracleSql: String = {
-    def score(set: String, out: String): String =
-      s"""$out AS (SELECT s.qid, s.id,
-         |    CASE WHEN bb.nv * q.nqv = 0.0 THEN 0.0
-         |         ELSE list_inner_product(bb.v, q.qv) / (bb.nv * q.nqv)
-         |    END AS cos
-         |  FROM $set s JOIN b bb ON s.id = bb.vec_id
-         |    JOIN q ON s.qid = q.qid)"""
-    def beamCut(src: String, out: String, n: Int): String =
-      s"""$out AS (SELECT qid, id FROM (SELECT qid, id,
-         |    ROW_NUMBER() OVER (PARTITION BY qid
-         |      ORDER BY cos DESC, id ASC) AS rn FROM $src) t
-         |  WHERE rn <= $n)"""
+  /** Beam-search CTE chain shared by the s7 and e21 oracles: scores a
+    * candidate set against the query vectors, cuts the top-`n` beam on
+    * unrounded cos (desc, id asc), expands out-edges through the
+    * proven `topk` graph, and UNIONs (SQL UNION = the engine's
+    * distinct). Emits s0..s<hops>, v0..v<hops>, b0.., n1.. — callers
+    * append their own final cut. */
+  private def annScoreCte(set: String, out: String): String =
+    s"""$out AS (SELECT s.qid, s.id,
+       |    CASE WHEN bb.nv * q.nqv = 0.0 THEN 0.0
+       |         ELSE list_inner_product(bb.v, q.qv) / (bb.nv * q.nqv)
+       |    END AS cos
+       |  FROM $set s JOIN b bb ON s.id = bb.vec_id
+       |    JOIN q ON s.qid = q.qid)"""
+  private def annBeamChain(hops: Int, beam: Int): String = {
+    val head = Seq(
+      """q AS (SELECT vec_id AS qid, v AS qv, nv AS nqv FROM b
+        |  WHERE vec_id < 5)""".stripMargin,
+      "s0 AS (SELECT q.qid, c.cid AS id FROM q CROSS JOIN cent c)",
+      annScoreCte("s0", "v0"))
+    val steps = (1 to hops).flatMap { h =>
+      Seq(
+        s"""b${h - 1} AS (SELECT qid, id FROM (SELECT qid, id,
+           |    ROW_NUMBER() OVER (PARTITION BY qid
+           |      ORDER BY cos DESC, id ASC) AS rn FROM v${h - 1}) t
+           |  WHERE rn <= $beam)""".stripMargin,
+        s"""n$h AS (SELECT DISTINCT b${h - 1}.qid, t.id AS id FROM b${h - 1}
+           |  JOIN topk t ON b${h - 1}.id = t.qid)""".stripMargin,
+        s"s$h AS (SELECT qid, id FROM s${h - 1} UNION SELECT qid, id FROM n$h)",
+        annScoreCte(s"s$h", s"v$h"))
+    }
+    (head ++ steps).mkString(",\n")
+  }
+
+  private def s7OracleSql: String =
     s"""WITH $knnTopkCtes,
-       |q AS (SELECT vec_id AS qid, v AS qv, nv AS nqv FROM b
-       |  WHERE vec_id < 5),
-       |s0 AS (SELECT q.qid, c.cid AS id FROM q CROSS JOIN cent c),
-       |${score("s0", "v0")},
-       |${beamCut("v0", "b0", 4)},
-       |n1 AS (SELECT DISTINCT b0.qid, t.id AS id FROM b0
-       |  JOIN topk t ON b0.id = t.qid),
-       |s1 AS (SELECT qid, id FROM s0 UNION SELECT qid, id FROM n1),
-       |${score("s1", "v1")},
-       |${beamCut("v1", "b1", 4)},
-       |n2 AS (SELECT DISTINCT b1.qid, t.id AS id FROM b1
-       |  JOIN topk t ON b1.id = t.qid),
-       |s2 AS (SELECT qid, id FROM s1 UNION SELECT qid, id FROM n2),
-       |${score("s2", "v2")},
+       |${annBeamChain(hops = 2, beam = 4)},
        |fin AS (SELECT qid, id, cos,
        |    ROW_NUMBER() OVER (PARTITION BY qid
        |      ORDER BY cos DESC, id ASC) AS rk
        |  FROM v2 WHERE id <> qid)
        |SELECT qid, id, ROUND(cos, 6) AS cos, rk FROM fin
        |WHERE rk <= 10 ORDER BY qid, rk""".stripMargin
+
+  /** e21 oracle: the SAME incremental beam chain taken out to 3 hops;
+    * each horizon h gets its own top-10 cut of v<h> (self excluded)
+    * and a count row against the e10-style brute CTE — one chain, four
+    * operating points, exactly the shared-index engine sweep. */
+  private def e21OracleSql: String = {
+    val fins = Seq(0, 1, 2, 3).map { h =>
+      s"""tk$h AS (SELECT qid, id FROM (SELECT qid, id,
+         |    ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY cos DESC, id ASC) AS rk
+         |  FROM v$h WHERE id <> qid) t WHERE rk <= 10),
+         |r$h AS (SELECT $h AS hops,
+         |    (SELECT COUNT(*) FROM brute) AS n_brute,
+         |    (SELECT COUNT(*) FROM tk$h) AS n_graph,
+         |    (SELECT COUNT(*) FROM brute JOIN tk$h USING (qid, id))
+         |      AS n_overlap)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $knnTopkCtes,
+       |${annBeamChain(hops = 3, beam = 4)},
+       |brute AS (SELECT qid, id FROM (
+       |    SELECT q.vec_id AS qid, a.vec_id AS id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+       |        CASE WHEN a.nv * q.nv = 0 THEN 0.0
+       |             ELSE list_inner_product(a.v, q.v) / (a.nv * q.nv)
+       |        END DESC, a.vec_id ASC) AS rk
+       |    FROM b a CROSS JOIN (SELECT * FROM b WHERE vec_id < 5) q
+       |    WHERE a.vec_id <> q.vec_id) t
+       |  WHERE rk <= 10),
+       |$fins
+       |SELECT hops, n_brute, n_graph, n_overlap,
+       |  CAST(n_overlap AS DOUBLE) / CAST(n_brute AS DOUBLE) AS recall
+       |FROM (SELECT * FROM r0 UNION ALL SELECT * FROM r1
+       |      UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r3) u
+       |ORDER BY hops""".stripMargin
   }
 
   /** x46 oracle: the identical hashed-classifier arithmetic — same
@@ -4326,12 +4411,16 @@ object LlmQueries {
         |  LEFT JOIN bvocab bv ON big.w1 = bv.w1 AND big.w2 = bv.w2
         |  LEFT JOIN uvocab uv ON big.w2 = uv.tok, tot)
         |SELECT doc_id, COUNT(*) AS n_bi,
-        |  ROUND(exp(-(CAST(SUM(lp) AS DOUBLE) / COUNT(*))), 6) AS ppl
+        |  ROUND(-(CAST(CAST(SUM(lp) AS VARCHAR) AS DOUBLE) / COUNT(*)), 6)
+        |    AS ln_ppl
         |FROM scored GROUP BY 1 ORDER BY doc_id""".stripMargin,
     // x40: full KN-model replay — same tokenization, same integer
     // count/distinct-count/type-total statistics, the identical pinned
     // P expression (c−D + D·n1v·(n1w/B)) / cv, 9-decimal DECIMAL
-    // log-prob sums (order-free), one terminal exp
+    // log-prob sums (order-free), terminal ln_ppl via ONE pinned
+    // division (the decimal sum reaches double through VARCHAR — the
+    // r11 correctly-rounded-cast device; no terminal exp crosses the
+    // gate since the len_k10 ulp finding)
     "x40_kneser_ney" ->
       s"""WITH base AS (SELECT doc_id, string_split($normSql, ' ') AS toks
         |  FROM documents),
@@ -4357,7 +4446,8 @@ object LlmQueries {
         |  JOIN ctx ON big.w1 = ctx.w1
         |  JOIN cont ON big.w2 = cont.w2, btypes)
         |SELECT doc_id, COUNT(*) AS n_bi,
-        |  ROUND(exp(-(CAST(SUM(lp) AS DOUBLE) / COUNT(*))), 6) AS ppl
+        |  ROUND(-(CAST(CAST(SUM(lp) AS VARCHAR) AS DOUBLE) / COUNT(*)), 6)
+        |    AS ln_ppl
         |FROM scored GROUP BY 1 ORDER BY doc_id""".stripMargin,
     // d13: rebuild the planted urls and re-canonicalize rule for rule
     // (lowercase scheme/host, default-port strip, fragment drop,
@@ -4420,6 +4510,8 @@ object LlmQueries {
     "s2_ann_lsh" -> s2OracleSql,
     // s7: the unrolled beam search over the proven e6 graph replay
     "s7_graph_ann" -> s7OracleSql,
+    // e21: the same chain at 3 hops, four horizon cuts vs brute
+    "e21_graph_recall_sweep" -> e21OracleSql,
     // x46: full hashed-classifier replay — same polynomial/mod-chain
     // constants interpolated from HashClassifier, exact BIGINT sums
     "x46_hash_classifier" -> x46OracleSql,
@@ -5425,7 +5517,9 @@ object LlmQueries {
         |ORDER BY cnt DESC, item LIMIT 20""".stripMargin,
     // unigram perplexity: per-token ln p rounded to 9 decimals and
     // summed as DECIMAL — exact and order-free on both engines (the
-    // dsum pattern), so the per-doc mean is partitioning-independent
+    // dsum pattern), so the per-doc mean is partitioning-independent;
+    // emitted log-domain (ln_ppl) with the VARCHAR-routed decimal cast
+    // — a terminal exp put libm's last ulp ON the 6-dp grid at len_k10
     "x13_unigram_ppl" ->
       s"""WITH base AS (SELECT doc_id, string_split($normSql, ' ') AS toks
         |  FROM documents),
@@ -5438,7 +5532,8 @@ object LlmQueries {
         |      AS DECIMAL(18,9)) AS lp
         |  FROM tok t LEFT JOIN vocab v ON t.tok = v.tok, st)
         |SELECT doc_id, COUNT(*) AS n_tok,
-        |  ROUND(exp(-(CAST(SUM(lp) AS DOUBLE) / COUNT(*))), 6) AS ppl
+        |  ROUND(-(CAST(CAST(SUM(lp) AS VARCHAR) AS DOUBLE) / COUNT(*)), 6)
+        |    AS ln_ppl
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // x44: identical gram/hash/argmin machinery — md5-prefix integers,
     // rightmost-min per window recovered order-free as MAX(j) among
@@ -5554,16 +5649,17 @@ object LlmQueries {
         |      AS DECIMAL(18,9)) AS lp
         |  FROM tok t LEFT JOIN vocab v ON t.tok = v.tok, st),
         |p AS (SELECT doc_id,
-        |    ROUND(exp(-(CAST(SUM(lp) AS DOUBLE) / COUNT(*))), 6) AS ppl
+        |    ROUND(-(CAST(CAST(SUM(lp) AS VARCHAR) AS DOUBLE) / COUNT(*)), 6)
+        |      AS ln_ppl
         |  FROM sc GROUP BY doc_id),
-        |pl AS (SELECT d.doc_id, d.lang, p.ppl
+        |pl AS (SELECT d.doc_id, d.lang, p.ln_ppl
         |  FROM documents d JOIN p ON d.doc_id = p.doc_id),
-        |rk AS (SELECT doc_id, lang, ppl,
+        |rk AS (SELECT doc_id, lang, ln_ppl,
         |    CAST(ROW_NUMBER() OVER (PARTITION BY lang
-        |      ORDER BY ppl, doc_id) AS INT) AS rk,
+        |      ORDER BY ln_ppl, doc_id) AS INT) AS rk,
         |    COUNT(*) OVER (PARTITION BY lang) AS n
         |  FROM pl)
-        |SELECT doc_id, lang, ppl, rk,
+        |SELECT doc_id, lang, ln_ppl, rk,
         |  CASE WHEN rk * 3 <= n THEN 'head'
         |       WHEN rk * 3 <= n * 2 THEN 'middle'
         |       ELSE 'tail' END AS bucket

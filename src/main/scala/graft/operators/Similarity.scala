@@ -424,7 +424,7 @@ object Similarity {
     * build, never the search. */
   def graphTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       graphK: Int = 5, nCells: Int = 16, beam: Int = 4,
-      hops: Int = 2): DataFrame = {
+      hops: Int = 2, index: Option[DataFrame] = None): DataFrame = {
     val c = withNorm(corpus, "id", "v", "nv").persist()
     // entry points: the deterministic md5-order sample (the s3/s5
     // quantizer pick) — real corpus ids, so they are graph nodes
@@ -432,8 +432,12 @@ object Similarity {
       c.select(col("id").cast("long"))
         .orderBy(md5(col("id").cast("string")), col("id"))
         .limit(nCells).collect().map(_.getLong(0))
-    val graph = directedTopK(corpus, "vec_id", "embedding", graphK, nCells)
-      .select(col("qid").as("node"), col("id").as("nbr"))
+    // a caller sweeping search parameters (e21) passes the edge list
+    // as (node, nbr) once — the production posture: build the index
+    // one time, search it many times
+    val graph = index.getOrElse(
+      directedTopK(corpus, "vec_id", "embedding", graphK, nCells)
+        .select(col("qid").as("node"), col("id").as("nbr")))
     val q = withNorm(queries, "qid", "qv", "nqv")
     // exact cosine of a (qid, id) candidate set — candidates broadcast,
     // corpus streams

@@ -266,7 +266,14 @@ object TextAnalysis {
     *
     * Model: p(t) = count(t)/total over the corpus itself; tokens
     * outside the top-`vocabSize` by count (ties: token asc) score the
-    * floor p = 0.5/total. ppl(D) = exp(−mean_t ln p(t)).
+    * floor p = 0.5/total. Emits `ln_ppl` = −mean_t ln p(t) — the
+    * cross-entropy in nats/token, i.e. ln of CCNet's perplexity.
+    * Log-domain is the GATE-SAFE form: a terminal exp is the one
+    * transcendental whose cross-engine ulp difference survives 6-dp
+    * rounding once ppl grows large (the len_k10 axis caught exactly
+    * that — ppl ≈ 1.8e6 put libm's last ulp ON the rounding grid),
+    * while −Σlp/n is one IEEE division of an exact decimal sum.
+    * Thresholding on ln_ppl is the same filter (monotone bijection).
     *
     * Determinism at any partitioning: per-token ln p is rounded to 9
     * decimals and summed as DECIMAL(18,9) — an EXACT, order-free sum
@@ -296,7 +303,7 @@ object TextAnalysis {
     scored.groupBy("id")
       .agg(count(lit(1)).as("n_tok"), sum(col("lp")).as("slp"))
       .select(col("id"), col("n_tok"),
-        round(exp(-(col("slp").cast("double") / col("n_tok"))), 6).as("ppl"))
+        round(-(col("slp").cast("double") / col("n_tok")), 6).as("ln_ppl"))
   }
 
   /** Jelinek-Mercer interpolated bigram LM perplexity — the next
@@ -344,7 +351,7 @@ object TextAnalysis {
       .groupBy("id")
       .agg(count(lit(1)).as("n_bi"), sum("lp").as("slp"))
       .select(col("id"), col("n_bi"),
-        round(exp(-(col("slp").cast("double") / col("n_bi"))), 6).as("ppl"))
+        round(-(col("slp").cast("double") / col("n_bi")), 6).as("ln_ppl"))
   }
 
   /** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
@@ -570,7 +577,7 @@ object TextAnalysis {
       .groupBy("id")
       .agg(count(lit(1)).as("n_bi"), sum("lp").as("slp"))
       .select(col("id"), col("n_bi"),
-        round(exp(-(col("slp").cast("double") / col("n_bi"))), 6).as("ppl"))
+        round(-(col("slp").cast("double") / col("n_bi")), 6).as("ln_ppl"))
   }
 
   def repetitionSignals(df: org.apache.spark.sql.DataFrame, idCol: String,

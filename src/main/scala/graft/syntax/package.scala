@@ -133,13 +133,15 @@ package object syntax {
         k: Int = 10): DataFrame =
       operators.Retrieval.bm25TopK(df, idCol, textCol, query, k)
 
-    /** Keep rows whose unigram-LM perplexity is at most `maxPpl`
-      * (CCNet-style quality cut; the model is fit on `df` itself). */
-    def filterByPerplexity(idCol: String, textCol: String, maxPpl: Double,
+    /** Keep rows whose unigram-LM log-perplexity (nats/token — the
+      * gate-safe form unigramPerplexity emits) is at most `maxLnPpl`
+      * (CCNet-style quality cut; the model is fit on `df` itself;
+      * a perplexity-units threshold P is passed as math.log(P)). */
+    def filterByPerplexity(idCol: String, textCol: String, maxLnPpl: Double,
         vocabSize: Int = 65536): DataFrame =
       df.join(operators.TextAnalysis.unigramPerplexity(df, idCol, textCol,
             vocabSize)
-          .filter(col("ppl") <= maxPpl).select(col("id").as(idCol)),
+          .filter(col("ln_ppl") <= maxLnPpl).select(col("id").as(idCol)),
         Seq(idCol), "left_semi")
 
     /** Assign docs to fixed-capacity training sequences (greedy

@@ -487,13 +487,14 @@ class TextAnalysisSpec extends AnyFunSuite {
       BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
     def lp(p: Double) = r(math.log(p), 9)
     // vocabSize=2 -> vocab {a,b}; c is OOV -> p = 0.5/7
-    val e1 = r(math.exp(-((lp(4.0 / 7) * 3 + lp(2.0 / 7)) / 4)), 6)
-    val e2 = r(math.exp(-((lp(4.0 / 7) + lp(2.0 / 7) + lp(0.5 / 7)) / 3)), 6)
+    // ln_ppl = −mean of the 9-dp ln p grid (nats/token — no terminal exp)
+    val e1 = r(-((lp(4.0 / 7) * 3 + lp(2.0 / 7)) / 4), 6)
+    val e2 = r(-((lp(4.0 / 7) + lp(2.0 / 7) + lp(0.5 / 7)) / 3), 6)
     val got = TextAnalysis.unigramPerplexity(docs, "doc_id", "text", vocabSize = 2)
       .as[(Long, Long, Double)].collect().sortBy(_._1)
     assert(got.map(_._2).toSeq == Seq(4L, 3L))
-    assert(got(0)._3 == e1, s"doc1 ppl ${got(0)._3} != $e1")
-    assert(got(1)._3 == e2, s"doc2 ppl ${got(1)._3} != $e2")
+    assert(got(0)._3 == e1, s"doc1 ln_ppl ${got(0)._3} != $e1")
+    assert(got(1)._3 == e2, s"doc2 ln_ppl ${got(1)._3} != $e2")
     // rarer tokens -> higher perplexity
     assert(got(1)._3 > got(0)._3)
     val again = TextAnalysis.unigramPerplexity(docs.repartition(5),
@@ -595,13 +596,14 @@ class TextAnalysisSpec extends AnyFunSuite {
     val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c")).toDF("doc_id", "text")
     def r(x: Double, s: Int) =
       BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
-    val e12 = r(math.exp(-r(math.log(2.0 / 3), 9)), 6) // 1.5
-    val e3 = r(math.exp(-r(math.log(1.0 / 3), 9)), 6)  // 3.0
+    val e12 = r(-r(math.log(2.0 / 3), 9), 6) // ln 1.5
+    val e3 = r(-r(math.log(1.0 / 3), 9), 6)  // ln 3.0
     val got = TextAnalysis.kneserNeyPerplexity(docs, "doc_id", "text")
       .as[(Long, Long, Double)].collect().sortBy(_._1)
     assert(got.map(_._2).toSeq == Seq(1L, 1L, 1L))
     assert(got(0)._3 == e12 && got(1)._3 == e12 && got(2)._3 == e3)
-    assert(e12 == 1.5 && e3 == 3.0) // the closed forms land exactly
+    // the closed forms land exactly on ln of the exact ppls 1.5 and 3.0
+    assert(e12 == 0.405465 && e3 == 1.098612)
     // partition-stability: the 9-dp decimal sums are order-free
     val again = TextAnalysis.kneserNeyPerplexity(docs.repartition(5),
         "doc_id", "text")

@@ -28,6 +28,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "q62_zorder", // ONE broadcast row of min/max extents rides the scan
       "s6_hybrid_rrf", // composes x11's stats-row cross + s1's brute cross
       "e10_ivf_recall_sweep", // 4× s3 probe crosses + s1 brute + 1-row count joins
+      "e21_graph_recall_sweep", // s1 brute cross + 1-row count joins (the e10 shape)
       "d16_lsh_band_sweep", // sample-local all-pairs truth cross + 1-row count joins
       "e11_matryoshka_sweep", // 5× s1-shape brute crosses + 1-row count joins
       "q68_session_cooccurrence", // ONE broadcast row of the session total rides the pair table

@@ -200,12 +200,12 @@ class SyntaxSpec extends AnyFunSuite {
     val hits = docs.searchBm25("doc_id", "text", Seq("spark"), k = 1)
       .select("id").as[Long].collect()
     assert(hits.toSeq == Seq(1L)) // highest tf wins
-    // doc 3's rare tokens give it the worst (highest) perplexity
+    // doc 3's rare tokens give it the worst (highest) log-perplexity
     val ppls = graft.operators.TextAnalysis
       .unigramPerplexity(docs, "doc_id", "text", 64)
       .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
     val kept = docs.filterByPerplexity("doc_id", "text",
-        maxPpl = ppls(3L) - 0.001, vocabSize = 64)
+        maxLnPpl = ppls(3L) - 0.001, vocabSize = 64)
       .select("doc_id").as[Long].collect().toSet
     assert(kept == Set(1L, 2L))
     val packed = docs

@@ -12,7 +12,7 @@ R=tools/graftrun.sh
 G=/tmp/graft_scale
 export SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=48g
 
-LENQ="d2_minhash_lsh,d17_cdc_chunks,d20_exact_substrings,d21_substring_removal,d22_substrings_grouped,d23_substring_removal_owned,x3_token_count,x5_chunk,x13_unigram_ppl,x17_line_dedup,x20_bpe_train,x39_mattr,x44_winnowing,x46_hash_classifier"
+LENQ="d2_minhash_lsh,d17_cdc_chunks,d20_exact_substrings,d21_substring_removal,d22_substrings_grouped,d23_substring_removal_owned,x3_token_count,x5_chunk,x13_unigram_ppl,x17_line_dedup,x18_gopher_rules,x20_bpe_train,x26_c4_filters,x39_mattr,x44_winnowing,x46_hash_classifier"
 
 for k in 3 10; do
   [ -d "$G/len_k$k" ] || \
