@@ -395,10 +395,24 @@ object TextAnalysis {
           slice(col("toks"), (i + 1).cast("int"), lit(k)))), 1, 15),
           16, 10).cast("long").as("h"),
         (-i).as("negp")))
-    val sel = element_at(transform(array(hp), a =>
-      array_distinct(transform(
+    // dedup by ADJACENT comparison, not array_distinct: a given
+    // element is the minimum of a CONTIGUOUS range of windows (if
+    // window s and s+2 both select p but s+1 selects q, then q
+    // entered at s+1's right edge and stays in s+2, beating p —
+    // contradiction), so equal selections are always consecutive and
+    // keep-if-≠-previous ≡ distinct. array_distinct on STRUCT
+    // elements has no hash path in Spark — O(selections²) pairwise
+    // scans per row, measured α=1.4 on the r12 length axis; this
+    // filter is one O(1)-per-element pass (greatest() keeps the
+    // i=0 probe inside ANSI's 1-based element_at domain).
+    val sel = element_at(transform(array(hp), a => {
+      val raw = transform(
         sequence(lit(0L), (size(a) - w).cast("long")),
-        s => array_min(slice(a, (s + 1).cast("int"), lit(w)))))), 1)
+        s => array_min(slice(a, (s + 1).cast("int"), lit(w))))
+      element_at(transform(array(raw), ss =>
+        filter(ss, (x, i) =>
+          (i === lit(0)) || (x =!= element_at(ss, greatest(i, lit(1)))))), 1)
+    }), 1)
     base.select(col("id"), explode(sel).as("s"))
       .select(col("id"), (-col("s.negp")).as("pos"), col("s.h").as("fp"))
       .orderBy("id", "pos")
