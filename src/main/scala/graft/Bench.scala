@@ -111,11 +111,18 @@ object Bench {
     def jarr(xs: Seq[String]): String =
       xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val rawTotals = raw.map(_.map(_._2._1).sum)
+    // pass 1 is COLD: the single-query warm-up above primes the JVM,
+    // not 263 queries' worth of codegen/JIT — measured full-registry
+    // raw pass 1 runs ~2× the warm passes (r12: 638 s vs 315/328 s).
+    // Min-of-N absorbs it, but the artifact labels it so a raw_totals
+    // reader (or a future single-pass run) doesn't misread the cold
+    // factor as a regression.
+    val coldField = if (passes >= 2) ""","cold_first_pass":true""" else ""
     val failField =
       if (folded.failedAny.isEmpty) ""
       else s""","failed_any_pass":${jarr(folded.failedAny)},"failed_all_passes":${jarr(folded.failedAll)}"""
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results)},"sf":"$sfDir","passes":$passes,"raw_totals":[${rawTotals.mkString(",")}]$failField}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results)},"sf":"$sfDir","passes":$passes,"raw_totals":[${rawTotals.mkString(",")}]$coldField$failField}"""
     println(line)
     // The stdout line gets truncated in round artifacts (2000-char
     // tails lose most of the per-query map) — persist the full JSON

@@ -10,6 +10,11 @@ import org.apache.spark.sql.SparkSession
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {
+    if (args.length < 3) {
+      System.err.println(
+        "usage: runMain graft.PlanDump <queryName> <sfDir> <outFile>")
+      sys.exit(2)
+    }
     val Array(name, sfDir, outFile) = args.take(3)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()

@@ -63,10 +63,13 @@ import org.apache.spark.sql.functions._
   * the same suffix device the volume shards use, so:
   * - the doc's token DISTRIBUTION is preserved (lang-id, quality,
   *   Zipf/entropy stats stay realistic at k× length);
-  * - blocks never share tokens with each other, the original, or any
-  *   other doc's blocks — no new cross-doc shingle/gram/minhash
-  *   relations appear, and near-dup topology (planted copies pair
-  *   with planted copies) scales faithfully;
+  * - a doc's blocks never share tokens with its OTHER blocks or its
+  *   original (distinct suffix per block), and cross-doc gram
+  *   relations are exactly the source's, scaled: same-index blocks of
+  *   two docs share `tok·b` precisely when the originals share `tok`,
+  *   and no OTHER cross-doc relation exists — so near-dup topology
+  *   (planted copies pair with planted copies, per block) replicates
+  *   k× without any new spurious pair;
   * - within-doc repeat structure replicates per block — exactly how
   *   long real documents carry proportionally more internal repeats.
   * Stresses the per-token explode/HOF family (d20-family gram
@@ -181,7 +184,9 @@ object ScaleGen {
     val docText =
       if (len)
         // original + (k−1) block-suffixed copies of itself: k× tokens,
-        // preserved distribution, zero new cross-block/cross-doc grams
+        // preserved distribution; cross-doc grams are scaled copies of
+        // the source's (same-index blocks collide iff the originals
+        // do), never new relations
         // (blank docs stay verbatim — concat_ws would inject spaces)
         when(trim(col("text")) === "", col("text")).otherwise(
           concat_ws(" ", (col("text") +: (1 until k).map(b =>

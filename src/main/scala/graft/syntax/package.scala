@@ -136,13 +136,30 @@ package object syntax {
     /** Keep rows whose unigram-LM log-perplexity (nats/token — the
       * gate-safe form unigramPerplexity emits) is at most `maxLnPpl`
       * (CCNet-style quality cut; the model is fit on `df` itself;
-      * a perplexity-units threshold P is passed as math.log(P)). */
-    def filterByPerplexity(idCol: String, textCol: String, maxLnPpl: Double,
-        vocabSize: Int = 65536): DataFrame =
+      * a perplexity-units threshold P is passed as math.log(P)).
+      * Named for its units: the r12 log-domain migration changed the
+      * threshold scale, so the nats/token entry point carries `Ln` in
+      * its name and the original-name shim below keeps the original
+      * perplexity-units contract for existing positional callers. */
+    def filterByLnPerplexity(idCol: String, textCol: String,
+        maxLnPpl: Double, vocabSize: Int = 65536): DataFrame =
       df.join(operators.TextAnalysis.unigramPerplexity(df, idCol, textCol,
             vocabSize)
           .filter(col("ln_ppl") <= maxLnPpl).select(col("id").as(idCol)),
         Seq(idCol), "left_semi")
+
+    /** Original-units entry point: `maxPpl` is a PERPLEXITY threshold
+      * (e.g. 100.0), converted internally to nats/token. Kept so call
+      * sites written before the log-domain migration keep their
+      * original meaning instead of silently re-reading a perplexity
+      * threshold as nats; new code should call
+      * [[filterByLnPerplexity]] directly. */
+    @deprecated("pass nats/token to filterByLnPerplexity", "r13")
+    def filterByPerplexity(idCol: String, textCol: String, maxPpl: Double,
+        vocabSize: Int = 65536): DataFrame = {
+      require(maxPpl > 0.0, s"maxPpl must be positive, got $maxPpl")
+      filterByLnPerplexity(idCol, textCol, math.log(maxPpl), vocabSize)
+    }
 
     /** Assign docs to fixed-capacity training sequences (greedy
       * first-fit in id order per group). */

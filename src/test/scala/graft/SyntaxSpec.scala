@@ -204,10 +204,16 @@ class SyntaxSpec extends AnyFunSuite {
     val ppls = graft.operators.TextAnalysis
       .unigramPerplexity(docs, "doc_id", "text", 64)
       .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
-    val kept = docs.filterByPerplexity("doc_id", "text",
+    val kept = docs.filterByLnPerplexity("doc_id", "text",
         maxLnPpl = ppls(3L) - 0.001, vocabSize = 64)
       .select("doc_id").as[Long].collect().toSet
     assert(kept == Set(1L, 2L))
+    // old-name shim takes PERPLEXITY units and must agree with the
+    // nats entry point under exp/log round-trip
+    val keptOld = docs.filterByPerplexity("doc_id", "text",
+        maxPpl = math.exp(ppls(3L) - 0.001), vocabSize = 64)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptOld == kept)
     val packed = docs
       .withColumn("n_tok", size(split($"text", " ")))
       .packInto("doc_id", "source", "n_tok", capacity = 6)
