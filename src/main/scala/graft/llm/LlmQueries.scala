@@ -1268,13 +1268,16 @@ object LlmQueries {
   // ---- L50: BPE tokenizer training ------------------------------------------
   /** 5-merge BPE fit over the corpus vocabulary
     * ([[graft.operators.BpeTrainer]]): one corpus pass → word counts,
-    * then per round a tiny weighted pair-count aggregation, a driver
-    * argmax (model state) and a map-only merge. Output = the tokenized
-    * vocabulary after round 5; the oracle refits the IDENTICAL
-    * procedure in SQL (5 generated CTE rounds), so a hash match proves
-    * every argmax and every merge application agreed. */
+    * then the whole merge loop driver-local over that bounded table
+    * ([[graft.operators.BpeTrainer.fitLocal]] — incremental pair
+    * index + lazy max-heap, merge-for-merge spec-equal to the
+    * distributed job-per-merge fit it replaced in r13, so wall time
+    * is flat in nMerges instead of one Spark job per merge). Output =
+    * the tokenized vocabulary after round 5; the oracle refits the
+    * IDENTICAL procedure in SQL (5 generated CTE rounds), so a hash
+    * match proves every argmax and every merge application agreed. */
   def x20BpeTrain(s: SparkSession, dir: String): DataFrame =
-    BpeTrainer.fit(t(s, dir, "documents"), "text", nMerges = 5)._1
+    BpeTrainer.fitLocal(t(s, dir, "documents"), "text", nMerges = 5)._1
       .orderBy("word")
 
   // ---- L56: video frame sampling -------------------------------------------

@@ -258,10 +258,12 @@ package object syntax {
         otherId, otherName, maxDist = maxDist)
 
     /** Fit a BPE tokenizer on `textCol`; returns the tokenized
-      * vocabulary and the learned merges. */
+      * vocabulary and the learned merges (driver-local merge loop
+      * over the bounded word-count table, spec-equal to the
+      * distributed fit, which it falls back to past the vocab cap). */
     def trainBpe(textCol: String, nMerges: Int = 5)
         : (DataFrame, Seq[(Int, String, String, Long)]) =
-      operators.BpeTrainer.fit(df, textCol, nMerges)
+      operators.BpeTrainer.fitLocal(df, textCol, nMerges)
 
     /** PCA top-2 projection of an embedding column. */
     def pcaProject(idCols: Seq[String], vecCol: String,
