@@ -41,12 +41,16 @@ import org.apache.spark.sql.functions.{col, floor, lit, pow}
   * `((a % b) + b) % b` over Spark's C-style remainder, so
   * `7 % -3` = -2 like Python, where `pmod` would give 1 —
   * not C/SQL remainder) at the `*`/`/` level; `//` is Python's FLOOR
-  * division (`-20 // 7` = -3, compiled to `floor(a / b)` in DOUBLE —
-  * matching Python's value wherever a, b and a/b are exactly
-  * double-representable; for |operand| > 2^53, or when the double
-  * quotient rounds across an integer boundary, Python's exact
-  * integer floor division can differ — a documented deviation, as is
-  * the integer typing where Python's float `//` float stays float);
+  * division (`-20 // 7` = -3). Both compile to the type-adaptive
+  * kernels [[graft.expressions.PyFloorDiv]]/[[graft.expressions.
+  * PyMod]]: when BOTH operands resolve to integral types the result
+  * is EXACT int64 `Math.floorDiv`/`floorMod` — Python's semantics at
+  * every magnitude, including |operand| > 2^53 — and otherwise the
+  * double-domain forms `floor(a / b)` / `((a fmod b) + b) fmod b`,
+  * which match Python wherever the values are exactly
+  * double-representable (the remaining float-path caveat, as is the
+  * integer typing where Python's float `//` float stays float —
+  * `//` always yields int64 here);
   * `**` is Python's power:
   * RIGHT-associative, binding tighter than unary minus on its left
   * and admitting a signed right operand (`-2**2` = -4, `2**-1` = 0.5,
@@ -245,19 +249,25 @@ object PredicateParser {
         case Op("*") | Op("/") | Op("//") | Op("%") => true
         case _ => false
       }) {
+        // `//` and `%` compile to the type-adaptive kernels in
+        // [[graft.expressions.PyFloorDiv]]/[[PyMod]]: EXACT int64
+        // Math.floorDiv/floorMod when both operands resolve integral
+        // (closing the documented >2^53 deviation from pandas' int64
+        // semantics the old floor-in-double form carried), the
+        // original double compositions otherwise — floor(a/b) and
+        // ((a % b) + b) % b, Python's divisor-sign results for BOTH
+        // divisor signs (pmod would diverge: pmod(7,-3) = 1 where
+        // Python gives -2). The parser runs before resolution, so the
+        // integral-vs-double branch lives in the expression, decided
+        // at analysis.
+        import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
         pop() match {
           case Op("*") => e = e * unaryArith()
           case Op("/") => e = e / unaryArith()
-          // Python floor division: floor(a / b) in double — matches
-          // Python wherever a/b is double-representable (see the
-          // scaladoc caveat for |a| > 2^53), integer-typed
-          case Op("//") => e = floor(e / unaryArith())
-          // Python modulo: result takes the DIVISOR's sign — compiled
-          // literally as ((a % b) + b) % b over Spark's C-style
-          // remainder, which matches Python for BOTH divisor signs
-          // (pmod would diverge on negative divisors: pmod(7,-3) = 1
-          // where Python gives -2)
-          case _ => val r = unaryArith(); e = ((e % r) + r) % r
+          case Op("//") => e = column(graft.expressions.PyFloorDiv(
+            expression(e), expression(unaryArith())))
+          case _ => e = column(graft.expressions.PyMod(
+            expression(e), expression(unaryArith())))
         }
       }
       e

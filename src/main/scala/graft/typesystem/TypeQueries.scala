@@ -1168,7 +1168,22 @@ object TypeQueries {
       // scientific-notation float literals (Python: 5e-2 and 1.5E3
       // are floats; the tokenizer's exponent extension)
       "l_discount > 5e-2",
-      "l_extendedprice >= 1.5E3 and l_quantity < 3")
+      "l_extendedprice >= 1.5E3 and l_quantity < 3",
+      // INTEGRAL // and %: both operands integer-typed, so the
+      // parser's PyFloorDiv/PyMod kernels take the exact int64 path.
+      // 9007199254740993 = 2^53 + 1 is NOT double-representable —
+      // the old floor(a/b)-in-double compilation computes
+      // (2^53 + 1 + ln) // 3 one short of Python's exact answer for
+      // most ln, so these rows certify the exact path, not just
+      // retype the old one
+      "(9007199254740993 + l_linenumber) // 3 >= 3002399751580332",
+      "(-9007199254740993 - l_linenumber) // 3 == -3002399751580332",
+      // negative-divisor integral //: floor, not truncate
+      // (l_linenumber-10 in [-9,-3]; Python -8 // -3 = 2)
+      "(l_linenumber - 10) // -3 == 2",
+      // integral % with both divisor signs (divisor-sign result)
+      "l_orderkey % 7 == 3 and l_quantity < 30",
+      "(l_linenumber - 10) % -3 == -2")
     val li = t(s, dir, "lineitem")
     val aggs = preds.zipWithIndex.flatMap { case (p, i) =>
       val c = PredicateParser.parse(p, env)
@@ -2394,7 +2409,25 @@ object TypeQueries {
         "l_discount > 5e-2" ->
           "l_discount > CAST(5e-2 AS DOUBLE)",
         "l_extendedprice >= 1.5E3 and l_quantity < 3" ->
-          "l_extendedprice >= CAST(1.5E3 AS DOUBLE) AND l_quantity < 3")
+          "l_extendedprice >= CAST(1.5E3 AS DOUBLE) AND l_quantity < 3",
+        // INTEGRAL // and % replayed in exact BIGINT arithmetic.
+        // DuckDB's // TRUNCATES (7 // -3 = -2) where Python floors,
+        // so the sign-mismatch rows carry the floor correction term;
+        // same-sign rows need none (truncate = floor there). 2^53+1
+        // operands make a double-domain replay disagree — exactness
+        // is the point of these rows.
+        "(9007199254740993 + l_linenumber) // 3 >= 3002399751580332" ->
+          "(9007199254740993 + l_linenumber) // 3 >= 3002399751580332",
+        "(-9007199254740993 - l_linenumber) // 3 == -3002399751580332" ->
+          ("((-9007199254740993 - l_linenumber) // 3 - " +
+            "(CASE WHEN (-9007199254740993 - l_linenumber) % 3 <> 0 " +
+            "THEN 1 ELSE 0 END)) = -3002399751580332"),
+        "(l_linenumber - 10) // -3 == 2" ->
+          "(l_linenumber - 10) // -3 = 2",
+        "l_orderkey % 7 == 3 and l_quantity < 30" ->
+          "l_orderkey % 7 = 3 AND l_quantity < 30",
+        "(l_linenumber - 10) % -3 == -2" ->
+          "(l_linenumber - 10) % -3 = -2")
       val rows = wheres.map { case (p, w) =>
         val lbl = p.replace("'", "''")
         s"""SELECT '$lbl' AS predicate,

@@ -69,18 +69,29 @@ class PredicateParserPropertySpec extends AnyFunSuite {
       case 3 => ARef(Vector("lo", "half")(rng.nextInt(2)))
       case _ => ADbl(dbls(rng.nextInt(dbls.length)))
     }
-    else rng.nextInt(7) match {
+    else rng.nextInt(8) match {
       case 0 => ANeg(genAr(depth - 1))
-      // '/', '//' and '%' excluded: under ANSI mode a random tree can
-      // always build a zero divisor somewhere on the grid and the JOB
-      // (not the comparison) would throw — the division family is
-      // pinned by the example grids and the t57 oracle instead
+      // '/' with a random divisor excluded: under ANSI mode a random
+      // tree can always build a zero divisor somewhere on the grid
+      // and the JOB (not the comparison) would throw — true division
+      // is pinned by the example grids and the t57 oracle instead
       case n if n <= 4 =>
         ABin(Vector("+", "-", "*")(rng.nextInt(3)),
           genAr(depth - 1), genAr(depth - 1))
       // '**' is total in double (Inf/NaN are deterministic values, so
       // pointwise agreement still holds) — random-generable
       case 5 => ABin("**", genAr(depth - 1), genAr(depth - 1))
+      // '//' and '%' (the r13 PyFloorDiv/PyMod kernels) with a PINNED
+      // NONZERO literal divisor, so the zero-divisor throw can't fire
+      // while every (numerator type × divisor type × divisor sign)
+      // combination — integral-exact vs double path — gets exercised
+      case 6 =>
+        val op = Vector("//", "%")(rng.nextInt(2))
+        val div =
+          if (rng.nextBoolean())
+            ALong(Vector(-7L, -3L, 2L, 3L, 7L)(rng.nextInt(5)))
+          else ADbl(Vector(-1.5, 0.5, 2.25)(rng.nextInt(3)))
+        ABin(op, genAr(depth - 1), div)
       case _ => genAr(0)
     }
 
@@ -115,6 +126,16 @@ class PredicateParserPropertySpec extends AnyFunSuite {
     case ABin("-", l, r) => colAr(l) - colAr(r)
     case ABin("*", l, r) => colAr(l) * colAr(r)
     case ABin("**", l, r) => pow(colAr(l), colAr(r))
+    case ABin("//", l, r) =>
+      org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.expressions.PyFloorDiv(
+          org.apache.spark.sql.graft.ColumnBridge.expression(colAr(l)),
+          org.apache.spark.sql.graft.ColumnBridge.expression(colAr(r))))
+    case ABin("%", l, r) =>
+      org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.expressions.PyMod(
+          org.apache.spark.sql.graft.ColumnBridge.expression(colAr(l)),
+          org.apache.spark.sql.graft.ColumnBridge.expression(colAr(r))))
     case ABin(_, l, r) => colAr(l) / colAr(r)
   }
   private def rel(op: String, l: Column, r: Column): Column = op match {
@@ -223,6 +244,31 @@ class PredicateParserPropertySpec extends AnyFunSuite {
           renderBo(r, 1)
     }
     if (boLevel(b) < ctx || rng.nextInt(4) == 0) "(" + s + ")" else s
+  }
+
+  test("integral // and % are exact past 2^53 and throw on zero divisor") {
+    val df = Seq((9007199254740993L, 3L)).toDF("a", "b") // 2^53 + 1
+    def one(p: String): Any =
+      df.select(PredicateParser.parse(p, Map.empty).as("v")).head().get(0)
+    // double-domain floor((2^53+1)/3) would land on 3002399751580330
+    // (the numerator rounds DOWN to 2^53 in double); exact int64 gives
+    // the true quotient
+    assert(one("a // b == 3002399751580331") == true)
+    assert(one("a % b == 0") == true)
+    assert(one("-9007199254740993 // 3 == -3002399751580331") == true)
+    // divisor-sign results, both signs, exact path
+    assert(one("-8 // -3 == 2") == true)
+    assert(one("-8 % -3 == -2") == true)
+    assert(one("7 % -3 == -2") == true)
+    // mixed operands stay on the double path (double typing):
+    // (double)(2^53+1) ties-to-even DOWN to 2^53, and 2^53 ≡ 2 mod 3
+    // — where the exact-integral path on the long operand gives 0
+    assert(one("a * 1.0 % 3") == 2.0)
+    assert(one("a % 3") == 0L)
+    val ex = intercept[Exception](one("a // (b - 3)"))
+    def zdiv(t: Throwable): Boolean =
+      t != null && (t.isInstanceOf[ArithmeticException] || zdiv(t.getCause))
+    assert(zdiv(ex), s"expected ArithmeticException cause chain, got $ex")
   }
 
   test("120 random ASTs: parse(render(ast)) is pointwise == direct build") {
