@@ -670,32 +670,8 @@ object StreamingOps {
     val writer = rows.writeStream
       .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val bs = b.sparkSession
-        // Checkpoint RECOVERY: the fold state normally lives in this
-        // driver var; with `stateDir` each trigger also snapshots it
-        // durably, keyed by batchId, and a restarted query restores
-        // the newest snapshot with id < batchId. `< batchId` (not <=)
-        // is what makes the replayed trigger idempotent: after a
-        // crash, Structured Streaming re-runs the last uncommitted
-        // batch with the SAME id and data (checkpointed offsets), and
-        // the fold re-derives from snapshot id−1 + that batch,
-        // overwriting snapshot id with identical content. A partial
-        // snapshot from a crash mid-write is never read, because the
-        // snapshot write happens BEFORE the trigger's offset commit —
-        // an incomplete snapshot id implies offset id never committed,
-        // so the restart replays id and overwrites it.
-        if (state.isEmpty) stateDir.foreach { dir =>
-          val p = new org.apache.hadoop.fs.Path(dir)
-          val fs = p.getFileSystem(bs.sparkContext.hadoopConfiguration)
-          val committed =
-            if (!fs.exists(p)) Array.empty[Long]
-            else fs.listStatus(p).map(_.getPath.getName)
-              .filter(_.startsWith("state_batch="))
-              .map(_.stripPrefix("state_batch=").toLong)
-              .filter(_ < batchId)
-          if (committed.nonEmpty)
-            state = Some(
-              bs.read.parquet(s"$dir/state_batch=${committed.max}"))
-        }
+        if (state.isEmpty)
+          stateDir.foreach(d => state = SnapshotState.restore(bs, d, batchId))
         val partials = graft.operators.Merge
           .aggPartials(b.toDF(), keyCols, valCol)
         val folded = state.map(st => graft.operators.Merge
@@ -704,26 +680,7 @@ object StreamingOps {
         folded.count()
         val next = stateDir match {
           case Some(dir) =>
-            folded.write.mode("overwrite").parquet(s"$dir/state_batch=$batchId")
-            // prune: recovery reads the newest snapshot < the replayed
-            // batch id, so after snapshot `batchId` lands only
-            // `batchId - 1` is ever read again (the crash-replay anchor)
-            // — anything older is unreachable and would otherwise grow
-            // the state dir without bound on a long-running query
-            val p = new org.apache.hadoop.fs.Path(dir)
-            val fs = p.getFileSystem(bs.sparkContext.hadoopConfiguration)
-            fs.listStatus(p).map(_.getPath)
-              .filter(_.getName.startsWith("state_batch="))
-              .filter(_.getName.stripPrefix("state_batch=").toLong < batchId - 1)
-              .foreach(fs.delete(_, true))
-            // RE-ROOT on the snapshot just written: after a restore,
-            // `folded` carries lineage into the RESTORED state_batch=
-            // dir, which a later trigger's prune deletes — if a
-            // persisted block were then lost, recomputation would read
-            // a deleted path and throw. The fresh read roots at the
-            // current snapshot, never pruned while newest-or-anchor.
-            val re = bs.read.parquet(s"$dir/state_batch=$batchId").persist()
-            re.count()
+            val re = SnapshotState.commit(bs, dir, batchId, folded)
             folded.unpersist()
             re
           case None => folded
@@ -736,6 +693,62 @@ object StreamingOps {
       .trigger(trigger)
     checkpointDir.foreach(d => writer.option("checkpointLocation", d))
     writer.start()
+  }
+
+  /** Durable snapshots for the driver-fold state idiom (S38's
+    * machinery, shared by the index-state family): the fold state
+    * normally lives in a driver var; with a stateDir each trigger
+    * also snapshots it durably, keyed by batchId, and a restarted
+    * query restores the newest snapshot with id < batchId.
+    *
+    * `< batchId` (not <=) is what makes the replayed trigger
+    * idempotent: after a crash, Structured Streaming re-runs the last
+    * uncommitted batch with the SAME id and data (checkpointed
+    * offsets), and the fold re-derives from snapshot id−1 + that
+    * batch, overwriting snapshot id with identical content. A partial
+    * snapshot from a crash mid-write is never read, because the
+    * snapshot write happens BEFORE the trigger's offset commit — an
+    * incomplete snapshot id implies offset id never committed, so the
+    * restart replays id and overwrites it. */
+  private[streaming] object SnapshotState {
+    /** Newest committed snapshot with id < batchId, if any. */
+    def restore(bs: SparkSession, dir: String,
+        batchId: Long): Option[DataFrame] = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(bs.sparkContext.hadoopConfiguration)
+      val committed =
+        if (!fs.exists(p)) Array.empty[Long]
+        else fs.listStatus(p).map(_.getPath.getName)
+          .filter(_.startsWith("state_batch="))
+          .map(_.stripPrefix("state_batch=").toLong)
+          .filter(_ < batchId)
+      if (committed.isEmpty) None
+      else Some(bs.read.parquet(s"$dir/state_batch=${committed.max}"))
+    }
+
+    /** Write snapshot `batchId`, prune ids < batchId−1 (recovery only
+      * ever reads the newest snapshot and its crash-replay anchor —
+      * anything older is unreachable and would otherwise grow the
+      * state dir without bound), and return the state RE-ROOTED on
+      * the snapshot just written (persisted + counted): after a
+      * restore, the folded state carries lineage into the RESTORED
+      * state_batch= dir, which a later trigger's prune deletes — if a
+      * persisted block were then lost, recomputation would read a
+      * deleted path and throw. The caller unpersists the `folded` it
+      * passed in. */
+    def commit(bs: SparkSession, dir: String, batchId: Long,
+        folded: DataFrame): DataFrame = {
+      folded.write.mode("overwrite").parquet(s"$dir/state_batch=$batchId")
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(bs.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).map(_.getPath)
+        .filter(_.getName.startsWith("state_batch="))
+        .filter(_.getName.stripPrefix("state_batch=").toLong < batchId - 1)
+        .foreach(fs.delete(_, true))
+      val re = bs.read.parquet(s"$dir/state_batch=$batchId").persist()
+      re.count()
+      re
+    }
   }
 
   /** S14: streaming histogram quantiles — the streaming form of q60.
@@ -1178,11 +1191,24 @@ object StreamingOps {
     * d17's batch job, not this operator's contract. */
   def streamingCdcDedup(docs: DataFrame, idCol: String, textCol: String,
       trigger: org.apache.spark.sql.streaming.Trigger =
-        org.apache.spark.sql.streaming.Trigger.AvailableNow())(
+        org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      stateDir: Option[String] = None,
+      checkpointDir: Option[String] = None)(
       sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
     var state: Option[DataFrame] = None
-    docs.writeStream
-      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+    val writer = docs.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val bs = b.sparkSession
+        // kill/restart recovery for the corpus digest index — the
+        // [[SnapshotState]] idiom (snapshot per trigger, restore
+        // newest < batchId, prune, re-root). Replay-safe BECAUSE the
+        // restore predicate is strict: a crash-replayed trigger
+        // re-judges its docs against snapshot id−1 — the index as of
+        // the previous trigger, exactly the pinned intra-batch-
+        // blindness contract — then overwrites snapshot id with
+        // identical content.
+        if (state.isEmpty)
+          stateDir.foreach(d => state = SnapshotState.restore(bs, d, batchId))
         val chunks = graft.operators.Dedup
           .cdcChunks(b.toDF(), idCol, textCol).persist()
         chunks.count()
@@ -1200,17 +1226,25 @@ object StreamingOps {
             round(coalesce(col("n_known"), lit(0L)) / col("n_chunks"), 6)
               .as("known_frac"))
         sink(verdicts)
-        val next = state.map(idx => idx.union(
+        val folded = state.map(idx => idx.union(
             chunks.select("digest")).distinct())
           .getOrElse(chunks.select("digest").distinct()).persist()
-        next.count()
+        folded.count()
+        val next = stateDir match {
+          case Some(dir) =>
+            val re = SnapshotState.commit(bs, dir, batchId, folded)
+            folded.unpersist()
+            re
+          case None => folded
+        }
         state.foreach(_.unpersist())
         state = Some(next)
         chunks.unpersist()
         ()
       }
       .trigger(trigger)
-      .start()
+    checkpointDir.foreach(d => writer.option("checkpointLocation", d))
+    writer.start()
   }
 
   /** S28: streaming Bloom-filter dedup — d18's operational streaming

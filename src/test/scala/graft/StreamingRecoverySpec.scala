@@ -30,6 +30,15 @@ import org.scalatest.funsuite.AnyFunSuite
   *    state must merge pre- and post-kill events into ONE session for
   *    the emitted set to equal batch q51.
   *
+  *  - S25: CORPUS-INDEX state (the S8/S25/S32 digest/fingerprint
+  *    family) — the kill lands with seam duplicates crossing it: the
+  *    original enters the index before the kill, its near-copy
+  *    arrives only after the restart, so a restore failure would
+  *    mis-report the copy as fresh (known_frac 0) rather than
+  *    under-count — index survival is observable in the verdicts
+  *    themselves, and the resumed run must equal the uninterrupted
+  *    twin verdict-for-verdict at the same trigger boundaries.
+  *
   * S38 and S42 also assert the snapshot PRUNE: after 3+ triggers at
   * most two `state_batch=` dirs survive (the newest and its
   * crash-replay anchor) — unbounded state-dir growth is a slow leak a
@@ -313,5 +322,83 @@ class StreamingRecoverySpec extends AnyFunSuite {
       .map(_.getName.stripPrefix("state_batch=").toLong).sorted
     assert(snaps.length <= 2 && snaps.max >= 2,
       s"expected <=2 surviving snapshots, got ${snaps.toSeq}")
+  }
+
+  test("S25: digest index killed mid-crawl restores and flags seam duplicates") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val words = Vector("alpha", "bravo", "charlie", "delta", "echo",
+      "foxtrot", "golf", "hotel", "india", "juliet")
+    def mash(seed: Long): String = {
+      var x = seed
+      (0 until 120).map { _ =>
+        x = x * 6364136223846793005L + 1442695040888963407L
+        words(((x >>> 33) % words.length).toInt)
+      }.mkString(" ")
+    }
+    val (s1, s2) = (mash(42L), mash(777L))
+    val fresh = words.reverse.mkString(" ") * 6
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // the four trigger feeds, shared by the killed run and its
+    // uninterrupted twin (verdicts depend on trigger boundaries —
+    // same groups, same boundaries, same answers)
+    val feeds = Seq(
+      Seq(1L -> s1, 2L -> s2),
+      Seq(3L -> (s1 + " zz qq")), // near-copy of 1, same side of kill
+      // SEAM duplicate: original 2 indexed BEFORE the kill, the copy
+      // arrives only after the restart — plus genuinely new content
+      Seq(4L -> (s2 + " zz qq"), 5L -> fresh),
+      Seq(6L -> fresh)) // dup of post-restart content: index still folds
+
+    def collectRun(mem: MemoryStream[(Long, String)], ckpt: String,
+        st: String, feed: Seq[Seq[(Long, String)]],
+        out: Map[Long, (Long, Long, Double)] => Unit) = {
+      val q = StreamingOps.streamingCdcDedup(
+          mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+          trigger = Trigger.ProcessingTime(0L),
+          stateDir = Some(st), checkpointDir = Some(ckpt)) { d =>
+        out(d.collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap)
+      }
+      feed.foreach { g => mem.addData(g: _*); q.processAllAvailable() }
+      q
+    }
+
+    // killed run: triggers 0-1, KILL, then 2-3 on a fresh query
+    val (ckpt, st) = (tmpDir("ckpt"), tmpDir("state"))
+    val mem = MemoryStream[(Long, String)]
+    var got = Map.empty[Long, (Long, Long, Double)]
+    collectRun(mem, ckpt, st, feeds.take(2), got ++= _).stop()
+    assert(got.keySet == Set(1L, 2L, 3L))
+    collectRun(mem, ckpt, st, feeds.drop(2), got ++= _).stop()
+
+    // the seam duplicate is flagged ⟺ the digest index survived the
+    // kill (its original was only ever seen pre-kill); a lost index
+    // would report known_frac 0 here — failure is OBSERVABLE, not an
+    // under-count
+    val (n4, k4, f4) = got(4L)
+    assert(n4 >= 3 && k4 >= n4 - 1 && f4 > 0.5,
+      s"seam duplicate missed after restart: $k4/$n4 known")
+    assert(got(5L)._2 == 0L) // fresh content: nothing known
+    val (n6, k6, _) = got(6L)
+    assert(k6 == n6, "post-restart fold lost: exact copy not fully known")
+
+    // uninterrupted twin at the same trigger boundaries must agree
+    // verdict-for-verdict
+    val mem2 = MemoryStream[(Long, String)]
+    var twin = Map.empty[Long, (Long, Long, Double)]
+    collectRun(mem2, tmpDir("ckpt2"), tmpDir("state2"), feeds,
+      twin ++= _).stop()
+    assert(got == twin,
+      s"killed+resumed verdicts diverge from uninterrupted twin")
+
+    // snapshot prune: 4 triggers → ids reach 3; only the newest and
+    // its crash-replay anchor survive
+    val snaps = new java.io.File(st).listFiles()
+      .filter(_.getName.startsWith("state_batch="))
+      .map(_.getName.stripPrefix("state_batch=").toLong).sorted
+    assert(snaps.length <= 2 && snaps.max >= 3,
+      s"expected <=2 surviving snapshots after 4 triggers, got ${snaps.toSeq}")
   }
 }
