@@ -83,10 +83,19 @@ object BpeTrainer {
           val (l, r, c) =
             (row.getString(0), row.getString(1), row.getLong(2))
           merges += ((it, l, r, c))
-          val next = vocab.withColumn("sym",
+          val applied = vocab.withColumn("sym",
             expr(s"replace(sym, '$Sep$l$Sep$r$Sep', '$Sep$l$r$Sep')"))
-            .persist()
-          next.count()
+          // TRUNCATE the lineage every round (eager localCheckpoint,
+          // which also persists the round like the old persist+count):
+          // chaining each merge over the previous round's cached plan
+          // nests InMemoryRelation trees — Spark's per-job plan-string
+          // rendering walks that nest super-linearly, so by ~20 rounds
+          // the driver spends minutes (then OOMs) printing plans, not
+          // computing — and even a flat LOGICAL re-root leaves an RDD
+          // chain that overflows the task-serialization stack by ~50
+          // rounds. The checkpoint pins round k's data, so unpersisting
+          // round k−1 after materialization is safe.
+          val next = applied.localCheckpoint(true)
           vocab.unpersist()
           vocab = next
       }
