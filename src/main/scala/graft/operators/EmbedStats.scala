@@ -359,14 +359,29 @@ object EmbedStats {
     val xs = (0 until dim).map(i =>
       element_at(col(vecCol), i + 1).cast("double"))
     val norm2 = xs.map(x => x * x).reduce(_ + _)
-    val nrm = sqrt(norm2)
+    // norm² is STAGED through its own projection so the 64 unit-
+    // component columns below reference `nrm` as an attribute instead
+    // of each inlining the full 64-term fold: the single-select form
+    // put the ~130-node norm subtree inside every output column
+    // (~8.5k-node tree), and Catalyst's analyze/optimize walks — not
+    // the executors — dominated the query's wall time (probe: 0.3 s
+    // task time vs ~3 s driver). CollapseProject cannot re-inline: the
+    // alias is non-cheap and referenced 65 times (the x17/x44 HOF
+    // lesson, applied to projections). Arithmetic is IDENTICAL —
+    // sqrt(norm2) and xs(i)/nrm compute the same IEEE sequence.
+    val staged = df
+      .select(col(vecCol).as("_v"), norm2.as("_n2"))
+      .filter(col("_n2") > 0.0)
+      .select(col("_v"), sqrt(col("_n2")).as("_nrm"))
+    val sxs = (0 until dim).map(i =>
+      element_at(col("_v"), i + 1).cast("double"))
     // unit components on the 1e-6 grid as LONG (|û|·10⁶ ≤ 10⁶, row
     // sum-of-squares ≤ dim·10¹² — int64-safe per ROW); corpus sums
     // go through DECIMAL(38,0) so no row count can overflow them
-    val q = df.filter(norm2 > 0.0).select(
-      floor(nrm * 1000000.0).cast(DecimalType(38, 0)).as("qn") +:
+    val q = staged.select(
+      floor(col("_nrm") * 1000000.0).cast(DecimalType(38, 0)).as("qn") +:
         (0 until dim).map(i =>
-          floor(xs(i) / nrm * 1000000.0).cast("long").as(s"u$i")): _*)
+          floor(sxs(i) / col("_nrm") * 1000000.0).cast("long").as(s"u$i")): _*)
     val rowSS = (0 until dim).map(i => col(s"u$i") * col(s"u$i"))
       .reduce(_ + _)
     val aggs: Seq[Column] =

@@ -222,10 +222,31 @@ object Graphs {
       .filter(col("a") =!= col("b"))
       .distinct()
       .persist()
+    val out = triangleCountsCanonical(und, None,
+      broadcastNodes, broadcastAdjEdges)
+    und.unpersist()
+    out
+  }
+
+  /** [[triangleCounts]] over edges the CALLER certifies canonical
+    * (a < b, distinct, self-loop-free) and persisted — skips the
+    * least/greatest + distinct canonicalization shuffle (a full pass
+    * over the edge table) when the producer already paid it
+    * ([[graphProfile]]'s contract). `degOpt`: a persisted (node, deg)
+    * table over the SAME edges, so a caller that already aggregated
+    * degrees (the profile) doesn't pay the aggregation twice. */
+  private[graft] def triangleCountsCanonical(und: DataFrame,
+      degOpt: Option[DataFrame],
+      broadcastNodes: Long = 1L << 23,
+      broadcastAdjEdges: Long = 1L << 22): DataFrame = {
     // both endpoints of the canonical edge carry degree 1 — one
-    // explode-aggregate, the pageRank nodeDeg idiom
-    val deg = und.select(explode(array(col("a"), col("b"))).as("node"))
-      .groupBy("node").agg(count(lit(1)).as("deg"))
+    // explode-aggregate, the pageRank nodeDeg idiom. PERSISTED: it is
+    // consumed three times (the regime count + both endpoint-degree
+    // broadcast builds), and a broadcast build re-executes its child
+    // plan — unpersisted, the aggregation ran once per build.
+    val deg = degOpt.getOrElse(
+      und.select(explode(array(col("a"), col("b"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("deg")).persist())
     // bounded model-state broadcasts, decided on EXACT counts (the
     // pageRank broadcastNodes regime; distributed equi-joins above):
     // deg is 16 B/node, adjacency totals ~8 B/oriented-edge — the
@@ -248,9 +269,12 @@ object Graphs {
           .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"))
       .persist()
-    // per-u sorted out-neighborhoods; orientation bounds their size
+    // per-u sorted out-neighborhoods; orientation bounds their size.
+    // PERSISTED: both triangle-close joins broadcast it, and each
+    // broadcast build would otherwise re-run the groupBy + sort.
     val adj = oriented.groupBy(col("u").as("node"))
       .agg(sort_array(collect_list(col("v"))).as("nbrs"))
+      .persist()
     // inner join on v is lossless: a triangle's base edge (u,v) always
     // has w ∈ N⁺(v), so v is never a sink for a closing edge
     // native sorted-merge intersection: one primitive buffer per row,
@@ -269,8 +293,9 @@ object Graphs {
     // node-cardinality result: materialize eagerly so the oriented
     // cache releases before return (the pqTopK convention)
     val out = counts.localCheckpoint(true)
+    adj.unpersist()
     oriented.unpersist()
-    und.unpersist()
+    if (degOpt.isEmpty) deg.unpersist()
     out
   }
 
@@ -307,28 +332,42 @@ object Graphs {
     * edges is a valid carrier; equality with the self-computed form is
     * GraphsSpec-pinned. */
   def graphProfile(edgesIn: DataFrame,
-      triCounts: Option[DataFrame] = None): DataFrame = {
+      triCounts: Option[DataFrame] = None,
+      broadcastNodes: Long = 1L << 23): DataFrame = {
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
     val d38 = DecimalType(38, 0)
     val edges = edgesIn.persist()
-    // node-cardinality table with THREE consumers (the wedge aggregate
-    // and both endpoint-degree joins) — persist so the union+groupBy
-    // over the edge list runs once, not three times
+    // node-cardinality table with FOUR consumers (the wedge aggregate,
+    // both endpoint-degree joins, and the triangle close's orientation)
+    // — persist so the union+groupBy over the edge list runs once
     val deg = edges.select(col("src").as("v"))
       .unionByName(edges.select(col("dst").as("v")))
       .groupBy("v").agg(count(lit(1)).as("dg"))
       .persist()
     val degStats = deg.agg(count(lit(1)).as("n_nodes"),
       sum(expr("dg * (dg - 1) div 2")).as("n_wedges"))
+    // endpoint-degree joins BROADCAST under the same node-bounded
+    // regime as the triangle close (exact count, the pageRank
+    // convention) — deliberate, not left to AQE estimates
+    val bcN: DataFrame => DataFrame =
+      if (deg.count() <= broadcastNodes) (df: DataFrame) => broadcast(df)
+      else (df: DataFrame) => df
     val ep = edges
-      .join(deg.select(col("v").as("src"), col("dg").as("du")), Seq("src"))
-      .join(deg.select(col("v").as("dst"), col("dg").as("dv")), Seq("dst"))
+      .join(bcN(deg.select(col("v").as("src"), col("dg").as("du"))), Seq("src"))
+      .join(bcN(deg.select(col("v").as("dst"), col("dg").as("dv"))), Seq("dst"))
     val mo = ep.agg(count(lit(1)).as("m"),
       sum((col("du") + col("dv")).cast(d38)).as("sx"),
       sum((col("du") * col("du") + col("dv") * col("dv")).cast(d38))
         .as("sxx"),
       sum((col("du") * col("dv") * 2).cast(d38)).as("sxy"))
-    val tri = triCounts.getOrElse(triangleCounts(edges))
+    // the triangle close reuses the profile's already-canonical
+    // persisted edges AND its degree table (edges are src < dst
+    // distinct by contract) — the standalone triangleCounts path would
+    // re-shuffle the edge list through a redundant distinct and
+    // re-aggregate degrees it already has
+    val tri = triCounts.getOrElse(triangleCountsCanonical(
+        edges.select(col("src").as("a"), col("dst").as("b")),
+        Some(deg.select(col("v").as("node"), col("dg").as("deg")))))
       .agg(sum("n_tri").as("tri3")) // = 3·T (each triangle at 3 corners)
     val m2 = (col("m") * 2).cast(d38) // directed listing size
     val numer = m2 * col("sxy") - col("sx") * col("sx")

@@ -88,7 +88,20 @@ object HashClassifier {
   }
 
   /** Exact integer classifier score: Σ weight(feature) over unigrams +
-    * bigrams — one HOF fold per row, zero shuffle. */
-  def scoreRaw(toks: Column): Column =
+    * bigrams — one COMPILED pass per row, zero shuffle
+    * ([[graft.expressions.HashClassifierScore]]; the HOF fold this
+    * replaces ran on the interpreted ArrayAggregate path —
+    * CodegenFallback — and dominated x46's bench time; the kernel is
+    * property-spec-pinned bit-equal to [[scoreRawHof]]). */
+  def scoreRaw(toks: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.expressions.HashClassifierScore(
+      ColumnBridge.expression(toks)))
+  }
+
+  /** The Column/HOF formulation of [[scoreRaw]] — kept as the
+    * executable spec of the kernel's semantics (differential property
+    * test) and as the shape a SQL replay uses. */
+  private[graft] def scoreRawHof(toks: Column): Column =
     aggregate(features(toks), lit(0L), (acc, f) => acc + weight(f))
 }

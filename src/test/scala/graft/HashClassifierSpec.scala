@@ -69,6 +69,35 @@ class HashClassifierSpec extends AnyFunSuite {
     assert(bucket("abcdefghX") !== bucket(a))
   }
 
+  test("compiled kernel is bit-equal to the HOF formulation (r13)") {
+    // adversarial token arrays: unicode (multi-byte code points — rpad/
+    // ascii/length are code-point semantics), supplementary-plane chars,
+    // empty strings, single tokens, >8-char features, empty arrays
+    val cases: Seq[Seq[String]] = Seq(
+      Seq("the", "quick", "brown", "fox"),
+      Seq("single"),
+      Seq(""),
+      Seq("", "", ""),
+      Seq("café", "zürich", "niño"),
+      Seq("日本語", "テスト", "漢字かな交じり文"),
+      Seq("a" * 30, "b" * 9, "c"),
+      Seq("𝕊𝕦𝕡𝕡𝕝", "𐍈𐍈", "plain"), // supplementary plane (surrogate pairs)
+      Seq("mixed𝄞note", "under_score", "tail"),
+      // NOTE: the empty ARRAY is excluded — the HOF's slice(toks, 2,
+      // n-1) errors on it (unreachable from x46: split() always yields
+      // >= 1 token); the kernel returns 0 there.
+      (1 to 50).map(i => s"tok$i"))
+    val df = cases.zipWithIndex.map { case (ts, i) => (i.toLong, ts) }
+      .toDF("id", "toks")
+    val got = df.select(col("id"),
+        HashClassifier.scoreRaw(col("toks")).as("kernel"),
+        HashClassifier.scoreRawHof(col("toks")).as("hof"))
+      .as[(Long, Option[Long], Option[Long])].collect()
+    got.foreach { case (id, k, h) =>
+      assert(k === h, s"case $id: kernel $k != hof $h")
+    }
+  }
+
   test("verdict threshold is non-vacuous: both classes occur on real data") {
     val dir = TestSpark.sf
     val res = graft.llm.LlmQueries.x46HashClassifier(spark, dir)
