@@ -202,10 +202,22 @@ object LlmQueries {
   def e10IvfRecallSweep(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     val qs = emb.filter(col("vec_id") < 5)
+    // ground truth settles ONCE (|queries|·k rows): it is consumed
+    // twice per arm (semi-join + count), and unsettled the full brute
+    // subplan replicated 8x into the final DAG
     val brute = Similarity.bruteTopK(emb, qs, k = 10).select("qid", "id")
-    Seq(1, 2, 4, 8).map { np =>
-      val ivf = Similarity.ivfTopK(emb, qs, k = 10, nCells = 16, nProbe = np)
-        .select("qid", "id")
+      .localCheckpoint(true)
+    // the four probe arms are INDEPENDENT given the shared ground
+    // truth — run them as concurrent jobs (guide §2.6: actions are
+    // only sequential because the driver calls them sequentially);
+    // each arm settles its |queries|·k candidate set eagerly, so the
+    // assembly below runs on tiny materialized frames. Results are
+    // arm-deterministic, so concurrency cannot change a row.
+    val ivfs = sweepArms(Seq(1, 2, 4, 8)) { np =>
+      Similarity.ivfTopK(emb, qs, k = 10, nCells = 16, nProbe = np)
+        .select("qid", "id").localCheckpoint(true)
+    }
+    Seq(1, 2, 4, 8).zip(ivfs).map { case (np, ivf) =>
       val ov = brute.join(ivf, Seq("qid", "id"), "left_semi")
         .agg(count(lit(1)).as("n_overlap"))
       brute.agg(count(lit(1)).as("n_brute"))
@@ -216,6 +228,24 @@ object LlmQueries {
           (col("n_overlap").cast("double") / col("n_brute").cast("double"))
             .as("recall"))
     }.reduce(_.unionByName(_)).orderBy("nprobe")
+  }
+
+  /** Run independent sweep arms as CONCURRENT driver-submitted jobs
+    * (optimization guide §2.6): each arm must return a MATERIALIZED
+    * frame (localCheckpoint) so its work happens inside the future and
+    * later arms' tasks back-fill executors freed by earlier arms'
+    * tails. Output order matches input order; every arm is
+    * deterministic, so scheduling cannot change results. */
+  private def sweepArms[A](xs: Seq[A])(f: A => DataFrame): Seq[DataFrame] = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(xs.size)
+    try {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      implicit val ec: ExecutionContext =
+        ExecutionContext.fromExecutorService(pool)
+      val futs = xs.map(x => Future(f(x)))
+      futs.map(fu =>
+        Await.result(fu, scala.concurrent.duration.Duration.Inf))
+    } finally pool.shutdown()
   }
 
   // ---- L119: graph-ANN hop-sweep recall curve --------------------------------
@@ -230,13 +260,20 @@ object LlmQueries {
   def e21GraphRecallSweep(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     val qs = emb.filter(col("vec_id") < 5)
+    // ground truth settled once (the e10 posture): 8 consumers across
+    // the four arms
     val brute = Similarity.bruteTopK(emb, qs, k = 10).select("qid", "id")
+      .localCheckpoint(true)
     val index = Similarity.directedTopK(emb, "vec_id", "embedding", 5, 16)
       .select(col("qid").as("node"), col("id").as("nbr"))
-    Seq(0, 1, 2, 3).map { h =>
-      val g = Similarity.graphTopK(emb, qs, k = 10, hops = h,
-          index = Some(index))
+    // four independent searches over ONE settled index: concurrent
+    // driver jobs (guide §2.6) — graphTopK settles its own result
+    // (localCheckpoint inside), so each arm completes in its future
+    val arms = sweepArms(Seq(0, 1, 2, 3)) { h =>
+      Similarity.graphTopK(emb, qs, k = 10, hops = h, index = Some(index))
         .select("qid", "id")
+    }
+    Seq(0, 1, 2, 3).zip(arms).map { case (h, g) =>
       val ov = brute.join(g, Seq("qid", "id"), "left_semi")
         .agg(count(lit(1)).as("n_overlap"))
       brute.agg(count(lit(1)).as("n_brute"))
