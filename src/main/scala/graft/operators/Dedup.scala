@@ -829,11 +829,16 @@ object Dedup {
       // pointer jump: a label is itself a vertex id, so one self-join
       // replaces lbl with lbl's own label, halving chain lengths
       val jump = stepped.select(col("id").as("jid"), col("mid").as("jlbl"))
+      // LAZY local checkpoint + one count: the convergence probe both
+      // materializes the round's labels (lineage truncated exactly as
+      // before) and answers "did anything change" — the eager-
+      // checkpoint-then-isEmpty form paid two jobs per round for the
+      // same information
       val next = stepped.join(jump, col("mid") === col("jid"), "left")
         .select(col("id"), col("old"),
           least(col("mid"), coalesce(col("jlbl"), col("mid"))).as("lbl"))
-        .localCheckpoint()
-      converged = next.filter(col("lbl") < col("old")).isEmpty
+        .localCheckpoint(false)
+      converged = next.filter(col("lbl") < col("old")).count() == 0L
       labels = next.select("id", "lbl")
       iter += 1
     }

@@ -878,7 +878,11 @@ object Relational {
     // output into 1-2 cached partitions, serializing every BFS probe
     // round (the pageRank lesson) — one extra shuffle buys 32-way
     // probe parallelism for all 3 rounds
-    val edges = li.as("a").join(li.as("b"), Seq("ok"))
+    // SHUFFLE_HASH on the build side: the per-order self-join keys
+    // carry ~7 rows each, so the per-partition hash build is bounded
+    // and the two 600k-row sorts a sort-merge join pays are pure
+    // overhead (guide §3.1; measured 2-3x on this join at sf0.1)
+    val edges = li.as("a").join(li.as("b").hint("SHUFFLE_HASH"), Seq("ok"))
       .filter(col("a.pk") =!= col("b.pk"))
       .select(col("a.pk").as("src"), col("b.pk").as("dst"))
       .repartition(col("src"))
@@ -1061,8 +1065,10 @@ object Relational {
     val li = t(s, dir, "lineitem").select(col("l_orderkey").as("ok"),
       col("l_partkey").as("pk"))
     // canonical pairs only (pk < pk): triangleCounts accepts any edge
-    // form, but emitting one orientation halves the self-join output
-    val edges = li.as("a").join(li.as("b"),
+    // form, but emitting one orientation halves the self-join output.
+    // SHUFFLE_HASH: bounded per-key build (~7 items/order), skips both
+    // sorts of the sort-merge plan (guide §3.1, the q52 measurement)
+    val edges = li.as("a").join(li.as("b").hint("SHUFFLE_HASH"),
         col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
       .select(col("a.pk").as("src"), col("b.pk").as("dst"))
     graft.operators.Graphs.triangleCounts(edges)
@@ -1093,7 +1099,8 @@ object Relational {
   def q77GraphProfile(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-    val edges = li.as("a").join(li.as("b"),
+    // SHUFFLE_HASH: the q61 pick (bounded per-key build, no sorts)
+    val edges = li.as("a").join(li.as("b").hint("SHUFFLE_HASH"),
         col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
       .select(col("a.pk").as("src"), col("b.pk").as("dst")).distinct()
     graft.operators.Graphs.graphProfile(edges)
