@@ -16,6 +16,16 @@ object Tables {
 
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
+  // NOTE (r13, measured): do NOT blanket-repartition small/single-
+  // row-group inputs here to chase scan-stage parallelism. A global
+  // documents.repartition(cores) was A/B-probed at sf0.1/local[32]:
+  // a handful of per-row-heavy queries improved ~2x (x39), but the
+  // family as a whole regressed badly (d22 3.4 -> 8.1 s, x40 1.8 ->
+  // 4.1 s, d21 2.9 -> 4.6 s) — every broadcast build / multi-consumer
+  // subtree re-executes its child THROUGH the injected exchange, so
+  // total task time grew 10-30x. Queries that win from a wider scan
+  // stage fan out locally, after their last self-join/broadcast reuse
+  // of the raw scan.
 
   /** Events table with `ts` normalized to TimestampType regardless of the
     * parquet physical type (the generator wrote nanosecond timestamps,

@@ -323,19 +323,29 @@ object LlmQueries {
       .filter(col("tok") =!= "")
     val counts = tok.groupBy("source", "tok").agg(count(lit(1)).as("c"))
       .persist()
+    // 1-row / S-row model frames with 2+ consumers each (vc: p and the
+    // pair grid; prof: p, sweep, and the grid twice) — settle them
+    // eagerly so each broadcast build reads a localCheckpoint instead
+    // of re-running its distinct/groupBy over the cached counts
     val vc = counts.select("tok").distinct().agg(count(lit(1)).as("v"))
+      .localCheckpoint(true)
     // S-row per-source profile: token total n, distinct-token count nt
     val prof = counts.groupBy("source")
       .agg(sum("c").as("n"), count(lit(1)).as("nt"))
+      .localCheckpoint(true)
     // sparse Laplace probabilities — p identical bit-for-bit to the
     // dense cell for observed tokens; n/v ride along for the absent
     // constants q = 1.0/(n+v)
+    // PERSISTED: three consumers (both sides of the ∩ self-join and
+    // the one-sided sweep) — unpersisted, each re-ran the join +
+    // per-row divisions from the counts cache
     val p = counts.join(broadcast(prof.select("source", "n")), Seq("source"))
       .crossJoin(broadcast(vc))
       .select(col("source"), col("tok"),
         ((col("c") + 1).cast("double") /
           (col("n") + col("v")).cast("double")).as("p"),
         col("n"), col("v"))
+      .persist()
     def term(a: Column, b: Column): Column =
       (round(a * log(a / b), 9) + 0.0).cast("decimal(20,9)")
     def absentP(n: Column, v: Column): Column =
@@ -350,6 +360,9 @@ object LlmQueries {
         sum(term(col("x.p"), absentP(col("y.n"), col("x.v")))).as("i_aside"),
         sum(term(absentP(col("x.n"), col("x.v")), col("y.p"))).as("i_bside"),
         count(lit(1)).as("n_common"))
+      // S²-row result of the |observed|-scale self-join: settle it so
+      // the assembly below references rows, not the join subtree
+      .localCheckpoint(true)
     // directed one-sided sweeps per (a, b): a's FULL token list scored
     // against b's absent-prob — |observed|·(S−1) rows, never V·S
     val sweep = p.as("x").join(
@@ -361,6 +374,11 @@ object LlmQueries {
         sum(term(col("x.p"), absentP(col("nb"), col("x.v")))).as("f_ab"),
         // tok ∈ a, scored in direction b→a (b absent side is the P)
         sum(term(absentP(col("nb"), col("x.v")), col("x.p"))).as("g_ab"))
+      // S(S−1)-row result JOINED TWICE in the assembly (forward as
+      // f_ab, mirrored as g_ba): unsettled, the full |observed|·(S−1)
+      // sweep aggregation executed twice — the probe's biggest single
+      // re-execution in this query
+      .localCheckpoint(true)
     // assemble directed KL on the S²-row grid
     val pairs = prof.select(col("source").as("a"), col("n").as("na"),
         col("nt").as("nta"))
@@ -2282,6 +2300,10 @@ object LlmQueries {
     * test-id set. */
   def p7LeakageFreeSplit(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // NOT persisted: measured (r13 probe) — caching the perturbed
+    // corpus costs more than the three consumers' re-scans (parquet
+    // re-reads keep per-consumer column pruning; the cache carries the
+    // full text column into every scan): 3.6 s -> 4.2 s warm at sf0.1
     val corpus = withCopies(t(s, dir, "documents"), perturb = true)
       .select("doc_id", "text", "lang", "source")
     val strata = corpus.groupBy("lang", "source")

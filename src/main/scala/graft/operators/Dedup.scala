@@ -901,23 +901,34 @@ object Dedup {
     * doc. The duplicated-gram side is NOT forced broadcast: on a
     * boilerplate-heavy corpus it can be arbitrarily large, so the plan
     * stays a key-partitioned join and AQE may downgrade it to broadcast
-    * when the df>1 relation turns out small. The compiled shingle
-    * kernel re-runs per consumer (two scans) rather than caching a
-    * corpus-sized gram table — recompute is the cheaper posture at
-    * scale. A doc shorter than `w` words contributes its whole text as
-    * one partial gram (shingleHashes' documented fallback). */
+    * when the df>1 relation turns out small. The gram table is
+    * persisted across its consumers (df aggregate, shared-count join,
+    * per-doc totals): the compiled shingle kernel is the dominant map
+    * cost and the cached rows are 16 B hashes — re-running it per
+    * consumer measured strictly worse (r13 A/B). A doc shorter than
+    * `w` words contributes its whole text as one partial gram
+    * (shingleHashes' documented fallback). */
   def dupSpans(corpus: DataFrame, idCol: String, textCol: String,
       w: Int = 13): DataFrame = {
+    // PERSISTED (r13): the gram table feeds the df>1 aggregate and the
+    // shared-count join — the compiled shingle kernel ran twice (the
+    // scaladoc's old "recompute is cheaper" claim lost its A/B probe:
+    // the hash explode is the dominant map cost, the cached rows are
+    // ~16 B)
     val grams = corpus.select(col(idCol).as("id"),
-      explode(shingleHashes(col(textCol), w)).as("g"))
+      explode(shingleHashes(col(textCol), w)).as("g")).persist()
     val dupGrams = grams.groupBy("g")
       .agg(count(lit(1)).as("ndocs"))
       .filter(col("ndocs") > 1)
       .select("g")
     val shared = grams.join(dupGrams, Seq("g"))
       .groupBy("id").agg(count(lit(1)).as("n_shared"))
-    corpus.select(col(idCol).as("id"),
-        size(shingleHashes(col(textCol), w)).cast("long").as("n_grams"))
+    // n_grams = per-doc row count of the SAME persisted gram table
+    // (explode emits one row per array element and shingleHashes is
+    // non-empty for every doc — the short-doc fallback emits one
+    // partial gram), so the third shingle pass the old
+    // size(shingleHashes(...)) projection paid is gone
+    grams.groupBy("id").agg(count(lit(1)).as("n_grams"))
       .join(shared, Seq("id"), "left")
       .select(col("id"), col("n_grams"),
         coalesce(col("n_shared"), lit(0L)).as("n_shared"),
@@ -963,7 +974,11 @@ object Dedup {
     * gate mismatch rather than hide). */
   def exactSubstringSpans(corpus: DataFrame, idCol: String,
       textCol: String, minLen: Int = 13): DataFrame = {
-    val grams = positionalGrams(corpus, idCol, textCol, minLen)
+    // PERSISTED: both sides of the self-join scan the same positional
+    // index — unpersisted, the tokenize + per-window concat/xxhash
+    // kernel (the operator's dominant map cost) ran twice (r13 probe;
+    // ~20 B/row cached vs re-hashing every window)
+    val grams = positionalGrams(corpus, idCol, textCol, minLen).persist()
     val lhs = grams.select(col("gh"), col("id").as("id_a"),
       col("pos").as("pos_a"))
     val rhs = grams.select(col("gh"), col("id").as("id_b"),
@@ -1031,8 +1046,11 @@ object Dedup {
       .persist()
     val sz = reps.select(col("id"), col("gsz"))
     // the d20 diagonal scan, representatives only (normText is
-    // idempotent, so re-normalizing nt inside is a no-op)
-    val repSpans = exactSubstringSpans(reps, "id", "nt", minLen)
+    // idempotent, so re-normalizing nt inside is a no-op).
+    // PERSISTED: the span report feeds both the cross-group and
+    // within-group branches — unpersisted, the gram self-join +
+    // diagonal window (the query's dominant cost) executed twice
+    val repSpans = exactSubstringSpans(reps, "id", "nt", minLen).persist()
     val half = expr("gsz * (gsz - 1) DIV 2")
     val cross = repSpans.filter(col("id_a") =!= col("id_b"))
       .join(sz.toDF("id_a", "gsz_a"), "id_a")
@@ -1168,7 +1186,10 @@ object Dedup {
     * output is the pair list itself. */
   def removeDuplicateSpansOwned(corpus: DataFrame, idCol: String,
       textCol: String, minLen: Int = 13): DataFrame = {
-    val grams = positionalGrams(corpus, idCol, textCol, minLen)
+    // PERSISTED: the index feeds the ownership aggregate AND the
+    // probe join back — unpersisted, every window re-tokenized and
+    // re-hashed twice (the exactSubstringSpans measurement)
+    val grams = positionalGrams(corpus, idCol, textCol, minLen).persist()
     // gram ownership: the lexicographic-min (id, pos) occurrence; df=1
     // grams drop before the join (their only occurrence is the owner)
     val owners = grams.groupBy("gh")

@@ -95,7 +95,9 @@ object Graphs {
     val e = edges.select(col("src"), col("dst"))
       .repartition(col("src")).persist()
     cached += e
-    e.count()
+    // no eager count: the nodeDeg aggregation below is e's first
+    // consumer and materializes the cache as a side effect — a
+    // standalone count() was one extra full cache pass (r13 probe)
     // node inventory + out-degree in ONE aggregation: every endpoint
     // appears, src occurrences carry 1 (deg = Σ), dst occurrences 0
     val nodeDeg = e.select(explode(array(

@@ -1049,7 +1049,11 @@ object Relational {
       .select(col("l_suppkey").as("src"), col("l_orderkey").as("ok"))
     val o = t(s, dir, "orders").select(col("o_orderkey").as("ok"),
       (col("o_custkey") + 1000000L).as("dst"))
-    val edges = li.join(o, Seq("ok")).select("src", "dst")
+    // SHUFFLE_HASH on the orders side: o_orderkey is unique (1-row
+    // hash build per key) so the build is bounded, and the sort-merge
+    // default pays two full sorts just to attach one dst per edge
+    // (guide §3.1, the q52/q61 measurement)
+    val edges = li.join(o.hint("SHUFFLE_HASH"), Seq("ok")).select("src", "dst")
     graft.operators.Graphs.pageRank(edges, iters = 3).orderBy("node")
   }
 
