@@ -132,6 +132,13 @@ object Bench {
     // BENCH_full.json lesson).
     val defaultOut =
       if (only.isEmpty) "BENCH_full.json" else "/tmp/graft_bench_only.json"
+    // The round driver runs the bench at TWO core counts and each run
+    // used to overwrite BENCH_full.json, destroying the other's full
+    // per-query record (r13: the 8-core scaling run clobbered the
+    // 32-core record). Tag a second copy with the core count so both
+    // survive; BENCH_full.json stays for readers of the old path.
+    val cpuTaggedOut =
+      if (only.isEmpty) Some(s"BENCH_full_c$cpus.json") else None
     // per-query plan-cost notes: costs a registry sweep pays that a
     // production pipeline would not, so a reader doesn't misread them
     // as regressions (VERDICT r12 item 6)
@@ -152,11 +159,24 @@ object Bench {
       raw.zipWithIndex.map { case (p, i) =>
         s""","pass${i + 1}":${jmap(p.map { case (k, (v, _)) => k -> v })}"""
       }.mkString + "}"
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)),
-      full + "\n")
+      java.nio.file.Paths.get(outPath), full + "\n")
     catch { case _: Throwable => () }
+    cpuTaggedOut.foreach { p =>
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(p), full + "\n")
+      catch { case _: Throwable => () }
+    }
+    // The contract line above is ~15 KB at 263 queries; the round
+    // driver keeps only a 2000-char stdout TAIL, so its parse has
+    // returned null in every round to date (PERF_r*.json: totals null,
+    // per_query empty). Print a short summary line LAST — guaranteed
+    // to fit the tail whole — with the headline numbers and a pointer
+    // to the full per-query dump on disk.
+    val shortLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","passes":$passes,"raw_totals":[${rawTotals.mkString(",")}],"n_queries":${names.size}$failField,"full":"${cpuTaggedOut.getOrElse(outPath)}","summary_of":"$outPath"}"""
+    println(shortLine)
     spark.stop()
   }
 }

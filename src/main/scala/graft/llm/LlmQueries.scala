@@ -95,10 +95,26 @@ object LlmQueries {
     val corpus = withCopies(t(s, dir, "documents"), perturb = true)
     val pairs = Dedup.minhashPairs(corpus, "doc_id", "text",
       w = 3, h = 64, bands = 32, threshold = 0.5)
+    // quality scoring is INDEPENDENT of the CC loop — settle it as a
+    // concurrent driver job (guide §2.6) so the kernel's tasks
+    // backfill the latency-bound CC rounds instead of running after
+    // them; deterministic, so concurrency cannot change a row (r14)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val qualF = Future {
+      corpus.select(col("doc_id").as("id"),
+          TextAnalysis.qualityColumns(col("text")).last.as("q"))
+        .localCheckpoint(true)
+    }
     val clusters = Dedup.dupClusters(pairs, "id_a", "id_b")
-    val qual = corpus.select(col("doc_id").as("id"),
-      TextAnalysis.qualityColumns(col("text")).last.as("q"))
-    val j = clusters.join(qual, Seq("id"))
+    val qual = Await.result(qualF,
+      scala.concurrent.duration.Duration.Inf)
+    // settled eagerly (r14): j is consumed TWICE (the argmax and the
+    // verdict join) — unsettled, the cluster join AND the quality
+    // kernel over the perturbed corpus executed once per consumer
+    // (guide §2.5, the x32 posture). Corpus-cardinality but narrow
+    // (id, cluster, size, q).
+    val j = clusters.join(qual, Seq("id")).localCheckpoint(true)
     // argmax (q desc, id asc): max of (q, −id) — the q57 device
     val surv = j.groupBy("cluster_id")
       .agg(max(struct(col("q"), (-col("id")).as("ni"))).as("m"))
@@ -236,15 +252,31 @@ object LlmQueries {
     * later arms' tasks back-fill executors freed by earlier arms'
     * tails. Output order matches input order; every arm is
     * deterministic, so scheduling cannot change results. */
+  private val sweepSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
   private def sweepArms[A](xs: Seq[A])(f: A => DataFrame): Seq[DataFrame] = {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(xs.size)
+    // each arm's jobs run under a shared cancellable group: if one arm
+    // fails, the others' in-flight Spark jobs are cancelled instead of
+    // running (and localCheckpointing) on after the query has already
+    // failed (ADVICE r13)
+    val group = s"graft-sweep-${sweepSeq.incrementAndGet()}"
+    val sc = org.apache.spark.sql.SparkSession.active.sparkContext
     try {
       import scala.concurrent.{Await, ExecutionContext, Future}
       implicit val ec: ExecutionContext =
         ExecutionContext.fromExecutorService(pool)
-      val futs = xs.map(x => Future(f(x)))
-      futs.map(fu =>
+      val futs = xs.map(x => Future {
+        sc.setJobGroup(group, "sweep arm", interruptOnCancel = true)
+        try f(x) finally sc.clearJobGroup()
+      })
+      try futs.map(fu =>
         Await.result(fu, scala.concurrent.duration.Duration.Inf))
+      catch {
+        case e: Throwable =>
+          sc.cancelJobGroup(group)
+          throw e
+      }
     } finally pool.shutdown()
   }
 
@@ -266,11 +298,16 @@ object LlmQueries {
       .localCheckpoint(true)
     val index = Similarity.directedTopK(emb, "vec_id", "embedding", 5, 16)
       .select(col("qid").as("node"), col("id").as("nbr"))
+    // normalized corpus settled ONCE and shared (r14): each arm's own
+    // persist deduped onto one CacheManager entry (identical plan), so
+    // the first arm to finish unpersisted it from under the others
+    val normed = Similarity.normalizedCorpus(emb).localCheckpoint(true)
     // four independent searches over ONE settled index: concurrent
     // driver jobs (guide §2.6) — graphTopK settles its own result
     // (localCheckpoint inside), so each arm completes in its future
     val arms = sweepArms(Seq(0, 1, 2, 3)) { h =>
-      Similarity.graphTopK(emb, qs, k = 10, hops = h, index = Some(index))
+      Similarity.graphTopK(emb, qs, k = 10, hops = h, index = Some(index),
+          normed = Some(normed))
         .select("qid", "id")
     }
     Seq(0, 1, 2, 3).zip(arms).map { case (h, g) =>
@@ -814,12 +851,22 @@ object LlmQueries {
     def bucketOf(sd: Int, c: Column): Column =
       pmod(conv(substring(md5(concat(lit(sd + "|"), c)), 1, 15), 16, 10)
         .cast("long"), lit(buckets))
-    val tok = tokens.filter(col("tok") =!= "").persist()
-    val cells = tok
-      .select(posexplode(array((0 until seeds).map(sd =>
+    // r14 (guide §2.3 aggregate-before-you-shuffle, §4 per-row work):
+    // count tokens FIRST, then derive the CMS cells from the count
+    // table — addition is associative, so summing per-token exact
+    // counts into (seed, bucket) cells is bit-identical to counting
+    // occurrences, and the 4 md5 probes run once per DISTINCT token
+    // instead of once per occurrence (the dominant map cost). The
+    // exact-count table is also exactly what the probe selection
+    // needs, so one aggregation serves all three consumers (persisted:
+    // heavy + sampled cuts and the cell derivation).
+    val exact = tokens.filter(col("tok") =!= "")
+      .groupBy("tok").agg(count(lit(1)).as("exact_n"))
+      .persist()
+    val cells = exact
+      .select(col("exact_n"), posexplode(array((0 until seeds).map(sd =>
         bucketOf(sd, col("tok"))): _*)).as(Seq("seed", "bucket")))
-      .groupBy("seed", "bucket").agg(count(lit(1)).as("c"))
-    val exact = tok.groupBy("tok").agg(count(lit(1)).as("exact_n"))
+      .groupBy("seed", "bucket").agg(sum("exact_n").as("c"))
     val heavy = exact.orderBy(col("exact_n").desc, col("tok")).limit(10)
     val sampled = exact.orderBy(md5(col("tok")), col("tok")).limit(5)
     heavy.unionByName(sampled).distinct()

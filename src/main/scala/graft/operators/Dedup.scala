@@ -192,7 +192,10 @@ object Dedup {
       .toDF("id_a", "id_b")
       .distinct()
     val sets = withSig.select(col("id"), col("sh"))
-    cand
+    // verified-pair result settles eagerly (it is the output —
+    // pair-bounded, orders of magnitude under the corpus) so the
+    // signature cache releases before return (ADVICE r13 release path)
+    val out = cand
       .join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
       .withColumn("common", {
@@ -205,6 +208,9 @@ object Dedup {
         col("common") / (size(col("sh_a")) + size(col("sh_b")) - col("common")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+      .localCheckpoint(true)
+    withSig.unpersist()
+    out
   }
 
   /** Incremental (continuous-crawl) dedup: match a NEW batch against an
@@ -915,25 +921,40 @@ object Dedup {
     // scaladoc's old "recompute is cheaper" claim lost its A/B probe:
     // the hash explode is the dominant map cost, the cached rows are
     // ~16 B)
+    // explode_OUTER (r14): a NULL text yields a null shingle array, and
+    // a plain explode dropped that document from the output entirely —
+    // where the pre-r13 size(shingleHashes(...)) projection kept the
+    // row with a null count. The outer explode keeps one (id, null)
+    // row; null grams never equi-join (so they can't be "shared") and
+    // count(g) skips them, so nullif(·, 0) below restores exactly the
+    // old (id, null n_grams, 0, null frac) row. Pinned by DedupSpec's
+    // null-text case.
     val grams = corpus.select(col(idCol).as("id"),
-      explode(shingleHashes(col(textCol), w)).as("g")).persist()
+      explode_outer(shingleHashes(col(textCol), w)).as("g")).persist()
     val dupGrams = grams.groupBy("g")
       .agg(count(lit(1)).as("ndocs"))
-      .filter(col("ndocs") > 1)
+      .filter(col("ndocs") > 1 && col("g").isNotNull)
       .select("g")
     val shared = grams.join(dupGrams, Seq("g"))
       .groupBy("id").agg(count(lit(1)).as("n_shared"))
-    // n_grams = per-doc row count of the SAME persisted gram table
-    // (explode emits one row per array element and shingleHashes is
-    // non-empty for every doc — the short-doc fallback emits one
-    // partial gram), so the third shingle pass the old
-    // size(shingleHashes(...)) projection paid is gone
-    grams.groupBy("id").agg(count(lit(1)).as("n_grams"))
+    // n_grams = per-doc non-null gram count of the SAME persisted gram
+    // table (shingleHashes is non-empty for every non-null doc — the
+    // short-doc fallback emits one partial gram; count(g) = 0 happens
+    // ONLY for a null text, which nullif maps back to the old null),
+    // so the third shingle pass the old size(shingleHashes(...))
+    // projection paid is gone
+    // per-doc narrow result settles eagerly so the gram cache releases
+    // before return (ADVICE r13 release path)
+    val out = grams.groupBy("id")
+      .agg(nullif(count(col("g")), lit(0L)).as("n_grams"))
       .join(shared, Seq("id"), "left")
       .select(col("id"), col("n_grams"),
         coalesce(col("n_shared"), lit(0L)).as("n_shared"),
         round(coalesce(col("n_shared"), lit(0L)) / col("n_grams"), 6)
           .as("shared_frac"))
+      .localCheckpoint(true)
+    grams.unpersist()
+    out
   }
 
   /** d20: TRUE variable-length exact duplicated-substring spans — the
@@ -987,7 +1008,12 @@ object Dedup {
       .filter(col("id_a") < col("id_b") ||
         (col("id_a") === col("id_b") && col("pos_a") < col("pos_b")))
       .select("id_a", "pos_a", "id_b", "pos_b")
-    diagonalSpans(pairs, minLen)
+    // span-report result settles eagerly so the gram cache releases
+    // before return (ADVICE r13: library persists need a release path;
+    // the report IS the output, so settling it adds no extra compute)
+    val out = diagonalSpans(pairs, minLen).localCheckpoint(true)
+    grams.unpersist()
+    out
   }
 
   /** d22: [[exactSubstringSpans]] with the exactGroups pre-collapse
@@ -1046,11 +1072,11 @@ object Dedup {
       .persist()
     val sz = reps.select(col("id"), col("gsz"))
     // the d20 diagonal scan, representatives only (normText is
-    // idempotent, so re-normalizing nt inside is a no-op).
-    // PERSISTED: the span report feeds both the cross-group and
-    // within-group branches — unpersisted, the gram self-join +
-    // diagonal window (the query's dominant cost) executed twice
-    val repSpans = exactSubstringSpans(reps, "id", "nt", minLen).persist()
+    // idempotent, so re-normalizing nt inside is a no-op). The span
+    // report arrives SETTLED (exactSubstringSpans localCheckpoints its
+    // output), so both the cross-group and within-group branches read
+    // the materialized report — the former extra persist is redundant
+    val repSpans = exactSubstringSpans(reps, "id", "nt", minLen)
     val half = expr("gsz * (gsz - 1) DIV 2")
     val cross = repSpans.filter(col("id_a") =!= col("id_b"))
       .join(sz.toDF("id_a", "gsz_a"), "id_a")
@@ -1072,8 +1098,15 @@ object Dedup {
         lit(0L).as("start_a"), lit(0L).as("start_b"),
         col("n_toks").as("span_tokens"),
         expr("gsz * (gsz - 1) DIV 2").as("n_pairs"))
-    cross.unionByName(withinRows).unionByName(mirrorRows)
+    // grouped report settles eagerly (it is the output) so the rep
+    // and within caches release before return (the ADVICE r13 path:
+    // previously both stayed resident until a session clearCache)
+    val out = cross.unionByName(withinRows).unionByName(mirrorRows)
       .unionByName(fullRows)
+      .localCheckpoint(true)
+    within.unpersist()
+    reps.unpersist()
+    out
   }
 
   /** The (id, pos, gramHash) positional index [[exactSubstringSpans]]
@@ -1201,7 +1234,14 @@ object Dedup {
       .filter(col("own.id") =!= col("id") || col("own.pos") =!= col("pos"))
       .select(col("id"), col("pos").as("ss"),
         (col("pos") + minLen).as("ee"), lit(1L).as("n"))
-    rewriteCutIntervals(corpus, idCol, textCol, cuts)
+    // settle the merged per-doc interval table (doc-bounded rows, the
+    // only consumer of the gram cache) so the cache releases before
+    // the corpus rewrite runs (ADVICE r13 release path) — the rewrite
+    // output itself stays lazy: it carries the full rewritten text and
+    // must not be double-materialized
+    val ivs = mergedIntervals(cuts).localCheckpoint(true)
+    grams.unpersist()
+    applyCuts(corpus, idCol, textCol, ivs)
   }
 
   /** Shared rewrite tail of [[removeDuplicateSpans]] and
@@ -1210,11 +1250,19 @@ object Dedup {
     * filter keeps the uncovered tokens in order. `cuts` needs columns
     * (id, ss, ee, n). */
   private def rewriteCutIntervals(corpus: DataFrame, idCol: String,
-      textCol: String, cuts: DataFrame): DataFrame = {
-    val ivs = graft.operators.Intervals.merge(cuts, keyCol = "id")
+      textCol: String, cuts: DataFrame): DataFrame =
+    applyCuts(corpus, idCol, textCol, mergedIntervals(cuts))
+
+  /** Per-doc merged cut-interval arrays (id, ivs) from a cut list. */
+  private def mergedIntervals(cuts: DataFrame): DataFrame =
+    graft.operators.Intervals.merge(cuts, keyCol = "id")
       .groupBy("id")
       .agg(collect_list(struct(col("m_start").as("s"), col("m_end").as("e")))
         .as("ivs"))
+
+  /** The in-row rewrite over a (id, ivs) interval table. */
+  private def applyCuts(corpus: DataFrame, idCol: String,
+      textCol: String, ivs: DataFrame): DataFrame = {
     corpus
       .select(col(idCol).cast("long").as("id"),
         split(normText(col(textCol)), " ").as("ts"))

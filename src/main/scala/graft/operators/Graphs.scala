@@ -36,10 +36,16 @@ object Graphs {
       broadcastFrontier: Boolean = true): DataFrame = {
     def bc(df: DataFrame): DataFrame =
       if (broadcastFrontier) broadcast(df) else df
-    val cached = scala.collection.mutable.Buffer.empty[DataFrame]
+    // Per-round EAGER localCheckpoint, not persist+count (r14, guide
+    // §2.6/§5): persist keeps the round's full lineage inside its
+    // InMemoryRelation, so round k's plan nests every earlier round's —
+    // the q52 terminal plan grew to ~12k lines by round 3 and Catalyst
+    // re-analyzed that tree each round. The checkpoint truncates to an
+    // RDD scan: O(1) plan per round, one materializing job per round
+    // (same job count as persist+count), and the union below reads
+    // settled node-cardinality frames.
     val s0 = seeds.select(col("node")).distinct()
-      .withColumn("dist", lit(0L)).persist()
-    cached += s0
+      .withColumn("dist", lit(0L)).localCheckpoint(true)
     var visited: DataFrame = s0
     var frontier: DataFrame = s0
     for (d <- 1 to maxHops) {
@@ -49,16 +55,14 @@ object Graphs {
         .select(col("dst").as("node")).distinct()
         .join(bc(visited.select("node")), Seq("node"), "left_anti")
         .withColumn("dist", lit(d).cast(LongType))
-        .persist()
-      next.count() // materialize so the next round probes a settled set
-      cached += next
-      visited = visited.union(next) // lazy union of persisted rounds
+        .localCheckpoint(true)
+      visited = visited.union(next) // lazy union of settled rounds
       frontier = next
     }
-    val out = visited.cache()
-    out.count() // materialize, then release the per-round caches
-    cached.foreach(_.unpersist())
-    out
+    // no terminal cache+count: every round is already materialized, so
+    // the union is a cheap scan of settled frames — the old eager
+    // cache pass was one extra full job for nothing
+    visited
   }
 
   /** Fixed-iteration PageRank (simplified: dangling mass not
@@ -252,25 +256,50 @@ object Graphs {
     // bounded model-state broadcasts, decided on EXACT counts (the
     // pageRank broadcastNodes regime; distributed equi-joins above):
     // deg is 16 B/node, adjacency totals ~8 B/oriented-edge — the
-    // latter is edge-bounded, so it gets its own threshold
-    val nNodes = deg.count()
+    // latter is edge-bounded, so it gets its own threshold. The two
+    // counts are independent — overlapped as concurrent driver jobs
+    // (guide §2.6).
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val nNodesF = Future(deg.count())
     val mEdges = und.count() // cheap: und is persisted
+    val nNodes = Await.result(nNodesF,
+      scala.concurrent.duration.Duration.Inf)
     val bcN: DataFrame => DataFrame =
       if (nNodes <= broadcastNodes) (df: DataFrame) => broadcast(df)
       else (df: DataFrame) => df
-    val bcA: DataFrame => DataFrame =
-      if (mEdges <= broadcastAdjEdges) (df: DataFrame) => broadcast(df)
-      else (df: DataFrame) => df
-    val oriented = und
+    val withDeg = und
       .join(bcN(deg.select(col("node").as("a"), col("deg").as("da"))), Seq("a"))
       .join(bcN(deg.select(col("node").as("b"), col("deg").as("db"))), Seq("b"))
-      .select(
-        when(col("da") < col("db") ||
-            (col("da") === col("db") && col("a") < col("b")),
-          struct(col("a").as("u"), col("b").as("v")))
-          .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"))
-      .select(col("e.u").as("u"), col("e.v").as("v"))
-      .persist()
+    val oriented = orientedFrom(withDeg, "a", "b", "da", "db").persist()
+    val out = closeOriented(oriented, mEdges <= broadcastAdjEdges)
+    oriented.unpersist()
+    if (degOpt.isEmpty) deg.unpersist()
+    out
+  }
+
+  /** Degree-ordered orientation of a degree-joined canonical edge
+    * frame: each edge directed from its lower endpoint in the
+    * (degree asc, node asc) total order. Split out so [[graphProfile]]
+    * can derive it from the SAME degree-joined pass that feeds its
+    * assortativity moments (one pass emitting both, guide §2.5). */
+  private def orientedFrom(withDeg: DataFrame, aCol: String, bCol: String,
+      daCol: String, dbCol: String): DataFrame = withDeg
+    .select(
+      when(col(daCol) < col(dbCol) ||
+          (col(daCol) === col(dbCol) && col(aCol) < col(bCol)),
+        struct(col(aCol).as("u"), col(bCol).as("v")))
+        .otherwise(struct(col(bCol).as("u"), col(aCol).as("v"))).as("e"))
+    .select(col("e.u").as("u"), col("e.v").as("v"))
+
+  /** The edge-iterator triangle close over a PERSISTED degree-ordered
+    * orientation (u, v): per-node triangle counts (node, n_tri),
+    * eagerly materialized. The caller owns `oriented`'s release. */
+  private def closeOriented(oriented: DataFrame,
+      broadcastAdj: Boolean): DataFrame = {
+    val bcA: DataFrame => DataFrame =
+      if (broadcastAdj) (df: DataFrame) => broadcast(df)
+      else (df: DataFrame) => df
     // per-u sorted out-neighborhoods; orientation bounds their size.
     // PERSISTED: both triangle-close joins broadcast it, and each
     // broadcast build would otherwise re-run the groupBy + sort.
@@ -292,12 +321,10 @@ object Graphs {
     val counts = tri
       .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_tri"))
-    // node-cardinality result: materialize eagerly so the oriented
-    // cache releases before return (the pqTopK convention)
+    // node-cardinality result: materialize eagerly so the adj cache
+    // releases before return (the pqTopK convention)
     val out = counts.localCheckpoint(true)
     adj.unpersist()
-    oriented.unpersist()
-    if (degOpt.isEmpty) deg.unpersist()
     out
   }
 
@@ -335,42 +362,71 @@ object Graphs {
     * GraphsSpec-pinned. */
   def graphProfile(edgesIn: DataFrame,
       triCounts: Option[DataFrame] = None,
-      broadcastNodes: Long = 1L << 23): DataFrame = {
+      broadcastNodes: Long = 1L << 23,
+      broadcastAdjEdges: Long = 1L << 22): DataFrame = {
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
     val d38 = DecimalType(38, 0)
     val edges = edgesIn.persist()
-    // node-cardinality table with FOUR consumers (the wedge aggregate,
-    // both endpoint-degree joins, and the triangle close's orientation)
-    // — persist so the union+groupBy over the edge list runs once
+    // Contract guard (debug-mode — one extra pass over the edge
+    // cache): the profile and its triangle close assume canonical
+    // edges (src < dst, distinct); a violating caller would get
+    // silently wrong n_triangles/clustering. Enable with
+    // spark.graft.validateGraphContracts=true during development.
+    if (edges.sparkSession.conf
+        .get("spark.graft.validateGraphContracts", "false").toBoolean) {
+      val bad = edges.filter(col("src") >= col("dst")).count()
+      val dups = edges.count() - edges.distinct().count()
+      require(bad == 0 && dups == 0,
+        s"graphProfile: canonical-edge contract violated " +
+          s"($bad rows with src >= dst, $dups duplicate rows)")
+    }
+    // node-cardinality table with THREE consumers (the wedge aggregate
+    // and both endpoint-degree broadcast builds) — persist so the
+    // union+groupBy over the edge list runs once
     val deg = edges.select(col("src").as("v"))
       .unionByName(edges.select(col("dst").as("v")))
       .groupBy("v").agg(count(lit(1)).as("dg"))
       .persist()
     val degStats = deg.agg(count(lit(1)).as("n_nodes"),
       sum(expr("dg * (dg - 1) div 2")).as("n_wedges"))
-    // endpoint-degree joins BROADCAST under the same node-bounded
-    // regime as the triangle close (exact count, the pageRank
-    // convention) — deliberate, not left to AQE estimates
+    // regime counts (exact, the pageRank convention — deliberate, not
+    // left to AQE estimates); the two counts are independent jobs, so
+    // they run overlapped (guide §2.6)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val nNodesF = Future(deg.count())
+    val mEdges = edges.count()
+    val nNodes = Await.result(nNodesF,
+      scala.concurrent.duration.Duration.Inf)
     val bcN: DataFrame => DataFrame =
-      if (deg.count() <= broadcastNodes) (df: DataFrame) => broadcast(df)
+      if (nNodes <= broadcastNodes) (df: DataFrame) => broadcast(df)
       else (df: DataFrame) => df
-    val ep = edges
+    // ONE degree-joined pass over the edges serves BOTH the
+    // assortativity moments and the triangle close's orientation
+    // (r14, guide §2.5 — previously the `ep` moment join and the
+    // close's orientation join each re-scanned the edge cache through
+    // their own pair of broadcast probes)
+    val withDeg = edges
       .join(bcN(deg.select(col("v").as("src"), col("dg").as("du"))), Seq("src"))
       .join(bcN(deg.select(col("v").as("dst"), col("dg").as("dv"))), Seq("dst"))
-    val mo = ep.agg(count(lit(1)).as("m"),
+      .persist()
+    val mo = withDeg.agg(count(lit(1)).as("m"),
       sum((col("du") + col("dv")).cast(d38)).as("sx"),
       sum((col("du") * col("du") + col("dv") * col("dv")).cast(d38))
         .as("sxx"),
       sum((col("du") * col("dv") * 2).cast(d38)).as("sxy"))
-    // the triangle close reuses the profile's already-canonical
-    // persisted edges AND its degree table (edges are src < dst
-    // distinct by contract) — the standalone triangleCounts path would
-    // re-shuffle the edge list through a redundant distinct and
-    // re-aggregate degrees it already has
-    val tri = triCounts.getOrElse(triangleCountsCanonical(
-        edges.select(col("src").as("a"), col("dst").as("b")),
-        Some(deg.select(col("v").as("node"), col("dg").as("deg")))))
-      .agg(sum("n_tri").as("tri3")) // = 3·T (each triangle at 3 corners)
+    // the triangle close reuses the profile's degree-joined pass
+    // (edges are src < dst distinct by contract) — the standalone
+    // triangleCounts path would re-shuffle the edge list through a
+    // redundant distinct and re-aggregate degrees it already has
+    val tri = triCounts.map(_.agg(sum("n_tri").as("tri3")))
+      .getOrElse {
+        val oriented = orientedFrom(withDeg, "src", "dst", "du", "dv")
+          .persist()
+        val counts = closeOriented(oriented, mEdges <= broadcastAdjEdges)
+        oriented.unpersist()
+        counts.agg(sum("n_tri").as("tri3")) // = 3·T (3 corners each)
+      }
     val m2 = (col("m") * 2).cast(d38) // directed listing size
     val numer = m2 * col("sxy") - col("sx") * col("sx")
     val denom = m2 * col("sxx") - col("sx") * col("sx")
@@ -386,6 +442,7 @@ object Graphs {
     // caches release before return (the pqTopK convention; repeated
     // profile calls must not accumulate cached edge tables)
     val out = row.localCheckpoint(true)
+    withDeg.unpersist()
     deg.unpersist()
     edges.unpersist()
     out

@@ -23,6 +23,12 @@ object Similarity {
       col("embedding").cast("array<double>").as(vName))
       .withColumn(nName, VectorOps.norm(col(vName)))
 
+  /** The (id, v, nv) normalized-corpus frame [[graphTopK]] scores
+    * against, exposed so a sweep caller can settle it ONCE and hand it
+    * to every arm via `normed` (the index-sharing posture). */
+  def normalizedCorpus(corpus: DataFrame): DataFrame =
+    withNorm(corpus, "id", "v", "nv")
+
   private def cosOf(av: String, bv: String, an: String, bn: String) = {
     val nn = col(an) * col(bn)
     when(nn === 0.0, 0.0)
@@ -424,8 +430,15 @@ object Similarity {
     * build, never the search. */
   def graphTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       graphK: Int = 5, nCells: Int = 16, beam: Int = 4,
-      hops: Int = 2, index: Option[DataFrame] = None): DataFrame = {
-    val c = withNorm(corpus, "id", "v", "nv").persist()
+      hops: Int = 2, index: Option[DataFrame] = None,
+      normed: Option[DataFrame] = None): DataFrame = {
+    // `normed`: a caller-settled (id, v, nv) corpus (the e21 sweep
+    // passes one shared localCheckpoint) — concurrent arms each
+    // persisting the IDENTICAL withNorm plan dedupe onto ONE
+    // CacheManager entry, so the first arm to finish unpersisted the
+    // cache out from under the others (results unaffected; the
+    // concurrency win wasn't)
+    val c = normed.getOrElse(withNorm(corpus, "id", "v", "nv").persist())
     // entry points: the deterministic md5-order sample (the s3/s5
     // quantizer pick) — real corpus ids, so they are graph nodes
     val seeds: Array[Long] =
@@ -449,16 +462,21 @@ object Similarity {
       .withColumn("id", explode(array(seeds.map(lit(_)): _*)))
     var h = 0
     while (h < hops) {
+      // settle the hop's candidate set (|queries|·(nCells+h·beam·graphK)
+      // rows — tiny): unsettled, hop h's score() re-embedded hop h−1's
+      // whole score+topK subplan, and the final DAG replayed every
+      // earlier hop once per reference (the e10/e21 ground-truth
+      // lesson, guide §2.5)
       val bm = topK(score(cand), beam).select(col("qid"), col("id"))
       val next = graph
         .join(broadcast(bm.withColumnRenamed("id", "node")), Seq("node"))
         .select(col("qid"), col("nbr").as("id"))
-      cand = cand.union(next).distinct()
+      cand = cand.union(next).distinct().localCheckpoint(true)
       h += 1
     }
     val res = topK(score(cand).filter(col("id") =!= col("qid")), k)
       .localCheckpoint(true)
-    c.unpersist()
+    if (normed.isEmpty) c.unpersist()
     res
   }
 

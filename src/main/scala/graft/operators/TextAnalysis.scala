@@ -570,6 +570,14 @@ object TextAnalysis {
       discount: Double = 0.75): org.apache.spark.sql.DataFrame = {
     val toks = df.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
       .filter(size(col("toks")) >= 2)
+    // NOT persisted (r14 measured DON'T-DO): persisting `big` (the
+    // corpus bigram string rows, 2 consumers) took task time 2.1 → 16 s
+    // — caching string rows costs more than re-running the zip_with
+    // explode; persisting `bcnt` alone (4 consumers) still took task
+    // time to ~9 s and wall +0.3 s, because the InMemoryRelation hides
+    // the size statistics AQE uses to broadcast the model joins below.
+    // The recompute-per-consumer form keeps every model join a
+    // broadcast and measures fastest (1.6–1.85 s vs 2.0–2.3 s).
     val big = toks.select(col("id"), explode(expr(
         "zip_with(slice(toks, 1, size(toks)-1), slice(toks, 2, size(toks)-1), " +
           "(a, b) -> struct(a AS w1, b AS w2))")).as("bg"))

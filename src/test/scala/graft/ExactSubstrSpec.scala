@@ -333,4 +333,24 @@ class ExactSubstrSpec extends AnyFunSuite {
       assert(d8out(id) == d8Shared(id).size.toLong)
     }
   }
+
+  test("dupSpans keeps a NULL-text doc with null counts (pre-r13 semantics)") {
+    // the original size(shingleHashes(text)) projection kept a
+    // null-text row as (id, null, 0, null); the gram-table derivation
+    // must reproduce it (explode_outer + nullif), not drop the doc
+    val seg = words(70, 20).mkString(" ")
+    val corpus = Seq[(java.lang.Long, String)](
+      (1L, seg), (2L, seg), (3L, null), (4L, words(71, 20).mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Dedup.dupSpans(corpus, "doc_id", "text", L)
+      .select("id", "n_grams", "n_shared", "shared_frac")
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) None else Some(r.getLong(1))), r.getLong(2),
+          (if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L)) // null-text doc kept
+    assert(out(3L) == ((None, 0L, None)))     // (null, 0, null) — old row
+    assert(out(1L) == ((Some(8L), 8L, Some(1.0)))) // 20-L+1 grams, all shared
+    assert(out(2L) == ((Some(8L), 8L, Some(1.0))))
+    assert(out(4L) == ((Some(8L), 0L, Some(0.0)))) // disjoint vocab: none
+  }
 }
