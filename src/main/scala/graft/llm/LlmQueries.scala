@@ -1008,7 +1008,10 @@ object LlmQueries {
     val nCand = cand.groupBy("bands").agg(count(lit(1)).as("n_cand"))
     val caught = cand.join(truth, Seq("id_a", "id_b"), "left_semi")
       .groupBy("bands").agg(count(lit(1)).as("n_caught"))
-    nCand.join(caught, Seq("bands"), "left")
+    // 3-row result settles eagerly so the five sample-scale caches
+    // (shingles, signatures, hashed sets, truth, candidates) release
+    // before return (ADVICE r13 release-path convention)
+    val out = nCand.join(caught, Seq("bands"), "left")
       .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_true"))))
       .select(col("bands"), (lit(h) / col("bands")).cast("int")
           .as("rows_per_band"),
@@ -1019,7 +1022,9 @@ object LlmQueries {
         (coalesce(col("n_caught"), lit(0L)).cast("double") /
           nullif(col("n_cand").cast("double"), lit(0.0)))
           .as("cand_precision"))
-      .orderBy("bands")
+      .localCheckpoint(true)
+    Seq(cand, truth, hashed, sig, sh).foreach(_.unpersist())
+    out.orderBy("bands")
   }
 
   // ---- L62: hybrid lexical+dense retrieval (RRF) ---------------------------
@@ -2161,8 +2166,21 @@ object LlmQueries {
     * selected fingerprint. Output = the selected (pos, hash) set per
     * doc; within-row HOF selection, output-sized explode only. */
   def x44Winnowing(s: SparkSession, dir: String): DataFrame =
-    TextAnalysis.winnow(t(s, dir, "documents"), "doc_id", "text")
+    // LOCAL scan fan-out (r14): the per-row HOF selection (md5 per
+    // gram × window mins) is the whole cost and the single-row-group
+    // input scans as ONE task — probe showed taskTime ≈ exec wall,
+    // i.e. serial. One narrow repartition buys full-width execution
+    // for the map pass; single consumer, so the r13 global-fanout
+    // hazard (re-execution through the exchange) can't bite. Width is
+    // scale-adaptive (defaultParallelism = the session's cores).
+    TextAnalysis.winnow(t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism),
+      "doc_id", "text")
       .withColumnRenamed("id", "doc_id")
+      // settle the (output-sized) fingerprint set before the final
+      // sort: the orderBy's range sampling otherwise re-evaluates the
+      // whole HOF selection a second time
+      .localCheckpoint(true)
       .orderBy("doc_id", "pos")
 
   // ---- L111: RAKE keyword extraction ---------------------------------------

@@ -413,9 +413,13 @@ object TextAnalysis {
         filter(ss, (x, i) =>
           (i === lit(0)) || (x =!= element_at(ss, greatest(i, lit(1)))))), 1)
     }), 1)
+    // no terminal orderBy (r14): row order is not part of the
+    // operator's contract (the x44 query applies its own final sort;
+    // the streaming consumer immediately distincts), and a sort here
+    // made every consumer's range-sampling re-evaluate the expensive
+    // HOF selection an extra time
     base.select(col("id"), explode(sel).as("s"))
       .select(col("id"), (-col("s.negp")).as("pos"), col("s.h").as("fp"))
-      .orderBy("id", "pos")
   }
 
   /** Stoplist for RAKE phrase splitting — pinned here (and
@@ -465,9 +469,15 @@ object TextAnalysis {
       .withColumn("delim", col("tok").isin(rakeStopwords.map(lit(_)): _*) ||
         col("tok").rlike("[^a-z0-9]") || col("tok") === "")
     val wDoc = Window.partitionBy("doc_id").orderBy("p")
+    // PERSISTED (r14): three consumers (phrase fold, word stats,
+    // phrase scoring) each re-ran the tokenize + posexplode + per-doc
+    // window chain — unlike x40's flat bigram explode, the recompute
+    // here includes a shuffle+sort per consumer, which A/B measured
+    // worth caching
     val member = tok
       .withColumn("grp", sum(col("delim").cast("long")).over(wDoc))
       .filter(!col("delim"))
+      .persist()
     val phrases = member.groupBy("doc_id", "grp")
       .agg(sort_array(collect_list(struct(col("p"), col("tok")))).as("pt"))
       .select(col("doc_id"), col("grp"),
@@ -488,11 +498,17 @@ object TextAnalysis {
       .agg(max("pscore").as("score"), count(lit(1)).as("n_occur"))
     val wRank = Window.partitionBy("doc_id")
       .orderBy(col("score").desc, col("phrase"))
-    scored.withColumn("rank", row_number().over(wRank))
+    // topK-per-doc result settles eagerly so the member cache releases
+    // before return; no terminal orderBy (row order is not part of the
+    // operator contract — the x45 query applies its own final sort,
+    // and a sort here made its range sampling re-evaluate the chain)
+    val out = scored.withColumn("rank", row_number().over(wRank))
       .filter(col("rank") <= topK)
       .select(col("doc_id"), col("rank"), col("phrase"),
         col("score").cast("decimal(28,9)").as("score"), col("n_occur"))
-      .orderBy("doc_id", "rank")
+      .localCheckpoint(true)
+    member.unpersist()
+    out
   }
 
   /** Flesch reading ease + Flesch–Kincaid grade level (Flesch 1948;

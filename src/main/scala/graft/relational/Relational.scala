@@ -1201,9 +1201,15 @@ object Relational {
     val part = Window.partitionBy("l_returnflag", "l_linestatus")
     val ord = part.orderBy("price", "l_orderkey", "l_linenumber")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // group totals via ONE map-side-combined aggregate broadcast back
+    // (r14, guide §2.3): the former whole-partition totw/n windows were
+    // a second WindowExec pass that buffered every 6-fat-group
+    // partition in memory just to attach two per-group constants.
+    // sum(decimal) is exact and identical through either path.
+    val totals = li.groupBy("l_returnflag", "l_linestatus")
+      .agg(sum(col("w")).as("totw"), count(lit(1)).as("n"))
     li.withColumn("cumw", sum(col("w")).over(ord))
-      .withColumn("totw", sum(col("w")).over(part))
-      .withColumn("n", count(lit(1)).over(part))
+      .join(broadcast(totals), Seq("l_returnflag", "l_linestatus"))
       .filter(col("cumw") * 2 >= col("totw"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(max(col("n")).as("n_rows"),
