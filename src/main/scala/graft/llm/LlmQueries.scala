@@ -229,8 +229,15 @@ object LlmQueries {
     // each arm settles its |queries|·k candidate set eagerly, so the
     // assembly below runs on tiny materialized frames. Results are
     // arm-deterministic, so concurrency cannot change a row.
+    // ONE index for all four arms (r14 — the e21 posture brought to
+    // IVF): centroids collect once and the cell-assigned corpus
+    // settles once; per arm only the probe selection + scoring runs.
+    // Previously every arm re-collected centroids and re-assigned the
+    // whole corpus.
+    val (cents, cellsRaw) = Similarity.ivfSampledIndex(emb, nCells = 16)
+    val cells = cellsRaw.localCheckpoint(true)
     val ivfs = sweepArms(Seq(1, 2, 4, 8)) { np =>
-      Similarity.ivfTopK(emb, qs, k = 10, nCells = 16, nProbe = np)
+      Similarity.ivfTopKIndexed(cents, cells, qs, k = 10, nProbe = np)
         .select("qid", "id").localCheckpoint(true)
     }
     Seq(1, 2, 4, 8).zip(ivfs).map { case (np, ivf) =>

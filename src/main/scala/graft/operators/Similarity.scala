@@ -104,6 +104,18 @@ object Similarity {
   private def ivfTopKSampled(corpus: DataFrame, queries: DataFrame,
       k: Int, nCells: Int, nProbe: Int,
       literalAssignCells: Int = 256): DataFrame = {
+    val (centroids, cells) =
+      ivfSampledIndex(corpus, nCells, literalAssignCells)
+    ivfTopKIndexed(centroids, cells, queries, k, nProbe)
+  }
+
+  /** The sampled-centroid IVF INDEX of [[ivfTopK]] — the literal
+    * centroid list plus the cell-assigned normalized corpus — exposed
+    * so a sweep caller (e10) builds ONE index (settling the assigned
+    * corpus) and searches it per arm via [[ivfTopKIndexed]], instead of
+    * re-collecting centroids and re-assigning cells once per arm. */
+  def ivfSampledIndex(corpus: DataFrame, nCells: Int,
+      literalAssignCells: Int = 256): (Array[(Long, Array[Double])], DataFrame) = {
     val c = withNorm(corpus, "id", "v", "nv")
     val centroids: Array[(Long, Array[Double])] =
       c.select(col("id").cast("long"), col("v"))
@@ -158,6 +170,25 @@ object Similarity {
       if (centroids.length <= literalAssignCells)
         c.withColumn("cell", array_min(cellRank(col("v"))).getField("cid"))
       else assignTable()
+    (centroids, cells)
+  }
+
+  /** Search a prebuilt [[ivfSampledIndex]]: query-probe ranking over
+    * the literal centroids, exact scoring of the probed cells, top-k. */
+  def ivfTopKIndexed(centroids: Array[(Long, Array[Double])],
+      cells: DataFrame, queries: DataFrame, k: Int,
+      nProbe: Int): DataFrame = {
+    // the same ip(c,c) − 2·ip(v,c) ranking as the index build (see
+    // ivfSampledIndex — left-to-right ipcc, lexicographic tie to the
+    // smaller centroid id)
+    def cellRank(v: Column): Column = array(centroids.map { case (cid, cv) =>
+      var ipcc = 0.0
+      var i = 0
+      while (i < cv.length) { ipcc += cv(i) * cv(i); i += 1 }
+      struct(
+        (lit(ipcc) - VectorOps.dot(v, array(cv.map(lit(_)): _*)) * 2.0).as("d"),
+        lit(cid).as("cid"))
+    }: _*)
     val q = withNorm(queries, "qid", "qv", "nqv")
     val probes = q.withColumn("cell",
         explode(transform(slice(array_sort(cellRank(col("qv"))), 1, nProbe),
