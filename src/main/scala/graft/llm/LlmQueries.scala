@@ -2388,10 +2388,16 @@ object LlmQueries {
       .withColumn("rk", row_number().over(
         Window.orderBy(col("rem").desc, col("lang"), col("source"))))
     val lo = al.agg((max("k") - sum("base")).as("lo"))
+    // alloc (strata-cardinality) and sides (corpus-cardinality but
+    // NARROW — no text) settle eagerly (r14, guide §2.5): each has two
+    // consumers, and unsettled the strata window ran twice and the
+    // per-strata md5 sort over the corpus ran twice. This is NOT the
+    // rejected r13 corpus persist — the text column never caches.
     val alloc = al.crossJoin(broadcast(lo))
       .withColumn("allocated", least(col("n_docs"),
         col("base") + when(col("rk") <= col("lo"), 1L).otherwise(0L)))
       .select("lang", "source", "n_docs", "allocated")
+      .localCheckpoint(true)
     val sides = corpus
       .withColumn("rn", row_number().over(
         Window.partitionBy("lang", "source")
@@ -2400,6 +2406,7 @@ object LlmQueries {
         Seq("lang", "source"))
       .select(col("doc_id"), col("lang"), col("source"),
         (col("rn") <= col("allocated")).as("is_test"))
+      .localCheckpoint(true)
     val pairs = Dedup.minhashPairs(corpus, "doc_id", "text",
       w = 3, h = 64, bands = 32, threshold = 0.5)
     val testIds = sides.filter(col("is_test"))

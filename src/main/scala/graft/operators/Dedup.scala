@@ -282,10 +282,16 @@ object Dedup {
     val best = verified.groupBy("id")
       .agg(min(struct(col("pid"), col("jaccard"))).as("m"))
       .select(col("id"), col("m.pid").as("dup_of"), col("m.jaccard").as("jaccard"))
-    batchIdx.select(col("id"))
+    // batch-row-sized verdicts settle eagerly so both index caches
+    // release before return (ADVICE r13 release-path convention)
+    val out = batchIdx.select(col("id"))
       .join(best, Seq("id"), "left")
       .select(col("id"), col("dup_of").isNotNull.as("is_dup"),
         col("dup_of"), col("jaccard"))
+      .localCheckpoint(true)
+    corpusIdx.unpersist()
+    batchIdx.unpersist()
+    out
   }
 
   /** Cross-boundary near-dup verdicts against a FIXED held-out pool —
@@ -818,8 +824,14 @@ object Dedup {
     // is cheap and also cuts the iterative loop's replay lineage.
     val sym = pairs.select(col(aCol).cast("long").as("src"),
       col(bCol).cast("long").as("dst")).localCheckpoint(true)
+    // repartition by src BEFORE persisting (r14, guide §2.4): every
+    // round equi-joins the edges on src, and the distinct left the
+    // cache hash-partitioned by (src, dst) — so each round re-shuffled
+    // the FULL edge table. Pinned to src, the cached partitioning
+    // satisfies the join's requirement and only the (small, changing)
+    // label side moves per round.
     val edges = sym.union(sym.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().persist()
+      .distinct().repartition(col("src")).persist()
     var labels = edges.groupBy("src").agg(min("dst").as("nmin"))
       .select(col("src").as("id"), least(col("src"), col("nmin")).as("lbl"))
       .localCheckpoint()
